@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators for large-scale document pipelines.
+  *
+  * All scalar paths are built from `org.apache.spark.sql.functions`
+  * (codegen'd, no UDFs): tokenization, quality scoring, language-ID
+  * heuristics, fingerprints, exact dedup, n-gram Jaccard near-dup,
+  * MinHash+LSH, and SimHash.
+  *
+  * Scale notes (100 TB): exact dedup and MinHash/LSH are single-shuffle
+  * group-bys on bounded keys; pairwise Jaccard is quadratic per token
+  * bucket and exists as the small-scale oracle-checkable variant — the
+  * scale path is [[minHashPairs]], whose candidate generation touches
+  * only docs sharing an LSH band bucket.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-count heuristic: words plus punctuation marks
+    * counted as separate tokens (regex token split).
+    */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.map(lit)
+    size(filter(tokens(text), t => t.isin(sw: _*)))
+  }
+
+  /** Quality-score components: token counts, mean token length
+    * (char arithmetic, exact), stopword ratio, and a composite score.
+    * Deterministic integer/rational arithmetic → oracle-safe.
+    */
+  def qualityColumns(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val nTok = tokenCount(text)
+    val nChars = length(text)
+    val meanTokLen = (nChars - (nTok - lit(1))).cast("double") / nTok
+    val swRatio = stopwordCount(text, stopwords).cast("double") / nTok
+    val score = meanTokLen * (lit(1.0) - swRatio)
+    Seq("n_tokens" -> nTok, "mean_token_len" -> meanTokLen,
+        "stopword_ratio" -> swRatio, "quality_score" -> score)
+  }
+
+  /** N-gram-heuristic language ID: score each language profile by
+    * marker-token hits, pick the argmax (ties broken by profile order).
+    * Profiles are (lang, marker tokens).
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scored = profiles.map { case (lang, markers) =>
+      (lang, stopwordCount(text, markers))
+    }
+    // argmax with first-listed profile winning ties: fold a struct(score, lang)
+    scored.tail.foldLeft(struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
+      case (best, (lang, sc)) =>
+        when(sc > best.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(best)
+    }.getField("l")
+  }
+
+  /** Exact content fingerprint. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Positional rolling fingerprint: sum_i i * len(token_i) mod p.
+    * Pure integer arithmetic over the token array → engine-independent.
+    */
+  def fingerprintRolling(text: Column, p: Long = 1000000007L): Column = {
+    val toks = tokens(text)
+    aggregate(
+      zip_with(toks, sequence(lit(1), size(toks)), (t, i) => i.cast("long") * length(t)),
+      lit(0L), (acc, x) => acc + x) % p
+  }
+
+  /** Exact dedup: one row per distinct text, keeping the smallest id.
+    * Single hash-shuffle on the fingerprint — linear at any scale.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Token-set Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Blocked on shared tokens: only docs sharing >=1 token pair up.
+    * Exact and oracle-checkable; quadratic within a token's posting
+    * list — use [[minHashPairs]] at scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val posting = docs.select(col("id"), col("n_toks"), explode(col("toks")).as("tok"))
+    val a = posting.toDF("id_a", "n_a", "tok")
+    val b = posting.toDF("id_b", "n_b", "tok")
+    a.join(b, Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signature: k permutation-minima over distinct-token
+    * xxhash64 values (seeded per permutation). Returns array<long>.
+    */
+  def minHashSignature(text: Column, k: Int): Column = {
+    val toks = array_distinct(tokens(text))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(toks, t => xxhash64(lit(i), t)))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding candidate pairs with estimated Jaccard.
+    *
+    * signature → b bands of r rows; docs colliding in any band bucket
+    * become candidates; estimate = fraction of matching signature
+    * positions. One explode + one shuffle on (band, bandHash); at
+    * 100 TB bucket sizes stay bounded because collisions require real
+    * similarity.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4,
+                   minEstimate: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .where(col("est_jaccard") >= minEstimate)
+  }
+
+  /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the
+    * result is set iff more than half the token hashes have bit j set.
+    */
+  def simHash(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
+    val n = size(hashes)
+    val bits = (0 until 64).map { j =>
+      when(size(filter(hashes, h => shiftright(h, j).bitwiseAND(1) === 1)) * 2 > n,
+        lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scalar math is pure `functions._` HOFs (zip_with/aggregate) — stays
+  * inside whole-stage codegen, no UDF serialization. Dot products fold
+  * left-to-right in element order, so results are deterministic and
+  * reproducible across engines.
+  *
+  * Scale notes (100 TB): [[knnBruteForce]] broadcasts the (small) query
+  * side and computes exact top-k per partition before the final top-k
+  * shuffle — correct baseline, O(N·Q). The scale path is
+  * [[lshNearestNeighbors]]: sign-random-projection buckets cut the
+  * candidate set to docs sharing a bucket, then exact rerank.
+  */
+object VectorOps {
+
+  /** dot(a, b) in double precision, sequential fold in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for every vector (excluding self).
+    * `right` is broadcast — at scale, the query set is the small side.
+    */
+  def knnBruteForce(left: DataFrame, right: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val a = left.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = right.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val scored = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "cos")
+  }
+
+  /** Near-duplicate pairs by embedding cosine (id_a < id_b, cos >= threshold). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: hash of
+    * (plane, dim) mapped to [-1, 1). Reproducible with no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-random-projection LSH bucket id: one bit per hyperplane. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN: bucket vectors by [[lshBucket]], exact cosine rerank within
+    * buckets, top-k per query. Only intra-bucket pairs are scored.
+    */
+  def lshNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                          numPlanes: Int, k: Int): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val scored = a.join(b, Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "cos")
+  }
+}

@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One named query per operator of SURVEY.md §2 (the faust operator
+  * inventory re-expressed Spark-first), each with a DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout:
+  *  - money sums go through DECIMAL(18,2) (exact, engine-independent),
+  *    final cast back to DOUBLE;
+  *  - event-time keys are epoch-second BIGINTs (integer division of the
+  *    raw ns longs — no float roundtrip);
+  *  - every result has a total ORDER BY over unique key columns;
+  *  - column names match the oracle SQL exactly (driver hashes by
+  *    sorted column name).
+  */
+object CoreQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** sum(x) computed exactly via decimal, emitted as double. */
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  private val revenueTerm: Column =
+    dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ── stateless transforms: filter + map/projection (faust
+    //    stream.filter / processors; SURVEY §2.2) ─────────────────────
+    Q("q01_filter_project",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30 && col("l_quantity") <= 40)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (revenueTerm).cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity,
+        CAST($revenueSql AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 40
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── keyed table aggregation (faust Table fold; §2.4): the
+    //    pricing-summary flagship ───────────────────────────────────
+    Q("q02_agg_table",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenueTerm).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ── group_by rekey + per-key state (faust stream.group_by →
+    //    table; §2.2/§2.4) ────────────────────────────────────────────
+    Q("q03_groupby_rekey",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum2(col("value")).as("sum_value"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id"),
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── stream-table equi-join, broadcast dim (the de-facto faust
+    //    join: table lookup in agent; §2.3) ───────────────────────────
+    Q("q04_join_broadcast",
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── multi-way join with dims broadcast + agg (TPC-H Q5 shape) ───
+    Q("q05_multi_join",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenueTerm).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name,
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ── semi-join (EXISTS): customers having orders, per segment ─────
+    Q("q06_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_with_orders
+        FROM customer c WHERE EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── tumbling window aggregation (table.tumbling; §2.4) ──────────
+    Q("q07_tumbling_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(timestamp_seconds(col("ts_sec")), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some(Tables.eventsCte + """
+        SELECT (ts_sec // 3600) * 3600 AS w_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM e GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ── hopping window (table.hopping size=600s step=300s: every event
+    //    lands in size/step = 2 windows; §2.4) ───────────────────────
+    Q("q08_hopping_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(timestamp_seconds(col("ts_sec")), "600 seconds", "300 seconds").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some(Tables.eventsCte + """
+        SELECT ((ts_sec // 300) - k) * 300 AS w_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM e CROSS JOIN (VALUES (0), (1)) AS offs(k)
+        GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ── sliding-window interval self-join (SlidingWindow.ranges doc
+    //    semantics, faust/windows.py:116-132; §2.3) ──────────────────
+    Q("q09_interval_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val a = e.select(col("user_id"), col("ts_sec").as("ts_a"),
+          col("event_type").as("type_a"), col("event_id").as("id_a"))
+        val b = e.select(col("user_id").as("user_b"), col("ts_sec").as("ts_b"),
+          col("event_type").as("type_b"), col("event_id").as("id_b"))
+        a.join(b, col("user_id") === col("user_b") &&
+            col("ts_b") >= col("ts_a") && col("ts_b") <= col("ts_a") + 300 &&
+            col("id_a") =!= col("id_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("type_a", "type_b")
+      },
+      Some(Tables.eventsCte + """
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          COUNT(*) AS n_pairs
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND b.ts_sec >= a.ts_sec AND b.ts_sec <= a.ts_sec + 300
+          AND a.event_id <> b.event_id
+        GROUP BY 1, 2 ORDER BY type_a, type_b""")),
+
+    // ── SetTable: per-key exact distinct set + cardinality (§2.4) ───
+    Q("q10_set_table",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types_csv"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv,
+        COUNT(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── GlobalTable: broadcast-replicated dim join (§2.4) ───────────
+    Q("q11_global_table",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum(revenueTerm).cast("double").as("revenue"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+        CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ── window-close final values: daily tumbling count+mean (the
+    //    windowed_aggregation.py on_window_close fixture; §2.4/§2.8) ──
+    Q("q12_window_close",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(expr("(ts_sec div 86400) * 86400").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (dsum2(col("value")) / count(lit(1))).as("mean_value"))
+        .orderBy("w_start", "event_type"),
+      Some(Tables.eventsCte + """
+        SELECT (ts_sec // 86400) * 86400 AS w_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
+        FROM e GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // ── analytic window: top-k per group (§2.5/§2.6) ────────────────
+    Q("q13_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select("event_type", "rk", "event_id", "value")
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, rk, event_id, value FROM (
+          SELECT event_type, event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id) AS rk
+          FROM events) WHERE rk <= 5 ORDER BY event_type, rk""")),
+
+    // ── distinct (§2.6) ─────────────────────────────────────────────
+    Q("q14_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    // ── combine/union of streams (faust `stream & stream`; §2.3) ────
+    Q("q15_union_combine",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click" && col("value") > 400)
+        val buys = e.filter(col("event_type") === "purchase" && col("value") > 400)
+        clicks.union(buys).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT * FROM events WHERE event_type = 'click' AND value > 400
+              UNION ALL
+              SELECT * FROM events WHERE event_type = 'purchase' AND value > 400)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── scalar-function surface: string ops (§2.7) ──────────────────
+    Q("q16_scalar_strings",
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"), upper(col("p_name")).as("up_name"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_pref"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          md5(col("p_name")).as("name_md5"),
+          (col("p_size") % 7).as("size_mod"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_name) AS up_name,
+        LENGTH(p_name) AS name_len,
+        SUBSTRING(p_type, 1, 5) AS type_pref,
+        p_brand || '#' || p_type AS brand_type,
+        MD5(p_name) AS name_md5,
+        p_size % 7 AS size_mod,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor
+        FROM part ORDER BY p_partkey""")),
+
+    // ── scalar-function surface: date parts (§2.7, iso8601 handling) ─
+    Q("q17_scalar_dates",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mth"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr", "mth"),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+        CAST(MONTH(o_orderdate) AS INT) AS mth, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mth""")),
+
+    // ── JSON payload decode (faust json codec; §1.3) ────────────────
+    Q("q18_json_codec",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── enumerate (stream.enumerate; §2.2) ──────────────────────────
+    Q("q19_enumerate",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("idx", row_number().over(Window.orderBy("event_id")) - 1)
+        .select("idx", "event_id", "event_type")
+        .orderBy("idx"),
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx,
+        event_id, event_type FROM events ORDER BY idx""")),
+
+    // ── sort + limit / take (§2.2/§2.6) ─────────────────────────────
+    Q("q20_sort_limit",
+      (s, dir) => Tables.events(s, dir)
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)
+        .select("event_id", "event_type", "value"),
+      Some("""SELECT event_id, event_type, value FROM events
+        ORDER BY value DESC, event_id LIMIT 100""")),
+
+    // ── delta(d) lookback: previous-window value per key (faust
+    //    WindowSet.delta; §2.4) ──────────────────────────────────────
+    Q("q21_window_delta",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("ts_sec div 86400").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.withColumn("prev_n", coalesce(lag(col("n"), 1).over(w), lit(-1L)))
+          .orderBy("day", "event_type")
+      },
+      Some(Tables.eventsCte + """
+        SELECT day, event_type, n,
+          COALESCE(LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day), -1) AS prev_n
+        FROM (SELECT ts_sec // 86400 AS day, event_type, COUNT(*) AS n
+              FROM e GROUP BY 1, 2)
+        ORDER BY day, event_type""")),
+
+    // ── changelog compaction: latest value per key (faust table
+    //    changelog "keep latest"; §2.1/§3.2) ─────────────────────────
+    Q("q22_changelog_latest",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_sec").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select("user_id", "event_id", "event_type", "value")
+          .orderBy("user_id")
+      },
+      Some(Tables.eventsCte + """
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts_sec DESC, event_id DESC) AS rk
+          FROM e) WHERE rk = 1 ORDER BY user_id"""))
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextOps
+
+/** Dedup + text-analysis operators over the `documents` table —
+  * the training-data-pipeline extension surface.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "to")
+
+  private val langProfiles = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("data", "row"),
+    "zh" -> Seq("vector", "stream"))
+
+  val all: Seq[Q] = Seq(
+
+    // ── exact dedup: hash-groupBy on content fingerprint ────────────
+    Q("d01_dedup_exact",
+      (s, dir) => TextOps.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fingerprint"),
+      Some("""SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY fingerprint""")),
+
+    // ── n-gram (token-set) Jaccard near-dup pairs ───────────────────
+    Q("d02_dedup_jaccard",
+      (s, dir) => TextOps.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.9)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+          CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.9
+        ORDER BY id_a, id_b""")),
+
+    // ── MinHash + LSH banding near-dup candidates (scale path;
+    //    hash-seeded, deterministic; no SQL oracle → rows-only) ───────
+    Q("d03_dedup_minhash",
+      (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, minEstimate = 0.7)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ── SimHash signatures (rows-only: engine-specific hash) ────────
+    Q("d04_dedup_simhash",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // ── token counting ──────────────────────────────────────────────
+    Q("t01_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.distinctTokenCount(col("text")).as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents ORDER BY doc_id""")),
+
+    // ── quality scoring (length/stopword-ratio components) ──────────
+    Q("t02_quality_score",
+      (s, dir) => {
+        val cols = TextOps.qualityColumns(col("text"), stopwords)
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS mean_token_len,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')))
+        * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+          / len(string_split(text, ' '))) AS quality_score
+        FROM documents ORDER BY doc_id""")),
+
+    // ── language ID: marker-token argmax (n-gram heuristic) ─────────
+    Q("t03_lang_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text"), langProfiles).as("predicted"))
+        .withColumn("is_match", (col("predicted") === col("lang")).cast("int"))
+        .orderBy("doc_id"),
+      Some("""WITH scored AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS c_en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('data', 'row'))) AS c_fr,
+            len(list_filter(string_split(text, ' '), t -> t IN ('vector', 'stream'))) AS c_zh
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN c_zh > GREATEST(c_en, c_fr) THEN 'zh'
+               WHEN c_fr > c_en THEN 'fr'
+               ELSE 'en' END AS predicted,
+          CAST(CASE WHEN c_zh > GREATEST(c_en, c_fr) THEN 'zh'
+               WHEN c_fr > c_en THEN 'fr'
+               ELSE 'en' END = lang AS INT) AS is_match
+        FROM scored ORDER BY doc_id""")),
+
+    // ── document fingerprinting: exact md5 + positional rolling hash ─
+    Q("t04_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+          TextOps.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, MD5(text) AS fp_md5,
+        CAST(list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
+          i -> i * LENGTH(string_split(text, ' ')[i]))) % 1000000007 AS BIGINT) AS fp_roll
+        FROM documents ORDER BY doc_id""")),
+
+    // ── multimodal plumbing: opaque binary column + typed metadata
+    //    (decode itself is stubbed; schema/partition shape is real) ───
+    Q("m01_binary_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          ascii(col("blob").cast("string")).as("head_code"))
+        .withColumn("fake_width", (col("head_code") % 16 + 1).cast("int"))
+        .withColumn("fake_frames", (col("n_bytes") % 7).cast("int"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+        ASCII(text) AS head_code,
+        CAST(ASCII(text) % 16 + 1 AS INT) AS fake_width,
+        CAST(OCTET_LENGTH(ENCODE(text)) % 7 AS INT) AS fake_frames
+        FROM documents ORDER BY doc_id"""))
+  )
+}
