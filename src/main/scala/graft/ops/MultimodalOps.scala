@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, processed batch-wise via `mapPartitions`.
+  *
+  * The decode kernels themselves are STUBBED (no image/audio libs in
+  * this environment) behind [[Decoder]]: the deterministic fake reads
+  * real bytes and emits plausible metadata, so the Spark-side plumbing
+  * — schema, partitioning, batch iteration shape, null handling — is
+  * real and tested. Swapping in a JNI/FFmpeg decoder changes one
+  * function, not the pipeline.
+  *
+  * Scale notes: `mapPartitions` keeps per-record decoder setup
+  * amortized per partition (the reason Python pipelines use
+  * mapInPandas); binary payloads never pass through a shuffle here —
+  * filter/project on metadata first, decode last.
+  */
+object MultimodalOps {
+
+  /** Typed metadata extracted from a media blob. */
+  final case class MediaMeta(id: Long, nBytes: Int, format: String,
+                             width: Int, height: Int, durationMs: Long)
+
+  /** Pluggable per-partition decoder. Implementations must be
+    * deterministic for testability.
+    */
+  trait Decoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake decode: derives metadata purely from byte
+    * content (length + first-bytes fingerprint). Stands in for the
+    * real kernel — replace with an actual image/audio probe.
+    */
+  object FakeDecoder extends Decoder {
+    private val formats = Array("jpeg", "png", "wav", "mp4")
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length
+      val head = if (n == 0) 0 else java.util.Arrays.hashCode(
+        java.util.Arrays.copyOf(bytes, math.min(8, n))).abs
+      MediaMeta(id, n, formats(head % formats.length),
+        width = 64 + head % 1024, height = 64 + (head / 7) % 1024,
+        durationMs = n.toLong * 10)
+    }
+  }
+
+  implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+
+  /** Decode a frame of (id: long, blob: binary) into typed metadata.
+    * One decoder instance per partition — the mapInPandas batch shape.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, blobCol: String,
+                 decoder: Decoder = FakeDecoder): Dataset[MediaMeta] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(blobIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](blobIdx)
+        decoder.decode(r.getLong(idIdx), bytes)
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th chunk offset of a blob
+    * (the partition/batch shape of real frame extraction).
+    */
+  def sampleOffsets(df: DataFrame, idCol: String, blobCol: String,
+                    chunkSize: Int, stride: Int): DataFrame =
+    df.select(col(idCol), octet_length(col(blobCol)).as("n_bytes"))
+      .withColumn("n_chunks", ceil(col("n_bytes") / chunkSize).cast("int"))
+      .withColumn("offsets",
+        filter(transform(sequence(lit(0), col("n_chunks") - 1), i => i * chunkSize),
+          (_, i) => i % stride === 0))
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{App, GTable, GlobalTable, SetTable}
+import graft.core.{Codec, TopicSpec, TumblingWindow}
+
+/** The faust-surface API: word-count vertical slice (SURVEY §7.3) and
+  * the App/Topic/Table wrappers.
+  */
+class ApiSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val app = new App(spark, "test-app")
+
+  test("word_count vertical slice: stream → flatMap → group_by → table") {
+    // examples/word_count.py:16-40 over the documents corpus
+    val texts = Tables.documents(spark, sf).select($"text").as[String]
+    val words = app.stream(texts).flatMap(_.split(" "))
+    val counts = GTable.agg(words, Seq(col("value").as("word")),
+      Seq(count(lit(1)).as("n")))
+    val got = counts.as[(String, Long)].collect().toMap
+    // oracle: plain scala fold over the same rows
+    val expected = texts.collect().iterator.flatMap(_.split(" "))
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
+    assert(got == expected)
+    // point lookup (the table[k] serving path)
+    val k = expected.keys.head
+    assert(GTable.lookup(counts, "word", k).head.getLong(1) == expected(k))
+  }
+
+  test("GTable.fold: arbitrary non-algebraic fold in event order") {
+    val events = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"), (1L, 15L, "c"))
+      .toDF("key", "ts", "v").as[(Long, Long, String)]
+    val folded = GTable.fold(app.stream(events))(_._1, _._2)("")(
+      (acc, e) => acc + e._3)
+    val got = folded.collect().toMap
+    assert(got == Map(1L -> "acb", 2L -> "x")) // ordered by ts within key
+  }
+
+  test("GTable.windowed: tumbling window wrapper matches manual window()") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_ms", timestamp_millis(expr("ts div 1000000")))
+    val viaWrapper = GTable.windowed(app.streamDF(ev), TumblingWindow(3600 * 1000),
+      col("ts_ms"), Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+    val manual = ev.groupBy(window($"ts_ms", "3600 seconds"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")
+    assert(viaWrapper.except(manual).isEmpty && manual.except(viaWrapper).isEmpty)
+  }
+
+  test("SetTable.materialize honors add/discard delta order") {
+    val deltas = Seq(
+      ("room1", "alice", SetTable.OpAdd, 1L),
+      ("room1", "bob", SetTable.OpAdd, 2L),
+      ("room1", "alice", SetTable.OpDiscard, 3L),
+      ("room2", "carol", SetTable.OpAdd, 1L))
+      .toDF("k", "member", "op", "seq")
+    val m = SetTable.materialize(deltas, "k", "member", "op", "seq")
+      .select($"k", $"members").as[(String, Seq[String])].collect().toMap
+    assert(m == Map("room1" -> Seq("bob"), "room2" -> Seq("carol")))
+  }
+
+  test("GlobalTable.join broadcasts the small side") {
+    val li = Tables.lineitem(spark, sf)
+    val joined = GlobalTable.join(app.streamDF(li),
+      Tables.part(spark, sf), Seq.empty, "inner")
+    // explicit key join variant
+    val j2 = li.join(broadcast(Tables.part(spark, sf)),
+      li("l_partkey") === col("p_partkey"))
+    val plan = j2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("TopicSpec: source options, configs, changelog derivation") {
+    val t = TopicSpec(name = Some("orders"), partitions = Some(8),
+      retentionMs = Some(86400000L), compacting = true)
+    assert(t.sourceOptions == Map("subscribe" -> "orders"))
+    assert(t.topicConfigs == Map("retention.ms" -> "86400000", "cleanup.policy" -> "compact"))
+    val cl = t.changelogSpec("app1", "mytable")
+    assert(cl.name.contains("app1-mytable-changelog") && cl.compacting && cl.internal)
+    val p = TopicSpec(pattern = Some("orders-.*"))
+    assert(p.sourceOptions == Map("subscribePattern" -> "orders-.*"))
+    intercept[IllegalArgumentException](TopicSpec())
+  }
+
+  test("GStream: through repartitions, union combines, take limits") {
+    val ev = Tables.events(spark, sf)
+    val s = app.streamDF(ev)
+    assert(s.through(8).ds.rdd.getNumPartitions == 8)
+    assert(s.union(s).ds.count() == 2 * ev.count())
+    assert(s.take(10).ds.count() == 10)
+  }
+}

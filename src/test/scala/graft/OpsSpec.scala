@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{MultimodalOps, TextOps, VectorOps}
+
+/** Sanity/semantic tests for the extension operators (driver's DuckDB
+  * gate covers exact parity; these cover properties the oracle can't).
+  */
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("minhash estimate correlates with true jaccard") {
+    val est = TextOps.minHashPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, minEstimate = 0.0)
+      .select($"id_a", $"id_b", $"est_jaccard")
+    val truth = TextOps.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .select($"id_a", $"id_b", $"jaccard")
+    val joined = est.join(truth, Seq("id_a", "id_b"))
+      .select(abs($"est_jaccard" - $"jaccard").as("err"))
+      .agg(avg($"err")).as[Double].head()
+    // 32 hashes → stderr ~ sqrt(j(1-j)/32) ≈ 0.09; mean abs err well under 0.15
+    assert(joined < 0.15, s"mean |est-true| = $joined")
+  }
+
+  test("simhash: identical docs collide; hamming is symmetric and 0 on self") {
+    val sh = docs.limit(50).select($"doc_id", TextOps.simHash($"text").as("h"))
+    val self = sh.as("a").join(sh.as("b"), $"a.doc_id" === $"b.doc_id")
+      .select(TextOps.hammingDistance($"a.h", $"b.h").as("d"))
+      .agg(max($"d")).as[Long].head()
+    assert(self == 0)
+  }
+
+  test("duplicate texts produce identical minhash signatures and simhash") {
+    val dup = Seq((1L, "spark window merge sort"), (2L, "spark window merge sort"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val sigs = dup.select($"doc_id", TextOps.minHashSignature($"text", 16).as("sig"),
+      TextOps.simHash($"text").as("sh")).collect()
+    val byId = sigs.map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId(1L) != byId(3L))
+  }
+
+  test("exactDedup collapses exact duplicates only") {
+    val dup = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.exactDedup(dup, "doc_id", "text")
+      .select($"keep_id", $"n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = VectorOps.cosineNearDupPairs(vecs, "vec_id", "embedding", -1.0)
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(pairs((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 2L))) < 1e-12)
+  }
+
+  test("lsh ANN returns a subset of brute-force neighbors with sane scores") {
+    val emb = Tables.embeddings(spark, sf)
+    val ann = VectorOps.lshNearestNeighbors(emb, "vec_id", "embedding", 4, 3)
+    val rows = ann.select($"id_a", $"cos").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
+  }
+
+  test("multimodal decode: deterministic fake over real bytes, mapPartitions shape") {
+    val blobs = docs.limit(20)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("blob"))
+    val meta = MultimodalOps.decodeMeta(blobs, "id", "blob")
+    val twice = MultimodalOps.decodeMeta(blobs.repartition(7), "id", "blob")
+    assert(meta.collect().sortBy(_.id).toSeq == twice.collect().sortBy(_.id).toSeq)
+    val m = meta.collect().head
+    assert(m.nBytes > 0 && m.width >= 64 && m.durationMs == m.nBytes.toLong * 10)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.TumblingWindow
+import graft.streaming.{ChangelogSink, StatefulTable, WindowedStream}
+
+/** Streaming semantics against the reference's contracts (SURVEY §2.8):
+  * running keyed fold (Table write path), window-close-final-value
+  * emission (append + watermark), late-data acceptance within expires,
+  * and changelog-sink compaction.
+  */
+class StreamingSemanticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("StatefulTable.runningFold: per-key counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val folded = StatefulTable.runningFold(
+      input.toDS(), (kv: (String, Int)) => kv._1)(0L)((acc, kv) => acc + kv._2)()
+    val q = folded.writeStream.format("memory").queryName("fold_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1), ("b", 2), ("a", 3))
+      q.processAllAvailable()
+      input.addData(("a", 10), ("c", 5))
+      q.processAllAvailable()
+      val rows = spark.table("fold_out").as[(String, Long)].collect()
+      // last emission per key wins (update mode)
+      val latest = rows.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest == Map("a" -> 14L, "b" -> 2L, "c" -> 5L))
+    } finally q.stop()
+  }
+
+  test("window-close: append mode emits one final row after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "key", "value")
+    val agg = WindowedStream.onWindowClose(df, "ts",
+      TumblingWindow(10_000, expires = Some(2_000)),
+      Seq(col("key")), Seq(count(lit(1)).as("n"), sum($"value").as("sum_v")))
+    val q = agg.writeStream.format("memory").queryName("close_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "k", 1.0), (ts(5), "k", 2.0))
+      q.processAllAvailable()
+      // window [0,10) not closed yet: watermark = 5 - 2 = 3 < 10
+      assert(spark.table("close_out").count() == 0)
+      // advance stream time beyond 10 + 2
+      input.addData((ts(15), "k", 7.0))
+      q.processAllAvailable()
+      input.addData((ts(20), "k", 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("close_out")
+        .select(unix_timestamp($"window.start").as("w"), $"key", $"n", $"sum_v")
+        .as[(Long, String, Long, Double)].collect().toSet
+      // exactly the [0,10) window, final values, emitted once
+      assert(closed == Set((0L, "k", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late data within expires still updates its old window (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "key", "value")
+    val agg = WindowedStream.updating(df, "ts",
+      TumblingWindow(10_000, expires = Some(60_000)),
+      Seq(col("key")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(1), "k", 1.0), (ts(30), "k", 1.0))
+      q.processAllAvailable()
+      // a late event for window [0,10): within expires=60s of stream time 30
+      input.addData((ts(3), "k", 1.0))
+      q.processAllAvailable()
+      val perWindow = spark.table("late_out")
+        .select(unix_timestamp($"window.start").as("w"), $"n")
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).max }
+      assert(perWindow(0L) == 2L, s"late event must update window 0: $perWindow")
+    } finally q.stop()
+  }
+
+  test("ChangelogSink: append per batch, compacted read = latest per key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
+    val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val b1 = Seq(("a", 10), ("c", 3)).toDF("k", "v")
+    ChangelogSink.appendBatch(dir)(b0, 0L)
+    ChangelogSink.appendBatch(dir)(b1, 1L)
+    // idempotent batch retry: rewriting batch 1 must not duplicate
+    ChangelogSink.appendBatch(dir)(b1, 1L)
+    val compacted = ChangelogSink.readCompacted(spark, dir, Seq("k"))
+      .as[(String, Int)].collect().toSet
+    assert(compacted == Set(("a", 10), ("b", 2), ("c", 3)))
+  }
+}
