@@ -154,16 +154,10 @@ object TextOps {
 
   /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the
     * result is set iff more than half the token hashes have bit j set.
+    * Single-pass native expression (64 HOF passes were the naive form).
     */
-  def simHash(text: Column): Column = {
-    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
-    val n = size(hashes)
-    val bits = (0 until 64).map { j =>
-      when(size(filter(hashes, h => shiftright(h, j).bitwiseAND(1) === 1)) * 2 > n,
-        lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column =
+    graft.functions.VectorExpressions.simhash64(array_distinct(tokens(text)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -49,9 +49,11 @@ object TextQueries {
 
     // ── MinHash + LSH banding near-dup candidates (scale path;
     //    hash-seeded, deterministic; no SQL oracle → rows-only) ───────
+    // bands=2 (r=8): band collision needs 8 matching minhashes — keeps
+    // candidate sets bounded even on this pathologically-uniform corpus
     Q("d03_dedup_minhash",
       (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 16, bands = 4, minEstimate = 0.7)
+        numHashes = 16, bands = 2, minEstimate = 0.7)
         .orderBy("id_a", "id_b"),
       None),
 

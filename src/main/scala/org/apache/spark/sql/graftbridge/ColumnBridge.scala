@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ↔ Expression converters —
+  * Spark 4 moved Column onto ColumnNode (sql-api) and gated the
+  * classic-expression constructors. Extension libraries shipping
+  * custom Catalyst `Expression`s need exactly these two calls; this is
+  * the conventional package-placement shim.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene — the properties that decide whether these
+  * operators survive a 100× scale-up: pushdown to the parquet scan,
+  * column pruning, broadcast joins for dims, partial aggregation.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter is pushed down to the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_returnflag"), p)
+    // pushed filter list must actually carry the predicate, not be empty
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val p = plan("q01_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("dim joins broadcast, fact side does not") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+    val q5 = plan("q05_multi_join")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q02_agg_table")
+    assert(p.contains("HashAggregate"), p)
+    // two HashAggregate levels = partial + final
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("whole-stage codegen covers the agg pipeline (final AQE plan)") {
+    val df = SparkEntry.queries("q02_agg_table")(spark, sf)
+    df.collect() // finalize AQE on this queryExecution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("window-close daily agg shuffles once (no redundant exchanges)") {
+    val p = plan("q12_window_close")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
+  test("knn precomputes norms before the pairwise join (no per-pair norm)") {
+    val df = graft.ops.VectorOps.knnBruteForce(
+      Tables.embeddings(spark, sf), Tables.embeddings(spark, sf),
+      "vec_id", "embedding", 3)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the per-pair cos projection (above the join) must not recompute
+    // norms — SQRT belongs only in the per-side projects (join children)
+    val cosLine = p.linesIterator.find(_.contains("AS cos")).getOrElse("")
+    assert(cosLine.nonEmpty && !cosLine.contains("SQRT"),
+      s"per-pair projection must reuse precomputed norms:\n$p")
+    assert(p.linesIterator.count(l => l.contains("SQRT") && l.contains("vectordot")) == 2,
+      s"each side computes its norm exactly once:\n$p")
+  }
+}
