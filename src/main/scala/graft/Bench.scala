@@ -40,12 +40,27 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     val queries = SparkEntry.queries
-    val results = headline.filter(queries.contains).map { name =>
+    val named = headline.filter(queries.contains).map { name =>
+      name -> (() => queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    }
+    // t/bench-mirror scenarios (BASELINE.md): consume-only and
+    // consume→transform→produce, on the streaming-shaped events table.
+    val scenarios = Seq[(String, () => Unit)](
+      "b01_consume_baseline" -> (() =>
+        Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()),
+      "b02_forward" -> (() => {
+        import org.apache.spark.sql.functions._
+        Tables.events(spark, sfDir)
+          .select(col("user_id").cast("string").as("key"),
+            to_json(struct(col("event_id"), col("event_type"), col("value"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))).as("value"))
+          .write.format("noop").mode("overwrite").save()
+      }),
+      "b03_stream_windowed" -> (() => StreamBench.windowedReplay(spark, sfDir)))
+    val results = (named ++ scenarios).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try {
-        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        true
-      } catch { case _: Throwable => false }
+      val ok = try { fn(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }

@@ -86,6 +86,35 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of positions where two long arrays agree (MinHash
+    * signature agreement) — one primitive pass per pair.
+    */
+  case class LongArrayEqCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var eq = 0
+      var i = 0
+      while (i < n) {
+        if (x.getLong(i) == y.getLong(i)) eq += 1
+        i += 1
+      }
+      eq
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def long_array_eq_count(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayEqCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def vector_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

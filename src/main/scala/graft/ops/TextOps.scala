@@ -145,11 +145,14 @@ object TextOps {
       col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
+      // score with a primitive agreement pass while the signatures are
+      // still in hand, filter, THEN dedup multi-band collisions — the
+      // distinct shuffles only (long, long, double) rows, never arrays
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
+        (graft.functions.VectorExpressions.long_array_eq_count(
+          col("sig_a"), col("sig_b")).cast("double") / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstimate)
+      .distinct()
   }
 
   /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the

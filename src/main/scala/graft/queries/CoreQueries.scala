@@ -359,6 +359,56 @@ object CoreQueries {
           SELECT user_id, event_id, event_type, value,
             ROW_NUMBER() OVER (PARTITION BY user_id
               ORDER BY ts_sec DESC, event_id DESC) AS rk
-          FROM e) WHERE rk = 1 ORDER BY user_id"""))
+          FROM e) WHERE rk = 1 ORDER BY user_id""")),
+
+    // ── left-outer join with null handling (faust left_join; §2.3) ──
+    Q("q23_left_outer_join",
+      (s, dir) => {
+        val richCust = Tables.customer(s, dir)
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        Tables.orders(s, dir)
+          .join(broadcast(richCust), col("o_custkey") === col("c_custkey"), "left_outer")
+          .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+          .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+          .orderBy("segment")
+      },
+      Some("""SELECT COALESCE(c_mktsegment, '(none)') AS segment,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders LEFT JOIN
+          (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+          ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY segment""")),
+
+    // ── rollup / grouping sets (target-side addition; SURVEY §2.4
+    //    notes the reference has none — Spark built-in) ──────────────
+    Q("q24_rollup",
+      (s, dir) => Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("segment", "priority"),
+      Some("""SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+        COALESCE(o_orderpriority, '(all)') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        ORDER BY segment, priority""")),
+
+    // ── approximate distinct (HLL++): the scale path for SetTable
+    //    cardinality readers. Sketch values are engine-specific →
+    //    rows-only check; exactness is covered by q10. ───────────────
+    Q("q25_approx_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None)
   )
 }

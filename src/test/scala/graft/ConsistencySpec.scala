@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.api.Models
+import graft.streaming.StatefulTable
+
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+
+/** The reference's consistency oracle
+  * (`t/consistency/consistency_checker.py:18-100`): rebuild the
+  * expected table by folding the source linearly; assert the engine's
+  * stateful table agrees — here under arbitrary micro-batch splits
+  * (the analog of worker kills/restarts between offsets).
+  */
+class ConsistencySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def foldExpected(rows: Seq[(Long, Double)]): Map[Long, Double] =
+    rows.foldLeft(Map.empty[Long, Double]) { case (m, (u, v)) =>
+      m.updated(u, m.getOrElse(u, 0.0) + v)
+    }
+
+  test("stateful fold equals linear source fold under random batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toSeq
+    val expected = foldExpected(rows)
+
+    val rnd = new scala.util.Random(7)
+    val input = MemoryStream[(Long, Double)]
+    val folded = StatefulTable.runningFold(
+      input.toDS(), (r: (Long, Double)) => r._1)(0.0)((acc, r) => acc + r._2)()
+    val q = folded.writeStream.format("memory").queryName("consistency_out")
+      .outputMode("update").start()
+    try {
+      // feed in randomly-sized batches (1..97 events), like a worker
+      // consuming variable fetch sizes between commits
+      var rest = rows
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(97)
+        val (batch, tail) = rest.splitAt(n)
+        input.addData(batch)
+        if (rnd.nextBoolean()) q.processAllAvailable()
+        rest = tail
+      }
+      q.processAllAvailable()
+      val got = spark.table("consistency_out").as[(Long, Double)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) < 1e-9, s"key $k: $v vs ${expected(k)}")
+      }
+    } finally q.stop()
+  }
+
+  test("kafka-frame pipeline: raw frame → model decode → agent transform → table") {
+    // Simulate the Kafka source frame (§3.1 consume path) from events:
+    // key/value binary + topic/partition/offset/timestamp metadata.
+    val frame = Tables.events(spark, sf)
+      .select(
+        $"user_id".cast("string").cast("binary").as("key"),
+        to_json(struct($"event_id", $"user_id", $"event_type", $"value")).cast("binary").as("value"),
+        lit("events").as("topic"),
+        pmod($"user_id", lit(8)).cast("int").as("partition"),
+        $"event_id".as("offset"),
+        timestamp_seconds($"ts_sec").as("timestamp"))
+
+    val decoded = Models.fromWire[Ev](frame.withColumn("value", $"value".cast("string")))
+    val table = decoded.groupByKey(_.user_id)
+      .agg(count("*").as[Long]).collect().toMap
+    val expected = Tables.events(spark, sf).groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(table == expected)
+  }
+}
