@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the most recent right row with the
+  * same key and `rightTs <= leftTs` — the operator the reference's
+  * sliding-window doc comment gestures at (`faust/windows.py:116-132`)
+  * and time-series engines ship natively; Spark has no built-in.
+  *
+  * Implementation is the scalable union-and-carry pattern, NOT a range
+  * join: tag both sides, sort within key by (ts, side), and carry the
+  * last right value forward with `last_value(ignoreNulls)` over a
+  * running window. One shuffle on the key, linear work, no pair
+  * explosion — this survives 100 TB where an inequality join cannot.
+  *
+  * Ambiguity contract: if several right rows share (key, ts), the one
+  * with the greatest `rightIdCol` wins (callers wanting DuckDB
+  * `ASOF JOIN` parity should pre-dedup to one right row per (key, ts),
+  * which [[dedupRight]] does).
+  */
+object AsOfJoin {
+
+  def dedupRight(right: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(idCol).desc)
+    right.withColumn("_rk", row_number().over(w)).where(col("_rk") === 1).drop("_rk")
+  }
+
+  /** @param left     rows to enrich; must have keyCol, tsCol, leftIdCol
+    * @param right    rows to look up; must have keyCol, tsCol, rightIdCol
+    * @param payload  right columns to carry onto matches (besides id)
+    * @return left rows + matched right id/ts/payload (nulls if no match)
+    */
+  def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           leftIdCol: String, rightIdCol: String,
+           payload: Seq[String] = Nil): DataFrame = {
+    val lCols = Seq(
+      col(keyCol).as("_key"), col(tsCol).as("_ts"), lit(1).as("_side"),
+      col(leftIdCol).as("_left_id"),
+      lit(null).cast(right.schema(rightIdCol).dataType).as("_right_id"),
+      lit(null).cast("long").as("_right_ts")) ++
+      payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p"))
+    val rCols = Seq(
+      col(keyCol).as("_key"), col(tsCol).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(left.schema(leftIdCol).dataType).as("_left_id"),
+      col(rightIdCol).as("_right_id"),
+      col(tsCol).cast("long").as("_right_ts")) ++
+      payload.map(p => col(p).as(s"_p_$p"))
+    val l = left.select(lCols: _*)
+    val r = right.select(rCols: _*)
+    // right rows sort before left rows at equal ts (_side 0 < 1): a
+    // left row at ts T matches a right row at exactly T — the `<=`
+    // as-of convention.
+    val w = Window.partitionBy("_key")
+      .orderBy(col("_ts"), col("_side"), col("_right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("_m_id", last(col("_right_id"), ignoreNulls = true).over(w))
+      .withColumn("_m_ts", last(col("_right_ts"), ignoreNulls = true).over(w))
+    val withPayload = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(s"_m_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
+    }
+    withPayload.where(col("_side") === 1)
+      .select(col("_key").as(keyCol) +: col("_ts").as(tsCol) +:
+        col("_left_id").as(leftIdCol) +: col("_m_id").as("asof_id") +:
+        col("_m_ts").as("asof_ts") +:
+        payload.map(p => col(s"_m_$p").as(s"asof_$p")): _*)
+  }
+}

@@ -409,6 +409,67 @@ object CoreQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type"),
-      None)
+      None),
+
+    // ── as-of join (operator Spark lacks; union-and-carry impl,
+    //    oracle = DuckDB's native ASOF JOIN) ─────────────────────────
+    Q("q26_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_sec"), col("event_id"))
+        val clicks = graft.ops.AsOfJoin.dedupRight(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_sec"), col("event_id")),
+          "user_id", "ts_sec", "event_id")
+        graft.ops.AsOfJoin.join(purchases, clicks,
+          "user_id", "ts_sec", "event_id", "event_id")
+          .select(col("event_id").as("purchase_id"),
+            coalesce(col("asof_id"), lit(-1L)).as("click_id"),
+            coalesce(col("ts_sec") - col("asof_ts"), lit(-1L)).as("gap_sec"))
+          .orderBy("purchase_id")
+      },
+      Some(Tables.eventsCte + """,
+        purchases AS (SELECT user_id, ts_sec, event_id FROM e
+                      WHERE event_type = 'purchase'),
+        clicks AS (SELECT user_id, ts_sec, MAX(event_id) AS event_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id AS purchase_id,
+          COALESCE(c.event_id, -1) AS click_id,
+          COALESCE(p.ts_sec - c.ts_sec, -1) AS gap_sec
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+        ORDER BY purchase_id""")),
+
+    // ── session windows (gap-based; Spark session_window, oracle =
+    //    island detection via lag + running sum) ────────────────────
+    Q("q27_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(timestamp_seconds(col("ts_sec")), "1800 seconds").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some(Tables.eventsCte + """,
+        marked AS (
+          SELECT user_id, ts_sec, value,
+            CASE WHEN ts_sec - LAG(ts_sec) OVER
+              (PARTITION BY user_id ORDER BY ts_sec, event_id) >= 1800
+              OR LAG(ts_sec) OVER
+              (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+          FROM e),
+        sessions AS (
+          SELECT user_id, ts_sec, value,
+            SUM(new_session) OVER
+              (PARTITION BY user_id ORDER BY ts_sec
+               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id, MIN(ts_sec) AS session_start,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_start"""))
   )
 }

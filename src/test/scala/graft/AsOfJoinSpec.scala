@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 100L, 1000L), (1L, 200L, 1001L), (2L, 50L, 1002L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 90L, 1L), (1L, 100L, 2L), (1L, 150L, 3L), (2L, 60L, 4L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.join(left, right, "k", "ts", "lid", "rid")
+      .select($"lid", $"asof_id", $"asof_ts").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1000L) == (Some(2L), Some(100L)))  // ts=100 matches rid=2 at ts=100 (<=)
+    assert(out(1001L) == (Some(3L), Some(150L)))  // latest before 200
+    assert(out(1002L) == (None, None))            // right at 60 > 50: no match
+  }
+
+  test("as-of join carries payload columns from the matched right row") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 40L, 1L, "old"), (1L, 90L, 2L, "new"))
+      .toDF("k", "ts", "rid", "tag")
+    val out = AsOfJoin.join(left, right, "k", "ts", "lid", "rid", payload = Seq("tag"))
+    val row = out.select($"asof_id", $"asof_tag").head()
+    assert(row.getLong(0) == 2L && row.getString(1) == "new")
+  }
+
+  test("dedupRight keeps the max-id row per (key, ts)") {
+    val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 2L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.dedupRight(right, "k", "ts", "rid")
+      .select($"rid").as[Long].collect().toSet
+    assert(out == Set(9L, 2L))
+  }
+
+  test("GraftExtensions: custom expressions callable from SQL") {
+    new GraftExtensions().registerOn(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vector_dot(a, b) AS d FROM vecs")
+      .as[Double].head() == 11.0)
+    assert(spark.sql("SELECT simhash64(array('x','y')) AS h").as[Long].head() ==
+      spark.sql("SELECT simhash64(array('y','x')) AS h").as[Long].head())
+    assert(spark.sql(
+      "SELECT minhash_agreement(array(1L,2L,3L), array(1L,9L,3L)) AS n")
+      .as[Int].head() == 2)
+  }
+}
