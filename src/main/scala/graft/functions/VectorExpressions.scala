@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** dot(a, b) in double precision; arrays of float or double. */
+  /** dot(a, b) in double precision; arrays of float or double.
+    * Participates in whole-stage codegen: the generated loop fuses
+    * into the surrounding stage (join + projection), no virtual calls.
+    */
   case class VectorDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
 
@@ -44,6 +47,23 @@ object VectorExpressions {
       }
       acc
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val getL = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+        val getR = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $getL * $getR;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -90,7 +110,7 @@ object VectorExpressions {
     * signature agreement) — one primitive pass per pair.
     */
   case class LongArrayEqCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = IntegerType
 
@@ -106,6 +126,21 @@ object VectorExpressions {
       }
       eq
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val eq = ctx.freshName("eq")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $eq = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+           |}
+           |${ev.value} = $eq;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)

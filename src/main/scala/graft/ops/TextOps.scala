@@ -165,4 +165,30 @@ object TextOps {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Word n-grams of the token array (n >= 2): joined with single
+    * spaces, preserving order.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+  }
+
+  /** TF-IDF per (doc, term) over a corpus: one explode + two
+    * aggregations; idf as ln(N / df) — the standard formulation. At
+    * scale this is the shuffle-bounded tokenize→groupBy pipeline.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.count()
+    // round(6): ln differs by 1 ulp across libm implementations; the
+    // rounded value is engine-independent (oracle-hashable)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .select("id", "term", "tf", "df", "tfidf")
+  }
 }

@@ -80,6 +80,41 @@ object VectorOps {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
+    * around deterministically-chosen pivot vectors (lowest
+    * xxhash64(id) — reproducible, no RNG/kmeans state), assign each
+    * vector to its `probes` nearest pivots, then exact-rerank within
+    * cells. Candidate work is N·nCells dots for assignment plus
+    * intra-cell pairs — the standard IVF trade against brute force.
+    */
+  def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int, k: Int, probes: Int = 1): DataFrame = {
+    val pivots = df
+      .select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+      .orderBy(xxhash64(col("pid")), col("pid")).limit(nCells)
+    val wAssign = Window.partitionBy("id").orderBy(col("psim").desc, col("pid"))
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(pivots))
+      .select(col("id"), col("vec"), col("nrm"), col("pid"),
+        (dot(col("vec"), col("pvec")) / (col("nrm") * norm(col("pvec")))).as("psim"))
+      .withColumn("prk", row_number().over(wAssign))
+      .where(col("prk") <= probes)
+      .select(col("pid").as("cell"), col("id"), col("vec"), col("nrm"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, Seq("cell"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .distinct() // multi-probe can surface a pair in several cells
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "cos")
+  }
+
   /** ANN: bucket vectors by [[lshBucket]], exact cosine rerank within
     * buckets, top-k per query. Only intra-bucket pairs are scored.
     */

@@ -130,6 +130,37 @@ object TextQueries {
           i -> i * LENGTH(string_split(text, ' ')[i]))) % 1000000007 AS BIGINT) AS fp_roll
         FROM documents ORDER BY doc_id""")),
 
+    // ── word bigrams: n-gram generation over token arrays ───────────
+    Q("t05_ngrams",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.wordNgrams(col("text"), 2)).as("n_bigrams"),
+          size(array_distinct(TextOps.wordNgrams(col("text"), 2))).as("n_distinct_bigrams"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) - 1 AS n_bigrams,
+        len(list_distinct(list_transform(
+          range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])))
+          AS n_distinct_bigrams
+        FROM documents ORDER BY doc_id""")),
+
+    // ── TF-IDF (corpus-level term weighting) ───────────────────────
+    Q("t06_tfidf",
+      (s, dir) => TextOps.tfIdf(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "term"),
+      Some("""WITH tf AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, term, tf, df,
+          ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        FROM tfc JOIN dfc USING (term) CROSS JOIN n
+        ORDER BY doc_id, term""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",

@@ -66,6 +66,14 @@ object VectorQueries {
         .orderBy("id_a", "rk"),
       None),
 
+    // ── IVF-bucketed ANN (deterministic pivots; rows-only) ──────────
+    Q("s05_knn_ivf",
+      (s, dir) => VectorOps.ivfNearestNeighbors(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, k = 3, probes = 2)
+        .orderBy("id_a", "rk"),
+      None),
+
     // ── per-label centroid-ish stats: vector column aggregation ─────
     Q("s04_label_norms",
       (s, dir) => Tables.embeddings(s, dir)

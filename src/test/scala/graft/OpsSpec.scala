@@ -68,6 +68,24 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("ivf ANN: deterministic, subset of valid scores, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = VectorOps.ivfNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, k = 3, probes = 2)
+    val r1 = ivf.collect().map(_.toString).sorted.toSeq
+    val r2 = VectorOps.ivfNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, k = 3, probes = 2).collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2) // deterministic pivots → reproducible
+    // top-1 recall vs brute force should be non-trivial (multi-probe)
+    val brute = VectorOps.knnBruteForce(emb, emb, "vec_id", "embedding", 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toMap
+    val approx = ivf.where($"rk" === 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toMap
+    val hits = approx.count { case (q, n) => brute.get(q).contains(n) }
+    assert(hits.toDouble / brute.size > 0.2,
+      s"top-1 recall ${hits.toDouble / brute.size} too low")
+  }
+
   test("multimodal decode: deterministic fake over real bytes, mapPartitions shape") {
     val blobs = docs.limit(20)
       .select($"doc_id".as("id"), $"text".cast("binary").as("blob"))
