@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for 100 TB pipelines: bucketing (co-located
+  * joins without a shuffle) and salting (skew-resistant joins).
+  */
+object Layout {
+
+  /** Write a table bucketed by `keyCol` into the session catalog —
+    * subsequent equi-joins between tables bucketed on the same key
+    * with the same bucket count need NO exchange (asserted in
+    * `LayoutSpec`). This is the batch analog of faust's co-partitioned
+    * topics (`faust/assignor/partition_assignor.py` co-partitioning —
+    * a deleted concept whose benefit bucketing keeps).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: explode the small side into
+    * `saltFactor` copies, salt the big side uniformly (hash of a
+    * stable id, not rand() — deterministic), join on (key, salt). Every
+    * hot key's rows spread over `saltFactor` tasks instead of one.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltIdCol: String, saltFactor: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(col(saltIdCol)), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}

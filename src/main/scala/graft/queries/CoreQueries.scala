@@ -441,6 +441,31 @@ object CoreQueries {
           ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
         ORDER BY purchase_id""")),
 
+    // ── full-outer join (faust outer_join; §2.3) ────────────────────
+    Q("q28_full_outer_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clicks = e.filter(col("event_type") === "click" && col("value") > 450)
+          .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+        val buys = e.filter(col("event_type") === "purchase" && col("value") > 450)
+          .groupBy(col("user_id").as("pu")).agg(count(lit(1)).as("n_buys"))
+        clicks.join(buys, col("cu") === col("pu"), "full_outer")
+          .select(coalesce(col("cu"), col("pu")).as("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT COALESCE(c.cu, p.pu) AS user_id,
+        COALESCE(c.n_clicks, 0) AS n_clicks,
+        COALESCE(p.n_buys, 0) AS n_buys
+        FROM (SELECT user_id AS cu, COUNT(*) AS n_clicks FROM events
+              WHERE event_type = 'click' AND value > 450 GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT user_id AS pu, COUNT(*) AS n_buys FROM events
+              WHERE event_type = 'purchase' AND value > 450 GROUP BY 1) p
+          ON c.cu = p.pu
+        ORDER BY user_id""")),
+
     // ── session windows (gap-based; Spark session_window, oracle =
     //    island detection via lag + running sum) ────────────────────
     Q("q27_session_window",

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bucketed-bucketed equi-join plans without a shuffle exchange") {
+    // warehouse dir is a static conf — default ./spark-warehouse under
+    // the build dir is fine for the test tables; clear stale locations
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Layout.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    // at dim-sized data the planner rightly prefers broadcast; turn it
+    // off to expose the bucketed (big-big) join path this test is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not reshuffle:\n$plan")
+      // and the result is correct
+      assert(joined.count() == Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted join matches unsalted join results") {
+    val big = Tables.events(spark, sf).select($"user_id", $"event_id", $"value")
+    val small = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(count(lit(1)).as("user_total"))
+    val plain = big.join(small, Seq("user_id"))
+      .select($"event_id", $"user_total").as[(Long, Long)].collect().toSet
+    val salted = Layout.saltedJoin(big, small, "user_id", "event_id", 4)
+      .select($"event_id", $"user_total").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+}
