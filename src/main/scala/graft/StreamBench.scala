@@ -21,6 +21,11 @@ object StreamBench {
       .as[(Long, String, Double)]
       .collect()
 
+    // streaming state is per-shuffle-partition: for this row volume a
+    // handful of state stores beats 32 (less per-batch store overhead)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     val input = MemoryStream[(Long, String, Double)]
     val df = input.toDS().toDF("ts_sec", "event_type", "value")
       .withColumn("ts", timestamp_seconds($"ts_sec"))
@@ -38,6 +43,9 @@ object StreamBench {
         input.addData(chunk.toSeq)
       }
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

@@ -89,6 +89,53 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks (the join faust stubbed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDS().toDF("c_ts", "c_user", "c_id")
+      .withWatermark("c_ts", "10 seconds")
+    val b = buys.toDS().toDF("b_ts", "b_user", "b_id")
+      .withWatermark("b_ts", "10 seconds")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + interval 30 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(100), 1L, 10L), (ts(100), 2L, 11L))
+      buys.addData((ts(120), 1L, 20L), (ts(200), 2L, 21L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("c_id", "b_id")
+        .as[(Long, Long)].collect().toSet
+      // user 1: buy 20s after click → within 30s window; user 2: 100s → no
+      assert(got == Set((10L, 20L)))
+    } finally q.stop()
+  }
+
+  test("RocksDB state store provider backs the running fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Int)]
+      val folded = StatefulTable.runningFold(
+        input.toDS(), (kv: (String, Int)) => kv._1)(0L)((acc, kv) => acc + kv._2)()
+      val q = folded.writeStream.format("memory").queryName("rocksdb_out")
+        .outputMode("update").start()
+      try {
+        input.addData(("a", 5)); q.processAllAvailable()
+        input.addData(("a", 7)); q.processAllAvailable()
+        val latest = spark.table("rocksdb_out").as[(String, Long)]
+          .collect().groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+        assert(latest == Map("a" -> 12L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("ChangelogSink: append per batch, compacted read = latest per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
