@@ -411,6 +411,20 @@ object CoreQueries {
         .orderBy("event_type"),
       None),
 
+    // ── percentiles (exact interpolated; analytics addition) ───────
+    Q("q29_percentiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        MIN(value) AS min_v, MAX(value) AS max_v
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ── as-of join (operator Spark lacks; union-and-carry impl,
     //    oracle = DuckDB's native ASOF JOIN) ─────────────────────────
     Q("q26_asof_join",
