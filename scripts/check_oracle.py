@@ -22,12 +22,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
         return f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -36,10 +30,17 @@ def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
     # reorder columns by sorted name
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s_rows = sorted([tuple(r[i] for i in s_idx) for r in spark_rows],
-                    key=lambda t: tuple(str(x) for x in t))
-    d_rows = sorted([tuple(r[i] for i in d_idx) for r in duck_rows],
-                    key=lambda t: tuple(str(x) for x in t))
+
+    # sort rows with non-float cells as the primary keys: float cells
+    # that differ by 1 ulp across engines must not reorder rows and
+    # misalign the zip below
+    def row_key(t):
+        exact = tuple(str(x) for x in t if not isinstance(x, float))
+        floats = tuple(round(x, 6) if isinstance(x, float) else 0.0 for x in t)
+        return (exact, floats)
+
+    s_rows = sorted([tuple(r[i] for i in s_idx) for r in spark_rows], key=row_key)
+    d_rows = sorted([tuple(r[i] for i in d_idx) for r in duck_rows], key=row_key)
     n_exact = n_close = 0
     worst = 0.0
     for sr, dr in zip(s_rows, d_rows):

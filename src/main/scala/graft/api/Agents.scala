@@ -82,7 +82,11 @@ final class AgentRegistry(app: App) {
   * periodic action through foreachBatch.
   */
 object Timers {
-  def ticks(app: App, rowsPerSecond: Double = 1.0): DataFrame =
+  /** One row per 1/rowsPerSecond interval. The rate source parses this
+    * option with Long.parseLong — sub-1Hz ticks need a downstream
+    * filter (e.g. `value % n === 0`), not a fractional rate.
+    */
+  def ticks(app: App, rowsPerSecond: Long = 1L): DataFrame =
     app.spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load()

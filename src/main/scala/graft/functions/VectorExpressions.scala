@@ -33,6 +33,11 @@ object VectorExpressions {
     private lazy val leftDouble = elemIsDouble(left)
     private lazy val rightDouble = elemIsDouble(right)
 
+    // a null ELEMENT nulls the whole result — matching what the HOF
+    // aggregate(zip_with(...)) formulation produces (null propagates
+    // through the lambda and the fold), keeping the bit-parity claim.
+    override def nullable: Boolean = true
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -40,6 +45,7 @@ object VectorExpressions {
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xi = if (leftDouble) x.getDouble(i) else x.getFloat(i).toDouble
         val yi = if (rightDouble) y.getDouble(i) else y.getFloat(i).toDouble
         acc += xi * yi
@@ -59,6 +65,7 @@ object VectorExpressions {
            |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $acc += $getL * $getR;
            |}
            |${ev.value} = $acc;
@@ -82,9 +89,11 @@ object VectorExpressions {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Int](64)
+      var nonNull = 0
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
+          nonNull += 1
           val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
           var j = 0
           while (j < 64) {
@@ -94,10 +103,12 @@ object VectorExpressions {
         }
         i += 1
       }
+      // majority over the tokens actually hashed — counting null slots
+      // in the denominator would bias every bit toward 0
       var out = 0L
       var j = 0
       while (j < 64) {
-        if (counts(j) * 2 > n) out |= (1L << j)
+        if (counts(j) * 2 > nonNull) out |= (1L << j)
         j += 1
       }
       out

@@ -36,36 +36,36 @@ object AsOfJoin {
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            leftIdCol: String, rightIdCol: String,
            payload: Seq[String] = Nil): DataFrame = {
+    // the whole matched right row travels as ONE struct so nullable
+    // payload fields stay attributed to their own row — carrying each
+    // payload column through its own last(ignoreNulls) would let a null
+    // payload fall back to a stale older row's value.
+    val rightStruct = struct(
+      col(rightIdCol).as("id") +: col(tsCol).cast("long").as("ts") +:
+        payload.map(p => col(p).as(p)): _*)
+    val rightStructType = right.select(rightStruct.as("_r")).schema("_r").dataType
     val lCols = Seq(
       col(keyCol).as("_key"), col(tsCol).as("_ts"), lit(1).as("_side"),
       col(leftIdCol).as("_left_id"),
-      lit(null).cast(right.schema(rightIdCol).dataType).as("_right_id"),
-      lit(null).cast("long").as("_right_ts")) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p"))
+      lit(null).cast(rightStructType).as("_r"))
     val rCols = Seq(
       col(keyCol).as("_key"), col(tsCol).as("_ts"), lit(0).as("_side"),
       lit(null).cast(left.schema(leftIdCol).dataType).as("_left_id"),
-      col(rightIdCol).as("_right_id"),
-      col(tsCol).cast("long").as("_right_ts")) ++
-      payload.map(p => col(p).as(s"_p_$p"))
+      rightStruct.as("_r"))
     val l = left.select(lCols: _*)
     val r = right.select(rCols: _*)
     // right rows sort before left rows at equal ts (_side 0 < 1): a
     // left row at ts T matches a right row at exactly T — the `<=`
     // as-of convention.
     val w = Window.partitionBy("_key")
-      .orderBy(col("_ts"), col("_side"), col("_right_id"))
+      .orderBy(col("_ts"), col("_side"), col("_r.id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .withColumn("_m_id", last(col("_right_id"), ignoreNulls = true).over(w))
-      .withColumn("_m_ts", last(col("_right_ts"), ignoreNulls = true).over(w))
-    val withPayload = payload.foldLeft(carried) { (df, p) =>
-      df.withColumn(s"_m_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-    }
-    withPayload.where(col("_side") === 1)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    carried.where(col("_side") === 1)
       .select(col("_key").as(keyCol) +: col("_ts").as(tsCol) +:
-        col("_left_id").as(leftIdCol) +: col("_m_id").as("asof_id") +:
-        col("_m_ts").as("asof_ts") +:
-        payload.map(p => col(s"_m_$p").as(s"asof_$p")): _*)
+        col("_left_id").as(leftIdCol) +: col("_m.id").as("asof_id") +:
+        col("_m.ts").as("asof_ts") +:
+        payload.map(p => col(s"_m.$p").as(s"asof_$p")): _*)
   }
 }

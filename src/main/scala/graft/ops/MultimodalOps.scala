@@ -73,7 +73,10 @@ object MultimodalOps {
                     chunkSize: Int, stride: Int): DataFrame =
     df.select(col(idCol), octet_length(col(blobCol)).as("n_bytes"))
       .withColumn("n_chunks", ceil(col("n_bytes") / chunkSize).cast("int"))
+      // guard: sequence(0, -1) on empty blobs would yield [0, -1]
       .withColumn("offsets",
-        filter(transform(sequence(lit(0), col("n_chunks") - 1), i => i * chunkSize),
-          (_, i) => i % stride === 0))
+        when(col("n_chunks") > 0,
+          filter(transform(sequence(lit(0), col("n_chunks") - 1), i => i * chunkSize),
+            (_, i) => i % stride === 0))
+          .otherwise(array().cast("array<int>")))
 }

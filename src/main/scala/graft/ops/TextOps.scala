@@ -171,20 +171,27 @@ object TextOps {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    // guard: sequence(1, 0) would produce a DESCENDING [1, 0] and hit
+    // element_at index errors on docs shorter than n tokens
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** TF-IDF per (doc, term) over a corpus: one explode + two
     * aggregations; idf as ln(N / df) — the standard formulation. At
     * scale this is the shuffle-bounded tokenize→groupBy pipeline.
     */
-  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            totalDocs: Option[Long] = None): DataFrame = {
     val terms = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = df.count()
+    // corpus size: pass totalDocs to avoid the extra scan (required for
+    // streaming frames, where count() is unavailable)
+    val n = totalDocs.getOrElse(df.count())
     // round(6): ln differs by 1 ulp across libm implementations; the
     // rounded value is engine-independent (oracle-hashable)
     tf.join(dfreq, "term")

@@ -90,14 +90,15 @@ object VectorOps {
   def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
                           nCells: Int, k: Int, probes: Int = 1): DataFrame = {
     val pivots = df
-      .select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+      .select(col(idCol).as("pid"), col(vecCol).as("pvec"),
+        norm(col(vecCol)).as("pnrm"))
       .orderBy(xxhash64(col("pid")), col("pid")).limit(nCells)
     val wAssign = Window.partitionBy("id").orderBy(col("psim").desc, col("pid"))
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
       .join(broadcast(pivots))
       .select(col("id"), col("vec"), col("nrm"), col("pid"),
-        (dot(col("vec"), col("pvec")) / (col("nrm") * norm(col("pvec")))).as("psim"))
+        (dot(col("vec"), col("pvec")) / (col("nrm") * col("pnrm"))).as("psim"))
       .withColumn("prk", row_number().over(wAssign))
       .where(col("prk") <= probes)
       .select(col("pid").as("cell"), col("id"), col("vec"), col("nrm"))

@@ -30,6 +30,16 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.getLong(0) == 2L && row.getString(1) == "new")
   }
 
+  test("null payload on the matched row stays null (no stale fallback)") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 40L, 1L, "old"), (1L, 90L, 2L, null.asInstanceOf[String]))
+      .toDF("k", "ts", "rid", "tag")
+    val row = AsOfJoin.join(left, right, "k", "ts", "lid", "rid", payload = Seq("tag"))
+      .select($"asof_id", $"asof_tag").head()
+    assert(row.getLong(0) == 2L)
+    assert(row.isNullAt(1), s"payload must come from the matched row: $row")
+  }
+
   test("dedupRight keeps the max-id row per (key, ts)") {
     val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 2L))
       .toDF("k", "ts", "rid")

@@ -86,6 +86,27 @@ class OpsSpec extends SparkTestBase {
       s"top-1 recall ${hits.toDouble / brute.size} too low")
   }
 
+  test("wordNgrams on docs shorter than n yields empty, not an index error") {
+    val short = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = short.select($"doc_id",
+      TextOps.wordNgrams($"text", 3).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("a b c"))
+  }
+
+  test("sampleOffsets on empty blobs yields no offsets") {
+    val blobs = Seq((1L, ""), (2L, "0123456789"))
+      .toDF("id", "payload")
+      .select($"id", $"payload".cast("binary").as("blob"))
+    val out = MultimodalOps.sampleOffsets(blobs, "id", "blob", 4, 1)
+      .select($"id", $"offsets").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L) == Seq(0, 4, 8))
+  }
+
   test("multimodal decode: deterministic fake over real bytes, mapPartitions shape") {
     val blobs = docs.limit(20)
       .select($"doc_id".as("id"), $"text".cast("binary").as("blob"))
