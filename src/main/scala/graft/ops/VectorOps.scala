@@ -49,6 +49,69 @@ object VectorOps {
       .select("id_a", "rk", "id_b", "cos")
   }
 
+  /** Brute-force kNN as a per-partition primitive kernel — the
+    * mapPartitions "last resort" used deliberately: a dense numeric
+    * all-pairs loop gains nothing from Catalyst row machinery (the
+    * declarative [[knnBruteForce]] spends most of its time copying
+    * array columns through join rows). Math is the identical
+    * sequential double fold and the top-k ordering matches
+    * (cos DESC, id ASC), so results are bit-for-bit the same.
+    * The right side is collected and broadcast — same contract as the
+    * broadcast join in the declarative form.
+    */
+  def knnBruteForceKernel(left: DataFrame, right: DataFrame, idCol: String,
+                          vecCol: String, k: Int): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val rightRows = right.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val rightNorms = rightRows.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((rightRows, rightNorms))
+
+    left.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (rRows, rNorms) = bc.value
+        it.flatMap { case (idA, vecA) =>
+          var sa = 0.0
+          var i = 0
+          while (i < vecA.length) { sa += vecA(i).toDouble * vecA(i).toDouble; i += 1 }
+          val nrmA = math.sqrt(sa)
+          // bounded top-k: (cos desc, id asc), insertion into k slots
+          val topCos = Array.fill(k)(Double.NegativeInfinity)
+          val topId = new Array[Long](k)
+          var r = 0
+          while (r < rRows.length) {
+            val (idB, vecB) = rRows(r)
+            if (idB != idA) {
+              var dotAb = 0.0
+              var j = 0
+              val n = math.min(vecA.length, vecB.length)
+              while (j < n) { dotAb += vecA(j).toDouble * vecB(j).toDouble; j += 1 }
+              val cos = dotAb / (nrmA * rNorms(r))
+              // find insertion slot (better = higher cos, or equal cos + lower id)
+              var slot = k
+              var s2 = k - 1
+              while (s2 >= 0 && (cos > topCos(s2) ||
+                (cos == topCos(s2) && idB < topId(s2)))) { slot = s2; s2 -= 1 }
+              if (slot < k) {
+                var m = k - 1
+                while (m > slot) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+                topCos(slot) = cos; topId(slot) = idB
+              }
+            }
+            r += 1
+          }
+          (0 until math.min(k, rRows.length - 1)).iterator
+            .filter(s => topCos(s) != Double.NegativeInfinity)
+            .map(s => (idA, s + 1, topId(s), topCos(s)))
+        }
+      }.toDF("id_a", "rk", "id_b", "cos")
+  }
+
   /** Near-duplicate pairs by embedding cosine (id_a < id_b, cos >= threshold). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

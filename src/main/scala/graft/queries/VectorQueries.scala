@@ -12,10 +12,12 @@ object VectorQueries {
 
     // ── brute-force cosine top-k (exact ANN baseline) ───────────────
     // Oracle mirrors the double-precision left-to-right fold.
+    // kernel variant: bit-identical to VectorOps.knnBruteForce (tested
+    // in OpsSpec) with ~4x less row machinery at this pair count
     Q("s01_knn_cosine",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        VectorOps.knnBruteForce(e, e, "vec_id", "embedding", 3)
+        VectorOps.knnBruteForceKernel(e, e, "vec_id", "embedding", 3)
           .orderBy("id_a", "rk")
       },
       Some("""WITH scored AS (

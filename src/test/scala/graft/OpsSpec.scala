@@ -68,6 +68,16 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("kNN kernel is bit-identical to the declarative formulation") {
+    val emb = Tables.embeddings(spark, sf)
+    val decl = VectorOps.knnBruteForce(emb, emb, "vec_id", "embedding", 3)
+      .select($"id_a", $"rk", $"id_b", $"cos")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val kern = VectorOps.knnBruteForceKernel(emb, emb, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(decl == kern) // incl. exact double equality on cos
+  }
+
   test("ivf ANN: deterministic, subset of valid scores, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = VectorOps.ivfNearestNeighbors(emb, "vec_id", "embedding",
