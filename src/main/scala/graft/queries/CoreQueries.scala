@@ -411,6 +411,37 @@ object CoreQueries {
         .orderBy("event_type"),
       None),
 
+    // ── conditional aggregation (pivot-style wide table) ────────────
+    Q("q30_conditional_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_buys"),
+          sum(when(col("event_type") === "purchase", dec2(col("value"))).otherwise(lit(0)))
+            .cast("double").as("buy_value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_buys,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS buy_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── cube (all grouping-set combinations) ────────────────────────
+    Q("q31_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority"),
+      Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        COALESCE(o_orderpriority, '(all)') AS priority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")),
+
     // ── percentiles (exact interpolated; analytics addition) ───────
     Q("q29_percentiles",
       (s, dir) => Tables.events(s, dir)
