@@ -41,10 +41,27 @@ def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
 
     s_rows = sorted([tuple(r[i] for i in s_idx) for r in spark_rows], key=row_key)
     d_rows = sorted([tuple(r[i] for i in d_idx) for r in duck_rows], key=row_key)
+
+    # the driver hashes STRINGIFIED values, so int 99111 vs float 99111.0
+    # (DuckDB HUGEINT degraded through pandas) is a real mismatch even
+    # though == says otherwise — compare type class first
+    def kind(x):
+        t = type(x).__name__
+        if "bool" in t:
+            return "b"
+        if "int" in t:
+            return "i"
+        if "float" in t:
+            return "f"
+        return "o"
+
     n_exact = n_close = 0
     worst = 0.0
     for sr, dr in zip(s_rows, d_rows):
         for sv, dv in zip(sr, dr):
+            if sv is not None and dv is not None and kind(sv) != kind(dv):
+                return (f"TYPE MISMATCH {type(sv).__name__} vs "
+                        f"{type(dv).__name__} (e.g. {sv!r} != {dv!r})")
             if sv == dv or (sv is None and dv is None):
                 n_exact += 1
             elif isinstance(sv, float) and isinstance(dv, float) and \
@@ -80,7 +97,12 @@ def main():
             spark_rows = srel.fetchall()
             drel = con.execute(sql)
             duck_cols = [d[0] for d in drel.description]
-            duck_rows = drel.fetchall()
+            # mirror the driver: it round-trips DuckDB results through
+            # pandas, where HUGEINT (e.g. SUM over ints) degrades to
+            # float64 and breaks hash parity with Spark's LONG — going
+            # through .df() here makes the local check catch that
+            duck_rows = [tuple(r) for r in
+                         con.execute(sql).df().itertuples(index=False)]
         except Exception as exc:
             print(f"{name:28s} ERROR {exc}")
             failures += 1

@@ -70,7 +70,11 @@ final case class HoppingWindow(sizeMs: Long, stepMs: Long,
   }
 
   def stale(ts: Long, latest: Long): Boolean = expires.exists { exp =>
-    ts <= current(math.max(latest - exp, Long.MinValue)).start
+    // saturating subtraction: latest - exp with a huge expiry must clamp
+    // to Long.MinValue, not wrap around to a large positive cutoff
+    val cutoff =
+      if (latest < Long.MinValue + exp) Long.MinValue else latest - exp
+    ts <= current(cutoff).start
   }
 
   private def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)

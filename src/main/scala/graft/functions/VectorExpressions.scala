@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -22,10 +23,28 @@ object VectorExpressions {
     * Participates in whole-stage codegen: the generated loop fuses
     * into the surrounding stage (join + projection), no virtual calls.
     */
+  private def checkArrayOf(e: Expression, pos: String,
+                           ok: DataType => Boolean,
+                           want: String): Option[TypeCheckResult] =
+    e.dataType match {
+      case ArrayType(et, _) if ok(et) => None
+      case other => Some(TypeCheckResult.TypeCheckFailure(
+        s"$pos argument must be array<$want>, got ${other.catalogString}"))
+    }
+
   case class VectorDot(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+
+    // these expressions are exposed to arbitrary input as SQL functions
+    // (GraftExtensions) — fail at analysis, not with ClassCastException
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val isFp = (t: DataType) => t == FloatType || t == DoubleType
+      checkArrayOf(left, "left", isFp, "float|double")
+        .orElse(checkArrayOf(right, "right", isFp, "float|double"))
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    }
 
     private def elemIsDouble(e: Expression): Boolean =
       e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
@@ -85,6 +104,10 @@ object VectorExpressions {
 
     override def dataType: DataType = LongType
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, "tokens", _ == StringType, "string")
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -125,6 +148,15 @@ object VectorExpressions {
 
     override def dataType: DataType = IntegerType
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(left, "left", _ == LongType, "bigint")
+        .orElse(checkArrayOf(right, "right", _ == LongType, "bigint"))
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+    // null slots never count as agreement (null-vs-null and null-vs-0
+    // would otherwise both read as 0 == 0) — internal minhash
+    // signatures are never null, but the SQL function minhash_agreement
+    // sees arbitrary input
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -132,7 +164,7 @@ object VectorExpressions {
       var eq = 0
       var i = 0
       while (i < n) {
-        if (x.getLong(i) == y.getLong(i)) eq += 1
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) eq += 1
         i += 1
       }
       eq
@@ -147,7 +179,8 @@ object VectorExpressions {
            |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |int $eq = 0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+           |      $a.getLong($i) == $b.getLong($i)) $eq++;
            |}
            |${ev.value} = $eq;
          """.stripMargin

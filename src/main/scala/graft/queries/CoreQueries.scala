@@ -304,7 +304,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ── enumerate (stream.enumerate; §2.2) ──────────────────────────
@@ -422,8 +422,8 @@ object CoreQueries {
             .cast("double").as("buy_value"))
         .orderBy("user_id"),
       Some("""SELECT user_id,
-        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_buys,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
         CAST(SUM(CASE WHEN event_type = 'purchase'
           THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS buy_value
         FROM events GROUP BY user_id ORDER BY user_id""")),
@@ -523,7 +523,7 @@ object CoreQueries {
         .orderBy("user_id", "session_start"),
       Some(Tables.eventsCte + """,
         marked AS (
-          SELECT user_id, ts_sec, value,
+          SELECT user_id, ts_sec, event_id, value,
             CASE WHEN ts_sec - LAG(ts_sec) OVER
               (PARTITION BY user_id ORDER BY ts_sec, event_id) >= 1800
               OR LAG(ts_sec) OVER
@@ -533,7 +533,7 @@ object CoreQueries {
         sessions AS (
           SELECT user_id, ts_sec, value,
             SUM(new_session) OVER
-              (PARTITION BY user_id ORDER BY ts_sec
+              (PARTITION BY user_id ORDER BY ts_sec, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
           FROM marked)
         SELECT user_id, MIN(ts_sec) AS session_start,

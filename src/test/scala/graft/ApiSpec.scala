@@ -65,13 +65,12 @@ class ApiSpec extends SparkTestBase {
 
   test("GlobalTable.join broadcasts the small side") {
     val li = Tables.lineitem(spark, sf)
+      .withColumnRenamed("l_partkey", "p_partkey")
     val joined = GlobalTable.join(app.streamDF(li),
-      Tables.part(spark, sf), Seq.empty, "inner")
-    // explicit key join variant
-    val j2 = li.join(broadcast(Tables.part(spark, sf)),
-      li("l_partkey") === col("p_partkey"))
-    val plan = j2.queryExecution.executedPlan.toString
+      Tables.part(spark, sf), Seq("p_partkey"), "inner")
+    val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(joined.count() > 0)
   }
 
   test("TopicSpec: source options, configs, changelog derivation") {

@@ -60,4 +60,22 @@ class AsOfJoinSpec extends SparkTestBase {
       "SELECT minhash_agreement(array(1L,2L,3L), array(1L,9L,3L)) AS n")
       .as[Int].head() == 2)
   }
+
+  test("GraftExtensions: null slots and wrong types handled") {
+    new GraftExtensions().registerOn(spark)
+    // null-vs-null / null-vs-value never count as agreement
+    assert(spark.sql(
+      "SELECT minhash_agreement(array(1L,NULL,3L), array(1L,NULL,NULL)) AS n")
+      .as[Int].head() == 1)
+    // wrong input types fail at analysis, not with a runtime cast error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_agreement(array('a'), array('b'))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vector_dot(array(1L), array(2L))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(1, 2))").collect()
+    }
+  }
 }
