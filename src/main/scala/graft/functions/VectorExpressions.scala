@@ -190,6 +190,54 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Per-bit majority vote over an array of 64-bit hashes: bit j of
+    * the result is set iff more than half the non-null elements have
+    * bit j set — the SimHash vote, decoupled from the hash function so
+    * the portable (MD5-based) simhash can reuse it. Null slots are
+    * excluded from numerator and denominator, matching [[SimHash64]].
+    */
+  case class BitMajority64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrayOf(child, "hashes", _ == LongType, "bigint")
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var nonNull = 0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          nonNull += 1
+          val h = arr.getLong(i)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (counts(j) * 2 > nonNull) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bit_majority(hashes: Column): Column =
+    ColumnBridge.column(BitMajority64(ColumnBridge.expression(hashes)))
+
   def long_array_eq_count(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayEqCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

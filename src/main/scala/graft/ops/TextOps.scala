@@ -110,12 +110,21 @@ object TextOps {
   }
 
   /** MinHash signature: k permutation-minima over distinct-token
-    * xxhash64 values (seeded per permutation). Returns array<long>.
+    * hashes (seeded per permutation). Returns array<long>.
+    *
+    * `portable = false` (default) hashes with xxhash64 — the fast
+    * engine-local path. `portable = true` uses the 60-bit MD5 hash
+    * ([[graft.functions.PortableHash]]), reproducible in any engine —
+    * this flavor is what the DuckDB oracle verifies (d03).
     */
-  def minHashSignature(text: Column, k: Int): Column = {
+  def minHashSignature(text: Column, k: Int,
+                       portable: Boolean = false): Column = {
     val toks = array_distinct(tokens(text))
     val sigs = (0 until k).map { i =>
-      array_min(transform(toks, t => xxhash64(lit(i), t)))
+      val h: Column => Column =
+        if (portable) t => graft.functions.PortableHash.mdHash60(i, t)
+        else t => xxhash64(lit(i), t)
+      array_min(transform(toks, h))
     }
     array(sigs: _*)
   }
@@ -130,11 +139,12 @@ object TextOps {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
-                   minEstimate: Double = 0.5): DataFrame = {
+                   minEstimate: Double = 0.5,
+                   portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+      minHashSignature(col(textCol), numHashes, portable).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
@@ -161,6 +171,15 @@ object TextOps {
     */
   def simHash(text: Column): Column =
     graft.functions.VectorExpressions.simhash64(array_distinct(tokens(text)))
+
+  /** Portable SimHash: same bit-majority vote over 60-bit MD5 token
+    * hashes instead of xxhash64 — reproducible outside Spark (bits
+    * 60-63 are always 0). Oracle-verified flavor (d04).
+    */
+  def simHashPortable(text: Column): Column =
+    graft.functions.VectorExpressions.bit_majority(
+      transform(array_distinct(tokens(text)),
+        t => graft.functions.PortableHash.mdHash60(t)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -143,6 +143,24 @@ object VectorOps {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Portable LSH bucket: hyperplane components derive from the MD5
+    * hash of `"<plane>,<dim>"` ([[graft.functions.PortableHash]]), so
+    * any engine reproduces the same buckets. The plane matrix is
+    * materialized driver-side as literals — cheaper than per-row
+    * hashing AND engine-independent. Oracle-verified flavor (s03).
+    */
+  def lshBucketPortable(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val weights = typedlit((0 until dim).map(i =>
+        graft.functions.PortableHash.unitValue(s"$p,$i")))
+      val proj = aggregate(
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells
     * around deterministically-chosen pivot vectors (lowest
     * xxhash64(id) — reproducible, no RNG/kmeans state), assign each
@@ -151,11 +169,16 @@ object VectorOps {
     * intra-cell pairs — the standard IVF trade against brute force.
     */
   def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
-                          nCells: Int, k: Int, probes: Int = 1): DataFrame = {
+                          nCells: Int, k: Int, probes: Int = 1,
+                          portablePivots: Boolean = false): DataFrame = {
+    // portable pivot choice orders by the MD5 hex of the id string —
+    // reproducible in any engine (oracle-verified flavor, s05)
+    val pivotOrder =
+      if (portablePivots) md5(col("pid").cast("string")) else xxhash64(col("pid"))
     val pivots = df
       .select(col(idCol).as("pid"), col(vecCol).as("pvec"),
         norm(col(vecCol)).as("pnrm"))
-      .orderBy(xxhash64(col("pid")), col("pid")).limit(nCells)
+      .orderBy(pivotOrder, col("pid")).limit(nCells)
     val wAssign = Window.partitionBy("id").orderBy(col("psim").desc, col("pid"))
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
@@ -183,9 +206,13 @@ object VectorOps {
     * buckets, top-k per query. Only intra-bucket pairs are scored.
     */
   def lshNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
-                          numPlanes: Int, k: Int): DataFrame = {
+                          numPlanes: Int, k: Int,
+                          portableDim: Option[Int] = None): DataFrame = {
+    val bucketFn = portableDim
+      .map(d => lshBucketPortable(col(vecCol), numPlanes, d))
+      .getOrElse(lshBucket(col(vecCol), numPlanes))
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"),
+      bucketFn.as("bucket"),
       norm(col(vecCol)).as("nrm"))
     val a = bucketed.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))

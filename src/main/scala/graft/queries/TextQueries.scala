@@ -47,22 +47,64 @@ object TextQueries {
         WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.9
         ORDER BY id_a, id_b""")),
 
-    // ── MinHash + LSH banding near-dup candidates (scale path;
-    //    hash-seeded, deterministic; no SQL oracle → rows-only) ───────
+    // ── MinHash + LSH banding near-dup candidates (scale path).
     // bands=2 (r=8): band collision needs 8 matching minhashes — keeps
-    // candidate sets bounded even on this pathologically-uniform corpus
+    // candidate sets bounded even on this pathologically-uniform corpus.
+    // Portable MD5-based permutation hashes → the oracle recomputes the
+    // exact signatures; band collision = band-slice equality. ─────────
     Q("d03_dedup_minhash",
       (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 16, bands = 2, minEstimate = 0.7)
+        numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(('0x' || substr(md5(i::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
+        ORDER BY id_a, id_b""")),
 
-    // ── SimHash signatures (rows-only: engine-specific hash) ────────
+    // ── SimHash signatures (portable MD5 token hashes + bit-majority
+    //    vote; hashes are 60-bit so the oracle votes bits 0-59) ───────
     Q("d04_dedup_simhash",
       (s, dir) => Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.simHash(col("text")).as("simhash"))
+        .select(col("doc_id"), TextOps.simHashPortable(col("text")).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM toks),
+        votes AS (
+          SELECT doc_id, j,
+            COUNT(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 END) AS ones,
+            COUNT(*) AS n
+          FROM h CROSS JOIN range(60) t(j)
+          GROUP BY doc_id, j)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── token counting ──────────────────────────────────────────────
     Q("t01_token_count",

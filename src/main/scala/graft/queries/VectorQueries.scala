@@ -60,21 +60,92 @@ object VectorQueries {
           >= 0.4
         ORDER BY id_a, id_b""")),
 
-    // ── LSH-bucketed ANN (scale path; deterministic hash-derived
-    //    hyperplanes; rows-only check) ────────────────────────────────
+    // ── LSH-bucketed ANN (scale path; portable MD5-derived hyperplane
+    //    matrix — the oracle recomputes buckets and the exact rerank) ─
     Q("s03_knn_lsh",
       (s, dir) => VectorOps.lshNearestNeighbors(
-        Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 8, k = 3)
+        Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 8, k = 3,
+        portableDim = Some(64))
         .orderBy("id_a", "rk"),
-      None),
+      Some("""WITH w AS (
+          SELECT p, list_transform(range(0, 64), i ->
+            (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
+              % 2000001) / 1000000.0 - 1.0) AS wt
+          FROM range(8) t(p)),
+        proj AS (
+          SELECT e.vec_id, w.p,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * wt[i])) AS pr
+          FROM embeddings e CROSS JOIN w),
+        bucket AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS b
+          FROM proj GROUP BY vec_id),
+        nrm AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+          FROM embeddings),
+        scored AS (
+          SELECT ba.vec_id AS id_a, bb.vec_id AS id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+              / (ea.n * eb.n) AS cos
+          FROM bucket ba JOIN bucket bb ON ba.b = bb.b AND ba.vec_id <> bb.vec_id
+          JOIN nrm ea ON ea.vec_id = ba.vec_id
+          JOIN nrm eb ON eb.vec_id = bb.vec_id),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+          FROM scored)
+        SELECT id_a, rk, id_b, cos FROM ranked WHERE rk <= 3
+        ORDER BY id_a, rk""")),
 
-    // ── IVF-bucketed ANN (deterministic pivots; rows-only) ──────────
+    // ── IVF-bucketed ANN (portable pivots: lowest md5(id) — the
+    //    oracle replays cell assignment and the exact rerank) ─────────
     Q("s05_knn_ivf",
       (s, dir) => VectorOps.ivfNearestNeighbors(
         Tables.embeddings(s, dir), "vec_id", "embedding",
-        nCells = 16, k = 3, probes = 2)
+        nCells = 16, k = 3, probes = 2, portablePivots = true)
         .orderBy("id_a", "rk"),
-      None),
+      Some("""WITH base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN piv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 2),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id <> b.id),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+              / (ea.nrm * eb.nrm) AS cos
+          FROM pairs p
+          JOIN base ea ON ea.vec_id = p.id_a
+          JOIN base eb ON eb.vec_id = p.id_b),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+          FROM scored)
+        SELECT id_a, rk, id_b, cos FROM ranked WHERE rk <= 3
+        ORDER BY id_a, rk""")),
 
     // ── per-label centroid-ish stats: vector column aggregation ─────
     Q("s04_label_norms",

@@ -26,6 +26,38 @@ class OpsSpec extends SparkTestBase {
     assert(joined < 0.15, s"mean |est-true| = $joined")
   }
 
+  test("portable hash: column, driver, and reference values agree") {
+    import graft.functions.PortableHash
+    // reference value independently computed by DuckDB:
+    // ('0x' || substr(md5('hello'), 1, 15))::BIGINT
+    assert(PortableHash.md5Long60("hello") == 419982666956583591L)
+    val viaCol = Seq("hello", "0|tok", "3,17").toDF("s")
+      .select(PortableHash.mdHash60($"s")).as[Long].collect()
+    assert(viaCol.sameElements(
+      Array("hello", "0|tok", "3,17").map(PortableHash.md5Long60)))
+    val u = PortableHash.unitValue("0,0")
+    assert(u >= -1.0 && u < 1.0)
+  }
+
+  test("portable minhash/simhash: same semantics as the fast flavor") {
+    val d = docs.limit(100)
+    // both flavors agree on exact duplicates and estimate quality —
+    // only the underlying hash family differs
+    val est = TextOps.minHashPairs(d, "doc_id", "text",
+      numHashes = 32, bands = 8, minEstimate = 0.0, portable = true)
+      .select($"id_a", $"id_b", $"est_jaccard")
+    val truth = TextOps.jaccardPairs(d, "doc_id", "text", 0.0)
+      .select($"id_a", $"id_b", $"jaccard")
+    val err = est.join(truth, Seq("id_a", "id_b"))
+      .select(abs($"est_jaccard" - $"jaccard").as("err"))
+      .agg(avg($"err")).as[Double].head()
+    assert(err < 0.15, s"portable minhash mean |est-true| = $err")
+    // portable simhash of identical text is identical, and is 60-bit
+    val sh = d.select(TextOps.simHashPortable($"text").as("h"))
+      .as[Long].collect()
+    assert(sh.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
   test("simhash: identical docs collide; hamming is symmetric and 0 on self") {
     val sh = docs.limit(50).select($"doc_id", TextOps.simHash($"text").as("h"))
     val self = sh.as("a").join(sh.as("b"), $"a.doc_id" === $"b.doc_id")
