@@ -9,22 +9,42 @@ import org.apache.spark.sql.functions._
   * tumbling-window aggregation — the reference's windowed_aggregation
   * workload shape (its bench reports sec per 10k events consumed;
   * divide wall seconds by rows/10k for comparability).
+  *
+  * The reference bench times the CONSUME loop only (`RECV {i}` after
+  * the producer has filled the topic) — so [[prepare]] (producer side)
+  * and [[warmup]] (one-row query: streaming planner + codegen JIT)
+  * run outside the timed region, and [[windowedReplay]] times
+  * ingestion through state commit. Spark is free to coalesce the
+  * queued chunks into fewer micro-batches — that adaptive batching IS
+  * micro-batch throughput behavior, same as the reference's aiokafka
+  * client fetching as much as is buffered.
   */
 object StreamBench {
 
-  def windowedReplay(spark: SparkSession, sfDir: String, chunks: Int = 10): Unit = {
+  /** Producer side: materialize the replay rows (not timed). */
+  def prepare(spark: SparkSession, sfDir: String): Array[(Long, String, Double)] = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-
-    val rows = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .select($"ts_sec", $"event_type", $"value")
       .as[(Long, String, Double)]
       .collect()
+  }
+
+  /** One-row end-to-end run to JIT the streaming planner/codegen paths
+    * before timing (not timed).
+    */
+  def warmup(spark: SparkSession): Unit =
+    windowedReplay(spark, Array((0L, "warm", 0.0)), chunks = 1)
+
+  def windowedReplay(spark: SparkSession, rows: Array[(Long, String, Double)],
+                     chunks: Int = 10, shufflePartitions: Int = 4): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
 
     // streaming state is per-shuffle-partition: for this row volume a
     // handful of state stores beats 32 (less per-batch store overhead)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
 
     val input = MemoryStream[(Long, String, Double)]
     val df = input.toDS().toDF("ts_sec", "event_type", "value")

@@ -1,0 +1,184 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-digest portable sketch kernels.
+  *
+  * One MD5 digest per token yields a 60-bit base value `h1` (first 15
+  * hex digits). The k MinHash permutations are independent universal
+  * hashes over it:
+  *
+  *   x    = h1 mod p                 (p = 2^31 - 1, prime)
+  *   h_i  = (a_i * x + b_i) mod p
+  *   a_i  = first 7 hex digits of md5('a' || i), + 1   (28 bits, != 0)
+  *   b_i  = first 7 hex digits of md5('b' || i)
+  *
+  * `a_i * x < 2^59`, so plain 64-bit arithmetic never overflows and
+  * any engine reproduces the numbers from md5 hex alone. (A cheaper
+  * `h1 + i*h2` double-hashing scheme was rejected: the same small-h1
+  * token tends to win every lane, which correlates the permutations
+  * and badly overestimates Jaccard.) This is one digest per token —
+  * ~16x less hashing than one seeded digest per permutation — while
+  * remaining bit-for-bit verifiable by the DuckDB oracle.
+  */
+object PortableHashKernel {
+
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Per-permutation universal-hash coefficients, derived from MD5 so
+    * every engine can recompute them: first 7 hex digits of
+    * md5("a"+i) / md5("b"+i). Cached per k.
+    */
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, _ => {
+      val a = Array.tabulate(k)(i => hex7(s"a$i") + 1L)
+      val b = Array.tabulate(k)(i => hex7(s"b$i"))
+      (a, b)
+    })
+
+  /** First 7 hex digits of md5(s) as an unsigned 28-bit value. */
+  def hex7(s: String): Long =
+    lane1(MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))) >>> 32
+
+  private val md = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def digest(s: UTF8String): Array[Byte] = {
+    val m = md.get()
+    m.reset()
+    m.digest(s.getBytes)
+  }
+
+  /** First 15 hex digits of the digest as an unsigned 60-bit value. */
+  def lane1(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** k-minima MinHash signature over non-null tokens; null iff no
+    * non-null token exists (a signature of an empty set is undefined).
+    */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        any = true
+        val x = lane1(digest(tokens.getUTF8String(t))) % P
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * x + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) null else new GenericArrayData(mins)
+  }
+
+  /** 60-bit SimHash: per-bit majority vote over lane1 of each non-null
+    * token digest (same vote rule as SimHash64/BitMajority64).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    var nonNull = 0
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        nonNull += 1
+        val h = lane1(digest(tokens.getUTF8String(t)))
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) * 2 > nonNull) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+object PortableSketches {
+
+  private def checkTokens(e: Expression): TypeCheckResult = e.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tokens argument must be array<string>, got ${other.catalogString}")
+  }
+
+  /** MinHash signature (k minima of `h1 + i*h2` per token) as a single
+    * pass native expression — one digest per token.
+    */
+  case class MinHash60(child: Expression, k: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = checkTokens(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.minhash(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.PortableHashKernel.minhash($c, $k);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 60-bit portable SimHash as a single-pass native expression. */
+  case class SimHash60(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult = checkTokens(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.simhash(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.PortableHashKernel.simhash($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def minhash60(tokens: Column, k: Int): Column =
+    ColumnBridge.column(MinHash60(ColumnBridge.expression(tokens), k))
+
+  def simhash60(tokens: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
+}

@@ -61,7 +61,10 @@ object TextQueries {
           FROM documents),
         sig AS (
           SELECT doc_id, i,
-            MIN(('0x' || substr(md5(i::VARCHAR || '|' || tok), 1, 15))::BIGINT) AS mh
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
           FROM toks CROSS JOIN range(16) t(i)
           GROUP BY doc_id, i),
         band AS (
