@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Q, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, PipelineQueries, Q, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{CoreQueries, Q, TextQueries, VectorQueries}
 object SparkEntry {
 
   val allQueries: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

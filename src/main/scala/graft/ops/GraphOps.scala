@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components — the step that turns near-dup
+  * PAIRS into dedup CLUSTERS (one canonical document per component).
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each
+  * iteration (a) takes the min label over neighbors, (b) compresses
+  * paths by replacing every label with its label's label. Pointer
+  * jumping halves the remaining depth, so convergence is
+  * O(log diameter) iterations — the property that makes iterative CC
+  * viable on billion-node dedup graphs, where plain 1-hop propagation
+  * would need diameter-many shuffles. Each iteration is two shuffles
+  * (neighbor-min aggregation + compression join) on (long, long) rows.
+  */
+object GraphOps {
+
+  /** Component label (minimum reachable id) for every node.
+    *
+    * @param edges undirected edge list, columns (`u`, `v`)
+    * @param nodes one row per node, column `id` (isolated nodes keep
+    *              their own id as label)
+    * @return (`id`, `cluster_id`)
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint truncates lineage each iteration — the
+    // compression step references the previous frame twice, so without
+    // truncation the logical plan doubles per iteration and the driver
+    // OOMs long before the data does. (On a real cluster with a
+    // checkpoint dir, `checkpoint` gives the same cut fault-tolerantly.)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // (a) min over own + neighbors' labels
+      val nbrMin = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(sym("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // (b) pointer jumping: lbl := lbl's current lbl (path compression)
+      val l2 = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = stepped.join(l2, stepped("lbl") === l2("jid"), "left")
+        .select(stepped("id"),
+          coalesce(col("jlbl"), stepped("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off the portable 60-bit MD5 hash of the row id
+  * ([[PortableHash]]), so assignment is: (a) stable under reruns and
+  * engine changes (no RNG state, no partition-order dependence),
+  * (b) stable under data growth — a row keeps its split/sample fate
+  * when other rows are added or removed (the property that keeps
+  * train/test splits leak-free across dataset versions), and
+  * (c) embarrassingly parallel: a narrow map with no shuffle; the
+  * filter pushes down to the scan at any scale.
+  */
+object SampleOps {
+
+  private val Range60: Double = (1L << 60).toDouble
+
+  /** Uniform unit-interval value in [0, 1) from the row id (salted). */
+  def unitHash(id: Column, salt: String = ""): Column =
+    PortableHash.mdHash60(concat(lit(salt), lit("#"), id.cast("string")))
+      .cast("double") / Range60
+
+  /** Deterministic Bernoulli sample: keep rows whose unit hash falls
+    * below `fraction`. No shuffle; survives reruns and appends.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = ""): DataFrame =
+    df.where(unitHash(col(idCol), salt) < fraction)
+
+  /** Deterministic train/validation/test split. `weights` are
+    * (label, weight) in assignment order; cumulative weight fractions
+    * partition [0, 1). Adds a `split` column.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)],
+                salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val u = unitHash(col(idCol), salt)
+    // fold from the last bucket backwards: u < cut_i picks bucket i
+    val expr = weights.zip(cuts.tail).reverse
+      .foldLeft(lit(weights.last._1)) { case (els, ((label, _), cut)) =>
+        when(u < cut, lit(label)).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic per-group sample of up to `n` rows: the n smallest
+    * id hashes within each group — a shuffle-once, rerun-stable
+    * stand-in for per-group reservoir sampling.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     n: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("_srk", row_number().over(w))
+      .where(col("_srk") <= n)
+      .drop("_srk")
+  }
+}

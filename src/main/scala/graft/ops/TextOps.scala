@@ -187,6 +187,27 @@ object TextOps {
     crossPairs.unionByName(intra)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the Jaccard
+    * near-dup pair graph, one canonical doc (min id) per cluster.
+    * Singleton docs form their own cluster. Output:
+    * (doc_id, cluster_id, cluster_size, is_canonical).
+    *
+    * This is the shape a 100 TB dedup actually ships: keep rows where
+    * `is_canonical = 1` (or join training data against the cluster
+    * map) instead of materializing quadratic duplicate pairs.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    val edges = jaccardPairs(df, idCol, textCol, threshold)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val nodes = df.select(col(idCol).as("id"))
+    val labels = GraphOps.connectedComponents(edges, nodes)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+  }
+
   /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the
     * result is set iff more than half the token hashes have bit j set.
     * Single-pass native expression (64 HOF passes were the naive form).

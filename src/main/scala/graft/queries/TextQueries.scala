@@ -109,6 +109,42 @@ object TextQueries {
             AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── dedup clusters: connected components over the near-dup pair
+    //    graph (min-label = canonical doc). Oracle replays the
+    //    fixpoint with a recursive CTE. ─────────────────────────────
+    Q("d05_dedup_clusters",
+      (s, dir) => TextOps.dedupClusters(Tables.documents(s, dir), "doc_id", "text", 0.9)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE tok AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        cp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM cp
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.9),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+          CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        FROM lab l JOIN sz s USING (cluster_id)
+        ORDER BY doc_id""")),
+
     // ── token counting ──────────────────────────────────────────────
     Q("t01_token_count",
       (s, dir) => Tables.documents(s, dir)

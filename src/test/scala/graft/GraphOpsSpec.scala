@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, TextOps}
+
+class GraphOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("connectedComponents: chain, clique, isolated node, two components") {
+    // 1-2-3-4 chain, 10-11-12 triangle, 99 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val got = GraphOps.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("connectedComponents: long path converges (pointer jumping)") {
+    // a 200-node path exercises the log-diameter pointer-jumping claim:
+    // plain 1-hop propagation would need ~200 iterations to drain it
+    val n = 200
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val got = GraphOps.connectedComponents(edges, nodes)
+    assert(got.where(col("cluster_id") =!= 0L).count() == 0)
+    assert(got.count() == n)
+  }
+
+  test("dedupClusters: canonical per cluster, sizes add up, singletons kept") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val clusters = TextOps.dedupClusters(docs, "doc_id", "text", 0.9).cache()
+    assert(clusters.count() == 200) // every doc is assigned
+    // exactly one canonical doc per cluster, and it is the min id
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum("is_canonical").as("n_canon"),
+        min("doc_id").as("min_id"), count(lit(1)).as("n"))
+    assert(perCluster.where(col("n_canon") =!= 1).count() == 0)
+    assert(perCluster.where(col("min_id") =!= col("cluster_id")).count() == 0)
+    // cluster_size matches the actual member count
+    val bad = clusters.join(perCluster, Seq("cluster_id"))
+      .where(col("cluster_size") =!= col("n"))
+    assert(bad.count() == 0)
+    clusters.unpersist()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SampleOps
+
+class SampleOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf)
+
+  test("sampleByHash: deterministic, append-stable, near-target fraction") {
+    val s1 = SampleOps.sampleByHash(events, "event_id", 0.2)
+      .select("event_id").as[Long].collect().toSet
+    val s2 = SampleOps.sampleByHash(events, "event_id", 0.2)
+      .select("event_id").as[Long].collect().toSet
+    assert(s1 == s2) // rerun-stable
+    // append-stability: sampling a subset keeps exactly the ids that
+    // the full-data sample kept (a row's fate never depends on others)
+    val sub = SampleOps.sampleByHash(events.limit(2000), "event_id", 0.2)
+      .select("event_id").as[Long].collect().toSet
+    assert(sub.subsetOf(s1))
+    val frac = s1.size.toDouble / events.count()
+    assert(frac > 0.15 && frac < 0.25, s"fraction $frac")
+    // different salt → different sample
+    val salted = SampleOps.sampleByHash(events, "event_id", 0.2, salt = "v2")
+      .select("event_id").as[Long].collect().toSet
+    assert(salted != s1)
+  }
+
+  test("hashSplit: partition of the data, near the weights, no leaks") {
+    val split = SampleOps.hashSplit(events, "event_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)).cache()
+    assert(split.count() == events.count())
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = events.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.03)
+    assert(math.abs(counts("val") / n - 0.1) < 0.02)
+    assert(math.abs(counts("test") / n - 0.1) < 0.02)
+    split.unpersist()
+  }
+
+  test("samplePerGroup: caps per group, deterministic") {
+    val g = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
+    val per = g.groupBy("event_type").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 == 50)) // every type has >= 50 events at this sf
+    val again = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
+    assert(g.select("event_id").except(again.select("event_id")).isEmpty)
+  }
+
+  test("sampleByHash filter pushes down to the scan") {
+    val plan = SampleOps.sampleByHash(events, "event_id", 0.1)
+      .queryExecution.executedPlan.toString
+    // narrow plan: no shuffle anywhere in a Bernoulli sample
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
