@@ -17,6 +17,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the checksum checkpoint writer deadlocks RocksDB snapshot
+      // uploads in this single-JVM environment (tasks park forever in
+      // ChecksumCancellableFSDataOutputStream.close)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -39,6 +39,34 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("StatefulTable.runningFoldTws: same contract on transformWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Int)]
+    val folded = StatefulTable.runningFoldTws(
+      input.toDS(), (kv: (String, Int)) => kv._1)(0L)((acc, kv) => acc + kv._2)()
+    val q = folded.writeStream.format("memory").queryName("fold_tws_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1), ("b", 2), ("a", 3))
+      q.processAllAvailable()
+      input.addData(("a", 10), ("c", 5))
+      q.processAllAvailable()
+      val rows = spark.table("fold_tws_out").as[(String, Long)].collect()
+      val latest = rows.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest == Map("a" -> 14L, "b" -> 2L, "c" -> 5L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("window-close: append mode emits one final row after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
