@@ -67,6 +67,20 @@ final class GStream[T](val app: App, val ds: Dataset[T]) {
     */
   def take(n: Int): GStream[T] = new GStream(app, ds.limit(n))
 
+  /** `stream.take(max_, within)` (`streams.py:303-395`): emit buffers
+    * of up to `max` elements, flushing at least every `within`. In
+    * micro-batch terms "flush every `within`" is the trigger interval
+    * and "up to `max` per buffer" is the per-trigger admission cap —
+    * returns the writeStream knobs to apply rather than a new plan:
+    * trigger = ProcessingTime(within), plus `maxOffsetsPerTrigger`
+    * (Kafka) / `maxFilesPerTrigger` (files) for the cap.
+    */
+  def takeWithin(max: Int, within: java.time.Duration):
+      (org.apache.spark.sql.streaming.Trigger, Map[String, String]) =
+    (org.apache.spark.sql.streaming.Trigger.ProcessingTime(within.toMillis),
+      Map("maxOffsetsPerTrigger" -> max.toString,
+        "maxFilesPerTrigger" -> "1"))
+
   /** `stream.enumerate()` (`streams.py:397-403`): attach a running
     * index. Globally ordered — requires a total order column; this is
     * a single-partition window at scale, use only on small/serving data.

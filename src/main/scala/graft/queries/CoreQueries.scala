@@ -456,6 +456,78 @@ object CoreQueries {
         MIN(value) AS min_v, MAX(value) AS max_v
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── analytic-window suite: dense_rank / ntile / first_value /
+    //    cumulative share (§2.5 beyond row_number/lag) ───────────────
+    Q("q32_analytic_suite",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val byCust = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byCustRange = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.where(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            dense_rank().over(byCust).as("drk"),
+            ntile(4).over(byCust).as("quartile"),
+            first(col("o_orderkey")).over(byCust).as("top_order"),
+            sum(dec2(col("o_totalprice"))).over(byCustRange).cast("double").as("run_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        FIRST_VALUE(o_orderkey) OVER w AS top_order,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_price
+        FROM orders WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ── anti join: customers with no urgent open order (§2.3 join
+    //    family; right side filtered so the result is non-trivial on
+    //    this corpus, where every FK is fully covered) ───────────────
+    Q("q33_anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .where(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ── math scalar surface (§2.7): ops with bit-reproducible IEEE
+    //    semantics only — ln/exp are libm calls that differ by 1 ulp
+    //    between JVM and C engines (measured: 388/501 rows for exp),
+    //    so they are exercised under rounding in t06 instead ─────────
+    Q("q34_scalar_math",
+      (s, dir) => Tables.part(s, dir)
+        .where(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          abs(col("p_retailprice") - 1000.0).as("abs_delta"),
+          round(col("p_retailprice") / 7.0, 2).as("rounded"),
+          sqrt(col("p_retailprice")).as("sq"),
+          floor(col("p_retailprice") / 10.0).cast("long").as("flr"),
+          ceil(col("p_retailprice") / 10.0).cast("long").as("cl"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"),
+          pmod(col("p_partkey"), lit(97)).as("pk_mod"),
+          pow(col("p_size").cast("double"), 2.0).as("size_sq"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        ABS(p_retailprice - 1000.0) AS abs_delta,
+        ROUND(p_retailprice / 7.0, 2) AS rounded,
+        SQRT(p_retailprice) AS sq,
+        CAST(FLOOR(p_retailprice / 10.0) AS BIGINT) AS flr,
+        CAST(CEIL(p_retailprice / 10.0) AS BIGINT) AS cl,
+        CAST(SIGN(p_retailprice - 1000.0) AS INT) AS sgn,
+        p_partkey % 97 AS pk_mod,
+        POWER(CAST(p_size AS DOUBLE), 2.0) AS size_sq
+        FROM part WHERE p_partkey <= 500
+        ORDER BY p_partkey""")),
+
     // ── as-of join (operator Spark lacks; union-and-carry impl,
     //    oracle = DuckDB's native ASOF JOIN) ─────────────────────────
     Q("q26_asof_join",

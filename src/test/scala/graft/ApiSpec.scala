@@ -91,5 +91,8 @@ class ApiSpec extends SparkTestBase {
     assert(s.through(8).ds.rdd.getNumPartitions == 8)
     assert(s.union(s).ds.count() == 2 * ev.count())
     assert(s.take(10).ds.count() == 10)
+    val (trigger, opts) = s.takeWithin(5000, java.time.Duration.ofSeconds(30))
+    assert(trigger == org.apache.spark.sql.streaming.Trigger.ProcessingTime(30000L))
+    assert(opts("maxOffsetsPerTrigger") == "5000")
   }
 }
