@@ -528,6 +528,45 @@ object CoreQueries {
         FROM part WHERE p_partkey <= 500
         ORDER BY p_partkey""")),
 
+    // ── per-key set algebra (faust SetTable difference/intersection/
+    //    symdiff, sets.py ops — §2.4): sets from two event-id halves ──
+    Q("q35_set_ops",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def half(even: Boolean) = ev
+          .where(if (even) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as(if (even) "sa" else "sb"))
+        val emptyArr = array().cast("array<string>")
+        half(true).join(half(false), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("sa"), emptyArr).as("sa"),
+            coalesce(col("sb"), emptyArr).as("sb"))
+          .select(col("user_id"),
+            size(col("sa")).as("n_a"), size(col("sb")).as("n_b"),
+            size(array_intersect(col("sa"), col("sb"))).as("n_common"),
+            size(array_union(col("sa"), col("sb"))).as("n_union"),
+            array_join(sort_array(array_except(col("sa"), col("sb"))), ",").as("only_a"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (
+          SELECT user_id, list_sort(list_distinct(list(event_type))) AS sa
+          FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        b AS (
+          SELECT user_id, list_sort(list_distinct(list(event_type))) AS sb
+          FROM events WHERE event_id % 2 = 1 GROUP BY user_id),
+        j AS (
+          SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+            COALESCE(sa, []) AS sa, COALESCE(sb, []) AS sb
+          FROM a FULL JOIN b ON a.user_id = b.user_id)
+        SELECT user_id,
+          CAST(len(sa) AS INT) AS n_a, CAST(len(sb) AS INT) AS n_b,
+          CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS INT) AS n_common,
+          CAST(len(list_distinct(list_concat(sa, sb))) AS INT) AS n_union,
+          COALESCE(array_to_string(list_sort(list_filter(sa,
+            x -> NOT list_contains(sb, x))), ','), '') AS only_a
+        FROM j ORDER BY user_id""")),
+
     // ── as-of join (operator Spark lacks; union-and-carry impl,
     //    oracle = DuckDB's native ASOF JOIN) ─────────────────────────
     Q("q26_asof_join",

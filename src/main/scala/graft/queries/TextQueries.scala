@@ -242,6 +242,31 @@ object TextQueries {
         FROM tfc JOIN dfc USING (term) CROSS JOIN n
         ORDER BY doc_id, term""")),
 
+    // ── multimodal frame-sampling stub: chunk-offset selection over
+    //    binary blobs (the real batch shape; decode stays stubbed) ────
+    Q("m02_frame_offsets",
+      (s, dir) => graft.ops.MultimodalOps.sampleOffsets(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")),
+        "doc_id", "blob", chunkSize = 32, stride = 2)
+        .select(col("doc_id"), col("n_bytes"), col("n_chunks"),
+          size(col("offsets")).as("n_sampled"),
+          coalesce(element_at(col("offsets"), -1), lit(-1)).as("last_off"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+          SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+            CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 32.0) AS INT) AS n_chunks
+          FROM documents),
+        o AS (
+          SELECT doc_id, n_bytes, n_chunks,
+            list_filter(list_transform(range(0, n_chunks), i -> i * 32),
+              x -> (x // 32) % 2 = 0) AS offsets
+          FROM b)
+        SELECT doc_id, n_bytes, n_chunks,
+          CAST(len(offsets) AS INT) AS n_sampled,
+          CAST(COALESCE(offsets[-1], -1) AS INT) AS last_off
+        FROM o ORDER BY doc_id""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",

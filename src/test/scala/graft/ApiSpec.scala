@@ -73,6 +73,19 @@ class ApiSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("AskReply: scatter correlates replies, gather barriers by id") {
+    import graft.api.AskReply
+    val reqs = Seq(
+      AskReply.Request("c1", "reply-topic", 10),
+      AskReply.Request("c2", "reply-topic", 20),
+      AskReply.Request("c3", "reply-topic", 30)).toDS()
+    val replies = AskReply.ask(reqs, (x: Int) => x * 2)
+    assert(replies.collect().map(r => r.correlationId -> r.payload).toMap ==
+      Map("c1" -> 20, "c2" -> 40, "c3" -> 60))
+    val gathered = AskReply.gather(reqs, replies).collect().toMap
+    assert(gathered == Map(10 -> 20, 20 -> 40, 30 -> 60))
+  }
+
   test("TopicSpec: source options, configs, changelog derivation") {
     val t = TopicSpec(name = Some("orders"), partitions = Some(8),
       retentionMs = Some(86400000L), compacting = true)
