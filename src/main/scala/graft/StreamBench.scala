@@ -37,7 +37,7 @@ object StreamBench {
     windowedReplay(spark, Array((0L, "warm", 0.0)), chunks = 1)
 
   def windowedReplay(spark: SparkSession, rows: Array[(Long, String, Double)],
-                     chunks: Int = 10, shufflePartitions: Int = 4): Unit = {
+                     chunks: Int = 10, shufflePartitions: Int = 2): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
