@@ -66,6 +66,23 @@ object MultimodalOps {
     }
   }
 
+  /** Feature-extraction stub: a deterministic `dim`-dimensional unit
+    * embedding derived from the blob's MD5 (4 hex digits per
+    * dimension, mapped to [-1, 1]). Stands in for a real image/audio
+    * encoder with the same pipeline shape — blob in, fixed-width
+    * vector out, ready for VectorOps ANN — while staying reproducible
+    * in any engine (the oracle recomputes it from md5 hex).
+    */
+  def fakeEmbed(df: DataFrame, idCol: String, blobCol: String,
+                dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim <= 8, "md5 has 32 hex digits: at most 8 4-digit dims")
+    val h = md5(col(blobCol))
+    val feats = (0 until dim).map { i =>
+      conv(substring(h, 4 * i + 1, 4), 16, 10).cast("double") / 65535.0 * 2.0 - 1.0
+    }
+    df.select(col(idCol), array(feats: _*).as("embedding"))
+  }
+
   /** Frame-sample stub: pick every `stride`-th chunk offset of a blob
     * (the partition/batch shape of real frame extraction).
     */

@@ -528,6 +528,33 @@ object CoreQueries {
         FROM part WHERE p_partkey <= 500
         ORDER BY p_partkey""")),
 
+    // ── extended string surface (§2.7): edit distance, regex
+    //    extract/replace, pad, translate, split_part, reverse ─────────
+    Q("q36_string_suite",
+      (s, dir) => Tables.customer(s, dir)
+        .where(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+          regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name2"),
+          reverse(col("c_name")).as("rev_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        levenshtein(c_name, c_mktsegment) AS lev,
+        regexp_extract(c_name, '[0-9]+') AS digits,
+        regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        rpad(c_mktsegment, 12, '.') AS seg_pad,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        split_part(c_name, '#', 2) AS name2,
+        reverse(c_name) AS rev_name
+        FROM customer WHERE c_custkey <= 500
+        ORDER BY c_custkey""")),
+
     // ── per-key set algebra (faust SetTable difference/intersection/
     //    symdiff, sets.py ops — §2.4): sets from two event-id halves ──
     Q("q35_set_ops",

@@ -267,6 +267,47 @@ object TextQueries {
           CAST(COALESCE(offsets[-1], -1) AS INT) AS last_off
         FROM o ORDER BY doc_id""")),
 
+    // ── multimodal end-to-end: blob → stub feature extraction →
+    //    cosine search against a query blob (decode→embed→ANN shape) ──
+    Q("m03_embed_search",
+      (s, dir) => {
+        val emb = graft.ops.MultimodalOps.fakeEmbed(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text").cast("binary").as("blob")),
+          "doc_id", "blob", dim = 8)
+        val q = emb.where(col("doc_id") === 0)
+          .select(col("embedding").as("qv"))
+        import graft.ops.VectorOps
+        val scored = emb.crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            (VectorOps.dot(col("embedding"), col("qv"))
+              / (VectorOps.norm(col("embedding")) * VectorOps.norm(col("qv")))).as("cos"))
+        scored.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos").desc, col("doc_id"))))
+          .where(col("rk") <= 20)
+          .select("rk", "doc_id", "cos")
+          .orderBy("rk")
+      },
+      Some("""WITH emb AS (
+          SELECT doc_id, list_transform(range(0, 8), i ->
+            ('0x' || substr(md5(text), 4 * i + 1, 4))::BIGINT
+              / 65535.0 * 2.0 - 1.0) AS v
+          FROM documents),
+        q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
+        scored AS (
+          SELECT e.doc_id,
+            list_sum(list_transform(range(1, 9), i -> e.v[i] * q.qv[i]))
+            / (SQRT(list_sum(list_transform(range(1, 9), i -> e.v[i] * e.v[i])))
+             * SQRT(list_sum(list_transform(range(1, 9), i -> q.qv[i] * q.qv[i])))) AS cos
+          FROM emb e CROSS JOIN q),
+        ranked AS (
+          SELECT doc_id, cos,
+            ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk
+          FROM scored)
+        SELECT rk, doc_id, cos FROM ranked WHERE rk <= 20
+        ORDER BY rk""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",
