@@ -19,6 +19,7 @@ object Bench {
     "q04_join_broadcast", "q05_multi_join", "q07_tumbling_window",
     "q08_hopping_window", "q09_interval_join", "q10_set_table",
     "q13_topk_per_group", "q18_json_codec", "q22_changelog_latest",
+    "q26_asof_join", "q37_asof_native",
     "d01_dedup_exact", "d03_dedup_minhash", "d04_dedup_simhash",
     "s01_knn_cosine", "s03_knn_lsh",
     "t01_token_count", "t02_quality_score", "t04_fingerprint")

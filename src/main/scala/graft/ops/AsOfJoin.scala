@@ -22,6 +22,35 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** As-of join through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]]): one shuffle + sort per side, then
+    * a single merge pass per partition. Same contract as [[join]]
+    * (verified equal in AsOfJoinSpec); this form gives the planner a
+    * first-class node — distribution requirements compose with
+    * existing layouts (bucketed input ⇒ zero shuffles).
+    *
+    * Right-side column names must not clash with left's (rename
+    * before the call); right rows should be unique per (key, ts) —
+    * see [[dedupRight]].
+    */
+  def joinNative(left: DataFrame, right: DataFrame,
+                 leftKey: String, leftTs: String,
+                 rightKey: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(lPlan, leftTs),
+        attr(rPlan, rightKey), attr(rPlan, rightTs)))
+  }
+
   def dedupRight(right: DataFrame, keyCol: String, tsCol: String,
                  idCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol), col(tsCol)).orderBy(col(idCol).desc)

@@ -456,6 +456,39 @@ object CoreQueries {
         MIN(value) AS min_v, MAX(value) AS max_v
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── as-of join via the CUSTOM CATALYST OPERATOR (LogicalPlan +
+    //    Strategy + merge exec; graft.plans.AsOfJoinPlan) — same
+    //    semantics as q26's union-and-carry form, same oracle ─────────
+    Q("q37_asof_native",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_sec"), col("event_id"))
+        val clicks = graft.ops.AsOfJoin.dedupRight(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_sec"), col("event_id")),
+          "user_id", "ts_sec", "event_id")
+          .select(col("user_id").as("c_user"), col("ts_sec").as("c_ts"),
+            col("event_id").as("c_id"))
+        graft.ops.AsOfJoin.joinNative(purchases, clicks,
+          "user_id", "ts_sec", "c_user", "c_ts")
+          .select(col("event_id").as("purchase_id"),
+            coalesce(col("c_id"), lit(-1L)).as("click_id"),
+            coalesce(col("ts_sec") - col("c_ts"), lit(-1L)).as("gap_sec"))
+          .orderBy("purchase_id")
+      },
+      Some(Tables.eventsCte + """,
+        purchases AS (SELECT user_id, ts_sec, event_id FROM e
+                      WHERE event_type = 'purchase'),
+        clicks AS (SELECT user_id, ts_sec, MAX(event_id) AS event_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id AS purchase_id,
+          COALESCE(c.event_id, -1) AS click_id,
+          COALESCE(p.ts_sec - c.ts_sec, -1) AS gap_sec
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+        ORDER BY purchase_id""")),
+
     // ── analytic-window suite: dense_rank / ntile / first_value /
     //    cumulative share (§2.5 beyond row_number/lag) ───────────────
     Q("q32_analytic_suite",

@@ -40,6 +40,46 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.isNullAt(1), s"payload must come from the matched row: $row")
   }
 
+  test("joinNative: custom Catalyst operator matches the union-and-carry form") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_sec", $"event_id")
+    val clicks = AsOfJoin.dedupRight(
+      e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_sec", $"event_id"),
+      "user_id", "ts_sec", "event_id")
+    val native = AsOfJoin.joinNative(purchases,
+      clicks.select($"user_id".as("c_user"), $"ts_sec".as("c_ts"),
+        $"event_id".as("c_id")),
+      "user_id", "ts_sec", "c_user", "c_ts")
+      .select($"event_id", $"c_id", $"c_ts")
+    val carry = AsOfJoin.join(purchases, clicks,
+      "user_id", "ts_sec", "event_id", "event_id")
+      .select($"event_id", $"asof_id".as("c_id"), $"asof_ts".as("c_ts"))
+    assert(native.count() == purchases.count())
+    assert(native.except(carry).isEmpty && carry.except(native).isEmpty)
+    // planner shape: the custom exec with one Exchange + Sort per side
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"custom exec missing:\n$plan")
+    // exactly one Exchange per side — no extra shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(plan)
+      .size >= 2, s"expected per-side exchanges:\n$plan")
+  }
+
+  test("joinNative: custom operator edge cases (empty right, no match)") {
+    val left = Seq((1L, 100L, 1000L), (1L, 200L, 1001L), (2L, 50L, 1002L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 90L, 1L), (1L, 150L, 3L), (2L, 60L, 4L))
+      .toDF("rk", "rts", "rid")
+    val out = AsOfJoin.joinNative(left, right, "k", "ts", "rk", "rts")
+      .select($"lid", $"rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(1000L -> Some(1L), 1001L -> Some(3L), 1002L -> None))
+    val empty = AsOfJoin.joinNative(left,
+      right.where($"rid" < 0), "k", "ts", "rk", "rts")
+    assert(empty.count() == 3 && empty.where($"rid".isNotNull).count() == 0)
+  }
+
   test("dedupRight keeps the max-id row per (key, ts)") {
     val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 2L))
       .toDF("k", "ts", "rid")
