@@ -38,6 +38,37 @@ final case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push left-side-only predicates through
+  * [[AsOfJoinPlan]]. Catalyst's PushPredicateThroughJoin knows nothing
+  * about custom nodes, so without this a `WHERE` above the as-of join
+  * blocks parquet filter pushdown entirely. Left-only conjuncts are
+  * safe to push (each output row is one left row, possibly enriched);
+  * predicates touching right (carried) columns must stay above —
+  * pushing them into the right child would change WHICH right row is
+  * carried, not just filter output.
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (pushable, kept) = conjuncts.partition { c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet)
+      }
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), j.left))
+        if (kept.isEmpty) pushed
+        else Filter(kept.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, lts, rk, rts) =>

@@ -80,6 +80,31 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(empty.count() == 3 && empty.where($"rid".isNotNull).count() == 0)
   }
 
+  test("PushFilterThroughAsOfJoin: left-only predicates reach the scan") {
+    val e = Tables.events(spark, sf)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_sec", $"event_id")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_sec".as("c_ts"), $"event_id".as("c_id"))
+    val joined = AsOfJoin.joinNative(purchases, clicks,
+      "user_id", "ts_sec", "c_user", "c_ts")
+      .where($"event_id" < 100 && $"c_id".isNotNull)
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the left-only predicate sits BELOW the custom node...
+    val nodeIdx = optimized.indexOf("AsOfJoinPlan")
+    assert(nodeIdx >= 0)
+    assert(optimized.indexOf("(event_id", nodeIdx) >= 0,
+      s"left filter not pushed below the as-of node:\n$optimized")
+    // ...while the right-column predicate stays above (pushing it
+    // would change which row gets carried)
+    assert(optimized.indexOf("isnotnull(c_id") < nodeIdx,
+      s"right-side filter must stay above:\n$optimized")
+    // and the filtered result matches filtering the input directly
+    val direct = AsOfJoin.joinNative(purchases.where($"event_id" < 100), clicks,
+      "user_id", "ts_sec", "c_user", "c_ts").where($"c_id".isNotNull)
+    assert(joined.except(direct).isEmpty && direct.except(joined).isEmpty)
+  }
+
   test("dedupRight keeps the max-id row per (key, ts)") {
     val right = Seq((1L, 100L, 5L), (1L, 100L, 9L), (1L, 200L, 2L))
       .toDF("k", "ts", "rid")
