@@ -140,6 +140,40 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched left after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDS().toDF("c_ts", "c_user", "c_id")
+      .withWatermark("c_ts", "5 seconds")
+    val b = buys.toDS().toDF("b_ts", "b_user", "b_id")
+      .withWatermark("b_ts", "5 seconds")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + interval 30 seconds"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").start()
+    try {
+      // user 1 converts within the bound; user 2 never converts
+      clicks.addData((ts(100), 1L, 10L), (ts(100), 2L, 11L))
+      buys.addData((ts(120), 1L, 20L))
+      q.processAllAvailable()
+      // advance both watermarks far past click@100 + 30s bound so the
+      // unmatched left row can be finalized as (11, null)
+      clicks.addData((ts(500), 9L, 99L))
+      buys.addData((ts(500), 9L, 98L))
+      q.processAllAvailable()
+      clicks.addData((ts(600), 8L, 89L))
+      buys.addData((ts(600), 8L, 88L))
+      q.processAllAvailable()
+      val got = spark.table("ssloj_out").select("c_id", "b_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((10L, Some(20L))), s"matched pair missing: $got")
+      assert(got.contains((11L, None)),
+        s"unmatched left must surface with null right after watermark: $got")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider backs the running fold") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
