@@ -40,6 +40,38 @@ class LayoutSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("native as-of join on bucketed layout plans without exchanges") {
+    Seq("ev_left_b", "ev_right_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val e = Tables.events(spark, sf)
+    Layout.writeBucketed(
+      e.where($"event_type" === "purchase")
+        .select($"user_id", $"ts_sec", $"event_id"),
+      "ev_left_b", "user_id", 8)
+    Layout.writeBucketed(
+      e.where($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts_sec".as("c_ts"),
+          $"event_id".as("c_id")),
+      "ev_right_b", "c_user", 8)
+    val joined = graft.ops.AsOfJoin.joinNative(
+      spark.table("ev_left_b"), spark.table("ev_right_b"),
+      "user_id", "ts_sec", "c_user", "c_ts")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan)
+    // ClusteredDistribution is satisfied by the bucket layout: sorts
+    // remain (ts ordering), but no shuffle on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of join must not reshuffle:\n$plan")
+    assert(joined.count() == spark.table("ev_left_b").count())
+  }
+
   test("salted join matches unsalted join results") {
     val big = Tables.events(spark, sf).select($"user_id", $"event_id", $"value")
     val small = Tables.events(spark, sf).groupBy($"user_id")
