@@ -588,6 +588,43 @@ object CoreQueries {
         FROM customer WHERE c_custkey <= 500
         ORDER BY c_custkey""")),
 
+    // ── table-generating explode with ordinality (§2.11 UDTF row) ───
+    Q("q38_posexplode",
+      (s, dir) => Tables.documents(s, dir)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(u.s.pos AS INT) AS pos, u.s.token AS token
+        FROM (SELECT doc_id,
+            UNNEST(list_transform(string_split(text, ' '),
+              (t, i) -> {'pos': i - 1, 'token': t})) AS s
+          FROM documents WHERE doc_id < 50) u
+        ORDER BY doc_id, pos""")),
+
+    // ── Dataset-level INTERSECT / EXCEPT (§2.6 set ops on streams) ──
+    Q("q39_intersect_except",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clickers = e.where(col("event_type") === "click").select("user_id")
+        val buyers = e.where(col("event_type") === "purchase").select("user_id")
+        val both = clickers.intersect(buyers)
+          .withColumn("cohort", lit("click_and_buy"))
+        val onlyClick = clickers.except(buyers)
+          .withColumn("cohort", lit("click_only"))
+        both.unionByName(onlyClick).orderBy("cohort", "user_id")
+      },
+      Some("""SELECT user_id, 'click_and_buy' AS cohort
+        FROM (SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT user_id, 'click_only' AS cohort
+        FROM (SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        ORDER BY cohort, user_id""")),
+
     // ── per-key set algebra (faust SetTable difference/intersection/
     //    symdiff, sets.py ops — §2.4): sets from two event-id halves ──
     Q("q35_set_ops",
