@@ -588,6 +588,37 @@ object CoreQueries {
         FROM customer WHERE c_custkey <= 500
         ORDER BY c_custkey""")),
 
+    // ── date arithmetic suite (§2.7: trunc/last_day/add/diff/week/
+    //    quarter/weekday — weekday conventions differ: Spark weekday
+    //    is Mon=0, DuckDB isodow is Mon=1) ─────────────────────────────
+    Q("q40_date_arithmetic",
+      (s, dir) => Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          // dates emit as strings: DuckDB's pandas bridge widens DATE
+          // to Timestamp, which breaks stringified-value hash parity
+          to_date(col("o_orderdate")).cast("string").as("d"),
+          trunc(col("o_orderdate"), "month").cast("string").as("month_start"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"),
+          date_add(to_date(col("o_orderdate")), 30).cast("string").as("plus30"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+          weekofyear(col("o_orderdate")).as("wk"),
+          quarter(col("o_orderdate")).as("qtr"),
+          weekday(col("o_orderdate")).as("wd"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+          AS days_since,
+        CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+        CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS wd
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey""")),
+
     // ── table-generating explode with ordinality (§2.11 UDTF row) ───
     Q("q38_posexplode",
       (s, dir) => Tables.documents(s, dir)
