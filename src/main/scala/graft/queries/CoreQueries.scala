@@ -588,6 +588,55 @@ object CoreQueries {
         FROM customer WHERE c_custkey <= 500
         ORDER BY c_custkey""")),
 
+    // ── explicit GROUPING SETS + grouping() flags (completes the
+    //    rollup/cube/grouping-sets §2.4 trio; Spark 4 DataFrame API) ──
+    Q("q41_grouping_sets",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("bucket", (col("user_id") % 10).cast("int"))
+        e.groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("bucket")), Seq()),
+            col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("event_type")).cast("int").as("g_type"),
+            grouping(col("bucket")).cast("int").as("g_bucket"))
+          .select(coalesce(col("event_type"), lit("(all)")).as("etype"),
+            coalesce(col("bucket"), lit(-1)).as("bucket"),
+            col("n"), col("g_type"), col("g_bucket"))
+          .orderBy("etype", "bucket")
+      },
+      Some("""SELECT COALESCE(event_type, '(all)') AS etype,
+        COALESCE(CAST(user_id % 10 AS INT), -1) AS bucket,
+        COUNT(*) AS n,
+        CAST(GROUPING(event_type) AS INT) AS g_type,
+        CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY etype, bucket""")),
+
+    // ── conditional-expression surface: greatest/least/nullif/
+    //    ifnull/CASE (§2.7) ──────────────────────────────────────────
+    Q("q42_conditionals",
+      (s, dir) => Tables.part(s, dir)
+        .where(col("p_partkey") <= 1000)
+        .select(col("p_partkey"),
+          greatest(col("p_size"), lit(25)).as("g25"),
+          least(col("p_size"), lit(25)).as("l25"),
+          coalesce(nullif(col("p_size"), lit(25)), lit(-1)).as("nz"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "medium")
+            .otherwise("large").as("size_class"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        greatest(p_size, 25) AS g25,
+        least(p_size, 25) AS l25,
+        ifnull(nullif(p_size, 25), -1) AS nz,
+        CASE WHEN p_size < 10 THEN 'small'
+             WHEN p_size < 30 THEN 'medium'
+             ELSE 'large' END AS size_class
+        FROM part WHERE p_partkey <= 1000
+        ORDER BY p_partkey""")),
+
     // ── date arithmetic suite (§2.7: trunc/last_day/add/diff/week/
     //    quarter/weekday — weekday conventions differ: Spark weekday
     //    is Mon=0, DuckDB isodow is Mon=1) ─────────────────────────────
