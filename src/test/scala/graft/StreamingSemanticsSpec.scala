@@ -198,6 +198,32 @@ class StreamingSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = input.toDS().toDF("ts", "event_id", "payload")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(100), 1L, "a"), (ts(101), 2L, "b"))
+      q.processAllAvailable()
+      // replay of id 1 inside the watermark window: dropped
+      input.addData((ts(102), 1L, "a-replay"), (ts(103), 3L, "c"))
+      q.processAllAvailable()
+      // advance watermark far past the old ids
+      input.addData((ts(500), 4L, "d"))
+      q.processAllAvailable()
+      input.addData((ts(600), 5L, "e"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id", "payload")
+        .as[(Long, String)].collect().toMap
+      assert(got(1L) == "a", s"replay must not replace the original: $got")
+      assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"unexpected ids: $got")
+    } finally q.stop()
+  }
+
   test("ChangelogSink: append per batch, compacted read = latest per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
