@@ -78,16 +78,40 @@ final class GStream[T](val app: App, val ds: Dataset[T]) {
   def takeWithin(max: Int, within: java.time.Duration):
       (org.apache.spark.sql.streaming.Trigger, Map[String, String]) =
     (org.apache.spark.sql.streaming.Trigger.ProcessingTime(within.toMillis),
+      // row cap applies per source flavor: Kafka honors
+      // maxOffsetsPerTrigger directly; file sources admit whole files,
+      // so the cap is expressed in files (>=1) — one file may still
+      // exceed `max` rows, which is the file source's granularity floor.
       Map("maxOffsetsPerTrigger" -> max.toString,
-        "maxFilesPerTrigger" -> "1"))
+        "maxFilesPerTrigger" -> math.max(1, max).toString))
 
   /** `stream.enumerate()` (`streams.py:397-403`): attach a running
     * index. Globally ordered — requires a total order column; this is
     * a single-partition window at scale, use only on small/serving data.
+    * At scale use [[enumerateLocal]].
     */
   def enumerate(orderCol: Column): DataFrame =
     ds.withColumn("index",
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(orderCol)) - 1)
+
+  /** Partition-local enumerate — the scale-safe replacement for faust's
+    * `enumerate` (`streams.py:397-403`; faust's index is per-worker
+    * anyway, since each worker counts only its own partitions' events).
+    * Attaches (`part`, `index`): the 0-based position within the Spark
+    * partition, ordered by `orderCol`. ZERO shuffles: the sort is
+    * `sortWithinPartitions` (narrow) and the numbering decomposes
+    * `monotonically_increasing_id()` (documented layout: partition id
+    * in the upper bits, per-partition record number in the lower 33) —
+    * no Exchange of any kind in the plan, unlike a
+    * `Window.partitionBy(spark_partition_id())` formulation which
+    * would hash-shuffle on the very ids rows already have.
+    */
+  def enumerateLocal(orderCol: Column): DataFrame =
+    ds.sortWithinPartitions(orderCol)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("part", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("index", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("_mid")
 
   def toDF: DataFrame = ds.toDF()
 }

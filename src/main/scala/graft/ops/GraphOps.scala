@@ -53,8 +53,15 @@ object GraphOps {
         .select(stepped("id"),
           coalesce(col("jlbl"), stepped("lbl")).as("lbl"))
         .localCheckpoint(true)
+      // `next` is materialized (eager checkpoint) and no longer depends
+      // on `stepped` — drop its blocks now, and the previous iteration's
+      // labels right after the convergence count reads them. Without
+      // this, MEMORY_AND_DISK blocks accumulate for the job lifetime on
+      // deep graphs (one superseded frame per iteration).
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(stepped)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
         .where(col("lbl") =!= col("prev")).count()
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
       labels = next
     }
     sym.unpersist()

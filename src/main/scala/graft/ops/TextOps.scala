@@ -187,26 +187,51 @@ object TextOps {
     crossPairs.unionByName(intra)
   }
 
-  /** Near-duplicate CLUSTERS: connected components over the Jaccard
-    * near-dup pair graph, one canonical doc (min id) per cluster.
-    * Singleton docs form their own cluster. Output:
-    * (doc_id, cluster_id, cluster_size, is_canonical).
+  /** Near-duplicate CLUSTERS from an explicit candidate-edge set:
+    * connected components over the near-dup pair graph, one canonical
+    * doc (min id) per cluster. Singleton docs form their own cluster.
+    * Output: (doc_id, cluster_id, cluster_size, is_canonical).
     *
     * This is the shape a 100 TB dedup actually ships: keep rows where
     * `is_canonical = 1` (or join training data against the cluster
-    * map) instead of materializing quadratic duplicate pairs.
+    * map) instead of materializing quadratic duplicate pairs. The edge
+    * source decides the scale story — pass [[minHashPairs]] output
+    * (linear candidate generation) for large corpora; [[jaccardPairs]]
+    * is the exact small-scale fixture.
+    *
+    * @param edges candidate pairs with columns `id_a`, `id_b`
     */
-  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
-                    threshold: Double): DataFrame = {
-    val edges = jaccardPairs(df, idCol, textCol, threshold)
-      .select(col("id_a").as("u"), col("id_b").as("v"))
+  def dedupClustersFromEdges(df: DataFrame, idCol: String,
+                             edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
     val nodes = df.select(col(idCol).as("id"))
-    val labels = GraphOps.connectedComponents(edges, nodes)
+    val labels = GraphOps.connectedComponents(e, nodes)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
   }
+
+  /** Dedup clusters over exact token-set Jaccard edges — the
+    * oracle-checkable fixture (quadratic within token blocks; see
+    * [[jaccardPairs]]). Prefer [[dedupClustersMinHash]] at scale.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame =
+    dedupClustersFromEdges(df, idCol,
+      jaccardPairs(df, idCol, textCol, threshold))
+
+  /** Dedup clusters over MinHash+LSH candidate edges — the 100 TB
+    * path: candidate generation touches only docs colliding in an LSH
+    * band bucket (linear in corpus size for bounded duplication), then
+    * O(log diameter) pointer-jumping rounds label the components.
+    */
+  def dedupClustersMinHash(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           minEstimate: Double = 0.5,
+                           portable: Boolean = false): DataFrame =
+    dedupClustersFromEdges(df, idCol,
+      minHashPairs(df, idCol, textCol, numHashes, bands, minEstimate, portable))
 
   /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the
     * result is set iff more than half the token hashes have bit j set.

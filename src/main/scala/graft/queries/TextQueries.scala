@@ -145,6 +145,62 @@ object TextQueries {
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id""")),
 
+    // ── dedup clusters over MINHASH candidate edges — the scale-safe
+    //    end-to-end dedup: LSH banding generates edges linearly, then
+    //    pointer-jumping CC labels components. Same portable MD5
+    //    signatures as d03, so the oracle reuses that CTE and replays
+    //    the fixpoint with d05's recursive CTE. ─────────────────────
+    Q("d06_dedup_clusters_minhash",
+      (s, dir) => TextOps.dedupClustersMinHash(Tables.documents(s, dir),
+        "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.7,
+        portable = true)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM agree
+          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+          CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        FROM lab l JOIN sz s USING (cluster_id)
+        ORDER BY doc_id""")),
+
     // ── token counting ──────────────────────────────────────────────
     Q("t01_token_count",
       (s, dir) => Tables.documents(s, dir)
@@ -282,10 +338,14 @@ object TextQueries {
           .select(col("doc_id"),
             (VectorOps.dot(col("embedding"), col("qv"))
               / (VectorOps.norm(col("embedding")) * VectorOps.norm(col("qv")))).as("cos"))
-        scored.withColumn("rk",
+        // top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+        // heap top-k + driver merge), NOT a global single-partition
+        // Window over the whole scored corpus. The rank is assigned
+        // afterwards over the surviving k rows only (bounded input).
+        val topK = scored.orderBy(col("cos").desc, col("doc_id")).limit(20)
+        topK.withColumn("rk",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("cos").desc, col("doc_id"))))
-          .where(col("rk") <= 20)
           .select("rk", "doc_id", "cos")
           .orderBy("rk")
       },

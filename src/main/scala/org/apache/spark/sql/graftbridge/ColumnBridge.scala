@@ -21,6 +21,20 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Drop the storage blocks of a `localCheckpoint`ed DataFrame. The
+    * checkpointed RDD lives inside the plan's `LogicalRDD`; Dataset
+    * .unpersist only consults the CacheManager, so iterative algorithms
+    * (connected components) would otherwise accumulate MEMORY_AND_DISK
+    * blocks for every superseded iteration. Safe ONLY once nothing will
+    * read the frame again — lineage is truncated, blocks can't rebuild.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function builder on a live session (the runtime
     * counterpart of SparkSessionExtensions.injectFunction, which only
     * applies at session build).

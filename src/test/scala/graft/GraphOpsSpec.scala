@@ -30,6 +30,29 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got.count() == n)
   }
 
+  test("dedupClustersMinHash: clusters from LSH candidate edges (scale path)") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val clusters = TextOps.dedupClustersMinHash(docs, "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.7, portable = true).cache()
+    assert(clusters.count() == 200)
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum("is_canonical").as("n_canon"), min("doc_id").as("min_id"))
+    assert(perCluster.where(col("n_canon") =!= 1).count() == 0)
+    assert(perCluster.where(col("min_id") =!= col("cluster_id")).count() == 0)
+    // identical texts share an identical signature → must co-cluster
+    val fp = docs.groupBy(md5(col("text")).as("f"))
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"), md5(lit("")).as("dummy"))
+      .drop("dummy")
+    val nViolations = fp.join(clusters, "doc_id")
+      .join(docs.select(col("doc_id"), md5(col("text")).as("f")), "doc_id")
+      .groupBy("f").agg(countDistinct("cluster_id").as("k"))
+      .where(col("k") =!= 1).count()
+    assert(nViolations == 0)
+    clusters.unpersist()
+  }
+
   test("dedupClusters: canonical per cluster, sizes add up, singletons kept") {
     val docs = Tables.documents(spark, sf).limit(200)
     val clusters = TextOps.dedupClusters(docs, "doc_id", "text", 0.9).cache()

@@ -61,6 +61,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
   }
 
+  test("m03 top-k uses TakeOrderedAndProject, not a full-corpus Window sort") {
+    val p = plan("m03_embed_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // any Window must rank only the k surviving rows: in the plan tree
+    // (parents print above children) the Window line has to sit ABOVE
+    // the TakeOrderedAndProject that bounds its input
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val topIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winIdx < topIdx,
+      s"Window must consume the top-k output, not the full corpus:\n$p")
+  }
+
+  test("enumerateLocal plans zero exchanges (narrow per-partition numbering)") {
+    val app = new graft.api.App(spark, "plan-test")
+    val df = app.stream(Tables.lineitem(spark, sf))
+      .enumerateLocal(col("l_orderkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    // and the global variant is documented-small-data: it DOES window
+    val pg = app.stream(Tables.lineitem(spark, sf))
+      .enumerate(col("l_orderkey")).queryExecution.executedPlan.toString
+    assert(pg.contains("Window"), pg)
+  }
+
   test("knn precomputes norms before the pairwise join (no per-pair norm)") {
     val df = graft.ops.VectorOps.knnBruteForce(
       Tables.embeddings(spark, sf), Tables.embeddings(spark, sf),
