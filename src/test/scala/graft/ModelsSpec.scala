@@ -17,6 +17,9 @@ import graft.streaming.WindowDeltaStore.{DeltaView, WindowUpdate}
 case class Withdrawal(user: String, country: String, amount: Double,
                       date: Timestamp)
 
+case class PointM(x: Long, y: Long)
+case class AccountM(id: String, active: Boolean)
+
 class ModelsSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -51,6 +54,74 @@ class ModelsSpec extends SparkTestBase {
     val out = Models.decode[Withdrawal](df, "payload", Codec.Json)
     assert(out.columns.toSet == Set("key", "user", "country", "amount", "date"))
     assert(out.select("user").as[String].head() == "u9")
+  }
+
+  test("polymorphic decode dispatches on the blessed __faust.ns key") {
+    // faust embeds {"__faust":{"ns":...}} and loads() dispatches on it
+    // (models/base.py:225-300); unknown ns → no variant decodes
+    val pts = Models.toWirePolymorphic(
+      Seq(PointM(1, 2), PointM(3, 4)).toDS(), "t.PointM", col("x"))
+    val accts = Models.toWirePolymorphic(
+      Seq(AccountM("a9", true)).toDS(), "t.AccountM", col("id"))
+    val unknown = Seq(("z", """{"__faust":{"ns":"t.Ghost"},"q":1}""")).toDF("key", "value")
+    val wire = pts.union(accts).union(unknown)
+    val out = Models.decodePolymorphic(wire, "value", Map(
+      "t.PointM" -> Models.schemaOf[PointM],
+      "t.AccountM" -> Models.schemaOf[AccountM]))
+    assert(out.where(col("ns") === "t.PointM")
+      .select(col("PointM.x"), col("PointM.y"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 2L), (3L, 4L)))
+    val acct = out.where(col("ns") === "t.AccountM")
+      .select(col("AccountM.id"), col("AccountM.active")).as[(String, Boolean)].head()
+    assert(acct == ("a9", true))
+    // unknown ns: carried through, every variant column null
+    val ghost = out.where(col("ns") === "t.Ghost")
+    assert(ghost.count() == 1)
+    assert(ghost.where(col("PointM").isNull && col("AccountM").isNull).count() == 1)
+    // round-trip: the blessed key itself is not a model field
+    assert(!out.columns.contains("__faust"))
+  }
+
+  test("input_name/output_name remapping round-trips (fields.py:86-94)") {
+    val in = Seq(Withdrawal("u1", "US", 9.5, Timestamp.valueOf("2024-03-04 05:06:07"))).toDS()
+    // dump with wire names, read back mapping attr -> wire key
+    val remap = Map("user" -> "userName", "amount" -> "amt")
+    val wire = Models.toWireRenamed(in, col("user"), remap)
+    val payload = wire.select("value").as[String].head()
+    assert(payload.contains("\"userName\"") && payload.contains("\"amt\"")
+      && !payload.contains("\"user\":") && !payload.contains("\"amount\""))
+    val back = Models.fromWireRenamed[Withdrawal](wire, remap).collect().toSeq
+    assert(back == in.collect().toSeq)
+    // a payload WITHOUT the wire name does not populate the attribute
+    val plain = Seq(("k", """{"user":"u1","country":"US","amount":1.0,"date":"2024-01-01T00:00:00"}"""))
+      .toDF("key", "value")
+    assert(Models.fromWireRenamed[Withdrawal](plain, remap)
+      .where(col("user").isNotNull).count() == 0)
+  }
+
+  test("field validation quarantines invalid rows (fields.py:214-233)") {
+    val df = Seq(
+      ("a", 12.34, "US"),   // valid
+      ("b", 123456.7, "DE"),// violates max_digits=4
+      ("c", 1.23456, "FR"), // violates max_places=2
+      (null, 1.0, "GB"),    // violates required id
+      ("e", 5.0, "xx")      // violates country regex
+    ).toDF("id", "amount", "country")
+    val checks = Seq(
+      Models.notNull("id"),
+      Models.decimalBounds("amount", maxDigits = 4, maxPlaces = 2),
+      Models.matches("country", "^[A-Z]{2}$"))
+    val flagged = Models.withValidation(df, checks)
+    assert(flagged.where(size(col("_errors")) === 0).select("id").as[String]
+      .collect().toSet == Set("a"))
+    assert(Models.validOnly(df, checks).count() == 1)
+    val errsByRow = Models.invalidRows(df, checks)
+      .select(col("country"), col("_errors")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(errsByRow("DE").exists(_.contains("max_digits")))
+    assert(errsByRow("FR").exists(_.contains("max_digits"))) // places check shares the message
+    assert(errsByRow("GB").exists(_.contains("required")))
+    assert(errsByRow("xx").exists(_.contains("does not match")))
   }
 
   test("WindowDeltaStore emits current value plus delta(d) lookback") {
