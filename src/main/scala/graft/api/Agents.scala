@@ -90,4 +90,28 @@ object Timers {
     app.spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load()
+
+  /** faust `@app.crontab(cron_format, timezone=tz)`
+    * (`app/base.py:1003-1055`, `faust/utils/cron.py`): fire on wall-
+    * clock minutes matching a 5-field cron expression in `tz`. Here: a
+    * 1 Hz tick stream filtered to the FIRST second of each matching
+    * minute, so each match fires exactly once. The predicate is pure
+    * Catalyst ([[graft.core.CronExpr.column]]) — no UDF; `expr` parse
+    * errors surface at declaration, like faust's decorator.
+    */
+  def crontab(app: App, expr: String, tz: String = "UTC"): DataFrame =
+    cronFilter(ticks(app, 1L), expr, tz)
+
+  /** The crontab predicate applied to any tick frame with a
+    * `timestamp` column (UTC) — split out so tests can drive it from
+    * a MemoryStream instead of wall-clock rate ticks.
+    */
+  def cronFilter(ticksDf: DataFrame, expr: String, tz: String,
+                 tsCol: String = "timestamp"): DataFrame = {
+    val cron = graft.core.CronExpr.parse(expr)
+    ticksDf.where(
+      org.apache.spark.sql.functions.second(
+        org.apache.spark.sql.functions.col(tsCol)) === 0 &&
+      cron.column(org.apache.spark.sql.functions.col(tsCol), tz))
+  }
 }
