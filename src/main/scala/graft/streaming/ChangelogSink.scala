@@ -36,4 +36,48 @@ object ChangelogSink {
       .where(col("_rk") === 1)
       .drop("_rk", "_batch_id")
   }
+
+  /** Materialized compaction — the analog of Kafka's log-cleaner pass
+    * over the changelog topic (`tables/base.py:449-478` sets
+    * `cleanup.policy=compact`; the broker does this continuously).
+    * Without it, [[readCompacted]] scans every historical batch
+    * partition and read cost grows unboundedly with batch count.
+    *
+    * Rewrites the latest-per-key snapshot into the HIGHEST existing
+    * `_batch_id` partition (dynamic overwrite of that one partition),
+    * then drops all older partitions. Post-state: one partition,
+    * identical [[readCompacted]] result, O(live keys) read cost.
+    * Streaming appends continue unaffected at `_batch_id` > max.
+    * Safe to re-run (idempotent: single-partition input compacts to
+    * itself).
+    *
+    * @return number of batch partitions removed
+    */
+  def compact(spark: SparkSession, dir: String, keyCols: Seq[String]): Int = {
+    val raw = spark.read.parquet(dir)
+    // partition-dir values are inferred as int — normalize to long
+    val batches = raw.select(col("_batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.length <= 1) return 0
+    val maxBatch = batches.last
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
+    val snapshot = raw.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).drop("_rk")
+      .withColumn("_batch_id", lit(maxBatch))
+    // stage the snapshot first: the overwrite below reads `raw`, and
+    // parquet cannot overwrite a partition it is concurrently reading
+    val staged = snapshot.localCheckpoint(true)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(dir)
+    // drop superseded partitions
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = batches.init.count { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"_batch_id=$b"), true)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(staged)
+    dropped
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.io.Source
+
+import org.apache.spark.sql.functions._
+
+import graft.serving.TableServer
+import graft.streaming.ChangelogSink
+
+/** Serving + changelog maintenance: the `@app.page` / `@app.table_route`
+  * HTTP face over a compacted changelog, and the materialized
+  * compaction job that bounds readCompacted's scan cost.
+  */
+class ServingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def writeChangelog(dir: String): Unit = {
+    // 4 batches updating an overlapping key set: k1 updated every
+    // batch, k2 twice, k3 once, k4 only in the last
+    ChangelogSink.appendBatch(dir)(
+      Seq(("k1", 1L), ("k2", 10L)).toDF("key", "value"), 0L)
+    ChangelogSink.appendBatch(dir)(
+      Seq(("k1", 2L), ("k3", 30L)).toDF("key", "value"), 1L)
+    ChangelogSink.appendBatch(dir)(
+      Seq(("k1", 3L), ("k2", 11L)).toDF("key", "value"), 2L)
+    ChangelogSink.appendBatch(dir)(
+      Seq(("k1", 4L), ("k4", 40L)).toDF("key", "value"), 3L)
+  }
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(_.getPath).filter(_.endsWith(".parquet"))
+  }
+
+  test("compact(): same compacted view, fewer partitions and files") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    writeChangelog(dir)
+    val before = ChangelogSink.readCompacted(spark, dir, Seq("key"))
+      .as[(String, Long)].collect().toMap
+    assert(before == Map("k1" -> 4L, "k2" -> 11L, "k3" -> 30L, "k4" -> 40L))
+    val filesBefore = parquetFiles(dir).size
+
+    val dropped = ChangelogSink.compact(spark, dir, Seq("key"))
+    assert(dropped == 3)
+    val after = ChangelogSink.readCompacted(spark, dir, Seq("key"))
+      .as[(String, Long)].collect().toMap
+    assert(after == before)
+    assert(parquetFiles(dir).size < filesBefore)
+    // single surviving batch partition
+    assert(spark.read.parquet(dir).select("_batch_id").distinct().count() == 1)
+
+    // idempotent: second run is a no-op
+    assert(ChangelogSink.compact(spark, dir, Seq("key")) == 0)
+    // appends continue above the compacted batch id
+    ChangelogSink.appendBatch(dir)(Seq(("k1", 5L)).toDF("key", "value"), 4L)
+    val resumed = ChangelogSink.readCompacted(spark, dir, Seq("key"))
+      .as[(String, Long)].collect().toMap
+    assert(resumed("k1") == 5L && resumed("k2") == 11L)
+  }
+
+  test("HTTP table lookup serves the compacted table value") {
+    val dir = Files.createTempDirectory("graft-serve").toString
+    writeChangelog(dir)
+    val server = new TableServer()
+      .serveTable("word_counts",
+        () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key")
+      .page("/health")(_ => """{"status":"up"}""")
+      .start()
+    try {
+      val port = server.boundPort
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = Source.fromInputStream(is).mkString
+        (code, body)
+      }
+      val (c1, b1) = get("/table/word_counts/k1")
+      assert(c1 == 200 && b1 == """[{"key":"k1","value":4}]""", b1)
+      val (c2, b2) = get("/table/word_counts/nope")
+      assert(c2 == 404, b2)
+      val (c3, _) = get("/table/unknown/k1")
+      assert(c3 == 404)
+      val (c4, b4) = get("/health?x=1")
+      assert(c4 == 200 && b4.contains("up"))
+    } finally server.stop()
+  }
+}
