@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 
 import graft.core.TopicSpec
 
@@ -89,7 +89,42 @@ final class Topic(app: App, val spec: TopicSpec) {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokersOrFail)
+      // headers need explicit opt-in on the Kafka sink
+      .option("includeHeaders", "true")
       .option("topic", spec.name.getOrElse(
         throw new IllegalStateException("cannot produce to a pattern subscription")))
       .option("checkpointLocation", app.checkpointFor(queryName))
+}
+
+object Topic {
+
+  /** Build the produce frame the Kafka sink consumes — the faust
+    * `Topic.send(key, value, partition, timestamp, headers, ...)`
+    * argument surface (`faust/topics.py:155-195`) as columns:
+    *
+    *  - `key`/`value` cast to binary (the serializer step;
+    *    pre-serialize with [[Models.encode]] for typed payloads)
+    *  - `headers`: `array<struct<key: string, value: binary>>` — the
+    *    Kafka record-header wire shape the source reads back
+    *  - `partition`: explicit routing (faust `send(partition=n)`);
+    *    when None the sink's partitioner routes by key hash, exactly
+    *    like faust deferring to the producer's default partitioner
+    *    (`topics.py:180-186`)
+    *
+    * Pure column work — no broker required; the wire path is
+    * [[Topic.writeStream]] over this frame.
+    */
+  def produceFrame(df: DataFrame, key: Column, value: Column,
+                   partition: Option[Column] = None,
+                   headers: Seq[(String, Column)] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Seq(key.cast("binary").as("key"), value.cast("binary").as("value"))
+    val hdr =
+      if (headers.isEmpty) Nil
+      else Seq(array(headers.map { case (k, v) =>
+        struct(lit(k).as("key"), v.cast("binary").as("value"))
+      }: _*).as("headers"))
+    val part = partition.map(_.cast("int").as("partition")).toSeq
+    df.select(base ++ hdr ++ part: _*)
+  }
 }

@@ -56,6 +56,53 @@ class ConsistencySpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("produce frame: headers + explicit-partition routing contract") {
+    // faust Topic.send(key, value, partition, headers) — topics.py:155-195.
+    // No broker in the sandbox: assert the exact frame shape the Kafka
+    // sink consumes (key/value binary, headers array<struct<key:string,
+    // value:binary>>, partition int) and the routing/header values.
+    val src = Tables.events(spark, sf).limit(100)
+    val frame = graft.api.Topic.produceFrame(src,
+      key = $"user_id".cast("string"),
+      value = to_json(struct($"event_id", $"value")),
+      partition = Some(pmod($"user_id", lit(8))),
+      headers = Seq(
+        "event_type" -> $"event_type",
+        "source" -> lit("graft")))
+
+    // wire shape
+    val sch = frame.schema
+    assert(sch.fieldNames.toSeq == Seq("key", "value", "headers", "partition"))
+    assert(sch("key").dataType.typeName == "binary")
+    assert(sch("value").dataType.typeName == "binary")
+    assert(sch("partition").dataType.typeName == "integer")
+    assert(sch("headers").dataType.sql.replace(" NOT NULL", "") ==
+      "ARRAY<STRUCT<key: STRING, value: BINARY>>", sch("headers").dataType.sql)
+
+    // explicit partition wins and is key-stable: every record of one
+    // key lands on one partition (co-partitioning contract tables need)
+    val parts = frame.select($"key".cast("string"), $"partition")
+      .groupBy("key").agg(countDistinct("partition").as("k"))
+    assert(parts.where($"k" =!= 1).count() == 0)
+    assert(frame.select(max("partition")).head().getInt(0) <= 7)
+
+    // headers round-trip: read side decodes the same values
+    val h = frame.select($"key".cast("string").as("key"),
+        explode($"headers").as("h"))
+      .select($"key", $"h.key".as("hk"), $"h.value".cast("string").as("hv"))
+    assert(h.where($"hk" === "source" && $"hv" =!= "graft").count() == 0)
+    val typed = h.where($"hk" === "event_type").select("hv").distinct()
+      .as[String].collect().toSet
+    val expectTypes = src.select("event_type").distinct().as[String].collect().toSet
+    assert(typed == expectTypes)
+
+    // without explicit partition/headers the frame is minimal (sink's
+    // default partitioner routes by key, like faust's producer default)
+    val minimal = graft.api.Topic.produceFrame(src, $"user_id".cast("string"),
+      to_json(struct($"event_id")))
+    assert(minimal.schema.fieldNames.toSeq == Seq("key", "value"))
+  }
+
   test("kafka-frame pipeline: raw frame → model decode → agent transform → table") {
     // Simulate the Kafka source frame (§3.1 consume path) from events:
     // key/value binary + topic/partition/offset/timestamp metadata.
