@@ -133,8 +133,10 @@ object PortableSketches {
       s"tokens argument must be array<string>, got ${other.catalogString}")
   }
 
-  /** MinHash signature (k minima of `h1 + i*h2` per token) as a single
-    * pass native expression — one digest per token.
+  /** MinHash signature as a single-pass native expression — one MD5
+    * digest per token, then k universal-hash permutations
+    * `(a_i * h + b_i) mod p` (a_i, b_i derived from md5("a"+i) /
+    * md5("b"+i), p = 2^31-1) whose minima form the signature.
     */
   case class MinHash60(child: Expression, k: Int) extends UnaryExpression {
 

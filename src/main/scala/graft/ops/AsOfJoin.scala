@@ -37,13 +37,7 @@ object AsOfJoin {
                  leftKey: String, leftTs: String,
                  rightKey: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.PushFilterThroughAsOfJoin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -54,6 +48,28 @@ object AsOfJoin {
         attr(lPlan, leftKey), attr(lPlan, leftTs),
         attr(rPlan, rightKey), attr(rPlan, rightTs)))
   }
+
+  /** Idempotent, synchronized strategy/rule registration for sessions
+    * NOT built with `GraftExtensions` (the preferred path —
+    * `.config("spark.sql.extensions", "graft.GraftExtensions")`
+    * registers at session build and makes this a no-op-equivalent).
+    * The lock serializes the check-then-append on the session-global
+    * `spark.experimental` so concurrent first callers can't register
+    * the strategy twice; registration is session-wide by nature (it's
+    * the same mutation GraftExtensions performs).
+    */
+  private def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.PushFilterThroughAsOfJoin))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
+    }
+
+  private val registrationLock = new Object
 
   def dedupRight(right: DataFrame, keyCol: String, tsCol: String,
                  idCol: String): DataFrame = {

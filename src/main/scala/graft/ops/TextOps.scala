@@ -121,8 +121,9 @@ object TextOps {
                        portable: Boolean = false): Column = {
     val toks = array_distinct(tokens(text))
     if (portable) {
-      // one digest per token; permutations via double hashing — see
-      // PortableSketches for the engine-independent formulation
+      // one digest per token; permutations via universal hashes
+      // (a_i*h + b_i) mod (2^31-1) — see PortableSketches for the
+      // engine-independent formulation
       graft.functions.PortableSketches.minhash60(toks, k)
     } else {
       array((0 until k).map { i =>

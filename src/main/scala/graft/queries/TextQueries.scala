@@ -307,7 +307,9 @@ object TextQueries {
         "doc_id", "blob", chunkSize = 32, stride = 2)
         .select(col("doc_id"), col("n_bytes"), col("n_chunks"),
           size(col("offsets")).as("n_sampled"),
-          coalesce(element_at(col("offsets"), -1), lit(-1)).as("last_off"))
+          // try_element_at: empty blobs → empty offsets list, where
+          // ANSI element_at(-1) would throw instead of yielding null
+          coalesce(try_element_at(col("offsets"), lit(-1)), lit(-1)).as("last_off"))
         .orderBy("doc_id"),
       Some("""WITH b AS (
           SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
