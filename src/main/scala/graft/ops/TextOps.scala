@@ -254,6 +254,54 @@ object TextOps {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: all (id_a < id_b) with Hamming
+    * distance <= `maxHamming` over the portable 60-bit simhash,
+    * found via band-bucketed LSH — the signature splits into `bands`
+    * equal bit-slices, and by pigeonhole any pair within `maxHamming`
+    * (< bands) collides exactly on at least one slice. Candidate
+    * generation is therefore one explode + one shuffle on
+    * (band, bits) — never all-pairs — and, like [[minHashPairs]],
+    * runs at distinct-signature granularity so duplicate-heavy
+    * corpora collapse before the self-join.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      "bands must exceed maxHamming (pigeonhole completeness)")
+    require(60 % bands == 0, "bands must divide the 60-bit signature")
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val sigs = df.select(col(idCol).as("id"),
+      simHashPortable(col(textCol)).as("sh"))
+      .where(col("sh").isNotNull)
+    val groups = sigs.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+    val bandCols = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit(mask)).as("bits"))): _*)
+    val banded = groups.select(col("sh"), col("ids"), explode(bandCols).as("bd"))
+      .select(col("sh"), col("ids"), col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("sh").as("sh_a"), col("ids").as("ids_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("sh").as("sh_b"), col("ids").as("ids_b"))
+    val crossPairs = a.join(b, Seq("band", "bits"))
+      .where(col("sh_a") < col("sh_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("sh_a", "sh_b") // multi-band collisions
+      .select(explode(col("ids_a")).as("m_a"), col("ids_b"), col("hamming"))
+      .select(col("m_a"), explode(col("ids_b")).as("m_b"), col("hamming"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("hamming"))
+    // identical signatures: hamming 0 within the group
+    val intra = groups.where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", lit(0))
+    crossPairs.unionByName(intra)
+  }
+
   /** Word n-grams of the token array (n >= 2): joined with single
     * spaces, preserving order.
     */

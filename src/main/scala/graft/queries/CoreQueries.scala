@@ -668,6 +668,32 @@ object CoreQueries {
         FROM orders WHERE o_orderkey <= 2000
         ORDER BY o_orderkey""")),
 
+    // ── crontab matching (faust @app.crontab, app/base.py:1003-1055):
+    //    the pure cron predicate lowered to Catalyst columns, checked
+    //    per event timestamp. m_biz = business-hours schedule;
+    //    m_or exercises the vixie day-OR rule (dom OR dow when both
+    //    restricted). ─────────────────────────────────────────────────
+    Q("q43_crontab_match",
+      (s, dir) => {
+        val biz = graft.core.CronExpr.parse("*/15 9-17 * * 1-5")
+        val dayOr = graft.core.CronExpr.parse("0 0 1,15 * 1")
+        val ts = timestamp_seconds(col("ts_sec"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts_sec"),
+            biz.column(ts, "UTC").cast("int").as("m_biz"),
+            dayOr.column(ts, "UTC").cast("int").as("m_or"))
+          .orderBy("event_id")
+      },
+      Some(Tables.eventsCte + """,
+        t AS (SELECT event_id, ts_sec,
+          make_timestamp(ts_sec * 1000000) AS lts FROM e)
+        SELECT event_id, ts_sec,
+          CAST((minute(lts) % 15 = 0) AND (hour(lts) BETWEEN 9 AND 17)
+            AND (dayofweek(lts) BETWEEN 1 AND 5) AS INT) AS m_biz,
+          CAST((minute(lts) = 0) AND (hour(lts) = 0)
+            AND (day(lts) IN (1, 15) OR dayofweek(lts) = 1) AS INT) AS m_or
+        FROM t ORDER BY event_id""")),
+
     // ── table-generating explode with ordinality (§2.11 UDTF row) ───
     Q("q38_posexplode",
       (s, dir) => Tables.documents(s, dir)

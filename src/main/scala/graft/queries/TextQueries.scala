@@ -145,6 +145,43 @@ object TextQueries {
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id""")),
 
+    // ── SimHash near-dup PAIRS via Hamming-LSH banding: 60-bit
+    //    signature → 4 × 15-bit slices; pigeonhole guarantees every
+    //    pair within Hamming 3 collides on >=1 slice. Candidate
+    //    generation is banded (linear), not all-pairs. ───────────────
+    Q("d07_dedup_simhash_pairs",
+      (s, dir) => TextOps.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+          FROM toks),
+        votes AS (
+          SELECT doc_id, j,
+            COUNT(CASE WHEN ((hv >> j) & 1) = 1 THEN 1 END) AS ones,
+            COUNT(*) AS n
+          FROM h CROSS JOIN range(60) t(j)
+          GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        band AS (
+          SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bits
+          FROM sh CROSS JOIN range(4) t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS sa, b.simhash AS sb
+          FROM band a JOIN band b ON a.b = b.b AND a.bits = b.bits
+            AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ── dedup clusters over MINHASH candidate edges — the scale-safe
     //    end-to-end dedup: LSH banding generates edges linearly, then
     //    pointer-jumping CC labels components. Same portable MD5

@@ -76,6 +76,26 @@ class OpsSpec extends SparkTestBase {
     assert(byId(1L) != byId(3L))
   }
 
+  test("simHashPairs banding is COMPLETE vs brute-force within maxHamming") {
+    // pigeonhole: 4 bands of 15 bits must catch every pair at
+    // hamming <= 3; assert the LSH pair set equals the all-pairs scan
+    val sample = docs.limit(200)
+    val lsh = TextOps.simHashPairs(sample, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = sample.select(col("doc_id"),
+      TextOps.simHashPortable(col("text")).as("sh"))
+    val a = sigs.toDF("id_a", "sh_a")
+    val brute = a.crossJoin(sigs.toDF("id_b", "sh_b"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty) // the corpus actually exercises the path
+  }
+
   test("exactDedup collapses exact duplicates only") {
     val dup = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val out = TextOps.exactDedup(dup, "doc_id", "text")
