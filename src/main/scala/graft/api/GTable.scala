@@ -32,8 +32,13 @@ object GTable {
     * (list-append, custom structs — `examples/windowed_aggregation.py:63-67`).
     * Events are folded in `orderOf` order within each key, matching
     * the reference's per-partition arrival-order fold. Shuffles once
-    * on the key; per-key state must fit in memory (same constraint as
-    * the reference's per-key values).
+    * on the key.
+    *
+    * Spill note: `mapGroups` buffers each key's GROUP in memory to
+    * sort it (the fold RESULT mirrors the reference's per-key value
+    * and must fit regardless). Skewed keys with huge groups should
+    * use [[foldSorted]], which pushes the ordering into Spark's
+    * spillable shuffle sort and streams each group through the fold.
     */
   def fold[T, K: Encoder, V](stream: GStream[T])(key: T => K, orderOf: T => Long)
                             (zero: V)(op: (V, T) => V)
@@ -42,6 +47,36 @@ object GTable {
       val sorted = it.toVector.sortBy(orderOf)
       k -> sorted.foldLeft(zero)(op)
     }
+
+  /** [[fold]] via secondary sort — the spill-safe variant: repartition
+    * on the key, `sortWithinPartitions(key, order)` (Spark's external
+    * sorter spills, so a key's group never has to fit in memory), then
+    * stream consecutive same-key runs through the fold with an
+    * iterator. Same contract and result as [[fold]]; per-key memory is
+    * O(fold state), not O(group).
+    */
+  def foldSorted[T, K, V](stream: GStream[T])(key: T => K, orderOf: T => Long)
+                         (zero: V)(op: (V, T) => V)
+                         (implicit ktEnc: Encoder[(K, Long, T)],
+                          kvEnc: Encoder[(K, V)]): Dataset[(K, V)] = {
+    val keyed = stream.ds.map(t => (key(t), orderOf(t), t))
+    keyed.repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(K, V)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (K, V) = {
+            val k = buf.head._1
+            var acc = zero
+            while (buf.hasNext && buf.head._1 == k) {
+              acc = op(acc, buf.next()._3)
+            }
+            k -> acc
+          }
+        }
+      }
+  }
 
   /** Typed Aggregator bridge: register-and-use a custom
     * `Aggregator[IN, BUF, OUT]` as a column (faust's arbitrary fold

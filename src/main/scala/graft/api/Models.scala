@@ -39,6 +39,13 @@ object Models {
         df.withColumn("_m", from_json(col(valueCol).cast("string"), schemaOf[T]))
           .select(df.columns.map(col) :+ col("_m.*"): _*)
           .drop(valueCol, "_m")
+      case Codec.YamlFlat =>
+        // flat `key: value` lines → map → typed fields (codegen'd
+        // string ops; see Codec.YamlFlat for the subset contract)
+        val m = str_to_map(col(valueCol).cast("string"), lit("\n"), lit(": "))
+        val fields = schemaOf[T].fields.map(f =>
+          element_at(m, f.name).cast(f.dataType).as(f.name))
+        df.select(df.columns.map(col) ++ fields: _*).drop(valueCol)
       case Codec.Utf8 =>
         df.withColumn("value_str", col(valueCol).cast("string"))
       case Codec.Raw => df
@@ -51,6 +58,14 @@ object Models {
     codec match {
       case Codec.Json =>
         df.withColumn("value", to_json(struct(cols: _*)))
+      case Codec.YamlFlat =>
+        // one `name: value` line per column, in declaration order; the
+        // column must carry a name (use .as(...) for computed columns)
+        val named = df.select(cols: _*).schema.fieldNames
+        val lines = named.zip(cols).map { case (n, c) =>
+          concat(lit(s"$n: "), c.cast("string"))
+        }
+        df.withColumn("value", concat_ws("\n", lines: _*))
       case Codec.Utf8 | Codec.Raw =>
         require(cols.size == 1, "raw codec encodes exactly one column")
         df.withColumn("value", cols.head.cast("binary"))

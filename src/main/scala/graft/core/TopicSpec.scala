@@ -63,4 +63,11 @@ object Codec {
   case object Json extends Codec
   /** UTF-8 string */
   case object Utf8 extends Codec
+  /** YAML, flat-mapping subset (`codecs.py:264` uses full PyYAML; the
+    * wire cases the reference's tests exercise are flat field→scalar
+    * mappings, which is the subset this codec round-trips): one
+    * `key: value` line per field. Values containing newlines or the
+    * `": "` separator are out of contract — use Json for those.
+    */
+  case object YamlFlat extends Codec
 }

@@ -694,6 +694,72 @@ object CoreQueries {
             AND (day(lts) IN (1, 15) OR dayofweek(lts) = 1) AS INT) AS m_or
         FROM t ORDER BY event_id""")),
 
+    // ── model field validation (faust fields.py:214-233): per-row
+    //    error collection from declarative rules, oracle-checked via
+    //    identical error strings in fixed check order ─────────────────
+    Q("q44_field_validation",
+      (s, dir) => {
+        val checks = Seq(
+          graft.api.Models.notNull("c_name"),
+          graft.api.Models.decimalBounds("c_acctbal", maxDigits = 4, maxPlaces = 2),
+          graft.api.Models.inRange("c_acctbal", 0, 9999.99),
+          graft.api.Models.matches("c_mktsegment", "^(MACHINERY|FURNITURE|BUILDING)$"))
+        graft.api.Models.withValidation(Tables.customer(s, dir), checks)
+          .select(col("c_custkey"), size(col("_errors")).as("n_errors"),
+            array_join(col("_errors"), ";").as("errs"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(len(errs) AS INT) AS n_errors,
+          COALESCE(array_to_string(errs, ';'), '') AS errs
+        FROM (SELECT c_custkey, list_filter([
+            CASE WHEN c_name IS NULL
+              THEN 'c_name: required field is null' END,
+            CASE WHEN NOT (abs(c_acctbal) < 10000.0
+                AND CAST(CAST(c_acctbal AS DECIMAL(6,2)) AS DOUBLE) = c_acctbal)
+              THEN 'c_acctbal: exceeds max_digits=4/max_decimal_places=2' END,
+            CASE WHEN NOT (c_acctbal BETWEEN 0.0 AND 9999.99)
+              THEN 'c_acctbal: out of range [0.0, 9999.99]' END,
+            CASE WHEN NOT regexp_matches(c_mktsegment,
+                '^(MACHINERY|FURNITURE|BUILDING)$')
+              THEN 'c_mktsegment: does not match ^(MACHINERY|FURNITURE|BUILDING)$' END
+          ], x -> x IS NOT NULL) AS errs FROM customer)
+        ORDER BY c_custkey""")),
+
+    // ── array-function suite (§2.7 scalar surface): slice/position/
+    //    contains/reverse/sort/distinct/join + HOF arithmetic ─────────
+    Q("q45_array_suite",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            n.as("n"),
+            array_join(slice(toks, 1, 3), "-").as("first3"),
+            array_position(toks, "the").cast("int").as("pos_the"),
+            array_contains(toks, "data").cast("int").as("has_data"),
+            element_at(reverse(toks), 1).as("last_tok"),
+            array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",")
+              .as("sorted3"),
+            aggregate(
+              zip_with(sequence(lit(1), n), sequence(n, lit(1), lit(-1)),
+                (a, b) => a.cast("long") * b),
+              lit(0L), (acc, x) => acc + x).as("zipsum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            len(string_split(text, ' ')) AS n
+          FROM documents)
+        SELECT doc_id, CAST(n AS INT) AS n,
+          array_to_string(toks[1:3], '-') AS first3,
+          CAST(COALESCE(list_position(toks, 'the'), 0) AS INT) AS pos_the,
+          CAST(list_contains(toks, 'data') AS INT) AS has_data,
+          toks[-1] AS last_tok,
+          array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS sorted3,
+          CAST(list_sum(list_transform(range(1, n + 1),
+            i -> i * (n - i + 1))) AS BIGINT) AS zipsum
+        FROM t ORDER BY doc_id""")),
+
     // ── table-generating explode with ordinality (§2.11 UDTF row) ───
     Q("q38_posexplode",
       (s, dir) => Tables.documents(s, dir)

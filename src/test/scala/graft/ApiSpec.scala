@@ -39,6 +39,23 @@ class ApiSpec extends SparkTestBase {
     assert(got == Map(1L -> "acb", 2L -> "x")) // ordered by ts within key
   }
 
+  test("GTable.foldSorted: spill-safe secondary sort agrees with fold") {
+    val events = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"), (1L, 15L, "c"))
+      .toDF("key", "ts", "v").as[(Long, Long, String)]
+    val got = GTable.foldSorted(app.stream(events))(_._1, _._2)("")(
+      (acc, e) => acc + e._3).collect().toMap
+    assert(got == Map(1L -> "acb", 2L -> "x"))
+    // larger cross-check on real data: concat-ordered event types per user
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type")
+      .as[(Long, Long, String)].map(e => (e._1, e._2, e._3))
+    val a = GTable.fold(app.stream(ev))(_._1, _._2)(0L)((n, _) => n + 1)
+      .collect().toMap
+    val b = GTable.foldSorted(app.stream(ev))(_._1, _._2)(0L)((n, _) => n + 1)
+      .collect().toMap
+    assert(a == b)
+  }
+
   test("GTable.windowed: tumbling window wrapper matches manual window()") {
     val ev = Tables.events(spark, sf)
       .withColumn("ts_ms", timestamp_millis(expr("ts div 1000000")))

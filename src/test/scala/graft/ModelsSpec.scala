@@ -56,6 +56,28 @@ class ModelsSpec extends SparkTestBase {
     assert(out.select("user").as[String].head() == "u9")
   }
 
+  test("YamlFlat codec round-trips flat models (codecs.py:264 subset)") {
+    val in = Seq(Withdrawal("u1", "US", 100.5, Timestamp.valueOf("2024-01-01 10:00:00")),
+      Withdrawal("u2", "DE", 7.25, Timestamp.valueOf("2024-02-03 04:05:06"))).toDS()
+    val encoded = Models.encode(in.toDF(), Codec.YamlFlat,
+      col("user"), col("country"), col("amount"), col("date"))
+    val wire = encoded.select(col("user").as("key"), col("value")).as[(String, String)]
+    val y = wire.collect().toMap.apply("u1")
+    assert(y == "user: u1\ncountry: US\namount: 100.5\ndate: 2024-01-01 10:00:00",
+      y)
+    val back = Models.decode[Withdrawal](
+      wire.toDF("key", "payload"), "payload", Codec.YamlFlat)
+    assert(back.columns.toSet == Set("key", "user", "country", "amount", "date"))
+    val got = back.select("user", "country", "amount", "date")
+      .as[Withdrawal].collect().toSet
+    assert(got == in.collect().toSet)
+    // missing fields decode as null, not an error
+    val sparse = Seq(("k", "user: u3\namount: 1.0")).toDF("key", "payload")
+    val row = Models.decode[Withdrawal](sparse, "payload", Codec.YamlFlat)
+    assert(row.select("user").as[String].head() == "u3")
+    assert(row.where(col("country").isNull && col("date").isNull).count() == 1)
+  }
+
   test("polymorphic decode dispatches on the blessed __faust.ns key") {
     // faust embeds {"__faust":{"ns":...}} and loads() dispatches on it
     // (models/base.py:225-300); unknown ns → no variant decodes
