@@ -517,6 +517,42 @@ object CoreQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ── window FRAME variants (§2.5): sliding ROWS frame, RANGE frame
+    //    over a numeric order key, trailing lag windows — the frame
+    //    grammar q32's running-total suite doesn't touch ──────────────
+    Q("q46_window_frames",
+      (s, dir) => {
+        val byCust = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey"))
+        val rows3 = byCust.rowsBetween(-2, Window.currentRow)
+        val ahead = byCust.rowsBetween(Window.currentRow, 1)
+        val rangeFrame = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey")).rangeBetween(-100, 0)
+        Tables.orders(s, dir)
+          .where(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice"))).over(rows3).cast("double").as("sum3"),
+            count(lit(1)).over(rows3).cast("int").as("cnt3"),
+            min(col("o_orderkey")).over(ahead).as("cur_key"),
+            max(col("o_orderkey")).over(ahead).as("next_key"),
+            count(lit(1)).over(rangeFrame).cast("int").as("cnt_range"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+        CAST(COUNT(*) OVER
+          (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS INT) AS cnt3,
+        MIN(o_orderkey) OVER
+          (w ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS cur_key,
+        MAX(o_orderkey) OVER
+          (w ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS next_key,
+        CAST(COUNT(*) OVER
+          (w RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS INT) AS cnt_range
+        FROM orders WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // ── anti join: customers with no urgent open order (§2.3 join
     //    family; right side filtered so the result is non-trivial on
     //    this corpus, where every FK is fully covered) ───────────────

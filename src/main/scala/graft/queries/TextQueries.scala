@@ -145,6 +145,18 @@ object TextQueries {
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id""")),
 
+    // ── engine-local MinHash flavor: same pipeline as d03 but with
+    //    xxhash64 permutations — the PRODUCTION path (one codegen'd
+    //    hash per (perm, token) instead of an MD5 digest). Not
+    //    oracle-expressible (xxhash64 is Spark-internal) → rows-only;
+    //    d03 proves the pipeline's math, this entry benches the fast
+    //    kernel. Deterministic: same corpus → same pairs. ────────────
+    Q("d08_dedup_minhash_fast",
+      (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 2, minEstimate = 0.7, portable = false)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // ── SimHash near-dup PAIRS via Hamming-LSH banding: 60-bit
     //    signature → 4 × 15-bit slices; pigeonhole guarantees every
     //    pair within Hamming 3 collides on >=1 slice. Candidate
