@@ -117,4 +117,34 @@ object AsOfJoin {
         col("_m.ts").as("asof_ts") +:
         payload.map(p => col(s"_m.$p").as(s"asof_$p")): _*)
   }
+
+  /** FORWARD as-of: for every left row, the NEAREST right row with
+    * `rightTs >= leftTs` (pandas `merge_asof(direction="forward")`,
+    * DuckDB `ASOF ... ON r.ts >= l.ts`). Implemented as [[join]] on
+    * negated timestamps — same one-shuffle union-and-carry plan; ties
+    * at equal negated (key, ts) resolve to the greatest `rightIdCol`,
+    * matching [[join]]'s contract.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, leftIdCol: String, rightIdCol: String,
+                  payload: Seq[String] = Nil): DataFrame = {
+    def neg(df: DataFrame) = df.withColumn(tsCol, -col(tsCol))
+    join(neg(left), neg(right), keyCol, tsCol, leftIdCol, rightIdCol, payload)
+      .withColumn(tsCol, -col(tsCol))
+      .withColumn("asof_ts", -col("asof_ts"))
+  }
+
+  /** Tolerance post-filter (pandas `merge_asof(tolerance=...)`): null
+    * the matched columns when the timestamp gap exceeds `tolerance`
+    * (absolute — works for both directions). Left rows are kept, as in
+    * the left-join contract.
+    */
+  def withTolerance(joined: DataFrame, tsCol: String, tolerance: Long,
+                    payload: Seq[String] = Nil): DataFrame = {
+    val ok = abs(col(tsCol) - col("asof_ts")) <= tolerance
+    val matchedCols = Seq("asof_id", "asof_ts") ++ payload.map("asof_" + _)
+    matchedCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(ok, col(c)))
+    }
+  }
 }

@@ -517,6 +517,60 @@ object CoreQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ── statistical aggregates (variance/stddev/correlation) with
+    //    ENGINE-INDEPENDENT results: built-in stddev/corr accumulate
+    //    doubles in partition order (not reproducible across engines),
+    //    so the exact decimal power sums are aggregated first and the
+    //    float math runs once, identically, on both sides ─────────────
+    Q("q47_stats_suite",
+      (s, dir) => {
+        val bal = dec2(col("c_acctbal"))
+        val key = col("c_custkey")
+        Tables.customer(s, dir)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n0"),
+            sum(bal).as("sx"), sum(bal * bal).as("sx2"),
+            sum(key).as("sy"), sum(key * key).as("sy2"),
+            sum(bal * key).as("sxy"))
+          .select(col("c_nationkey"),
+            col("n0").cast("int").as("n"),
+            (col("sx").cast("double") / col("n0")).as("mean_bal"),
+            ((col("sx2").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n0"))
+              / (col("n0") - lit(1))).as("var_bal"),
+            sqrt((col("sx2").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n0"))
+              / (col("n0") - lit(1))).as("std_bal"),
+            ((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double") / col("n0"))
+              / (sqrt(col("sx2").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double") / col("n0"))
+                * sqrt(col("sy2").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double") / col("n0"))))
+              .as("corr_bal_key"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH a AS (
+          SELECT c_nationkey, COUNT(*) AS n0,
+            SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+            SUM(CAST(c_acctbal AS DECIMAL(18,2))
+              * CAST(c_acctbal AS DECIMAL(18,2))) AS sx2,
+            SUM(c_custkey) AS sy,
+            SUM(c_custkey * c_custkey) AS sy2,
+            SUM(CAST(c_acctbal AS DECIMAL(18,2)) * c_custkey) AS sxy
+          FROM customer GROUP BY c_nationkey)
+        SELECT c_nationkey, CAST(n0 AS INT) AS n,
+          CAST(sx AS DOUBLE) / n0 AS mean_bal,
+          (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n0)
+            / (n0 - 1) AS var_bal,
+          SQRT((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n0)
+            / (n0 - 1)) AS std_bal,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n0)
+            / (SQRT(CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n0)
+             * SQRT(CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n0))
+            AS corr_bal_key
+        FROM a ORDER BY c_nationkey""")),
+
     // ── window FRAME variants (§2.5): sliding ROWS frame, RANGE frame
     //    over a numeric order key, trailing lag windows — the frame
     //    grammar q32's running-total suite doesn't touch ──────────────
@@ -900,6 +954,39 @@ object CoreQueries {
           COALESCE(p.ts_sec - c.ts_sec, -1) AS gap_sec
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+        ORDER BY purchase_id""")),
+
+    // ── FORWARD as-of with tolerance (pandas merge_asof parity):
+    //    nearest future click within 1h of each purchase ──────────────
+    Q("q48_asof_forward",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_sec"), col("event_id"))
+        val clicks = graft.ops.AsOfJoin.dedupRight(
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts_sec"), col("event_id")),
+          "user_id", "ts_sec", "event_id")
+        val j = graft.ops.AsOfJoin.joinForward(purchases, clicks,
+          "user_id", "ts_sec", "event_id", "event_id")
+        graft.ops.AsOfJoin.withTolerance(j, "ts_sec", 3600)
+          .select(col("event_id").as("purchase_id"),
+            coalesce(col("asof_id"), lit(-1L)).as("next_click_id"),
+            coalesce(col("asof_ts") - col("ts_sec"), lit(-1L)).as("gap_sec"))
+          .orderBy("purchase_id")
+      },
+      Some(Tables.eventsCte + """,
+        purchases AS (SELECT user_id, ts_sec, event_id FROM e
+                      WHERE event_type = 'purchase'),
+        clicks AS (SELECT user_id, ts_sec, MAX(event_id) AS event_id
+                   FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id AS purchase_id,
+          COALESCE(CASE WHEN c.ts_sec - p.ts_sec <= 3600
+            THEN c.event_id END, -1) AS next_click_id,
+          COALESCE(CASE WHEN c.ts_sec - p.ts_sec <= 3600
+            THEN c.ts_sec - p.ts_sec END, -1) AS gap_sec
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts_sec >= p.ts_sec
         ORDER BY purchase_id""")),
 
     // ── full-outer join (faust outer_join; §2.3) ────────────────────

@@ -21,6 +21,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(1002L) == (None, None))            // right at 60 > 50: no match
   }
 
+  test("joinForward picks the nearest right row at or after each left ts") {
+    val left = Seq((1L, 100L, 1000L), (1L, 200L, 1001L), (2L, 50L, 1002L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 100L, 1L), (1L, 150L, 2L), (1L, 400L, 3L), (2L, 40L, 4L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.joinForward(left, right, "k", "ts", "lid", "rid")
+      .select($"lid", $"asof_id", $"asof_ts").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1000L) == (Some(1L), Some(100L)))  // ts=100: match at exactly 100
+    assert(out(1001L) == (Some(3L), Some(400L)))  // nearest future
+    assert(out(1002L) == (None, None))            // right only in the past
+  }
+
+  test("withTolerance nulls matches whose gap exceeds the bound") {
+    val left = Seq((1L, 100L, 1000L), (1L, 200L, 1001L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 95L, 1L), (1L, 120L, 2L)).toDF("k", "ts", "rid")
+    val j = AsOfJoin.join(left, right, "k", "ts", "lid", "rid")
+    val out = AsOfJoin.withTolerance(j, "ts", 10)
+      .select($"lid", $"asof_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1000L) == Some(1L))  // gap 5 <= 10
+    assert(out(1001L) == None)      // gap 80 > 10 → nulled, row kept
+  }
+
   test("as-of join carries payload columns from the matched right row") {
     val left = Seq((1L, 100L, 10L)).toDF("k", "ts", "lid")
     val right = Seq((1L, 40L, 1L, "old"), (1L, 90L, 2L, "new"))

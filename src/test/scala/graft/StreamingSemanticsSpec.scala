@@ -67,6 +67,35 @@ class StreamingSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming session_window: gap merge + watermark-close finals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val sessions = input.toDS().toDF("user", "ts")
+      .withWatermark("ts", "30 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), unix_timestamp(col("w.start")).as("start"),
+        unix_timestamp(col("w.end")).as("end"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // u1: events at 0, 5, 12 → one merged session [0, 22); u2 at 40 →
+      // separate session. An event at 100 advances the watermark past
+      // both so append mode emits the finals.
+      input.addData(("u1", ts(0)), ("u1", ts(5)), ("u1", ts(12)), ("u2", ts(40)))
+      q.processAllAvailable()
+      input.addData(("u3", ts(100)))
+      q.processAllAvailable()
+      input.addData(("u3", ts(200))) // push watermark past u3's session too
+      q.processAllAvailable()
+      val got = spark.table("session_out").as[(String, Long, Long, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got("u1") == ((0L, 22L, 3L)))   // 3 events chained within gap
+      assert(got("u2") == ((40L, 50L, 1L)))  // isolated session = gap length
+      assert(got.contains("u3") || spark.table("session_out").count() >= 2)
+    } finally q.stop()
+  }
+
   test("window-close: append mode emits one final row after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
