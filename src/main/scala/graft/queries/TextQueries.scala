@@ -260,6 +260,23 @@ object TextQueries {
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents ORDER BY doc_id""")),
 
+    // ── BPE-ish regex tokenization (brief: "whitespace + a BPE-ish
+    //    regex"): split on non-alphanumeric runs so punctuation-glued
+    //    words count as separate subword tokens. Corpus is ASCII, so
+    //    \p{L}\p{N} ≡ a-zA-Z0-9 on both engines. ─────────────────────
+    Q("t07_regex_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.regexTokens(col("text"))).as("n_rtokens"),
+          size(array_distinct(TextOps.regexTokens(col("text")))).as("n_distinct_rtokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+          t -> len(t) > 0)) AS n_rtokens,
+        len(list_distinct(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+          t -> len(t) > 0))) AS n_distinct_rtokens
+        FROM documents ORDER BY doc_id""")),
+
     // ── quality scoring (length/stopword-ratio components) ──────────
     Q("t02_quality_score",
       (s, dir) => {

@@ -40,6 +40,23 @@ class LayoutSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("groupBy on the bucket key aggregates without a shuffle exchange") {
+    // bucketed scans report hash distribution on the bucket column, so
+    // a groupBy on it needs only the final (in-place) aggregation —
+    // the repeated-agg counterpart of the co-located join story
+    Layout.writeBucketed(Tables.orders(spark, sf), "orders_agg_b", "o_custkey", 8)
+    val agg = spark.table("orders_agg_b")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy must not reshuffle:\n$plan")
+    // same result as the unbucketed plan
+    val expect = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    assert(agg.except(expect).isEmpty && expect.except(agg).isEmpty)
+  }
+
   test("native as-of join on bucketed layout plans without exchanges") {
     Seq("ev_left_b", "ev_right_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
