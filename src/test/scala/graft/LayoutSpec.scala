@@ -44,6 +44,12 @@ class LayoutSpec extends SparkTestBase {
     // bucketed scans report hash distribution on the bucket column, so
     // a groupBy on it needs only the final (in-place) aggregation —
     // the repeated-agg counterpart of the co-located join story
+    spark.sql("DROP TABLE IF EXISTS orders_agg_b")
+    val loc = new java.io.File("spark-warehouse/orders_agg_b")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     Layout.writeBucketed(Tables.orders(spark, sf), "orders_agg_b", "o_custkey", 8)
     val agg = spark.table("orders_agg_b")
       .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
