@@ -83,6 +83,51 @@ object MultimodalOps {
     df.select(col(idCol), array(feats: _*).as("embedding"))
   }
 
+  /** Aspect-preserving resize planning: fit (w, h) into (maxW, maxH)
+    * without upscaling — the metadata half of a resize operator, pure
+    * column arithmetic (runs BEFORE decode so undersized media skips
+    * the kernel entirely; deterministic IEEE ops → oracle-checkable).
+    * Returns (outW, outH).
+    */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxW: Int, maxH: Int):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val scale = least(lit(maxW).cast("double") / w, lit(maxH).cast("double") / h,
+      lit(1.0))
+    (floor(w * scale).cast("int"), floor(h * scale).cast("int"))
+  }
+
+  /** Resize kernel STUB via the same per-partition batch shape as
+    * [[decodeMeta]]: consumes real bytes, emits a deterministic
+    * "resized" payload (truncation to the planned byte budget stands
+    * in for the pixel kernel). Swap the body for a real scaler; the
+    * pipeline — metadata-planned dims in, bounded blob out, blobs
+    * never shuffled — is the part under test.
+    */
+  def resizeBlobs(df: DataFrame, idCol: String, blobCol: String,
+                  outWCol: String, outHCol: String,
+                  bytesPerPixel: Double = 0.125): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType), StructField("out_bytes", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val wIdx = df.schema.fieldIndex(outWCol)
+    val hIdx = df.schema.fieldIndex(outHCol)
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition kernel setup would go here (the amortization point)
+      rows.map { r =>
+        val bytes = if (r.isNullAt(blobIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](blobIdx)
+        val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+        val budget = math.max(1, (w * h * bytesPerPixel).toInt)
+        Row(r.getLong(idIdx), w, h,
+          java.util.Arrays.copyOf(bytes, math.min(bytes.length, budget)))
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th chunk offset of a blob
     * (the partition/batch shape of real frame extraction).
     */

@@ -850,6 +850,37 @@ object CoreQueries {
             i -> i * (n - i + 1))) AS BIGINT) AS zipsum
         FROM t ORDER BY doc_id""")),
 
+    // ── map-function suite (§2.7): construction, keys/values, lookup,
+    //    membership — over a deterministic token→length map ───────────
+    Q("q49_map_suite",
+      (s, dir) => {
+        val ks = slice(sort_array(array_distinct(split(col("text"), " "))), 1, 5)
+        val m = map_from_arrays(ks, transform(ks, k => length(k)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(m).cast("int").as("card"),
+            array_join(map_keys(m), ",").as("keys_joined"),
+            aggregate(map_values(m), lit(0), (acc, x) => acc + x).as("vals_sum"),
+            coalesce(try_element_at(m, lit("the")), lit(-1)).cast("int").as("look_the"),
+            map_contains_key(m, "data").cast("int").as("has_data"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_sort(list_distinct(string_split(text, ' ')))[1:5] AS ks
+          FROM documents),
+        mm AS (
+          SELECT doc_id,
+            MAP(ks, list_transform(ks, k -> CAST(len(k) AS INT))) AS mp
+          FROM t)
+        SELECT doc_id,
+          CAST(cardinality(mp) AS INT) AS card,
+          array_to_string(map_keys(mp), ',') AS keys_joined,
+          CAST(list_sum(map_values(mp)) AS INT) AS vals_sum,
+          CAST(COALESCE(element_at(mp, 'the')[1], -1) AS INT) AS look_the,
+          CAST(list_contains(map_keys(mp), 'data') AS INT) AS has_data
+        FROM mm ORDER BY doc_id""")),
+
     // ── table-generating explode with ordinality (§2.11 UDTF row) ───
     Q("q38_posexplode",
       (s, dir) => Tables.documents(s, dir)

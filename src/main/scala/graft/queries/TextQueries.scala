@@ -436,6 +436,38 @@ object TextQueries {
         SELECT rk, doc_id, cos FROM ranked WHERE rk <= 20
         ORDER BY rk""")),
 
+    // ── multimodal resize planning: md5-derived fake dims → aspect-
+    //    preserving fit into 256×256, never upscaling. The metadata
+    //    half of resize runs before any decode (undersized media skips
+    //    the kernel); deterministic double arithmetic → oracle-exact. ─
+    Q("m04_resize_plan",
+      (s, dir) => {
+        val blob = col("text").cast("binary")
+        val h = md5(blob)
+        val w = (conv(substring(h, 1, 4), 16, 10).cast("int") % 1024 + 64)
+        val ht = (conv(substring(h, 5, 4), 16, 10).cast("int") % 1024 + 64)
+        val (ow, oh) = graft.ops.MultimodalOps.resizeDims(w, ht, 256, 256)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), w.as("in_w"), ht.as("in_h"),
+            ow.as("out_w"), oh.as("out_h"))
+          .withColumn("downscaled", (col("out_w") < col("in_w")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 64 AS INT) AS in_w,
+            CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 64 AS INT) AS in_h
+          FROM documents),
+        planned AS (
+          SELECT doc_id, in_w, in_h,
+            LEAST(256.0 / in_w, 256.0 / in_h, 1.0) AS scale
+          FROM dims)
+        SELECT doc_id, in_w, in_h,
+          CAST(FLOOR(in_w * scale) AS INT) AS out_w,
+          CAST(FLOOR(in_h * scale) AS INT) AS out_h,
+          CAST(FLOOR(in_w * scale) < in_w AS INT) AS downscaled
+        FROM planned ORDER BY doc_id""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",

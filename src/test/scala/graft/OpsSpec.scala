@@ -158,6 +158,27 @@ class OpsSpec extends SparkTestBase {
     assert(out(3L) == Seq("a b c"))
   }
 
+  test("resize: dims never upscale, blob output bounded by the pixel budget") {
+    val planned = docs.limit(100)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .withColumn("in_w", (octet_length(col("blob")) % 1024 + 64).cast("int"))
+      .withColumn("in_h", (octet_length(col("blob")) % 512 + 64).cast("int"))
+    val (ow, oh) = MultimodalOps.resizeDims(col("in_w"), col("in_h"), 256, 256)
+    val withDims = planned.withColumn("out_w", ow).withColumn("out_h", oh)
+    // planning: fits the box, preserves no-upscale, keeps aspect order
+    val bad = withDims.where(col("out_w") > 256 || col("out_h") > 256 ||
+      col("out_w") > col("in_w") || col("out_h") > col("in_h"))
+    assert(bad.count() == 0)
+    // kernel stub: output bytes bounded by planned budget, id preserved
+    val resized = MultimodalOps.resizeBlobs(withDims, "doc_id", "blob",
+      "out_w", "out_h")
+    val viol = resized.where(
+      octet_length(col("out_bytes")) >
+        greatest(lit(1), floor(col("out_w") * col("out_h") * 0.125)).cast("int"))
+    assert(viol.count() == 0)
+    assert(resized.count() == 100)
+  }
+
   test("sampleOffsets on empty blobs yields no offsets") {
     val blobs = Seq((1L, ""), (2L, "0123456789"))
       .toDF("id", "payload")

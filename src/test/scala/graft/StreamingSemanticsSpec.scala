@@ -203,6 +203,39 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join emits unmatched rows from both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDS().toDF("c_ts", "c_user", "c_id")
+      .withWatermark("c_ts", "5 seconds")
+    val b = buys.toDS().toDF("b_ts", "b_user", "b_id")
+      .withWatermark("b_ts", "5 seconds")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + interval 30 seconds"),
+      "full_outer")
+    val q = joined.writeStream.format("memory").queryName("ssfoj_out")
+      .outputMode("append").start()
+    try {
+      // user 1 matches; user 2 clicks with no buy; user 3 buys with no click
+      clicks.addData((ts(100), 1L, 10L), (ts(100), 2L, 11L))
+      buys.addData((ts(120), 1L, 20L), (ts(120), 3L, 30L))
+      q.processAllAvailable()
+      // push watermarks far past the join bound so unmatched state flushes
+      clicks.addData((ts(500), 9L, 99L)); buys.addData((ts(500), 9L, 98L))
+      q.processAllAvailable()
+      clicks.addData((ts(600), 8L, 89L)); buys.addData((ts(600), 8L, 88L))
+      q.processAllAvailable()
+      val got = spark.table("ssfoj_out").select("c_id", "b_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((Some(10L), Some(20L))), s"matched pair missing: $got")
+      assert(got.contains((Some(11L), None)),
+        s"unmatched left must surface: $got")
+      assert(got.contains((None, Some(30L))),
+        s"unmatched right must surface: $got")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider backs the running fold") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
