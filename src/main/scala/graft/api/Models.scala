@@ -46,6 +46,9 @@ object Models {
         val fields = schemaOf[T].fields.map(f =>
           element_at(m, f.name).cast(f.dataType).as(f.name))
         df.select(df.columns.map(col) ++ fields: _*).drop(valueCol)
+      case Codec.Base64 =>
+        // faust `binary` codec (codecs.py:293): payload is base64 TEXT
+        df.withColumn("value_bytes", unbase64(col(valueCol).cast("string")))
       case Codec.Utf8 =>
         df.withColumn("value_str", col(valueCol).cast("string"))
       case Codec.Raw => df
@@ -66,6 +69,14 @@ object Models {
           concat(lit(s"$n: "), c.cast("string"))
         }
         df.withColumn("value", concat_ws("\n", lines: _*))
+      case Codec.Base64 =>
+        require(cols.size == 1, "base64 codec encodes exactly one column")
+        // strip MIME chunking (Spark's base64 may CRLF-wrap at 76
+        // chars depending on spark.sql.legacy.chunkBase64String):
+        // the wire format is canonical unchunked base64, like the
+        // reference's codec
+        df.withColumn("value",
+          regexp_replace(base64(cols.head.cast("binary")), "[\\r\\n]", ""))
       case Codec.Utf8 | Codec.Raw =>
         require(cols.size == 1, "raw codec encodes exactly one column")
         df.withColumn("value", cols.head.cast("binary"))

@@ -63,6 +63,8 @@ object Codec {
   case object Json extends Codec
   /** UTF-8 string */
   case object Utf8 extends Codec
+  /** base64 text <-> bytes (`codecs.py:293` `binary`) */
+  case object Base64 extends Codec
   /** YAML, flat-mapping subset (`codecs.py:264` uses full PyYAML; the
     * wire cases the reference's tests exercise are flat field→scalar
     * mappings, which is the subset this codec round-trips): one

@@ -436,6 +436,32 @@ object TextQueries {
         SELECT rk, doc_id, cos FROM ranked WHERE rk <= 20
         ORDER BY rk""")),
 
+    // ── base64 codec round-trip (faust `binary` codec,
+    //    serializers/codecs.py:293): bytes → base64 text → bytes ──────
+    Q("q50_base64_codec",
+      (s, dir) => {
+        import graft.api.Models
+        import graft.core.Codec
+        val enc = Models.encode(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          Codec.Base64, col("text"))
+        // type param is unused by the Base64 branch (no schema decode)
+        Models.decode[String](enc, "value", Codec.Base64)(
+          org.apache.spark.sql.Encoders.STRING)
+          .select(col("doc_id"),
+            length(col("value")).as("b64_len"),
+            (col("value_bytes").cast("string") === col("text")).cast("int")
+              .as("roundtrip_ok"),
+            substring(col("value"), 1, 16).as("b64_head"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          LENGTH(to_base64(ENCODE(text))) AS b64_len,
+          CAST(from_base64(to_base64(ENCODE(text))) = ENCODE(text) AS INT)
+            AS roundtrip_ok,
+          substr(to_base64(ENCODE(text)), 1, 16) AS b64_head
+        FROM documents ORDER BY doc_id""")),
+
     // ── multimodal resize planning: md5-derived fake dims → aspect-
     //    preserving fit into 256×256, never upscaling. The metadata
     //    half of resize runs before any decode (undersized media skips

@@ -78,6 +78,23 @@ class ModelsSpec extends SparkTestBase {
     assert(row.where(col("country").isNull && col("date").isNull).count() == 1)
   }
 
+  test("Base64 codec round-trips arbitrary bytes (codecs.py:293 binary)") {
+    val blobs = Seq(
+      ("a", Array[Byte](0, 1, -1, 127, -128, 64)),
+      ("b", Array.empty[Byte]),
+      ("c", Array.tabulate(300)(i => (i % 256 - 128).toByte))) // > 76-char b64
+    val df = blobs.toDF("k", "raw")
+    val enc = Models.encode(df, Codec.Base64, col("raw"))
+    // canonical unchunked text (no CR/LF even past the MIME wrap point)
+    assert(enc.where(col("value").rlike("[\\r\\n]")).count() == 0)
+    val dec = Models.decode[String](enc, "value", Codec.Base64)
+    val got = dec.select(col("k"), col("value_bytes"))
+      .as[(String, Array[Byte])].collect().toMap
+    blobs.foreach { case (k, raw) =>
+      assert(java.util.Arrays.equals(got(k), raw), s"roundtrip failed for $k")
+    }
+  }
+
   test("polymorphic decode dispatches on the blessed __faust.ns key") {
     // faust embeds {"__faust":{"ns":...}} and loads() dispatches on it
     // (models/base.py:225-300); unknown ns → no variant decodes
