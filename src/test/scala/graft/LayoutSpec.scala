@@ -105,4 +105,27 @@ class LayoutSpec extends SparkTestBase {
       .select($"event_id", $"user_total").as[(Long, Long)].collect().toSet
     assert(salted == plain)
   }
+
+  test("salting spreads a hot key across partitions (skew evidence)") {
+    // 90%-skewed key: partitioning on the raw key puts ~all rows in
+    // one shuffle partition; partitioning on (key, salt) spreads them
+    val n = 10000
+    val skewed = spark.range(n)
+      .select(when($"id" % 10 === 0, $"id" % 100).otherwise(lit(7L)).as("k"),
+        $"id".as("rid"))
+    def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy(spark_partition_id().as("p"))
+        .agg(count(lit(1)).as("c"))
+        .select("c").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    val plainShare = maxShare(skewed.repartition(8, $"k"))
+    val saltFactor = 8
+    val saltedShare = maxShare(skewed
+      .withColumn("_salt", pmod(xxhash64($"rid"), lit(saltFactor)).cast("int"))
+      .repartition(8, $"k", $"_salt"))
+    assert(plainShare > 0.85, s"fixture must be skewed: $plainShare")
+    assert(saltedShare < plainShare / 2,
+      s"salting must halve the hottest partition: $saltedShare vs $plainShare")
+  }
 }

@@ -87,6 +87,15 @@ class PlanSpec extends SparkTestBase {
     assert(pg.contains("Window"), pg)
   }
 
+  test("stats suite aggregates once: partial+final HashAggregate, one exchange") {
+    val p = plan("q47_stats_suite")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    // one shuffle for the groupBy (plus at most the oracle ORDER BY's
+    // range exchange) — the six power sums ride the same aggregation
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"power sums must share one aggregation:\n$p")
+  }
+
   test("knn precomputes norms before the pairwise join (no per-pair norm)") {
     val df = graft.ops.VectorOps.knnBruteForce(
       Tables.embeddings(spark, sf), Tables.embeddings(spark, sf),
