@@ -85,6 +85,25 @@ object TextOps {
     df.groupBy(fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the production shape for growing
+    * corpora: dedup an incoming batch against itself AND against the
+    * already-ingested corpus without touching the old documents'
+    * text. Only 16-byte fingerprints of the existing side participate
+    * (one hash-shuffle + one anti-join on fingerprints); at 100 TB
+    * the existing fingerprint set is a fraction of corpus size and
+    * the daily increment never re-scans history.
+    *
+    * @return one row per NEW distinct text: (fingerprint, keep_id,
+    *         n_dups within the increment)
+    */
+  def incrementalExactDedup(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val incomingDedup = exactDedup(incoming, idCol, textCol)
+    val known = existing.select(fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+    incomingDedup.join(known, Seq("fingerprint"), "left_anti")
+  }
+
   /** Token-set Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold).
     *
     * Blocked on shared tokens: only docs sharing >=1 token pair up.

@@ -145,6 +145,29 @@ object TextQueries {
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id""")),
 
+    // ── incremental exact dedup: a re-crawled batch (doc_id % 5 = 0)
+    //    deduped within itself AND against the already-ingested corpus
+    //    (doc_id % 7 = 0; overlaps at multiples of 35, so the
+    //    fingerprint anti-join genuinely filters) — daily-increment
+    //    shape: history is touched only as 16-byte fingerprints ──────
+    Q("d09_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.incrementalExactDedup(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+          .orderBy("fingerprint")
+      },
+      Some("""WITH inc AS (
+          SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+            COUNT(*) AS n_dups
+          FROM documents WHERE doc_id % 5 = 0 GROUP BY 1)
+        SELECT fingerprint, keep_id, n_dups FROM inc
+        WHERE fingerprint NOT IN
+          (SELECT MD5(text) FROM documents WHERE doc_id % 7 = 0)
+        ORDER BY fingerprint""")),
+
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). Not
