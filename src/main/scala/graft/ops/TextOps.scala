@@ -207,6 +207,46 @@ object TextOps {
     crossPairs.unionByName(intra)
   }
 
+  /** Incremental MinHash near-dup: candidate pairs between an
+    * INCOMING batch and the EXISTING corpus only — no incoming×incoming
+    * or existing×existing work. The existing side participates as
+    * (signature, ids) groups; at 100 TB those are precomputed once and
+    * appended per increment, so each day's near-dedup costs one band
+    * join of increment-bands against corpus-bands.
+    *
+    * @return (inc_id, ex_id, est_jaccard) with est >= minEstimate
+    */
+  def minHashPairsIncremental(incoming: DataFrame, existing: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 16, bands: Int = 4,
+                              minEstimate: Double = 0.5,
+                              portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def sigGroups(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        minHashSignature(col(textCol), numHashes, portable).as("sig"))
+        .where(col("sig").isNotNull)
+        .groupBy("sig").agg(collect_list(col("id")).as("ids"))
+    def banded(groups: DataFrame): DataFrame =
+      groups.select(col("sig"), col("ids"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val inc = banded(sigGroups(incoming)).select(col("band"), col("band_hash"),
+      col("sig").as("sig_i"), col("ids").as("ids_i"))
+    val ex = banded(sigGroups(existing)).select(col("band"), col("band_hash"),
+      col("sig").as("sig_e"), col("ids").as("ids_e"))
+    inc.join(ex, Seq("band", "band_hash"))
+      .select(col("sig_i"), col("sig_e"), col("ids_i"), col("ids_e"),
+        (graft.functions.VectorExpressions.long_array_eq_count(
+          col("sig_i"), col("sig_e")).cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstimate)
+      .dropDuplicates("sig_i", "sig_e")
+      .select(explode(col("ids_i")).as("inc_id"), col("ids_e"), col("est_jaccard"))
+      .select(col("inc_id"), explode(col("ids_e")).as("ex_id"), col("est_jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS from an explicit candidate-edge set:
     * connected components over the near-dup pair graph, one canonical
     * doc (min id) per cluster. Singleton docs form their own cluster.

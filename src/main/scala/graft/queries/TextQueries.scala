@@ -168,6 +168,49 @@ object TextQueries {
           (SELECT MD5(text) FROM documents WHERE doc_id % 7 = 0)
         ORDER BY fingerprint""")),
 
+    // ── incremental MinHash near-dup: incoming half (doc_id >= 250)
+    //    against the existing half only — no within-side pair work;
+    //    the production daily-increment near-dedup shape ─────────────
+    Q("d10_dedup_minhash_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.minHashPairsIncremental(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250),
+          "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.7,
+          portable = true)
+          .orderBy("inc_id", "ex_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          WHERE a.doc_id >= 250 AND b.doc_id < 250),
+        agree AS (
+          SELECT c.inc_id, c.ex_id,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.inc_id
+          JOIN sig sb ON sb.doc_id = c.ex_id AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT inc_id, ex_id, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
+        ORDER BY inc_id, ex_id""")),
+
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). Not
