@@ -96,6 +96,22 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty) // the corpus actually exercises the path
   }
 
+  test("minHashPairsIncremental equals full pair set restricted to cross-side") {
+    val sample = docs.limit(200)
+    val inc = sample.where(col("doc_id") >= 100)
+    val ex = sample.where(col("doc_id") < 100)
+    val got = TextOps.minHashPairsIncremental(inc, ex, "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+      .select("inc_id", "ex_id").as[(Long, Long)].collect().toSet
+    val full = TextOps.minHashPairs(sample, "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // full emits id_a < id_b, so cross-side pairs appear as (ex, inc)
+    val cross = full.collect { case (a, b) if a < 100 && b >= 100 => (b, a) }
+    assert(got == cross)
+    assert(got.nonEmpty)
+  }
+
   test("exactDedup collapses exact duplicates only") {
     val dup = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val out = TextOps.exactDedup(dup, "doc_id", "text")
