@@ -168,9 +168,13 @@ object VectorOps {
     * cells. Candidate work is N·nCells dots for assignment plus
     * intra-cell pairs — the standard IVF trade against brute force.
     */
-  def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
-                          nCells: Int, k: Int, probes: Int = 1,
-                          portablePivots: Boolean = false): DataFrame = {
+  /** IVF cell assignment: pick `nCells` deterministic pivots, assign
+    * every vector to its `probes` nearest — the shared front half of
+    * IVF search and IVF maintenance. Returns (cell, id, vec, nrm).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, probes: Int = 1,
+                portablePivots: Boolean = false): DataFrame = {
     // portable pivot choice orders by the MD5 hex of the id string —
     // reproducible in any engine (oracle-verified flavor, s05)
     val pivotOrder =
@@ -180,14 +184,35 @@ object VectorOps {
         norm(col(vecCol)).as("pnrm"))
       .orderBy(pivotOrder, col("pid")).limit(nCells)
     val wAssign = Window.partitionBy("id").orderBy(col("psim").desc, col("pid"))
-    val assigned = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
       .join(broadcast(pivots))
       .select(col("id"), col("vec"), col("nrm"), col("pid"),
         (dot(col("vec"), col("pvec")) / (col("nrm") * col("pnrm"))).as("psim"))
       .withColumn("prk", row_number().over(wAssign))
       .where(col("prk") <= probes)
       .select(col("pid").as("cell"), col("id"), col("vec"), col("nrm"))
+  }
+
+  /** Per-cell element-wise centroids — the IVF maintenance / k-means
+    * step: mean of each vector component within a cell. One explode +
+    * one shuffle on (cell, i); centroid components are rounded to 6 dp
+    * so the result is engine-independent (double summation order
+    * differs across engines by ~1 ulp). Output: (cell, i, c, n) with
+    * i 1-based.
+    */
+  def ivfCellCentroids(df: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int,
+                       portablePivots: Boolean = false): DataFrame =
+    ivfAssign(df, idCol, vecCol, nCells, probes = 1, portablePivots)
+      .select(col("cell"), posexplode(col("vec")))
+      .select(col("cell"), (col("pos") + 1).as("i"), col("col").cast("double").as("x"))
+      .groupBy("cell", "i")
+      .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+
+  def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int, k: Int, probes: Int = 1,
+                          portablePivots: Boolean = false): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, nCells, probes, portablePivots)
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),

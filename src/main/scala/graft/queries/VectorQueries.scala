@@ -147,6 +147,43 @@ object VectorQueries {
         SELECT id_a, rk, id_b, cos FROM ranked WHERE rk <= 3
         ORDER BY id_a, rk""")),
 
+    // ── IVF cell centroids — the index-maintenance / k-means step:
+    //    element-wise mean per cell (probes=1 assignment), rounded to
+    //    6 dp for cross-engine summation-order independence ───────────
+    Q("s06_ivf_centroids",
+      (s, dir) => VectorOps.ivfCellCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, portablePivots = true)
+        .orderBy("cell", "i"),
+      Some("""WITH base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN piv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 1)
+        SELECT a.cell, t.i,
+          ROUND(AVG(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS c,
+          COUNT(*) AS n
+        FROM assigned a
+        JOIN base b ON b.vec_id = a.id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.cell, t.i
+        ORDER BY cell, i""")),
+
     // ── per-label centroid-ish stats: vector column aggregation ─────
     Q("s04_label_norms",
       (s, dir) => Tables.embeddings(s, dir)
