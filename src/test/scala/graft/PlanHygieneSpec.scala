@@ -1,0 +1,43 @@
+package graft
+
+/** Blanket plan hygiene over the ENTIRE query surface: properties
+  * every one of the ~80 registered queries must satisfy to survive a
+  * 100× scale-up. Individual plan shapes are asserted in PlanSpec /
+  * LayoutSpec / AsOfJoinSpec; this sweep guards against regressions
+  * anywhere in the surface.
+  */
+class PlanHygieneSpec extends SparkTestBase {
+
+  // analyzed+optimized (pre-execution) plans: Cartesian products and
+  // UDF nodes are visible without running the queries
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a CartesianProduct") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
+    assert(offenders.isEmpty,
+      s"cartesian products do not survive scale: $offenders")
+  }
+
+  test("no query uses a Scala/Python UDF (native expressions only)") {
+    val offenders = plans.filter { case (_, p) =>
+      p.contains("ScalaUDF") || p.contains("BatchEvalPython") ||
+        p.contains("PythonUDF")
+    }.keys.toSeq
+    assert(offenders.isEmpty, s"UDF found in: $offenders")
+  }
+
+  test("single-partition exchanges only where semantics demand them") {
+    // q19_enumerate: faust's global running index — documented
+    // serving-only semantics parity; the scale path is enumerateLocal
+    // (PlanSpec proves it zero-Exchange).
+    val allowed = Set("q19_enumerate")
+    val offenders = plans.filter { case (name, p) =>
+      !allowed(name) && p.contains("Exchange SinglePartition")
+    }.keys.toSeq
+    assert(offenders.isEmpty,
+      s"unexpected single-partition exchange in: $offenders")
+  }
+}
