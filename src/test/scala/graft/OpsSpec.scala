@@ -96,6 +96,22 @@ class OpsSpec extends SparkTestBase {
     assert(brute.nonEmpty) // the corpus actually exercises the path
   }
 
+  test("approx_count_distinct (q25's sketch) stays near exact counts") {
+    // q25 is rows-only at the oracle (HLL internals are engine-local);
+    // this pins the semantic claim instead: estimates land within 3×
+    // the configured rsd of the exact distinct counts
+    val e = Tables.events(spark, sf)
+    val rows = e.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"$k: approx $approx vs exact $exact")
+    }
+  }
+
   test("minHashPairsIncremental equals full pair set restricted to cross-side") {
     val sample = docs.limit(200)
     val inc = sample.where(col("doc_id") >= 100)
