@@ -22,8 +22,10 @@ object Bench {
     "q26_asof_join", "q37_asof_native",
     "d01_dedup_exact", "d03_dedup_minhash", "d08_dedup_minhash_fast",
     "d04_dedup_simhash", "d07_dedup_simhash_pairs",
-    "s01_knn_cosine", "s03_knn_lsh",
-    "t01_token_count", "t02_quality_score", "t04_fingerprint")
+    "d11_decontam", "d12_dup_spans",
+    "s01_knn_cosine", "s03_knn_lsh", "s07_quantize_int8",
+    "t01_token_count", "t02_quality_score", "t04_fingerprint",
+    "t08_repetition", "t09_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -393,4 +393,105 @@ object TextOps {
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .select("id", "term", "tf", "df", "tfidf")
   }
+
+  /** Gopher-style repetition signals per document: top-bigram mass and
+    * duplicate-bigram fraction, the classic "is this doc degenerate
+    * boilerplate" quality gates (Rae et al. 2021, §A1.1, public paper).
+    *
+    * One explode + two doc-keyed aggregations; both shuffles carry
+    * (id, 8-byte hashable bigram) and partial-aggregate map-side, so
+    * the pipeline is shuffle-bounded by token count at 100 TB. Docs
+    * with fewer than two tokens have no bigrams and drop out (same
+    * semantics as the SQL formulation).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        max("c").as("top_bigram_count"),
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+      .select(col(idCol),
+        col("top_bigram_count"),
+        col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        (lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+
+  /** PII patterns kept RE2-compatible (no backreferences, no \b) so the
+    * same source strings run verbatim in Java regex and DuckDB/RE2.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-pattern PII match counts (emails, phones, IPv4s). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)))
+
+  /** Mask PII in place. Replacement order matters: emails first (their
+    * local parts contain digits/dots that the narrower patterns could
+    * bite into), then phones, then bare IPv4s. Pure scalar pipeline —
+    * narrow, codegen'd, zero shuffles at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Train/eval decontamination: for each training document, count its
+    * distinct word n-grams that also appear anywhere in the eval set
+    * (the standard n-gram-overlap contamination check used for LLM
+    * training corpora). Returns only contaminated docs with
+    * `n_contaminated`, `n_ngrams`, `contamination_frac`.
+    *
+    * Scale shape: n-grams are collapsed to portable 60-bit hashes
+    * ([[graft.functions.PortableHash.mdHash60]]) so the join carries
+    * 8-byte keys, never n-gram strings; the eval side — tiny relative
+    * to a 100 TB train corpus by construction — is distinct-ed and
+    * broadcast, so the train side is a single narrow scan + broadcast
+    * hash join + one groupBy(id) shuffle.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    import graft.functions.PortableHash.mdHash60
+    val trainNg = train
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .select(col(idCol), mdHash60(col("ng")).as("ngh"))
+    val evalNg = evalSet
+      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .select(mdHash60(col("ng")).as("ngh")).distinct()
+    val perDoc = train.select(col(idCol),
+      size(array_distinct(wordNgrams(col(textCol), n))).cast("long").as("n_ngrams"))
+    trainNg.join(broadcast(evalNg), "ngh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+      .join(perDoc, idCol)
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_ngrams"))
+  }
+
+  /** Cross-document exact n-gram spans: n-grams appearing in at least
+    * `minDocs` distinct documents — the candidate-span step of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", public paper). A suffix array is
+    * the single-node formulation; the distributed equivalent is this
+    * hash-grouped span census: one explode + one groupBy over 60-bit
+    * span hashes, shuffle-bounded by token count.
+    */
+  def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, minDocs: Int = 2): DataFrame = {
+    import graft.functions.PortableHash.mdHash60
+    df.select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+      .select(col(idCol), mdHash60(col("ng")).as("span_hash"))
+      .groupBy("span_hash").agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
 }

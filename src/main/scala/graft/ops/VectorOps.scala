@@ -251,4 +251,28 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("id_a", "rk", "id_b", "cos")
   }
+  /** Symmetric int8 quantization report per vector: the compression
+    * step a 100 TB embedding store runs before serving (4x smaller,
+    * cache-resident ANN). For each vector: `scale = max|v| / 127`,
+    * `q_i = floor(v_i/scale + 0.5)` (round-half-up, reproducible on
+    * any IEEE engine — unlike banker's-rounding `round`), plus the
+    * quantized checksum and the max absolute dequantization error.
+    * Pure narrow scalar pipeline over the embedding column — zero
+    * shuffles; every arithmetic step (float->double widening,
+    * division, floor, multiply, compare) is deterministic IEEE, so
+    * the report is hash-exact cross-engine.
+    */
+  def quantizeInt8Report(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val withScale = df.select(col(idCol), v.as("v"),
+      (array_max(transform(v, x => abs(x))) / 127.0).as("scale"))
+    // all-zero vector => scale 0: quantize to zeros rather than NaN
+    val q = when(col("scale") === 0.0,
+      transform(col("v"), _ => lit(0L)))
+      .otherwise(transform(col("v"), x => floor(x / col("scale") + 0.5)))
+    withScale.select(col(idCol), col("scale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
+      array_max(zip_with(q, col("v"), (qi, vi) => abs(qi * col("scale") - vi)))
+        .as("max_abs_err"))
+  }
 }

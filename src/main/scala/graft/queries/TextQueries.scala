@@ -574,6 +574,124 @@ object TextQueries {
         ASCII(text) AS head_code,
         CAST(ASCII(text) % 16 + 1 AS INT) AS fake_width,
         CAST(OCTET_LENGTH(ENCODE(text)) % 7 AS INT) AS fake_frames
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── Gopher-style repetition signals (quality gates) ─────────────
+    Q("t08_repetition",
+      (s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH bg AS (
+          SELECT doc_id, UNNEST(list_transform(
+            range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+            AS bigram
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+        SELECT doc_id,
+          CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+          CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+          CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac,
+          1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac
+        FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── PII detection + redaction. The corpus has no PII, so the
+    //    query seeds each doc with deterministic fake email / phone /
+    //    IP substrings derived from doc_id, then detects and masks
+    //    them — both sides compute the identical seeded string. ──────
+    Q("t09_pii_redact",
+      (s, dir) => {
+        val seeded = Tables.documents(s, dir).withColumn("seeded",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+              .otherwise(lit(""))))
+        val counts = TextOps.piiCounts(col("seeded"))
+          .map { case (n, c) => c.cast("long").as(n) }
+        seeded.select(col("doc_id") +: counts :+
+          TextOps.redactPii(col("seeded")).as("redacted"): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199'
+                 ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                 ELSE '' END AS seeded
+          FROM documents)
+        SELECT doc_id,
+          len(regexp_extract_all(seeded,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(seeded, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          len(regexp_extract_all(seeded,
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+          regexp_replace(regexp_replace(regexp_replace(seeded,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        FROM seeded ORDER BY doc_id""")),
+
+    // ── train/eval decontamination: 5-gram overlap, broadcast eval ──
+    Q("d11_decontam",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.decontaminate(
+          docs.where(col("doc_id") % 19 =!= 3),
+          docs.where(col("doc_id") % 19 === 3),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ngr AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS ng
+            FROM ts)),
+        ev AS (SELECT DISTINCT ngh FROM ngr WHERE doc_id % 19 = 3),
+        tr AS (SELECT doc_id, ngh FROM ngr WHERE doc_id % 19 <> 3),
+        hits AS (
+          SELECT t.doc_id, COUNT(*) AS n_contaminated
+          FROM tr t JOIN ev e ON t.ngh = e.ngh GROUP BY t.doc_id),
+        tot AS (
+          SELECT doc_id, COUNT(*) AS n_ngrams
+          FROM ngr WHERE doc_id % 19 <> 3 GROUP BY doc_id)
+        SELECT h.doc_id, h.n_contaminated, tot.n_ngrams,
+          CAST(h.n_contaminated AS DOUBLE) / tot.n_ngrams AS contamination_frac
+        FROM hits h JOIN tot ON tot.doc_id = h.doc_id
+        ORDER BY h.doc_id""")),
+
+    // ── cross-doc exact 8-gram spans (substring-dedup census) ───────
+    Q("d12_dup_spans",
+      (s, dir) => TextOps.duplicatedNgramSpans(
+        Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("span_hash"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ngr AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS span_hash
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 6),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                || toks[i+6] || ' ' || toks[i+7]))) AS ng
+            FROM ts))
+        SELECT span_hash,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS first_doc
+        FROM ngr GROUP BY span_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY span_hash"""))
   )
 }

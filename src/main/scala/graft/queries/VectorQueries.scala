@@ -197,6 +197,31 @@ object VectorQueries {
           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS min_norm,
         MAX(SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))) AS max_norm
-        FROM embeddings GROUP BY label ORDER BY label"""))
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ── int8 symmetric quantization report: scale, checksum, max
+    //    dequantization error — every step deterministic IEEE ────────
+    Q("s07_quantize_int8",
+      (s, dir) => VectorOps.quantizeInt8Report(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some("""WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings),
+        sc AS (
+          SELECT vec_id, dv,
+            list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+        q AS (
+          SELECT vec_id, dv, scale,
+            CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+            END AS qv
+          FROM sc)
+        SELECT vec_id, scale,
+          CAST(list_sum(qv) AS BIGINT) AS sum_q,
+          list_max(list_transform(range(1, len(dv) + 1),
+            i -> abs(qv[i] * scale - dv[i]))) AS max_abs_err
+        FROM q ORDER BY vec_id"""))
   )
 }

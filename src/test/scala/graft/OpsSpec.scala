@@ -112,6 +112,77 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("repetition signals are well-formed fractions") {
+    val r = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"top_bigram_count", $"n_bigrams",
+        $"top_bigram_frac", $"dup_bigram_frac")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, top, n, tf, df) =>
+      assert(top >= 1 && top <= n, s"doc $id: top $top of $n")
+      assert(tf > 0.0 && tf <= 1.0, s"doc $id: top frac $tf")
+      assert(df >= 0.0 && df < 1.0, s"doc $id: dup frac $df")
+    }
+  }
+
+  test("redactPii masks emails, phones and IPs; counts agree") {
+    val in = Seq(
+      ("mail bob.smith+x@corp.example.org end", 1, 0, 0),
+      ("call 555-867-5309 or 555-867-5310", 0, 2, 0),
+      ("host 192.168.0.1 and 10.0.255.7", 0, 0, 2),
+      ("mixed a@b.co 111-222-3333 8.8.8.8", 1, 1, 1),
+      ("clean text with no pii at all", 0, 0, 0))
+      .toDF("s", "e", "p", "i")
+    val out = in.select(Seq($"s", $"e", $"p", $"i",
+      TextOps.redactPii($"s").as("red")) ++
+      TextOps.piiCounts($"s").map { case (n, c) => c.as(n) }: _*)
+      .as[(String, Int, Int, Int, String, Int, Int, Int)].collect()
+    out.foreach { case (s, e, p, i, red, ne, np, ni) =>
+      assert((ne, np, ni) == ((e, p, i)), s"counts for: $s")
+      if (e > 0) assert(red.contains("<EMAIL>") && !red.contains("@"), red)
+      if (p > 0) assert(red.contains("<PHONE>"), red)
+      if (i > 0) assert(red.contains("<IP>"), red)
+      if (e + p + i == 0) assert(red == s, red)
+    }
+  }
+
+  test("decontaminate flags the duplicated doc at frac 1.0 and skips clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val ev = Seq((99L, "x alpha beta gamma delta epsilon zeta eta y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, ev, "doc_id", "text", n = 5)
+      .select($"doc_id", $"n_contaminated", $"n_ngrams", $"contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1's three distinct 5-grams all appear inside the eval doc
+    assert(out == Seq((1L, 3L, 3L, 1.0)), out.toString)
+  }
+
+  test("duplicatedNgramSpans finds exactly the shared span") {
+    val d = Seq(
+      (1L, "p q r s t u v w x unique1"),
+      (2L, "unique2 p q r s t u v w x"),
+      (3L, "totally different words here z z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val spans = TextOps.duplicatedNgramSpans(d, "doc_id", "text", n = 8)
+      .select($"n_docs", $"first_doc").as[(Long, Long)].collect().toSeq
+    // docs 1 and 2 share the 9-token run "p q r s t u v w x" → two
+    // distinct 8-gram spans, each in both docs
+    assert(spans == Seq((2L, 1L), (2L, 1L)), spans.toString)
+  }
+
+  test("int8 quantization error is bounded by half a quantum") {
+    val rep = VectorOps.quantizeInt8Report(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .select($"scale", $"max_abs_err").as[(Double, Double)].collect()
+    assert(rep.nonEmpty)
+    rep.foreach { case (scale, err) =>
+      assert(scale > 0.0)
+      // round-half-up: |q*scale - v| <= scale/2 (plus one ulp of slack)
+      assert(err <= scale / 2 * (1 + 1e-12), s"err $err vs scale $scale")
+    }
+  }
+
   test("minHashPairsIncremental equals full pair set restricted to cross-side") {
     val sample = docs.limit(200)
     val inc = sample.where(col("doc_id") >= 100)
