@@ -64,4 +64,50 @@ object SampleOps {
       .where(col("_srk") <= n)
       .drop("_srk")
   }
+
+  /** Training-mixture sampling: keep a per-group hash fraction so the
+    * output composition matches the target `weights` (the corpus-mixing
+    * step of training-set construction). Groups not listed keep
+    * `defaultFraction`. Pure narrow filter — zero shuffles, and the
+    * same append-stability as [[sampleByHash]]: a document's fate
+    * never changes as the corpus grows or weights of OTHER groups
+    * move.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weights: Seq[(String, Double)],
+                    defaultFraction: Double = 0.0,
+                    salt: String = ""): DataFrame = {
+    val frac = weights.foldLeft(lit(defaultFraction)) {
+      case (els, (g, w)) => when(col(groupCol) === g, lit(w)).otherwise(els)
+    }
+    df.where(unitHash(col(idCol), salt) < frac)
+  }
+
+  /** Balanced downsampling: cap every group at the size of its
+    * smallest peer (or an explicit `targetPerGroup`), choosing
+    * survivors by id-hash order — the class-rebalancing step before
+    * training on skewed category distributions.
+    *
+    * Scale shape: one window shuffle on the group key. With an
+    * explicit target the literal rank filter lowers to
+    * `WindowGroupLimit` (per-partition top-n pruning before the
+    * shuffle); the derived-minimum variant joins a broadcast 1-row
+    * minimum instead — lazy, no driver action, at the cost of that
+    * pruning.
+    */
+  def balancePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      targetPerGroup: Option[Long] = None,
+                      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    val ranked = df.withColumn("_brk", row_number().over(w))
+    targetPerGroup match {
+      case Some(n) => ranked.where(col("_brk") <= n).drop("_brk")
+      case None =>
+        val m = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+          .agg(min(col("_n")).as("_m"))
+        ranked.crossJoin(broadcast(m))
+          .where(col("_brk") <= col("_m")).drop("_brk", "_m")
+    }
+  }
 }

@@ -57,6 +57,110 @@ object PipelineQueries {
               ORDER BY uh, event_id) AS rk
           FROM u)
         SELECT event_type, event_id FROM ranked WHERE rk <= 100
-        ORDER BY event_type, event_id"""))
+        ORDER BY event_type, event_id""")),
+
+    // ── balanced downsampling: every group capped at the smallest
+    //    group's size (derived lazily, broadcast 1-row minimum) ───────
+    Q("p04_balance",
+      (s, dir) => SampleOps.balancePerGroup(
+        Tables.documents(s, dir).where(col("n_chars") >= 300),
+        "source", "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+          SELECT doc_id, source FROM documents WHERE n_chars >= 300),
+        c AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+        m AS (SELECT MIN(n) AS mn FROM c),
+        u AS (
+          SELECT doc_id, source,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM f),
+        r AS (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY uh, doc_id) AS rk
+          FROM u)
+        SELECT doc_id, source FROM r, m WHERE rk <= mn
+        ORDER BY doc_id""")),
+
+    // ── mixture sampling: per-source keep fractions → target corpus
+    //    composition; narrow filter, append-stable ────────────────────
+    Q("p05_mixture",
+      (s, dir) => SampleOps.mixtureSample(Tables.documents(s, dir),
+        "source", "doc_id",
+        Seq("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.6),
+        defaultFraction = 0.1, salt = "mix")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5('mix#' || doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0
+          < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.25
+                        WHEN 'src2' THEN 0.6 ELSE 0.1 END
+        ORDER BY doc_id""")),
+
+    // ── the full preprocessing funnel as ONE Catalyst plan: quality
+    //    gate → exact dedup → decontamination → mixture sampling.
+    //    Composition is the point: filters/pruning flow through every
+    //    stage, nothing materializes in between. ──────────────────────
+    Q("p06_funnel",
+      (s, dir) => {
+        import graft.functions.PortableHash.mdHash60
+        import graft.ops.TextOps
+        val docs = Tables.documents(s, dir)
+        val qual = docs.where(TextOps.tokenCount(col("text")) >= 40)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text")))
+        val deduped = qual.withColumn("_keep", min(col("doc_id")).over(w))
+          .where(col("doc_id") === col("_keep")).drop("_keep")
+        val evalNgh = docs.where(col("doc_id") % 19 === 3)
+          .select(explode(array_distinct(TextOps.wordNgrams(col("text"), 5))).as("ng"))
+          .select(mdHash60(col("ng")).as("ngh")).distinct()
+        val train = deduped.where(col("doc_id") % 19 =!= 3)
+        val contaminated = train
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.wordNgrams(col("text"), 5))).as("ng"))
+          .select(col("doc_id"), mdHash60(col("ng")).as("ngh"))
+          .join(broadcast(evalNgh), "ngh")
+          .select("doc_id").distinct()
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        SampleOps.mixtureSample(clean, "source", "doc_id",
+          Seq("src0" -> 1.0, "src1" -> 0.5), defaultFraction = 0.3, salt = "mix")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH qual AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE len(string_split(text, ' ')) >= 40),
+        ded AS (
+          SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+              MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM qual) WHERE doc_id = keep),
+        evn AS (
+          SELECT DISTINCT ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh FROM (
+            SELECT UNNEST(list_distinct(list_transform(range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS ng
+            FROM (SELECT string_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id % 19 = 3))),
+        train AS (SELECT * FROM ded WHERE doc_id % 19 <> 3),
+        cont AS (
+          SELECT DISTINCT t.doc_id FROM (
+            SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh FROM (
+              SELECT doc_id, UNNEST(list_distinct(list_transform(
+                range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4]))) AS ng
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM train))) t
+          JOIN evn e ON t.ngh = e.ngh),
+        clean AS (
+          SELECT doc_id, source FROM train
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        SELECT doc_id, source FROM clean
+        WHERE ('0x' || substr(md5('mix#' || doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0
+          < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.3 END
+        ORDER BY doc_id"""))
   )
 }

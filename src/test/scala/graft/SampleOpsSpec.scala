@@ -56,4 +56,42 @@ class SampleOpsSpec extends SparkTestBase {
     // narrow plan: no shuffle anywhere in a Bernoulli sample
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("mixtureSample: per-group fractions near target, narrow, append-stable") {
+    val weights = Seq("click" -> 0.5, "view" -> 0.1)
+    val out = SampleOps.mixtureSample(events, "event_type", "event_id",
+      weights, defaultFraction = 0.0, salt = "mix")
+    val kept = out.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val base = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    weights.foreach { case (g, w) =>
+      val f = kept.getOrElse(g, 0L).toDouble / base(g)
+      assert(math.abs(f - w) < 0.05, s"$g kept $f want $w")
+    }
+    // unlisted groups fully dropped at defaultFraction = 0
+    assert((kept.keySet -- weights.map(_._1)).isEmpty, kept.toString)
+    // zero shuffles: the mixing step is a pure filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // append-stable: fate of a row is independent of the rest
+    val sub = SampleOps.mixtureSample(events.limit(2000), "event_type",
+      "event_id", weights, defaultFraction = 0.0, salt = "mix")
+      .select("event_id").as[Long].collect().toSet
+    val full = out.select("event_id").as[Long].collect().toSet
+    assert(sub.subsetOf(full))
+  }
+
+  test("balancePerGroup: every group capped at the smallest; literal target prunes") {
+    val skewed = events.where(col("value") >= 10.0) // uneven per-type counts
+    val out = SampleOps.balancePerGroup(skewed, "event_type", "event_id")
+    val per = out.groupBy("event_type").count().as[(String, Long)].collect()
+    val minBase = skewed.groupBy("event_type").count()
+      .agg(min("count")).as[Long].head()
+    assert(per.nonEmpty && per.forall(_._2 == minBase),
+      s"want $minBase per group, got ${per.toSeq}")
+    // explicit literal target lowers to WindowGroupLimit pruning
+    val litPlan = SampleOps.balancePerGroup(skewed, "event_type", "event_id",
+      targetPerGroup = Some(10L))
+      .queryExecution.executedPlan.toString
+    assert(litPlan.contains("WindowGroupLimit"), litPlan)
+  }
 }
