@@ -22,10 +22,11 @@ object Bench {
     "q26_asof_join", "q37_asof_native",
     "d01_dedup_exact", "d03_dedup_minhash", "d08_dedup_minhash_fast",
     "d04_dedup_simhash", "d07_dedup_simhash_pairs",
-    "d11_decontam", "d12_dup_spans", "p05_mixture", "p06_funnel",
+    "d11_decontam", "d12_dup_spans", "d13_dup_spans_fast",
+    "p05_mixture", "p06_funnel",
     "s01_knn_cosine", "s03_knn_lsh", "s07_quantize_int8",
     "t01_token_count", "t02_quality_score", "t04_fingerprint",
-    "t08_repetition", "t09_pii_redact")
+    "t08_repetition", "t09_pii_redact", "t10_chunking", "p07_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -110,4 +110,23 @@ object SampleOps {
           .where(col("_brk") <= col("_m")).drop("_brk", "_m")
     }
   }
+
+  /** Shard-local sequence packing: assign documents to ~`budget`-token
+    * bins by running token count within each group (the batch
+    * construction step before training). A document lands in the bin
+    * its PRECEDING cumulative count falls into, so bins fill to at
+    * least `budget` and overflow by at most one document — the
+    * standard streaming-packing approximation. One window shuffle on
+    * the group key; packing never crosses shards, so 1000 executors
+    * pack 1000 shards independently.
+    */
+  def packByBudget(df: DataFrame, groupCol: String, idCol: String,
+                   tokenCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("_n", tokenCol.cast("long"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("bin_id", floor((col("_cum") - col("_n")) / budget).cast("long"))
+      .withColumn("n_tokens", col("_n"))
+      .drop("_n", "_cum")
+  }
 }

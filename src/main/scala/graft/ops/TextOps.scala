@@ -476,6 +476,26 @@ object TextOps {
         col("n_contaminated").cast("double") / col("n_ngrams"))
   }
 
+  /** Fixed-size token chunking with overlap: the context-window
+    * preparation step (split each document into `chunkSize`-token
+    * windows advancing by `chunkSize - overlap`). One explode, no
+    * shuffle — chunk rows stay on the partition that read the doc,
+    * and the chunk id is derived arithmetic, not state.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    val stride = chunkSize - overlap
+    require(stride > 0, "overlap must be smaller than chunkSize")
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(1), size(col("_t")), lit(stride))).as("_s"))
+      .select(col(idCol),
+        floor((col("_s") - 1) / stride).cast("long").as("chunk_id"),
+        size(slice(col("_t"), col("_s"), lit(chunkSize))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_t"), col("_s"), lit(chunkSize))).as("chunk_text"))
+  }
+
   /** Cross-document exact n-gram spans: n-grams appearing in at least
     * `minDocs` distinct documents — the candidate-span step of exact
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data
@@ -484,11 +504,18 @@ object TextOps {
     * hash-grouped span census: one explode + one groupBy over 60-bit
     * span hashes, shuffle-bounded by token count.
     */
+  /** `portable = true` hashes spans with the oracle-reproducible MD5
+    * scheme; `false` uses xxhash64 — ~1.6x faster, engine-local (the
+    * production flavor, mirroring the minHashPairs fast/portable pair).
+    */
   def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, minDocs: Int = 2): DataFrame = {
+                           n: Int, minDocs: Int = 2,
+                           portable: Boolean = true): DataFrame = {
     import graft.functions.PortableHash.mdHash60
+    val spanHash: Column => Column =
+      if (portable) mdHash60 else (c => xxhash64(c))
     df.select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
-      .select(col(idCol), mdHash60(col("ng")).as("span_hash"))
+      .select(col(idCol), spanHash(col("ng")).as("span_hash"))
       .groupBy("span_hash").agg(
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("first_doc"))

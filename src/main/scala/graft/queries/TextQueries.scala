@@ -577,8 +577,14 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ── Gopher-style repetition signals (quality gates) ─────────────
+    // The local corpus is one parquet row group → one input split; a
+    // real corpus scan yields thousands of splits. Fanning out the raw
+    // docs (tiny exchange) buys full-core parallelism for the heavy
+    // per-doc n-gram/hash work in this and the queries below.
     Q("t08_repetition",
-      (s, dir) => TextOps.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      (s, dir) => TextOps.repetitionSignals(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
         .orderBy("doc_id"),
       Some("""WITH bg AS (
           SELECT doc_id, UNNEST(list_transform(
@@ -644,6 +650,7 @@ object TextQueries {
     Q("d11_decontam",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         TextOps.decontaminate(
           docs.where(col("doc_id") % 19 =!= 3),
           docs.where(col("doc_id") % 19 === 3),
@@ -672,10 +679,26 @@ object TextQueries {
         FROM hits h JOIN tot ON tot.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
 
+    // ── fixed-size token chunking with overlap (context windows) ────
+    Q("t10_chunking",
+      (s, dir) => TextOps.chunkTokens(Tables.documents(s, dir),
+        "doc_id", "text", chunkSize = 30, overlap = 5)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        c AS (
+          SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1, 25)) AS s FROM t)
+        SELECT doc_id,
+          (s - 1) // 25 AS chunk_id,
+          len(ts[s : s + 29]) AS n_chunk_tokens,
+          array_to_string(ts[s : s + 29], ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""")),
+
     // ── cross-doc exact 8-gram spans (substring-dedup census) ───────
     Q("d12_dup_spans",
       (s, dir) => TextOps.duplicatedNgramSpans(
-        Tables.documents(s, dir), "doc_id", "text", n = 8)
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 8)
         .orderBy("span_hash"),
       Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         ngr AS (
@@ -692,6 +715,15 @@ object TextQueries {
           MIN(doc_id) AS first_doc
         FROM ngr GROUP BY span_hash
         HAVING COUNT(DISTINCT doc_id) >= 2
-        ORDER BY span_hash"""))
+        ORDER BY span_hash""")),
+
+    // ── d12's production flavor: xxhash64 span keys (engine-local →
+    //    rows-only check, like d08 vs d03) ──────────────────────────
+    Q("d13_dup_spans_fast",
+      (s, dir) => TextOps.duplicatedNgramSpans(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 8, portable = false)
+        .orderBy("span_hash"),
+      None)
   )
 }

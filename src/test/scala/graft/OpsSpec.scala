@@ -171,6 +171,32 @@ class OpsSpec extends SparkTestBase {
     assert(spans == Seq((2L, 1L), (2L, 1L)), spans.toString)
   }
 
+  test("dup-span census: fast and portable flavors agree modulo hash") {
+    val portable = TextOps.duplicatedNgramSpans(docs, "doc_id", "text", 8)
+      .select($"n_docs", $"first_doc").as[(Long, Long)].collect().sorted.toSeq
+    val fast = TextOps.duplicatedNgramSpans(docs, "doc_id", "text", 8,
+      portable = false)
+      .select($"n_docs", $"first_doc").as[(Long, Long)].collect().sorted.toSeq
+    assert(portable.nonEmpty && portable == fast)
+  }
+
+  test("chunkTokens: full coverage, bounded size, exact overlap") {
+    val d = Seq((1L, (1 to 73).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(d, "doc_id", "text", chunkSize = 30, overlap = 5)
+      .orderBy("chunk_id")
+      .select($"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    // strides of 25 over 73 tokens: starts 1, 26, 51 → sizes 30, 30, 23
+    assert(chunks.map(c => (c._1, c._2)) == Seq((0L, 30L), (1L, 30L), (2L, 23L)))
+    // consecutive chunks share exactly `overlap` tokens
+    val toks = chunks.map(_._3.split(" ").toSeq)
+    assert(toks(0).takeRight(5) == toks(1).take(5))
+    assert(toks(1).takeRight(5) == toks(2).take(5))
+    // every source token appears in some chunk, in order
+    assert(toks.head.head == "w1" && toks.last.last == "w73")
+    assert(toks.flatten.distinct.size == 73)
+  }
+
   test("int8 quantization error is bounded by half a quantum") {
     val rep = VectorOps.quantizeInt8Report(
       Tables.embeddings(spark, sf), "vec_id", "embedding")

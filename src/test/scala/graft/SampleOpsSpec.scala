@@ -80,6 +80,29 @@ class SampleOpsSpec extends SparkTestBase {
     assert(sub.subsetOf(full))
   }
 
+  test("packByBudget: bins contiguous, filled past budget, bounded overflow") {
+    val docs = Tables.documents(spark, sf)
+    val packed = SampleOps.packByBudget(docs, "source", "doc_id",
+      size(split(col("text"), " ")), budget = 500L)
+      .select($"source", $"doc_id", $"n_tokens", $"bin_id")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    packed.foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // bin ids are non-decreasing in doc order (contiguous packing)
+      assert(ordered.map(_._4).sliding(2).forall(p => p.head <= p.last), src)
+      val byBin = ordered.groupBy(_._4).toSeq.sortBy(_._1)
+      val maxDoc = ordered.map(_._3).max
+      byBin.dropRight(1).foreach { case (bin, members) =>
+        val tot = members.map(_._3).sum
+        // every non-final bin lands within one document of the budget
+        // (the previous bin's overflow eats into this bin's range, the
+        // last member's overflow extends it)
+        assert(tot > 500 - maxDoc && tot < 500 + maxDoc, s"$src bin $bin tot $tot")
+      }
+    }
+  }
+
   test("balancePerGroup: every group capped at the smallest; literal target prunes") {
     val skewed = events.where(col("value") >= 10.0) // uneven per-type counts
     val out = SampleOps.balancePerGroup(skewed, "event_type", "event_id")
