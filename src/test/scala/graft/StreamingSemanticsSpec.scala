@@ -286,6 +286,38 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingestion pipeline: quality gate + corpus dedup + PII redaction") {
+    // the streaming twin of d09/t09: incoming docs are quality-
+    // filtered, anti-joined against the EXISTING corpus's 16-byte
+    // fingerprints (stream-static, broadcastable), and PII-masked —
+    // all stateless per micro-batch, so it scales as a narrow map +
+    // broadcast join at any rate
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    val corpus = Seq("already stored document text here")
+      .toDF("text").select(md5(col("text")).as("fingerprint"))
+    val input = MemoryStream[(Long, String)]
+    val cleaned = input.toDS().toDF("doc_id", "text")
+      .where(TextOps.tokenCount(col("text")) >= 3)
+      .withColumn("fingerprint", md5(col("text")))
+      .join(broadcast(corpus), Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("text"))
+    val q = cleaned.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "already stored document text here"), // dup of corpus → dropped
+        (2L, "too short"),                         // quality gate → dropped
+        (3L, "write to alice@example.com about the delivery"))
+      q.processAllAvailable()
+      input.addData((4L, "another fresh document arriving later"))
+      q.processAllAvailable()
+      val got = spark.table("ingest_out").as[(Long, String)].collect().toMap
+      assert(got.keySet == Set(3L, 4L), got.toString)
+      assert(got(3L) == "write to <EMAIL> about the delivery", got(3L))
+    } finally q.stop()
+  }
+
   test("ChangelogSink: append per batch, compacted read = latest per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
