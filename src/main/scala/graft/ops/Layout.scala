@@ -22,6 +22,20 @@ object Layout {
       .sortBy(keyCol)
       .saveAsTable(table)
 
+  /** Write a table hive-partitioned by `partitionCols` — predicates on
+    * those columns prune whole directories at PLANNING time (the scan
+    * never lists, opens, or reads excluded partitions). At 100 TB the
+    * partition column (ingest date, source, language) is what turns
+    * "scan everything" into "scan today's slice"; bucketing handles
+    * join co-location WITHIN a partition. Partition pruning + fewer
+    * files read are asserted in `LayoutSpec`.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Salted equi-join for skewed keys: explode the small side into
     * `saltFactor` copies, salt the big side uniformly (hash of a
     * stable id, not rand() — deterministic), join on (key, salt). Every

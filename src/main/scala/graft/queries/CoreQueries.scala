@@ -411,6 +411,25 @@ object CoreQueries {
         .orderBy("event_type"),
       None),
 
+    // ── q25's oracle-checkable face: the HLL estimate itself is
+    //    engine-local, but its ACCURACY CONTRACT is not — emit the
+    //    exact count plus a bounded-deviation flag the oracle asserts
+    //    TRUE (HLL merge is commutative, so the flag is deterministic
+    //    under any partitioning) ──────────────────────────────────────
+    Q("q51_approx_bounds",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (col("_approx") >= col("exact_users") * 0.85 &&
+            col("_approx") <= col("exact_users") * 1.15).as("within_15pct"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        TRUE AS within_15pct
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

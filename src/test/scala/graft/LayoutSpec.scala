@@ -95,6 +95,31 @@ class LayoutSpec extends SparkTestBase {
     assert(joined.count() == spark.table("ev_left_b").count())
   }
 
+  test("partitioned layout: predicate prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writePartitioned(Tables.documents(spark, sf), dir, Seq("source"))
+    val pruned = spark.read.parquet(dir).where($"source" === "src3")
+    // the partition filter appears in the scan node, not as a data filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("source"), scan)
+    // and it actually reads fewer files than the full scan
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().map(_.metrics)
+        .flatMap(_.get("numFiles").map(_.value)).sum
+    }
+    val full = filesRead(spark.read.parquet(dir))
+    val one = filesRead(spark.read.parquet(dir).where($"source" === "src3"))
+    assert(one < full, s"pruned scan read $one of $full files")
+    // correctness: same rows as a post-scan filter on the flat table
+    val expect = Tables.documents(spark, sf).where($"source" === "src3")
+      .select("doc_id").as[Long].collect().toSet
+    val got = pruned.select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("salted join matches unsalted join results") {
     val big = Tables.events(spark, sf).select($"user_id", $"event_id", $"value")
     val small = Tables.events(spark, sf).groupBy($"user_id")
