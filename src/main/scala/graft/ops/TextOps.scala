@@ -467,13 +467,18 @@ object TextOps {
     val evalNg = evalSet
       .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
       .select(mdHash60(col("ng")).as("ngh")).distinct()
-    val perDoc = train.select(col(idCol),
-      size(array_distinct(wordNgrams(col(textCol), n))).cast("long").as("n_ngrams"))
-    trainNg.join(broadcast(evalNg), "ngh")
-      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
-      .join(perDoc, idCol)
-      .withColumn("contamination_frac",
-        col("n_contaminated").cast("double") / col("n_ngrams"))
+    // single n-gram pass: broadcast LEFT join marks hits, one groupBy
+    // yields both the total and the contaminated count — the train
+    // side is tokenized and hashed exactly once
+    trainNg
+      .join(broadcast(evalNg.withColumn("_hit", lit(1))), Seq("ngh"), "left")
+      .groupBy(idCol).agg(
+        count(col("_hit")).as("n_contaminated"),
+        count(lit(1)).as("n_ngrams"))
+      .where(col("n_contaminated") > 0)
+      .select(col(idCol), col("n_contaminated"), col("n_ngrams"),
+        (col("n_contaminated").cast("double") / col("n_ngrams"))
+          .as("contamination_frac"))
   }
 
   /** Fixed-size token chunking with overlap: the context-window
