@@ -95,6 +95,41 @@ object PortableHashKernel {
     if (!any) null else new GenericArrayData(mins)
   }
 
+  /** Distinct word-n-gram 60-bit hashes of raw text in one pass:
+    * tokenize (regex-split on single spaces, trailing empties kept —
+    * exactly `split(text, " ")`), slide an n-token window, de-dupe the
+    * n-gram STRINGS (first-occurrence order), hash each with the
+    * 60-bit MD5 lane. Bit-identical to the declarative
+    * `array_distinct(wordNgrams(text, n))` → `mdHash60` chain, without
+    * materializing token/n-gram arrays per row.
+    */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      out(k) = lane1(digest(UTF8String.fromString(it.next())))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit SimHash: per-bit majority vote over lane1 of each non-null
     * token digest (same vote rule as SimHash64/BitMajority64).
     */
@@ -178,9 +213,36 @@ object PortableSketches {
       copy(child = c)
   }
 
+  /** Fused tokenize→n-gram→distinct→hash kernel (decontamination /
+    * span-census hot path). Input is the raw text column.
+    */
+  case class NgramHash60(child: Expression, n: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"text argument must be string, got ${other.catalogString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.PortableHashKernel.ngramHashes($c, $n)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def minhash60(tokens: Column, k: Int): Column =
     ColumnBridge.column(MinHash60(ColumnBridge.expression(tokens), k))
 
   def simhash60(tokens: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(tokens)))
+
+  def ngramHashes60(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHash60(ColumnBridge.expression(text), n))
 }

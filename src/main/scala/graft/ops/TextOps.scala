@@ -460,13 +460,11 @@ object TextOps {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    import graft.functions.PortableHash.mdHash60
+    import graft.functions.PortableSketches.ngramHashes60
     val trainNg = train
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
-      .select(col(idCol), mdHash60(col("ng")).as("ngh"))
+      .select(col(idCol), explode(ngramHashes60(col(textCol), n)).as("ngh"))
     val evalNg = evalSet
-      .select(explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
-      .select(mdHash60(col("ng")).as("ngh")).distinct()
+      .select(explode(ngramHashes60(col(textCol), n)).as("ngh")).distinct()
     // single n-gram pass: broadcast LEFT join marks hits, one groupBy
     // yields both the total and the contaminated count — the train
     // side is tokenized and hashed exactly once
@@ -516,12 +514,16 @@ object TextOps {
   def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int, minDocs: Int = 2,
                            portable: Boolean = true): DataFrame = {
-    import graft.functions.PortableHash.mdHash60
-    val spanHash: Column => Column =
-      if (portable) mdHash60 else (c => xxhash64(c))
-    df.select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
-      .select(col(idCol), spanHash(col("ng")).as("span_hash"))
-      .groupBy("span_hash").agg(
+    val spans =
+      if (portable) // fused tokenize→n-gram→distinct→hash kernel
+        df.select(col(idCol),
+          explode(graft.functions.PortableSketches.ngramHashes60(
+            col(textCol), n)).as("span_hash"))
+      else
+        df.select(col(idCol),
+          explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
+          .select(col(idCol), xxhash64(col("ng")).as("span_hash"))
+    spans.groupBy("span_hash").agg(
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("first_doc"))
       .where(col("n_docs") >= minDocs)

@@ -125,7 +125,7 @@ object PipelineQueries {
     //    stage, nothing materializes in between. ──────────────────────
     Q("p06_funnel",
       (s, dir) => {
-        import graft.functions.PortableHash.mdHash60
+        import graft.functions.PortableSketches.ngramHashes60
         import graft.ops.TextOps
         // fan out the single-row-group local corpus (see t08's note)
         val docs = Tables.documents(s, dir)
@@ -136,8 +136,7 @@ object PipelineQueries {
         val deduped = qual.withColumn("_keep", min(col("doc_id")).over(w))
           .where(col("doc_id") === col("_keep")).drop("_keep")
         val evalNgh = docs.where(col("doc_id") % 19 === 3)
-          .select(explode(array_distinct(TextOps.wordNgrams(col("text"), 5))).as("ng"))
-          .select(mdHash60(col("ng")).as("ngh")).distinct()
+          .select(explode(ngramHashes60(col("text"), 5)).as("ngh")).distinct()
         val train = deduped.where(col("doc_id") % 19 =!= 3)
         // contamination is computed from the PRE-dedup quality set:
         // equivalent under the anti-join below (ids of dropped dup
@@ -146,9 +145,7 @@ object PipelineQueries {
         // shuffles run independently instead of back-to-back
         // (measured 7.5s → 2.4s at sf0.1).
         val contaminated = qual.where(col("doc_id") % 19 =!= 3)
-          .select(col("doc_id"),
-            explode(array_distinct(TextOps.wordNgrams(col("text"), 5))).as("ng"))
-          .select(col("doc_id"), mdHash60(col("ng")).as("ngh"))
+          .select(col("doc_id"), explode(ngramHashes60(col("text"), 5)).as("ngh"))
           .join(broadcast(evalNgh), "ngh")
           .select("doc_id").distinct()
         val clean = train.join(contaminated, Seq("doc_id"), "left_anti")

@@ -171,6 +171,27 @@ class OpsSpec extends SparkTestBase {
     assert(spans == Seq((2L, 1L), (2L, 1L)), spans.toString)
   }
 
+  test("ngramHashes60 kernel is bit-identical to the declarative chain") {
+    import graft.functions.{PortableHash, PortableSketches}
+    for (n <- Seq(2, 5, 8)) {
+      val kernel = docs.select($"doc_id",
+        PortableSketches.ngramHashes60($"text", n).as("h"))
+      val declarative = docs.select($"doc_id",
+        array_distinct(TextOps.wordNgrams($"text", n)).as("ngs"))
+        .select($"doc_id", transform($"ngs",
+          g => PortableHash.mdHash60(g)).as("h"))
+      assert(kernel.exceptAll(declarative).isEmpty &&
+        declarative.exceptAll(kernel).isEmpty, s"n=$n mismatch")
+    }
+    // degenerate inputs: shorter than n, empty string, repeated tokens
+    val edge = Seq("one", "", "a a a a a", "x  y").toDF("text")
+    val k = edge.select(PortableSketches.ngramHashes60($"text", 3).as("h"))
+    val d = edge.select(transform(
+      array_distinct(TextOps.wordNgrams($"text", 3)),
+      g => PortableHash.mdHash60(g)).as("h"))
+    assert(k.exceptAll(d).isEmpty && d.exceptAll(k).isEmpty)
+  }
+
   test("dup-span census: fast and portable flavors agree modulo hash") {
     val portable = TextOps.duplicatedNgramSpans(docs, "doc_id", "text", 8)
       .select($"n_docs", $"first_doc").as[(Long, Long)].collect().sorted.toSeq
