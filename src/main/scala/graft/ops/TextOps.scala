@@ -508,8 +508,11 @@ object TextOps {
     * span hashes, shuffle-bounded by token count.
     */
   /** `portable = true` hashes spans with the oracle-reproducible MD5
-    * scheme; `false` uses xxhash64 — ~1.6x faster, engine-local (the
-    * production flavor, mirroring the minHashPairs fast/portable pair).
+    * scheme via the fused [[graft.functions.PortableSketches.NgramHash60]]
+    * kernel; `false` keeps the declarative n-gram chain with xxhash64
+    * keys (engine-local). Since the kernel landed, the portable flavor
+    * is the FASTER one (2.1s vs 3.0s at sf0.1) — the xxhash flavor
+    * remains as the no-custom-expression reference formulation.
     */
   def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int, minDocs: Int = 2,

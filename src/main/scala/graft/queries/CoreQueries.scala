@@ -475,6 +475,27 @@ object CoreQueries {
         MIN(value) AS min_v, MAX(value) AS max_v
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── approx-percentile accuracy contract (q51's pattern applied
+    //    to the GK quantile sketch): the estimate is engine-local and
+    //    merge-order-dependent, but its RANK-error guarantee is not —
+    //    with accuracy 1000 the returned value must lie between the
+    //    exact p45 and p55, so the flag is deterministically TRUE ─────
+    Q("q52_percentile_bounds",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.45)").as("_lo"),
+          expr("percentile(value, 0.55)").as("_hi"),
+          expr("approx_percentile(value, 0.5, 1000)").as("_approx"))
+        .select(col("event_type"), col("exact_p50"),
+          (col("_approx") >= col("_lo") && col("_approx") <= col("_hi"))
+            .as("within_rank_bound"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+        quantile_cont(value, 0.5) AS exact_p50,
+        TRUE AS within_rank_bound
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ── as-of join via the CUSTOM CATALYST OPERATOR (LogicalPlan +
     //    Strategy + merge exec; graft.plans.AsOfJoinPlan) — same
     //    semantics as q26's union-and-carry form, same oracle ─────────
