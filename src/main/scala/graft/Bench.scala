@@ -23,7 +23,7 @@ object Bench {
     "d01_dedup_exact", "d03_dedup_minhash", "d08_dedup_minhash_fast",
     "d04_dedup_simhash", "d07_dedup_simhash_pairs",
     "d11_decontam", "d12_dup_spans", "d13_dup_spans_fast",
-    "p05_mixture", "p06_funnel",
+    "d14_span_scrub", "p05_mixture", "p06_funnel",
     "s01_knn_cosine", "s03_knn_lsh", "s07_quantize_int8",
     "t01_token_count", "t02_quality_score", "t04_fingerprint",
     "t08_repetition", "t09_pii_redact", "t10_chunking", "p07_pack")

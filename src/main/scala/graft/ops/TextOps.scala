@@ -479,6 +479,39 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** The removal half of exact substring dedup (Lee et al. 2022): drop
+    * every token covered by a duplicated `n`-gram span whose first
+    * occurrence lives in an EARLIER document, keeping the first
+    * occurrence intact. Returns all docs with the scrubbed text and
+    * the removed-token count.
+    *
+    * Scale shape: span census (one groupBy on 8-byte hashes) joined
+    * back to positional n-grams (second shuffle), coverage mask per
+    * doc (third, doc-keyed) — all shuffles carry hashes/positions,
+    * never text; the scrub itself is a narrow per-row array filter.
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    import graft.functions.PortableHash.mdHash60
+    val census = duplicatedNgramSpans(df, idCol, textCol, n)
+      .select(col("span_hash"), col("first_doc"))
+    // positional (non-distinct) n-grams: pos is 0-based
+    val positioned = df
+      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)))
+      .select(col(idCol), col("pos"), mdHash60(col("col")).as("span_hash"))
+    val covered = positioned.join(census, "span_hash")
+      .where(col(idCol) =!= col("first_doc"))
+      .select(col(idCol),
+        explode(sequence(col("pos") + 1, col("pos") + n)).as("tok"))
+      .groupBy(idCol).agg(collect_set(col("tok")).as("_mask"))
+    df.join(covered, Seq(idCol), "left")
+      .withColumn("_m", coalesce(col("_mask"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("_m")).cast("long").as("n_removed"),
+        concat_ws(" ", filter(tokens(col(textCol)),
+          (t, i) => !array_contains(col("_m"), i + 1))).as("scrubbed_text"))
+  }
+
   /** Fixed-size token chunking with overlap: the context-window
     * preparation step (split each document into `chunkSize`-token
     * windows advancing by `chunkSize - overlap`). One explode, no

@@ -717,6 +717,39 @@ object TextQueries {
         HAVING COUNT(DISTINCT doc_id) >= 2
         ORDER BY span_hash""")),
 
+    // ── the removal half of substring dedup: scrub tokens covered by
+    //    duplicated 8-gram spans, keeping the first occurrence ───────
+    Q("d14_span_scrub",
+      (s, dir) => TextOps.scrubDuplicatedSpans(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        ngp AS (
+          SELECT doc_id, i,
+            ('0x' || substr(md5(
+              ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+              || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' '
+              || ts[i+7]), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - 6)) AS i FROM t)),
+        census AS (
+          SELECT h, MIN(doc_id) AS first_doc
+          FROM (SELECT DISTINCT doc_id, h FROM ngp)
+          GROUP BY h HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT p.doc_id, UNNEST(range(p.i, p.i + 8)) AS tok
+          FROM ngp p JOIN census c ON p.h = c.h AND p.doc_id <> c.first_doc),
+        mask AS (
+          SELECT doc_id, array_agg(DISTINCT tok) AS m FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+          COALESCE(len(m), 0)::BIGINT AS n_removed,
+          COALESCE(array_to_string(
+            list_filter(ts, (x, i) -> NOT COALESCE(list_contains(m, i), FALSE)),
+            ' '), '') AS scrubbed_text
+        FROM t LEFT JOIN mask ON mask.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // ── d12's production flavor: xxhash64 span keys (engine-local →
     //    rows-only check, like d08 vs d03) ──────────────────────────
     Q("d13_dup_spans_fast",

@@ -201,6 +201,24 @@ class OpsSpec extends SparkTestBase {
     assert(portable.nonEmpty && portable == fast)
   }
 
+  test("scrubDuplicatedSpans removes the span from later docs only") {
+    val d = Seq(
+      (1L, "p q r s t u v w x tail1 tail2"),
+      (2L, "head2 p q r s t u v w x tail3"),
+      (3L, "no shared span in this document at all eight plus")).toDF("doc_id", "text")
+    val out = TextOps.scrubDuplicatedSpans(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_removed", $"scrubbed_text")
+      .as[(Long, Long, String)].collect().toSeq
+    // doc 1 owns the first occurrence: untouched. doc 2 loses the
+    // 9-token shared run (both overlapping 8-gram spans), keeps its
+    // unique head/tail. doc 3 untouched.
+    assert(out == Seq(
+      (1L, 0L, "p q r s t u v w x tail1 tail2"),
+      (2L, 9L, "head2 tail3"),
+      (3L, 0L, "no shared span in this document at all eight plus")), out.toString)
+  }
+
   test("chunkTokens: full coverage, bounded size, exact overlap") {
     val d = Seq((1L, (1 to 73).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = TextOps.chunkTokens(d, "doc_id", "text", chunkSize = 30, overlap = 5)
