@@ -100,8 +100,12 @@ object PortableHashKernel {
     * exactly `split(text, " ")`), slide an n-token window, de-dupe the
     * n-gram STRINGS (first-occurrence order), hash each with the
     * 60-bit MD5 lane. Bit-identical to the declarative
-    * `array_distinct(wordNgrams(text, n))` → `mdHash60` chain, without
-    * materializing token/n-gram arrays per row.
+    * `array_distinct(wordNgrams(text, n))` → `mdHash60` chain for
+    * non-null text, without materializing token/n-gram arrays per
+    * row. NULL text yields NULL (SQL convention) where the
+    * declarative chain's `when` guard yields an empty array — both
+    * explode to zero rows, so every consumer in this library behaves
+    * identically; only a non-exploding consumer sees the difference.
     */
   def ngramHashes(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)

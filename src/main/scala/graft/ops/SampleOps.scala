@@ -122,7 +122,11 @@ object SampleOps {
     */
   def packByBudget(df: DataFrame, groupCol: String, idCol: String,
                    tokenCol: Column, budget: Long): DataFrame = {
+    // ROWS frame, not the default RANGE: with tied idCol values RANGE
+    // sums the whole peer group into every row's cum, breaking the
+    // one-document-overflow bound (and the SQL-oracle ROWS parity)
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_n", tokenCol.cast("long"))
       .withColumn("_cum", sum(col("_n")).over(w))
       .withColumn("bin_id", floor((col("_cum") - col("_n")) / budget).cast("long"))

@@ -427,11 +427,21 @@ object TextOps {
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  /** Per-pattern PII match counts (emails, phones, IPv4s). */
-  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> regexp_count(text, lit(EmailRe)),
-    "n_phones" -> regexp_count(text, lit(PhoneRe)),
-    "n_ips" -> regexp_count(text, lit(Ipv4Re)))
+  /** Per-pattern PII match counts (emails, phones, IPv4s). Counts are
+    * taken SEQUENTIALLY on the progressively-redacted text — the same
+    * order [[redactPii]] masks in — so every counted instance
+    * corresponds to exactly one mask in the redacted output (digits
+    * inside an email's local part are never double-counted as a
+    * phone).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailRe)),
+      "n_phones" -> regexp_count(afterEmail, lit(PhoneRe)),
+      "n_ips" -> regexp_count(afterPhone, lit(Ipv4Re)))
+  }
 
   /** Mask PII in place. Replacement order matters: emails first (their
     * local parts contain digits/dots that the narrower patterns could
@@ -493,12 +503,19 @@ object TextOps {
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
     import graft.functions.PortableHash.mdHash60
-    val census = duplicatedNgramSpans(df, idCol, textCol, n)
-      .select(col("span_hash"), col("first_doc"))
     // positional (non-distinct) n-grams: pos is 0-based
     val positioned = df
       .select(col(idCol), posexplode(wordNgrams(col(textCol), n)))
       .select(col(idCol), col("pos"), mdHash60(col("col")).as("span_hash"))
+    // census derived from the SAME positional rows (one tokenize+hash
+    // pass over the corpus, not two); distinct (doc, hash) first =
+    // per-doc-distinct n-grams, identical to duplicatedNgramSpans
+    val census = positioned.select(col(idCol), col("span_hash")).distinct()
+      .groupBy("span_hash").agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .select(col("span_hash"), col("first_doc"))
     val covered = positioned.join(census, "span_hash")
       .where(col(idCol) =!= col("first_doc"))
       .select(col(idCol),
@@ -521,10 +538,16 @@ object TextOps {
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int, overlap: Int): DataFrame = {
     val stride = chunkSize - overlap
-    require(stride > 0, "overlap must be smaller than chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    // last start is capped at len - overlap: a chunk starting past
+    // that point adds no tokens beyond the previous chunk (its whole
+    // content is the previous chunk's overlap tail) — emitting it
+    // would duplicate training text
     df.select(col(idCol), tokens(col(textCol)).as("_t"))
       .select(col(idCol), col("_t"),
-        explode(sequence(lit(1), size(col("_t")), lit(stride))).as("_s"))
+        explode(sequence(lit(1),
+          greatest(size(col("_t")) - overlap, lit(1)), lit(stride))).as("_s"))
       .select(col(idCol),
         floor((col("_s") - 1) / stride).cast("long").as("chunk_id"),
         size(slice(col("_t"), col("_s"), lit(chunkSize))).cast("long")

@@ -637,8 +637,12 @@ object TextQueries {
         SELECT doc_id,
           len(regexp_extract_all(seeded,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-          len(regexp_extract_all(seeded, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
-          len(regexp_extract_all(seeded,
+          len(regexp_extract_all(regexp_replace(seeded,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+          len(regexp_extract_all(regexp_replace(regexp_replace(seeded,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
           regexp_replace(regexp_replace(regexp_replace(seeded,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -687,7 +691,8 @@ object TextQueries {
       Some("""WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         c AS (
-          SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1, 25)) AS s FROM t)
+          SELECT doc_id, ts,
+            UNNEST(range(1, greatest(len(ts) - 5, 1) + 1, 25)) AS s FROM t)
         SELECT doc_id,
           (s - 1) // 25 AS chunk_id,
           len(ts[s : s + 29]) AS n_chunk_tokens,

@@ -234,6 +234,13 @@ class OpsSpec extends SparkTestBase {
     // every source token appears in some chunk, in order
     assert(toks.head.head == "w1" && toks.last.last == "w73")
     assert(toks.flatten.distinct.size == 73)
+    // tail shorter than the overlap: no fully-redundant final chunk
+    val d51 = Seq((1L, (1 to 51).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val c51 = TextOps.chunkTokens(d51, "doc_id", "text", 30, 5)
+      .orderBy("chunk_id").select($"chunk_id", $"n_chunk_tokens")
+      .as[(Long, Long)].collect().toSeq
+    // starts 1, 26 only — a chunk at 51 would repeat chunk 2's tail
+    assert(c51 == Seq((0L, 30L), (1L, 26L)), c51.toString)
   }
 
   test("int8 quantization error is bounded by half a quantum") {
