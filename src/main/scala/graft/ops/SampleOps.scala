@@ -111,6 +111,29 @@ object SampleOps {
     }
   }
 
+  /** Deterministic global training-order shuffle, realized the way
+    * shuffled training shards are actually written at scale: a
+    * pseudorandom 60-bit key from the row id assigns each row to one
+    * of `nShards` shards (`shard`) and orders it within the shard
+    * (`pos`) — reading shards round-robin replays a uniform global
+    * permutation without any global sort. One window shuffle on the
+    * shard key; shards are hash-balanced and each sorts independently
+    * on its executor, so 1000 shards shuffle a 100 TB corpus with no
+    * single-partition stage. Rerun-stable: no RNG state, the
+    * permutation is a pure function of (id, salt).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = PortableHash.mdHash60(
+      concat(lit(salt), lit("#"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** Shard-local sequence packing: assign documents to ~`budget`-token
     * bins by running token count within each group (the batch
     * construction step before training). A document lands in the bin

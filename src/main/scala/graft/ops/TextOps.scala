@@ -104,6 +104,38 @@ object TextOps {
     incomingDedup.join(known, Seq("fingerprint"), "left_anti")
   }
 
+  /** Bloom-accelerated incremental exact dedup — same result as
+    * [[incrementalExactDedup]] (bit-identical: Bloom filters have no
+    * false negatives, and every might-contain row is exact-confirmed
+    * by the anti-join), but the existing-corpus membership check runs
+    * map-side against a broadcast sketch first. Only the might-contain
+    * sliver of the increment pays the anti-join shuffle; at 1% fpp
+    * that sliver is (true dups) + ~1% of new rows, so for a mostly-new
+    * daily increment the shuffle shrinks by ~100×.
+    *
+    * Note: building the sketch is an eager Spark job at call time
+    * (one pass over the existing fingerprints); the returned frame is
+    * lazy as usual. Size the sketch via `expectedItems` ≈ |existing
+    * distinct| — ~1.2 bytes/item at the default 1% fpp.
+    */
+  def incrementalExactDedupBloom(incoming: DataFrame, existing: DataFrame,
+                                 idCol: String, textCol: String,
+                                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomExpressions.bloomMightContain
+    val spark = incoming.sparkSession
+    val known = existing.select(fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+    val sketch = known.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val incomingDedup = exactDedup(incoming, idCol, textCol)
+    val maybe = bloomMightContain(col("fingerprint"), bc)
+    // definitely-new rows skip the anti-join entirely; the maybes are
+    // exact-confirmed so false positives cannot leak through
+    incomingDedup.where(!maybe)
+      .unionByName(incomingDedup.where(maybe)
+        .join(known, Seq("fingerprint"), "left_anti"))
+  }
+
   /** Token-set Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold).
     *
     * Blocked on shared tokens: only docs sharing >=1 token pair up.
@@ -392,6 +424,63 @@ object TextOps {
     tf.join(dfreq, "term")
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .select("id", "term", "tf", "df", "tfidf")
+  }
+
+  /** Unigram language-model quality score (perplexity proxy): per-doc
+    * cross-entropy in nats against the corpus's own unigram MLE — the
+    * CCNet-style "LM scores the doc, outliers are junk" filter
+    * (Wenzek et al. 2020, public paper), with the KenLM model replaced
+    * by the corpus unigram distribution (no external model in this
+    * container; the plumbing — train LM, broadcast it, score docs —
+    * is the real shape).
+    *
+    * Scale: term counting is one shuffle carrying (term, count);
+    * the trained LM table is Zipf-bounded (vocab, not corpus, sized)
+    * and broadcast to score the token stream map-side — exactly how a
+    * KenLM binary rides a 1000-executor scoring pass. Scoring itself
+    * adds one partial-aggregated shuffle of (doc, sum, count) rows.
+    * For a pathological unbounded vocab swap the broadcast for a
+    * shuffle join on term.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docToks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val termCounts = docToks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val total = termCounts.agg(sum("tc").cast("double").as("_total"))
+    val lm = termCounts.crossJoin(broadcast(total))
+      .select(col("term"), (-log(col("tc").cast("double") / col("_total"))).as("nll"))
+    // round(6): ln and double-sum order differ at the ulp level across
+    // engines; rounded cross-entropy is oracle-hashable (cf. tfIdf)
+    docToks.join(broadcast(lm), Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 6).as("cross_entropy"))
+  }
+
+  /** Top-k corpus vocabulary (count-desc, term-asc tie-break — fully
+    * deterministic membership) plus per-document coverage against it:
+    * in-vocab token fraction and distinct-OOV count, the "does a fixed
+    * vocab cover this doc" tokenizer-prep signal.
+    *
+    * Scale: vocab = one term-count shuffle + a k-row
+    * TakeOrderedAndProject (per-partition top-k, driver merge — never
+    * a global sort); coverage joins the k-row vocab broadcast against
+    * the token stream and re-aggregates per doc (partial map-side).
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val docToks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = docToks.groupBy("term").agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("term")).limit(k)
+      .select(col("term"))
+    docToks.join(broadcast(vocab).withColumn("_in", lit(1)), Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(when(col("_in").isNotNull, 1.0).otherwise(0.0)), 6)
+          .as("in_vocab_ratio"),
+        countDistinct(when(col("_in").isNull, col("term")))
+          .as("n_oov_terms"))
   }
 
   /** Gopher-style repetition signals per document: top-bigram mass and

@@ -251,6 +251,50 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("id_a", "rk", "id_b", "cos")
   }
+  /** Product-quantization codes: split each vector into `m` subvectors
+    * and assign every subvector to its nearest (L2) codeword — the
+    * IVF-PQ compression step that shrinks a 100 TB embedding store to
+    * `m` bytes/vector for candidate scanning. Codebooks are chosen
+    * deterministically like [[ivfAssign]]'s pivots (lowest hash-of-id
+    * vectors, subsliced per subspace) — no k-means RNG state, so codes
+    * are reproducible in any engine (`portablePivots = true` is the
+    * oracle-verified flavor).
+    *
+    * Scale shape: the codebook (m·nCentroids subvectors) broadcasts;
+    * distance evaluation is a narrow explode over subspaces; the
+    * argmin is `min(struct(dist, codeword))` — partial-aggregatable
+    * map-side, so the one shuffle carries a single row per (id, sub),
+    * never the per-codeword candidates (a window argmin would).
+    * Output: (id, sub, code, sq_err), sq_err rounded to 6 dp.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, nCentroids: Int, dim: Int,
+              portablePivots: Boolean = false): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val pivotOrder =
+      if (portablePivots) md5(col("pid").cast("string")) else xxhash64(col("pid"))
+    val pivots = df.select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+      .orderBy(pivotOrder, col("pid")).limit(nCentroids)
+    val subs = df
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("vec"))
+      .select(col("id"), col("sub"),
+        slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
+    val d2 = aggregate(
+      zip_with(col("svec"),
+        slice(col("pvec"), col("sub") * subDim + 1, lit(subDim)),
+        (a, b) => (a.cast("double") - b.cast("double"))
+          * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    subs.join(broadcast(pivots))
+      .select(col("id"), col("sub"), col("pid"), d2.as("d2"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d2"), col("pid"))).as("best"))
+      .select(col("id"), col("sub"), col("best.pid").as("code"),
+        round(col("best.d2"), 6).as("sq_err"))
+  }
+
   /** Symmetric int8 quantization report per vector: the compression
     * step a 100 TB embedding store runs before serving (4x smaller,
     * cache-resident ANN). For each vector: `scale = max|v| / 127`,

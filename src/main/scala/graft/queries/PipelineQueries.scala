@@ -187,6 +187,24 @@ object PipelineQueries {
         WHERE ('0x' || substr(md5('mix#' || doc_id::VARCHAR), 1, 15))::BIGINT
             / 1152921504606846976.0
           < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 ELSE 0.3 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── deterministic global training-order shuffle, written as
+    //    (shard, pos) — a uniform permutation without a global sort;
+    //    each shard orders independently (one window shuffle). ────────
+    Q("p08_shuffle_shards",
+      (s, dir) => SampleOps.shuffleShards(Tables.documents(s, dir),
+        "doc_id", nShards = 8, salt = "ord")
+        .select(col("shard"), col("pos").cast("long").as("pos"), col("doc_id"))
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (
+          SELECT doc_id,
+            ('0x' || substr(md5('ord#' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+          FROM documents)
+        SELECT CAST(hv % 8 AS INT) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+            AS BIGINT) AS pos,
+          doc_id
+        FROM h ORDER BY shard, pos"""))
   )
 }

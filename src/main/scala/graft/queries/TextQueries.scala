@@ -223,6 +223,30 @@ object TextQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // ── bloom-prefiltered incremental dedup: the sketch-accelerated
+    //    flavor of d09 — existing-corpus membership checked map-side
+    //    against a broadcast Bloom filter; only might-contain rows pay
+    //    the anti-join. No false negatives + exact confirmation ⇒
+    //    bit-identical to the plain anti-join, so the d09-shape oracle
+    //    verifies the whole sketch path end-to-end. ────────────────────
+    Q("d15_dedup_incremental_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.incrementalExactDedupBloom(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", expectedItems = 100000L)
+          .orderBy("fingerprint")
+      },
+      Some("""WITH inc AS (
+          SELECT MD5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+            COUNT(*) AS n_dups
+          FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+        SELECT fingerprint, keep_id, n_dups FROM inc
+        WHERE fingerprint NOT IN
+          (SELECT MD5(text) FROM documents WHERE doc_id % 4 = 0)
+        ORDER BY fingerprint""")),
+
     // ── SimHash near-dup PAIRS via Hamming-LSH banding: 60-bit
     //    signature → 4 × 15-bit slices; pigeonhole guarantees every
     //    pair within Hamming 3 collides on >=1 slice. Candidate
@@ -698,6 +722,48 @@ object TextQueries {
           len(ts[s : s + 29]) AS n_chunk_tokens,
           array_to_string(ts[s : s + 29], ' ') AS chunk_text
         FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ── unigram-LM quality score (perplexity proxy): per-doc
+    //    cross-entropy against the corpus's own unigram MLE — the
+    //    CCNet-style LM filter with the model broadcast to scorers ────
+    Q("t11_unigram_lm",
+      (s, dir) => TextOps.unigramLmScore(Tables.documents(s, dir),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        tc AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tc) AS DOUBLE) AS total FROM tc),
+        lm AS (SELECT term, -LN(tc / total) AS nll FROM tc CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(AVG(nll), 6) AS cross_entropy
+        FROM toks JOIN lm USING (term)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── top-k vocabulary coverage: deterministic top-1000 vocab
+    //    (count desc, term asc) + per-doc in-vocab ratio and distinct
+    //    OOV count — the tokenizer-prep coverage signal ────────────────
+    Q("t12_vocab_coverage",
+      (s, dir) => TextOps.vocabCoverage(Tables.documents(s, dir),
+        "doc_id", "text", k = 12)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, COUNT(*) AS tc FROM toks GROUP BY 1)
+          ORDER BY tc DESC, term LIMIT 12)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(AVG(CASE WHEN v.term IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+            AS in_vocab_ratio,
+          COUNT(DISTINCT CASE WHEN v.term IS NULL THEN toks.term END)
+            AS n_oov_terms
+        FROM toks LEFT JOIN vocab v USING (term)
+        GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── cross-doc exact 8-gram spans (substring-dedup census) ───────
     Q("d12_dup_spans",

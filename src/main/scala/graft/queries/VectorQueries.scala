@@ -222,6 +222,37 @@ object VectorQueries {
           CAST(list_sum(qv) AS BIGINT) AS sum_q,
           list_max(list_transform(range(1, len(dv) + 1),
             i -> abs(qv[i] * scale - dv[i]))) AS max_abs_err
-        FROM q ORDER BY vec_id"""))
+        FROM q ORDER BY vec_id""")),
+
+    // ── product quantization: m=4 subspaces × 8 deterministic
+    //    codewords — the IVF-PQ compression step (m bytes/vector).
+    //    Argmin is a partial-aggregatable min(struct), not a window;
+    //    portable pivots make codes engine-reproducible. ──────────────
+    Q("s08_pq_codes",
+      (s, dir) => VectorOps.pqCodes(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 4, nCentroids = 8, dim = 64,
+        portablePivots = true)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "sub"),
+      Some("""WITH piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        sub AS (
+          SELECT vec_id AS id, s.sub, embedding
+          FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) s),
+        dist AS (
+          SELECT id, sub, pid,
+            list_sum(list_transform(range(1, 17),
+              i -> (CAST(embedding[sub * 16 + i] AS DOUBLE)
+                    - CAST(pvec[sub * 16 + i] AS DOUBLE))
+                 * (CAST(embedding[sub * 16 + i] AS DOUBLE)
+                    - CAST(pvec[sub * 16 + i] AS DOUBLE)))) AS d2
+          FROM sub CROSS JOIN piv),
+        best AS (
+          SELECT id, sub, pid, d2, ROW_NUMBER() OVER
+            (PARTITION BY id, sub ORDER BY d2, pid) AS rk
+          FROM dist)
+        SELECT id AS vec_id, sub, pid AS code, ROUND(d2, 6) AS sq_err
+        FROM best WHERE rk = 1 ORDER BY vec_id, sub"""))
   )
 }

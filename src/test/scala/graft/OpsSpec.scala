@@ -374,4 +374,75 @@ class OpsSpec extends SparkTestBase {
     val m = meta.collect().head
     assert(m.nBytes > 0 && m.width >= 64 && m.durationMs == m.nBytes.toLong * 10)
   }
+
+  test("bloom incremental dedup is bit-identical to the plain anti-join") {
+    val incoming = docs.where($"doc_id" % 3 === 0)
+    val existing = docs.where($"doc_id" % 4 === 0)
+    val plain = TextOps.incrementalExactDedup(incoming, existing, "doc_id", "text")
+    val bloom = TextOps.incrementalExactDedupBloom(incoming, existing,
+      "doc_id", "text", expectedItems = 10000L)
+    assert(bloom.count() == plain.count())
+    assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
+  }
+
+  test("bloom probe: no false negatives over every inserted fingerprint") {
+    import graft.functions.BloomExpressions.bloomMightContain
+    val known = docs.select(md5($"text").as("fp")).distinct()
+    val bf = known.stat.bloomFilter("fp", 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val misses = known.where(!bloomMightContain($"fp", bc)).count()
+    assert(misses == 0, s"bloom false negatives: $misses")
+    // an fpp-sized sliver of unseen keys may collide, but nowhere near all
+    val unseen = spark.range(5000)
+      .select(md5(concat(lit("unseen-"), $"id")).as("fp"))
+    val fpRate = unseen.where(bloomMightContain($"fp", bc)).count() / 5000.0
+    assert(fpRate < 0.05, s"false-positive rate $fpRate")
+  }
+
+  test("unigram LM score: uniform-ish corpus entropy bounds and exact token count") {
+    val scored = TextOps.unigramLmScore(docs, "doc_id", "text")
+    assert(scored.count() == docs.count())
+    // every token is in the corpus LM by construction: cross-entropy is
+    // bounded by the vocab's support, ln(vocab) for uniform
+    val vocabN = docs.select(explode(TextOps.tokens($"text")).as("t"))
+      .select("t").distinct().count()
+    val bad = scored.where($"cross_entropy" <= 0 ||
+      $"cross_entropy" > math.log(vocabN.toDouble) + 1.0).count()
+    assert(bad == 0, s"$bad docs outside (0, ln(V)+1]")
+    val mismatch = scored.join(docs, $"id" === $"doc_id")
+      .where($"n_tokens" =!= size(TextOps.tokens($"text"))).count()
+    assert(mismatch == 0)
+  }
+
+  test("pq codes: valid codewords, monotone error in codebook size, no window argmin") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = VectorOps.pqCodes(emb, "vec_id", "embedding",
+      m = 4, nCentroids = 8, dim = 64, portablePivots = true).cache()
+    assert(codes.count() == emb.count() * 4)
+    assert(codes.where($"sub" < 0 || $"sub" > 3).count() == 0)
+    // codewords come from the corpus (pivot ids)
+    val pivotIds = emb.select(md5($"vec_id".cast("string")).as("h"), $"vec_id")
+      .orderBy("h", "vec_id").limit(8).select("vec_id").as[Long].collect().toSet
+    assert(codes.select("code").distinct().as[Long].collect().toSet.subsetOf(pivotIds))
+    // a bigger codebook can only tighten per-subvector error
+    val codes16 = VectorOps.pqCodes(emb, "vec_id", "embedding",
+      m = 4, nCentroids = 16, dim = 64, portablePivots = true)
+    val worse = codes.select($"id", $"sub", $"sq_err".as("e8"))
+      .join(codes16.select($"id", $"sub", $"sq_err".as("e16")), Seq("id", "sub"))
+      .where($"e16" > $"e8" + 1e-9).count()
+    assert(worse == 0, s"$worse subvectors got WORSE with more centroids")
+    // the argmin partial-aggregates: no Window node in the plan
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window argmin sneaked in:\n$plan")
+    codes.unpersist()
+  }
+
+  test("vocab coverage: ratio in [0,1], full-vocab k covers everything") {
+    val part = TextOps.vocabCoverage(docs, "doc_id", "text", k = 5)
+    assert(part.where($"in_vocab_ratio" < 0 || $"in_vocab_ratio" > 1).count() == 0)
+    assert(part.where($"in_vocab_ratio" < 1.0 && $"n_oov_terms" === 0).count() == 0)
+    // k >= |vocab| → everything in-vocab, zero OOV
+    val full = TextOps.vocabCoverage(docs, "doc_id", "text", k = 100000)
+    assert(full.where($"in_vocab_ratio" =!= 1.0 || $"n_oov_terms" =!= 0).count() == 0)
+  }
 }

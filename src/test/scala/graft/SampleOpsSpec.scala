@@ -117,4 +117,28 @@ class SampleOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(litPlan.contains("WindowGroupLimit"), litPlan)
   }
+
+  test("shuffleShards: exact permutation, balanced shards, rerun-stable") {
+    val n = events.count()
+    val out = SampleOps.shuffleShards(events, "event_id", nShards = 8).cache()
+    // a permutation: every row exactly once, pos contiguous within shard
+    assert(out.count() == n)
+    assert(out.select("event_id").distinct().count() == n)
+    val perShard = out.groupBy("shard").agg(
+      count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .as[(Int, Long, Int, Int)].collect()
+    assert(perShard.length == 8)
+    perShard.foreach { case (_, c, mx, mn) =>
+      assert(mn == 1 && mx == c, "pos must be contiguous 1..c")
+      assert(c > n / 8 * 0.8 && c < n / 8 * 1.2, s"imbalanced shard: $c vs ${n / 8}")
+    }
+    // deterministic; a different salt produces a different order
+    val again = SampleOps.shuffleShards(events, "event_id", nShards = 8)
+    assert(out.select("shard", "pos", "event_id")
+      .except(again.select("shard", "pos", "event_id")).isEmpty)
+    val salted = SampleOps.shuffleShards(events, "event_id", 8, salt = "v2")
+    assert(out.select("shard", "pos", "event_id")
+      .except(salted.select("shard", "pos", "event_id")).count() > 0)
+    out.unpersist()
+  }
 }
