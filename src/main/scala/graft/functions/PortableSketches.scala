@@ -134,6 +134,120 @@ object PortableHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Shared byte-level token scan: start offsets of each token in the
+    * UTF-8 bytes (split on 0x20, which never occurs inside a multibyte
+    * sequence — byte-split ≡ `split(text, " ")`). Returns the starts
+    * array with a sentinel at index nTok (= len + 1), so token k spans
+    * `[starts(k), starts(k+1) - 1)` and the n-token window starting at
+    * k spans `[starts(k), starts(k+n) - 1)` — which is EXACTLY the
+    * bytes of the n-gram string (rejoining split parts with the same
+    * delimiter reproduces the original span), so hashing the span in
+    * place equals hashing the materialized n-gram string.
+    */
+  private def tokenStarts(arr: Array[Byte]): Array[Int] = {
+    var nTok = 1
+    var i = 0
+    while (i < arr.length) { if (arr(i) == ' '.toByte) nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < arr.length) {
+      if (arr(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = arr.length + 1
+    starts
+  }
+
+  /** POSITIONAL word-n-gram 60-bit hashes: one value per window, in
+    * order, duplicates kept — the span-scrubbing shape (pos matters).
+    * Bit-identical to `posexplode(wordNgrams(text, n))` → `mdHash60`
+    * without materializing any token or n-gram string: one byte copy
+    * per row, one MD5 digest per window over the span bytes.
+    */
+  def ngramHashesPos(text: UTF8String, n: Int): ArrayData = {
+    val arr = text.getBytes
+    val starts = tokenStarts(arr)
+    val nTok = starts.length - 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = md.get()
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      val s = starts(w)
+      m.reset()
+      m.update(arr, s, starts(w + n) - 1 - s)
+      out(w) = lane1(m.digest())
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-n-gram xxhash64 values (seed 42) — the engine-local
+    * twin of [[ngramHashes]]: same windows, hashed in place with
+    * Spark's own XXH64 over the span bytes, so every value equals
+    * `xxhash64(<n-gram string>)` exactly. De-dup is on the 64-bit hash
+    * (≡ string de-dup modulo a ~2^-64 in-document collision).
+    */
+  def ngramHashesXx(text: UTF8String, n: Int): ArrayData = {
+    val arr = text.getBytes
+    val starts = tokenStarts(arr)
+    val nTok = starts.length - 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w <= nTok - n) {
+      val s = starts(w)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+        starts(w + n) - 1 - s, 42L))
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    var k = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Fast MinHash signature straight from raw text: per-permutation
+    * minima of `xxhash64(i, token)` over the tokens. Bit-identical to
+    * the declarative `array((0..k).map(i => array_min(transform(toks,
+    * t => xxhash64(lit(i), t)))))` chain — Spark's XxHash64 folds the
+    * int literal then the string bytes, i.e. `hashUnsafeBytes(token,
+    * hashInt(i, 42))` — but in ONE pass over the token byte spans with
+    * zero array materialization. Distinctness of tokens is irrelevant
+    * to minima, so the declarative chain's `array_distinct` needs no
+    * kernel counterpart. Null iff the text is null (split never yields
+    * an empty token array).
+    */
+  def minhashXx(text: UTF8String, k: Int): ArrayData = {
+    val arr = text.getBytes
+    val starts = tokenStarts(arr)
+    val nTok = starts.length - 1
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < nTok) {
+      val s = starts(t)
+      val len = starts(t + 1) - 1 - s
+      i = 0
+      while (i < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, len, seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 60-bit SimHash: per-bit majority vote over lane1 of each non-null
     * token digest (same vote rule as SimHash64/BitMajority64).
     */
@@ -241,6 +355,68 @@ object PortableSketches {
       copy(child = c)
   }
 
+  private def checkText(e: Expression): TypeCheckResult = e.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text argument must be string, got ${other.catalogString}")
+  }
+
+  /** Positional (duplicates-kept) fused n-gram MD5-60 kernel — the
+    * span-scrubbing hot path (position must survive).
+    */
+  case class NgramHashPos60(child: Expression, n: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = checkText(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.ngramHashesPos(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.PortableHashKernel.ngramHashesPos($c, $n)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Distinct fused n-gram xxhash64 kernel — engine-local span census. */
+  case class NgramHashXx(child: Expression, n: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = checkText(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.ngramHashesXx(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.PortableHashKernel.ngramHashesXx($c, $n)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Fused fast-MinHash kernel over raw text (xxhash64 flavor). */
+  case class MinHashXx(child: Expression, k: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = checkText(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.minhashXx(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.PortableHashKernel.minhashXx($c, $k)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def minhash60(tokens: Column, k: Int): Column =
     ColumnBridge.column(MinHash60(ColumnBridge.expression(tokens), k))
 
@@ -249,4 +425,13 @@ object PortableSketches {
 
   def ngramHashes60(text: Column, n: Int): Column =
     ColumnBridge.column(NgramHash60(ColumnBridge.expression(text), n))
+
+  def ngramHashesPos60(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashPos60(ColumnBridge.expression(text), n))
+
+  def ngramHashesXx(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashXx(ColumnBridge.expression(text), n))
+
+  def minhashXx(text: Column, k: Int): Column =
+    ColumnBridge.column(MinHashXx(ColumnBridge.expression(text), k))
 }
