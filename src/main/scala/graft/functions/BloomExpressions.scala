@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,12 +39,24 @@ object BloomExpressions {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
 
+    // Spark's BloomFilter only hashes strings/bytes/longs — reject
+    // anything else (e.g. decimal) at analysis time instead of
+    // throwing (or silently false-ing) per row at runtime.
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType | BinaryType | LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string, binary, or integral argument, got ${other.catalogString}")
+    }
+
     override def nullSafeEval(input: Any): Any = input match {
       case s: UTF8String => bf.value.mightContainBinary(s.getBytes)
       case b: Array[Byte] => bf.value.mightContainBinary(b)
       case l: Long => bf.value.mightContainLong(l)
       case i: Int => bf.value.mightContainLong(i.toLong)
-      case other => bf.value.mightContain(other)
+      case s: Short => bf.value.mightContainLong(s.toLong)
+      case b: Byte => bf.value.mightContainLong(b.toLong)
     }
 
     override protected def withNewChildInternal(newChild: Expression): BloomMightContain =

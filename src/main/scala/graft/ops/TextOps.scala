@@ -130,9 +130,12 @@ object TextOps {
     val incomingDedup = exactDedup(incoming, idCol, textCol)
     val maybe = bloomMightContain(col("fingerprint"), bc)
     // definitely-new rows skip the anti-join entirely; the maybes are
-    // exact-confirmed so false positives cannot leak through
-    incomingDedup.where(!maybe)
-      .unionByName(incomingDedup.where(maybe)
+    // exact-confirmed so false positives cannot leak through. A null
+    // fingerprint (null text) probes to null — route it to the skip
+    // branch: the plain anti-join keeps it too (null keys never match),
+    // so both flavors stay bit-identical.
+    incomingDedup.where(maybe.isNull || !maybe)
+      .unionByName(incomingDedup.where(coalesce(maybe, lit(false)))
         .join(known, Seq("fingerprint"), "left_anti"))
   }
 
@@ -170,16 +173,17 @@ object TextOps {
     */
   def minHashSignature(text: Column, k: Int,
                        portable: Boolean = false): Column = {
-    val toks = array_distinct(tokens(text))
     if (portable) {
       // one digest per token; permutations via universal hashes
       // (a_i*h + b_i) mod (2^31-1) — see PortableSketches for the
       // engine-independent formulation
-      graft.functions.PortableSketches.minhash60(toks, k)
+      graft.functions.PortableSketches.minhash60(array_distinct(tokens(text)), k)
     } else {
-      array((0 until k).map { i =>
-        array_min(transform(toks, t => xxhash64(lit(i), t)))
-      }: _*)
+      // fused single-pass kernel — bit-parity to the declarative
+      // array((0..k).map(i => array_min(transform(toks, t =>
+      // xxhash64(lit(i), t))))) chain, spec-proven, zero token-array
+      // materialization
+      graft.functions.PortableSketches.minhashXx(text, k)
     }
   }
 
@@ -591,11 +595,14 @@ object TextOps {
     */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
-    import graft.functions.PortableHash.mdHash60
-    // positional (non-distinct) n-grams: pos is 0-based
+    // positional (non-distinct) n-grams: pos is 0-based. Fused
+    // tokenize→window→hash kernel — same values as
+    // posexplode(wordNgrams) → mdHash60 (spec-proven bit-parity)
+    // without materializing the n-gram strings.
     val positioned = df
-      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)))
-      .select(col(idCol), col("pos"), mdHash60(col("col")).as("span_hash"))
+      .select(col(idCol), posexplode(
+        graft.functions.PortableSketches.ngramHashesPos60(col(textCol), n)))
+      .select(col(idCol), col("pos"), col("col").as("span_hash"))
     // census derived from the SAME positional rows (one tokenize+hash
     // pass over the corpus, not two); distinct (doc, hash) first =
     // per-doc-distinct n-grams, identical to duplicatedNgramSpans
@@ -667,10 +674,12 @@ object TextOps {
         df.select(col(idCol),
           explode(graft.functions.PortableSketches.ngramHashes60(
             col(textCol), n)).as("span_hash"))
-      else
+      else // fused xxhash64 twin — same windows, hashed in place, no
+           // n-gram string materialization (spec-proven bit-parity to
+           // explode(array_distinct(wordNgrams)) → xxhash64)
         df.select(col(idCol),
-          explode(array_distinct(wordNgrams(col(textCol), n))).as("ng"))
-          .select(col(idCol), xxhash64(col("ng")).as("span_hash"))
+          explode(graft.functions.PortableSketches.ngramHashesXx(
+            col(textCol), n)).as("span_hash"))
     spans.groupBy("span_hash").agg(
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("first_doc"))

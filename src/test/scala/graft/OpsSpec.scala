@@ -192,6 +192,60 @@ class OpsSpec extends SparkTestBase {
     assert(k.exceptAll(d).isEmpty && d.exceptAll(k).isEmpty)
   }
 
+  test("ngramHashesXx kernel is bit-identical to the declarative xxhash chain") {
+    import graft.functions.PortableSketches
+    for (n <- Seq(2, 5, 8)) {
+      val kernel = docs.select($"doc_id",
+        PortableSketches.ngramHashesXx($"text", n).as("h"))
+      val declarative = docs.select($"doc_id",
+        transform(array_distinct(TextOps.wordNgrams($"text", n)),
+          g => xxhash64(g)).as("h"))
+      assert(kernel.exceptAll(declarative).isEmpty &&
+        declarative.exceptAll(kernel).isEmpty, s"n=$n mismatch")
+    }
+    val edge = Seq("one", "", "a a a a a", "x  y").toDF("text")
+    val k = edge.select(PortableSketches.ngramHashesXx($"text", 3).as("h"))
+    val d = edge.select(transform(
+      array_distinct(TextOps.wordNgrams($"text", 3)), g => xxhash64(g)).as("h"))
+    assert(k.exceptAll(d).isEmpty && d.exceptAll(k).isEmpty)
+  }
+
+  test("ngramHashesPos60 kernel is bit-identical to posexplode(wordNgrams)->md5") {
+    import graft.functions.{PortableHash, PortableSketches}
+    for (n <- Seq(2, 8)) {
+      val kernel = docs.select($"doc_id",
+        posexplode(PortableSketches.ngramHashesPos60($"text", n)))
+      val declarative = docs.select($"doc_id",
+        posexplode(TextOps.wordNgrams($"text", n)))
+        .select($"doc_id", $"pos", PortableHash.mdHash60($"col").as("col"))
+      assert(kernel.exceptAll(declarative).isEmpty &&
+        declarative.exceptAll(kernel).isEmpty, s"n=$n mismatch")
+    }
+  }
+
+  test("minhashXx kernel is bit-identical to the declarative xxhash chain") {
+    import graft.functions.PortableSketches
+    for (k <- Seq(4, 16)) {
+      val kernel = docs.select($"doc_id",
+        PortableSketches.minhashXx($"text", k).as("sig"))
+      val toks = array_distinct(TextOps.tokens($"text"))
+      val declarative = docs.select($"doc_id",
+        array((0 until k).map { i =>
+          array_min(transform(toks, t => xxhash64(lit(i), t)))
+        }: _*).as("sig"))
+      assert(kernel.exceptAll(declarative).isEmpty &&
+        declarative.exceptAll(kernel).isEmpty, s"k=$k mismatch")
+    }
+    // degenerate: empty string and multi-space still agree
+    val edge = Seq("", "  ", "a", "x  y").toDF("text")
+    val ke = edge.select(PortableSketches.minhashXx($"text", 4).as("sig"))
+    val de = edge.select(array((0 until 4).map { i =>
+      array_min(transform(array_distinct(TextOps.tokens($"text")),
+        t => xxhash64(lit(i), t)))
+    }: _*).as("sig"))
+    assert(ke.exceptAll(de).isEmpty && de.exceptAll(ke).isEmpty)
+  }
+
   test("dup-span census: fast and portable flavors agree modulo hash") {
     val portable = TextOps.duplicatedNgramSpans(docs, "doc_id", "text", 8)
       .select($"n_docs", $"first_doc").as[(Long, Long)].collect().sorted.toSeq
@@ -376,13 +430,35 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("bloom incremental dedup is bit-identical to the plain anti-join") {
+    // include null-text rows: a null fingerprint probes the bloom to
+    // null and must still survive, exactly like the plain anti-join
+    // (null keys never match) — regression for the silent row loss
+    val nulls = Seq((900001L, null: String), (900002L, null: String))
+      .toDF("doc_id", "text")
     val incoming = docs.where($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text").unionByName(nulls)
     val existing = docs.where($"doc_id" % 4 === 0)
     val plain = TextOps.incrementalExactDedup(incoming, existing, "doc_id", "text")
     val bloom = TextOps.incrementalExactDedupBloom(incoming, existing,
       "doc_id", "text", expectedItems = 10000L)
     assert(bloom.count() == plain.count())
     assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
+    // the null-fingerprint group is present, not dropped
+    assert(bloom.where($"fingerprint".isNull).count() == 1)
+  }
+
+  test("bloomMightContain rejects unsupported input types at analysis time") {
+    import graft.functions.BloomExpressions.bloomMightContain
+    val bf = docs.limit(10).select(md5($"text").as("fp"))
+      .stat.bloomFilter("fp", 100L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(bloomMightContain($"doc_id".cast("decimal(20,2)"), bc)).collect()
+    }
+    assert(err.getMessage.contains("bloom_might_contain"), err.getMessage)
+    // integral and binary inputs remain accepted
+    docs.limit(5).select(bloomMightContain($"doc_id", bc),
+      bloomMightContain($"text".cast("binary"), bc)).collect()
   }
 
   test("bloom probe: no false negatives over every inserted fingerprint") {
