@@ -57,13 +57,21 @@ object Bench {
       try q(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Per-query repetition: environment noise on a busy 32-core box
+    // swings single-shot timings by up to ~5× in either direction
+    // (BENCH_r03 vs r04, identical binaries), so each entry runs
+    // `iters` times and reports the MEDIAN (plus min) — regressions
+    // become attributable to code again.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Streaming: producer-side materialization, row→InternalRow
     // encoding (stageReplay enqueues every chunk up front) and
     // planner/codegen JIT all happen outside the timed consume loop
     // (reference bench times RECV only — see StreamBench scaladoc).
+    // A staged replay is consumed by its run (checkpointed state), so
+    // stage one independent replay per timed iteration.
     val replayRows = StreamBench.prepare(spark, sfDir)
     StreamBench.warmup(spark)
-    val b03Run = StreamBench.stageReplay(spark, replayRows)
+    val b03Runs = Seq.fill(iters)(StreamBench.stageReplay(spark, replayRows))
     // Bucketed-layout prep (untimed — layout is written once, amortized
     // over every co-located join in production): lineitem+orders
     // bucketed on orderkey → the q05 fact-fact join needs no exchange.
@@ -89,34 +97,47 @@ object Bench {
     bucketedMultiJoin() // codegen warmup, untimed
 
     val queries = SparkEntry.queries
+    // each entry carries one thunk per iteration (identical for batch
+    // queries; independent staged replays for the streaming scenario)
     val named = headline.filter(queries.contains).map { name =>
-      name -> (() => queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
+      val run = () => queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      name -> Seq.fill(iters)(run)
     }
     // t/bench-mirror scenarios (BASELINE.md): consume-only and
     // consume→transform→produce, on the streaming-shaped events table.
-    val scenarios = Seq[(String, () => Unit)](
-      "b01_consume_baseline" -> (() =>
-        Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()),
-      "b02_forward" -> (() => {
-        import org.apache.spark.sql.functions._
-        Tables.events(spark, sfDir)
-          .select(col("user_id").cast("string").as("key"),
-            to_json(struct(col("event_id"), col("event_type"), col("value"),
-              get_json_object(col("props"), "$.k").cast("long").as("k"))).as("value"))
-          .write.format("noop").mode("overwrite").save()
-      }),
-      "b03_stream_windowed" -> (() => b03Run()),
+    val b01 = () =>
+      Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val b02 = () => {
+      import org.apache.spark.sql.functions._
+      Tables.events(spark, sfDir)
+        .select(col("user_id").cast("string").as("key"),
+          to_json(struct(col("event_id"), col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))).as("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val scenarios = Seq[(String, Seq[() => Unit])](
+      "b01_consume_baseline" -> Seq.fill(iters)(b01),
+      "b02_forward" -> Seq.fill(iters)(b02),
+      "b03_stream_windowed" -> b03Runs,
       // q05's fact-fact join on bucketed layout: the co-location story
       // with a number attached (vs q05's shuffle-join time above)
-      "b04_bucketed_multi_join" -> (() => bucketedMultiJoin()))
-    val results = (named ++ scenarios).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      "b04_bucketed_multi_join" -> Seq.fill(iters)(() => bucketedMultiJoin()))
+    val results = (named ++ scenarios).map { case (name, runs) =>
+      val times = runs.map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -1.0
+      }.filter(_ >= 0).sorted
+      // median of the successful runs; -1 if every run failed
+      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      val mn = if (times.isEmpty) -1.0 else times.head
+      (name, median, mn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // BASELINE.md comparability: the reference reports sec per 10k
@@ -125,7 +146,8 @@ object Bench {
     val nEvents = replayRows.length
     val eventScenarios = Set("b01_consume_baseline", "b02_forward",
       "b03_stream_windowed")
-    val rates = results.filter(r => eventScenarios(r._1)).map { case (k, v) =>
+    // rates derive from the median (the reproducible central number)
+    val rates = results.filter(r => eventScenarios(r._1)).map { case (k, v, _) =>
       val rps = if (v > 0) nEvents / v else -1.0
       val per10k = if (v > 0) v / (nEvents / 10000.0) else -1.0
       (k, rps, per10k)
@@ -135,6 +157,7 @@ object Bench {
     val p10kJson = rates.map { case (k, _, p) => "\"" + k + "\":" + f"$p%.4f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"iters":$iters,""" +
       s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
       s""""n_events":$nEvents,"sf":"$sfDir"}""")
     spark.stop()

@@ -110,13 +110,25 @@ object Topic {
     *    when None the sink's partitioner routes by key hash, exactly
     *    like faust deferring to the producer's default partitioner
     *    (`topics.py:180-186`)
+    *  - `topic`: optional per-record topic override (faust's
+    *    derive-topic / forward-to-another-topic routing); the Kafka
+    *    sink reads a `topic` column when no fixed topic option is set
+    *
+    * Null semantics mirror the reference exactly (`send(key=None,
+    * value=None)` is legal, `topics.py:155-170`): a null key defers to
+    * the producer's default partitioner, and a null value is a
+    * TOMBSTONE — the deletion record log-compacted changelog topics
+    * rely on. `timestamp` is intentionally absent: the Kafka sink
+    * stamps records at append time (the reference's send timestamp is
+    * likewise advisory for the broker).
     *
     * Pure column work — no broker required; the wire path is
     * [[Topic.writeStream]] over this frame.
     */
   def produceFrame(df: DataFrame, key: Column, value: Column,
                    partition: Option[Column] = None,
-                   headers: Seq[(String, Column)] = Nil): DataFrame = {
+                   headers: Seq[(String, Column)] = Nil,
+                   topic: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = Seq(key.cast("binary").as("key"), value.cast("binary").as("value"))
     val hdr =
@@ -125,6 +137,7 @@ object Topic {
         struct(lit(k).as("key"), v.cast("binary").as("value"))
       }: _*).as("headers"))
     val part = partition.map(_.cast("int").as("partition")).toSeq
-    df.select(base ++ hdr ++ part: _*)
+    val top = topic.map(_.cast("string").as("topic")).toSeq
+    df.select(base ++ hdr ++ part ++ top: _*)
   }
 }

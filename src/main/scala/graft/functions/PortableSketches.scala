@@ -210,6 +210,30 @@ object PortableHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Positional (duplicates-kept) word-n-gram xxhash64 values — the
+    * engine-local twin of [[ngramHashesPos]]: one value per window in
+    * order, each equal to `xxhash64(<n-gram string>)` exactly (XXH64
+    * over the span bytes). The repetition-counting shape: grouping on
+    * these hashes ≡ grouping on the n-gram strings modulo a ~2^-64
+    * in-document collision.
+    */
+  def ngramHashesPosXx(text: UTF8String, n: Int): ArrayData = {
+    val arr = text.getBytes
+    val starts = tokenStarts(arr)
+    val nTok = starts.length - 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      val s = starts(w)
+      out(w) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+        starts(w + n) - 1 - s, 42L)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fast MinHash signature straight from raw text: per-permutation
     * minima of `xxhash64(i, token)` over the tokens. Bit-identical to
     * the declarative `array((0..k).map(i => array_min(transform(toks,
@@ -399,6 +423,24 @@ object PortableSketches {
       copy(child = c)
   }
 
+  /** Positional fused n-gram xxhash64 kernel — repetition counting. */
+  case class NgramHashPosXx(child: Expression, n: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = checkText(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.ngramHashesPosXx(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.PortableHashKernel.ngramHashesPosXx($c, $n)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Fused fast-MinHash kernel over raw text (xxhash64 flavor). */
   case class MinHashXx(child: Expression, k: Int) extends UnaryExpression {
 
@@ -431,6 +473,9 @@ object PortableSketches {
 
   def ngramHashesXx(text: Column, n: Int): Column =
     ColumnBridge.column(NgramHashXx(ColumnBridge.expression(text), n))
+
+  def ngramHashesPosXx(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashPosXx(ColumnBridge.expression(text), n))
 
   def minhashXx(text: Column, k: Int): Column =
     ColumnBridge.column(MinHashXx(ColumnBridge.expression(text), k))

@@ -125,13 +125,22 @@ object SampleOps {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
                     salt: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // `shard`/`pos` are the operator's OUTPUT contract (like `split`
+    // in hashSplit); refuse to silently clobber caller data under
+    // those names. The hash key is internal — give it a
+    // collision-proof temp name instead of `_h`.
+    Seq("shard", "pos").foreach { c =>
+      require(!df.columns.contains(c),
+        s"shuffleShards writes column '$c'; rename the existing one first")
+    }
+    val hc = "__graft_shuffle_h"
     val h = PortableHash.mdHash60(
       concat(lit(salt), lit("#"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
-    df.withColumn("_h", h)
-      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(hc), col(idCol))
+    df.withColumn(hc, h)
+      .withColumn("shard", pmod(col(hc), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w))
-      .drop("_h")
+      .drop(hc)
   }
 
   /** Shard-local sequence packing: assign documents to ~`budget`-token

@@ -170,6 +170,13 @@ object TextOps {
     * engine-local path. `portable = true` uses the 60-bit MD5 hash
     * ([[graft.functions.PortableHash]]), reproducible in any engine —
     * this flavor is what the DuckDB oracle verifies (d03).
+    *
+    * Null text yields a null signature in both flavors, and
+    * [[minHashPairs]] drops such docs from pair generation. (The
+    * pre-kernel declarative chain instead produced an array of k
+    * nulls for null text, which banded every null-text doc together
+    * as est_jaccard=1.0 "duplicates" — the kernel's null-out is the
+    * intended fix, matching the portable flavor.)
     */
   def minHashSignature(text: Column, k: Int,
                        portable: Boolean = false): Column = {
@@ -181,8 +188,9 @@ object TextOps {
     } else {
       // fused single-pass kernel — bit-parity to the declarative
       // array((0..k).map(i => array_min(transform(toks, t =>
-      // xxhash64(lit(i), t))))) chain, spec-proven, zero token-array
-      // materialization
+      // xxhash64(lit(i), t))))) chain for NON-NULL text (spec-proven),
+      // zero token-array materialization. On null text the chain and
+      // kernel intentionally diverge: see the scaladoc note above.
       graft.functions.PortableSketches.minhashXx(text, k)
     }
   }
@@ -241,6 +249,42 @@ object TextOps {
       .where(col("id_a") < col("id_b"))
       .withColumn("est_jaccard", lit(1.0))
     crossPairs.unionByName(intra)
+  }
+
+  /** Exact-duplicate pairs surfaced THROUGH the engine-local
+    * (xxhash64) LSH candidate pipeline and verified by token-set
+    * fingerprint — the recall proof for the fast MinHash flavor.
+    *
+    * Guarantee (deterministic, not probabilistic): two docs with the
+    * same distinct-token SET get the same MinHash signature under any
+    * hash function, land in the same signature group, and therefore
+    * always surface as an est=1.0 candidate. Filtering candidates to
+    * set-fingerprint equality then yields EXACTLY the pairs with equal
+    * token sets — an engine-independent result computed via the
+    * engine-local path, which is what makes the xx flavor
+    * oracle-checkable end-to-end (signature → banding → candidates →
+    * verification) even though xxhash64 itself is not portable.
+    *
+    * Scale: candidates are LSH-banded (never all-pairs); verification
+    * joins two 16-byte fingerprints per candidate pair — the standard
+    * candidate→verify LSH contract.
+    */
+  def minHashPairsExactVerified(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 16,
+                                bands: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " "))
+        .as("set_fp"))
+    // est = 1.0 ⇔ identical signatures (any position mismatch lowers
+    // the estimate below 1), so this selects exactly the
+    // identical-signature candidate groups
+    val cands = minHashPairs(df, idCol, textCol, numHashes, bands,
+      minEstimate = 1.0, portable = false)
+    cands
+      .join(fps.select(col("id").as("id_a"), col("set_fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("set_fp").as("fp_b")), "id_b")
+      .where(col("fp_a") === col("fp_b"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Incremental MinHash near-dup: candidate pairs between an
@@ -492,13 +536,19 @@ object TextOps {
     * boilerplate" quality gates (Rae et al. 2021, §A1.1, public paper).
     *
     * One explode + two doc-keyed aggregations; both shuffles carry
-    * (id, 8-byte hashable bigram) and partial-aggregate map-side, so
-    * the pipeline is shuffle-bounded by token count at 100 TB. Docs
+    * (id, 8-byte bigram hash) — the fused positional-xxhash kernel
+    * replaces the bigram STRING before anything is exploded or
+    * shuffled, so the heavy row stream is fixed-width longs and
+    * partial-aggregates map-side; the pipeline is shuffle-bounded by
+    * token count at 100 TB. Counting over 64-bit hashes ≡ counting
+    * over bigram strings modulo a ~2^-64 in-document collision. Docs
     * with fewer than two tokens have no bigrams and drop out (same
     * semantics as the SQL formulation).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("bigram"))
+    df.select(col(idCol), explode(
+        graft.functions.PortableSketches.ngramHashesPosXx(col(textCol), 2))
+        .as("bigram"))
       .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(
         max("c").as("top_bigram_count"),

@@ -213,10 +213,14 @@ object TextQueries {
 
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
-    //    hash per (perm, token) instead of an MD5 digest). Not
-    //    oracle-expressible (xxhash64 is Spark-internal) → rows-only;
-    //    d03 proves the pipeline's math, this entry benches the fast
-    //    kernel. Deterministic: same corpus → same pairs. ────────────
+    //    hash per (perm, token) instead of an MD5 digest). The pair
+    //    SET depends on the hash function, so no DuckDB oracle can
+    //    reproduce it; its correctness is triangulated instead:
+    //    d03 oracle-proves the identical pipeline portably, OpsSpec
+    //    proves the fused kernel bit-equal to the declarative xx
+    //    chain, and d16 oracle-proves the xx path's recall contract
+    //    (every equal-token-set pair surfaces). Deterministic: same
+    //    corpus → same pairs. ────────────────────────────────────────
     Q("d08_dedup_minhash_fast",
       (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, minEstimate = 0.7, portable = false)
@@ -821,13 +825,53 @@ object TextQueries {
         FROM t LEFT JOIN mask ON mask.doc_id = t.doc_id
         ORDER BY t.doc_id""")),
 
-    // ── d12's production flavor: xxhash64 span keys (engine-local →
-    //    rows-only check, like d08 vs d03) ──────────────────────────
+    // ── d12's production flavor: xxhash64 span keys. The span-hash
+    //    VALUES are engine-local, but the census itself — how many
+    //    docs share each span, and which doc saw it first — is
+    //    hash-invariant (grouping by xxhash64(ngram) ≡ grouping by
+    //    ngram, collision-free on the fixture). Projecting the hash
+    //    away leaves a fully oracle-checkable result, so the fast
+    //    kernel's whole pipeline is DuckDB-verified, not rows-only. ──
     Q("d13_dup_spans_fast",
       (s, dir) => TextOps.duplicatedNgramSpans(
         Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", n = 8, portable = false)
-        .orderBy("span_hash"),
-      None)
+        .select(col("n_docs"), col("first_doc"))
+        .orderBy("first_doc", "n_docs"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ngr AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS span_hash
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 6),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                || toks[i+6] || ' ' || toks[i+7]))) AS ng
+            FROM ts))
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS first_doc
+        FROM ngr GROUP BY span_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY first_doc, n_docs""")),
+
+    // ── recall proof for the xx MinHash flavor, with a real oracle:
+    //    equal token sets ⇒ equal signatures ⇒ always an est=1.0
+    //    candidate, so banded-candidates ∩ set-fingerprint-equality is
+    //    deterministically ALL equal-token-set pairs — which DuckDB
+    //    computes hash-free. d03 proves the pipeline's math portably;
+    //    this proves the engine-local path loses nothing it promises
+    //    to keep. ────────────────────────────────────────────────────
+    Q("d16_dedup_minhash_verified",
+      (s, dir) => TextOps.minHashPairsExactVerified(
+        Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH fp AS (
+          SELECT doc_id, md5(array_to_string(
+            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents WHERE text IS NOT NULL)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -103,6 +103,57 @@ class ConsistencySpec extends SparkTestBase {
     assert(minimal.schema.fieldNames.toSeq == Seq("key", "value"))
   }
 
+  test("produce frame edge cases: null key, tombstone, per-record topic") {
+    // faust send(key=None, value=None) is legal (topics.py:155-170):
+    // null key → default partitioner; null value → tombstone record
+    // (the deletion marker log-compacted changelog topics require).
+    val src = Tables.events(spark, sf).limit(100)
+    val frame = graft.api.Topic.produceFrame(src,
+      key = when($"user_id" % 2 === 0, $"user_id".cast("string")),
+      value = when($"event_type" =!= "purchase",
+        to_json(struct($"event_id", $"value"))))
+    val nullKeys = frame.where($"key".isNull).count()
+    val evenKeys = src.where($"user_id" % 2 =!= 0).count()
+    assert(nullKeys == evenKeys, "null keys must survive the binary cast")
+    val tombstones = frame.where($"value".isNull).count()
+    assert(tombstones == src.where($"event_type" === "purchase").count() &&
+      tombstones > 0, "null values (tombstones) must survive")
+
+    // per-record topic routing (faust derive_topic / forward): the
+    // sink's `topic` column, one value per record, string-typed
+    val routed = graft.api.Topic.produceFrame(src,
+      key = $"user_id".cast("string"),
+      value = to_json(struct($"event_id")),
+      topic = Some(concat(lit("events_"), $"event_type")))
+    assert(routed.schema.fieldNames.toSeq == Seq("key", "value", "topic"))
+    assert(routed.schema("topic").dataType.typeName == "string")
+    val topics = routed.select("topic").distinct().as[String].collect().toSet
+    val expect = src.select(concat(lit("events_"), $"event_type"))
+      .distinct().as[String].collect().toSet
+    assert(topics == expect)
+
+    // a null HEADER value is a legal Kafka record header; the struct
+    // keeps the key and nulls only the value
+    val hdrFrame = graft.api.Topic.produceFrame(src,
+      key = $"user_id".cast("string"),
+      value = to_json(struct($"event_id")),
+      headers = Seq("trace" -> when($"user_id" % 5 === 0, $"event_type")))
+    val hdr = hdrFrame.select(explode($"headers").as("h"))
+      .select($"h.key".as("hk"), $"h.value".as("hv"))
+    assert(hdr.where($"hk".isNull).count() == 0)
+    assert(hdr.where($"hv".isNull).count() ==
+      src.where($"user_id" % 5 =!= 0).count())
+
+    // already-binary payloads pass through byte-identical (the
+    // serializer step is the caller's when the codec isn't utf8/json)
+    val raw = graft.api.Topic.produceFrame(src,
+      key = $"user_id".cast("string"),
+      value = $"event_type".cast("binary"))
+    val back = raw.select($"value".cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(back == src.select("event_type").distinct().as[String].collect().toSet)
+  }
+
   test("kafka-frame pipeline: raw frame → model decode → agent transform → table") {
     // Simulate the Kafka source frame (§3.1 consume path) from events:
     // key/value binary + topic/partition/offset/timestamp metadata.

@@ -221,6 +221,33 @@ class OpsSpec extends SparkTestBase {
       assert(kernel.exceptAll(declarative).isEmpty &&
         declarative.exceptAll(kernel).isEmpty, s"n=$n mismatch")
     }
+    // null text explodes to zero rows on both paths (kernel nulls the
+    // array; wordNgrams propagates null; posexplode drops null arrays)
+    val nulled = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulled.select($"doc_id",
+      posexplode(PortableSketches.ngramHashesPos60($"text", 2))).isEmpty)
+    assert(nulled.select($"doc_id",
+      explode(PortableSketches.ngramHashesXx($"text", 2))).isEmpty)
+    assert(nulled.select($"doc_id",
+      posexplode(TextOps.wordNgrams($"text", 2))).isEmpty)
+  }
+
+  test("ngramHashesPosXx kernel matches the declarative positional xx chain") {
+    import graft.functions.PortableSketches
+    for (n <- Seq(2, 8)) {
+      val kernel = docs.select($"doc_id",
+        posexplode(PortableSketches.ngramHashesPosXx($"text", n)))
+      val declarative = docs.select($"doc_id",
+        posexplode(TextOps.wordNgrams($"text", n)))
+        .select($"doc_id", $"pos", xxhash64($"col").as("col"))
+      assert(kernel.exceptAll(declarative).isEmpty &&
+        declarative.exceptAll(kernel).isEmpty, s"n=$n mismatch")
+    }
+    // edges: short/empty/null text explode to zero rows
+    val edge = Seq((1L, Some("one")), (2L, Some("")), (3L, None))
+      .toDF("doc_id", "text")
+    assert(edge.select($"doc_id",
+      posexplode(PortableSketches.ngramHashesPosXx($"text", 2))).isEmpty)
   }
 
   test("minhashXx kernel is bit-identical to the declarative xxhash chain") {
@@ -244,6 +271,25 @@ class OpsSpec extends SparkTestBase {
         t => xxhash64(lit(i), t)))
     }: _*).as("sig"))
     assert(ke.exceptAll(de).isEmpty && de.exceptAll(ke).isEmpty)
+    // null text is the ONE intended divergence: the kernel nulls the
+    // whole signature (like the portable flavor), where the chain
+    // produced a non-null array of k nulls that banded all null-text
+    // docs together as fake est=1.0 duplicates
+    val nulled = Seq((1L, Some("a b")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    val sigs = nulled.select($"doc_id",
+      PortableSketches.minhashXx($"text", 4).as("sig"))
+    assert(sigs.where($"sig".isNull).select($"doc_id")
+      .as[Long].collect().toSet == Set(2L, 3L))
+    val chain = nulled.select(array((0 until 4).map { i =>
+      array_min(transform(array_distinct(TextOps.tokens($"text")),
+        t => xxhash64(lit(i), t)))
+    }: _*).as("sig")).where($"sig".isNull)
+    assert(chain.isEmpty, "declarative chain never nulls the signature")
+    // and the consumer drops them: null-text docs produce no pairs
+    val pairs = TextOps.minHashPairs(nulled, "doc_id", "text",
+      numHashes = 4, bands = 2, minEstimate = 0.0, portable = false)
+    assert(pairs.isEmpty, "null-text docs must not pair with each other")
   }
 
   test("dup-span census: fast and portable flavors agree modulo hash") {

@@ -141,4 +141,26 @@ class SampleOpsSpec extends SparkTestBase {
       .except(salted.select("shard", "pos", "event_id")).count() > 0)
     out.unpersist()
   }
+
+  test("shuffleShards: caller columns survive; output names are guarded") {
+    // a pre-existing `_h` (the old internal name) must pass through
+    // untouched — shard assignment keys off the id, not caller data
+    val withH = events.withColumn("_h", lit(42L))
+    val out = SampleOps.shuffleShards(withH, "event_id", nShards = 4)
+    assert(out.columns.contains("_h"))
+    assert(out.select("_h").distinct().as[Long].collect().toSeq == Seq(42L))
+    val clean = SampleOps.shuffleShards(events, "event_id", nShards = 4)
+    assert(out.select("shard", "pos", "event_id")
+      .except(clean.select("shard", "pos", "event_id")).isEmpty,
+      "caller _h column must not perturb the permutation")
+    // clobbering the output contract columns is an error, not silence
+    intercept[IllegalArgumentException] {
+      SampleOps.shuffleShards(events.withColumn("shard", lit(1)),
+        "event_id", nShards = 4)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.shuffleShards(events.withColumn("pos", lit(1)),
+        "event_id", nShards = 4)
+    }
+  }
 }
