@@ -41,6 +41,8 @@ object SampleOps {
                 weights: Seq[(String, Double)],
                 salt: String = ""): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    require(!df.columns.contains("split"),
+      "hashSplit writes column 'split'; rename the existing one first")
     val total = weights.map(_._2).sum
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
     val u = unitHash(col(idCol), salt)
@@ -58,11 +60,12 @@ object SampleOps {
     */
   def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                      n: Int, salt: String = ""): DataFrame = {
+    val rk = "__graft_sample_rk" // internal; collision-proof (cf. shuffleShards)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(unitHash(col(idCol), salt), col(idCol))
-    df.withColumn("_srk", row_number().over(w))
-      .where(col("_srk") <= n)
-      .drop("_srk")
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= n)
+      .drop(rk)
   }
 
   /** Training-mixture sampling: keep a per-group hash fraction so the
@@ -98,16 +101,18 @@ object SampleOps {
   def balancePerGroup(df: DataFrame, groupCol: String, idCol: String,
                       targetPerGroup: Option[Long] = None,
                       salt: String = ""): DataFrame = {
+    val rk = "__graft_balance_rk" // internals; collision-proof names
+    val mc = "__graft_balance_min"
     val w = Window.partitionBy(col(groupCol))
       .orderBy(unitHash(col(idCol), salt), col(idCol))
-    val ranked = df.withColumn("_brk", row_number().over(w))
+    val ranked = df.withColumn(rk, row_number().over(w))
     targetPerGroup match {
-      case Some(n) => ranked.where(col("_brk") <= n).drop("_brk")
+      case Some(n) => ranked.where(col(rk) <= n).drop(rk)
       case None =>
-        val m = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-          .agg(min(col("_n")).as("_m"))
+        val m = df.groupBy(col(groupCol)).agg(count(lit(1)).as(rk))
+          .agg(min(col(rk)).as(mc))
         ranked.crossJoin(broadcast(m))
-          .where(col("_brk") <= col("_m")).drop("_brk", "_m")
+          .where(col(rk) <= col(mc)).drop(rk, mc)
     }
   }
 
@@ -154,15 +159,23 @@ object SampleOps {
     */
   def packByBudget(df: DataFrame, groupCol: String, idCol: String,
                    tokenCol: Column, budget: Long): DataFrame = {
+    // `bin_id` is the output contract — refuse to clobber caller data.
+    // (`n_tokens` is also emitted but mirrors the caller's tokenCol,
+    // so a pre-existing `n_tokens` column is the NORMAL input shape —
+    // it is overwritten by its own value, never corrupted.)
+    require(!df.columns.contains("bin_id"),
+      "packByBudget writes column 'bin_id'; rename the existing one first")
+    val nc = "__graft_pack_n" // internals; collision-proof names
+    val cc = "__graft_pack_cum"
     // ROWS frame, not the default RANGE: with tied idCol values RANGE
     // sums the whole peer group into every row's cum, breaking the
     // one-document-overflow bound (and the SQL-oracle ROWS parity)
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_n", tokenCol.cast("long"))
-      .withColumn("_cum", sum(col("_n")).over(w))
-      .withColumn("bin_id", floor((col("_cum") - col("_n")) / budget).cast("long"))
-      .withColumn("n_tokens", col("_n"))
-      .drop("_n", "_cum")
+    df.withColumn(nc, tokenCol.cast("long"))
+      .withColumn(cc, sum(col(nc)).over(w))
+      .withColumn("bin_id", floor((col(cc) - col(nc)) / budget).cast("long"))
+      .withColumn("n_tokens", col(nc))
+      .drop(nc, cc)
   }
 }

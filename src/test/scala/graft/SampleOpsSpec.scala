@@ -163,4 +163,35 @@ class SampleOpsSpec extends SparkTestBase {
         "event_id", nShards = 4)
     }
   }
+
+  test("sibling ops: internal columns collision-proof, outputs guarded") {
+    // caller columns that used to be internal working names must pass
+    // through every op untouched
+    val tricky = events
+      .withColumn("_srk", lit(7)).withColumn("_brk", lit(8))
+      .withColumn("_n", lit(9L)).withColumn("_cum", lit(10L))
+    assert(SampleOps.samplePerGroup(tricky, "event_type", "event_id", 5)
+      .select("_srk").distinct().as[Int].collect().toSeq == Seq(7))
+    assert(SampleOps.balancePerGroup(tricky, "event_type", "event_id")
+      .select("_brk").distinct().as[Int].collect().toSeq == Seq(8))
+    val packed = SampleOps.packByBudget(tricky, "event_type", "event_id",
+      col("value") + 1, budget = 100L)
+    assert(packed.select("_n", "_cum").distinct()
+      .as[(Long, Long)].collect().toSeq == Seq((9L, 10L)))
+    // output-contract columns are guarded, not clobbered
+    intercept[IllegalArgumentException] {
+      SampleOps.hashSplit(events.withColumn("split", lit("x")),
+        "event_id", Seq("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.packByBudget(events.withColumn("bin_id", lit(1L)),
+        "event_type", "event_id", col("value"), 100L)
+    }
+    // a pre-existing n_tokens column is the NORMAL packing input — it
+    // must be accepted and re-emitted from tokenCol, not rejected
+    val withTok = events.withColumn("n_tokens", lit(3L))
+    val ok = SampleOps.packByBudget(withTok, "event_type", "event_id",
+      col("n_tokens"), budget = 10L)
+    assert(ok.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(3L))
+  }
 }
