@@ -43,6 +43,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=t09_pii_redact,d12_...
+    // times just those entries. Unset (driver runs) → everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+
     // Warmup: JVM/codegen/session init + file listing, outside timings.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
@@ -53,10 +59,11 @@ object Bench {
     // regime the reference's RECV loop reports after its producer/
     // consumer spin-up.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.filterKeys(headline.contains).values.foreach { q =>
-      try q(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    SparkEntry.queries
+      .filterKeys(n => headline.contains(n) && want(n)).values.foreach { q =>
+        try q(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     // Per-query repetition: environment noise on a busy 32-core box
     // swings single-shot timings by up to ~5× in either direction
     // (BENCH_r03 vs r04, identical binaries), so each entry runs
@@ -69,16 +76,26 @@ object Bench {
     // (reference bench times RECV only — see StreamBench scaladoc).
     // A staged replay is consumed by its run (checkpointed state), so
     // stage one independent replay per timed iteration.
-    val replayRows = StreamBench.prepare(spark, sfDir)
-    StreamBench.warmup(spark)
-    val b03Runs = Seq.fill(iters)(StreamBench.stageReplay(spark, replayRows))
+    val needStream = want("b03_stream_windowed")
+    val needEvents = needStream ||
+      want("b01_consume_baseline") || want("b02_forward")
+    val replayRows =
+      if (needEvents) StreamBench.prepare(spark, sfDir)
+      else Array.empty[(Long, String, Double)]
+    if (needStream) StreamBench.warmup(spark)
+    val b03Runs =
+      if (needStream) Seq.fill(iters)(StreamBench.stageReplay(spark, replayRows))
+      else Seq.empty[() => Unit]
     // Bucketed-layout prep (untimed — layout is written once, amortized
     // over every co-located join in production): lineitem+orders
     // bucketed on orderkey → the q05 fact-fact join needs no exchange.
-    graft.ops.Layout.writeBucketed(
-      Tables.lineitem(spark, sfDir), "bench_lineitem", "l_orderkey", 8)
-    graft.ops.Layout.writeBucketed(
-      Tables.orders(spark, sfDir), "bench_orders", "o_orderkey", 8)
+    val needBucketed = want("b04_bucketed_multi_join")
+    if (needBucketed) {
+      graft.ops.Layout.writeBucketed(
+        Tables.lineitem(spark, sfDir), "bench_lineitem", "l_orderkey", 8)
+      graft.ops.Layout.writeBucketed(
+        Tables.orders(spark, sfDir), "bench_orders", "o_orderkey", 8)
+    }
     def bucketedMultiJoin(): Unit = {
       import org.apache.spark.sql.functions._
       val revenueTerm = (col("l_extendedprice").cast("decimal(18,2)") *
@@ -94,12 +111,12 @@ object Bench {
           countDistinct(col("o_orderkey")).as("n_orders"))
         .write.format("noop").mode("overwrite").save()
     }
-    bucketedMultiJoin() // codegen warmup, untimed
+    if (needBucketed) bucketedMultiJoin() // codegen warmup, untimed
 
     val queries = SparkEntry.queries
     // each entry carries one thunk per iteration (identical for batch
     // queries; independent staged replays for the streaming scenario)
-    val named = headline.filter(queries.contains).map { name =>
+    val named = headline.filter(n => queries.contains(n) && want(n)).map { name =>
       val run = () => queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       name -> Seq.fill(iters)(run)
@@ -123,6 +140,7 @@ object Bench {
       // q05's fact-fact join on bucketed layout: the co-location story
       // with a number attached (vs q05's shuffle-join time above)
       "b04_bucketed_multi_join" -> Seq.fill(iters)(() => bucketedMultiJoin()))
+      .filter { case (name, _) => want(name) }
     val results = (named ++ scenarios).map { case (name, runs) =>
       val times = runs.map { fn =>
         val t0 = System.nanoTime()

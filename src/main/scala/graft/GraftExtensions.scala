@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerFunction(spark, "simhash64", args => SimHash64(args.head))
     registerFunction(spark, "minhash_agreement",
       args => LongArrayEqCount(args(0), args(1)))
+    registerFunction(spark, "pii_scan",
+      args => graft.functions.PiiExpressions.PiiScan(args.head))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,5 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_agreement"),
       new ExpressionInfo(classOf[LongArrayEqCount].getName, "minhash_agreement"),
       (args: Seq[Expression]) => LongArrayEqCount(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(
+        classOf[graft.functions.PiiExpressions.PiiScan].getName, "pii_scan"),
+      (args: Seq[Expression]) => graft.functions.PiiExpressions.PiiScan(args.head)))
   }
 }

@@ -1,0 +1,198 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-materialization PII scan.
+  *
+  * The portable formulation ([[graft.ops.TextOps.piiCounts]] +
+  * [[graft.ops.TextOps.redactPii]]) is the oracle twin: it makes ~9
+  * full passes per document (three `regexp_replace` rebuilds for the
+  * redaction, plus two more rebuilds and three `regexp_count` scans
+  * for the sequential counts). This expression computes the identical
+  * four outputs — `n_emails`, `n_phones`, `n_ips`, `redacted` — in
+  * three match passes over the ORIGINAL string and one output rebuild,
+  * with no intermediate strings.
+  *
+  * Semantics note (why this is NOT a naive `email|phone|ip`
+  * alternation scan): the sequential pipeline counts phones on the
+  * email-redacted text and IPs on the phone-redacted text. A combined
+  * alternation diverges — e.g. `"1.2.3.123-456-7890"`: sequentially
+  * the phone `123-456-7890` is found and masked first, leaving
+  * `"1.2.3.<PHONE>"` with NO IPv4 match (1 phone, 0 IPs); a
+  * left-to-right alternation instead matches the IPv4 `1.2.3.123` at
+  * position 0 and never sees the phone (0 phones, 1 IP). The correct
+  * fused algorithm exploits two facts provable from the character
+  * classes:
+  *
+  *  1. An email match that overlaps any phone/IP candidate FULLY
+  *     CONTAINS it (phone/IP alphabets ⊆ the email local-part class,
+  *     and '@' is in neither, so the email's greedy local part extends
+  *     left past any overlapping candidate and its domain past the
+  *     end). Hence phone matches on the email-redacted text ==
+  *     region-bounded phone matches inside the gaps between email
+  *     intervals of the original.
+  *  2. The replacement tokens `<EMAIL>`/`<PHONE>` contain no digit,
+  *     dot or hyphen, so no phone/IP match can span a token — gaps
+  *     match independently, exactly what `Matcher.region` gives.
+  *
+  * So: pass 1 emails over the whole string; pass 2 phones region-per-
+  * gap; pass 3 IPv4s region-per-gap of the merged email+phone
+  * intervals; one StringBuilder rebuild. Bit-parity with the portable
+  * chain is property-tested in PiiSpec (adversarial overlaps included)
+  * and t09 stays hash-EXACT against the unchanged DuckDB oracle.
+  *
+  * Reference behavior: faust has no PII ops; this is a target addition
+  * for LLM-corpus pipelines (mask-and-count, CCNet/Dolma-style).
+  */
+object PiiExpressions {
+
+  /** RE2-compatible sources (no backreferences, no \b) — same strings
+    * run verbatim in Java regex and DuckDB/RE2. Authoritative copies;
+    * [[graft.ops.TextOps]] re-exports them.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  val EmailToken = "<EMAIL>"
+  val PhoneToken = "<PHONE>"
+  val IpToken = "<IP>"
+
+  private val emailP = Pattern.compile(EmailRe)
+  private val phoneP = Pattern.compile(PhoneRe)
+  private val ipP = Pattern.compile(Ipv4Re)
+
+  /** Evaluation counter for the CSE spec: proves the struct-field
+    * projection evaluates the scan once per row, not once per field.
+    * A LongAdder add per document is noise next to the regex work.
+    */
+  val scanCalls = new java.util.concurrent.atomic.LongAdder
+
+  private val outSchema = StructType(Seq(
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+
+  /** One interval list per kind; starts/ends parallel arrays. */
+  private final class Intervals {
+    val starts = new ArrayBuffer[Int](8)
+    val ends = new ArrayBuffer[Int](8)
+    def add(s: Int, e: Int): Unit = { starts += s; ends += e }
+    def size: Int = starts.length
+  }
+
+  /** Find matches of `p` inside each [gapStart, gapEnd) region of `s`,
+    * where gaps are the complement of `blocked` (sorted, disjoint).
+    */
+  private def findInGaps(s: String, p: Pattern,
+                         blockedStarts: Array[Int], blockedEnds: Array[Int],
+                         out: Intervals): Unit = {
+    val m = p.matcher(s)
+    var gapStart = 0
+    var i = 0
+    while (i <= blockedStarts.length) {
+      val gapEnd = if (i < blockedStarts.length) blockedStarts(i) else s.length
+      if (gapEnd > gapStart) {
+        m.region(gapStart, gapEnd)
+        while (m.find()) out.add(m.start(), m.end())
+      }
+      if (i < blockedStarts.length) gapStart = blockedEnds(i)
+      i += 1
+    }
+  }
+
+  /** The fused kernel. Returns (n_emails, n_phones, n_ips, redacted). */
+  def scan(text: UTF8String): InternalRow = {
+    scanCalls.add(1L)
+    val s = text.toString
+
+    val emails = new Intervals
+    val em = emailP.matcher(s)
+    while (em.find()) emails.add(em.start(), em.end())
+
+    val eStarts = emails.starts.toArray
+    val eEnds = emails.ends.toArray
+
+    val phones = new Intervals
+    findInGaps(s, phoneP, eStarts, eEnds, phones)
+
+    // merged (email ∪ phone) intervals, sorted by start, for the IP gaps
+    val nE = emails.size; val nP = phones.size
+    val mergedStarts = new Array[Int](nE + nP)
+    val mergedEnds = new Array[Int](nE + nP)
+    val mergedKind = new Array[Byte](nE + nP)
+    var ie = 0; var ip = 0; var k = 0
+    while (ie < nE || ip < nP) {
+      val takeEmail = ip >= nP || (ie < nE && eStarts(ie) < phones.starts(ip))
+      if (takeEmail) {
+        mergedStarts(k) = eStarts(ie); mergedEnds(k) = eEnds(ie); mergedKind(k) = 0
+        ie += 1
+      } else {
+        mergedStarts(k) = phones.starts(ip); mergedEnds(k) = phones.ends(ip); mergedKind(k) = 1
+        ip += 1
+      }
+      k += 1
+    }
+
+    val ips = new Intervals
+    findInGaps(s, ipP, mergedStarts, mergedEnds, ips)
+
+    // one rebuild: splice tokens over all intervals in start order.
+    // IP intervals interleave into the merged (email|phone) sequence;
+    // all three kinds are mutually disjoint by construction.
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    var mi = 0; var ii = 0
+    while (mi < k || ii < ips.size) {
+      val takeMerged = ii >= ips.size || (mi < k && mergedStarts(mi) < ips.starts(ii))
+      val (st, en, tok) =
+        if (takeMerged) {
+          val t = if (mergedKind(mi) == 0) EmailToken else PhoneToken
+          val r = (mergedStarts(mi), mergedEnds(mi), t); mi += 1; r
+        } else {
+          val r = (ips.starts(ii), ips.ends(ii), IpToken); ii += 1; r
+        }
+      sb.append(s, last, st).append(tok)
+      last = en
+    }
+    sb.append(s, last, s.length)
+
+    new GenericInternalRow(Array[Any](
+      nE, nP, ips.size, UTF8String.fromString(sb.toString)))
+  }
+
+  /** `pii_scan(text)` → struct(n_emails, n_phones, n_ips, redacted).
+    * Null text → null struct (matching the regexp_* chain, where null
+    * propagates through every step).
+    */
+  case class PiiScan(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = outSchema
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pii_scan requires a string column, got ${other.catalogString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      scan(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.PiiExpressions$$.MODULE$$.scan($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}

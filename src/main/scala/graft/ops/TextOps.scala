@@ -565,10 +565,12 @@ object TextOps {
 
   /** PII patterns kept RE2-compatible (no backreferences, no \b) so the
     * same source strings run verbatim in Java regex and DuckDB/RE2.
+    * Authoritative copies live in [[graft.functions.PiiExpressions]]
+    * next to the fused kernel; re-exported here for the portable twin.
     */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val EmailRe: String = graft.functions.PiiExpressions.EmailRe
+  val PhoneRe: String = graft.functions.PiiExpressions.PhoneRe
+  val Ipv4Re: String = graft.functions.PiiExpressions.Ipv4Re
 
   /** Per-pattern PII match counts (emails, phones, IPv4s). Counts are
     * taken SEQUENTIALLY on the progressively-redacted text — the same
@@ -597,6 +599,19 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Fused production flavor: counts + redaction in one kernel — three
+    * match passes over the original text and one rebuild, vs ~9 full
+    * regex passes for the [[piiCounts]]+[[redactPii]] chain. Returns a
+    * struct `(n_emails, n_phones, n_ips, redacted)`; bit-identical to
+    * the portable chain (see [[graft.functions.PiiExpressions]] for
+    * the equivalence argument and PiiSpec for the adversarial
+    * property proof).
+    */
+  def piiScan(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PiiExpressions.PiiScan(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** Train/eval decontamination: for each training document, count its
     * distinct word n-grams that also appear anywhere in the eval set

@@ -646,10 +646,15 @@ object TextQueries {
             when(col("doc_id") % 5 === 0,
               concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
               .otherwise(lit(""))))
-        val counts = TextOps.piiCounts(col("seeded"))
-          .map { case (n, c) => c.cast("long").as(n) }
-        seeded.select(col("doc_id") +: counts :+
-          TextOps.redactPii(col("seeded")).as("redacted"): _*)
+        // fused kernel: one PiiScan struct, fields projected out. CSE
+        // evaluates the scan once per row (asserted in PiiSpec); the
+        // portable piiCounts/redactPii chain is the bit-parity twin.
+        val pii = TextOps.piiScan(col("seeded"))
+        seeded.select(col("doc_id"),
+          pii.getField("n_emails").cast("long").as("n_emails"),
+          pii.getField("n_phones").cast("long").as("n_phones"),
+          pii.getField("n_ips").cast("long").as("n_ips"),
+          pii.getField("redacted").as("redacted"))
           .orderBy("doc_id")
       },
       Some("""WITH seeded AS (
