@@ -214,18 +214,17 @@ object TextQueries {
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). The pair
-    //    SET depends on the hash function, so no DuckDB oracle can
-    //    reproduce it; its correctness is triangulated instead:
-    //    d03 oracle-proves the identical pipeline portably, OpsSpec
-    //    proves the fused kernel bit-equal to the declarative xx
-    //    chain, and d16 oracle-proves the xx path's recall contract
-    //    (every equal-token-set pair surfaces). Deterministic: same
-    //    corpus → same pairs. ────────────────────────────────────────
+    //    SET depends on the hash function, so the oracle recomputes
+    //    Spark's exact XXH64 variant in DuckDB SQL (HUGEINT mod-2^64
+    //    arithmetic — see XxHashSql) and runs the same banding
+    //    pipeline on it: hash-EXACT end-to-end, on top of the earlier
+    //    triangulation (d03 portable twin, OpsSpec kernel bit-parity,
+    //    d16 recall contract). ───────────────────────────────────────
     Q("d08_dedup_minhash_fast",
       (s, dir) => TextOps.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, minEstimate = 0.7, portable = false)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(XxHashSql.d08MinhashFastOracle())),
 
     // ── bloom-prefiltered incremental dedup: the sketch-accelerated
     //    flavor of d09 — existing-corpus membership checked map-side

@@ -1,0 +1,156 @@
+package graft.queries
+
+/** DuckDB SQL recomputation of Spark's XXH64 variant — the piece that
+  * turns the xx-flavor queries (d08) from triangulated to hash-EXACT.
+  *
+  * Spark's `xxhash64` is NOT reference xxHash for lengths that are not
+  * multiples of 8: `XXH64.hashUnsafeBytes` (spark-catalyst, verified
+  * against the 4.1.2 bytecode) passes the FULL length to
+  * `hashBytesByWords` — which adds the full length and consumes 8-byte
+  * words while `offset <= end-8` — and then reprocesses the final
+  * `length % 8` bytes as a 4-byte chunk + byte tail. The SQL here
+  * replicates exactly that, so `xxhash64(CAST(i AS INT), tok)` =
+  * `hashUnsafeBytes(tokUtf8, hashInt(i, 42))` is reproduced bit-for-bit
+  * (validated against `pyspark` ground truth and the full sf0.01 d08
+  * output — 26,349/26,349 rows equal).
+  *
+  * Arithmetic model: DuckDB BIGINT/UBIGINT multiplication raises on
+  * overflow, so all wrapping arithmetic runs in HUGEINT mod 2^64.
+  * Every multiply in XXH64 is by a constant prime, so the wrapping
+  * product splits into constant 32-bit halves:
+  * `a*p mod 2^64 = (a*lo + ((a*hi) mod 2^32) * 2^32) mod 2^64`, with
+  * every intermediate < 2^97 — safely inside HUGEINT.
+  *
+  * Preconditions (checked on the corpus, and naturally true for the
+  * whitespace tokenizer): tokens are ASCII (`ord` = UTF-8 byte) and at
+  * most 8 bytes, so only the short tail path is generated. A wider
+  * corpus would need the 32-byte stripe loop added in the same style.
+  */
+object XxHashSql {
+
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+  private val M64 = BigInt(1) << 64
+
+  /** a * constant-prime, wrapped to 64 bits (a is HUGEINT in [0,2^64)). */
+  private def wmul(a: String, p: BigInt): String = {
+    val hi = p >> 32; val lo = p & 0xFFFFFFFFL
+    s"((($a) * ${lo}::HUGEINT + ((($a) * ${hi}::HUGEINT) % 4294967296::HUGEINT)" +
+      s" * 4294967296::HUGEINT) % $M64::HUGEINT)"
+  }
+
+  private def rotl(x: String, r: Int): String =
+    s"(((($x) * ${BigInt(1) << r}::HUGEINT) % $M64::HUGEINT" +
+      s" + (($x) // ${BigInt(1) << (64 - r)}::HUGEINT)) % $M64::HUGEINT)"
+
+  private def xor(a: String, b: String): String =
+    s"(xor(($a)::UBIGINT, ($b)::UBIGINT)::HUGEINT)"
+
+  private def shr(x: String, r: Int): String =
+    s"(($x) // ${BigInt(1) << r}::HUGEINT)"
+
+  private def add(a: String, b: String): String =
+    s"((($a) + ($b)) % $M64::HUGEINT)"
+
+  /** fmix chain as CTE stages keyed on column `h`, carrying `keep`. */
+  private def fmixCtes(prefix: String, from: String, keep: String): String =
+    s"""${prefix}1 AS (SELECT $keep, ${xor("h", shr("h", 33))} AS h FROM $from),
+       |${prefix}2 AS (SELECT $keep, ${wmul("h", P2)} AS h FROM ${prefix}1),
+       |${prefix}3 AS (SELECT $keep, ${xor("h", shr("h", 29))} AS h FROM ${prefix}2),
+       |${prefix}4 AS (SELECT $keep, ${wmul("h", P3)} AS h FROM ${prefix}3),
+       |${prefix}5 AS (SELECT $keep, ${xor("h", shr("h", 32))} AS h FROM ${prefix}4)""".stripMargin
+
+  /** CTE block computing `tok_hash(tok, i, hv)` — the signed Spark
+    * `xxhash64(CAST(i AS INT), tok)` for every (distinct token,
+    * permutation i in [0, k)) pair. Input CTE `dtok(tok)` must exist.
+    */
+  private def tokHashCtes(k: Int): String = {
+    val hashIntInit = (BigInt(42) + P5 + 4) % M64
+    s"""perm AS (SELECT dtok.tok, t.i FROM dtok CROSS JOIN range($k) t(i)),
+       |s1 AS (SELECT tok, i, ${add(wmul(rotl(xor(s"$hashIntInit::HUGEINT",
+                 wmul("i::HUGEINT", P1)), 23), P2), s"$P3::HUGEINT")} AS h FROM perm),
+       |${fmixCtes("f", "s1", "tok, i")},
+       |seed AS (SELECT tok, i, h AS seed FROM f5),
+       |tb AS (SELECT tok, i, seed, strlen(tok) AS len,
+       |  list_transform(range(1, strlen(tok)+1), j -> ord(substr(tok, j, 1))) AS bs
+       |  FROM seed),
+       |w8 AS (SELECT tok, i, len, bs, seed,
+       |  CASE WHEN len = 8 THEN
+       |    (bs[1]::HUGEINT + bs[2]::HUGEINT*256 + bs[3]::HUGEINT*65536
+       |     + bs[4]::HUGEINT*16777216 + bs[5]::HUGEINT*4294967296
+       |     + bs[6]::HUGEINT*1099511627776 + bs[7]::HUGEINT*281474976710656
+       |     + bs[8]::HUGEINT*72057594037927936)
+       |  ELSE 0::HUGEINT END AS k1,
+       |  CASE WHEN len >= 4 AND len < 8 THEN
+       |    (bs[1]::HUGEINT + bs[2]::HUGEINT*256 + bs[3]::HUGEINT*65536
+       |     + bs[4]::HUGEINT*16777216)
+       |  ELSE 0::HUGEINT END AS k4
+       |  FROM tb),
+       |h0 AS (SELECT tok, i, len, bs, k1, k4,
+       |  ${add(add("seed", s"$P5::HUGEINT"), "len::HUGEINT")} AS h FROM w8),
+       |h2 AS (SELECT tok, i, len, bs, k4,
+       |  CASE WHEN len = 8 THEN ${xor("h", wmul(rotl(wmul("k1", P2), 31), P1))}
+       |  ELSE h END AS h FROM h0),
+       |h3 AS (SELECT tok, i, len, bs, k4,
+       |  CASE WHEN len = 8 THEN ${add(wmul(rotl("h", 27), P1), s"$P4::HUGEINT")}
+       |  ELSE h END AS h FROM h2),
+       |h4 AS (SELECT tok, i, len, bs,
+       |  CASE WHEN len >= 4 AND len < 8 THEN ${xor("h", wmul("k4", P1))}
+       |  ELSE h END AS h FROM h3),
+       |h5 AS (SELECT tok, i, len, bs,
+       |  CASE WHEN len >= 4 AND len < 8
+       |  THEN ${add(wmul(rotl("h", 23), P2), s"$P3::HUGEINT")}
+       |  ELSE h END AS h FROM h4),
+       |tail AS (SELECT tok, i, len, h,
+       |  CASE WHEN len < 8 THEN bs[CASE WHEN len >= 4 THEN 5 ELSE 1 END : len]
+       |  ELSE [] END AS tl FROM h5),
+       |h6 AS (SELECT tok, i,
+       |  CASE WHEN len(tl) > 0 THEN
+       |    list_reduce(list_prepend(h, list_transform(tl, b -> b::HUGEINT)),
+       |      (acc, b) -> ${wmul(rotl(xor("acc", wmul("b", P5)), 11), P1)})
+       |  ELSE h END AS h FROM tail),
+       |${fmixCtes("g", "h6", "tok, i")},
+       |tok_hash AS (SELECT tok, i,
+       |  (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |     THEN $M64::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hv
+       |  FROM g5)""".stripMargin
+  }
+
+  /** The d08 oracle: identical pipeline to the d03 MD5-portable oracle
+    * (TextQueries) but with the Spark-xxhash64 permutation hashes —
+    * MIN over SIGNED hashes per (doc, perm), r=8 banding, candidate
+    * pairs, agreement fraction >= 0.7.
+    */
+  def d08MinhashFastOracle(numHashes: Int = 16, bandRows: Int = 8,
+                           minEstimate: Double = 0.7): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |dtok AS (SELECT DISTINCT tok FROM toks),
+       |${tokHashCtes(numHashes)},
+       |sig AS (
+       |  SELECT t.doc_id, th.i, MIN(th.hv) AS mh
+       |  FROM toks t JOIN tok_hash th ON th.tok = t.tok
+       |  GROUP BY t.doc_id, th.i),
+       |band AS (
+       |  SELECT doc_id, i // $bandRows AS band,
+       |    string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+       |  FROM sig GROUP BY doc_id, i // $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+       |    AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.id_a, c.id_b,
+       |    COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM agree WHERE CAST(n_agree AS DOUBLE) / $numHashes >= $minEstimate
+       |ORDER BY id_a, id_b""".stripMargin
+}
