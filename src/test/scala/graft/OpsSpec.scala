@@ -475,6 +475,33 @@ class OpsSpec extends SparkTestBase {
     assert(m.nBytes > 0 && m.width >= 64 && m.durationMs == m.nBytes.toLong * 10)
   }
 
+  test("multimodal decode: ImageIoDecoder reads real PNG/JPEG headers") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xCAFE)
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"no $fmt writer in this JDK")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes(320, 200, "png")),
+      (2L, imageBytes(64, 48, "jpg")),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+    val blobs = rows.toDF("id", "blob").repartition(2)
+    val meta = MultimodalOps
+      .decodeMeta(blobs, "id", "blob", MultimodalOps.ImageIoDecoder)
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(1L).format == "png" &&
+      meta(1L).width == 320 && meta(1L).height == 200)
+    assert(meta(2L).format.startsWith("jp") &&
+      meta(2L).width == 64 && meta(2L).height == 48)
+    // non-image bytes fall back to the deterministic fake (total fn)
+    assert(meta(3L) == MultimodalOps.FakeDecoder.decode(3L, rows(2)._2))
+  }
+
   test("bloom incremental dedup is bit-identical to the plain anti-join") {
     // include null-text rows: a null fingerprint probes the bloom to
     // null and must still survive, exactly like the plain anti-join

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** 10× scale-stress: synthesize a corpus ~10× the base documents table
+  * (salted unions, runtime-generated, never checked in) and run the
+  * heaviest headline queries at 1× and 10×, asserting
+  *
+  *  1. ≲linear runtime growth — the ratio separates linear (≈10×,
+  *     noise-padded bound 25×) from accidental quadratic (≈100×)
+  *     blowups the sf0.1 bench can't see, and
+  *  2. unchanged physical plan shape — same operator sequence at both
+  *     scales (a plan that restructures with data size is a scale
+  *     hazard at 100 TB).
+  *
+  * Each 10× copy suffixes EVERY token with the copy digit, making the
+  * copies' token sets pairwise disjoint: the pair-generating queries
+  * (d03) keep ~linear OUTPUT. A weaker perturbation (one appended
+  * token) is not enough — one extra token moves each minhash position
+  * with p≈1/|set|, so cross-copy band collisions would still inflate
+  * the candidate volume ~100× — a property of the corpus, not of the
+  * plan under test.
+  *
+  * Base defaults to sf0.01 (CI-fast, ~1 min). Set
+  * SPARK_GRAFT_STRESS_BASE=/root/testdata/sf0.1 for the full
+  * 10×-sf0.1 run recorded in SCALE.md.
+  */
+class ScaleStressSpec extends SparkTestBase {
+
+  private val baseDir =
+    sys.env.getOrElse("SPARK_GRAFT_STRESS_BASE", "/root/testdata/sf0.01")
+  private val copies = 10
+
+  private lazy val base: DataFrame =
+    Tables.documents(spark, baseDir).select("doc_id", "text").cache()
+
+  private lazy val big: DataFrame = {
+    val n = base.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until copies).map { i =>
+      base.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1$i").as("text"))
+    }.reduce(_ union _).cache()
+  }
+
+  /** (name, query) over a (doc_id, text) frame — mirrors the heaviest
+    * headline entries (d12, t09, t10, d03, d14 per BENCH_r06).
+    */
+  private val heavy: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "d12_dup_spans" -> (df =>
+      TextOps.duplicatedNgramSpans(df, "doc_id", "text", n = 8)),
+    "t09_pii_redact" -> { df =>
+      val pii = TextOps.piiScan(col("text"))
+      df.select(col("doc_id"),
+        pii.getField("n_emails").as("n_emails"),
+        pii.getField("n_phones").as("n_phones"),
+        pii.getField("n_ips").as("n_ips"),
+        pii.getField("redacted").as("redacted"))
+    },
+    "t10_chunking" -> (df =>
+      TextOps.chunkTokens(df, "doc_id", "text", chunkSize = 30, overlap = 5)),
+    "d03_dedup_minhash" -> (df =>
+      TextOps.minHashPairs(df, "doc_id", "text",
+        numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)),
+    "d14_span_scrub" -> (df =>
+      TextOps.scrubDuplicatedSpans(df, "doc_id", "text", n = 8)))
+
+  private def planShape(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect { case p => p.nodeName }
+
+  private def timeNoop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  heavy.foreach { case (name, q) =>
+    test(s"$name: 10x data => ~linear runtime, unchanged plan shape") {
+      // materialize both cached inputs so synthesis cost stays untimed,
+      // and warm the plan shape once (codegen + file listing)
+      base.count(); big.count()
+      timeNoop(q(base))
+      val t1 = timeNoop(q(base))
+      val t10 = timeNoop(q(big))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
+      // linear-with-overhead lands well under 25x; quadratic ~100x
+      assert(ratio < 25.0,
+        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assert(planShape(q(base)) == planShape(q(big)),
+        s"$name plan shape changed with data size")
+    }
+  }
+
+  test("10x corpus is really ~10x") {
+    assert(big.count() == base.count() * copies)
+  }
+}
