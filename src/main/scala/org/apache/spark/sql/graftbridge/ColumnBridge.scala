@@ -35,6 +35,15 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** `SparkSession.cloneSession()` is `private[sql]` in Spark 4 —
+    * clone shares the SparkContext and inherits the current conf, the
+    * right isolation for per-scenario conf overrides (mutating the
+    * shared session's conf would leak into later queries).
+    */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register a function builder on a live session (the runtime
     * counterpart of SparkSessionExtensions.injectFunction, which only
     * applies at session build).
