@@ -430,6 +430,17 @@ object CoreQueries {
         TRUE AS within_15pct
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── PORTABLE HyperLogLog (SketchOps): the approx-distinct family's
+    //    hash-EXACT member. q25 (native HLL++) stays rows-only by
+    //    design; this flavor is our own textbook HLL over xxhash64 —
+    //    exact integer register sum + same-order IEEE ops — so the
+    //    DuckDB oracle recomputes the ESTIMATE bit-for-bit via the
+    //    XxHashSql machinery (same portable-twin pattern as d03/d08).
+    Q("q53_approx_distinct_portable",
+      (s, dir) => graft.ops.SketchOps.hyperLogLog(
+        Tables.orders(s, dir), "o_orderkey", p = 8),
+      Some(XxHashSql.hllPortableOracle("orders", "o_orderkey", p = 8))),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

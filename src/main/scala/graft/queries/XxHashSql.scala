@@ -119,6 +119,45 @@ object XxHashSql {
        |  FROM g5)""".stripMargin
   }
 
+  /** CTE block hashing a non-negative BIGINT column with Spark's
+    * `xxhash64(k)` = `XXH64.hashLong(k, 42)`. Input CTE `keys(k)`
+    * (k already HUGEINT); output CTE `key_hash(h)` in [0, 2^64).
+    */
+  private def hashLongCtes: String = {
+    val init = (BigInt(42) + P5 + 8) % M64
+    s"""l1 AS (SELECT ${xor(s"$init::HUGEINT",
+            wmul(rotl(wmul("k", P2), 31), P1))} AS h FROM keys),
+       |l2 AS (SELECT ${add(wmul(rotl("h", 27), P1), s"$P4::HUGEINT")} AS h FROM l1),
+       |${fmixCtes("lf", "l2", "1 AS one")},
+       |key_hash AS (SELECT h FROM lf5)""".stripMargin
+  }
+
+  /** Oracle for [[graft.ops.SketchOps.hyperLogLog]]: recomputes the
+    * portable-HLL estimate bit-for-bit — same hash, same exact scaled
+    * register sum (HUGEINT, order-free), same IEEE ops in the same
+    * textual order, raw-range estimator only (no libm calls).
+    */
+  def hllPortableOracle(table: String, keyCol: String, p: Int = 8): String = {
+    val m = 1 << p
+    val w = 64 - p
+    val regDiv = BigInt(1) << w
+    val scale = BigInt(1) << (w + 1)
+    s"""WITH keys AS (SELECT $keyCol::HUGEINT AS k FROM $table),
+       |$hashLongCtes,
+       |hreg AS (SELECT (h // $regDiv::HUGEINT)::BIGINT AS reg,
+       |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
+       |rk AS (SELECT reg,
+       |  MAX(CASE WHEN v = 0 THEN ${w + 1}
+       |      ELSE ${w + 1} - length(bin(v)) END) AS mj
+       |  FROM hreg GROUP BY reg),
+       |s AS (SELECT SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |             COUNT(*) AS cnt FROM rk)
+       |SELECT round(0.7213 / (1 + 1.079 / $m.0) * $m.0 * $m.0 /
+       |  (((sp + ($m - cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)
+       |  AS hll_est
+       |FROM s""".stripMargin
+  }
+
   /** The d08 oracle: identical pipeline to the d03 MD5-portable oracle
     * (TextQueries) but with the Spark-xxhash64 permutation hashes —
     * MIN over SIGNED hashes per (doc, perm), r=8 banding, candidate

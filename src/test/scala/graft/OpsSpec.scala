@@ -475,6 +475,23 @@ class OpsSpec extends SparkTestBase {
     assert(m.nBytes > 0 && m.width >= 64 && m.durationMs == m.nBytes.toLong * 10)
   }
 
+  test("portable HLL: accurate, deterministic under repartitioning") {
+    import graft.ops.SketchOps
+    val orders = Tables.orders(spark, sf)
+    val exact = orders.select(countDistinct($"o_orderkey")).as[Long].head()
+    val est = SketchOps.hyperLogLog(orders, "o_orderkey", p = 8)
+      .as[Double].head()
+    // m=256 -> stderr ~6.5%; 25% is a >3-sigma accuracy gate
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"hll_est=$est exact=$exact")
+    // register max is commutative: any partitioning, same estimate
+    val est2 = SketchOps.hyperLogLog(orders.repartition(13), "o_orderkey", p = 8)
+      .as[Double].head()
+    assert(est == est2)
+    // raw-range precondition of the estimator (no linear-counting branch)
+    assert(exact >= 2.5 * 256, "fixture must stay in HLL raw range")
+  }
+
   test("multimodal decode: ImageIoDecoder reads real PNG/JPEG headers") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream

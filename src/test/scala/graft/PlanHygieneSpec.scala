@@ -42,7 +42,12 @@ class PlanHygieneSpec extends SparkTestBase {
     // partial sums combine map-side, so the single-partition exchange
     // carries one row per upstream partition, not per term; that tail
     // is identical at sf0.01 and 100 TB.
-    val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm")
+    // q53_approx_distinct_portable: the HLL register fold — a 1-row
+    // global aggregate whose exchange carries at most 2^p=256 register
+    // rows (map-side combined), regardless of input size; the sketch's
+    // entire point is that this tail is O(m) at any scale.
+    val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
+      "q53_approx_distinct_portable")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
