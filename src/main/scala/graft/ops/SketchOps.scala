@@ -62,6 +62,39 @@ object SketchOps {
         4).as("hll_est"))
   }
 
+  /** Per-group estimates: `groupCols... , hll_est` — the
+    * `groupBy(slice).approxDistinct(key)` shape. Same bit-parity
+    * construction as [[hyperLogLog]]; callers keep every group's true
+    * cardinality ≥ 2.5·2^p (raw-range estimator).
+    *
+    * Scale: register rows are (group × 2^p)-bounded and partial
+    * aggregate map-side, so the shuffle carries sketch rows, not
+    * events; the final per-group fold is one ordinary groupBy.
+    */
+  def hyperLogLogBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 14, "p in [7,14]: alpha constant assumes m >= 128")
+    val m = 1 << p
+    val w = 64 - p
+    val scale = 1L << (w + 1)
+    val h = xxhash64(col(keyCol))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ shiftrightunsigned(h, w).as("reg") :+
+        hllRank(h, p).as("rank"): _*)
+      .groupBy(gcols :+ col("reg"): _*).agg(max("rank").as("mj"))
+      .groupBy(gcols: _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - mj)")
+          .cast(DecimalType(38, 0))).as("sp"),
+        count(lit(1)).as("cnt"))
+      .select(gcols :+ round(
+        alpha * m.toDouble * m.toDouble /
+          ((col("sp") + (lit(m) - col("cnt")) *
+            lit(scale).cast(DecimalType(38, 0))).cast("double") / scale.toDouble),
+        4).as("hll_est"): _*)
+  }
+
   /** Column form of the register rank, exposed for specs. */
   def hllRank(h: Column, p: Int): Column = {
     val w = 64 - p

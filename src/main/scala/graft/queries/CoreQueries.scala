@@ -441,6 +441,16 @@ object CoreQueries {
         Tables.orders(s, dir), "o_orderkey", p = 8),
       Some(XxHashSql.hllPortableOracle("orders", "o_orderkey", p = 8))),
 
+    // ── grouped portable HLL: per-slice distinct counts (the q25
+    //    groupBy shape), still hash-EXACT. Fixture keeps every group's
+    //    cardinality ≥ 2.5·m (raw-range estimator precondition). ─────
+    Q("q54_approx_distinct_grouped",
+      (s, dir) => graft.ops.SketchOps.hyperLogLogBy(
+        Tables.orders(s, dir), Seq("o_orderpriority"), "o_custkey", p = 8)
+        .orderBy("o_orderpriority"),
+      Some(XxHashSql.hllPortableGroupedOracle(
+        "orders", "o_orderpriority", "o_custkey", p = 8))),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

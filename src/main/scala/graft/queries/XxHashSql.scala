@@ -120,16 +120,17 @@ object XxHashSql {
   }
 
   /** CTE block hashing a non-negative BIGINT column with Spark's
-    * `xxhash64(k)` = `XXH64.hashLong(k, 42)`. Input CTE `keys(k)`
-    * (k already HUGEINT); output CTE `key_hash(h)` in [0, 2^64).
+    * `xxhash64(k)` = `XXH64.hashLong(k, 42)`. Input CTE `keys` must
+    * provide `k` (already HUGEINT) plus the `keep` columns; output CTE
+    * `key_hash(keep..., h)` with h in [0, 2^64).
     */
-  private def hashLongCtes: String = {
+  private def hashLongCtes(keep: String): String = {
     val init = (BigInt(42) + P5 + 8) % M64
-    s"""l1 AS (SELECT ${xor(s"$init::HUGEINT",
+    s"""l1 AS (SELECT $keep, ${xor(s"$init::HUGEINT",
             wmul(rotl(wmul("k", P2), 31), P1))} AS h FROM keys),
-       |l2 AS (SELECT ${add(wmul(rotl("h", 27), P1), s"$P4::HUGEINT")} AS h FROM l1),
-       |${fmixCtes("lf", "l2", "1 AS one")},
-       |key_hash AS (SELECT h FROM lf5)""".stripMargin
+       |l2 AS (SELECT $keep, ${add(wmul(rotl("h", 27), P1), s"$P4::HUGEINT")} AS h FROM l1),
+       |${fmixCtes("lf", "l2", keep)},
+       |key_hash AS (SELECT $keep, h FROM lf5)""".stripMargin
   }
 
   /** Oracle for [[graft.ops.SketchOps.hyperLogLog]]: recomputes the
@@ -143,7 +144,7 @@ object XxHashSql {
     val regDiv = BigInt(1) << w
     val scale = BigInt(1) << (w + 1)
     s"""WITH keys AS (SELECT $keyCol::HUGEINT AS k FROM $table),
-       |$hashLongCtes,
+       |${hashLongCtes("k")},
        |hreg AS (SELECT (h // $regDiv::HUGEINT)::BIGINT AS reg,
        |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
        |rk AS (SELECT reg,
@@ -156,6 +157,32 @@ object XxHashSql {
        |  (((sp + ($m - cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)
        |  AS hll_est
        |FROM s""".stripMargin
+  }
+
+  /** Grouped twin of [[hllPortableOracle]]: one estimate per value of
+    * `groupCol` — the q25 `groupBy(event_type)` shape, hash-EXACT.
+    */
+  def hllPortableGroupedOracle(table: String, groupCol: String,
+                               keyCol: String, p: Int = 8): String = {
+    val m = 1 << p
+    val w = 64 - p
+    val regDiv = BigInt(1) << w
+    val scale = BigInt(1) << (w + 1)
+    s"""WITH keys AS (SELECT $groupCol AS g, $keyCol::HUGEINT AS k FROM $table),
+       |${hashLongCtes("g")},
+       |hreg AS (SELECT g, (h // $regDiv::HUGEINT)::BIGINT AS reg,
+       |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
+       |rk AS (SELECT g, reg,
+       |  MAX(CASE WHEN v = 0 THEN ${w + 1}
+       |      ELSE ${w + 1} - length(bin(v)) END) AS mj
+       |  FROM hreg GROUP BY g, reg),
+       |s AS (SELECT g, SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |             COUNT(*) AS cnt FROM rk GROUP BY g)
+       |SELECT g AS $groupCol,
+       |  round(0.7213 / (1 + 1.079 / $m.0) * $m.0 * $m.0 /
+       |  (((sp + ($m - cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)
+       |  AS hll_est
+       |FROM s ORDER BY g""".stripMargin
   }
 
   /** The d08 oracle: identical pipeline to the d03 MD5-portable oracle

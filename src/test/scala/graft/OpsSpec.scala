@@ -492,6 +492,26 @@ class OpsSpec extends SparkTestBase {
     assert(exact >= 2.5 * 256, "fixture must stay in HLL raw range")
   }
 
+  test("grouped portable HLL: per-slice accuracy and determinism") {
+    import graft.ops.SketchOps
+    // 2 buckets of ~750 distinct orderkeys at sf0.001 — both in raw range
+    val orders = Tables.orders(spark, sf)
+      .withColumn("bucket", ($"o_orderkey" % 2).cast("int"))
+    val exact = orders.groupBy("bucket")
+      .agg(countDistinct($"o_orderkey").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val est = SketchOps.hyperLogLogBy(orders, Seq("bucket"), "o_orderkey", p = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (b, n) =>
+      assert(n >= 2.5 * 256, s"bucket $b out of raw range")
+      assert(math.abs(est(b) - n) / n < 0.25, s"bucket $b est=${est(b)} n=$n")
+    }
+    val est2 = SketchOps
+      .hyperLogLogBy(orders.repartition(11), Seq("bucket"), "o_orderkey", p = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(est == est2)
+  }
+
   test("multimodal decode: ImageIoDecoder reads real PNG/JPEG headers") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
