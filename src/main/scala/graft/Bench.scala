@@ -26,7 +26,8 @@ object Bench {
     "d14_span_scrub", "p05_mixture", "p06_funnel",
     "s01_knn_cosine", "s03_knn_lsh", "s07_quantize_int8",
     "t01_token_count", "t02_quality_score", "t04_fingerprint",
-    "t08_repetition", "t09_pii_redact", "t10_chunking", "p07_pack")
+    "t08_repetition", "t09_pii_redact", "t10_chunking", "p07_pack",
+    "q53_approx_distinct_portable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,28 +39,8 @@ object SketchOps {
   /** One-row frame `(hll_est double)` estimating `countDistinct(key)`.
     * Standard error ≈ 1.04/sqrt(2^p).
     */
-  def hyperLogLog(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
-    require(p >= 7 && p <= 14, "p in [7,14]: alpha constant assumes m >= 128")
-    val m = 1 << p
-    val w = 64 - p                  // rank-word width
-    val scale = 1L << (w + 1)       // Σ 2^-Mj scaled to an exact integer
-    val h = xxhash64(col(keyCol))
-    val v = h.bitwiseAND(lit((1L << w) - 1))
-    val rank = when(v === 0, lit(w + 1))
-      .otherwise(lit(w + 1) - length(bin(v)))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
-    df.select(shiftrightunsigned(h, w).as("reg"), rank.as("rank"))
-      .groupBy("reg").agg(max("rank").as("mj"))
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - mj)")
-          .cast(DecimalType(38, 0))).as("sp"),
-        count(lit(1)).as("cnt"))
-      .select(round(
-        alpha * m.toDouble * m.toDouble /
-          ((col("sp") + (lit(m) - col("cnt")) *
-            lit(scale).cast(DecimalType(38, 0))).cast("double") / scale.toDouble),
-        4).as("hll_est"))
-  }
+  def hyperLogLog(df: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    hyperLogLogBy(df, Seq.empty, keyCol, p)
 
   /** Per-group estimates: `groupCols... , hll_est` — the
     * `groupBy(slice).approxDistinct(key)` shape. Same bit-parity
@@ -72,27 +52,53 @@ object SketchOps {
     * events; the final per-group fold is one ordinary groupBy.
     */
   def hyperLogLogBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
-                    p: Int = 8): DataFrame = {
+                    p: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, keyCol, p),
+      groupCols, p)
+
+  /** Register maintenance half: `(groupCols..., reg, mj)` via ONE
+    * `max` aggregation — streaming-safe (update/complete modes), so a
+    * Structured Streaming query can maintain per-(key, register) state
+    * incrementally: max is commutative/idempotent, state is bounded by
+    * groups × 2^p registers regardless of event volume — the
+    * bounded-memory upgrade for SetTable-style distinct counts
+    * (faust keeps the whole set; `faust/tables/sets.py`). Fold the
+    * registers into estimates at read time with
+    * [[hllEstimateFromRegisters]] (chained aggregations are not
+    * streaming-executable in update mode, and the fold is O(2^p) —
+    * serving-side work).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   p: Int = 8): DataFrame = {
     require(p >= 7 && p <= 14, "p in [7,14]: alpha constant assumes m >= 128")
-    val m = 1 << p
     val w = 64 - p
-    val scale = 1L << (w + 1)
     val h = xxhash64(col(keyCol))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
     val gcols = groupCols.map(col)
     df.select(gcols :+ shiftrightunsigned(h, w).as("reg") :+
         hllRank(h, p).as("rank"): _*)
       .groupBy(gcols :+ col("reg"): _*).agg(max("rank").as("mj"))
-      .groupBy(gcols: _*)
+  }
+
+  /** Estimate fold over a `(groupCols..., reg, mj)` register frame
+    * (batch): the bit-parity arithmetic shared by every HLL flavor.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                               p: Int): DataFrame = {
+    val m = 1 << p
+    val w = 64 - p
+    val scale = 1L << (w + 1)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
+    val gcols = groupCols.map(col)
+    val folded = regs.groupBy(gcols: _*)
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - mj)")
           .cast(DecimalType(38, 0))).as("sp"),
         count(lit(1)).as("cnt"))
-      .select(gcols :+ round(
-        alpha * m.toDouble * m.toDouble /
-          ((col("sp") + (lit(m) - col("cnt")) *
-            lit(scale).cast(DecimalType(38, 0))).cast("double") / scale.toDouble),
-        4).as("hll_est"): _*)
+    folded.select(gcols :+ round(
+      alpha * m.toDouble * m.toDouble /
+        ((col("sp") + (lit(m) - col("cnt")) *
+          lit(scale).cast(DecimalType(38, 0))).cast("double") / scale.toDouble),
+      4).as("hll_est"): _*)
   }
 
   /** Column form of the register rank, exposed for specs. */

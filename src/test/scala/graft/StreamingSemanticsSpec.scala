@@ -39,6 +39,38 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: incremental state, estimate matches batch") {
+    import graft.ops.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val regs = SketchOps.hllRegisters(
+      input.toDS().toDF("slice", "user"), Seq("slice"), "user", p = 8)
+    // update mode: one streaming-safe max agg maintains the registers;
+    // the estimate fold runs at read time over the register table
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1L to 900L).map(u => ("a", u)) ++ (1L to 700L).map(u => ("b", u))
+      val batch2 = (500L to 1300L).map(u => ("a", u))
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = SketchOps.hllEstimateFromRegisters(
+        spark.table("hll_regs"), Seq("slice"), p = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // identical input through the batch path → identical registers
+      // (max is commutative/idempotent) → identical estimate
+      val all = (batch1 ++ batch2).toDF("slice", "user")
+      val batch = SketchOps.hyperLogLogBy(all, Seq("slice"), "user", p = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // accuracy on the true cardinalities (1300 and 700 distinct)
+      assert(math.abs(streamed("a") - 1300) / 1300.0 < 0.25)
+      assert(math.abs(streamed("b") - 700) / 700.0 < 0.25)
+    } finally q.stop()
+  }
+
   test("StatefulTable.runningFoldTws: same contract on transformWithState") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
