@@ -50,6 +50,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain is property-tested in PiiSpec (adversarial overlaps included)
   * and t09 stays hash-EXACT against the unchanged DuckDB oracle.
   *
+  * Worst-case bound: Java regex backtracking makes the email pass
+  * O(Σ run²) over maximal local-part-class character runs (at each
+  * start position inside a run the greedy local part scans to the
+  * run's end looking for '@'). Whitespace is outside the class, so
+  * runs are word-sized in real text — linear in document length in
+  * practice; only an adversarial megabyte single-token document
+  * degrades, identically to the portable regexp_* chain (DuckDB's
+  * RE2 side is linear always).
+  *
   * Reference behavior: faust has no PII ops; this is a target addition
   * for LLM-corpus pipelines (mask-and-count, CCNet/Dolma-style).
   */
