@@ -59,7 +59,11 @@ object MultimodalOps {
   object ImageIoDecoder extends Decoder {
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       if (bytes.isEmpty) return FakeDecoder.decode(id, bytes)
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory honors useCache=true by spilling to a disk temp file
+      // per blob — pointless syscalls when the bytes are already in
+      // memory, and the wrong cost model for a 100 TB metadata pass.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -69,6 +73,10 @@ object MultimodalOps {
           r.setInput(iis, true, true)
           MediaMeta(id, bytes.length, r.getFormatName.toLowerCase,
             r.getWidth(0), r.getHeight(0), durationMs = 0L)
+        } catch {
+          // corrupt/truncated image (magic bytes matched, header didn't
+          // parse): stay TOTAL — a bad record must not kill the job
+          case _: Exception => FakeDecoder.decode(id, bytes)
         } finally r.dispose()
       } finally iis.close()
     }

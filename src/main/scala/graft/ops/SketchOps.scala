@@ -74,13 +74,25 @@ object SketchOps {
     val w = 64 - p
     val h = xxhash64(col(keyCol))
     val gcols = groupCols.map(col)
-    df.select(gcols :+ shiftrightunsigned(h, w).as("reg") :+
+    // null keys are excluded, matching countDistinct (which ignores
+    // nulls). Without the filter Spark would hash NULL to the seed
+    // (one phantom member) while the oracle's NULL row vanishes from
+    // SUM but not COUNT — a silent parity break on nullable keys.
+    df.where(col(keyCol).isNotNull)
+      .select(gcols :+ shiftrightunsigned(h, w).as("reg") :+
         hllRank(h, p).as("rank"): _*)
       .groupBy(gcols :+ col("reg"): _*).agg(max("rank").as("mj"))
   }
 
   /** Estimate fold over a `(groupCols..., reg, mj)` register frame
     * (batch): the bit-parity arithmetic shared by every HLL flavor.
+    *
+    * Tolerates duplicate `(group, reg)` rows — exactly what an
+    * update-mode register LOG accumulates (one row per register per
+    * micro-batch that changed it) — by max-deduping first. Without
+    * that, `cnt` could exceed 2^p and the empty-register term would
+    * go negative: silently wrong estimates. The extra groupBy is over
+    * ≤ groups×2^p sketch rows — serving-side noise.
     */
   def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
                                p: Int): DataFrame = {
@@ -89,7 +101,8 @@ object SketchOps {
     val scale = 1L << (w + 1)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m.toDouble)
     val gcols = groupCols.map(col)
-    val folded = regs.groupBy(gcols: _*)
+    val deduped = regs.groupBy(gcols :+ col("reg"): _*).agg(max("mj").as("mj"))
+    val folded = deduped.groupBy(gcols: _*)
       .agg(
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - mj)")
           .cast(DecimalType(38, 0))).as("sp"),

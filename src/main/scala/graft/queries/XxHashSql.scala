@@ -143,7 +143,8 @@ object XxHashSql {
     val w = 64 - p
     val regDiv = BigInt(1) << w
     val scale = BigInt(1) << (w + 1)
-    s"""WITH keys AS (SELECT $keyCol::HUGEINT AS k FROM $table),
+    s"""WITH keys AS (SELECT $keyCol::HUGEINT AS k FROM $table
+       |  WHERE $keyCol IS NOT NULL),
        |${hashLongCtes("k")},
        |hreg AS (SELECT (h // $regDiv::HUGEINT)::BIGINT AS reg,
        |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
@@ -168,7 +169,8 @@ object XxHashSql {
     val w = 64 - p
     val regDiv = BigInt(1) << w
     val scale = BigInt(1) << (w + 1)
-    s"""WITH keys AS (SELECT $groupCol AS g, $keyCol::HUGEINT AS k FROM $table),
+    s"""WITH keys AS (SELECT $groupCol AS g, $keyCol::HUGEINT AS k FROM $table
+       |  WHERE $keyCol IS NOT NULL),
        |${hashLongCtes("g")},
        |hreg AS (SELECT g, (h // $regDiv::HUGEINT)::BIGINT AS reg,
        |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),

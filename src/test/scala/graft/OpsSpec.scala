@@ -512,6 +512,37 @@ class OpsSpec extends SparkTestBase {
     assert(est == est2)
   }
 
+  test("portable HLL: null keys excluded; duplicate register rows fold safely") {
+    import graft.ops.SketchOps
+    // nulls are ignored like countDistinct — no phantom member
+    val withNulls = Seq[(String, Option[Long])](
+      ("a", Some(1L)), ("a", Some(2L)), ("a", None), ("a", None))
+      .toDF("g", "k")
+    val clean = withNulls.where($"k".isNotNull)
+    val eN = SketchOps.hyperLogLogBy(withNulls, Seq("g"), "k", p = 8).collect()
+    val eC = SketchOps.hyperLogLogBy(clean, Seq("g"), "k", p = 8).collect()
+    assert(eN.sameElements(eC))
+    // an update-mode register LOG has one row per (group, reg) per
+    // batch that changed it — the fold must max-dedup, not double-count
+    val regs = SketchOps.hllRegisters(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "k"), Seq("g"), "k", p = 8)
+    val logged = regs.union(regs.withColumn("mj", $"mj" - 1)) // stale rows
+    val fromLog = SketchOps.hllEstimateFromRegisters(logged, Seq("g"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = SketchOps.hllEstimateFromRegisters(regs, Seq("g"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fromLog == direct, s"log-fold=$fromLog direct=$direct")
+  }
+
+  test("multimodal decode: ImageIoDecoder stays total on corrupt images") {
+    // valid PNG magic bytes, truncated header: a reader matches but
+    // parsing throws — decode must fall back, not kill the task
+    val truncatedPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A,
+      0x1A, 0x0A, 0, 0, 0, 13, 'I', 'H', 'D', 'R')
+    val m = MultimodalOps.ImageIoDecoder.decode(9L, truncatedPng)
+    assert(m == MultimodalOps.FakeDecoder.decode(9L, truncatedPng))
+  }
+
   test("multimodal decode: ImageIoDecoder reads real PNG/JPEG headers") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
