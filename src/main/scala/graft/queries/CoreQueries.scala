@@ -401,8 +401,10 @@ object CoreQueries {
         ORDER BY segment, priority""")),
 
     // ── approximate distinct (HLL++): the scale path for SetTable
-    //    cardinality readers. Sketch values are engine-specific →
-    //    rows-only check; exactness is covered by q10. ───────────────
+    //    cardinality readers. Native sketch values are engine-specific
+    //    → rows-only check; the accuracy contract is oracle-bounded by
+    //    q51, and the family's hash-EXACT members are the portable
+    //    HLL flavors q53/q54 (SketchOps). ─────────────────────────────
     Q("q25_approx_distinct",
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
