@@ -61,7 +61,7 @@ object Bench {
     // consumer spin-up.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries
-      .filterKeys(n => headline.contains(n) && want(n)).values.foreach { q =>
+      .view.filterKeys(n => headline.contains(n) && want(n)).values.foreach { q =>
         try q(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }

@@ -37,7 +37,7 @@ object Models {
     codec match {
       case Codec.Json =>
         df.withColumn("_m", from_json(col(valueCol).cast("string"), schemaOf[T]))
-          .select(df.columns.map(col) :+ col("_m.*"): _*)
+          .select(df.columns.toIndexedSeq.map(col) :+ col("_m.*"): _*)
           .drop(valueCol, "_m")
       case Codec.YamlFlat =>
         // flat `key: value` lines → map → typed fields (codegen'd
@@ -45,7 +45,7 @@ object Models {
         val m = str_to_map(col(valueCol).cast("string"), lit("\n"), lit(": "))
         val fields = schemaOf[T].fields.map(f =>
           element_at(m, f.name).cast(f.dataType).as(f.name))
-        df.select(df.columns.map(col) ++ fields: _*).drop(valueCol)
+        df.select(df.columns.toIndexedSeq.map(col) ++ fields: _*).drop(valueCol)
       case Codec.Base64 =>
         // faust `binary` codec (codecs.py:293): payload is base64 TEXT
         df.withColumn("value_bytes", unbase64(col(valueCol).cast("string")))
@@ -68,7 +68,7 @@ object Models {
         val lines = named.zip(cols).map { case (n, c) =>
           concat(lit(s"$n: "), c.cast("string"))
         }
-        df.withColumn("value", concat_ws("\n", lines: _*))
+        df.withColumn("value", concat_ws("\n", lines.toIndexedSeq: _*))
       case Codec.Base64 =>
         require(cols.size == 1, "base64 codec encodes exactly one column")
         // strip MIME chunking (Spark's base64 may CRLF-wrap at 76
@@ -138,7 +138,7 @@ object Models {
       .foldLeft(col("_m").isNotNull)(_ && _)
     df.select(from_json(col("value").cast("string"), wireSchema).as("_m"))
       .where(decodable)
-      .select(attrSchema.fields.map(f =>
+      .select(attrSchema.fields.toIndexedSeq.map(f =>
         col("_m").getField(inputNames.getOrElse(f.name, f.name)).as(f.name)): _*)
       .as[T]
   }
@@ -151,7 +151,7 @@ object Models {
     val fields = implicitly[Encoder[T]].schema.fieldNames.map(n =>
       col(n).as(outputNames.getOrElse(n, n)))
     ds.toDF().select(keyOf.cast("string").as("key"),
-      to_json(struct(fields: _*)).as("value"))
+      to_json(struct(fields.toIndexedSeq: _*)).as("value"))
   }
 
   // ── field validation ──────────────────────────────────────────────
