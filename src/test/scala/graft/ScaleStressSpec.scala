@@ -65,7 +65,14 @@ class ScaleStressSpec extends SparkTestBase {
       TextOps.minHashPairs(df, "doc_id", "text",
         numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)),
     "d14_span_scrub" -> (df =>
-      TextOps.scrubDuplicatedSpans(df, "doc_id", "text", n = 8)))
+      TextOps.scrubDuplicatedSpans(df, "doc_id", "text", n = 8)),
+    // production (xx-kernel) flavors: pin their scaling + plan shapes
+    // independently of the portable twins above
+    "d08_dedup_minhash_fast" -> (df =>
+      TextOps.minHashPairs(df, "doc_id", "text",
+        numHashes = 16, bands = 2, minEstimate = 0.7, portable = false)),
+    "t08_repetition" -> (df =>
+      TextOps.repetitionSignals(df, "doc_id", "text")))
 
   private def planShape(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.collect { case p => p.nodeName }
