@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries, Q, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, PipelineQueries, Q, TextQueries, VectorQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{CoreQueries, PipelineQueries, Q, TextQueries, VectorQuerie
 object SparkEntry {
 
   val allQueries: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      PipelineQueries.all ++ WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

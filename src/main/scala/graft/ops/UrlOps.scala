@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for web-corpus curation — the provenance half of a
+  * crawl-derived training-data pipeline (CCNet groups and filters by
+  * source URL; Dolma and Common-Crawl-style curation dedup on
+  * normalized URL and budget per registered domain).
+  *
+  * Everything here is a pure `Column` pipeline over
+  * `org.apache.spark.sql.functions` — regexp extracts, array HOFs,
+  * conditionals — so every operator stays inside whole-stage codegen
+  * with zero UDFs. Scalar ops ([[parts]], [[normalize]],
+  * [[registeredDomain]]) are narrow (no shuffle, filters push through
+  * them); [[domainStats]] and [[dedupByUrl]] each cost exactly one
+  * hash-shuffle on their (short-string) key.
+  *
+  * Reference scope note: faust has no URL surface (it is a stream
+  * processor); this family belongs to the training-data-pipeline
+  * extension surface alongside dedup/quality (SURVEY.md §2 extension
+  * table), mirroring the URL keys the reference's event model carries
+  * opaquely in payloads (faust/models typed fields).
+  */
+object UrlOps {
+
+  /** Component extracts, RFC 3986 appendix-B style, each from the
+    * ORIGINAL string so components can't bleed into one another
+    * (the path extract skips `scheme://authority` positionally; query
+    * and fragment are delimiter-anchored). Missing components are
+    * NULL (not ''), so the contract is engine-independent — Spark's
+    * `regexp_extract` returns '' on no-match, which we fold to NULL.
+    *
+    * Userinfo (`user:pass@host`) is not split out — crawl pipelines
+    * drop such URLs long before curation; a host containing '@' simply
+    * stays verbatim and never merges with a clean host.
+    */
+  private def nn(c: Column): Column = nullif(c, lit(""))
+
+  def scheme(url: Column): Column =
+    nn(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def authority(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  def host(url: Column): Column =
+    nn(regexp_extract(authority(url), "^([^:]*)", 1))
+
+  def port(url: Column): Column =
+    nn(regexp_extract(authority(url), ":([0-9]+)$", 1)).cast("int")
+
+  def path(url: Column): Column =
+    nn(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+
+  def query(url: Column): Column =
+    nn(regexp_extract(url, "\\?([^#]*)", 1))
+
+  def fragment(url: Column): Column =
+    nn(regexp_extract(url, "#(.*)$", 1))
+
+  /** All six components as named columns appended to `df`. */
+  def parts(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    df.withColumns(Map(
+      "scheme" -> scheme(u), "host" -> host(u), "port" -> port(u),
+      "path" -> path(u), "query" -> query(u), "fragment" -> fragment(u)))
+  }
+
+  /** Query params that carry no content identity — click/campaign
+    * trackers. Dropping them is what lets the same page crawled from
+    * two referrers dedup to one URL.
+    */
+  val TrackingParams = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+  /** Canonical URL — the standard crawl-dedup normalization:
+    *   - scheme and host lowercased; leading `www.` dropped
+    *   - default ports dropped (http:80, https:443); others kept
+    *   - path: trailing '/' stripped, empty path becomes '/'
+    *   - query: tracking params removed, the rest SORTED (param order
+    *     is presentation, not identity), '?' dropped if none survive
+    *   - fragment always dropped (client-side only)
+    * Null-total: a null URL normalizes to null; a URL with no
+    * `scheme://` (no match) yields null rather than a half-built
+    * string, so malformed rows are routable instead of silently wrong.
+    */
+  def normalize(url: Column): Column = {
+    val sch = lower(scheme(url))
+    val hst = regexp_replace(lower(host(url)), "^www\\.", "")
+    val prt = port(url)
+    val keepPort = prt.isNotNull &&
+      !((sch === "http" && prt === 80) || (sch === "https" && prt === 443))
+    val pth = {
+      val stripped = regexp_replace(coalesce(path(url), lit("")), "/+$", "")
+      when(stripped === "", lit("/")).otherwise(stripped)
+    }
+    val q = {
+      val kept = array_sort(filter(
+        split(coalesce(query(url), lit("")), "&"),
+        p => !(p.rlike(TrackingParams) || p === "")))
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit(""))
+    }
+    when(sch.isNotNull && hst.isNotNull,
+      concat(sch, lit("://"), hst,
+        when(keepPort, concat(lit(":"), prt.cast("string"))).otherwise(lit("")),
+        pth, q))
+  }
+
+  /** Two-level public suffixes the heuristic recognises. The real
+    * Public Suffix List is a data file; at 100 TB you'd broadcast it
+    * as a lookup map — the grouping shape is identical, so the
+    * fixed in-expression set keeps this oracle-portable.
+    */
+  val TwoLevelTlds: Seq[String] = Seq("co", "com", "org", "net", "ac", "gov", "edu")
+
+  /** Registered (pay-level) domain of a host: last two labels, or
+    * last three when the second-level label is a known two-level
+    * public suffix (`example.co.uk` → `example.co.uk`, not `co.uk`).
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    // try_element_at, not element_at: ANSI mode (the session default)
+    // throws on out-of-range indices, and a when() CONDITION is
+    // evaluated even for rows its branch won't take — a single-label
+    // host would crash a plain element_at(-2) here.
+    def lbl(i: Int): Column = try_element_at(labels, lit(i))
+    val last2 = concat_ws(".", lbl(-2), lbl(-1))
+    val last3 = concat_ws(".", lbl(-3), lbl(-2), lbl(-1))
+    when(n >= 3 && lbl(-2).isInCollection(TwoLevelTlds), last3)
+      .otherwise(when(n >= 2, last2).otherwise(hostCol))
+  }
+
+  /** Per-registered-domain corpus profile: page count, distinct
+    * normalized URLs, total chars, language spread. The domain-budget
+    * signal (cap any one domain's share of the training mix).
+    *
+    * The two exact DISTINCT aggregates make Catalyst plan its Expand
+    * rewrite — two shuffles (expanded key, then domain), every key a
+    * short string. Exact counts are the point of a curation report;
+    * at 100 TB swap `countDistinct` for `approx_count_distinct` to
+    * fall back to one fully-partial shuffle at ~2% error.
+    */
+  def domainStats(df: DataFrame, urlCol: String, charsCol: String,
+                  langCol: String): DataFrame = {
+    val norm = normalize(col(urlCol))
+    df.select(registeredDomain(host(norm)).as("domain"), norm.as("url_norm"),
+        col(charsCol).as("_chars"), col(langCol).as("_lang"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        sum("_chars").as("total_chars"),
+        countDistinct(col("_lang")).as("n_langs"))
+  }
+
+  /** URL-keyed exact dedup census, mirroring [[TextOps.exactDedup]]:
+    * one row per distinct NORMALIZED url, smallest id wins. One
+    * hash-shuffle on the normalized url. Rows whose URL fails to
+    * normalize (null) are dropped — they'd otherwise all merge into
+    * one spurious null group.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val norm = normalize(col(urlCol))
+    df.where(norm.isNotNull)
+      .groupBy(norm.as("url_norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+}

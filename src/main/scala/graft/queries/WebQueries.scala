@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.UrlOps
+
+/** URL / web-provenance queries (u-family) over the documents corpus.
+  *
+  * The synthetic corpus carries no URL column, so each query first
+  * derives a deterministic URL from (doc_id, source, lang) — pure
+  * integer/string arithmetic replicated verbatim in the DuckDB oracle
+  * CTE, so both engines parse/normalize the exact same strings. The
+  * synthesis deliberately exercises every normalization rule: mixed
+  * case, `www.`, default and non-default ports, trailing slashes,
+  * tracking params, unsorted params, fragments, and a two-level-TLD
+  * host, with enough modulus collisions that normalization actually
+  * merges distinct raw URLs (u04's reason to exist).
+  */
+object WebQueries {
+
+  /** Spark-side URL synthesis — mirror of [[urlCte]]. */
+  private def urlFixture(df: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val scheme = when(d % 4 === 0, lit("http")).when(d % 4 === 1, lit("https"))
+      .when(d % 4 === 2, lit("HTTP")).otherwise(lit("https"))
+    // three host shapes: per-source registrable domain (case-folded),
+    // two-level-TLD subdomain (all sources merge to example.co.uk),
+    // and a cdn. subdomain that merges to example.org
+    val host = when(d % 3 === 0, concat(lit("WWW."), col("source"), lit(".COM")))
+      .when(d % 3 === 1, concat(col("source"), lit(".example.co.uk")))
+      .otherwise(concat(lit("cdn."), col("source"), lit(".Example.ORG")))
+    val port = when(d % 5 === 0, lit(":80")).when(d % 5 === 1, lit(":443"))
+      .when(d % 5 === 2, lit(":8080")).otherwise(lit(""))
+    val path = concat(lit("/docs/"), col("lang"), lit("/"), (d % 100).cast("string"),
+      when(d % 6 === 0, lit("/")).otherwise(lit("")))
+    val query = when(d % 6 === 0, concat(lit("?utm_source=feed&id="), (d % 50).cast("string")))
+      .when(d % 6 === 1, lit("?b=2&a=1&utm_campaign=x"))
+      .when(d % 6 === 2, lit("?gclid=abc"))
+      .when(d % 6 === 3, concat(lit("?id="), (d % 50).cast("string")))
+      .otherwise(lit(""))
+    val fragment = when(d % 7 === 0, lit("#sec1")).otherwise(lit(""))
+    df.withColumn("url", concat(scheme, lit("://"), host, port, path, query, fragment))
+  }
+
+  /** DuckDB-side URL synthesis — mirror of [[urlFixture]]. */
+  private val urlCte: String =
+    """u AS (
+      SELECT doc_id, lang, source, n_chars,
+        (CASE doc_id % 4 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+          WHEN 2 THEN 'HTTP' ELSE 'https' END)
+        || '://'
+        || (CASE doc_id % 3
+          WHEN 0 THEN 'WWW.' || source || '.COM'
+          WHEN 1 THEN source || '.example.co.uk'
+          ELSE 'cdn.' || source || '.Example.ORG' END)
+        || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+          WHEN 2 THEN ':8080' ELSE '' END)
+        || '/docs/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR)
+        || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        || (CASE doc_id % 6
+          WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+          WHEN 1 THEN '?b=2&a=1&utm_campaign=x'
+          WHEN 2 THEN '?gclid=abc'
+          WHEN 3 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+          ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END) AS url
+      FROM documents)"""
+
+  /** DuckDB normalization chain shared by u02/u03/u04 — mirror of
+    * [[UrlOps.normalize]] piece by piece (NULLIF folds Spark's
+    * ''-on-no-match to NULL identically on both engines).
+    */
+  private val normCte: String =
+    """p AS (
+      SELECT doc_id, lang, n_chars, url,
+        lower(NULLIF(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS sch,
+        regexp_replace(lower(NULLIF(regexp_extract(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          '^([^:]*)', 1), '')), '^www\.', '') AS hst,
+        CAST(NULLIF(regexp_extract(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          ':([0-9]+)$', 1), '') AS INTEGER) AS prt,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        regexp_extract(url, '\?([^#]*)', 1) AS qry
+      FROM u),
+    n AS (
+      SELECT doc_id, lang, n_chars, url, hst,
+        CASE WHEN sch IS NOT NULL AND hst IS NOT NULL THEN
+          sch || '://' || hst
+          || (CASE WHEN prt IS NOT NULL
+                AND NOT ((sch = 'http' AND prt = 80) OR (sch = 'https' AND prt = 443))
+              THEN ':' || CAST(prt AS VARCHAR) ELSE '' END)
+          || (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(pth, '/+$', '') END)
+          || (CASE WHEN len(keep_params) > 0
+              THEN '?' || array_to_string(keep_params, '&') ELSE '' END)
+        END AS url_norm
+      FROM (SELECT *,
+        list_sort(list_filter(string_split(qry, '&'),
+          x -> NOT (regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)=') OR x = '')))
+          AS keep_params
+        FROM p))"""
+
+  val all: Seq[Q] = Seq(
+
+    // ── RFC 3986 component split, null-normalized ───────────────────
+    Q("u01_url_parse",
+      (s, dir) => {
+        val df = UrlOps.parts(urlFixture(Tables.documents(s, dir)), "url")
+        // port as STRING, not int: the driver's oracle path goes through
+        // pandas, where a nullable INTEGER degrades to float64 and can
+        // never hash-match Spark's int column
+        df.select(col("doc_id"), col("url"), col("scheme"), col("host"),
+            col("port").cast("string").as("port"), col("path"),
+            col("query").as("url_query"), col("fragment").as("url_fragment"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $urlCte
+        SELECT doc_id, url,
+          NULLIF(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') AS scheme,
+          NULLIF(regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '^([^:]*)', 1), '') AS host,
+          NULLIF(regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            ':([0-9]+)$$', 1), '') AS port,
+          NULLIF(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+          NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS url_query,
+          NULLIF(regexp_extract(url, '#(.*)$$', 1), '') AS url_fragment
+        FROM u ORDER BY doc_id""")),
+
+    // ── canonical URL (crawl-dedup normalization) ───────────────────
+    Q("u02_url_normalize",
+      (s, dir) => urlFixture(Tables.documents(s, dir))
+        .select(col("doc_id"), col("url"), UrlOps.normalize(col("url")).as("url_norm"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $urlCte, $normCte
+        SELECT doc_id, url, url_norm FROM n ORDER BY doc_id""")),
+
+    // ── registered-domain corpus profile (domain-budget signal) ─────
+    Q("u03_domain_stats",
+      (s, dir) => UrlOps.domainStats(urlFixture(Tables.documents(s, dir)),
+          "url", "n_chars", "lang")
+        .orderBy("domain"),
+      Some(s"""WITH $urlCte, $normCte,
+        d AS (SELECT *,
+          string_split(hst, '.') AS ls FROM n),
+        g AS (SELECT *,
+          CASE WHEN len(ls) >= 3 AND ls[-2] IN ('co','com','org','net','ac','gov','edu')
+            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+          ELSE hst END AS domain
+          FROM d)
+        SELECT domain, COUNT(*) AS n_docs,
+          COUNT(DISTINCT url_norm) AS n_urls,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          COUNT(DISTINCT lang) AS n_langs
+        FROM g GROUP BY domain ORDER BY domain""")),
+
+    // ── URL-keyed dedup census (normalization merges raw variants) ──
+    Q("u04_url_dedup",
+      (s, dir) => UrlOps.dedupByUrl(urlFixture(Tables.documents(s, dir)),
+          "doc_id", "url")
+        .orderBy("url_norm"),
+      Some(s"""WITH $urlCte, $normCte
+        SELECT url_norm, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM n WHERE url_norm IS NOT NULL
+        GROUP BY url_norm ORDER BY url_norm"""))
+  )
+}

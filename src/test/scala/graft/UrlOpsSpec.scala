@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+
+/** Edge-case semantics for the URL operators. The driver's DuckDB gate
+  * (u01–u04) proves whole-corpus parity; these pin the normalization
+  * rules on hand-built URLs where each rule is isolated.
+  */
+class UrlOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.normalize($"url")).as[String].collect().toSeq
+
+  private def dom(hosts: String*): Seq[String] =
+    hosts.toDF("h").select(UrlOps.registeredDomain($"h")).as[String].collect().toSeq
+
+  test("normalize: case, www, default port, trailing slash, param sort, fragment") {
+    assert(norm("HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+      == Seq("http://ex.com/a/b?a=1&b=2"))
+    // https default port dropped; bare path becomes '/'
+    assert(norm("HTTPS://Host.Org:443") == Seq("https://host.org/"))
+    // non-default port kept; :80 on https is NOT default, kept
+    assert(norm("http://h.com:8080/x", "https://h.com:80/x")
+      == Seq("http://h.com:8080/x", "https://h.com:80/x"))
+  }
+
+  test("normalize: tracking params dropped, all-tracking query loses its '?'") {
+    assert(norm("http://h.com/p?gclid=1&fbclid=2&utm_campaign=z&ref=feed")
+      == Seq("http://h.com/p"))
+    assert(norm("http://h.com/p?id=7&utm_x=1") == Seq("http://h.com/p?id=7"))
+  }
+
+  test("normalize is null-total: null and scheme-less inputs yield null") {
+    val out = Seq[String](null, "not a url", "relative/path")
+      .toDF("url").select(UrlOps.normalize($"url")).collect().map(_.isNullAt(0))
+    assert(out.forall(identity))
+  }
+
+  test("normalize is idempotent on its own output") {
+    val once = norm("HTTP://WWW.Ex.COM:80/a/?b=2&a=1&gclid=x#f").head
+    assert(norm(once) == Seq(once))
+  }
+
+  test("registered domain: two-level TLDs, subdomains, degenerate hosts") {
+    assert(dom("a.b.example.co.uk", "cdn.example.org", "example.com",
+      "deep.sub.site.net", "localhost")
+      == Seq("example.co.uk", "example.org", "example.com", "site.net",
+        "localhost"))
+  }
+
+  test("parts: missing components are null, never empty strings") {
+    val r = UrlOps.parts(Seq("http://h").toDF("url"), "url")
+      .select($"scheme", $"host", $"port", $"path", $"query", $"fragment")
+      .head()
+    assert(r.getString(0) == "http" && r.getString(1) == "h")
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("dedupByUrl merges raw variants; null-normalizing rows are dropped") {
+    val df = Seq(
+      (3L, "http://WWW.h.com/p/?utm_source=a"),
+      (1L, "http://h.com:80/p"),
+      (2L, "http://h.com/p?utm_campaign=b"),
+      (9L, "junk"),
+      (5L, "https://other.com/q")).toDF("doc_id", "url")
+    val out = UrlOps.dedupByUrl(df, "doc_id", "url")
+      .orderBy("url_norm").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("http://h.com/p", 1L, 3L), ("https://other.com/q", 5L, 1L)))
+  }
+
+  test("scalar url ops stay shuffle-free; domainStats bounded by the distinct rewrite") {
+    val docs = spark.range(50)
+      .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
+      .withColumn("url", concat(lit("http://s"), $"doc_id", lit(".com/x")))
+    val scalarPlan = UrlOps.parts(docs, "url")
+      .withColumn("n", UrlOps.normalize($"url"))
+      .queryExecution.executedPlan.toString
+    assert(!scalarPlan.contains("Exchange"), s"scalar url ops shuffled:\n$scalarPlan")
+    // two distinct aggregates → Catalyst's Expand rewrite: one shuffle
+    // on the expanded (domain, url, lang, gid) key, one on domain.
+    // Assert that bound holds and nothing degenerate sneaks in.
+    val aggPlan = UrlOps.domainStats(docs, "url", "n_chars", "lang")
+      .queryExecution.executedPlan.toString
+    val exchanges = aggPlan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"domainStats planned $exchanges shuffles:\n$aggPlan")
+    assert(!aggPlan.contains("CartesianProduct") && !aggPlan.contains("SinglePartition"),
+      s"degenerate plan:\n$aggPlan")
+  }
+}
