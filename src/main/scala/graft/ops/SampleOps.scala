@@ -86,6 +86,44 @@ object SampleOps {
     df.where(unitHash(col(idCol), salt) < frac)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual /
+    * multi-source rebalancing step (mBERT/XLM-R/T5 style): group g
+    * with n_g rows is sampled with probability ∝ n_g^alpha, so
+    * alpha=1 preserves the natural distribution, alpha→0 approaches
+    * uniform-over-groups, and low-resource groups are upweighted in
+    * between. Given a row `totalBudget`, the per-group keep fraction
+    * is min(1, budget·p_g/n_g) with p_g = n_g^alpha / Σ n_h^alpha —
+    * a group whose temperature share exceeds its size keeps
+    * everything (no replication-upsampling here; that's a separate
+    * explode).
+    *
+    * Scale shape: one tiny agg (cardinality = #groups), fractions
+    * broadcast back, then the same narrow hash filter as
+    * [[mixtureSample]]. The corpus itself never shuffles. Row fate is
+    * rerun-stable (pure function of id, salt, and the group counts) —
+    * but unlike the fixed-fraction samplers, fractions recompute as
+    * the corpus grows, so re-snapshot before each training mix.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         alpha: Double, totalBudget: Long,
+                         salt: String = ""): DataFrame = {
+    require(alpha >= 0.0, "alpha must be non-negative")
+    require(totalBudget > 0, "totalBudget must be positive")
+    val nc = "__graft_temp_n" // internals; collision-proof names
+    val zc = "__graft_temp_z"
+    val kc = "__graft_temp_kf"
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nc))
+    val z = counts.agg(sum(pow(col(nc), alpha)).as(zc))
+    val fracs = counts.crossJoin(broadcast(z))
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(totalBudget.toDouble) * pow(col(nc), alpha) / col(zc) / col(nc))
+          .as(kc))
+    df.join(broadcast(fracs), Seq(groupCol))
+      .where(unitHash(col(idCol), salt) < col(kc))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Balanced downsampling: cap every group at the size of its
     * smallest peer (or an explicit `targetPerGroup`), choosing
     * survivors by id-hash order — the class-rebalancing step before

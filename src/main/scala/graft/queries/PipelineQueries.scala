@@ -99,6 +99,23 @@ object PipelineQueries {
                         WHEN 'src2' THEN 0.6 ELSE 0.1 END
         ORDER BY doc_id""")),
 
+    // ── temperature-flattened mixture: keep fraction derived from
+    //    group counts (n_g^alpha), low-resource langs upweighted ─────
+    Q("p09_temperature_mixture",
+      (s, dir) => SampleOps.temperatureMixture(Tables.documents(s, dir),
+        "lang", "doc_id", alpha = 0.5, totalBudget = 250L, salt = "temp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        t AS (SELECT SUM(pow(n, 0.5)) AS z FROM c),
+        f AS (SELECT lang,
+          least(1.0, 250.0 * pow(n, 0.5) / z / n) AS kf
+          FROM c CROSS JOIN t)
+        SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+        WHERE ('0x' || substr(md5('temp#' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 < f.kf
+        ORDER BY doc_id""")),
+
     // ── shard-local sequence packing into ~budget-token bins ────────
     Q("p07_pack",
       (s, dir) => SampleOps.packByBudget(Tables.documents(s, dir),

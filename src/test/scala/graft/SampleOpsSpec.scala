@@ -194,4 +194,46 @@ class SampleOpsSpec extends SparkTestBase {
       col("n_tokens"), budget = 10L)
     assert(ok.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(3L))
   }
+
+  test("temperatureMixture: alpha=1 is budget-proportional, alpha<1 flattens") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    // alpha=1 ⇒ every group's keep fraction collapses to budget/N —
+    // identical row set to the plain uniform hash sample
+    val t1 = SampleOps.temperatureMixture(docs, "lang", "doc_id",
+      alpha = 1.0, totalBudget = n / 2, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val uniform = SampleOps.sampleByHash(docs, "doc_id", (n / 2).toDouble / n, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(t1 == uniform)
+    // alpha=0.5 flattens: the output's max/min group-size ratio must
+    // shrink vs the input's (low-resource langs upweighted)
+    def skew(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy("lang").count().as[(String, Long)]
+        .collect().map(_._2.toDouble)
+      counts.max / counts.min
+    }
+    val flattened = SampleOps.temperatureMixture(docs, "lang", "doc_id",
+      alpha = 0.5, totalBudget = n / 2, salt = "s")
+    assert(skew(flattened) < skew(docs),
+      s"skew ${skew(flattened)} should be < input ${skew(docs)}")
+    // rerun-stable; caller schema preserved verbatim
+    val rerun = SampleOps.temperatureMixture(docs, "lang", "doc_id",
+      alpha = 0.5, totalBudget = n / 2, salt = "s")
+    assert(rerun.select("doc_id").as[Long].collect().toSet
+      == flattened.select("doc_id").as[Long].collect().toSet)
+    assert(flattened.columns.toSeq == docs.columns.toSeq)
+    // a group whose temperature share exceeds its size keeps all rows
+    val tiny = (0L until 100L).map(i => (i, if (i < 4) "rare" else "big"))
+      .toDF("id", "g")
+    val kept = SampleOps.temperatureMixture(tiny, "g", "id",
+      alpha = 0.0, totalBudget = 50L)
+    assert(kept.where($"g" === "rare").count() == 4)
+    intercept[IllegalArgumentException] {
+      SampleOps.temperatureMixture(tiny, "g", "id", alpha = -0.1, totalBudget = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.temperatureMixture(tiny, "g", "id", alpha = 1.0, totalBudget = 0L)
+    }
+  }
 }
