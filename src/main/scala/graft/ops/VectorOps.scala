@@ -125,6 +125,43 @@ object VectorOps {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup census (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into IVF cells, score
+    * cosine only WITHIN cells, connect pairs above `threshold`, and
+    * label connected components with their minimum id (the kept
+    * representative). The cell step is what makes semantic dedup
+    * linear-ish at 100 TB — candidate pairs are intra-cell only,
+    * never corpus × corpus; components are labeled by the same
+    * O(log diameter) pointer-jumping as the text dedup clusters
+    * (d05/d06), so the whole op is cells + one bounded pair join +
+    * ~30 label rounds at any scale.
+    *
+    * Same caveat as SemDeDup itself: near-dups straddling a cell
+    * boundary are missed; raise `probes` to trade recall for pair
+    * work (a pair connects if the two vectors co-occur in ANY probed
+    * cell).
+    *
+    * Output: (doc_id, cluster_id, cluster_size, is_canonical) over
+    * the id column — keep `is_canonical = 1` rows to dedup.
+    */
+  def semanticDedupClusters(df: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, threshold: Double,
+                            probes: Int = 1,
+                            portablePivots: Boolean = false): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, nCells, probes, portablePivots)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val edges = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b").distinct() // multi-probe may repeat a pair
+    graft.ops.TextOps.dedupClustersFromEdges(df, idCol, edges)
+  }
+
   /** Deterministic pseudo-random hyperplane component: hash of
     * (plane, dim) mapped to [-1, 1). Reproducible with no RNG state.
     */

@@ -184,6 +184,59 @@ object VectorQueries {
         GROUP BY a.cell, t.i
         ORDER BY cell, i""")),
 
+    // ── SemDeDup census: IVF cells → intra-cell cosine edges →
+    //    min-label connected components; keep is_canonical=1 ─────────
+    Q("s09_semantic_dedup",
+      (s, dir) => VectorOps.semanticDedupClusters(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, threshold = 0.4, probes = 1, portablePivots = true)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN piv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 1),
+        scored AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+          JOIN base ea ON ea.vec_id = a.id
+          JOIN base eb ON eb.vec_id = b.id
+          WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+              / (ea.nrm * eb.nrm) >= 0.4),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM scored
+          UNION ALL SELECT id_b AS u, id_a AS v FROM scored),
+        reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS vec_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT l.vec_id, l.cluster_id, s.cluster_size,
+          CAST(l.vec_id = l.cluster_id AS INT) AS is_canonical
+        FROM lab l JOIN sz s USING (cluster_id)
+        ORDER BY l.vec_id""")),
+
     // ── per-label centroid-ish stats: vector column aggregation ─────
     Q("s04_label_norms",
       (s, dir) => Tables.embeddings(s, dir)

@@ -395,6 +395,34 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("semantic dedup: one cell reduces to brute-force clusters; census is sound") {
+    val emb = Tables.embeddings(spark, sf)
+    // nCells=1 puts every vector in the same cell → intra-cell pairs
+    // ARE all pairs, so the census must equal CC over the brute-force
+    // near-dup edges, bit for bit
+    val oneCell = VectorOps.semanticDedupClusters(emb, "vec_id", "embedding",
+      nCells = 1, threshold = 0.4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val brute = graft.ops.TextOps.dedupClustersFromEdges(emb, "vec_id",
+      VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(oneCell == brute)
+    // census soundness on the celled variant: every id labeled once,
+    // canonical iff id == cluster label, sizes consistent
+    val celled = VectorOps.semanticDedupClusters(emb, "vec_id", "embedding",
+      nCells = 8, threshold = 0.4)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(celled.map(_._1).distinct.size == celled.size)
+    assert(celled.forall { case (id, cl, _, canon) => (id == cl) == (canon == 1) })
+    val sizes = celled.groupBy(_._2).map { case (cl, rows) => cl -> rows.size }
+    assert(celled.forall { case (_, cl, sz, _) => sizes(cl) == sz })
+    // celling can only LOSE edges vs brute force → clusters refine:
+    // two ids clustered together by cells must share a brute cluster
+    val bruteLabel = brute.map(r => r._1 -> r._2).toMap
+    val byCell = celled.groupBy(_._2).values
+    assert(byCell.forall(rows => rows.map(r => bruteLabel(r._1)).distinct.size == 1))
+  }
+
   test("kNN kernel is bit-identical to the declarative formulation") {
     val emb = Tables.embeddings(spark, sf)
     val decl = VectorOps.knnBruteForce(emb, emb, "vec_id", "embedding", 3)

@@ -46,8 +46,12 @@ class PlanHygieneSpec extends SparkTestBase {
     // global aggregate whose exchange carries at most 2^p=256 register
     // rows (map-side combined), regardless of input size; the sketch's
     // entire point is that this tail is O(m) at any scale.
+    // p09_temperature_mixture: the Σ n_g^alpha normalizer — a 1-row
+    // global aggregate over the per-GROUP counts (cardinality =
+    // #groups, map-side combined), broadcast back; same class as
+    // p04's min-over-groups tail.
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
-      "q53_approx_distinct_portable")
+      "q53_approx_distinct_portable", "p09_temperature_mixture")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
