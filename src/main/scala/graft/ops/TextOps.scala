@@ -31,6 +31,27 @@ object TextOps {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** Per-language dataset-card profile — the corpus report every
+    * curated training set ships with: doc/token volume, source
+    * spread, and exact char-length quantiles per language slice.
+    * One grouped aggregation; the DISTINCT source count and exact
+    * percentiles make this a report query (group cardinality =
+    * #languages), not a hot-path operator — at 100 TB swap
+    * `countDistinct`/`percentile` for `approx_count_distinct`/
+    * `approx_percentile` to keep every aggregate partial.
+    */
+  def corpusReport(df: DataFrame, textCol: String, langCol: String,
+                   sourceCol: String, charsCol: String): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("total_tokens"),
+        round(avg(tokenCount(col(textCol))), 6).as("avg_doc_tokens"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        expr(s"percentile($charsCol, 0.5)").as("p50_chars"),
+        expr(s"percentile($charsCol, 0.9)").as("p90_chars"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
+
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(lit)
     size(filter(tokens(text), t => t.isin(sw: _*)))

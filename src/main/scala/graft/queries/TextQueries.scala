@@ -353,6 +353,20 @@ object TextQueries {
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents ORDER BY doc_id""")),
 
+    // ── per-language dataset-card profile (corpus report) ───────────
+    Q("t13_corpus_report",
+      (s, dir) => TextOps.corpusReport(Tables.documents(s, dir),
+        "text", "lang", "source", "n_chars")
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_doc_tokens,
+        COUNT(DISTINCT source) AS n_sources,
+        quantile_cont(n_chars, 0.5) AS p50_chars,
+        quantile_cont(n_chars, 0.9) AS p90_chars,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ── BPE-ish regex tokenization (brief: "whitespace + a BPE-ish
     //    regex"): split on non-alphanumeric runs so punctuation-glued
     //    words count as separate subword tokens. Corpus is ASCII, so

@@ -318,6 +318,38 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: normalized-url frontier collapses raw crawl variants") {
+    // the crawl-frontier shape: URLs arrive as raw strings across
+    // micro-batches; normalization is a narrow map BEFORE the keyed
+    // dedup state, so tracking-param/case/port variants share one
+    // state entry and first-arrival wins. Malformed URLs normalize to
+    // null and are filtered out rather than merging into a null key.
+    import graft.ops.UrlOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val frontier = input.toDS().toDF("ts", "doc_id", "url")
+      .withColumn("url_norm", UrlOps.normalize(col("url")))
+      .where(col("url_norm").isNotNull)
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("url_norm")
+    val q = frontier.writeStream.format("memory").queryName("url_frontier")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(100), 1L, "http://WWW.h.com/p/?utm_source=a"),
+        (ts(101), 2L, "https://other.com/q"))
+      q.processAllAvailable()
+      // same page, different raw spelling (port + tracking param):
+      // dropped by the shared normalized key; junk row: filtered
+      input.addData((ts(102), 3L, "http://h.com:80/p?gclid=z"),
+        (ts(103), 4L, "junk"), (ts(104), 5L, "http://h.com/p2"))
+      q.processAllAvailable()
+      val got = spark.table("url_frontier").select("doc_id", "url_norm")
+        .as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "http://h.com/p", 2L -> "https://other.com/q",
+        5L -> "http://h.com/p2"), s"unexpected frontier: $got")
+    } finally q.stop()
+  }
+
   test("streaming ingestion pipeline: quality gate + corpus dedup + PII redaction") {
     // the streaming twin of d09/t09: incoming docs are quality-
     // filtered, anti-joined against the EXISTING corpus's 16-byte
