@@ -526,6 +526,49 @@ object TextOps {
         round(avg(col("nll")), 6).as("cross_entropy"))
   }
 
+  /** Bigram-LM quality score with interpolated unigram backoff — one
+    * rung up the CCNet ladder from [[unigramLmScore]] toward the
+    * KenLM n-gram filter: per-bigram probability
+    * `lambda·c(w1 w2)/c(w1) + (1-lambda)·c(w2)/N`, per-doc
+    * cross-entropy as the averaged negative log. Single-token docs
+    * have no bigrams and drop out of the report.
+    *
+    * Scale shape: bigram counts are Zipf-bounded like the vocab but
+    * quadratically wider, so unlike t11 the bigram table is NOT
+    * broadcast — the occurrence stream shuffle-joins it on the
+    * (w1, w2) key (AQE broadcasts when it does fit); both unigram
+    * legs ride as broadcasts. Tokens are short strings; every join
+    * key is bounded by token length, never document length.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    val toks = tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val docBigrams = df.select(col(idCol).as("id"),
+        explode(zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val total = c1.agg(sum("nw").cast("double").as("_n"))
+    val c2 = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nbg"))
+    // (1.0 - lambda) stays an ARITHMETIC expression in the oracle too:
+    // the IEEE result of 1.0-0.8 is not the literal 0.2, and the
+    // probability must match bit-for-bit before round(6)
+    docBigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(c1.select(col("w").as("w1"), col("nw").as("c1w1"))), Seq("w1"))
+      .join(broadcast(c1.select(col("w").as("w2"), col("nw").as("c1w2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), (-log(
+        lit(lambda) * col("nbg").cast("double") / col("c1w1") +
+          lit(1.0 - lambda) * col("c1w2").cast("double") / col("_n"))).as("nll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("cross_entropy"))
+  }
+
   /** Top-k corpus vocabulary (count-desc, term-asc tie-break — fully
     * deterministic membership) plus per-document coverage against it:
     * in-vocab token fraction and distinct-OOV count, the "does a fixed

@@ -764,6 +764,33 @@ object TextQueries {
         FROM toks JOIN lm USING (term)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── bigram LM with interpolated unigram backoff (t11's KenLM-ward
+    //    upgrade): per-doc cross-entropy under the corpus's own model ─
+    Q("t14_bigram_lm",
+      (s, dir) => TextOps.bigramLmScore(Tables.documents(s, dir),
+        "doc_id", "text", lambda = 0.8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        big AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM ts)),
+        c1 AS (
+          SELECT w, COUNT(*) AS nw
+          FROM (SELECT UNNEST(t) AS w FROM ts) GROUP BY w),
+        tot AS (SELECT CAST(SUM(nw) AS DOUBLE) AS n FROM c1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS nbg FROM big GROUP BY w1, w2)
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          ROUND(AVG(-LN(
+            0.8 * CAST(c2.nbg AS DOUBLE) / ca.nw
+            + (1.0 - 0.8) * CAST(cb.nw AS DOUBLE) / tot.n)), 6) AS cross_entropy
+        FROM big b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ca ON ca.w = b.w1
+        JOIN c1 cb ON cb.w = b.w2
+        CROSS JOIN tot
+        GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
     // ── top-k vocabulary coverage: deterministic top-1000 vocab
     //    (count desc, term asc) + per-doc in-vocab ratio and distinct
     //    OOV count — the tokenizer-prep coverage signal ────────────────

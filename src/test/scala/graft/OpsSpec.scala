@@ -395,6 +395,22 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("bigram LM: repetitive docs score more predictable; 1-token docs drop") {
+    val corpus = Seq(
+      (1L, "a b a b a b a b a"),
+      (2L, "a b c d e f g h i"),
+      (3L, "a")).toDF("doc_id", "text")
+    val scored = TextOps.bigramLmScore(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the single-token doc has no bigrams and drops out of the report
+    assert(scored.keySet == Set(1L, 2L))
+    assert(scored(1L)._1 == 8 && scored(2L)._1 == 8)
+    // every bigram of doc 1 recurs; doc 2's are one-off → higher nll
+    assert(scored(1L)._2 < scored(2L)._2,
+      s"repetitive doc must score lower cross-entropy: $scored")
+    assert(scored.values.forall(_._2 > 0.0))
+  }
+
   test("semantic dedup: one cell reduces to brute-force clusters; census is sound") {
     val emb = Tables.embeddings(spark, sf)
     // nCells=1 puts every vector in the same cell → intra-cell pairs

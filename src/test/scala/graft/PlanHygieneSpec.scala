@@ -50,8 +50,11 @@ class PlanHygieneSpec extends SparkTestBase {
     // global aggregate over the per-GROUP counts (cardinality =
     // #groups, map-side combined), broadcast back; same class as
     // p04's min-over-groups tail.
+    // t14_bigram_lm: the corpus-total token count — identical 1-row
+    // global-scalar class as t11's (map-side combined partials).
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
-      "q53_approx_distinct_portable", "p09_temperature_mixture")
+      "q53_approx_distinct_portable", "p09_temperature_mixture",
+      "t14_bigram_lm")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
