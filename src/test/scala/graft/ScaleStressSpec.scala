@@ -72,7 +72,11 @@ class ScaleStressSpec extends SparkTestBase {
       TextOps.minHashPairs(df, "doc_id", "text",
         numHashes = 16, bands = 2, minEstimate = 0.7, portable = false)),
     "t08_repetition" -> (df =>
-      TextOps.repetitionSignals(df, "doc_id", "text")))
+      TextOps.repetitionSignals(df, "doc_id", "text")),
+    // join-heavy LM scoring: bigram table grows with the (salted)
+    // vocab, occurrences with the corpus — both legs must stay linear
+    "t14_bigram_lm" -> (df =>
+      TextOps.bigramLmScore(df, "doc_id", "text")))
 
   private def planShape(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.collect { case p => p.nodeName }
