@@ -27,8 +27,16 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // persist the DIRECTED edges before symmetrizing: the union's two
+    // legs would otherwise each re-evaluate the caller's edge plan —
+    // for dedup callers that plan is the expensive candidate join
+    // (LSH bands / IVF cosine), so the double eval is a 2× tax on the
+    // whole edge-generation stage. Edge rows are (long, long) — the
+    // extra cached copy is noise next to recomputing the join.
+    val directed = edges.select(col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = directed
+      .union(directed.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint truncates lineage each iteration — the
@@ -65,6 +73,7 @@ object GraphOps {
       labels = next
     }
     sym.unpersist()
+    directed.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }
