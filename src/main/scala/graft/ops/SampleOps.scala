@@ -112,16 +112,22 @@ object SampleOps {
     val nc = "__graft_temp_n" // internals; collision-proof names
     val zc = "__graft_temp_z"
     val kc = "__graft_temp_kf"
+    val gc = "__graft_temp_g"
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nc))
     val z = counts.agg(sum(pow(col(nc), alpha)).as(zc))
     val fracs = counts.crossJoin(broadcast(z))
-      .select(col(groupCol),
+      .select(col(groupCol).as(gc),
         least(lit(1.0),
           lit(totalBudget.toDouble) * pow(col(nc), alpha) / col(zc) / col(nc))
           .as(kc))
-    df.join(broadcast(fracs), Seq(groupCol))
+    // null-SAFE join: groupBy counts a null group (it participates in
+    // the Σ n_g^alpha normalizer), so an equi-join would silently drop
+    // its rows while still charging its budget share — null-group rows
+    // must sample at their fraction like everyone else (mixtureSample,
+    // the fixed-fraction sibling, keeps them too)
+    df.join(broadcast(fracs), df(groupCol) <=> fracs(gc))
       .where(unitHash(col(idCol), salt) < col(kc))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
 
   /** Balanced downsampling: cap every group at the size of its

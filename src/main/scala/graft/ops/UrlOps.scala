@@ -31,9 +31,10 @@ object UrlOps {
     * NULL (not ''), so the contract is engine-independent — Spark's
     * `regexp_extract` returns '' on no-match, which we fold to NULL.
     *
-    * Userinfo (`user:pass@host`) is not split out — crawl pipelines
-    * drop such URLs long before curation; a host containing '@' simply
-    * stays verbatim and never merges with a clean host.
+    * Userinfo (`user:pass@host`) is stripped before the host/port
+    * split (everything up to the last '@' of the authority), so
+    * credentialed URLs parse to their true host instead of the
+    * username; the userinfo itself is not emitted as a component.
     */
   private def nn(c: Column): Column = nullif(c, lit(""))
 
@@ -43,17 +44,25 @@ object UrlOps {
   private def authority(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
 
+  // host:port = authority after the (optional) userinfo@
+  private def hostPort(url: Column): Column =
+    regexp_extract(authority(url), "([^@]*)$", 1)
+
   def host(url: Column): Column =
-    nn(regexp_extract(authority(url), "^([^:]*)", 1))
+    nn(regexp_extract(hostPort(url), "^([^:]*)", 1))
 
   def port(url: Column): Column =
-    nn(regexp_extract(authority(url), ":([0-9]+)$", 1)).cast("int")
+    nn(regexp_extract(hostPort(url), ":([0-9]+)$", 1)).cast("int")
 
   def path(url: Column): Column =
     nn(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
 
+  // [^#?]* before the '?' anchors to the FIRST '?' and refuses to
+  // cross a '#': a '?' inside the fragment (SPA routes) is fragment
+  // content, not a query — without this, normalize() would invent a
+  // query out of to-be-dropped fragment text
   def query(url: Column): Column =
-    nn(regexp_extract(url, "\\?([^#]*)", 1))
+    nn(regexp_extract(url, "^[^#?]*\\?([^#]*)", 1))
 
   def fragment(url: Column): Column =
     nn(regexp_extract(url, "#(.*)$", 1))

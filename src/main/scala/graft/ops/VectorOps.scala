@@ -153,12 +153,17 @@ object VectorOps {
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    val edges = a.join(b, Seq("cell"))
+    val scored = a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
       .where(col("cos") >= threshold)
-      .select("id_a", "id_b").distinct() // multi-probe may repeat a pair
+      .select("id_a", "id_b")
+    // only multi-probe can surface a pair in several cells; at the
+    // default probes=1 each id lives in exactly one cell, so the
+    // distinct would be a full extra shuffle of the candidate stream
+    // for nothing
+    val edges = if (probes > 1) scored.distinct() else scored
     graft.ops.TextOps.dedupClustersFromEdges(df, idCol, edges)
   }
 
@@ -254,11 +259,13 @@ object VectorOps {
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    val scored = a.join(b, Seq("cell"))
+    val paired = a.join(b, Seq("cell"))
       .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
-      .distinct() // multi-probe can surface a pair in several cells
+    // multi-probe can surface a pair in several cells; single-probe
+    // cannot, so skip the dedup shuffle there
+    val scored = if (probes > 1) paired.distinct() else paired
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("id_a", "rk", "id_b", "cos")

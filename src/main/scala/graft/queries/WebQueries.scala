@@ -77,13 +77,17 @@ object WebQueries {
       SELECT doc_id, lang, n_chars, url,
         lower(NULLIF(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS sch,
         regexp_replace(lower(NULLIF(regexp_extract(
-          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '([^@]*)$', 1),
           '^([^:]*)', 1), '')), '^www\.', '') AS hst,
         CAST(NULLIF(regexp_extract(
-          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          regexp_extract(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '([^@]*)$', 1),
           ':([0-9]+)$', 1), '') AS INTEGER) AS prt,
         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
-        regexp_extract(url, '\?([^#]*)', 1) AS qry
+        regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS qry
       FROM u),
     n AS (
       SELECT doc_id, lang, n_chars, url, hst,
@@ -121,13 +125,17 @@ object WebQueries {
         SELECT doc_id, url,
           NULLIF(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') AS scheme,
           NULLIF(regexp_extract(
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            regexp_extract(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '([^@]*)$$', 1),
             '^([^:]*)', 1), '') AS host,
           NULLIF(regexp_extract(
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            regexp_extract(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '([^@]*)$$', 1),
             ':([0-9]+)$$', 1), '') AS port,
           NULLIF(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path,
-          NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS url_query,
+          NULLIF(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '') AS url_query,
           NULLIF(regexp_extract(url, '#(.*)$$', 1), '') AS url_fragment
         FROM u ORDER BY doc_id""")),
 

@@ -229,6 +229,16 @@ class SampleOpsSpec extends SparkTestBase {
     val kept = SampleOps.temperatureMixture(tiny, "g", "id",
       alpha = 0.0, totalBudget = 50L)
     assert(kept.where($"g" === "rare").count() == 4)
+    // a null group is a real group: it participates in the normalizer
+    // AND its rows sample at their fraction (null-safe join) — with
+    // budget = corpus size every fraction caps at 1, so nothing drops
+    val withNulls = (0L until 50L)
+      .map(i => (i, if (i % 5 == 0) null else s"g${i % 2}"))
+      .toDF("id", "g")
+    val keptAll = SampleOps.temperatureMixture(withNulls, "g", "id",
+      alpha = 1.0, totalBudget = 50L)
+    assert(keptAll.count() == 50)
+    assert(keptAll.where($"g".isNull).count() == 10)
     intercept[IllegalArgumentException] {
       SampleOps.temperatureMixture(tiny, "g", "id", alpha = -0.1, totalBudget = 1L)
     }
