@@ -48,18 +48,22 @@ object GraphOps {
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      // (a) min over own + neighbors' labels
+      // (a) min over own + neighbors' labels. The iteration-start
+      // label rides along as `prev` so convergence detection below is
+      // a scan of the checkpointed frame, not another shuffle join.
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(labels("id"),
-          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"),
+          labels("lbl").as("prev"))
         .localCheckpoint(true)
       // (b) pointer jumping: lbl := lbl's current lbl (path compression)
       val l2 = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val next = stepped.join(l2, stepped("lbl") === l2("jid"), "left")
         .select(stepped("id"),
-          coalesce(col("jlbl"), stepped("lbl")).as("lbl"))
+          coalesce(col("jlbl"), stepped("lbl")).as("lbl"),
+          stepped("prev"))
         .localCheckpoint(true)
       // `next` is materialized (eager checkpoint) and no longer depends
       // on `stepped` — drop its blocks now, and the previous iteration's
@@ -67,8 +71,7 @@ object GraphOps {
       // this, MEMORY_AND_DISK blocks accumulate for the job lifetime on
       // deep graphs (one superseded frame per iteration).
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(stepped)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-        .where(col("lbl") =!= col("prev")).count()
+      changed = next.where(col("lbl") =!= col("prev")).count()
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
       labels = next
     }
