@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators for large-scale document pipelines.
@@ -270,6 +271,39 @@ object TextOps {
       .where(col("id_a") < col("id_b"))
       .withColumn("est_jaccard", lit(1.0))
     crossPairs.unionByName(intra)
+  }
+
+  /** Top-k most-similar documents per document (the similar-document
+    * report): MinHash+LSH candidate pairs, symmetrized, each doc's k
+    * best by estimated Jaccard (ties broken by neighbor id — fully
+    * deterministic since estimates are exact multiples of
+    * 1/numHashes).
+    *
+    * The candidate frame is materialized once (eager localCheckpoint)
+    * before the two-direction expansion — a lazy plan would evaluate
+    * the whole signature/banding pipeline twice, once per union leg.
+    * Pairs above `minEstimate` are a tiny fraction of the corpus, so
+    * the checkpoint is cheap; its blocks live until the session drops
+    * the returned frame (same lifecycle as the CC labels).
+    *
+    * Scale: inherits minHashPairs' LSH shape (never all-pairs); the
+    * literal rank filter lowers to WindowGroupLimit so each partition
+    * prunes to k before the per-doc shuffle.
+    */
+  def textNearestNeighbors(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, numHashes: Int = 16, bands: Int = 4,
+                           minEstimate: Double = 0.5,
+                           portable: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pairs = minHashPairs(df, idCol, textCol, numHashes, bands,
+      minEstimate, portable).localCheckpoint(true)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr_id"),
+        col("est_jaccard"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr_id"),
+        col("est_jaccard")))
+    val w = Window.partitionBy("id").orderBy(col("est_jaccard").desc, col("nbr_id"))
+    sym.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id", "rk", "nbr_id", "est_jaccard")
   }
 
   /** Exact-duplicate pairs surfaced THROUGH the engine-local

@@ -353,6 +353,54 @@ object TextQueries {
         len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents ORDER BY doc_id""")),
 
+    // ── top-k most-similar docs per doc (similar-document report):
+    //    d03's candidate chain, symmetrized, ranked per doc ───────────
+    Q("d17_text_knn",
+      (s, dir) => TextOps.textNearestNeighbors(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, numHashes = 16, bands = 2,
+        minEstimate = 0.5, portable = true)
+        .orderBy("id", "rk"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+          FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.5),
+        sym AS (
+          SELECT id_a AS id, id_b AS nbr_id, est_jaccard FROM pairs
+          UNION ALL
+          SELECT id_b AS id, id_a AS nbr_id, est_jaccard FROM pairs),
+        ranked AS (
+          SELECT id, nbr_id, est_jaccard,
+            ROW_NUMBER() OVER (PARTITION BY id
+              ORDER BY est_jaccard DESC, nbr_id) AS rk
+          FROM sym)
+        SELECT id, rk, nbr_id, est_jaccard FROM ranked
+        WHERE rk <= 3 ORDER BY id, rk""")),
+
     // ── per-language dataset-card profile (corpus report) ───────────
     Q("t13_corpus_report",
       (s, dir) => TextOps.corpusReport(Tables.documents(s, dir),

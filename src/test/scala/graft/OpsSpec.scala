@@ -395,6 +395,31 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("text kNN: ranked per doc, symmetric with the pair set, prunes via WindowGroupLimit") {
+    val nn = TextOps.textNearestNeighbors(docs, "doc_id", "text",
+      k = 3, numHashes = 16, bands = 2, minEstimate = 0.5, portable = true)
+    val rows = nn.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size), s"ranks not contiguous: $g")
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"estimates not non-increasing: $g")
+    }
+    // every reported neighbor is a real candidate pair (both directions
+    // come from the same pair set)
+    val pairSet = TextOps.minHashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.5, portable = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    assert(rows.forall(r => pairSet((r._1, r._3))))
+    // literal k lowers to per-partition pruning before the rank shuffle
+    assert(nn.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "top-k should prune via WindowGroupLimit")
+  }
+
   test("bigram LM: repetitive docs score more predictable; 1-token docs drop") {
     val corpus = Seq(
       (1L, "a b a b a b a b a"),
