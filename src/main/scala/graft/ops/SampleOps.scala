@@ -86,6 +86,20 @@ object SampleOps {
     df.where(unitHash(col(idCol), salt) < frac)
   }
 
+  /** Importance (quality-weighted) sampling: each row's keep
+    * probability is its own weight (scaled, clamped to [0, 1]) — the
+    * DCLM-style move from hard quality thresholds to sampling
+    * proportional to a quality signal, so borderline documents
+    * survive at reduced rate instead of cliff-dropping. Same
+    * zero-shuffle, rerun-stable hash predicate as [[sampleByHash]];
+    * the weight is any Column, so the scorer fuses into the same
+    * narrow projection.
+    */
+  def weightedSampleByHash(df: DataFrame, idCol: String, weight: Column,
+                           scale: Double = 1.0, salt: String = ""): DataFrame =
+    df.where(unitHash(col(idCol), salt) <
+      least(greatest(weight.cast("double") * scale, lit(0.0)), lit(1.0)))
+
   /** Temperature-flattened mixture sampling — the multilingual /
     * multi-source rebalancing step (mBERT/XLM-R/T5 style): group g
     * with n_g rows is sampled with probability ∝ n_g^alpha, so

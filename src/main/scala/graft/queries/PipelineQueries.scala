@@ -99,6 +99,29 @@ object PipelineQueries {
                         WHEN 'src2' THEN 0.6 ELSE 0.1 END
         ORDER BY doc_id""")),
 
+    // ── quality-weighted (importance) sampling: keep probability =
+    //    scaled quality score, no cliff threshold ─────────────────────
+    Q("p10_weighted_sample",
+      (s, dir) => {
+        val score = graft.ops.TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .find(_._1 == "quality_score").get._2
+        SampleOps.weightedSampleByHash(Tables.documents(s, dir),
+          "doc_id", score, scale = 0.15, salt = "wq")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5('wq#' || doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0
+          < LEAST(GREATEST(
+              ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+                * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+                  / len(string_split(text, ' ')))) * 0.15, 0.0), 1.0)
+        ORDER BY doc_id""")),
+
     // ── temperature-flattened mixture: keep fraction derived from
     //    group counts (n_g^alpha), low-resource langs upweighted ─────
     Q("p09_temperature_mixture",

@@ -195,6 +195,21 @@ class SampleOpsSpec extends SparkTestBase {
     assert(ok.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("weightedSampleByHash: clamps to [0,1], monotone in scale, rerun-stable") {
+    val df = events.select($"event_id", $"value")
+    // weight >= 1 keeps everything; weight <= 0 keeps nothing
+    assert(SampleOps.weightedSampleByHash(df, "event_id", lit(1.5)).count()
+      == df.count())
+    assert(SampleOps.weightedSampleByHash(df, "event_id", lit(-3.0)).count() == 0)
+    // raising the scale can only ADD rows (same salt): a kept row's
+    // fraction only grows, and row fate is a pure hash-vs-fraction test
+    val lo = SampleOps.weightedSampleByHash(df, "event_id", abs($"value"),
+      scale = 0.002, salt = "w").select("event_id").as[Long].collect().toSet
+    val hi = SampleOps.weightedSampleByHash(df, "event_id", abs($"value"),
+      scale = 0.02, salt = "w").select("event_id").as[Long].collect().toSet
+    assert(lo.nonEmpty && lo.subsetOf(hi) && hi.size > lo.size)
+  }
+
   test("temperatureMixture: alpha=1 is budget-proportional, alpha<1 flattens") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
