@@ -96,9 +96,14 @@ object SampleOps {
     * narrow projection.
     */
   def weightedSampleByHash(df: DataFrame, idCol: String, weight: Column,
-                           scale: Double = 1.0, salt: String = ""): DataFrame =
-    df.where(unitHash(col(idCol), salt) <
-      least(greatest(weight.cast("double") * scale, lit(0.0)), lit(1.0)))
+                           scale: Double = 1.0, salt: String = ""): DataFrame = {
+    // nanvl first: Spark orders NaN ABOVE every double, so NaN would
+    // sail through both clamp orders as keep-probability 1.0 — a
+    // corrupt score (0.0/0.0 ratios etc.) must drop the row, not
+    // guarantee it. A null weight yields a null predicate → dropped.
+    val p = nanvl(weight.cast("double") * scale, lit(0.0))
+    df.where(unitHash(col(idCol), salt) < least(greatest(p, lit(0.0)), lit(1.0)))
+  }
 
   /** Temperature-flattened mixture sampling — the multilingual /
     * multi-source rebalancing step (mBERT/XLM-R/T5 style): group g

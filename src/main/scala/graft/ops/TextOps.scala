@@ -279,12 +279,11 @@ object TextOps {
     * deterministic since estimates are exact multiples of
     * 1/numHashes).
     *
-    * The candidate frame is materialized once (eager localCheckpoint)
-    * before the two-direction expansion — a lazy plan would evaluate
-    * the whole signature/banding pipeline twice, once per union leg.
-    * Pairs above `minEstimate` are a tiny fraction of the corpus, so
-    * the checkpoint is cheap; its blocks live until the session drops
-    * the returned frame (same lifecycle as the CC labels).
+    * Symmetrization is an inline explode of both directions — a
+    * single lazy plan that evaluates the signature/banding pipeline
+    * exactly once (a naive self-union would evaluate it per leg, and
+    * an eager checkpoint would trade that for a construction-time job
+    * plus unreclaimed blocks).
     *
     * Scale: inherits minHashPairs' LSH shape (never all-pairs); the
     * literal rank filter lowers to WindowGroupLimit so each partition
@@ -296,11 +295,13 @@ object TextOps {
                            portable: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val pairs = minHashPairs(df, idCol, textCol, numHashes, bands,
-      minEstimate, portable).localCheckpoint(true)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr_id"),
-        col("est_jaccard"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr_id"),
-        col("est_jaccard")))
+      minEstimate, portable)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("nbr_id"), col("est_jaccard")),
+        struct(col("id_b").as("id"), col("id_a").as("nbr_id"), col("est_jaccard"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nbr_id").as("nbr_id"),
+        col("e.est_jaccard").as("est_jaccard"))
     val w = Window.partitionBy("id").orderBy(col("est_jaccard").desc, col("nbr_id"))
     sym.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("id", "rk", "nbr_id", "est_jaccard")

@@ -208,6 +208,18 @@ class SampleOpsSpec extends SparkTestBase {
     val hi = SampleOps.weightedSampleByHash(df, "event_id", abs($"value"),
       scale = 0.02, salt = "w").select("event_id").as[Long].collect().toSet
     assert(lo.nonEmpty && lo.subsetOf(hi) && hi.size > lo.size)
+    // corrupt scores (NaN doubles arriving in data — ANSI division
+    // throws, but parquet/float math can still carry NaN) and null
+    // weights drop the row — they must never sail through the clamp
+    // as keep-prob 1 (Spark orders NaN above every double)
+    val corrupt = Seq((1L, Double.NaN), (2L, 1.0)).toDF("id", "w")
+    val keptC = SampleOps.weightedSampleByHash(corrupt, "id", $"w")
+      .select("id").as[Long].collect().toSet
+    assert(!keptC.contains(1L), "NaN weight must drop the row")
+    val keptN = SampleOps.weightedSampleByHash(
+      Seq((1L, Option.empty[Double]), (2L, Option(1.0)))
+        .toDF("id", "w"), "id", $"w").select("id").as[Long].collect().toSet
+    assert(!keptN.contains(1L), "null weight must drop the row")
   }
 
   test("temperatureMixture: alpha=1 is budget-proportional, alpha<1 flattens") {
