@@ -604,6 +604,47 @@ object TextOps {
         round(avg(col("nll")), 6).as("cross_entropy"))
   }
 
+  /** Content-defined chunking (FastCDC-style, at token granularity):
+    * a chunk boundary falls AFTER position i whenever the rolling
+    * window hash of tokens (i-w+1 .. i) is ≡ 0 mod `modulus` — so
+    * boundaries are a function of local CONTENT, not absolute offsets,
+    * and inserting/deleting a token early in a document shifts at most
+    * the chunks around the edit instead of re-cutting everything
+    * downstream (the property fixed-size chunking (t10) lacks, and the
+    * reason CDC chunks make shift-resistant dedup units). Expected
+    * chunk length ≈ `modulus` tokens; positions < w never cut (the
+    * FastCDC min-size region).
+    *
+    * Scale shape: flags are computed per doc in one narrow HOF pass
+    * (the w-token window hash is portable MD5, oracle-replicable);
+    * the explode + per-doc running sum costs one window shuffle on
+    * doc id, then chunks assemble with a grouped sort_array — the
+    * same d12-family shape, rows carry (id, pos, token).
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           window: Int = 4, modulus: Int = 8): DataFrame = {
+    require(window > 0 && modulus > 0, "window and modulus must be positive")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val flags = transform(sequence(lit(1), n), i =>
+      when(i >= window &&
+        graft.functions.PortableHash.mdHash60(
+          concat_ws(" ", slice(toks, i - lit(window - 1), lit(window))))
+          % modulus === 0, lit(1)).otherwise(lit(0)))
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("id"),
+        explode(arrays_zip(sequence(lit(1), n).as("pos"), toks.as("tok"),
+          flags.as("flag"))).as("e"))
+      .select(col("id"), col("e.pos").as("pos"), col("e.tok").as("tok"),
+        col("e.flag").as("flag"))
+      .withColumn("chunk_id", coalesce(sum("flag").over(w), lit(0L)))
+      .groupBy(col("id"), col("chunk_id"))
+      .agg(min("pos").as("start_pos"), count(lit(1)).as("n_chunk_tokens"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"),
+          col("tok")))), s => s.getField("tok"))).as("chunk_text"))
+  }
+
   /** Top-k corpus vocabulary (count-desc, term-asc tie-break — fully
     * deterministic membership) plus per-document coverage against it:
     * in-vocab token fraction and distinct-OOV count, the "does a fixed

@@ -812,6 +812,36 @@ object TextQueries {
         FROM toks JOIN lm USING (term)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── content-defined chunking: shift-resistant boundaries from a
+    //    rolling window hash (the CDC upgrade of t10's fixed windows) ─
+    Q("t15_cdc_chunks",
+      (s, dir) => TextOps.contentDefinedChunks(Tables.documents(s, dir),
+        "doc_id", "text", window = 4, modulus = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id,
+            UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
+        flagged AS (
+          SELECT doc_id, pos, t[pos] AS tok,
+            CASE WHEN pos >= 4 AND
+              ('0x' || substr(md5(array_to_string(t[pos - 3 : pos], ' ')), 1, 15))::BIGINT
+                % 8 = 0
+            THEN 1 ELSE 0 END AS flag
+          FROM pos),
+        chunked AS (
+          SELECT doc_id, pos, tok,
+            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+          FROM flagged)
+        SELECT doc_id, chunk_id, MIN(pos) AS start_pos,
+          COUNT(*) AS n_chunk_tokens,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM chunked GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id""")),
+
     // ── bigram LM with interpolated unigram backoff (t11's KenLM-ward
     //    upgrade): per-doc cross-entropy under the corpus's own model ─
     Q("t14_bigram_lm",

@@ -11,15 +11,16 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.ops.VectorOps.semanticDedupClusters(
-      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
-      "vec_id", "embedding", nCells = 8, threshold = 0.4)
-    val plan = df.queryExecution.executedPlan.toString
-    println("ReusedExchangeCount: " + (plan.split("ReusedExchange").length - 1))
-    println("ScanParquetCount: " + (plan.split("Scan parquet").length - 1))
-    println("WindowCount: " + (plan.split("\\bWindow\\b").length - 1))
-    println(plan.linesIterator.take(80).mkString("\n"))
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.printSchema()
+    ev.orderBy("event_id").show(3, truncate = false)
+    import org.apache.spark.sql.functions._
+    ev.select(min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts")))).show()
+    val doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc.select(md5(col("text")).as("m"), col("doc_id")).orderBy("doc_id").show(3, truncate = false)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.printSchema()
     spark.stop()
   }
 }

@@ -395,6 +395,28 @@ class OpsSpec extends SparkTestBase {
     assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
   }
 
+  test("CDC chunks: lossless reassembly; boundaries shift-resistant under prepend") {
+    // reassembling every doc's chunks in order must reproduce the text
+    val chunks = TextOps.contentDefinedChunks(docs, "doc_id", "text")
+    val rebuilt = chunks.groupBy("id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct($"chunk_id", $"chunk_text")))
+        .getField("chunk_text")).as("rebuilt"))
+      .join(docs, $"id" === $"doc_id")
+      .where($"rebuilt" =!= $"text").count()
+    assert(rebuilt == 0, "chunk reassembly must be lossless")
+    // shift resistance — the CDC property t10's fixed windows lack:
+    // prepending one token realigns all boundaries past the first
+    // hash window, so almost every chunk survives the edit verbatim
+    val doc1 = docs.orderBy("doc_id").select($"text").as[String].head()
+    val two = Seq((1L, doc1), (2L, "EDITTOKEN " + doc1)).toDF("doc_id", "text")
+    val byDoc = TextOps.contentDefinedChunks(two, "doc_id", "text")
+      .select($"id", $"chunk_text").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = byDoc(1L).intersect(byDoc(2L))
+    assert(shared.size >= byDoc(1L).size - 2,
+      s"prepend broke ${byDoc(1L).size - shared.size} of ${byDoc(1L).size} chunks")
+  }
+
   test("text kNN: ranked per doc, symmetric with the pair set, prunes via WindowGroupLimit") {
     val nn = TextOps.textNearestNeighbors(docs, "doc_id", "text",
       k = 3, numHashes = 16, bands = 2, minEstimate = 0.5, portable = true)
