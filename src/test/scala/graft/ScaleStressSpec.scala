@@ -76,7 +76,10 @@ class ScaleStressSpec extends SparkTestBase {
     // join-heavy LM scoring: bigram table grows with the (salted)
     // vocab, occurrences with the corpus — both legs must stay linear
     "t14_bigram_lm" -> (df =>
-      TextOps.bigramLmScore(df, "doc_id", "text")))
+      TextOps.bigramLmScore(df, "doc_id", "text")),
+    // per-token explode + window + chunk reassembly: volume-bound
+    "t15_cdc_chunks" -> (df =>
+      TextOps.contentDefinedChunks(df, "doc_id", "text")))
 
   private def planShape(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.collect { case p => p.nodeName }
