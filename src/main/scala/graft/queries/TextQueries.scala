@@ -842,6 +842,44 @@ object TextQueries {
         FROM chunked GROUP BY doc_id, chunk_id
         ORDER BY doc_id, chunk_id""")),
 
+    // ── duplicate CDC-chunk census: the point of shift-resistant
+    //    chunks — recurring content surfaces as equal chunk hashes
+    //    even when it sits at different offsets in different docs ─────
+    Q("d18_cdc_dedup",
+      (s, dir) => {
+        val chunks = TextOps.contentDefinedChunks(Tables.documents(s, dir),
+          "doc_id", "text", window = 4, modulus = 8)
+        chunks.groupBy(md5(col("chunk_text")).as("chunk_hash"))
+          .agg(count(lit(1)).as("n_copies"), min(col("id")).as("first_doc"))
+          .where(col("n_copies") > 1)
+          .orderBy("chunk_hash")
+      },
+      Some("""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id,
+            UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
+        flagged AS (
+          SELECT doc_id, pos, t[pos] AS tok,
+            CASE WHEN pos >= 4 AND
+              ('0x' || substr(md5(array_to_string(t[pos - 3 : pos], ' ')), 1, 15))::BIGINT
+                % 8 = 0
+            THEN 1 ELSE 0 END AS flag
+          FROM pos),
+        chunked AS (
+          SELECT doc_id, pos, tok,
+            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+          FROM flagged),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+          FROM chunked GROUP BY doc_id, chunk_id)
+        SELECT md5(chunk_text) AS chunk_hash,
+          COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+        FROM chunks GROUP BY chunk_hash
+        HAVING COUNT(*) > 1 ORDER BY chunk_hash""")),
+
     // ── bigram LM with interpolated unigram backoff (t11's KenLM-ward
     //    upgrade): per-doc cross-entropy under the corpus's own model ─
     Q("t14_bigram_lm",
