@@ -626,11 +626,15 @@ object TextOps {
     require(window > 0 && modulus > 0, "window and modulus must be positive")
     val toks = tokens(col(textCol))
     val n = size(toks)
-    val flags = transform(sequence(lit(1), n), i =>
-      when(i >= window &&
-        graft.functions.PortableHash.mdHash60(
-          concat_ws(" ", slice(toks, i - lit(window - 1), lit(window))))
-          % modulus === 0, lit(1)).otherwise(lit(0)))
+    // the window string IS the w-token word n-gram — derive flags from
+    // the one wordNgrams definition (shared with d12/decontam) so the
+    // "equal content hashes equally" contract has a single encoding;
+    // positions < w never cut (w-1 leading zeros)
+    val flags = concat(
+      array_repeat(lit(0), least(n, lit(window - 1)).cast("int")),
+      transform(wordNgrams(col(textCol), window), g =>
+        when(graft.functions.PortableHash.mdHash60(g) % modulus === 0, lit(1))
+          .otherwise(lit(0))))
     val w = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol).as("id"),

@@ -12,6 +12,30 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "to")
 
+  /** Shared CDC-chunking oracle chain (t15 + d18): ONE definition of
+    * the boundary rule so the two oracles can never desynchronize
+    * from each other (window=4, modulus=8 — must track
+    * `TextOps.contentDefinedChunks` call sites).
+    */
+  private val cdcChunkCtes: String =
+    """ts AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id,
+            UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
+        flagged AS (
+          SELECT doc_id, pos, t[pos] AS tok,
+            CASE WHEN pos >= 4 AND
+              ('0x' || substr(md5(array_to_string(t[pos - 3 : pos], ' ')), 1, 15))::BIGINT
+                % 8 = 0
+            THEN 1 ELSE 0 END AS flag
+          FROM pos),
+        chunked AS (
+          SELECT doc_id, pos, tok,
+            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
+          FROM flagged)"""
+
   private val langProfiles = Seq(
     "en" -> Seq("the", "a"),
     "fr" -> Seq("data", "row"),
@@ -819,23 +843,7 @@ object TextQueries {
         "doc_id", "text", window = 4, modulus = 8)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_id"),
-      Some("""WITH ts AS (
-          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        pos AS (
-          SELECT doc_id,
-            UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
-        flagged AS (
-          SELECT doc_id, pos, t[pos] AS tok,
-            CASE WHEN pos >= 4 AND
-              ('0x' || substr(md5(array_to_string(t[pos - 3 : pos], ' ')), 1, 15))::BIGINT
-                % 8 = 0
-            THEN 1 ELSE 0 END AS flag
-          FROM pos),
-        chunked AS (
-          SELECT doc_id, pos, tok,
-            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
-          FROM flagged)
+      Some(s"""WITH $cdcChunkCtes
         SELECT doc_id, chunk_id, MIN(pos) AS start_pos,
           COUNT(*) AS n_chunk_tokens,
           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
@@ -854,23 +862,7 @@ object TextQueries {
           .where(col("n_copies") > 1)
           .orderBy("chunk_hash")
       },
-      Some("""WITH ts AS (
-          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        pos AS (
-          SELECT doc_id,
-            UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
-        flagged AS (
-          SELECT doc_id, pos, t[pos] AS tok,
-            CASE WHEN pos >= 4 AND
-              ('0x' || substr(md5(array_to_string(t[pos - 3 : pos], ' ')), 1, 15))::BIGINT
-                % 8 = 0
-            THEN 1 ELSE 0 END AS flag
-          FROM pos),
-        chunked AS (
-          SELECT doc_id, pos, tok,
-            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id
-          FROM flagged),
+      Some(s"""WITH $cdcChunkCtes,
         chunks AS (
           SELECT doc_id, chunk_id,
             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
