@@ -99,6 +99,46 @@ object PipelineQueries {
                         WHEN 'src2' THEN 0.6 ELSE 0.1 END
         ORDER BY doc_id""")),
 
+    // ── leak-free (cluster-aware) split: hash the near-dup CLUSTER,
+    //    not the doc, so paraphrases can never straddle train/test ────
+    Q("p11_leakfree_split",
+      (s, dir) => {
+        val labels = graft.ops.TextOps.dedupClusters(
+          Tables.documents(s, dir), "doc_id", "text", 0.9)
+          .select("doc_id", "cluster_id")
+        SampleOps.hashSplit(labels, "cluster_id",
+          Seq("train" -> 8.0, "test" -> 2.0), salt = "cs")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        cp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM cp
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.9),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+          CASE WHEN ('0x' || substr(md5('cs#' || cluster_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 < 8.0/10
+            THEN 'train' ELSE 'test' END AS split
+        FROM lab ORDER BY doc_id""")),
+
     // ── quality-weighted (importance) sampling: keep probability =
     //    scaled quality score, no cliff threshold ─────────────────────
     Q("p10_weighted_sample",

@@ -195,6 +195,29 @@ class SampleOpsSpec extends SparkTestBase {
     assert(ok.select("n_tokens").distinct().as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("cluster-aware split is leak-free where the naive doc split leaks") {
+    import graft.ops.TextOps
+    val docs = Tables.documents(spark, sf)
+    val pairs = TextOps.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "fixture needs near-dup pairs to test leakage")
+    def splitOf(assign: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      assign.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // hashing the CLUSTER: every near-dup pair lands on one side
+    val labels = TextOps.dedupClusters(docs, "doc_id", "text", 0.9)
+      .select("doc_id", "cluster_id")
+    val safe = splitOf(SampleOps.hashSplit(labels, "cluster_id",
+      Seq("train" -> 8.0, "test" -> 2.0), salt = "cs"))
+    assert(pairs.forall(p => safe(p._1) == safe(p._2)),
+      "cluster-aware split must never separate a near-dup pair")
+    // hashing the DOC id (the naive split) demonstrably leaks on the
+    // same corpus — the reason the cluster-aware variant exists
+    val naive = splitOf(SampleOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 8.0, "test" -> 2.0), salt = "cs"))
+    assert(pairs.exists(p => naive(p._1) != naive(p._2)),
+      "expected the naive doc-id split to leak near-dups across sides")
+  }
+
   test("weightedSampleByHash: clamps to [0,1], monotone in scale, rerun-stable") {
     val df = events.select($"event_id", $"value")
     // weight >= 1 keeps everything; weight <= 0 keeps nothing
