@@ -503,10 +503,12 @@ object TextOps {
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // guard: sequence(1, 0) would produce a DESCENDING [1, 0] and hit
-    // element_at index errors on docs shorter than n tokens
+    // slice index errors on docs shorter than n tokens.
+    // one slice per position, not n element_at calls — measurably
+    // faster (t15 regressed 2× on the element_at formulation)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
