@@ -69,8 +69,8 @@ object Bench {
     // Per-query repetition: environment noise on a busy 32-core box
     // swings single-shot timings by up to ~5× in either direction
     // (BENCH_r03 vs r04, identical binaries), so each entry runs
-    // `iters` times and reports the MEDIAN (plus min) — regressions
-    // become attributable to code again.
+    // `iters` times and reports the MEDIAN (plus min and MAD) —
+    // regressions become attributable to code again.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Streaming: producer-side materialization and the streaming
     // planner/codegen JIT happen outside all timings; each b03
@@ -80,16 +80,16 @@ object Bench {
     // query lingers in the background while OTHER entries are timed.
     // Chunk enqueue/encode is inside the timed consume by design
     // (faust's RECV pays per-event decode) — see StreamBench scaladoc.
+    // Only b03 replays through MemoryStream, so only b03 pays the
+    // driver-side collect; b01/b02 read the events table directly and
+    // their row count (for the rates below) comes from a cheap count.
     val needStream = want("b03_stream_windowed")
-    val needEvents = needStream ||
+    val needRates = needStream ||
       want("b01_consume_baseline") || want("b02_forward")
     val replayRows =
-      if (needEvents) StreamBench.prepare(spark, sfDir)
+      if (needStream) StreamBench.prepare(spark, sfDir)
       else Array.empty[(Long, String, Double)]
     if (needStream) StreamBench.warmup(spark)
-    val b03Preps: Seq[() => () => Unit] =
-      if (needStream) Seq.fill(iters)(() => StreamBench.stageReplay(spark, replayRows))
-      else Seq.empty
     // Bucketed-layout prep (untimed — layout is written once, amortized
     // over every co-located join in production): lineitem+orders
     // bucketed on orderkey → the q05 fact-fact join needs no exchange.
@@ -118,14 +118,16 @@ object Bench {
     if (needBucketed) bucketedMultiJoin() // codegen warmup, untimed
 
     val queries = SparkEntry.queries
-    // each entry carries one PREP per iteration: prep() runs untimed
-    // setup and returns the closure that gets timed (batch queries
-    // need no setup; b03 stages its replay in prep)
-    val named = headline.filter(n => queries.contains(n) && want(n)).map { name =>
-      val run = () => queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      name -> Seq.fill(iters)(() => run)
-    }
+    // each entry carries a per-iteration FACTORY: factory() runs
+    // untimed setup and returns the closure that gets timed (batch
+    // queries need no setup; b03 stages its replay in the factory) —
+    // a factory can be invoked again for adjudication reruns
+    val named: Seq[(String, () => () => Unit)] =
+      headline.filter(n => queries.contains(n) && want(n)).map { name =>
+        val run = () => queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        name -> (() => run)
+      }
     // t/bench-mirror scenarios (BASELINE.md): consume-only and
     // consume→transform→produce, on the streaming-shaped events table.
     val b01 = () =>
@@ -138,40 +140,87 @@ object Bench {
             get_json_object(col("props"), "$.k").cast("long").as("k"))).as("value"))
         .write.format("noop").mode("overwrite").save()
     }
-    val scenarios = Seq[(String, Seq[() => () => Unit])](
-      "b01_consume_baseline" -> Seq.fill(iters)(() => b01),
-      "b02_forward" -> Seq.fill(iters)(() => b02),
-      "b03_stream_windowed" -> b03Preps,
+    val scenarios = Seq[(String, () => () => Unit)](
+      "b01_consume_baseline" -> (() => b01),
+      "b02_forward" -> (() => b02),
+      "b03_stream_windowed" -> (() => StreamBench.stageReplay(spark, replayRows)),
       // q05's fact-fact join on bucketed layout: the co-location story
       // with a number attached (vs q05's shuffle-join time above)
-      "b04_bucketed_multi_join" -> Seq.fill(iters)(() => () => bucketedMultiJoin()))
+      "b04_bucketed_multi_join" -> (() => () => bucketedMultiJoin()))
       .filter { case (name, _) => want(name) }
-    val results = (named ++ scenarios).map { case (name, runs) =>
-      val times = runs.map { prep =>
-        val fn = prep() // untimed per-iteration setup
-        val t0 = System.nanoTime()
-        val ok = try { fn(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -1.0
-      }.filter(_ >= 0).sorted
-      // median of the successful runs; -1 if every run failed
-      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
-      val mn = if (times.isEmpty) -1.0 else times.head
-      (name, median, mn)
+    val entries = named ++ scenarios
+
+    def timeOnce(factory: () => () => Unit): Double = {
+      val fn = factory() // untimed per-iteration setup
+      val t0 = System.nanoTime()
+      val ok = try { fn(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) dt else -1.0
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // INTERLEAVED iterations (round-robin across entries, not N
+    // back-to-back per entry): a transient contention spike on the box
+    // now lands on one iteration of many entries instead of every
+    // iteration of one entry, so a single entry can't have its whole
+    // sample poisoned by one bad window (BENCH_r07 adjudication: four
+    // entries swung 3–4× with unchanged code, all back-to-back runs).
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    entries.foreach { case (name, _) => samples(name) = Vector.empty }
+    (1 to iters).foreach { _ =>
+      entries.foreach { case (name, factory) =>
+        samples(name) = samples(name) :+ timeOnce(factory)
+      }
+    }
+    def sortedOk(name: String): Vector[Double] =
+      samples(name).filter(_ >= 0).sorted
+    // SELF-ADJUDICATION: an entry whose median/min spread exceeds 1.5×
+    // was hit by machine noise (same binary, same plan — real code
+    // regressions move min and median together); rerun it until the
+    // spread settles or the cap is hit, so driver-run numbers no
+    // longer need a manual off-box rerun to clear false regressions.
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt
+    def noisy(name: String): Boolean = {
+      val ok = sortedOk(name)
+      ok.nonEmpty && ok.head > 0 && ok(ok.size / 2) / ok.head > 1.5
+    }
+    val rerunCounts = entries.map { case (name, factory) =>
+      var extra = 0
+      while (noisy(name) && extra < maxReruns) {
+        samples(name) = samples(name) :+ timeOnce(factory)
+        extra += 1
+      }
+      name -> extra
+    }.filter(_._2 > 0)
+    val results = entries.map { case (name, _) =>
+      val ok = sortedOk(name)
+      // median of the successful runs; -1 if every run failed
+      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      val mn = if (ok.isEmpty) -1.0 else ok.head
+      // median absolute deviation — the dispersion a reader needs to
+      // tell "this moved" from "this box was busy"
+      val mad = if (ok.isEmpty) -1.0
+        else ok.map(t => math.abs(t - med)).sorted.apply(ok.size / 2)
+      (name, med, mn, mad)
+    }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    val qsMin = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMad = results.map { case (k, _, _, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val rerunJson = rerunCounts.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // BASELINE.md comparability: the reference reports sec per 10k
     // events consumed; the b-scenarios consume the events table
     // end-to-end, so events/s and sec/10k follow from wall time.
-    val nEvents = replayRows.length
+    val nEvents: Long =
+      if (needStream) replayRows.length.toLong
+      else if (needRates) Tables.events(spark, sfDir).count()
+      else 0L
     val eventScenarios = Set("b01_consume_baseline", "b02_forward",
       "b03_stream_windowed")
     // rates derive from the median (the reproducible central number)
-    val rates = results.filter(r => eventScenarios(r._1)).map { case (k, v, _) =>
+    val rates = results.filter(r => eventScenarios(r._1)).map { case (k, v, _, _) =>
       val rps = if (v > 0) nEvents / v else -1.0
       val per10k = if (v > 0) v / (nEvents / 10000.0) else -1.0
       (k, rps, per10k)
@@ -181,7 +230,8 @@ object Bench {
     val p10kJson = rates.map { case (k, _, p) => "\"" + k + "\":" + f"$p%.4f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"iters":$iters,""" +
+      s""""queries_min":$qsMin,"queries_mad":$qsMad,"reruns":$rerunJson,""" +
+      s""""iters":$iters,""" +
       s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
       s""""n_events":$nEvents,"sf":"$sfDir"}""")
     spark.stop()

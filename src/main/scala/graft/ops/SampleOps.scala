@@ -132,6 +132,15 @@ object SampleOps {
     val zc = "__graft_temp_z"
     val kc = "__graft_temp_kf"
     val gc = "__graft_temp_g"
+    // Oracle-parity note (accepted measure-zero risk): the normalizer
+    // sums pow(n_g, alpha) in DOUBLE — pow is not correctly rounded
+    // and the sum is order-dependent, so exactness vs DuckDB relies on
+    // Java's Math.pow and libm agreeing to the last ulp on these
+    // inputs (they do for the corpus's small-integer counts). A ulp
+    // difference in the derived fraction only flips a row whose unit
+    // hash lands inside that 2^-52-wide gap. If it ever flakes, snap
+    // the fraction to fixed precision (e.g. round(kf, 12)) on BOTH
+    // engines — same hazard class SketchOps sidesteps for HLL.
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nc))
     val z = counts.agg(sum(pow(col(nc), alpha)).as(zc))
     val fracs = counts.crossJoin(broadcast(z))

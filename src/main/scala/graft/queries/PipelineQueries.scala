@@ -139,6 +139,67 @@ object PipelineQueries {
             THEN 'train' ELSE 'test' END AS split
         FROM lab ORDER BY doc_id""")),
 
+    // ── leak-free split over the PRODUCTION cluster path: same
+    //    contract as p11, but the cluster labels come from
+    //    MinHash+LSH candidate edges (d06) instead of exact Jaccard
+    //    pairs — the linear 100 TB path, now oracle-gated itself
+    //    rather than a doc note. Oracle = d06's fixpoint CTE chain +
+    //    p01's split fragment keyed on the cluster id. ───────────────
+    Q("p12_leakfree_split_lsh",
+      (s, dir) => {
+        val labels = graft.ops.TextOps.dedupClustersMinHash(
+          Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+          .select("doc_id", "cluster_id")
+        SampleOps.hashSplit(labels, "cluster_id",
+          Seq("train" -> 8.0, "test" -> 2.0), salt = "cs")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM agree
+          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id,
+          CASE WHEN ('0x' || substr(md5('cs#' || cluster_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 < 8.0/10
+            THEN 'train' ELSE 'test' END AS split
+        FROM lab ORDER BY doc_id""")),
+
     // ── quality-weighted (importance) sampling: keep probability =
     //    scaled quality score, no cliff threshold ─────────────────────
     Q("p10_weighted_sample",

@@ -21,9 +21,11 @@ package graft.queries
   * `a*p mod 2^64 = (a*lo + ((a*hi) mod 2^32) * 2^32) mod 2^64`, with
   * every intermediate < 2^97 — safely inside HUGEINT.
   *
-  * Preconditions (checked on the corpus, and naturally true for the
-  * whitespace tokenizer): tokens are ASCII (`ord` = UTF-8 byte) and at
-  * most 8 bytes, so only the short tail path is generated. A wider
+  * Preconditions (naturally true for the whitespace tokenizer, and
+  * ASSERTED inside the generated CTEs via `error()` so a violation
+  * fails loudly instead of producing a silently wrong oracle): tokens
+  * are ASCII (`ord` = UTF-8 byte) and at most 8 bytes, so only the
+  * short tail path is generated; long keys are non-negative. A wider
   * corpus would need the 32-byte stripe loop added in the same style.
   */
 object XxHashSql {
@@ -69,7 +71,16 @@ object XxHashSql {
     */
   private def tokHashCtes(k: Int): String = {
     val hashIntInit = (BigInt(42) + P5 + 4) % M64
-    s"""perm AS (SELECT dtok.tok, t.i FROM dtok CROSS JOIN range($k) t(i)),
+    // precondition gate: only the <=8-byte ASCII tail path is
+    // generated (the corpus tokenizer guarantees it today); a corpus /
+    // tokenizer change that violates it must fail HERE with a clear
+    // message, not surface as an opaque d08/q53 hash mismatch. A wider
+    // corpus needs the 32-byte stripe loop added in the same style.
+    s"""dtok_ck AS (SELECT CASE
+       |  WHEN strlen(tok) > 8 OR length(tok) <> strlen(tok)
+       |  THEN error('XxHashSql precondition violated: token not ASCII or >8 bytes: ' || tok)
+       |  ELSE tok END AS tok FROM dtok),
+       |perm AS (SELECT dtok_ck.tok, t.i FROM dtok_ck CROSS JOIN range($k) t(i)),
        |s1 AS (SELECT tok, i, ${add(wmul(rotl(xor(s"$hashIntInit::HUGEINT",
                  wmul("i::HUGEINT", P1)), 23), P2), s"$P3::HUGEINT")} AS h FROM perm),
        |${fmixCtes("f", "s1", "tok, i")},
@@ -126,8 +137,14 @@ object XxHashSql {
     */
   private def hashLongCtes(keep: String): String = {
     val init = (BigInt(42) + P5 + 8) % M64
-    s"""l1 AS (SELECT $keep, ${xor(s"$init::HUGEINT",
-            wmul(rotl(wmul("k", P2), 31), P1))} AS h FROM keys),
+    // precondition gate: the mod-2^64 model below assumes k >= 0 (a
+    // negative BIGINT would need the two's-complement image instead);
+    // error() out loudly rather than produce a silently wrong oracle
+    s"""l0 AS (SELECT $keep, CASE WHEN k < 0
+       |  THEN error('XxHashSql precondition violated: negative key')
+       |  ELSE k END AS k FROM keys),
+       |l1 AS (SELECT $keep, ${xor(s"$init::HUGEINT",
+            wmul(rotl(wmul("k", P2), 31), P1))} AS h FROM l0),
        |l2 AS (SELECT $keep, ${add(wmul(rotl("h", 27), P1), s"$P4::HUGEINT")} AS h FROM l1),
        |${fmixCtes("lf", "l2", keep)},
        |key_hash AS (SELECT $keep, h FROM lf5)""".stripMargin

@@ -81,8 +81,17 @@ class ScaleStressSpec extends SparkTestBase {
     "t15_cdc_chunks" -> (df =>
       TextOps.contentDefinedChunks(df, "doc_id", "text")))
 
+  /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
+    * (the session default), `executedPlan` is a single
+    * `AdaptiveSparkPlanExec` LEAF — collecting node names from it
+    * yields `["AdaptiveSparkPlan"]` at every scale and the shape
+    * assertion is vacuous exactly for the shuffle-bearing queries it
+    * exists to pin. `sparkPlan` is the planned operator tree before
+    * adaptive wrapping, so scale-dependent restructuring (e.g. a join
+    * strategy flip) is visible again.
+    */
   private def planShape(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collect { case p => p.nodeName }
+    df.queryExecution.sparkPlan.collect { case p => p.nodeName }
 
   private def timeNoop(df: DataFrame): Double = {
     val t0 = System.nanoTime()
