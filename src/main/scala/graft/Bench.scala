@@ -28,7 +28,9 @@ object Bench {
     "t01_token_count", "t02_quality_score", "t04_fingerprint",
     "t08_repetition", "t09_pii_redact", "t10_chunking", "p07_pack",
     "q53_approx_distinct_portable",
-    "u02_url_normalize", "u04_url_dedup", "s09_semantic_dedup", "t14_bigram_lm", "t15_cdc_chunks")
+    "u02_url_normalize", "u04_url_dedup", "s09_semantic_dedup",
+    "t14_bigram_lm", "t15_cdc_chunks",
+    "t16_trigram_lm", "d19_cdc_dedup_incremental", "p12_leakfree_split_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -161,6 +161,77 @@ object TextOps {
         .join(known, Seq("fingerprint"), "left_anti"))
   }
 
+  /** Distinct CDC-chunk fingerprints of a corpus — the compact unit
+    * the incremental chunk contracts shuffle/broadcast instead of
+    * documents (one MD5 per distinct content-defined chunk). In
+    * production this set is MAINTAINED incrementally (yesterday's set
+    * ∪ yesterday's new chunks), never re-derived from history — the
+    * derivation here is for self-contained fixtures.
+    */
+  def chunkFingerprints(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 4, modulus: Int = 8): DataFrame =
+    contentDefinedChunks(df, idCol, textCol, window, modulus)
+      .select(md5(col("chunk_text")).as("chunk_hash")).distinct()
+
+  /** Incremental CDC-chunk dedup — [[incrementalExactDedup]]'s
+    * growing-corpus contract at CHUNK granularity: dedup the incoming
+    * batch's content-defined chunks against themselves AND against
+    * the corpus's chunk-fingerprint set, without touching old text.
+    * This is the production loop for recrawled/edited corpora: an
+    * edit early in a re-fetched page re-cuts only the chunks around
+    * the edit (FastCDC shift-resistance, see
+    * [[contentDefinedChunks]]), so the unchanged remainder anti-joins
+    * away as already-known chunk hashes instead of re-entering the
+    * corpus as "new" content — doc-level exact dedup (d09) would call
+    * the whole page new.
+    *
+    * Scale shape: chunking is the narrow t15 pass over the INCREMENT
+    * only; both shuffle legs carry chunk hashes, never chunk text.
+    *
+    * @return one row per NEW distinct chunk: (chunk_hash, keep_doc =
+    *         smallest increment doc containing it, n_dups within the
+    *         increment)
+    */
+  def incrementalChunkDedup(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String,
+                            window: Int = 4, modulus: Int = 8): DataFrame = {
+    val incChunks = contentDefinedChunks(incoming, idCol, textCol, window, modulus)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(min(col("id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+    val known = chunkFingerprints(existing, idCol, textCol, window, modulus)
+    incChunks.join(known, Seq("chunk_hash"), "left_anti")
+  }
+
+  /** Bloom-accelerated [[incrementalChunkDedup]] — bit-identical
+    * result (no false negatives; every might-contain row is
+    * exact-confirmed by the anti-join), but the membership check runs
+    * map-side against a broadcast sketch of the corpus chunk
+    * fingerprints first, so only the (true dups + fpp) sliver of the
+    * increment's chunks pays the anti-join shuffle — the d15↔d09
+    * relationship, at chunk granularity.
+    */
+  def incrementalChunkDedupBloom(incoming: DataFrame, existing: DataFrame,
+                                 idCol: String, textCol: String,
+                                 expectedItems: Long, fpp: Double = 0.01,
+                                 window: Int = 4, modulus: Int = 8): DataFrame = {
+    import graft.functions.BloomExpressions.bloomMightContain
+    val spark = incoming.sparkSession
+    val known = chunkFingerprints(existing, idCol, textCol, window, modulus)
+    val sketch = known.stat.bloomFilter("chunk_hash", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val incChunks = contentDefinedChunks(incoming, idCol, textCol, window, modulus)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(min(col("id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+    val maybe = bloomMightContain(col("chunk_hash"), bc)
+    // definitely-new chunks skip the anti-join; maybes are exact-
+    // confirmed so false positives cannot leak through (chunk hashes
+    // are never null: even an empty token list yields a chunk row
+    // with empty chunk_text, and md5('') is a real value)
+    incChunks.where(maybe.isNull || !maybe)
+      .unionByName(incChunks.where(coalesce(maybe, lit(false)))
+        .join(known, Seq("chunk_hash"), "left_anti"))
+  }
+
   /** Token-set Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold).
     *
     * Blocked on shared tokens: only docs sharing >=1 token pair up.
@@ -603,6 +674,72 @@ object TextOps {
           lit(1.0 - lambda) * col("c1w2").cast("double") / col("_n"))).as("nll"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("cross_entropy"))
+  }
+
+  /** Trigram-LM quality score with two-level interpolated backoff —
+    * [[bigramLmScore]]'s next rung toward real CCNet/KenLM perplexity
+    * filtering: per-trigram probability
+    * `l3·c(w1w2w3)/c(w1w2) + l2·c(w2w3)/c(w2) + (1-l3-l2)·c(w3)/N`,
+    * per-doc cross-entropy as the averaged negative log. Docs with
+    * fewer than three tokens have no trigrams and drop out.
+    *
+    * Denominators are CORPUS occurrence counts of the context (same
+    * convention as [[bigramLmScore]]'s c(w1) leg — not
+    * continuation-filtered counts), so the three legs share one
+    * unigram and one bigram table.
+    *
+    * Scale shape: the trigram count table is the wide one and is
+    * shuffle-joined on (w1,w2,w3); both bigram legs ride the same
+    * bigram table (context and backoff), broadcast here — at a vocab
+    * where c2 outgrows the broadcast threshold, drop the hint and the
+    * planner shuffle-joins those legs too. All join keys are bounded
+    * by token length, never document length.
+    */
+  def trigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                     lambda3: Double = 0.6, lambda2: Double = 0.3): DataFrame = {
+    require(lambda3 > 0.0 && lambda2 >= 0.0 && lambda3 + lambda2 < 1.0,
+      "need lambda3 > 0, lambda2 >= 0, lambda3 + lambda2 < 1")
+    val toks = tokens(col(textCol))
+    val nTri = greatest(size(toks) - 2, lit(0))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val docTrigrams = df.select(col(idCol).as("id"),
+        explode(zip_with(
+          zip_with(slice(toks, lit(1), nTri), slice(toks, lit(2), nTri),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(toks, lit(3), nTri),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val corpusBigrams = df.select(
+        explode(zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val total = c1.agg(sum("nw").cast("double").as("_n"))
+    val c2 = corpusBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nbg"))
+    val c3 = docTrigrams.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ntg"))
+    // the lambda remainder stays ARITHMETIC on both sides — the IEEE
+    // result of 1.0-0.6-0.3 is not the decimal literal 0.1, and the
+    // probability must match bit-for-bit before round(6) (cf. t14)
+    docTrigrams
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(broadcast(c2.select(col("w1"), col("w2"), col("nbg").as("ctx2"))),
+        Seq("w1", "w2"))
+      .join(broadcast(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("nbg").as("bg23"))), Seq("w2", "w3"))
+      .join(broadcast(c1.select(col("w").as("w2"), col("nw").as("c1w2"))), Seq("w2"))
+      .join(broadcast(c1.select(col("w").as("w3"), col("nw").as("c1w3"))), Seq("w3"))
+      .crossJoin(broadcast(total))
+      .select(col("id"), (-log(
+        lit(lambda3) * col("ntg").cast("double") / col("ctx2") +
+          lit(lambda2) * col("bg23").cast("double") / col("c1w2") +
+          lit(1.0 - lambda3 - lambda2) * col("c1w3").cast("double") / col("_n")))
+        .as("nll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
         round(avg(col("nll")), 6).as("cross_entropy"))
   }
 

@@ -872,6 +872,35 @@ object TextQueries {
         FROM chunks GROUP BY chunk_hash
         HAVING COUNT(*) > 1 ORDER BY chunk_hash""")),
 
+    // ── incremental CDC-chunk dedup: the growing-corpus contract at
+    //    chunk granularity — the production loop for recrawled/edited
+    //    corpora (an edit re-cuts only nearby chunks; the unchanged
+    //    remainder anti-joins away as known chunk hashes). Bloom-
+    //    prefiltered path benched; bit-identity vs the plain anti-join
+    //    is spec-proven (OpsSpec), mirroring d15↔d09. ─────────────────
+    Q("d19_cdc_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.incrementalChunkDedupBloom(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", expectedItems = 100000L)
+          .orderBy("chunk_hash")
+      },
+      Some(s"""WITH $cdcChunkCtes,
+        chunks AS (
+          SELECT doc_id, chunk_id,
+            string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+          FROM chunked GROUP BY doc_id, chunk_id),
+        inc AS (
+          SELECT md5(chunk_text) AS chunk_hash, MIN(doc_id) AS keep_doc,
+            COUNT(*) AS n_dups
+          FROM chunks WHERE doc_id % 3 = 0 GROUP BY 1)
+        SELECT chunk_hash, keep_doc, n_dups FROM inc
+        WHERE chunk_hash NOT IN
+          (SELECT md5(chunk_text) FROM chunks WHERE doc_id % 4 = 0)
+        ORDER BY chunk_hash""")),
+
     // ── bigram LM with interpolated unigram backoff (t11's KenLM-ward
     //    upgrade): per-doc cross-entropy under the corpus's own model ─
     Q("t14_bigram_lm",
@@ -898,6 +927,42 @@ object TextQueries {
         JOIN c1 cb ON cb.w = b.w2
         CROSS JOIN tot
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ── trigram LM with two-level interpolated backoff (t14's next
+    //    KenLM-ward rung): per-doc cross-entropy under the corpus's
+    //    own trigram model ───────────────────────────────────────────
+    Q("t16_trigram_lm",
+      (s, dir) => TextOps.trigramLmScore(Tables.documents(s, dir),
+        "doc_id", "text", lambda3 = 0.6, lambda2 = 0.3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tri AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+          FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM ts)),
+        big AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM ts)),
+        c1 AS (
+          SELECT w, COUNT(*) AS nw
+          FROM (SELECT UNNEST(t) AS w FROM ts) GROUP BY w),
+        tot AS (SELECT CAST(SUM(nw) AS DOUBLE) AS n FROM c1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS nbg FROM big GROUP BY w1, w2),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS ntg FROM tri GROUP BY w1, w2, w3)
+        SELECT tr.doc_id, COUNT(*) AS n_trigrams,
+          ROUND(AVG(-LN(
+            0.6 * CAST(c3.ntg AS DOUBLE) / cctx.nbg
+            + 0.3 * CAST(c23.nbg AS DOUBLE) / cb.nw
+            + (1.0 - 0.6 - 0.3) * CAST(cc.nw AS DOUBLE) / tot.n)), 6)
+            AS cross_entropy
+        FROM tri tr
+        JOIN c3 ON c3.w1 = tr.w1 AND c3.w2 = tr.w2 AND c3.w3 = tr.w3
+        JOIN c2 cctx ON cctx.w1 = tr.w1 AND cctx.w2 = tr.w2
+        JOIN c2 c23 ON c23.w1 = tr.w2 AND c23.w2 = tr.w3
+        JOIN c1 cb ON cb.w = tr.w2
+        JOIN c1 cc ON cc.w = tr.w3
+        CROSS JOIN tot
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
 
     // ── top-k vocabulary coverage: deterministic top-1000 vocab
     //    (count desc, term asc) + per-doc in-vocab ratio and distinct

@@ -679,6 +679,34 @@ class OpsSpec extends SparkTestBase {
     assert(bloom.where($"fingerprint".isNull).count() == 1)
   }
 
+  test("bloom incremental CDC-chunk dedup is bit-identical to the plain anti-join") {
+    // d19's contract, mirroring the d15<->d09 relationship at chunk
+    // granularity: the bloom prefilter may only REORDER work, never
+    // change the result set
+    val incoming = docs.where($"doc_id" % 3 === 0)
+    val existing = docs.where($"doc_id" % 4 === 0)
+    val plain = TextOps.incrementalChunkDedup(incoming, existing,
+      "doc_id", "text")
+    val bloom = TextOps.incrementalChunkDedupBloom(incoming, existing,
+      "doc_id", "text", expectedItems = 10000L)
+    assert(bloom.count() == plain.count())
+    assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
+    // shift-resistance end-to-end: re-ingesting an EDITED copy of an
+    // existing doc contributes only the chunks around the edit — not
+    // one new chunk per downstream offset (what fixed-size chunking
+    // would produce)
+    val victim = existing.orderBy("doc_id").limit(1)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val edited = Seq((victim._1 + 1000000L, "EDITTOK " + victim._2))
+      .toDF("doc_id", "text")
+    val newChunks = TextOps.incrementalChunkDedup(edited, existing,
+      "doc_id", "text").count()
+    val totalChunks = graft.ops.TextOps.contentDefinedChunks(
+      edited, "doc_id", "text").count()
+    assert(newChunks < totalChunks,
+      s"edited re-ingest produced $newChunks/$totalChunks new chunks — no reuse")
+  }
+
   test("bloomMightContain rejects unsupported input types at analysis time") {
     import graft.functions.BloomExpressions.bloomMightContain
     val bf = docs.limit(10).select(md5($"text").as("fp"))

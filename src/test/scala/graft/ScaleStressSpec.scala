@@ -79,7 +79,11 @@ class ScaleStressSpec extends SparkTestBase {
       TextOps.bigramLmScore(df, "doc_id", "text")),
     // per-token explode + window + chunk reassembly: volume-bound
     "t15_cdc_chunks" -> (df =>
-      TextOps.contentDefinedChunks(df, "doc_id", "text")))
+      TextOps.contentDefinedChunks(df, "doc_id", "text")),
+    // widest count table of the LM family: trigram leg shuffle-joined,
+    // bigram/unigram legs broadcast — all must stay linear
+    "t16_trigram_lm" -> (df =>
+      TextOps.trigramLmScore(df, "doc_id", "text")))
 
   /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
     * (the session default), `executedPlan` is a single
