@@ -119,10 +119,26 @@ object GTable {
   * standby-on-all-partitions semantics without the changelog tailing.
   */
 object GlobalTable {
-  /** Broadcast-join a stream against a global table snapshot. */
+  /** Broadcast-join a stream against a global table snapshot.
+    *
+    * The replicate-everywhere contract only makes sense for snapshots
+    * that fit on every executor, so the row guard is part of the
+    * contract: a snapshot past `maxRows` fails fast with a pointer to
+    * the scale path (plain shuffle join, or `Layout` bucketing for
+    * repeated co-located joins) instead of OOMing mid-broadcast. The
+    * probe is a column-pruned `limit(maxRows+1)` count — it never
+    * scans more than maxRows+1 rows.
+    */
   def join(stream: GStream[_], snapshot: DataFrame, joinCols: Seq[String],
-           joinType: String = "inner"): DataFrame =
+           joinType: String = "inner", maxRows: Long = 10000000L): DataFrame = {
+    val probe = snapshot.select(joinCols.map(col): _*)
+      .limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(probe <= maxRows,
+      s"GlobalTable snapshot exceeds $maxRows rows — a table this size " +
+        "should not be replicated to every executor; use a plain " +
+        "(shuffle) join or graft.ops.Layout bucketing for co-location")
     stream.ds.toDF().join(broadcast(snapshot), joinCols, joinType)
+  }
 }
 
 /** SetTable (`/root/reference/faust/tables/sets.py:69-314`): per-key

@@ -57,12 +57,22 @@ object VectorOps {
     * sequential double fold and the top-k ordering matches
     * (cos DESC, id ASC), so results are bit-for-bit the same.
     * The right side is collected and broadcast — same contract as the
-    * broadcast join in the declarative form.
+    * broadcast join in the declarative form, and the row guard makes
+    * that contract self-enforcing: a right side past `maxRightRows`
+    * fails fast with a pointer to the scale-path twins (s03 LSH /
+    * s05 IVF) instead of OOMing the driver at collect. The probe is a
+    * column-pruned limit-count, never a full scan.
     */
   def knnBruteForceKernel(left: DataFrame, right: DataFrame, idCol: String,
-                          vecCol: String, k: Int): DataFrame = {
+                          vecCol: String, k: Int,
+                          maxRightRows: Int = 1 << 20): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    val probe = right.select(col(idCol)).limit(maxRightRows + 1).count()
+    require(probe <= maxRightRows,
+      s"knnBruteForceKernel right side exceeds $maxRightRows rows — " +
+        "brute force is the small-query-side fixture; use the bucketed " +
+        "scale paths instead: VectorOps.knnLsh (s03) or knnIvf (s05)")
     val rightRows = right.select(col(idCol), col(vecCol))
       .as[(Long, Array[Float])].collect()
     val rightNorms = rightRows.map { case (_, v) =>

@@ -90,6 +90,17 @@ class ApiSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("GlobalTable.join row guard trips on a snapshot too big to replicate") {
+    val li = Tables.lineitem(spark, sf)
+      .withColumnRenamed("l_partkey", "p_partkey")
+    val err = intercept[IllegalArgumentException] {
+      GlobalTable.join(app.streamDF(li), Tables.part(spark, sf),
+        Seq("p_partkey"), "inner", maxRows = 2L)
+    }
+    assert(err.getMessage.contains("shuffle") && err.getMessage.contains("Layout"),
+      s"guard message must point to the scale path: ${err.getMessage}")
+  }
+
   test("AskReply: scatter correlates replies, gather barriers by id") {
     import graft.api.AskReply
     val reqs = Seq(

@@ -496,6 +496,22 @@ class OpsSpec extends SparkTestBase {
     assert(decl == kern) // incl. exact double equality on cos
   }
 
+  test("kNN kernel row guard trips before collecting an oversized right side") {
+    // the collect-and-broadcast contract is now self-enforcing: an
+    // oversized right side fails fast with a pointer to the bucketed
+    // scale paths instead of OOMing the driver
+    val emb = Tables.embeddings(spark, sf)
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.knnBruteForceKernel(emb, emb, "vec_id", "embedding", 3,
+        maxRightRows = 3)
+    }
+    assert(err.getMessage.contains("knnLsh") && err.getMessage.contains("knnIvf"),
+      s"guard message must point to the scale paths: ${err.getMessage}")
+    // at the default bound the same call goes through untouched
+    assert(VectorOps.knnBruteForceKernel(emb, emb, "vec_id", "embedding", 3)
+      .count() > 0)
+  }
+
   test("ivf ANN: deterministic, subset of valid scores, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = VectorOps.ivfNearestNeighbors(emb, "vec_id", "embedding",

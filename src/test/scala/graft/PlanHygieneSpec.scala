@@ -50,11 +50,19 @@ class PlanHygieneSpec extends SparkTestBase {
     // global aggregate over the per-GROUP counts (cardinality =
     // #groups, map-side combined), broadcast back; same class as
     // p04's min-over-groups tail.
-    // t14_bigram_lm: the corpus-total token count — identical 1-row
-    // global-scalar class as t11's (map-side combined partials).
+    // t14_bigram_lm / t16_trigram_lm: the corpus-total token count —
+    // identical 1-row global-scalar class as t11's (map-side combined
+    // partials).
+    //
+    // Collect-and-broadcast contracts (not visible in these plans but
+    // policed next to them): knnBruteForceKernel and GlobalTable.join
+    // carry explicit row guards (default 2^20 / 10^7 rows) that fail
+    // fast with a pointer to their scale-path twins (s03/s05 LSH/IVF;
+    // shuffle join / Layout bucketing) — guard-trip specs in
+    // OpsSpec/ApiSpec.
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
-      "t14_bigram_lm")
+      "t14_bigram_lm", "t16_trigram_lm")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

@@ -33,17 +33,29 @@ class ScaleStressSpec extends SparkTestBase {
   private val baseDir =
     sys.env.getOrElse("SPARK_GRAFT_STRESS_BASE", "/root/testdata/sf0.01")
   private val copies = 10
+  /** Extra stress tier: set SPARK_GRAFT_STRESS_FACTOR=100 to also run
+    * the top-3 heaviest entries at that factor (skipped otherwise —
+    * CI stays on the 10× tier). Numbers recorded in SCALE.md.
+    */
+  private val extraFactor: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STRESS_FACTOR").map(_.toInt)
 
   private lazy val base: DataFrame =
     Tables.documents(spark, baseDir).select("doc_id", "text").cache()
 
-  private lazy val big: DataFrame = {
+  /** k salted copies; each copy suffixes EVERY token with its copy
+    * index so token sets are pairwise disjoint across copies (see
+    * class doc — required to keep pair-generating output linear).
+    */
+  private def salted(k: Int): DataFrame = {
     val n = base.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until copies).map { i =>
+    (0 until k).map { i =>
       base.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1$i").as("text"))
+        regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text"))
     }.reduce(_ union _).cache()
   }
+
+  private lazy val big: DataFrame = salted(copies)
 
   /** (name, query) over a (doc_id, text) frame — mirrors the heaviest
     * headline entries (d12, t09, t10, d03, d14 per BENCH_r06).
@@ -123,5 +135,44 @@ class ScaleStressSpec extends SparkTestBase {
 
   test("10x corpus is really ~10x") {
     assert(big.count() == base.count() * copies)
+  }
+
+  // ── extra tier: the top-3 heaviest at SPARK_GRAFT_STRESS_FACTOR× —
+  //    where the 10× tier pins the slope, this one hunts the KNEE
+  //    (the scale where fixed overhead stops hiding super-linear
+  //    terms). Results + the knob that moves each knee: SCALE.md.
+  //
+  //    Plan comparison here normalizes EQUI-JOIN STRATEGY: between 10×
+  //    and 100× a count-table leg outgrows
+  //    spark.sql.autoBroadcastJoinThreshold and the planner correctly
+  //    flips BroadcastHashJoin → SortMergeJoin (measured: exactly one
+  //    flip each in d03's signature leg and t14's bigram leg; that IS
+  //    the planner doing its job — AQE re-decides it per-run anyway).
+  //    Everything else (shuffle count, aggregate structure, no
+  //    nested-loop joins appearing) must still match node-for-node. ──
+  private val top3 = Seq("t15_cdc_chunks", "d03_dedup_minhash", "t14_bigram_lm")
+  private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
+    shape.map {
+      case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
+      case other => other
+    }
+  extraFactor.foreach { f =>
+    lazy val huge: DataFrame = salted(f)
+    heavy.filter { case (name, _) => top3.contains(name) }.foreach {
+      case (name, q) =>
+        test(s"$name: ${f}x data => ~linear runtime, unchanged plan shape") {
+          base.count(); huge.count()
+          timeNoop(q(base))
+          val t1 = timeNoop(q(base))
+          val tf = timeNoop(q(huge))
+          val ratio = tf / math.max(t1, 1e-3)
+          info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+          assert(ratio < 2.5 * f,
+            f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+          assert(normalizeEquiJoins(planShape(q(base)))
+              == normalizeEquiJoins(planShape(q(huge))),
+            s"$name plan shape changed with data size (beyond join strategy)")
+        }
+    }
   }
 }

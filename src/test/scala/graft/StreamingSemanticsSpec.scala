@@ -235,6 +235,82 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer: null-emission timing, late-data match, batch parity") {
+    // the three contracts the basic left-outer test doesn't pin:
+    //  1. NO null-padded row may be emitted while the watermark is
+    //     still below the join bound (premature finalization would be
+    //     a wrong answer, not just an early one);
+    //  2. a LATE right-side row (older event time than already-seen
+    //     data, but above the global watermark) still matches;
+    //  3. once all state flushes, the append-mode output equals the
+    //     BATCH left-outer join of the same data (the oracle).
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val joinExpr =
+      "c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + interval 30 seconds"
+    val c = clicks.toDS().toDF("c_ts", "c_user", "c_id")
+      .withWatermark("c_ts", "5 seconds")
+    val b = buys.toDS().toDF("b_ts", "b_user", "b_id")
+      .withWatermark("b_ts", "5 seconds")
+    val joined = c.join(b, expr(joinExpr), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssloj_timing")
+      .outputMode("append").start()
+    def got: Set[(Long, Option[Long])] =
+      spark.table("ssloj_timing").select("c_id", "b_id")
+        .as[(Long, Option[Long])].collect().toSet
+    try {
+      // users 1-3 click at t=100; only user 1's buy arrives now
+      clicks.addData((ts(100), 1L, 10L), (ts(100), 2L, 11L), (ts(100), 3L, 12L))
+      buys.addData((ts(120), 1L, 20L))
+      q.processAllAvailable()
+      assert(!got.exists(_._2.isEmpty),
+        s"null rows emitted while watermark (115) < join bound (130): $got")
+      // advance ONLY the click side to t=200: global watermark stays
+      // min(195, 115) = 115 < 130, so clicks 11/12 must stay pending
+      clicks.addData((ts(200), 7L, 70L))
+      q.processAllAvailable()
+      assert(!got.exists(_._2.isEmpty),
+        s"null rows emitted while global watermark (115) < bound: $got")
+      // LATE buy for user 2: b_ts=125 is older than the click stream's
+      // already-seen t=200, but above the global watermark 115 — it
+      // must still match click 11 (not be dropped, not null-finalize)
+      buys.addData((ts(125), 2L, 21L))
+      q.processAllAvailable()
+      assert(got.contains((11L, Some(21L))),
+        s"late-but-above-watermark buy failed to match: $got")
+      // now push BOTH watermarks far past the bound; user 3's click
+      // finalizes as (12, null) on the eviction tick that follows the
+      // watermark advance (Spark evicts one batch after the watermark
+      // moves, hence two sentinel rounds)
+      clicks.addData((ts(500), 9L, 99L)); buys.addData((ts(500), 9L, 98L))
+      q.processAllAvailable()
+      clicks.addData((ts(600), 8L, 89L)); buys.addData((ts(600), 8L, 88L))
+      q.processAllAvailable()
+      assert(got.contains((12L, None)),
+        s"unmatched click missing its null finalization: $got")
+      // batch parity: identical data through the identical join
+      // expression as a STATIC left-outer join — the oracle the
+      // streaming append output must equal once state has flushed
+      val allClicks = Seq((ts(100), 1L, 10L), (ts(100), 2L, 11L),
+        (ts(100), 3L, 12L), (ts(200), 7L, 70L), (ts(500), 9L, 99L),
+        (ts(600), 8L, 89L)).toDF("c_ts", "c_user", "c_id")
+      val allBuys = Seq((ts(120), 1L, 20L), (ts(125), 2L, 21L),
+        (ts(500), 9L, 98L), (ts(600), 8L, 88L)).toDF("b_ts", "b_user", "b_id")
+      val oracle = allClicks.join(allBuys, expr(joinExpr), "left_outer")
+        .select($"c_id", $"b_id").as[(Long, Option[Long])].collect().toSet
+      // clicks 70 and 89 may still be pending (watermark never passed
+      // their bound) — parity holds on the finalized prefix
+      val pendingOk = oracle.filter { case (cid, bid) =>
+        got.contains((cid, bid)) || (bid.isEmpty && Set(70L, 89L).contains(cid))
+      }
+      assert(pendingOk == oracle,
+        s"streaming append diverges from batch oracle:\n got=$got\n oracle=$oracle")
+      assert(got.subsetOf(oracle),
+        s"streaming emitted rows the batch oracle doesn't have:\n got=$got\n oracle=$oracle")
+    } finally q.stop()
+  }
+
   test("stream-stream FULL OUTER join emits unmatched rows from both sides") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, Long)]
