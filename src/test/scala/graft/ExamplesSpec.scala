@@ -1,0 +1,16 @@
+package graft
+
+import graft.api.App
+import graft.examples.WordCount
+
+/** Smoke-runs the README quickstart so the front door can never rot:
+  * the example asserts internally that its streaming table converges
+  * to its batch table, so a green run IS the contract.
+  */
+class ExamplesSpec extends SparkTestBase {
+
+  test("WordCount quickstart runs end-to-end on the test corpus") {
+    val app = new App(spark, "word-counts-spec")
+    WordCount.run(app, sf)
+  }
+}
