@@ -30,7 +30,8 @@ object Bench {
     "q53_approx_distinct_portable",
     "u02_url_normalize", "u04_url_dedup", "s09_semantic_dedup",
     "t14_bigram_lm", "t15_cdc_chunks",
-    "t16_trigram_lm", "d19_cdc_dedup_incremental", "p12_leakfree_split_lsh")
+    "t16_trigram_lm", "d19_cdc_dedup_incremental", "p12_leakfree_split_lsh",
+    "t17_cdc_chunks_fast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

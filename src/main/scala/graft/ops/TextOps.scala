@@ -761,19 +761,28 @@ object TextOps {
     * same d12-family shape, rows carry (id, pos, token).
     */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
-                           window: Int = 4, modulus: Int = 8): DataFrame = {
+                           window: Int = 4, modulus: Int = 8,
+                           portable: Boolean = true): DataFrame = {
     require(window > 0 && modulus > 0, "window and modulus must be positive")
     val toks = tokens(col(textCol))
     val n = size(toks)
     // the window string IS the w-token word n-gram — derive flags from
     // the one wordNgrams definition (shared with d12/decontam) so the
     // "equal content hashes equally" contract has a single encoding;
-    // positions < w never cut (w-1 leading zeros)
+    // positions < w never cut (w-1 leading zeros).
+    // portable=false swaps the MD5 window hash for Spark's xxhash64 —
+    // the production flavor (one codegen'd hash vs an md5 + substring
+    // chain); divisibility of the SIGNED hash is engine-independent,
+    // and the oracle recomputes the full arbitrary-length XXH64
+    // (stripe loop included) via XxHashSql.strHashCtes, so t17 is
+    // hash-EXACT just like t15.
+    val boundary: Column => Column =
+      if (portable) g => graft.functions.PortableHash.mdHash60(g) % modulus === 0
+      else g => xxhash64(g) % modulus === 0
     val flags = concat(
       array_repeat(lit(0), least(n, lit(window - 1)).cast("int")),
       transform(wordNgrams(col(textCol), window), g =>
-        when(graft.functions.PortableHash.mdHash60(g) % modulus === 0, lit(1))
-          .otherwise(lit(0))))
+        when(boundary(g), lit(1)).otherwise(lit(0))))
     val w = Window.partitionBy("id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol).as("id"),

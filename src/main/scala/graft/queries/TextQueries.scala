@@ -872,6 +872,45 @@ object TextQueries {
         FROM chunks GROUP BY chunk_hash
         HAVING COUNT(*) > 1 ORDER BY chunk_hash""")),
 
+    // ── production (xxhash64) CDC chunking — t15's d08-style twin:
+    //    same boundary rule over Spark's xxhash64 of the window
+    //    n-gram instead of portable MD5. Hash-EXACT because the
+    //    oracle recomputes the FULL arbitrary-length XXH64 (32-byte
+    //    stripe loop + word/4-byte/byte tails) in DuckDB SQL
+    //    (XxHashSql.strHashCtes — bytecode-derived, validated
+    //    bit-for-bit vs Spark over lengths 0-200). ───────────────────
+    Q("t17_cdc_chunks_fast",
+      (s, dir) => TextOps.contentDefinedChunks(Tables.documents(s, dir),
+        "doc_id", "text", window = 4, modulus = 8, portable = false)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, UNNEST(range(1, len(t) + 1)) AS pos, t FROM ts),
+        ng AS (
+          SELECT doc_id, pos, t[pos] AS tok,
+            CASE WHEN pos >= 4 THEN array_to_string(t[pos - 3 : pos], ' ')
+            ELSE NULL END AS g
+          FROM pos),
+        dstr AS (SELECT DISTINCT g AS s FROM ng WHERE g IS NOT NULL),
+        ${XxHashSql.strHashCtes()},
+        flagged AS (
+          SELECT n.doc_id, n.pos, n.tok,
+            CASE WHEN n.g IS NOT NULL AND h.hv % 8 = 0 THEN 1 ELSE 0 END AS flag
+          FROM ng n LEFT JOIN str_hash h ON h.s = n.g),
+        chunked AS (
+          SELECT doc_id, pos, tok,
+            COALESCE(CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS chunk_id
+          FROM flagged)
+        SELECT doc_id, chunk_id, MIN(pos) AS start_pos,
+          COUNT(*) AS n_chunk_tokens,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM chunked GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id""")),
+
     // ── incremental CDC-chunk dedup: the growing-corpus contract at
     //    chunk granularity — the production loop for recrawled/edited
     //    corpora (an edit re-cuts only nearby chunks; the unchanged

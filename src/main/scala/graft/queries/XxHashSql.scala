@@ -204,6 +204,94 @@ object XxHashSql {
        |FROM s ORDER BY g""".stripMargin
   }
 
+  /** CTE block hashing ARBITRARY-length ASCII strings with Spark's
+    * single-argument `xxhash64(s)` — the full `hashUnsafeBytes` path
+    * including the 32-byte stripe loop (4 accumulator lanes as a
+    * `list_reduce` over a STRUCT accumulator), the 8-byte word tail,
+    * the 4-byte chunk, the byte tail, and fmix. This removes
+    * [[tokHashCtes]]'s ≤8-byte limitation (that generator stays for
+    * the d08 permutation pairs, where the per-(token, i) seed makes
+    * the short-tail-only form cheaper).
+    *
+    * Validated bit-for-bit against Spark 4.1.2 `xxhash64` for string
+    * lengths 0–200 (prototype harness, 148/148; the algorithm was
+    * read out of `XXH64.class` bytecode — `hashBytesByWords` consumes
+    * floor(len/32) stripes then floor(len/8) words, and
+    * `hashUnsafeBytes` finishes the len%8 tail as 4-byte chunk +
+    * bytes).
+    *
+    * Input CTE `dstr(s)` must exist; output CTE `str_hash(s, hv)`
+    * with hv the SIGNED Spark hash. ASCII precondition asserted like
+    * [[tokHashCtes]]; length is unrestricted.
+    */
+  def strHashCtes(seed: Long = 42L): String = {
+    val v10 = (BigInt(seed) + P1 + P2) % M64
+    val v20 = (BigInt(seed) + P2) % M64
+    val v30 = (BigInt(seed) + M64) % M64
+    val v40 = (BigInt(seed) - P1 + M64) % M64
+    val hShort = (BigInt(seed) + P5) % M64
+    def lane(v: String, w: String): String =
+      wmul(rotl(add(v, wmul(w, P2)), 31), P1)
+    def mergeRound(h: String, v: String): String =
+      add(wmul(xor(h, wmul(rotl(wmul(v, P2), 31), P1)), P1), s"$P4::HUGEINT")
+    val laneStruct =
+      "{'v1': " + lane("acc.v1", "e.v1") + ", 'v2': " + lane("acc.v2", "e.v2") +
+        ", 'v3': " + lane("acc.v3", "e.v3") + ", 'v4': " + lane("acc.v4", "e.v4") + "}"
+    val initStruct =
+      s"{'v1': $v10::HUGEINT, 'v2': $v20::HUGEINT, 'v3': $v30::HUGEINT, 'v4': $v40::HUGEINT}"
+    val stripeStruct =
+      "{'v1': ws[4*t - 3], 'v2': ws[4*t - 2], 'v3': ws[4*t - 1], 'v4': ws[4*t]}"
+    val hMerged = Seq("vv.v1", "vv.v2", "vv.v3", "vv.v4").foldLeft(
+      add(add(add(rotl("vv.v1", 1), rotl("vv.v2", 7)),
+        rotl("vv.v3", 12)), rotl("vv.v4", 18)))(mergeRound)
+    val wordLe = "(" + (0 to 7).map {
+      case 0 => "bs[8*j - 7]"
+      case i => s"bs[8*j - 7 + $i] * ${BigInt(1) << (8 * i)}::HUGEINT"
+    }.mkString(" + ") + ")"
+    val wordStep =
+      add(wmul(rotl(xor("acc", wmul(rotl(wmul("w", P2), 31), P1)), 27), P1),
+        s"$P4::HUGEINT")
+    val k4 = "(bs[8*nw + 1] + bs[8*nw + 2] * 256::HUGEINT" +
+      " + bs[8*nw + 3] * 65536::HUGEINT + bs[8*nw + 4] * 16777216::HUGEINT)"
+    val h4 = add(wmul(rotl(xor("h", wmul(k4, P1)), 23), P2), s"$P3::HUGEINT")
+    val byteStep = wmul(rotl(xor("acc", wmul("b", P5)), 11), P1)
+    s"""xs0 AS (SELECT CASE WHEN length(s) <> strlen(s)
+       |  THEN error('XxHashSql precondition violated: non-ASCII string: ' || s)
+       |  ELSE s END AS s FROM dstr),
+       |xs1 AS (SELECT s, strlen(s)::HUGEINT AS len, strlen(s) AS ilen,
+       |  list_transform(range(1, strlen(s) + 1), j -> ord(substr(s, j, 1))::HUGEINT) AS bs
+       |  FROM xs0),
+       |xs2 AS (SELECT s, len, ilen, bs, ilen // 8 AS nw,
+       |  CASE WHEN ilen >= 32 THEN ilen // 32 ELSE 0 END AS ns,
+       |  list_transform(range(1, ilen // 8 + 1), j -> $wordLe) AS ws
+       |  FROM xs1),
+       |xs3 AS (SELECT s, len, ilen, bs, nw, ns, ws,
+       |  list_reduce(list_prepend($initStruct,
+       |    list_transform(range(1, ns + 1), t -> $stripeStruct)),
+       |    (acc, e) -> $laneStruct) AS vv
+       |  FROM xs2),
+       |xs4 AS (SELECT s, len, ilen, bs, nw, ns, ws,
+       |  CASE WHEN ilen >= 32 THEN $hMerged ELSE $hShort::HUGEINT END AS h
+       |  FROM xs3),
+       |xs5 AS (SELECT s, ilen, bs, nw, ns, ws, ${add("h", "len")} AS h FROM xs4),
+       |xs6 AS (SELECT s, ilen, bs, nw,
+       |  list_reduce(list_prepend(h, ws[4*ns + 1 : nw]), (acc, w) -> $wordStep) AS h
+       |  FROM xs5),
+       |xs7 AS (SELECT s, ilen, bs, nw,
+       |  CASE WHEN ilen % 8 >= 4 THEN $h4 ELSE h END AS h
+       |  FROM xs6),
+       |xs8 AS (SELECT s,
+       |  list_reduce(list_prepend(h,
+       |    bs[8*nw + (CASE WHEN ilen % 8 >= 4 THEN 4 ELSE 0 END) + 1 : ilen]),
+       |    (acc, b) -> $byteStep) AS h
+       |  FROM xs7),
+       |${fmixCtes("xf", "xs8", "s")},
+       |str_hash AS (SELECT s,
+       |  (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |     THEN $M64::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hv
+       |  FROM xf5)""".stripMargin
+  }
+
   /** The d08 oracle: identical pipeline to the d03 MD5-portable oracle
     * (TextQueries) but with the Spark-xxhash64 permutation hashes —
     * MIN over SIGNED hashes per (doc, perm), r=8 banding, candidate

@@ -92,6 +92,8 @@ class ScaleStressSpec extends SparkTestBase {
     // per-token explode + window + chunk reassembly: volume-bound
     "t15_cdc_chunks" -> (df =>
       TextOps.contentDefinedChunks(df, "doc_id", "text")),
+    "t17_cdc_chunks_fast" -> (df =>
+      TextOps.contentDefinedChunks(df, "doc_id", "text", portable = false)),
     // widest count table of the LM family: trigram leg shuffle-joined,
     // bigram/unigram legs broadcast — all must stay linear
     "t16_trigram_lm" -> (df =>
