@@ -349,6 +349,108 @@ object VectorOps {
         round(col("best.d2"), 6).as("sq_err"))
   }
 
+  /** Lloyd's spherical k-means trainer — the centroid-TRAINING loop
+    * the IVF family ([[ivfAssign]]/[[ivfNearestNeighbors]]/
+    * `semanticDedupClusters`) takes as given. Those ops use raw pivot
+    * vectors as cells; `iters` Lloyd rounds move the pivots to the
+    * actual cluster means, which is what makes IVF recall usable in
+    * practice (trained coarse quantizer, à la FAISS `IndexIVF.train`).
+    *
+    * Semantics per round: assign every vector to the max-cosine
+    * centroid (ties -> lowest cell id, matching [[ivfAssign]]'s
+    * `ORDER BY psim DESC, pid`), then recompute each centroid as the
+    * element-wise mean of its members, ROUNDED to 6 dp. The rounding
+    * is the cross-engine parity contract (double summation order
+    * differs by ~1 ulp across engines — same trick as
+    * [[ivfCellCentroids]]); because each round's output is snapped,
+    * the NEXT round's input is bit-identical on any engine, so the
+    * whole iteration is reproducible end-to-end. Cells that lose all
+    * members drop out (standard Lloyd's; the oracle's GROUP BY drops
+    * them identically). Init centroids are the pivot vectors
+    * themselves (exact float->double cast, no rounding needed).
+    *
+    * Scale shape (100 TB): centroids are a k·dim plan LITERAL
+    * (broadcast with the task binary), so ASSIGNMENT is a zero-shuffle
+    * narrow projection — an `aggregate` HOF argmin over the centroid
+    * array, fully inside whole-stage codegen. The UPDATE is one
+    * partial-aggregated shuffle carrying (cell, i) component means —
+    * k·dim rows, never vectors. Between rounds the k·dim·8-byte
+    * centroid table is collected to the driver: control plane, not
+    * data plane — the same per-iteration driver sync every Lloyd
+    * implementation does (Spark MLlib's own KMeans collects centers
+    * each round), bounded by the `k * dim <= 16384` guard below
+    * (which also caps plan-literal size for codegen). Each round is
+    * one pass over the data; `iters` is a small constant.
+    *
+    * Output: (cell, i, c, n) — final centroid components (1-based i)
+    * with member counts, the [[ivfCellCentroids]] shape. `iters = 1`
+    * is bit-identical to `ivfCellCentroids` (spec-proven).
+    *
+    * Reference anchor: beyond-reference op (the reference has no
+    * vector ops); cells/training per SemDeDup (arXiv:2303.09540) and
+    * the IVF literature.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int,
+                  portablePivots: Boolean = false): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val pivotOrder =
+      if (portablePivots) md5(col("pid").cast("string")) else xxhash64(col("pid"))
+    // init: pivot vectors, exact float->double widening
+    var cents: Seq[(Long, Array[Double])] = df
+      .select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+      .orderBy(pivotOrder, col("pid")).limit(k)
+      .select(col("pid"), transform(col("pvec"), x => x.cast("double")).as("cvec"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    require(k * dim <= 16384,
+      s"k*dim = ${k * dim} exceeds the 16384 centroid-literal bound; " +
+        "train per-partition subsets or use ivfCellCentroids rounds with a join")
+
+    def roundOf(cs: Seq[(Long, Array[Double])]): DataFrame = {
+      // left-to-right fold in element order, like the engine-side dots
+      val centArr = array(cs.map { case (cell, cv) =>
+        val cnrm = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
+        struct(lit(cell).as("cell"),
+          array(cv.map(lit(_)): _*).as("cvec"), lit(cnrm).as("cnrm"))
+      }: _*)
+      def dotd(v: Column, cv: Column): Column =
+        aggregate(zip_with(v, cv, (a, b) => a.cast("double") * b),
+          lit(0.0), (s, x) => s + x)
+      // argmin by fold: strict > keeps the FIRST max — cs is sorted by
+      // cell, so ties break to the lowest cell id like ivfAssign
+      val best = aggregate(centArr,
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("cell")),
+        (acc, c) => {
+          val sim = dotd(col("vec"), c.getField("cvec")) /
+            (col("nrm") * c.getField("cnrm"))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
+        })
+      base.select(col("id"), col("vec"), best.getField("cell").as("cell"))
+        .select(col("cell"), posexplode(col("vec")))
+        .select(col("cell"), (col("pos") + 1).as("i"),
+          col("col").cast("double").as("x"))
+        .groupBy("cell", "i")
+        .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+    }
+
+    for (_ <- 1 until iters) {
+      cents = roundOf(cents).select("cell", "i", "c").collect().toSeq
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+        .sortBy(_._1)
+    }
+    // the last round stays lazy: callers get one scan + one shuffle
+    roundOf(cents)
+  }
+
   /** Symmetric int8 quantization report per vector: the compression
     * step a 100 TB embedding store runs before serving (4x smaller,
     * cache-resident ANN). For each vector: `scale = max|v| / 127`,

@@ -8,6 +8,64 @@ import graft.ops.VectorOps
 /** Similarity search over the `embeddings` table (`array<float>`). */
 object VectorQueries {
 
+  /** Shared k-means oracle: 2 unrolled Lloyd rounds over whatever
+    * `pivotCtes` (ending in `piv(pid, pvec)`) selects as init centers.
+    * 6-dp snapping after each round makes round-2 inputs bit-identical
+    * across engines, so the whole iteration is hash-EXACT.
+    */
+  private def kmeansSql(pivotCtes: String): String =
+    s"""WITH base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        $pivotCtes,
+        cn0 AS (
+          SELECT pid AS cell,
+            list_transform(pvec, x -> CAST(x AS DOUBLE)) AS cvec,
+            SQRT(list_sum(list_transform(pvec,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+          FROM piv),
+        s1 AS (
+          SELECT b.vec_id AS id, c.cell,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * c.cvec[i]))
+              / (b.nrm * c.cnrm) AS psim
+          FROM base b CROSS JOIN cn0 c),
+        a1 AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, cell) AS rk FROM s1)
+          WHERE rk = 1),
+        u1 AS (
+          SELECT a.cell, t.i,
+            ROUND(AVG(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS c
+          FROM a1 a JOIN base b ON b.vec_id = a.id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY a.cell, t.i),
+        cn1 AS (
+          SELECT cell, cvec,
+            SQRT(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+          FROM (SELECT cell, list(c ORDER BY i) AS cvec FROM u1 GROUP BY cell)),
+        s2 AS (
+          SELECT b.vec_id AS id, c.cell,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * c.cvec[i]))
+              / (b.nrm * c.cnrm) AS psim
+          FROM base b CROSS JOIN cn1 c),
+        a2 AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, cell) AS rk FROM s2)
+          WHERE rk = 1)
+        SELECT a.cell, t.i,
+          ROUND(AVG(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS c,
+          COUNT(*) AS n
+        FROM a2 a JOIN base b ON b.vec_id = a.id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.cell, t.i
+        ORDER BY cell, i"""
+
   val all: Seq[Q] = Seq(
 
     // ── brute-force cosine top-k (exact ANN baseline) ───────────────
@@ -306,6 +364,35 @@ object VectorQueries {
             (PARTITION BY id, sub ORDER BY d2, pid) AS rk
           FROM dist)
         SELECT id AS vec_id, sub, pid AS code, ROUND(d2, 6) AS sq_err
-        FROM best WHERE rk = 1 ORDER BY vec_id, sub"""))
+        FROM best WHERE rk = 1 ORDER BY vec_id, sub""")),
+
+    // ── k-means trainer (2 Lloyd rounds, portable pivots) — the
+    //    coarse-quantizer TRAINING step the IVF family assumes. The
+    //    oracle unrolls both rounds; 6-dp centroid snapping after each
+    //    round makes round-2 inputs bit-identical across engines, so
+    //    the whole iteration is hash-EXACT, not just round 1. ─────────
+    Q("s10_kmeans_train",
+      (s, dir) => VectorOps.kmeansTrain(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, portablePivots = true)
+        .orderBy("cell", "i"),
+      Some(kmeansSql(
+        """piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)"""))),
+
+    // ── production flavor: pivot order by Spark's SIGNED
+    //    xxhash64(vec_id) — hash-EXACT because the oracle recomputes
+    //    the long-key XXH64 (XxHashSql) like q53/q54 do. ──────────────
+    Q("s11_kmeans_train_fast",
+      (s, dir) => VectorOps.kmeansTrain(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2, portablePivots = false)
+        .orderBy("cell", "i"),
+      Some(kmeansSql(
+        s"""keys AS (SELECT vec_id AS pid, vec_id::HUGEINT AS k FROM base),
+        ${XxHashSql.keyHashSignedCtes("pid")},
+        piv AS (
+          SELECT b.vec_id AS pid, b.embedding AS pvec
+          FROM base b JOIN key_hash_signed s ON s.pid = b.vec_id
+          ORDER BY s.hv, b.vec_id LIMIT 8)""")))
   )
 }

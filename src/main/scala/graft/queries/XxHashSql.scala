@@ -204,6 +204,19 @@ object XxHashSql {
        |FROM s ORDER BY g""".stripMargin
   }
 
+  /** [[hashLongCtes]] plus the signed conversion: input CTE
+    * `keys(keep..., k)` (k a non-negative BIGINT cast to HUGEINT),
+    * output CTE `key_hash_signed(keep..., hv)` where hv is Spark's
+    * SIGNED `xxhash64(key)` — the form ORDER BY / comparison sites
+    * need (the unsigned image sorts differently).
+    */
+  def keyHashSignedCtes(keep: String): String =
+    s"""${hashLongCtes(keep)},
+       |key_hash_signed AS (SELECT $keep,
+       |  (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |     THEN $M64::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hv
+       |  FROM key_hash)""".stripMargin
+
   /** CTE block hashing ARBITRARY-length ASCII strings with Spark's
     * single-argument `xxhash64(s)` — the full `hashUnsafeBytes` path
     * including the 32-byte stripe loop (4 accumulator lanes as a

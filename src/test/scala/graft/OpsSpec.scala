@@ -789,6 +789,50 @@ class OpsSpec extends SparkTestBase {
     codes.unpersist()
   }
 
+  test("kmeans: one round is bit-identical to ivfCellCentroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val one = VectorOps.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, iters = 1, portablePivots = true).orderBy("cell", "i").collect().toSeq
+    val ivf = VectorOps.ivfCellCentroids(emb, "vec_id", "embedding",
+      nCells = 8, portablePivots = true).orderBy("cell", "i").collect().toSeq
+    assert(one == ivf)
+  }
+
+  test("kmeans: result is partition-layout independent; counts cover the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    // uncached on purpose: caching would splice an InMemoryTableScan
+    // into the plan the exchange-count assertion below inspects
+    val trained = VectorOps.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, iters = 2, portablePivots = true)
+    // the 6-dp snap after every round makes the iteration reproducible
+    // regardless of input partitioning (partial-agg order changes)
+    val relaid = VectorOps.kmeansTrain(emb.repartition(7), "vec_id", "embedding",
+      k = 8, iters = 2, portablePivots = true)
+    assert(trained.orderBy("cell", "i").collect().toSeq ==
+      relaid.orderBy("cell", "i").collect().toSeq)
+    // every vector is assigned exactly once: per-cell counts sum to N
+    // (each cell contributes its n once per component i)
+    val n = emb.count()
+    val perI = trained.groupBy("i").agg(sum("n").as("tot"))
+      .select("tot").distinct().as[Long].collect().toSeq
+    assert(perI == Seq(n), s"member counts $perI != corpus size $n")
+    // assignment is the zero-shuffle HOF argmin: the only exchange in
+    // the final round is the (cell, i) update aggregation
+    // (executedPlan, not sparkPlan — exchanges are inserted by the
+    // EnsureRequirements preparation pass)
+    val exchanges = trained.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 update shuffle, got $exchanges")
+  }
+
+  test("kmeans guard trips past the centroid-literal bound") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.kmeansTrain(emb, "vec_id", "embedding", k = 257, iters = 1)
+    }
+    assert(e.getMessage.contains("centroid-literal"))
+  }
+
   test("vocab coverage: ratio in [0,1], full-vocab k covers everything") {
     val part = TextOps.vocabCoverage(docs, "doc_id", "text", k = 5)
     assert(part.where($"in_vocab_ratio" < 0 || $"in_vocab_ratio" > 1).count() == 0)
