@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine model training over corpus features — the "distill a
+  * quality/language classifier from heuristic labels" loop a training
+  * data pipeline runs to replace hand-tuned filter thresholds (CCNet /
+  * fastText-style quality filtering, trained in place over the corpus
+  * instead of exported to a side system).
+  *
+  * Everything here is built on the same cross-engine reproducibility
+  * contract as [[VectorOps.kmeansTrain]]: the only order-dependent
+  * reductions (gradient averages) are snapped to 6 dp before they
+  * touch the weights, and the link function is RATIONAL (the "fast
+  * sigmoid" z -> 0.5 + z / (2·(1+|z|)) — exact IEEE add/mul/div/abs,
+  * no exp/log whose last-ulp behavior differs across libm builds), so
+  * a fixed number of full-batch gradient steps produces bit-identical
+  * weights on any engine. That is what makes the TRAINING itself
+  * oracle-gateable, not just a frozen-weight inference pass.
+  *
+  * Scale shape (100 TB): one pass over the data per step — a narrow
+  * feature projection plus ONE global aggregate (4 partial-aggregated
+  * averages folding map-side to a single row); weights ride along as
+  * plan literals. No joins, no wide shuffles, driver state is the
+  * 4-double weight vector per step (control plane, like every
+  * distributed SGD/L-BFGS driver sync).
+  */
+object LearnOps {
+
+  /** Rational squashing link into (0, 1): 0.5 + z / (2·(1+|z|)).
+    * Monotone, symmetric, saturating — a drop-in for the logistic
+    * sigmoid with exactly reproducible IEEE arithmetic.
+    */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Train a linear quality classifier by `steps` full-batch gradient
+    * descent rounds on squared error through [[fastSigmoid]], over the
+    * [[TextOps.qualityColumns]] features (bias, mean token length,
+    * stopword ratio, tokens/100) against a caller-supplied 0/1 label
+    * (e.g. `lang = 'en'` — distilling a language heuristic into a
+    * quality-feature model).
+    *
+    * Weights start at zero; each step averages the per-row gradient
+    * `2·(p−y)·p'(z)·x_j` (rounded to 6 dp — the one order-dependent
+    * reduction), then updates `w_j := w_j − lr·g_j` in exact
+    * arithmetic. Output rows (k, v): the trained weights `w0..w3` and
+    * the final training `mse`, each a deterministic double.
+    */
+  def trainQualityClassifier(df: DataFrame, textCol: String, label: Column,
+                             stopwords: Seq[String], steps: Int = 3,
+                             lr: Double = 1.0): DataFrame = {
+    require(steps > 0, "steps must be positive")
+    val q = TextOps.qualityColumns(col(textCol), stopwords).toMap
+    val feats = df.select(
+      lit(1.0).as("x0"),
+      q("mean_token_len").as("x1"),
+      q("stopword_ratio").as("x2"),
+      (q("n_tokens").cast("double") / 100.0).as("x3"),
+      label.cast("double").as("y"))
+
+    def zOf(w: Array[Double]): Column =
+      lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to steps) {
+      val z = zOf(w)
+      val p = fastSigmoid(z)
+      // d fastSigmoid / dz = 1 / (2·(1+|z|)^2)
+      val dpdz = lit(1.0) / (lit(2.0) * (lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))
+      val err = lit(2.0) * (p - col("y")) * dpdz
+      val g = feats.agg(
+        round(avg(err * col("x0")), 6).as("g0"),
+        round(avg(err * col("x1")), 6).as("g1"),
+        round(avg(err * col("x2")), 6).as("g2"),
+        round(avg(err * col("x3")), 6).as("g3")).head()
+      w = Array.tabulate(4)(j => w(j) - lr * g.getDouble(j))
+    }
+
+    val pf = fastSigmoid(zOf(w))
+    val mse = feats.agg(round(avg((pf - col("y")) * (pf - col("y"))), 6).as("v"))
+      .select(lit("mse").as("k"), col("v"))
+    import df.sparkSession.implicits._
+    val weights = Seq("w0" -> w(0), "w1" -> w(1), "w2" -> w(2), "w3" -> w(3))
+      .toDF("k", "v")
+    mse.unionAll(weights)
+  }
+}

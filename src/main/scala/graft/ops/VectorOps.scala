@@ -393,13 +393,27 @@ object VectorOps {
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int,
                   portablePivots: Boolean = false): DataFrame = {
-    require(k > 0 && iters > 0, "k and iters must be positive")
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    require(iters > 0, "iters must be positive")
+    val base = kmBase(df, idCol, vecCol)
+    var cents = kmInitPivots(df, idCol, vecCol, k, portablePivots)
+    for (_ <- 1 until iters) cents = kmCollect(kmUpdate(base, cents))
+    // the last round stays lazy: callers get one scan + one shuffle
+    kmUpdate(base, cents)
+  }
+
+  private def kmBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"))
+
+  /** Init centroids: pivot vectors, exact float->double widening;
+    * sorted by cell so the [[kmBestCell]] fold tie-breaks low.
+    */
+  private def kmInitPivots(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, portablePivots: Boolean): Seq[(Long, Array[Double])] = {
+    require(k > 0, "k must be positive")
     val pivotOrder =
       if (portablePivots) md5(col("pid").cast("string")) else xxhash64(col("pid"))
-    // init: pivot vectors, exact float->double widening
-    var cents: Seq[(Long, Array[Double])] = df
+    val cents = df
       .select(col(idCol).as("pid"), col(vecCol).as("pvec"))
       .orderBy(pivotOrder, col("pid")).limit(k)
       .select(col("pid"), transform(col("pvec"), x => x.cast("double")).as("cvec"))
@@ -410,45 +424,87 @@ object VectorOps {
     require(k * dim <= 16384,
       s"k*dim = ${k * dim} exceeds the 16384 centroid-literal bound; " +
         "train per-partition subsets or use ivfCellCentroids rounds with a join")
+    cents
+  }
 
-    def roundOf(cs: Seq[(Long, Array[Double])]): DataFrame = {
-      // left-to-right fold in element order, like the engine-side dots
-      val centArr = array(cs.map { case (cell, cv) =>
-        val cnrm = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
-        struct(lit(cell).as("cell"),
-          array(cv.map(lit(_)): _*).as("cvec"), lit(cnrm).as("cnrm"))
-      }: _*)
-      def dotd(v: Column, cv: Column): Column =
-        aggregate(zip_with(v, cv, (a, b) => a.cast("double") * b),
-          lit(0.0), (s, x) => s + x)
-      // argmin by fold: strict > keeps the FIRST max — cs is sorted by
-      // cell, so ties break to the lowest cell id like ivfAssign
-      val best = aggregate(centArr,
-        struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("cell")),
-        (acc, c) => {
-          val sim = dotd(col("vec"), c.getField("cvec")) /
-            (col("nrm") * c.getField("cnrm"))
-          when(sim > acc.getField("sim"),
-            struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
-        })
-      base.select(col("id"), col("vec"), best.getField("cell").as("cell"))
-        .select(col("cell"), posexplode(col("vec")))
-        .select(col("cell"), (col("pos") + 1).as("i"),
-          col("col").cast("double").as("x"))
-        .groupBy("cell", "i")
-        .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
-    }
+  /** Max-cosine cell over the centroid literal, for a frame exposing
+    * `vec`/`nrm`. Argmin by fold: strict > keeps the FIRST max — `cs`
+    * is sorted by cell, so ties break to the lowest cell id like
+    * [[ivfAssign]]'s `ORDER BY psim DESC, pid`. Zero-shuffle.
+    */
+  private def kmBestCell(cs: Seq[(Long, Array[Double])]): Column = {
+    // left-to-right fold in element order, like the engine-side dots
+    val centArr = array(cs.map { case (cell, cv) =>
+      val cnrm = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
+      struct(lit(cell).as("cell"),
+        array(cv.map(lit(_)): _*).as("cvec"), lit(cnrm).as("cnrm"))
+    }: _*)
+    def dotd(v: Column, cv: Column): Column =
+      aggregate(zip_with(v, cv, (a, b) => a.cast("double") * b),
+        lit(0.0), (s, x) => s + x)
+    aggregate(centArr,
+      struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("cell")),
+      (acc, c) => {
+        val sim = dotd(col("vec"), c.getField("cvec")) /
+          (col("nrm") * c.getField("cnrm"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
+      }).getField("cell")
+  }
 
-    for (_ <- 1 until iters) {
-      cents = roundOf(cents).select("cell", "i", "c").collect().toSeq
-        .groupBy(_.getLong(0)).toSeq
-        .map { case (cell, rs) =>
-          (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-        }
-        .sortBy(_._1)
-    }
-    // the last round stays lazy: callers get one scan + one shuffle
-    roundOf(cents)
+  /** One Lloyd update: assign (zero-shuffle argmin), then per-cell
+    * component means rounded to 6 dp — one partial-agg shuffle.
+    */
+  private def kmUpdate(base: DataFrame,
+                       cs: Seq[(Long, Array[Double])]): DataFrame =
+    base.select(col("id"), col("vec"), kmBestCell(cs).as("cell"))
+      .select(col("cell"), posexplode(col("vec")))
+      .select(col("cell"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+      .groupBy("cell", "i")
+      .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+
+  private def kmCollect(update: DataFrame): Seq[(Long, Array[Double])] =
+    update.select("cell", "i", "c").collect().toSeq
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cell, rs) =>
+        (cell, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+      .sortBy(_._1)
+
+  /** End-to-end trained-IVF ANN: run `iters` Lloyd rounds
+    * ([[kmeansTrain]]), assign every vector to its max-cosine TRAINED
+    * centroid, then exact top-`k` cosine rerank within cells — the
+    * full FAISS-style `train -> assign -> search` pipeline as one op.
+    * Versus [[ivfNearestNeighbors]] (raw pivot cells), trained cells
+    * track the data distribution, which is what makes IVF recall
+    * usable at small nCells.
+    *
+    * Scale shape: training as [[kmeansTrain]]; the search adds one
+    * self-join shuffle on the cell id (intra-cell pairs only) and a
+    * bounded per-cell window — the s05 shape with a zero-shuffle
+    * assignment in front.
+    */
+  def ivfNearestNeighborsTrained(df: DataFrame, idCol: String, vecCol: String,
+                                 nCells: Int, k: Int, iters: Int,
+                                 portablePivots: Boolean = false): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val base = kmBase(df, idCol, vecCol)
+    var cents = kmInitPivots(df, idCol, vecCol, nCells, portablePivots)
+    for (_ <- 1 to iters) cents = kmCollect(kmUpdate(base, cents))
+    val assigned = base.select(col("id"), col("vec"), col("nrm"),
+      kmBestCell(cents).as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val scored = a.join(b, Seq("cell"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "cos")
   }
 
   /** Symmetric int8 quantization report per vector: the compression

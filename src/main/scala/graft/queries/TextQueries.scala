@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.TextOps
+import graft.ops.{LearnOps, TextOps}
 
 /** Dedup + text-analysis operators over the `documents` table —
   * the training-data-pipeline extension surface.
@@ -40,6 +40,62 @@ object TextQueries {
     "en" -> Seq("the", "a"),
     "fr" -> Seq("data", "row"),
     "zh" -> Seq("vector", "stream"))
+
+  /** Unrolled full-batch GD oracle for t18: `steps` rounds over the
+    * quality features with the rational fast-sigmoid link. Every
+    * arithmetic expression mirrors the Scala operand order exactly
+    * (left-assoc sums/products, multiply-by-reciprocal for dp/dz) —
+    * only the 6-dp-rounded gradient averages are order-dependent, so
+    * the trained weights are bit-identical cross-engine.
+    */
+  private def gdOracleSql(steps: Int, lr: String = "1.0"): String = {
+    // lr as CAST(... AS DOUBLE): DuckDB parses bare decimal literals
+    // as DECIMAL, and the Scala side multiplies by a double
+    val lrd = s"CAST($lr AS DOUBLE)"
+    def z(w: String): String =
+      s"($w.w0 * f.x0 + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3)"
+    val sig = "(0.5 + z / (2.0 * (1.0 + ABS(z))))"
+    val stepCtes = (1 to steps).map { i =>
+      s"""e$i AS (
+        SELECT f.*, ${z("w")} AS z FROM feat f CROSS JOIN w${i - 1} w),
+      r$i AS (
+        SELECT x0, x1, x2, x3,
+          2.0 * ($sig - y)
+            * (1.0 / (2.0 * (1.0 + ABS(z)) * (1.0 + ABS(z)))) AS err
+        FROM e$i),
+      g$i AS (
+        SELECT ROUND(AVG(err * x0), 6) AS g0, ROUND(AVG(err * x1), 6) AS g1,
+          ROUND(AVG(err * x2), 6) AS g2, ROUND(AVG(err * x3), 6) AS g3
+        FROM r$i),
+      w$i AS (
+        SELECT w.w0 - $lrd * g.g0 AS w0, w.w1 - $lrd * g.g1 AS w1,
+          w.w2 - $lrd * g.g2 AS w2, w.w3 - $lrd * g.g3 AS w3
+        FROM w${i - 1} w CROSS JOIN g$i g)"""
+    }.mkString(",\n      ")
+    s"""WITH feat AS (
+        SELECT 1.0 AS x0,
+          CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS x1,
+          CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS x2,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x3,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      $stepCtes,
+      pred AS (
+        SELECT $sig AS p, y FROM (
+          SELECT f.y, ${z("w")} AS z
+          FROM feat f CROSS JOIN w$steps w))
+      SELECT k, v FROM (
+        SELECT 'mse' AS k, ROUND(AVG((p - y) * (p - y)), 6) AS v FROM pred
+        UNION ALL SELECT 'w0' AS k, w0 AS v FROM w$steps
+        UNION ALL SELECT 'w1' AS k, w1 AS v FROM w$steps
+        UNION ALL SELECT 'w2' AS k, w2 AS v FROM w$steps
+        UNION ALL SELECT 'w3' AS k, w3 AS v FROM w$steps)
+      ORDER BY k"""
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -910,6 +966,18 @@ object TextQueries {
           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
         FROM chunked GROUP BY doc_id, chunk_id
         ORDER BY doc_id, chunk_id""")),
+
+    // ── in-engine classifier training: 3 full-batch GD rounds
+    //    distilling the lang=='en' heuristic into a quality-feature
+    //    model. Rational link + 6-dp gradient snap => the TRAINED
+    //    WEIGHTS are hash-EXACT, not just a frozen inference pass. ────
+    Q("t18_quality_classifier",
+      (s, dir) => LearnOps.trainQualityClassifier(
+        Tables.documents(s, dir), "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        stopwords, steps = 3, lr = 0.2)
+        .orderBy("k"),
+      Some(gdOracleSql(3, lr = "0.2"))),
 
     // ── incremental CDC-chunk dedup: the growing-corpus contract at
     //    chunk granularity — the production loop for recrawled/edited

@@ -8,12 +8,13 @@ import graft.ops.VectorOps
 /** Similarity search over the `embeddings` table (`array<float>`). */
 object VectorQueries {
 
-  /** Shared k-means oracle: 2 unrolled Lloyd rounds over whatever
+  /** Shared k-means CTE chain: 2 unrolled Lloyd rounds over whatever
     * `pivotCtes` (ending in `piv(pid, pvec)`) selects as init centers.
     * 6-dp snapping after each round makes round-2 inputs bit-identical
-    * across engines, so the whole iteration is hash-EXACT.
+    * across engines, so the whole iteration is hash-EXACT. Ends open
+    * (after `u2(cell, i, c, n)`) so callers append their own tail.
     */
-  private def kmeansSql(pivotCtes: String): String =
+  private def kmeansCtes(pivotCtes: String): String =
     s"""WITH base AS (
           SELECT vec_id, embedding,
             SQRT(list_sum(list_transform(range(1, 65),
@@ -57,14 +58,17 @@ object VectorQueries {
           SELECT id, cell FROM (
             SELECT id, cell, ROW_NUMBER() OVER
               (PARTITION BY id ORDER BY psim DESC, cell) AS rk FROM s2)
-          WHERE rk = 1)
-        SELECT a.cell, t.i,
-          ROUND(AVG(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS c,
-          COUNT(*) AS n
-        FROM a2 a JOIN base b ON b.vec_id = a.id
-        CROSS JOIN range(1, 65) t(i)
-        GROUP BY a.cell, t.i
-        ORDER BY cell, i"""
+          WHERE rk = 1),
+        u2 AS (
+          SELECT a.cell, t.i,
+            ROUND(AVG(CAST(b.embedding[t.i] AS DOUBLE)), 6) AS c,
+            COUNT(*) AS n
+          FROM a2 a JOIN base b ON b.vec_id = a.id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY a.cell, t.i)"""
+
+  private def kmeansSql(pivotCtes: String): String =
+    kmeansCtes(pivotCtes) + "\n        SELECT cell, i, c, n FROM u2 ORDER BY cell, i"
 
   val all: Seq[Q] = Seq(
 
@@ -393,6 +397,49 @@ object VectorQueries {
         piv AS (
           SELECT b.vec_id AS pid, b.embedding AS pvec
           FROM base b JOIN key_hash_signed s ON s.pid = b.vec_id
-          ORDER BY s.hv, b.vec_id LIMIT 8)""")))
+          ORDER BY s.hv, b.vec_id LIMIT 8)"""))),
+
+    // ── end-to-end trained-IVF ANN: 2 Lloyd rounds -> assign to the
+    //    TRAINED centroids -> exact intra-cell top-k — the FAISS-style
+    //    train/assign/search pipeline, every stage oracle-replayed. ───
+    Q("s12_knn_ivf_trained",
+      (s, dir) => VectorOps.ivfNearestNeighborsTrained(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 8, k = 3, iters = 2, portablePivots = true)
+        .orderBy("id_a", "rk"),
+      Some(kmeansCtes(
+        """piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)""") +
+        """,
+        cn2 AS (
+          SELECT cell, cvec,
+            SQRT(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+          FROM (SELECT cell, list(c ORDER BY i) AS cvec FROM u2 GROUP BY cell)),
+        s3 AS (
+          SELECT b.vec_id AS id, c.cell,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * c.cvec[i]))
+              / (b.nrm * c.cnrm) AS psim
+          FROM base b CROSS JOIN cn2 c),
+        a3 AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, cell) AS rk FROM s3)
+          WHERE rk = 1),
+        scored AS (
+          SELECT x.id AS id_a, y.id AS id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+              / (ea.nrm * eb.nrm) AS cos
+          FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.id <> y.id
+          JOIN base ea ON ea.vec_id = x.id
+          JOIN base eb ON eb.vec_id = y.id),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+          FROM scored)
+        SELECT id_a, rk, id_b, cos FROM ranked WHERE rk <= 3
+        ORDER BY id_a, rk"""))
   )
 }

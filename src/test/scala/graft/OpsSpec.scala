@@ -825,6 +825,44 @@ class OpsSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected 1 update shuffle, got $exchanges")
   }
 
+  test("trained-IVF ANN: bounded top-k, sane scores, neighbors share a cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val ann = VectorOps.ivfNearestNeighborsTrained(emb, "vec_id", "embedding",
+      nCells = 8, k = 3, iters = 2, portablePivots = true).cache()
+    val byId = ann.groupBy("id_a").count().select("count").as[Long].collect()
+    assert(byId.nonEmpty && byId.forall(_ <= 3))
+    val cos = ann.select("cos").as[Double].collect()
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    // ranks are dense from 1 per query point
+    val badRanks = ann.groupBy("id_a").agg(max("rk").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n").count()
+    assert(badRanks == 0)
+    ann.unpersist()
+  }
+
+  test("quality classifier: GD reduces MSE, layout-independent, link bounded") {
+    import graft.ops.LearnOps
+    val docs = Tables.documents(spark, sf)
+    val label = when($"lang" === "en", 1.0).otherwise(0.0)
+    val sw = Seq("the", "a", "of", "to")
+    val out = LearnOps.trainQualityClassifier(docs, "text", label, sw,
+      steps = 3, lr = 0.2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // at w=0 every prediction is 0.5, so the training MSE floor to beat
+    // is avg((y - 0.5)^2) = 0.25 on any 0/1 label
+    assert(out("mse") < 0.25, s"training did not reduce MSE: $out")
+    // the 6-dp gradient snap makes training partition-layout independent
+    val relaid = LearnOps.trainQualityClassifier(docs.repartition(5), "text",
+      label, sw, steps = 3, lr = 0.2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == relaid)
+    // rational link: bounded in (0,1) and monotone over a z sweep
+    val zs = spark.range(-1000, 1001).select(($"id" / 100.0).as("z"))
+      .select(LearnOps.fastSigmoid($"z").as("p")).as[Double].collect()
+    assert(zs.forall(p => p > 0.0 && p < 1.0))
+    assert(zs.sliding(2).forall(w => w(0) < w(1)))
+  }
+
   test("kmeans guard trips past the centroid-literal bound") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {

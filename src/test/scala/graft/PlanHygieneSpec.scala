@@ -53,6 +53,11 @@ class PlanHygieneSpec extends SparkTestBase {
     // t14_bigram_lm / t16_trigram_lm: the corpus-total token count —
     // identical 1-row global-scalar class as t11's (map-side combined
     // partials).
+    // t18_quality_classifier: the final-MSE aggregate — a 1-row
+    // global average of per-row squared errors (map-side combined
+    // partials; one row per upstream partition crosses the exchange).
+    // The per-STEP gradient aggregates are the same class and run at
+    // train time, not in this inference plan.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -62,7 +67,7 @@ class PlanHygieneSpec extends SparkTestBase {
     // OpsSpec/ApiSpec.
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
-      "t14_bigram_lm", "t16_trigram_lm")
+      "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
