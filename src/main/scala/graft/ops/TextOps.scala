@@ -603,6 +603,46 @@ object TextOps {
       .select("id", "term", "tf", "df", "tfidf")
   }
 
+  /** Okapi BM25 per (doc, term) — [[tfIdf]]'s IR-standard upgrade
+    * (saturating tf, doc-length normalization; Lucene-style
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf that never goes
+    * negative). The score a retrieval-based decontamination or
+    * near-dup-explain pass ranks candidate matches with.
+    *
+    * Scale shape: identical to [[tfIdf]] — (id, term) count shuffle +
+    * term-keyed df join — plus one 1-row `avgdl` aggregate broadcast
+    * back via the scalar crossJoin idiom. Doc length rides the
+    * existing tf shuffle (min over the constant), not a second join.
+    * `avgdl` is computed as exact-integer `sum(dl)/count` (no
+    * double-summation order dependence); the final score is rounded
+    * to 6 dp to absorb the one transcendental (ln, 1-ulp across libm
+    * builds) — t06's proven oracle contract.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75,
+           totalDocs: Option[Long] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).as("dl"), col(textCol).as("text"))
+    val terms = docs.select(col("id"), col("dl"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = totalDocs.getOrElse(df.count())
+    val avgdl = docs.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // operand order mirrors the oracle SQL exactly (IEEE parity)
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(avgdl))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(score, 6).as("bm25"))
+  }
+
   /** Unigram language-model quality score (perplexity proxy): per-doc
     * cross-entropy in nats against the corpus's own unigram MLE — the
     * CCNet-style "LM scores the doc, outliers are junk" filter

@@ -967,6 +967,32 @@ object TextQueries {
         FROM chunked GROUP BY doc_id, chunk_id
         ORDER BY doc_id, chunk_id""")),
 
+    // ── Okapi BM25 — t06's IR-standard upgrade (saturating tf,
+    //    doc-length normalization, non-negative Lucene idf) ───────────
+    Q("t19_bm25",
+      (s, dir) => TextOps.bm25(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "term"),
+      Some("""WITH docs AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+          FROM documents),
+        tf AS (
+          SELECT doc_id, dl, UNNEST(string_split(text, ' ')) AS term
+          FROM docs),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+          FROM tf GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM docs)
+        SELECT doc_id, term, tf, df,
+          ROUND(LN((CAST(n.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+            / (tf + CAST(1.2 AS DOUBLE)
+               * (1.0 - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl / ad.avgdl)), 6) AS bm25
+        FROM tfc JOIN dfc USING (term) CROSS JOIN n CROSS JOIN ad
+        ORDER BY doc_id, term""")),
+
     // ── in-engine classifier training: 3 full-batch GD rounds
     //    distilling the lang=='en' heuristic into a quality-feature
     //    model. Rational link + 6-dp gradient snap => the TRAINED

@@ -840,6 +840,27 @@ class OpsSpec extends SparkTestBase {
     ann.unpersist()
   }
 
+  test("bm25: positive scores, rarity raises idf, tf saturates under k1") {
+    val docs = Tables.documents(spark, sf)
+    val scored = TextOps.bm25(docs, "doc_id", "text").cache()
+    // Lucene-style ln(1 + x) idf is strictly positive, so scores are
+    assert(scored.where($"bm25" <= 0.0).count() == 0)
+    // within one doc at fixed tf, a rarer term (smaller df) never
+    // scores lower — dl and avgdl are constant inside the doc
+    val inversions = scored.as("a").join(scored.as("b"),
+        $"a.id" === $"b.id" && $"a.tf" === $"b.tf" &&
+          $"a.df" < $"b.df" && $"a.bm25" < $"b.bm25" - 1e-9)
+      .count()
+    assert(inversions == 0, s"$inversions rarity inversions")
+    // saturation: score grows sublinearly in tf — bounded by (k1+1)*idf
+    val overCap = scored
+      .where($"bm25" > (lit(1.2) + lit(1.0)) *
+        log((lit(docs.count().toDouble) - $"df" + 0.5) / ($"df" + 0.5) + 1.0) + 1e-9)
+      .count()
+    assert(overCap == 0)
+    scored.unpersist()
+  }
+
   test("quality classifier: GD reduces MSE, layout-independent, link bounded") {
     import graft.ops.LearnOps
     val docs = Tables.documents(spark, sf)

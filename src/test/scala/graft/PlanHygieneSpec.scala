@@ -53,6 +53,9 @@ class PlanHygieneSpec extends SparkTestBase {
     // t14_bigram_lm / t16_trigram_lm: the corpus-total token count —
     // identical 1-row global-scalar class as t11's (map-side combined
     // partials).
+    // t19_bm25: the avgdl scalar — sum(dl)/count over doc lengths,
+    // map-side combined to one row per partition, broadcast back via
+    // the scalar crossJoin idiom. Same class as p09's normalizer.
     // t18_quality_classifier: the final-MSE aggregate — a 1-row
     // global average of per-row squared errors (map-side combined
     // partials; one row per upstream partition crosses the exchange).
@@ -67,7 +70,8 @@ class PlanHygieneSpec extends SparkTestBase {
     // OpsSpec/ApiSpec.
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
-      "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier")
+      "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
+      "t19_bm25")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

@@ -130,8 +130,16 @@ class ScaleStressSpec extends SparkTestBase {
       // linear-with-overhead lands well under 25x; quadratic ~100x
       assert(ratio < 25.0,
         f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
-      assert(planShape(q(base)) == planShape(q(big)),
-        s"$name plan shape changed with data size")
+      // equi-join strategy normalized like the SPARK_GRAFT_STRESS_FACTOR
+      // tier below: at base=sf0.1 a count-table leg can already cross
+      // spark.sql.autoBroadcastJoinThreshold at 10x, and that broadcast
+      // -> SortMergeJoin flip is the planner sizing correctly (AQE
+      // re-decides it per-run anyway). Anything ELSE changing shape —
+      // shuffle count, aggregate structure, a nested-loop join
+      // appearing — still fails.
+      assert(normalizeEquiJoins(planShape(q(base)))
+          == normalizeEquiJoins(planShape(q(big))),
+        s"$name plan shape changed with data size (beyond join strategy)")
     }
   }
 
