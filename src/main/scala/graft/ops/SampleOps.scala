@@ -54,6 +54,21 @@ object SampleOps {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic k-fold assignment: `fold = pmod(xxhash64(id), k)`
+    * — the cross-validation / sharded-eval split. Same contract
+    * family as [[hashSplit]]: zero-shuffle narrow projection,
+    * rerun-stable, append-stable (a row's fold never changes as the
+    * corpus grows), and leave-one-fold-out composes as a plain
+    * filter. Uses the engine xxhash64 directly (no string round-trip)
+    * — the oracle recomputes the signed long-key XXH64 in SQL.
+    */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 1, "k must be at least 2")
+    require(!df.columns.contains("fold"),
+      "kFold writes column 'fold'; rename the existing one first")
+    df.withColumn("fold", pmod(xxhash64(col(idCol)), lit(k)))
+  }
+
   /** Deterministic per-group sample of up to `n` rows: the n smallest
     * id hashes within each group — a shuffle-once, rerun-stable
     * stand-in for per-group reservoir sampling.

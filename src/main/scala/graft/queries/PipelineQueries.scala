@@ -29,6 +29,18 @@ object PipelineQueries {
                ELSE 'test' END AS split
         FROM u ORDER BY doc_id""")),
 
+    // ── deterministic k-fold assignment (cross-validation shards);
+    //    engine-hash flavor, signed long-key XXH64 replayed in SQL ────
+    Q("p13_kfold",
+      (s, dir) => SampleOps.kFold(Tables.documents(s, dir), "doc_id", k = 5)
+        .select("doc_id", "fold")
+        .orderBy("doc_id"),
+      Some(s"""WITH keys AS (
+          SELECT doc_id, doc_id::HUGEINT AS k FROM documents),
+        ${XxHashSql.keyHashSignedCtes("doc_id")}
+        SELECT doc_id, ((hv % 5) + 5) % 5 AS fold
+        FROM key_hash_signed ORDER BY doc_id""")),
+
     // ── deterministic Bernoulli sample (narrow, pushdown-friendly) ──
     Q("p02_sample_hash",
       (s, dir) => SampleOps.sampleByHash(Tables.events(s, dir), "event_id", 0.1)

@@ -296,4 +296,29 @@ class SampleOpsSpec extends SparkTestBase {
       SampleOps.temperatureMixture(tiny, "g", "id", alpha = 1.0, totalBudget = 0L)
     }
   }
+
+  test("kFold: exact partition, append-stable, zero-shuffle, roughly balanced") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val folds = SampleOps.kFold(docs, "doc_id", k = 5).cache()
+    val n = docs.count()
+    // a partition of the corpus: every row lands in exactly one fold 0..4
+    assert(folds.where($"fold" < 0 || $"fold" > 4).count() == 0)
+    assert(folds.count() == n)
+    // append-stable: fold assignment over a subset matches the full run
+    val subset = SampleOps.kFold(docs.where($"doc_id" % 3 === 0), "doc_id", 5)
+    val moved = subset.as[(Long, Long)].collect().toMap
+    val full = folds.as[(Long, Long)].collect().toMap
+    assert(moved.forall { case (id, f) => full(id) == f })
+    // hash balance: no fold is empty or hoards the corpus at this n
+    val counts = folds.groupBy("fold").count().select("count").as[Long].collect()
+    assert(counts.length == 5 && counts.min > 0 && counts.max < n)
+    // narrow projection: no exchange in the plan
+    val p = SampleOps.kFold(docs, "doc_id", 5).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    // leave-one-fold-out composes as a filter that preserves the rest
+    assert(folds.where($"fold" =!= 0).count() ==
+      n - full.values.count(_ == 0L))
+    folds.unpersist()
+    intercept[IllegalArgumentException] { SampleOps.kFold(docs, "doc_id", 1) }
+  }
 }
