@@ -35,6 +35,20 @@ object LearnOps {
   def fastSigmoid(z: Column): Column =
     lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
+  /** Score a text column with trained [[trainQualityClassifier]]
+    * weights — the inference half: a pure narrow scalar column, so it
+    * drops into batch scans and streaming micro-batches alike (the
+    * "train once on the corpus, score every incoming doc" loop).
+    */
+  def qualityScore(w: Seq[Double], text: Column,
+                   stopwords: Seq[String]): Column = {
+    require(w.length == 4, "expected 4 weights (bias + 3 features)")
+    val q = TextOps.qualityColumns(text, stopwords).toMap
+    fastSigmoid(lit(w(0)) * lit(1.0) + lit(w(1)) * q("mean_token_len") +
+      lit(w(2)) * q("stopword_ratio") +
+      lit(w(3)) * (q("n_tokens").cast("double") / 100.0))
+  }
+
   /** Train a linear quality classifier by `steps` full-batch gradient
     * descent rounds on squared error through [[fastSigmoid]], over the
     * [[TextOps.qualityColumns]] features (bias, mean token length,

@@ -458,6 +458,94 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming classifier inference: batch-trained weights score the stream") {
+    // the t18 production loop: train once over the stored corpus
+    // (batch), then score every incoming doc with the frozen weights —
+    // a pure narrow column, so the same expression drops into the
+    // micro-batch path unchanged and stream scores equal batch scores
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.LearnOps
+    val sw = Seq("the", "a", "of", "to")
+    val docs = Tables.documents(spark, sf)
+    val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val w = LearnOps.trainQualityClassifier(docs, "text", label, sw,
+        steps = 3, lr = 0.2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val weights = Seq(w("w0"), w("w1"), w("w2"), w("w3"))
+    val sample = docs.select("doc_id", "text").orderBy("doc_id").limit(5)
+      .as[(Long, String)].collect()
+    val batchScores = docs
+      .select(col("doc_id"),
+        LearnOps.qualityScore(weights, col("text"), sw).as("score"))
+      .orderBy("doc_id").limit(5).as[(Long, Double)].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        LearnOps.qualityScore(weights, col("text"), sw).as("score"))
+    val q = scored.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      input.addData(sample.take(2).toSeq)
+      q.processAllAvailable()
+      input.addData(sample.drop(2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("clf_out").as[(Long, Double)].collect().toMap
+      assert(got == batchScores, s"stream scores diverge: $got vs $batchScores")
+      assert(got.values.forall(s => s > 0.0 && s < 1.0))
+    } finally q.stop()
+  }
+
+  test("streaming CDC-chunk dedup: an edited recrawl contributes only changed chunks") {
+    // d19's streaming twin: chunk rows arrive across micro-batches
+    // keyed by content hash; dropDuplicatesWithinWatermark keeps state
+    // per CHUNK hash, so a re-fetch of an edited page re-emits only
+    // the chunks the edit re-cut — the unchanged remainder hits
+    // existing state. (Chunking itself runs upstream/batch-side: the
+    // boundary pass needs a per-doc window, which streaming forbids —
+    // same split as the reference's preprocess-then-stream layout.)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextOps
+    val v1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val v2 = v1.replaceFirst("gamma", "EDITED")
+    def chunksOf(id: Long, text: String): Seq[(Long, Long, String)] =
+      TextOps.contentDefinedChunks(
+          Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text",
+          window = 2, modulus = 3)
+        .select(col("id"), col("chunk_id"), col("chunk_text"))
+        .as[(Long, Long, String)].collect().toSeq
+    val c1 = chunksOf(1L, v1)
+    val c2 = chunksOf(2L, v2)
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val deduped = input.toDS().toDF("ts", "doc_id", "chunk_id", "chunk_text")
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("chunk_hash")
+    val q = deduped.writeStream.format("memory").queryName("chunk_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(c1.map { case (d, c, t) => (ts(100), d, c, t) })
+      q.processAllAvailable()
+      val afterV1 = spark.table("chunk_dedup").count()
+      input.addData(c2.map { case (d, c, t) => (ts(110), d, c, t) })
+      q.processAllAvailable()
+      val fromV2 = spark.table("chunk_dedup").where(col("doc_id") === 2L)
+        .select("chunk_text").as[String].collect()
+      // the recrawl lands only the edit-affected chunks: a strict
+      // subset, none of which existed in v1's chunk set (boundary
+      // re-cuts near the edit may emit a changed chunk without the
+      // token itself, but at least one carries it)
+      assert(fromV2.nonEmpty && fromV2.length < c2.length,
+        s"expected a strict subset of ${c2.length} chunks, got ${fromV2.length}")
+      val v1Texts = c1.map(_._3).toSet
+      assert(fromV2.forall(t => !v1Texts.contains(t)))
+      assert(fromV2.exists(_.contains("EDITED")),
+        s"edit never surfaced: ${fromV2.mkString(" | ")}")
+      // and the v1 state is what suppressed them (v1's own repeated
+      // phrasing already collapses within the first batch)
+      assert(afterV1 == c1.map(_._3).distinct.length)
+    } finally q.stop()
+  }
+
   test("ChangelogSink: append per batch, compacted read = latest per key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-changelog").toString
     val b0 = Seq(("a", 1), ("b", 2)).toDF("k", "v")
