@@ -1,0 +1,101 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LearnOps, SampleOps, TextOps}
+
+/** End-to-end training-data pipeline walkthrough — the 100 TB
+  * preprocessing loop this library exists for, runnable against the
+  * checked-in test corpus:
+  *
+  * {{{
+  *   sbt "runMain graft.examples.TrainDataPipeline [/root/testdata/sf0.001]"
+  * }}}
+  *
+  * Five stages, each the operator a production corpus pass would run
+  * (see COVERAGE.md for every variant and SCALE.md for why each stage
+  * holds at 100 TB):
+  *
+  *  1. QUALITY GATE — heuristic filter on token stats (narrow scan,
+  *     zero shuffle; `TextOps.qualityColumns`).
+  *  2. NEAR-DUP CLUSTERS — MinHash+LSH candidate edges → pointer-
+  *     jumping connected components (`TextOps.dedupClustersMinHash`),
+  *     keeping one canonical doc per cluster.
+  *  3. LEAK-FREE SPLIT — train/test assignment keyed on the CLUSTER
+  *     id, so near-duplicates can never straddle the split
+  *     (`SampleOps.hashSplit` over cluster labels — the p12 contract).
+  *  4. CLASSIFIER — distill a label heuristic into a quality model by
+  *     in-engine gradient descent on the TRAIN side only
+  *     (`LearnOps.trainQualityClassifier`).
+  *  5. SCORE + PACK — score every surviving doc with the frozen
+  *     weights (pure narrow column, batch or streaming) and report
+  *     the split sizes a shard writer would consume.
+  */
+object TrainDataPipeline {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .appName("train-data-pipeline").master("local[*]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, dir) finally spark.stop()
+  }
+
+  /** The walkthrough body — separated from [[main]] so the CI smoke
+    * spec can drive it on the shared test session.
+    */
+  def run(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val stopwords = Seq("the", "a", "of", "to")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+
+    // 1. quality gate: drop degenerate docs before anything shuffles
+    val quality = TextOps.qualityColumns($"text", stopwords).toMap
+    val gated = docs.where(quality("n_tokens") >= 5).cache()
+
+    // 2. near-dup clusters; keep the canonical representative per
+    // cluster (the linear LSH path — never all-pairs)
+    val clustered = TextOps.dedupClustersMinHash(
+      gated, "doc_id", "text", numHashes = 16, bands = 2,
+      minEstimate = 0.7, portable = true)
+    val kept = clustered.where($"is_canonical" === 1)
+      .join(gated, "doc_id")
+      .select($"doc_id", $"text", $"lang", $"cluster_id")
+      .cache()
+
+    // 3. leak-free split: key the hash on the CLUSTER id
+    val split = SampleOps.hashSplit(kept, "cluster_id",
+      Seq("train" -> 9.0, "test" -> 1.0), salt = "demo")
+
+    // 4. train the quality classifier on the train fragment only
+    val train = split.where($"split" === "train")
+    val w = LearnOps.trainQualityClassifier(train, "text",
+        when($"lang" === "en", 1.0).otherwise(0.0), stopwords,
+        steps = 3, lr = 0.2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val weights = Seq(w("w0"), w("w1"), w("w2"), w("w3"))
+    println(f"trained weights: ${weights.map(x => f"$x%+.6f").mkString(" ")}" +
+      f"  (train mse ${w("mse")}%.6f)")
+
+    // 5. score everything with the frozen weights and report
+    val scored = split.withColumn("quality",
+      LearnOps.qualityScore(weights, $"text", stopwords))
+    val report = scored.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg($"quality"), 4).as("avg_quality"))
+      .orderBy("split")
+    report.show(truncate = false)
+
+    val total = docs.count()
+    val survived = scored.count()
+    println(s"$total docs in -> $survived canonical docs out " +
+      s"(${total - survived} near-duplicates removed)")
+    require(survived > 0, "pipeline produced no output")
+    gated.unpersist(); kept.unpersist()
+  }
+}

@@ -13,4 +13,8 @@ class ExamplesSpec extends SparkTestBase {
     val app = new App(spark, "word-counts-spec")
     WordCount.run(app, sf)
   }
+
+  test("TrainDataPipeline walkthrough runs end-to-end on the test corpus") {
+    graft.examples.TrainDataPipeline.run(spark, sf)
+  }
 }

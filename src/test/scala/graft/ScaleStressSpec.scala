@@ -160,7 +160,11 @@ class ScaleStressSpec extends SparkTestBase {
   //    the planner doing its job — AQE re-decides it per-run anyway).
   //    Everything else (shuffle count, aggregate structure, no
   //    nested-loop joins appearing) must still match node-for-node. ──
-  private val top3 = Seq("t15_cdc_chunks", "d03_dedup_minhash", "t14_bigram_lm")
+  private val top3 = Seq("t15_cdc_chunks", "d03_dedup_minhash", "t14_bigram_lm",
+    // round 8: the two steepest 10x ratios join the knee hunt —
+    // t16's trigram count table is the widest LM leg, t17 is the
+    // production CDC kernel
+    "t16_trigram_lm", "t17_cdc_chunks_fast")
   private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
     shape.map {
       case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
