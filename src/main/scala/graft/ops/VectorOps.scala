@@ -507,6 +507,94 @@ object VectorOps {
       .select("id_a", "rk", "id_b", "cos")
   }
 
+  /** Product-quantization codebook TRAINING: per-subspace L2 k-means
+    * (`iters` Lloyd rounds), the step that turns [[pqCodes]]'s
+    * hash-picked codewords into real FAISS-style trained codebooks.
+    * All `m` subspaces train in ONE plan per round: the m codebooks
+    * ride as an indexed plan literal (`element_at` by subspace), so
+    * assignment is a zero-shuffle argmin fold and the update is one
+    * partial-agg (sub, cell, i) shuffle — m·k·subDim mean rows.
+    * Same reproducibility contract as [[kmeansTrain]]: 6-dp-snapped
+    * means make every round's input bit-identical cross-engine; L2
+    * ties break to the lowest cell id. Init codebooks are the
+    * hash-picked pivot vectors subsliced per subspace (exactly
+    * [[pqCodes]]'s codebook, so `iters` rounds strictly refine what
+    * s08 uses). Output: (sub, cell, i, c, n), i 1-based within the
+    * subspace.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, nCentroids: Int, dim: Int, iters: Int,
+              portablePivots: Boolean = false): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(iters > 0, "iters must be positive")
+    require(nCentroids * dim <= 16384,
+      s"nCentroids*dim = ${nCentroids * dim} exceeds the 16384 " +
+        "codebook-literal bound; train per-partition subsets instead")
+    val subDim = dim / m
+    val pivotOrder =
+      if (portablePivots) md5(col("pid").cast("string")) else xxhash64(col("pid"))
+    val pivots: Seq[(Long, Array[Double])] = df
+      .select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+      .orderBy(pivotOrder, col("pid")).limit(nCentroids)
+      .select(col("pid"), transform(col("pvec"), x => x.cast("double")).as("pv"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var cents: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { s =>
+      pivots.map { case (pid, pv) => (pid, pv.slice(s * subDim, (s + 1) * subDim)) }
+    }
+
+    val subs = df.select(col(idCol).as("id"),
+      explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("vec"))
+      .select(col("id"), col("sub"),
+        slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
+
+    def updateOf(cs: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+      val arrs = array(cs.map { subCents =>
+        array(subCents.map { case (cell, cv) =>
+          struct(lit(cell).as("cell"), array(cv.map(lit(_)): _*).as("cvec"))
+        }: _*)
+      }: _*)
+      val mine = element_at(arrs, col("sub") + 1)
+      def d2Of(cv: Column): Column = aggregate(
+        zip_with(col("svec"), cv,
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (s, x) => s + x)
+      // strict < keeps the FIRST min — cells sorted asc => low-id ties.
+      // The cast pins struct field names/nullability on both branches:
+      // aliases inside this lambda get stripped during resolution
+      // (unlike kmBestCell's literal-array fold), and caseWhen then
+      // rejects the mismatched struct types.
+      val stype = "struct<d2:double,cell:bigint>"
+      val best = aggregate(mine,
+        struct(lit(Double.PositiveInfinity), lit(Long.MaxValue)).cast(stype),
+        (acc, c) => {
+          val d = d2Of(c.getField("cvec"))
+          when(d < acc.getField("d2"),
+            struct(d, c.getField("cell")).cast(stype)).otherwise(acc)
+        })
+      subs.select(col("sub"), best.getField("cell").as("cell"),
+          posexplode(col("svec")))
+        .select(col("sub"), col("cell"), (col("pos") + 1).as("i"),
+          col("col").cast("double").as("x"))
+        .groupBy("sub", "cell", "i")
+        .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+    }
+
+    for (_ <- 1 until iters) {
+      val rows = updateOf(cents).select("sub", "cell", "i", "c").collect()
+      cents = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).toSeq
+          .groupBy(_.getLong(1)).toSeq
+          .map { case (cell, rs) =>
+            (cell, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          }
+          .sortBy(_._1)
+      }
+    }
+    updateOf(cents)
+  }
+
   /** Symmetric int8 quantization report per vector: the compression
     * step a 100 TB embedding store runs before serving (4x smaller,
     * cache-resident ANN). For each vector: `scale = max|v| / 127`,

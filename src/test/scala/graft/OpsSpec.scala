@@ -884,6 +884,29 @@ class OpsSpec extends SparkTestBase {
     assert(zs.sliding(2).forall(w => w(0) < w(1)))
   }
 
+  test("pq training: partition-layout independent, complete coverage, one shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val trained = VectorOps.pqTrain(emb, "vec_id", "embedding",
+      m = 4, nCentroids = 8, dim = 64, iters = 2, portablePivots = true)
+    val relaid = VectorOps.pqTrain(emb.repartition(7), "vec_id", "embedding",
+      m = 4, nCentroids = 8, dim = 64, iters = 2, portablePivots = true)
+    assert(trained.orderBy("sub", "cell", "i").collect().toSeq ==
+      relaid.orderBy("sub", "cell", "i").collect().toSeq)
+    // every subvector assigned exactly once: per (sub, i) counts sum to N
+    val n = emb.count()
+    val perSubI = trained.groupBy("sub", "i").agg(sum("n").as("tot"))
+      .select("tot").distinct().as[Long].collect().toSeq
+    assert(perSubI == Seq(n), s"per-(sub,i) coverage $perSubI != $n")
+    // all m subspaces train through ONE update shuffle
+    val exchanges = trained.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 update shuffle, got $exchanges")
+    intercept[IllegalArgumentException] {
+      VectorOps.pqTrain(emb, "vec_id", "embedding",
+        m = 3, nCentroids = 8, dim = 64, iters = 1)
+    }
+  }
+
   test("kmeans guard trips past the centroid-literal bound") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
