@@ -525,8 +525,40 @@ object VectorOps {
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               m: Int, nCentroids: Int, dim: Int, iters: Int,
               portablePivots: Boolean = false): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     require(iters > 0, "iters must be positive")
+    var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    for (_ <- 1 until iters) cents = pqCollect(pqUpdate(subs, cents), m)
+    pqUpdate(subs, cents)
+  }
+
+  /** PQ codes against TRAINED codebooks — [[pqCodes]]'s hash-picked
+    * codewords replaced by `iters` Lloyd rounds of [[pqTrain]]: the
+    * full train→encode pipeline (FAISS `train` + `compute_codes`).
+    * Same output shape and scale story as [[pqCodes]] — the encode
+    * itself is a zero-shuffle argmin fold over the codebook literal,
+    * so the oracle ordering shuffle is the only exchange.
+    */
+  def pqCodesTrained(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, nCentroids: Int, dim: Int, iters: Int,
+                     portablePivots: Boolean = false): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    for (_ <- 1 to iters) cents = pqCollect(pqUpdate(subs, cents), m)
+    val best = pqBest(cents)
+    subs.select(col("id"), col("sub"),
+      best.getField("cell").as("code"),
+      round(best.getField("d2"), 6).as("sq_err"))
+  }
+
+  /** Init codebooks: hash-picked pivot vectors subsliced per subspace
+    * (exactly [[pqCodes]]'s codebook — training strictly refines it).
+    */
+  private def pqInit(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, nCentroids: Int, dim: Int,
+                     portablePivots: Boolean): Seq[Seq[(Long, Array[Double])]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     require(nCentroids * dim <= 16384,
       s"nCentroids*dim = ${nCentroids * dim} exceeds the 16384 " +
         "codebook-literal bound; train per-partition subsets instead")
@@ -540,59 +572,70 @@ object VectorOps {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    var cents: Seq[Seq[(Long, Array[Double])]] = (0 until m).map { s =>
+    (0 until m).map { s =>
       pivots.map { case (pid, pv) => (pid, pv.slice(s * subDim, (s + 1) * subDim)) }
     }
+  }
 
-    val subs = df.select(col(idCol).as("id"),
+  private def pqSubs(df: DataFrame, idCol: String, vecCol: String,
+                     m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"),
       explode(sequence(lit(0), lit(m - 1))).as("sub"), col(vecCol).as("vec"))
       .select(col("id"), col("sub"),
         slice(col("vec"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
 
-    def updateOf(cs: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
-      val arrs = array(cs.map { subCents =>
-        array(subCents.map { case (cell, cv) =>
-          struct(lit(cell).as("cell"), array(cv.map(lit(_)): _*).as("cvec"))
-        }: _*)
+  /** L2 argmin struct(d2, cell) over the subspace's codebook, for a
+    * frame exposing `sub`/`svec`. Strict < keeps the FIRST min —
+    * cells sorted asc => low-id ties. The cast pins struct field
+    * names/nullability on both branches: aliases inside this lambda
+    * get stripped during resolution (unlike kmBestCell's
+    * literal-array fold), and caseWhen then rejects the mismatched
+    * struct types.
+    */
+  private def pqBest(cs: Seq[Seq[(Long, Array[Double])]]): Column = {
+    val arrs = array(cs.map { subCents =>
+      array(subCents.map { case (cell, cv) =>
+        struct(lit(cell).as("cell"), array(cv.map(lit(_)): _*).as("cvec"))
       }: _*)
-      val mine = element_at(arrs, col("sub") + 1)
-      def d2Of(cv: Column): Column = aggregate(
-        zip_with(col("svec"), cv,
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (s, x) => s + x)
-      // strict < keeps the FIRST min — cells sorted asc => low-id ties.
-      // The cast pins struct field names/nullability on both branches:
-      // aliases inside this lambda get stripped during resolution
-      // (unlike kmBestCell's literal-array fold), and caseWhen then
-      // rejects the mismatched struct types.
-      val stype = "struct<d2:double,cell:bigint>"
-      val best = aggregate(mine,
-        struct(lit(Double.PositiveInfinity), lit(Long.MaxValue)).cast(stype),
-        (acc, c) => {
-          val d = d2Of(c.getField("cvec"))
-          when(d < acc.getField("d2"),
-            struct(d, c.getField("cell")).cast(stype)).otherwise(acc)
-        })
-      subs.select(col("sub"), best.getField("cell").as("cell"),
-          posexplode(col("svec")))
-        .select(col("sub"), col("cell"), (col("pos") + 1).as("i"),
-          col("col").cast("double").as("x"))
-        .groupBy("sub", "cell", "i")
-        .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
-    }
+    }: _*)
+    val mine = element_at(arrs, col("sub") + 1)
+    def d2Of(cv: Column): Column = aggregate(
+      zip_with(col("svec"), cv,
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (s, x) => s + x)
+    val stype = "struct<d2:double,cell:bigint>"
+    aggregate(mine,
+      struct(lit(Double.PositiveInfinity), lit(Long.MaxValue)).cast(stype),
+      (acc, c) => {
+        val d = d2Of(c.getField("cvec"))
+        when(d < acc.getField("d2"),
+          struct(d, c.getField("cell")).cast(stype)).otherwise(acc)
+      })
+  }
 
-    for (_ <- 1 until iters) {
-      val rows = updateOf(cents).select("sub", "cell", "i", "c").collect()
-      cents = (0 until m).map { s =>
-        rows.filter(_.getInt(0) == s).toSeq
-          .groupBy(_.getLong(1)).toSeq
-          .map { case (cell, rs) =>
-            (cell, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
-          }
-          .sortBy(_._1)
-      }
+  /** One Lloyd update over all m subspaces: zero-shuffle assignment +
+    * one partial-agg (sub, cell, i) shuffle of 6-dp-snapped means.
+    */
+  private def pqUpdate(subs: DataFrame,
+                       cs: Seq[Seq[(Long, Array[Double])]]): DataFrame =
+    subs.select(col("sub"), pqBest(cs).getField("cell").as("cell"),
+        posexplode(col("svec")))
+      .select(col("sub"), col("cell"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+      .groupBy("sub", "cell", "i")
+      .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+
+  private def pqCollect(update: DataFrame,
+                        m: Int): Seq[Seq[(Long, Array[Double])]] = {
+    val rows = update.select("sub", "cell", "i", "c").collect()
+    (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).toSeq
+        .groupBy(_.getLong(1)).toSeq
+        .map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+        }
+        .sortBy(_._1)
     }
-    updateOf(cents)
   }
 
   /** Symmetric int8 quantization report per vector: the compression

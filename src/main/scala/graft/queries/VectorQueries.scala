@@ -498,6 +498,76 @@ object VectorQueries {
         FROM a2 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
         CROSS JOIN range(1, 17) t(i)
         GROUP BY a.sub, a.cell, t.i
-        ORDER BY a.sub, a.cell, t.i"""))
+        ORDER BY a.sub, a.cell, t.i""")),
+
+    // ── PQ encode with TRAINED codebooks: the full train -> encode
+    //    pipeline (s13's 2 Lloyd rounds, then s08's code assignment
+    //    against the refined codebooks) ───────────────────────────────
+    Q("s14_pq_codes_trained",
+      (s, dir) => VectorOps.pqCodesTrained(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 4, nCentroids = 8, dim = 64,
+        iters = 2, portablePivots = true)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "sub"),
+      Some("""WITH piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        ss AS (SELECT UNNEST(range(0, 4)) AS sub),
+        cn0 AS (
+          SELECT s.sub, p.pid AS cell,
+            list_transform(range(1, 17),
+              i -> CAST(p.pvec[s.sub * 16 + i] AS DOUBLE)) AS cvec
+          FROM piv p CROSS JOIN ss s),
+        sv AS (
+          SELECT vec_id AS id, s.sub,
+            list_transform(range(1, 17),
+              i -> CAST(embedding[s.sub * 16 + i] AS DOUBLE)) AS svec
+          FROM embeddings CROSS JOIN ss s),
+        d1 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn0 c ON c.sub = v.sub),
+        a1 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d1)
+          WHERE rk = 1),
+        u1 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a1 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn1 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u1 GROUP BY sub, cell),
+        d2s AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn1 c ON c.sub = v.sub),
+        a2 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d2s)
+          WHERE rk = 1),
+        u2 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a2 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn2 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u2 GROUP BY sub, cell),
+        d3 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn2 c ON c.sub = v.sub)
+        SELECT id AS vec_id, sub, cell AS code, ROUND(d2, 6) AS sq_err
+        FROM (
+          SELECT id, sub, cell, d2, ROW_NUMBER() OVER
+            (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d3)
+        WHERE rk = 1 ORDER BY vec_id, sub"""))
   )
 }

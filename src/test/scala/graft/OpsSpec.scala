@@ -907,6 +907,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("trained PQ codes quantize no worse than the hash-picked codebook") {
+    val emb = Tables.embeddings(spark, sf)
+    val untrained = VectorOps.pqCodes(emb, "vec_id", "embedding",
+      m = 4, nCentroids = 8, dim = 64, portablePivots = true)
+      .agg(sum("sq_err")).head().getDouble(0)
+    val trained = VectorOps.pqCodesTrained(emb, "vec_id", "embedding",
+      m = 4, nCentroids = 8, dim = 64, iters = 2, portablePivots = true)
+      .agg(sum("sq_err")).head().getDouble(0)
+    // Lloyd monotonicity: total quantization error never increases
+    // (6-dp snapping can wiggle the tail, hence the epsilon)
+    assert(trained <= untrained + 1e-6,
+      s"training worsened total sq_err: $untrained -> $trained")
+    // and at this corpus it should be a real improvement, not a tie
+    assert(trained < untrained * 0.99,
+      s"training gained <1%: $untrained -> $trained")
+  }
+
   test("kmeans guard trips past the centroid-literal bound") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
