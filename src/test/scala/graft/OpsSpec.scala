@@ -924,6 +924,20 @@ class OpsSpec extends SparkTestBase {
       s"training gained <1%: $untrained -> $trained")
   }
 
+  test("kmeans: identical vectors collapse to one surviving cell") {
+    // all points choose the lowest cell id (tie-break), the other
+    // pivots' cells empty out and drop — standard Lloyd behavior, and
+    // the oracle's GROUP BY drops them identically
+    val same = Seq.tabulate(4)(i => (i.toLong, Array(1.0f, 2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.kmeansTrain(same, "vec_id", "embedding",
+      k = 3, iters = 2, portablePivots = true)
+      .orderBy("i").collect()
+    assert(out.map(_.getLong(0)).distinct.length == 1, "expected one cell")
+    assert(out.forall(_.getLong(3) == 4L), "all members in the one cell")
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 2.0))
+  }
+
   test("kmeans guard trips past the centroid-literal bound") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
