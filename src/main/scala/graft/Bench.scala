@@ -32,7 +32,8 @@ object Bench {
     "t14_bigram_lm", "t15_cdc_chunks",
     "t16_trigram_lm", "d19_cdc_dedup_incremental", "p12_leakfree_split_lsh",
     "t17_cdc_chunks_fast", "s11_kmeans_train_fast",
-    "s12_knn_ivf_trained", "t18_quality_classifier", "s13_pq_train")
+    "s12_knn_ivf_trained", "t18_quality_classifier", "s13_pq_train",
+    "s15_knn_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

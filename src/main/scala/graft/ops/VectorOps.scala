@@ -552,6 +552,66 @@ object VectorOps {
       round(best.getField("d2"), 6).as("sq_err"))
   }
 
+  /** IVF-PQ ANN with asymmetric distance computation (ADC) — the
+    * FAISS `IndexIVFPQ` shape, the capstone of the ANN family:
+    * candidates come from IVF cells ([[ivfAssign]]), but candidate
+    * SCORING reads the m-byte PQ codes instead of raw vectors, via
+    * the textbook per-query lookup table. At 100 TB this is the
+    * operator that matters: the pair-scoring shuffle carries only
+    * (id, sub, code) rows — never embeddings — and the doc side of
+    * every distance is the compressed code, so the hot join touches
+    * m bytes per doc.
+    *
+    * Stages (shuffle accounting in SCALE.md): train PQ codebooks
+    * (`iters` Lloyd rounds, [[pqTrain]] internals), encode docs
+    * (zero-shuffle argmin), build per-query LUTs — d2(query subvector,
+    * codeword) for all m·k codewords, a broadcast join against the
+    * m·k-row codebook — then intra-cell pairs sum m LUT entries per
+    * candidate and take exact top-`k` per query on the APPROXIMATE
+    * distance. Output: (id_a, rk, id_b, approx_d2), approx_d2 rounded
+    * to 6 dp (the m-term sum is the one order-sensitive reduction).
+    */
+  def ivfPqNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, m: Int, nCentroids: Int, dim: Int,
+                            k: Int, iters: Int,
+                            portablePivots: Boolean = false): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // IVF cells over raw vectors (probes=1)
+    val cells = ivfAssign(df, idCol, vecCol, nCells, probes = 1, portablePivots)
+      .select(col("cell"), col("id"))
+    // trained PQ codebooks + doc codes
+    var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    for (_ <- 1 to iters) cents = pqCollect(pqUpdate(subs, cents), m)
+    val codes = subs.select(col("id").as("id_b"), col("sub"),
+      pqBest(cents).getField("cell").as("code"))
+    // per-query LUT: d2(query subvector, codeword) for every codeword
+    val cbRows = cents.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.map { case (cell, cv) => (s, cell, cv.toSeq) }
+    }
+    val cb = cbRows.toDF("sub", "code", "cvec")
+    val lutD2 = aggregate(
+      zip_with(col("svec"), col("cvec"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (s, x) => s + x)
+    val luts = subs.join(broadcast(cb), Seq("sub"))
+      .select(col("id").as("id_a"), col("sub"), col("code"), lutD2.as("lut"))
+    // intra-cell candidates score as m LUT lookups, never vectors
+    val a = cells.select(col("cell"), col("id").as("id_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("cell")).where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val scored = pairs.join(codes, Seq("id_b"))
+      .join(luts, Seq("id_a", "sub", "code"))
+      .groupBy("id_a", "id_b")
+      .agg(round(sum(col("lut")), 6).as("approx_d2"))
+    val w = Window.partitionBy("id_a").orderBy(col("approx_d2"), col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "approx_d2")
+  }
+
   /** Init codebooks: hash-picked pivot vectors subsliced per subspace
     * (exactly [[pqCodes]]'s codebook — training strictly refines it).
     */

@@ -568,6 +568,114 @@ object VectorQueries {
         FROM (
           SELECT id, sub, cell, d2, ROW_NUMBER() OVER
             (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d3)
-        WHERE rk = 1 ORDER BY vec_id, sub"""))
+        WHERE rk = 1 ORDER BY vec_id, sub""")),
+
+    // ── IVF-PQ ANN with ADC (the FAISS IndexIVFPQ shape): IVF cells
+    //    gate candidates, PQ codes + per-query LUTs score them — the
+    //    oracle replays cell assignment, both PQ training rounds, the
+    //    encode, the LUT build, and the approximate rerank. ───────────
+    Q("s15_knn_ivfpq",
+      (s, dir) => VectorOps.ivfPqNearestNeighbors(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, m = 4, nCentroids = 8, dim = 64,
+        k = 3, iters = 2, portablePivots = true)
+        .orderBy("id_a", "rk"),
+      Some("""WITH base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        cpiv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN cpiv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 1),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        ss AS (SELECT UNNEST(range(0, 4)) AS sub),
+        cn0 AS (
+          SELECT s.sub, p.pid AS cell,
+            list_transform(range(1, 17),
+              i -> CAST(p.pvec[s.sub * 16 + i] AS DOUBLE)) AS cvec
+          FROM piv p CROSS JOIN ss s),
+        sv AS (
+          SELECT vec_id AS id, s.sub,
+            list_transform(range(1, 17),
+              i -> CAST(embedding[s.sub * 16 + i] AS DOUBLE)) AS svec
+          FROM embeddings CROSS JOIN ss s),
+        d1 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn0 c ON c.sub = v.sub),
+        a1 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d1)
+          WHERE rk = 1),
+        u1 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a1 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn1 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u1 GROUP BY sub, cell),
+        d2s AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn1 c ON c.sub = v.sub),
+        a2 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d2s)
+          WHERE rk = 1),
+        u2 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a2 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn2 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u2 GROUP BY sub, cell),
+        d3 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn2 c ON c.sub = v.sub),
+        codes AS (
+          SELECT id AS id_b, sub, cell AS code FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d3)
+          WHERE rk = 1),
+        luts AS (
+          SELECT id AS id_a, sub, cell AS code, d2 AS lut FROM d3),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.id <> b.id),
+        scored AS (
+          SELECT p.id_a, p.id_b, ROUND(SUM(l.lut), 6) AS approx_d2
+          FROM pairs p
+          JOIN codes c ON c.id_b = p.id_b
+          JOIN luts l ON l.id_a = p.id_a AND l.sub = c.sub AND l.code = c.code
+          GROUP BY p.id_a, p.id_b)
+        SELECT id_a, rk, id_b, approx_d2 FROM (
+          SELECT id_a, id_b, approx_d2, ROW_NUMBER() OVER
+            (PARTITION BY id_a ORDER BY approx_d2, id_b) AS rk
+          FROM scored)
+        WHERE rk <= 3 ORDER BY id_a, rk"""))
   )
 }

@@ -924,6 +924,27 @@ class OpsSpec extends SparkTestBase {
       s"training gained <1%: $untrained -> $trained")
   }
 
+  test("ivf-pq ADC: dense bounded ranks, non-negative distances, code-only scoring") {
+    val emb = Tables.embeddings(spark, sf)
+    val ann = VectorOps.ivfPqNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, nCentroids = 8, dim = 64, k = 3, iters = 2,
+      portablePivots = true).cache()
+    assert(ann.count() > 0)
+    assert(ann.where($"approx_d2" < 0).count() == 0)
+    val badRanks = ann.groupBy("id_a")
+      .agg(max("rk").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n" || $"mx" > 3).count()
+    assert(badRanks == 0)
+    // ADC candidates come from the same cells as the exact IVF path:
+    // every approximate neighbor is a valid exact-path candidate pair
+    val exactPairs = VectorOps.ivfNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, k = Int.MaxValue, probes = 1, portablePivots = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val adcPairs = ann.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(adcPairs.subsetOf(exactPairs), "ADC scored a cross-cell pair")
+    ann.unpersist()
+  }
+
   test("kmeans: identical vectors collapse to one surviving cell") {
     // all points choose the lowest cell id (tie-break), the other
     // pivots' cells empty out and drop — standard Lloyd behavior, and
