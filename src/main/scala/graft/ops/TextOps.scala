@@ -430,20 +430,64 @@ object TextOps {
                               portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def sigGroups(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-        minHashSignature(col(textCol), numHashes, portable).as("sig"))
-        .where(col("sig").isNotNull)
-        .groupBy("sig").agg(collect_list(col("id")).as("ids"))
-    def banded(groups: DataFrame): DataFrame =
-      groups.select(col("sig"), col("ids"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val inc = banded(sigGroups(incoming)).select(col("band"), col("band_hash"),
+    val inc = mhBanded(mhSigGroups(incoming, idCol, textCol, numHashes, portable),
+      bands, r).select(col("band"), col("band_hash"),
       col("sig").as("sig_i"), col("ids").as("ids_i"))
-    val ex = banded(sigGroups(existing)).select(col("band"), col("band_hash"),
+    val ex = mhBanded(mhSigGroups(existing, idCol, textCol, numHashes, portable),
+      bands, r).select(col("band"), col("band_hash"),
       col("sig").as("sig_e"), col("ids").as("ids_e"))
+    mhIncJoin(inc, ex, numHashes, minEstimate)
+  }
+
+  /** Bloom-accelerated [[minHashPairsIncremental]] — bit-identical
+    * results (spec-proven): the increment's band rows are pre-filtered
+    * MAP-SIDE against a broadcast Bloom filter over the CORPUS's band
+    * hashes, so only the might-collide sliver (true band matches plus
+    * the fpp fraction) pays the band-join shuffle. This is d15's
+    * sketch trick lifted from exact fingerprints to LSH band keys —
+    * the near-dup flavor of the growing-corpus ingest loop: corpus
+    * band hashes compress to ~1.2 bytes each at 1% fpp and ride along
+    * as a build-once-per-cycle broadcast, probed by every increment.
+    * No false negatives + the exact signature-agreement confirmation
+    * downstream keep the pair set identical to the plain join.
+    */
+  def minHashPairsIncrementalBloom(incoming: DataFrame, existing: DataFrame,
+                                   idCol: String, textCol: String,
+                                   numHashes: Int = 16, bands: Int = 4,
+                                   minEstimate: Double = 0.5,
+                                   portable: Boolean = false,
+                                   expectedItems: Long = 1L << 20,
+                                   fpp: Double = 0.01): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import graft.functions.BloomExpressions.bloomMightContain
+    val r = numHashes / bands
+    val ex = mhBanded(mhSigGroups(existing, idCol, textCol, numHashes, portable),
+      bands, r).select(col("band"), col("band_hash"),
+      col("sig").as("sig_e"), col("ids").as("ids_e"))
+    val sketch = ex.stat.bloomFilter("band_hash", expectedItems, fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(sketch)
+    val inc = mhBanded(mhSigGroups(incoming, idCol, textCol, numHashes, portable),
+      bands, r).select(col("band"), col("band_hash"),
+      col("sig").as("sig_i"), col("ids").as("ids_i"))
+      .where(bloomMightContain(col("band_hash"), bc))
+    mhIncJoin(inc, ex, numHashes, minEstimate)
+  }
+
+  private def mhSigGroups(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, portable).as("sig"))
+      .where(col("sig").isNotNull)
+      .groupBy("sig").agg(collect_list(col("id")).as("ids"))
+
+  private def mhBanded(groups: DataFrame, bands: Int, r: Int): DataFrame =
+    groups.select(col("sig"), col("ids"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+  private def mhIncJoin(inc: DataFrame, ex: DataFrame,
+                        numHashes: Int, minEstimate: Double): DataFrame =
     inc.join(ex, Seq("band", "band_hash"))
       .select(col("sig_i"), col("sig_e"), col("ids_i"), col("ids_e"),
         (graft.functions.VectorExpressions.long_array_eq_count(
@@ -452,7 +496,6 @@ object TextOps {
       .dropDuplicates("sig_i", "sig_e")
       .select(explode(col("ids_i")).as("inc_id"), col("ids_e"), col("est_jaccard"))
       .select(col("inc_id"), explode(col("ids_e")).as("ex_id"), col("est_jaccard"))
-  }
 
   /** Near-duplicate CLUSTERS from an explicit candidate-edge set:
     * connected components over the near-dup pair graph, one canonical

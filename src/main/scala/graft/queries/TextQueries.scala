@@ -97,6 +97,40 @@ object TextQueries {
       ORDER BY k"""
   }
 
+  /** Shared d10/d20 oracle: incremental MinHash banding — the bloom
+    * prefilter is result-invariant (no false negatives), so both
+    * flavors verify against the same SQL.
+    */
+  private val incMinhashOracle = """WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+          WHERE a.doc_id >= 250 AND b.doc_id < 250),
+        agree AS (
+          SELECT c.inc_id, c.ex_id,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.inc_id
+          JOIN sig sb ON sb.doc_id = c.ex_id AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT inc_id, ex_id, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
+        ORDER BY inc_id, ex_id"""
+
   val all: Seq[Q] = Seq(
 
     // ── exact dedup: hash-groupBy on content fingerprint ────────────
@@ -261,35 +295,25 @@ object TextQueries {
           portable = true)
           .orderBy("inc_id", "ex_id")
       },
-      Some("""WITH toks AS (
-          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
-          FROM documents),
-        sig AS (
-          SELECT doc_id, i,
-            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
-              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
-              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
-              % 2147483647) AS mh
-          FROM toks CROSS JOIN range(16) t(i)
-          GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // 8 AS band,
-            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
-          FROM sig GROUP BY doc_id, i // 8),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS ex_id
-          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
-          WHERE a.doc_id >= 250 AND b.doc_id < 250),
-        agree AS (
-          SELECT c.inc_id, c.ex_id,
-            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.inc_id
-          JOIN sig sb ON sb.doc_id = c.ex_id AND sb.i = sa.i
-          GROUP BY 1, 2)
-        SELECT inc_id, ex_id, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
-        FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
-        ORDER BY inc_id, ex_id""")),
+      Some(incMinhashOracle)),
+
+    // ── bloom-prefiltered incremental MinHash dedup: d15's sketch
+    //    trick lifted to LSH band keys — the increment's band rows
+    //    probe a broadcast Bloom over the corpus's band hashes before
+    //    the band join. No false negatives + exact signature
+    //    confirmation ⇒ bit-identical to d10 (spec-proven), so d10's
+    //    oracle verifies the whole sketch path end-to-end. ────────────
+    Q("d20_dedup_minhash_incremental_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.minHashPairsIncrementalBloom(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250),
+          "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.7,
+          portable = true, expectedItems = 100000L)
+          .orderBy("inc_id", "ex_id")
+      },
+      Some(incMinhashOracle)),
 
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd

@@ -695,6 +695,22 @@ class OpsSpec extends SparkTestBase {
     assert(bloom.where($"fingerprint".isNull).count() == 1)
   }
 
+  test("bloom incremental minhash pairs are bit-identical to the plain band join") {
+    // the prefilter drops only definitely-absent band hashes, so the
+    // candidate set — and therefore the confirmed pair set — is
+    // unchanged; fpp misses only cost a wasted join probe
+    val incoming = docs.where($"doc_id" % 3 === 0)
+    val existing = docs.where($"doc_id" % 4 === 0)
+    val plain = TextOps.minHashPairsIncremental(incoming, existing,
+      "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.5,
+      portable = true)
+    val bloom = TextOps.minHashPairsIncrementalBloom(incoming, existing,
+      "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.5,
+      portable = true, expectedItems = 10000L)
+    assert(bloom.count() == plain.count())
+    assert(bloom.except(plain).isEmpty && plain.except(bloom).isEmpty)
+  }
+
   test("bloom incremental CDC-chunk dedup is bit-identical to the plain anti-join") {
     // d19's contract, mirroring the d15<->d09 relationship at chunk
     // granularity: the bloom prefilter may only REORDER work, never
