@@ -543,6 +543,40 @@ object TextOps {
     dedupClustersFromEdges(df, idCol,
       minHashPairs(df, idCol, textCol, numHashes, bands, minEstimate, portable))
 
+  /** Quality-aware cluster representative selection: instead of the
+    * min-id canonical doc, keep the HIGHEST-QUALITY doc per near-dup
+    * cluster (ties broken by min id) — the selection rule a production
+    * training-data dedup actually ships (re: faust has no dedup; this
+    * extends the reference surface per SURVEY §2 extension rows).
+    *
+    * Scale notes: clusters come from the banded-LSH + pointer-jumping
+    * path ([[dedupClustersMinHash]]); the representative is a
+    * partial-aggregatable `max(struct(quality, -id))` per cluster —
+    * map-side combine, one shuffle on cluster_id, no window sort.
+    * Output: (doc_id, cluster_id, cluster_size, quality_score, is_kept).
+    */
+  def clusterRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                             stopwords: Seq[String],
+                             numHashes: Int = 16, bands: Int = 4,
+                             minEstimate: Double = 0.5,
+                             portable: Boolean = false): DataFrame = {
+    val clusters = dedupClustersMinHash(df, idCol, textCol, numHashes, bands,
+      minEstimate, portable)
+    val quality = qualityColumns(col(textCol), stopwords).toMap
+    val scored = clusters.join(
+      df.select(col(idCol).as("doc_id"),
+        quality("quality_score").as("quality_score")),
+      Seq("doc_id"))
+    val rep = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("rep_id"))
+    scored.join(rep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"),
+        (col("doc_id") === col("rep_id")).cast("int").as("is_kept"))
+  }
+
   /** 64-bit SimHash over distinct-token xxhash64 values: bit j of the
     * result is set iff more than half the token hashes have bit j set.
     * Single-pass native expression (64 HOF passes were the naive form).
@@ -758,6 +792,43 @@ object TextOps {
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("nll")), 6).as("cross_entropy"))
+  }
+
+  /** PMI collocation mining over adjacent word pairs — the
+    * phrase-detection prep step (word2vec-style "new_york" merging):
+    * `pmi(w1,w2) = ln( (c(w1,w2)/Nb) / ((c(w1)/N)·(c(w2)/N)) )` with
+    * Nb = total bigram count, N = total token count. Pairs below
+    * `minCount` are pruned (rare-pair PMI is noise).
+    * Output: (w1, w2, n_pair, pmi) — pmi rounded to 6dp for oracle
+    * parity (ln at the ulp level, cf. [[unigramLmScore]]).
+    *
+    * Scale shape: one shuffle for pair counts on (w1, w2) short-token
+    * keys; unigram legs and the two scalar totals ride as broadcasts.
+    * Nothing document-length-sized crosses a shuffle.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 2L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = df.select(
+        explode(zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val total = c1.agg(sum("nw").cast("double").as("_n"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val totalBi = c2.agg(sum("n_pair").cast("double").as("_nb"))
+    c2.where(col("n_pair") >= minCount)
+      .join(broadcast(c1.select(col("w").as("w1"), col("nw").as("c1w1"))), Seq("w1"))
+      .join(broadcast(c1.select(col("w").as("w2"), col("nw").as("c1w2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(totalBi))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") / col("_nb")) /
+            ((col("c1w1").cast("double") / col("_n")) *
+              (col("c1w2").cast("double") / col("_n")))), 6).as("pmi"))
   }
 
   /** Trigram-LM quality score with two-level interpolated backoff —

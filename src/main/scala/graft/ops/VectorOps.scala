@@ -432,7 +432,14 @@ object VectorOps {
     * is sorted by cell, so ties break to the lowest cell id like
     * [[ivfAssign]]'s `ORDER BY psim DESC, pid`. Zero-shuffle.
     */
-  private def kmBestCell(cs: Seq[(Long, Array[Double])]): Column = {
+  private def kmBestCell(cs: Seq[(Long, Array[Double])]): Column =
+    kmBest(cs).getField("cell")
+
+  /** Max-cosine (sim, cell) struct over the centroid literal — the
+    * [[kmBestCell]] fold with the winning similarity kept, for callers
+    * that need the distance-to-centroid itself (outlier scoring).
+    */
+  private def kmBest(cs: Seq[(Long, Array[Double])]): Column = {
     // left-to-right fold in element order, like the engine-side dots
     val centArr = array(cs.map { case (cell, cv) =>
       val cnrm = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
@@ -449,7 +456,7 @@ object VectorOps {
           (col("nrm") * c.getField("cnrm"))
         when(sim > acc.getField("sim"),
           struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
-      }).getField("cell")
+      })
   }
 
   /** One Lloyd update: assign (zero-shuffle argmin), then per-cell
@@ -505,6 +512,57 @@ object VectorOps {
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select("id_a", "rk", "id_b", "cos")
+  }
+
+  /** Distance-to-centroid embedding OUTLIER report — the corpus-hygiene
+    * step a training pipeline runs before contrastive/embedding
+    * training: vectors far from every trained cluster center are
+    * mislabeled, corrupt, or out-of-distribution candidates. Trains
+    * `iters` Lloyd rounds ([[kmeansTrain]]), assigns each vector to its
+    * max-cosine centroid (zero-shuffle fold), then per cell computes
+    * the similarity z-score and flags the bottom `pct` fraction by
+    * RANK (integer-deterministic; the z threshold itself would sit on
+    * an IEEE boundary). Output: (id, cell, sim, z, is_outlier).
+    *
+    * Scale shape: training as [[kmeansTrain]]; scoring adds one
+    * partial-agg shuffle for per-cell moments (broadcast back) and one
+    * per-cell window rank. At 100 TB the rank window sorts each cell
+    * once — swap `pct` ranking for an `approx_percentile` threshold if
+    * cells outgrow a partition sort.
+    *
+    * Reference anchor: beyond-reference op (the reference has no
+    * vector surface); SemDeDup-adjacent (arXiv:2303.09540) cluster
+    * machinery reused for outlier scoring.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, iters: Int, pct: Double = 0.1,
+                        portablePivots: Boolean = false): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    require(pct > 0.0 && pct < 1.0, "pct must be in (0, 1)")
+    val base = kmBase(df, idCol, vecCol)
+    var cents = kmInitPivots(df, idCol, vecCol, nCells, portablePivots)
+    for (_ <- 1 to iters) cents = kmCollect(kmUpdate(base, cents))
+    val best = kmBest(cents)
+    val scored = base.select(col("id"),
+      best.getField("cell").as("cell"), best.getField("sim").as("sim"))
+    // per-cell moments: mu/var from UNROUNDED avgs, then 6-dp snapped —
+    // z is computed off the snapped stats so both engines divide
+    // identical inputs (cf. kmUpdate's snapping contract)
+    val stats = scored.groupBy("cell").agg(
+        avg(col("sim")).as("_mu_raw"),
+        avg(col("sim") * col("sim")).as("_m2_raw"),
+        count(lit(1)).as("n_cell"))
+      .select(col("cell"), col("n_cell"),
+        round(col("_mu_raw"), 6).as("mu"),
+        round(col("_m2_raw") - col("_mu_raw") * col("_mu_raw"), 6).as("vr"))
+    val w = Window.partitionBy("cell").orderBy(col("sim").asc, col("id").asc)
+    scored.join(broadcast(stats), Seq("cell"))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("id"), col("cell"), col("sim"),
+        when(col("vr") > 0.0,
+          round((col("sim") - col("mu")) / sqrt(col("vr")), 6))
+          .otherwise(lit(0.0)).as("z"),
+        (col("rnk") <= ceil(lit(pct) * col("n_cell"))).cast("int").as("is_outlier"))
   }
 
   /** Product-quantization codebook TRAINING: per-subspace L2 k-means

@@ -315,6 +315,74 @@ object TextQueries {
       },
       Some(incMinhashOracle)),
 
+    // ── quality-aware cluster representatives: per near-dup cluster
+    //    (d06's LSH + pointer-jumping chain) keep the HIGHEST-quality
+    //    doc (t02's score; ties → min id) instead of min-id canonical —
+    //    the selection rule a production dedup ships. Representative =
+    //    partial-aggregated max(struct(quality, -id)), no window. ─────
+    Q("d21_cluster_representative",
+      (s, dir) => TextOps.clusterRepresentatives(Tables.documents(s, dir),
+        "doc_id", "text", stopwords, numHashes = 16, bands = 2,
+        minEstimate = 0.7, portable = true)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM agree
+          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+        qual AS (
+          SELECT doc_id,
+            (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')))
+            * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+              / len(string_split(text, ' '))) AS quality_score
+          FROM documents),
+        ranked AS (
+          SELECT l.doc_id, l.cluster_id, s.cluster_size, q.quality_score,
+            ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+              ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+          FROM lab l JOIN sz s USING (cluster_id) JOIN qual q USING (doc_id))
+        SELECT doc_id, cluster_id, cluster_size, quality_score,
+          CAST(rn = 1 AS INT) AS is_kept
+        FROM ranked ORDER BY doc_id""")),
+
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). The pair
@@ -1084,6 +1152,35 @@ object TextQueries {
         JOIN c1 cb ON cb.w = b.w2
         CROSS JOIN tot
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ── PMI collocations: pointwise mutual information over adjacent
+    //    word pairs — the phrase-detection prep step. Pair counts are
+    //    the only shuffle; unigram legs + scalar totals broadcast. ────
+    Q("t20_pmi_collocations",
+      (s, dir) => TextOps.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 2L)
+        .orderBy("w1", "w2"),
+      Some("""WITH ts AS (SELECT string_split(text, ' ') AS t FROM documents),
+        big AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM ts)),
+        c1 AS (
+          SELECT w, COUNT(*) AS nw
+          FROM (SELECT UNNEST(t) AS w FROM ts) GROUP BY w),
+        tot AS (SELECT CAST(SUM(nw) AS DOUBLE) AS n FROM c1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY w1, w2),
+        totb AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS nb FROM c2)
+        SELECT c2.w1, c2.w2, c2.n_pair,
+          ROUND(LN(
+            (CAST(c2.n_pair AS DOUBLE) / totb.nb) /
+              ((CAST(ca.nw AS DOUBLE) / tot.n) *
+                (CAST(cb.nw AS DOUBLE) / tot.n))), 6) AS pmi
+        FROM c2
+        JOIN c1 ca ON ca.w = c2.w1
+        JOIN c1 cb ON cb.w = c2.w2
+        CROSS JOIN tot CROSS JOIN totb
+        WHERE c2.n_pair >= 2
+        ORDER BY c2.w1, c2.w2""")),
 
     // ── trigram LM with two-level interpolated backoff (t14's next
     //    KenLM-ward rung): per-doc cross-entropy under the corpus's

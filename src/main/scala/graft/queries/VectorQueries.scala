@@ -676,6 +676,52 @@ object VectorQueries {
           SELECT id_a, id_b, approx_d2, ROW_NUMBER() OVER
             (PARTITION BY id_a ORDER BY approx_d2, id_b) AS rk
           FROM scored)
-        WHERE rk <= 3 ORDER BY id_a, rk"""))
+        WHERE rk <= 3 ORDER BY id_a, rk""")),
+
+    // ── embedding outlier report: trained k-means cells -> similarity
+    //    to own centroid -> per-cell z-score + bottom-pct RANK flag
+    //    (rank, not threshold: the flag stays integer-deterministic).
+    //    Oracle replays both Lloyd rounds (kmeansCtes), the assignment,
+    //    the snapped moments, and the rank. ───────────────────────────
+    Q("s16_embedding_outliers",
+      (s, dir) => VectorOps.embeddingOutliers(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = 8, iters = 2, pct = 0.1,
+        portablePivots = true)
+        .orderBy("id"),
+      Some(kmeansCtes(
+        """piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)""") +
+        """,
+        cn2 AS (
+          SELECT cell, cvec,
+            SQRT(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+          FROM (SELECT cell, list(c ORDER BY i) AS cvec FROM u2 GROUP BY cell)),
+        s3 AS (
+          SELECT b.vec_id AS id, c.cell,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * c.cvec[i]))
+              / (b.nrm * c.cnrm) AS psim
+          FROM base b CROSS JOIN cn2 c),
+        a3 AS (
+          SELECT id, cell, psim FROM (
+            SELECT id, cell, psim, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, cell) AS rk FROM s3)
+          WHERE rk = 1),
+        st AS (
+          SELECT cell, COUNT(*) AS n_cell,
+            ROUND(AVG(psim), 6) AS mu,
+            ROUND(AVG(psim * psim) - AVG(psim) * AVG(psim), 6) AS vr
+          FROM a3 GROUP BY cell),
+        rk2 AS (
+          SELECT a.id, a.cell, a.psim AS sim, s.mu, s.vr, s.n_cell,
+            ROW_NUMBER() OVER
+              (PARTITION BY a.cell ORDER BY a.psim ASC, a.id ASC) AS rnk
+          FROM a3 a JOIN st s USING (cell))
+        SELECT id, cell, sim,
+          CASE WHEN vr > 0.0 THEN ROUND((sim - mu) / SQRT(vr), 6)
+               ELSE 0.0 END AS z,
+          CAST(rnk <= CEIL(0.1 * n_cell) AS INT) AS is_outlier
+        FROM rk2 ORDER BY id"""))
   )
 }

@@ -371,6 +371,37 @@ class OpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("cluster representatives: highest quality kept, not min id; one per cluster") {
+    // docs 10/20 share a token SET (identical minhash signatures ⇒ same
+    // cluster) but 20 has the higher mean-token-length quality score —
+    // the representative must be 20 even though 10 is the min-id canonical.
+    val dup = Seq(
+      (10L, "alpha beta gamma"),
+      (20L, "alpha beta gamma gamma"),
+      (30L, "solo document here")).toDF("doc_id", "text")
+    val out = TextOps.clusterRepresentatives(dup, "doc_id", "text",
+      stopwords = Seq("the", "a"), numHashes = 16, bands = 2,
+      minEstimate = 0.7, portable = true)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"is_kept")
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((10L, 10L, 2L, 0), (20L, 10L, 2L, 1), (30L, 30L, 1L, 1)))
+    // exactly one representative per cluster, by construction of the arg-max
+    val perCluster = out.groupBy(_._2).values.map(_.map(_._4).sum)
+    assert(perCluster.forall(_ == 1))
+  }
+
+  test("pmi collocations: hand-computed value, minCount prunes rare pairs") {
+    val corpus = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    // tokens: x=3 y=2 z=1 (N=6); bigrams: (x,y)=2 (x,z)=1 (Nb=3)
+    // pmi(x,y) = ln((2/3) / ((3/6)*(2/6))) = ln(4)
+    val got = TextOps.pmiCollocations(corpus, "text", minCount = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L, math.rint(math.log(4.0) * 1e6) / 1e6)))
+    val all = TextOps.pmiCollocations(corpus, "text", minCount = 1L)
+    assert(all.count() == 2)
+  }
+
   test("exactDedup collapses exact duplicates only") {
     val dup = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
     val out = TextOps.exactDedup(dup, "doc_id", "text")
@@ -803,6 +834,29 @@ class OpsSpec extends SparkTestBase {
     val plan = codes.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window argmin sneaked in:\n$plan")
     codes.unpersist()
+  }
+
+  test("embedding outliers: rank-exact flag count, outliers are the cell minima") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = VectorOps.embeddingOutliers(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, pct = 0.1, portablePivots = true)
+      .select($"id", $"cell", $"sim", $"z", $"is_outlier")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(out.size == emb.count())
+    // per cell: exactly ceil(pct*n) flagged, and they are the LOWEST sims
+    out.groupBy(_._2).values.foreach { rows =>
+      val n = rows.size
+      val want = math.ceil(0.1 * n).toLong
+      val flagged = rows.filter(_._5 == 1)
+      assert(flagged.size.toLong == want)
+      val maxFlagged = flagged.map(r => (r._3, r._1)).max
+      val cleanBelow = rows.filter(_._5 == 0)
+        .count(r => Ordering[(Double, Long)].lt((r._3, r._1), maxFlagged))
+      assert(cleanBelow == 0, s"unflagged row below a flagged one in cell")
+    }
+    // z-scores center near zero per cell (snapped moments, sanity only)
+    val meanZ = out.map(_._4).sum / out.size
+    assert(math.abs(meanZ) < 0.1, s"mean z = $meanZ")
   }
 
   test("kmeans: one round is bit-identical to ivfCellCentroids") {
