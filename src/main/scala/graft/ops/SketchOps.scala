@@ -120,4 +120,58 @@ object SketchOps {
     val v = h.bitwiseAND(lit((1L << w) - 1))
     when(v === 0, lit(w + 1)).otherwise(lit(w + 1) - length(bin(v)))
   }
+
+  /** Count-Min Sketch registers (Cormode & Muthukrishnan 2005):
+    * `depth` independent hash rows of `width` counters; each key
+    * occurrence increments one counter per row. Portable MD5-seeded
+    * hashing ([[graft.functions.PortableHash.mdHash60]]), so any
+    * engine rebuilds the identical register matrix.
+    *
+    * Scale shape: one narrow scan, `depth` hashes per row fused in a
+    * single explode (no self-union), then a partial-aggregatable
+    * groupBy bounded by depth × width groups — the shuffle carries
+    * register rows, never the stream. `count` is commutative, so the
+    * same frame is streaming-safe in update mode (bounded state,
+    * mirroring [[hllRegisters]]).
+    *
+    * Reference behavior: faust has no sketches; target addition for
+    * approximate frequency tables (token/url counts) where the exact
+    * Zipf-wide groupBy is the bottleneck.
+    */
+  def cmsRegisters(df: DataFrame, keyCol: String,
+                   depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1,16]")
+    require(width >= 2, "width >= 2")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array((0 until depth).map { i =>
+        struct(lit(i).as("i"),
+          (graft.functions.PortableHash.mdHash60(i, col(keyCol)) % width)
+            .as("j"))
+      }: _*)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate frequencies for `keys` against CMS registers:
+    * `est = min over rows of counter[i][h_i(key)]` — a deterministic
+    * OVERestimate of the true count (error ≤ e/width · N with
+    * probability 1 − e^-depth). Keys never inserted still probe
+    * existing counters (inner join is safe: every inserted key hits
+    * all its registers; absent registers mean count 0 → join with
+    * zero-fill via left join + coalesce).
+    * Output: (key..., est_n).
+    */
+  def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,
+                   depth: Int, width: Int): DataFrame = {
+    val probes = keys.where(col(keyCol).isNotNull)
+      .select(col(keyCol), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("i"),
+          (graft.functions.PortableHash.mdHash60(i, col(keyCol)) % width)
+            .as("j"))
+      }: _*)).as("p"))
+      .select(col(keyCol), col("p.i").as("i"), col("p.j").as("j"))
+    probes.join(registers, Seq("i", "j"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+  }
 }

@@ -453,6 +453,43 @@ object CoreQueries {
       Some(XxHashSql.hllPortableGroupedOracle(
         "orders", "o_orderpriority", "o_custkey", p = 8))),
 
+    // ── portable Count-Min Sketch: register matrix + min-over-rows
+    //    frequency estimates for every token, vs exact counts. Width
+    //    16 forces collisions so the overestimate path is exercised;
+    //    MD5-seeded rows make the registers engine-recomputable. ──────
+    Q("q55_cms_frequency",
+      (s, dir) => {
+        val occ = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val regs = graft.ops.SketchOps.cmsRegisters(occ, "tok",
+          depth = 3, width = 16)
+        val exact = occ.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        val est = graft.ops.SketchOps.cmsEstimates(regs,
+          exact.select("tok"), "tok", depth = 3, width = 16)
+        exact.join(est, Seq("tok")).orderBy("tok")
+      },
+      Some("""WITH occ AS (
+          SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        pr AS (
+          SELECT tok, i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || tok), 1, 15))::BIGINT
+              % 16 AS j
+          FROM occ CROSS JOIN range(3) t(i)),
+        reg AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+                FROM pr GROUP BY i, j),
+        keys AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+                 FROM occ GROUP BY tok),
+        kp AS (
+          SELECT k.tok, t.i,
+            ('0x' || substr(md5(t.i::VARCHAR || '|' || k.tok), 1, 15))::BIGINT
+              % 16 AS j
+          FROM keys k CROSS JOIN range(3) t(i))
+        SELECT k.tok, k.exact_n, MIN(r.c) AS est_n
+        FROM keys k JOIN kp ON kp.tok = k.tok
+        JOIN reg r ON r.i = kp.i AND r.j = kp.j
+        GROUP BY k.tok, k.exact_n
+        ORDER BY k.tok""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{LearnOps, TextOps}
+import graft.ops.{BpeOps, LearnOps, TextOps}
 
 /** Dedup + text-analysis operators over the `documents` table —
   * the training-data-pipeline extension surface.
@@ -1152,6 +1152,27 @@ object TextQueries {
         JOIN c1 cb ON cb.w = b.w2
         CROSS JOIN tot
         GROUP BY b.doc_id ORDER BY b.doc_id""")),
+
+    // ── BPE tokenizer TRAINING: 6 weighted merge rounds on the
+    //    word-count table, argmax pair collected per round (kmeans-
+    //    style driver loop), greedy merge as an unrolled 8-position
+    //    expression. Pure integer/string logic — no snapping — so the
+    //    oracle replays every round bit-for-bit. ──────────────────────
+    Q("t21_bpe_train",
+      (s, dir) => BpeOps.bpeMerges(s, Tables.documents(s, dir), "text",
+        rounds = 6)
+        .orderBy("round"),
+      Some(BpeSql.trainOracle(6))),
+
+    // ── BPE segmentation census: segment the VOCAB once under the
+    //    trained merges, broadcast-join per-word subword counts back
+    //    to the token stream — docs are never re-segmented per
+    //    occurrence. ──────────────────────────────────────────────────
+    Q("t22_bpe_segment",
+      (s, dir) => BpeOps.segmentCounts(Tables.documents(s, dir),
+        "doc_id", "text", rounds = 6)
+        .orderBy("doc_id"),
+      Some(BpeSql.segmentOracle(6))),
 
     // ── PMI collocations: pointwise mutual information over adjacent
     //    word pairs — the phrase-detection prep step. Pair counts are

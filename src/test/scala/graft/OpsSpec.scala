@@ -613,6 +613,33 @@ class OpsSpec extends SparkTestBase {
     assert(m.nBytes > 0 && m.width >= 64 && m.durationMs == m.nBytes.toLong * 10)
   }
 
+  test("count-min sketch: overestimates only, repartition-invariant, zero for absent keys") {
+    import graft.ops.SketchOps
+    val occ = docs.limit(300).select(explode(split($"text", " ")).as("tok"))
+    val regs = SketchOps.cmsRegisters(occ, "tok", depth = 3, width = 8)
+    // register mass: every row of the matrix sums to the stream length
+    val n = occ.count()
+    val rowMass = regs.groupBy("i").agg(sum("c").as("m"))
+      .select("m").as[Long].collect().toSeq
+    assert(rowMass.size == 3 && rowMass.forall(_ == n))
+    // est >= exact for every inserted key (min over rows can only overcount)
+    val exact = occ.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    val est = SketchOps.cmsEstimates(regs, exact.select("tok"), "tok",
+      depth = 3, width = 8)
+    val under = exact.join(est, Seq("tok")).where($"est_n" < $"exact_n").count()
+    assert(under == 0)
+    // width 8 over 31 tokens must actually collide somewhere
+    assert(exact.join(est, Seq("tok")).where($"est_n" > $"exact_n").count() > 0)
+    // registers are layout-independent (partial agg is commutative)
+    val regs2 = SketchOps.cmsRegisters(occ.repartition(7), "tok",
+      depth = 3, width = 8)
+    assert(regs.except(regs2).count() == 0 && regs2.except(regs).count() == 0)
+    // a never-inserted key still probes; empty registers read as zero
+    val ghost = SketchOps.cmsEstimates(
+      regs.where($"c" < 0), Seq("zzz").toDF("tok"), "tok", depth = 3, width = 8)
+    assert(ghost.select("est_n").as[Long].head() == 0L)
+  }
+
   test("portable HLL: accurate, deterministic under repartitioning") {
     import graft.ops.SketchOps
     val orders = Tables.orders(spark, sf)

@@ -53,6 +53,9 @@ class PlanHygieneSpec extends SparkTestBase {
     // t14_bigram_lm / t16_trigram_lm: the corpus-total token count —
     // identical 1-row global-scalar class as t11's (map-side combined
     // partials).
+    // t20_pmi_collocations: the corpus token total and bigram total —
+    // two 1-row global scalar aggregates over already-combined count
+    // tables (t14's exact class), broadcast back for the PMI ratio.
     // t19_bm25: the avgdl scalar — sum(dl)/count over doc lengths,
     // map-side combined to one row per partition, broadcast back via
     // the scalar crossJoin idiom. Same class as p09's normalizer.
@@ -71,7 +74,7 @@ class PlanHygieneSpec extends SparkTestBase {
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
-      "t19_bm25")
+      "t19_bm25", "t20_pmi_collocations")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
