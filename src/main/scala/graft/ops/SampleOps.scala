@@ -265,4 +265,29 @@ object SampleOps {
       .withColumn("n_tokens", col(nc))
       .drop(nc, cc)
   }
+
+  /** Perplexity-filtered split — the CCNet-shaped composition a
+    * pretraining corpus actually runs: score every doc under the
+    * corpus's own trigram LM ([[TextOps.trigramLmScore]]), drop docs
+    * whose cross-entropy exceeds `maxCrossEntropy` (unpredictable
+    * text ≈ noise under the n-gram proxy), then assign the survivors
+    * a leak-stable [[hashSplit]]. The threshold compares the 6-dp
+    * snapped score, so the kept SET is engine-exact, and split
+    * assignment is a pure id-hash — rerun/append-stable like every
+    * SampleOps contract. Output: (doc_id, cross_entropy, split).
+    *
+    * Scale shape: inherits t16's joins (trigram table shuffle-joined
+    * on token keys, unigram/bigram legs broadcast); the filter and
+    * split are zero-shuffle projections on top.
+    */
+  def perplexitySplit(df: DataFrame, idCol: String, textCol: String,
+                      maxCrossEntropy: Double,
+                      weights: Seq[(String, Double)],
+                      salt: String = ""): DataFrame = {
+    val scored = TextOps.trigramLmScore(df, idCol, textCol)
+      .withColumnRenamed("id", "doc_id")
+      .where(col("cross_entropy") <= maxCrossEntropy)
+    hashSplit(scored, "doc_id", weights, salt)
+      .select("doc_id", "cross_entropy", "split")
+  }
 }

@@ -29,6 +29,54 @@ object PipelineQueries {
                ELSE 'test' END AS split
         FROM u ORDER BY doc_id""")),
 
+    // ── perplexity-filtered split (CCNet shape): trigram-LM score →
+    //    threshold on the 6-dp snapped cross-entropy → leak-stable
+    //    hash split of the survivors. Oracle = t16's CTE chain with
+    //    the filter + p01's split fragment on top. ───────────────────
+    Q("p14_perplexity_split",
+      (s, dir) => SampleOps.perplexitySplit(Tables.documents(s, dir),
+        "doc_id", "text", maxCrossEntropy = 3.0,
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        .orderBy("doc_id"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tri AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+          FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM ts)),
+        big AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM ts)),
+        c1 AS (
+          SELECT w, COUNT(*) AS nw
+          FROM (SELECT UNNEST(t) AS w FROM ts) GROUP BY w),
+        tot AS (SELECT CAST(SUM(nw) AS DOUBLE) AS n FROM c1),
+        c2 AS (SELECT w1, w2, COUNT(*) AS nbg FROM big GROUP BY w1, w2),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS ntg FROM tri GROUP BY w1, w2, w3),
+        sc AS (
+          SELECT tr.doc_id,
+            ROUND(AVG(-LN(
+              0.6 * CAST(c3.ntg AS DOUBLE) / cctx.nbg
+              + 0.3 * CAST(c23.nbg AS DOUBLE) / cb.nw
+              + (1.0 - 0.6 - 0.3) * CAST(cc.nw AS DOUBLE) / tot.n)), 6)
+              AS cross_entropy
+          FROM tri tr
+          JOIN c3 ON c3.w1 = tr.w1 AND c3.w2 = tr.w2 AND c3.w3 = tr.w3
+          JOIN c2 cctx ON cctx.w1 = tr.w1 AND cctx.w2 = tr.w2
+          JOIN c2 c23 ON c23.w1 = tr.w2 AND c23.w2 = tr.w3
+          JOIN c1 cb ON cb.w = tr.w2
+          JOIN c1 cc ON cc.w = tr.w3
+          CROSS JOIN tot
+          GROUP BY tr.doc_id),
+        u AS (
+          SELECT doc_id, cross_entropy,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM sc WHERE cross_entropy <= 3.0)
+        SELECT doc_id, cross_entropy,
+          CASE WHEN uh < 8.0/10 THEN 'train'
+               WHEN uh < 8.0/10 + 1.0/10 THEN 'val'
+               ELSE 'test' END AS split
+        FROM u ORDER BY doc_id""")),
+
     // ── deterministic k-fold assignment (cross-validation shards);
     //    engine-hash flavor, signed long-key XXH64 replayed in SQL ────
     Q("p13_kfold",

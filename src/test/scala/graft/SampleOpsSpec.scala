@@ -321,4 +321,29 @@ class SampleOpsSpec extends SparkTestBase {
     folds.unpersist()
     intercept[IllegalArgumentException] { SampleOps.kFold(docs, "doc_id", 1) }
   }
+
+  test("perplexitySplit: threshold respected, survivors partitioned like hashSplit") {
+    val sample = Tables.documents(spark, sf).limit(200)
+    val scored = graft.ops.TextOps.trigramLmScore(sample, "doc_id", "text")
+    // data-derived threshold (median): robust to corpus scale
+    val tau = scored.select(percentile_approx($"cross_entropy", lit(0.5),
+      lit(10000)).as("m")).as[Double].head()
+    val out = SampleOps.perplexitySplit(sample, "doc_id", "text",
+      maxCrossEntropy = tau, Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .cache()
+    // every survivor is under the threshold, and some doc was dropped
+    assert(out.where($"cross_entropy" > tau).count() == 0)
+    assert(out.count() == scored.where($"cross_entropy" <= tau).count())
+    assert(out.count() < scored.count(), "threshold dropped nothing")
+    // split labels agree with a bare hashSplit on the same ids (the
+    // filter must not perturb assignment — leak-stability inherits)
+    val bare = SampleOps.hashSplit(
+      out.select("doc_id"), "doc_id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    val disagree = out.select($"doc_id", $"split".as("s1"))
+      .join(bare.select($"doc_id", $"split".as("s2")), Seq("doc_id"))
+      .where($"s1" =!= $"s2").count()
+    assert(disagree == 0)
+    out.unpersist()
+  }
 }

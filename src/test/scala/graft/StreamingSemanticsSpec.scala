@@ -71,6 +71,42 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS registers: bounded state, estimates match the batch sketch") {
+    import graft.ops.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // count is commutative: the same register groupBy maintains the
+    // sketch incrementally in complete mode, state bounded by depth*width
+    val regs = SketchOps.cmsRegisters(input.toDS().toDF("tok"), "tok",
+      depth = 3, width = 16)
+    val q = regs.writeStream.format("memory").queryName("cms_regs")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq.fill(40)("alpha") ++ Seq.fill(15)("beta") ++
+        (1 to 50).map(i => s"u$i")
+      val batch2 = Seq.fill(25)("alpha") ++ Seq.fill(5)("gamma")
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamedRegs = spark.table("cms_regs")
+      assert(streamedRegs.count() <= 3 * 16)
+      val keys = Seq("alpha", "beta", "gamma").toDF("tok")
+      val streamed = SketchOps.cmsEstimates(streamedRegs, keys, "tok",
+        depth = 3, width = 16)
+        .as[(String, Long)].collect().toMap
+      val batchRegs = SketchOps.cmsRegisters(
+        (batch1 ++ batch2).toDF("tok"), "tok", depth = 3, width = 16)
+      val batch = SketchOps.cmsEstimates(batchRegs, keys, "tok",
+        depth = 3, width = 16)
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // overestimate property on the true counts
+      assert(streamed("alpha") >= 65 && streamed("beta") >= 15 &&
+        streamed("gamma") >= 5)
+    } finally q.stop()
+  }
+
   test("StatefulTable.runningFoldTws: same contract on transformWithState") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
