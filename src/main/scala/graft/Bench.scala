@@ -33,7 +33,9 @@ object Bench {
     "t16_trigram_lm", "d19_cdc_dedup_incremental", "p12_leakfree_split_lsh",
     "t17_cdc_chunks_fast", "s11_kmeans_train_fast",
     "s12_knn_ivf_trained", "t18_quality_classifier", "s13_pq_train",
-    "s15_knn_ivfpq")
+    "s15_knn_ivfpq",
+    "t20_pmi_collocations", "t21_bpe_train", "d21_cluster_representative",
+    "q55_cms_frequency", "p14_perplexity_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
