@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -175,4 +175,41 @@ object MultimodalOps {
           filter(transform(sequence(lit(0), col("n_chunks") - 1), i => i * chunkSize),
             (_, i) => i % stride === 0))
           .otherwise(array().cast("array<int>")))
+
+  /** 56-bit perceptual-hash STUB (the dHash shape): the real kernel
+    * decodes, downscales to an 8×8 grayscale grid, and emits one bit
+    * per horizontal gradient (`pixel[r][c] > pixel[r][c+1]`); this
+    * stub derives the pseudo-pixel grid from the blob's MD5 chain —
+    * row r's eight pixels are the 4-hex-digit words of
+    * `md5(md5(blob) || ':' || r)` — so the signature → banding →
+    * verify machinery downstream is real, deterministic, and
+    * engine-recomputable, while the pixel source remains an honestly
+    * documented stub (swap ONE expression for a decode+downscale
+    * kernel; the gradient/banding layers don't change). Bits 56..59
+    * are zero: the value fits the 60-bit Hamming-LSH contract of
+    * [[TextOps.hammingPairsFromSignatures]].
+    */
+  def phashStub(blob: Column): Column = {
+    val h = md5(blob)
+    val terms = for (r <- 0 until 8; c <- 0 until 7) yield {
+      val rowHex = md5(concat(h, lit(":" + r)))
+      val p1 = conv(substring(rowHex, 4 * c + 1, 4), 16, 10).cast("long")
+      val p2 = conv(substring(rowHex, 4 * c + 5, 4), 16, 10).cast("long")
+      when(p1 > p2, lit(1L << (r * 7 + c))).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Perceptual near-duplicate image pairs — the image-dedup member of
+    * the near-dup family: [[phashStub]] signatures fed through the
+    * same banded Hamming-LSH as SimHash text dedup (d07), at
+    * distinct-signature granularity with pigeonhole-complete recall
+    * for `maxHamming < bands`. Blobs never cross the shuffle — only
+    * (band, 15-bit slice) keys and 8-byte signatures do.
+    */
+  def perceptualNearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+                             maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    TextOps.hammingPairsFromSignatures(
+      df.select(col(idCol).as("id"), phashStub(col(blobCol)).as("sh")),
+      maxHamming, bands)
 }

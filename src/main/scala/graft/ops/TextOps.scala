@@ -608,15 +608,26 @@ object TextOps {
     * corpora collapse before the self-join.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingPairsFromSignatures(
+      df.select(col(idCol).as("id"),
+        simHashPortable(col(textCol)).as("sh")),
+      maxHamming, bands)
+
+  /** The banding half of [[simHashPairs]], reusable for ANY <=60-bit
+    * signature frame `(id, sh)` (simhash, perceptual image hash, …):
+    * band-bucketed Hamming-LSH at distinct-signature granularity,
+    * pigeonhole-complete for `maxHamming < bands`. Null signatures
+    * are dropped.
+    */
+  def hammingPairsFromSignatures(sigFrame: DataFrame, maxHamming: Int,
+                                 bands: Int): DataFrame = {
     require(bands > maxHamming,
       "bands must exceed maxHamming (pigeonhole completeness)")
     require(60 % bands == 0, "bands must divide the 60-bit signature")
     val bits = 60 / bands
     val mask = (1L << bits) - 1
-    val sigs = df.select(col(idCol).as("id"),
-      simHashPortable(col(textCol)).as("sh"))
-      .where(col("sh").isNotNull)
+    val sigs = sigFrame.where(col("sh").isNotNull)
     val groups = sigs.groupBy("sh").agg(collect_list(col("id")).as("ids"))
     val bandCols = array((0 until bands).map(b =>
       struct(lit(b).as("band"),

@@ -821,6 +821,50 @@ object TextQueries {
           CAST(FLOOR(in_w * scale) < in_w AS INT) AS downscaled
         FROM planned ORDER BY doc_id""")),
 
+    // ── perceptual image near-dup: dHash-shaped 56-bit signature
+    //    (pseudo-pixels from the blob's MD5 chain — decode stubbed,
+    //    everything downstream real) → d07's banded Hamming-LSH.
+    //    Oracle recomputes the pixel grid, gradient bits, and the
+    //    brute-force pair set (banding is pigeonhole-complete, so the
+    //    banded engine pair set equals brute force). ──────────────────
+    Q("m05_perceptual_near_dup",
+      (s, dir) => {
+        // recrawl-style fixture: every 25th image re-ingested under a
+        // new id — identical bytes must collapse to hamming-0 pairs
+        val docs = Tables.documents(s, dir)
+        val media = docs
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+          .unionByName(docs.where(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              col("text").cast("binary").as("blob")))
+        graft.ops.MultimodalOps.perceptualNearDupPairs(
+          media, "doc_id", "blob", maxHamming = 3, bands = 4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH media AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text
+          FROM documents WHERE doc_id % 25 = 0),
+        px AS (
+          SELECT doc_id AS id, r.r AS r, c.c AS c,
+            ('0x' || substr(md5(md5(text) || ':' || r.r),
+              4 * c.c + 1, 4))::BIGINT AS p1,
+            ('0x' || substr(md5(md5(text) || ':' || r.r),
+              4 * c.c + 5, 4))::BIGINT AS p2
+          FROM media CROSS JOIN range(8) r(r) CROSS JOIN range(7) c(c)),
+        sig AS (
+          SELECT id,
+            CAST(SUM(CASE WHEN p1 > p2 THEN (1::BIGINT << (r * 7 + c))
+                 ELSE 0 END) AS BIGINT) AS sh
+          FROM px GROUP BY id),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+          FROM sig a JOIN sig b ON a.id < b.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",

@@ -603,6 +603,28 @@ class OpsSpec extends SparkTestBase {
     assert(out(2L) == Seq(0, 4, 8))
   }
 
+  test("perceptual hash: 56-bit bound, deterministic, near-dup gradations banded") {
+    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other bytes"))
+      .toDF("id", "t").select($"id", $"t".cast("binary").as("blob"))
+    val sigs = media.select($"id",
+      MultimodalOps.phashStub($"blob").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    // bounded to 56 bits, identical bytes → identical signature
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 56)))
+    assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
+    // identical blobs surface as a hamming-0 pair through the banding
+    val pairs = MultimodalOps.perceptualNearDupPairs(media, "id", "blob")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    // crafted signatures: hamming-2 neighbors collide on >=1 of 4 bands
+    // (pigeonhole) and survive; hamming-4 pairs are correctly dropped
+    val crafted = Seq((10L, 0L), (11L, 3L), (12L, 0xF0L << 40))
+      .toDF("id", "sh")
+    val got = graft.ops.TextOps.hammingPairsFromSignatures(crafted, 3, 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 11L, 2)))
+  }
+
   test("multimodal decode: deterministic fake over real bytes, mapPartitions shape") {
     val blobs = docs.limit(20)
       .select($"doc_id".as("id"), $"text".cast("binary").as("blob"))
