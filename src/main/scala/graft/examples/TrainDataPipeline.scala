@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{LearnOps, SampleOps, TextOps}
+import graft.ops.{BpeOps, LearnOps, SampleOps, TextOps}
 
 /** End-to-end training-data pipeline walkthrough — the 100 TB
   * preprocessing loop this library exists for, runnable against the
@@ -20,8 +20,9 @@ import graft.ops.{LearnOps, SampleOps, TextOps}
   *  1. QUALITY GATE — heuristic filter on token stats (narrow scan,
   *     zero shuffle; `TextOps.qualityColumns`).
   *  2. NEAR-DUP CLUSTERS — MinHash+LSH candidate edges → pointer-
-  *     jumping connected components (`TextOps.dedupClustersMinHash`),
-  *     keeping one canonical doc per cluster.
+  *     jumping connected components, keeping the HIGHEST-QUALITY doc
+  *     per cluster (`TextOps.clusterRepresentatives` — the production
+  *     selection rule, not min-id).
   *  3. LEAK-FREE SPLIT — train/test assignment keyed on the CLUSTER
   *     id, so near-duplicates can never straddle the split
   *     (`SampleOps.hashSplit` over cluster labels — the p12 contract).
@@ -31,6 +32,9 @@ import graft.ops.{LearnOps, SampleOps, TextOps}
   *  5. SCORE + PACK — score every surviving doc with the frozen
   *     weights (pure narrow column, batch or streaming) and report
   *     the split sizes a shard writer would consume.
+  *  6. TOKENIZER — train BPE merges on the TRAIN fragment only
+  *     (`BpeOps.train` — word-count shuffle once, vocab-sized merge
+  *     rounds) and report the resulting subword budget per split.
   */
 object TrainDataPipeline {
 
@@ -58,12 +62,12 @@ object TrainDataPipeline {
     val quality = TextOps.qualityColumns($"text", stopwords).toMap
     val gated = docs.where(quality("n_tokens") >= 5).cache()
 
-    // 2. near-dup clusters; keep the canonical representative per
-    // cluster (the linear LSH path — never all-pairs)
-    val clustered = TextOps.dedupClustersMinHash(
-      gated, "doc_id", "text", numHashes = 16, bands = 2,
+    // 2. near-dup clusters; keep the HIGHEST-QUALITY representative
+    // per cluster (the linear LSH path — never all-pairs)
+    val clustered = TextOps.clusterRepresentatives(
+      gated, "doc_id", "text", stopwords, numHashes = 16, bands = 2,
       minEstimate = 0.7, portable = true)
-    val kept = clustered.where($"is_canonical" === 1)
+    val kept = clustered.where($"is_kept" === 1)
       .join(gated, "doc_id")
       .select($"doc_id", $"text", $"lang", $"cluster_id")
       .cache()
@@ -91,11 +95,25 @@ object TrainDataPipeline {
       .orderBy("split")
     report.show(truncate = false)
 
+    // 6. train the tokenizer on the train fragment; report the
+    // subword budget each split would feed a shard writer
+    val trainDocs = split.where($"split" === "train")
+      .select($"doc_id", $"text")
+    val (merges, _) = BpeOps.train(trainDocs, "text", rounds = 4)
+    println("bpe merges: " + merges.map(m =>
+      s"${m.w1}+${m.w2}(${m.n})").mkString(" "))
+    val budget = BpeOps.segmentCounts(split, "doc_id", "text", rounds = 4)
+      .join(split.select("doc_id", "split"), "doc_id")
+      .groupBy("split").agg(sum($"n_subwords").as("subword_budget"))
+      .orderBy("split")
+    budget.show(truncate = false)
+
     val total = docs.count()
     val survived = scored.count()
-    println(s"$total docs in -> $survived canonical docs out " +
+    println(s"$total docs in -> $survived representative docs out " +
       s"(${total - survived} near-duplicates removed)")
     require(survived > 0, "pipeline produced no output")
+    require(merges.nonEmpty, "tokenizer learned no merges")
     gated.unpersist(); kept.unpersist()
   }
 }

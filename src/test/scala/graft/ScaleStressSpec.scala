@@ -97,7 +97,11 @@ class ScaleStressSpec extends SparkTestBase {
     // widest count table of the LM family: trigram leg shuffle-joined,
     // bigram/unigram legs broadcast — all must stay linear
     "t16_trigram_lm" -> (df =>
-      TextOps.trigramLmScore(df, "doc_id", "text")))
+      TextOps.trigramLmScore(df, "doc_id", "text")),
+    // pair-count shuffle + two scalar totals: the salted 10× corpus
+    // widens the bigram table ~linearly like t14's
+    "t20_pmi_collocations" -> (df =>
+      TextOps.pmiCollocations(df, "text", minCount = 2L)))
 
   /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
     * (the session default), `executedPlan` is a single
