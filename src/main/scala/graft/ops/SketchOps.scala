@@ -139,16 +139,26 @@ object SketchOps {
     * Zipf-wide groupBy is the bottleneck.
     */
   def cmsRegisters(df: DataFrame, keyCol: String,
-                   depth: Int = 4, width: Int = 256): DataFrame = {
+                   depth: Int = 4, width: Int = 256): DataFrame =
+    cmsRegistersBy(df, Seq.empty, keyCol, depth, width)
+
+  /** Per-group CMS registers: one independent sketch per value of
+    * `groupCols` (per-language token frequencies, per-source URL
+    * counts, …) — the grouped shape [[hyperLogLogBy]] (q54) has for
+    * distinct counts. Shuffle bounded by groups × depth × width.
+    */
+  def cmsRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth in [1,16]")
     require(width >= 2, "width >= 2")
+    val gcols = groupCols.map(col)
     df.where(col(keyCol).isNotNull)
-      .select(explode(array((0 until depth).map { i =>
+      .select(gcols :+ explode(array((0 until depth).map { i =>
         struct(lit(i).as("i"),
           (graft.functions.PortableHash.mdHash60(i, col(keyCol)) % width)
             .as("j"))
-      }: _*)).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      }: _*)).as("p"): _*)
+      .groupBy(gcols ++ Seq(col("p.i").as("i"), col("p.j").as("j")): _*)
       .agg(count(lit(1)).as("c"))
   }
 
@@ -162,16 +172,26 @@ object SketchOps {
     * Output: (key..., est_n).
     */
   def cmsEstimates(registers: DataFrame, keys: DataFrame, keyCol: String,
-                   depth: Int, width: Int): DataFrame = {
+                   depth: Int, width: Int): DataFrame =
+    cmsEstimatesBy(registers, keys, Seq.empty, keyCol, depth, width)
+
+  /** Grouped twin of [[cmsEstimates]]: probe each group's own sketch
+    * (`keys` must carry the group columns alongside the key).
+    */
+  def cmsEstimatesBy(registers: DataFrame, keys: DataFrame,
+                     groupCols: Seq[String], keyCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    val gcols = groupCols.map(col)
     val probes = keys.where(col(keyCol).isNotNull)
-      .select(col(keyCol), explode(array((0 until depth).map { i =>
+      .select(gcols ++ Seq(col(keyCol), explode(array((0 until depth).map { i =>
         struct(lit(i).as("i"),
           (graft.functions.PortableHash.mdHash60(i, col(keyCol)) % width)
             .as("j"))
-      }: _*)).as("p"))
-      .select(col(keyCol), col("p.i").as("i"), col("p.j").as("j"))
-    probes.join(registers, Seq("i", "j"), "left")
-      .groupBy(keyCol)
+      }: _*)).as("p")): _*)
+      .select(gcols ++ Seq(col(keyCol), col("p.i").as("i"),
+        col("p.j").as("j")): _*)
+    probes.join(registers, groupCols ++ Seq("i", "j"), "left")
+      .groupBy(gcols :+ col(keyCol): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 }

@@ -490,6 +490,44 @@ object CoreQueries {
         GROUP BY k.tok, k.exact_n
         ORDER BY k.tok""")),
 
+    // ── grouped CMS: one independent sketch per language (the q54
+    //    grouped shape for FREQUENCIES) — per-slice token counts
+    //    without a per-slice exact groupBy at serving time. ───────────
+    Q("q56_cms_grouped",
+      (s, dir) => {
+        val occ = Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val regs = graft.ops.SketchOps.cmsRegistersBy(occ, Seq("lang"),
+          "tok", depth = 3, width = 16)
+        val exact = occ.groupBy("lang", "tok").agg(count(lit(1)).as("exact_n"))
+        val est = graft.ops.SketchOps.cmsEstimatesBy(regs,
+          exact.select("lang", "tok"), Seq("lang"), "tok",
+          depth = 3, width = 16)
+        exact.join(est, Seq("lang", "tok")).orderBy("lang", "tok")
+      },
+      Some("""WITH occ AS (
+          SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        pr AS (
+          SELECT lang, tok, i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || tok), 1, 15))::BIGINT
+              % 16 AS j
+          FROM occ CROSS JOIN range(3) t(i)),
+        reg AS (SELECT lang, i, j, CAST(COUNT(*) AS BIGINT) AS c
+                FROM pr GROUP BY lang, i, j),
+        keys AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+                 FROM occ GROUP BY lang, tok),
+        kp AS (
+          SELECT k.lang, k.tok, t.i,
+            ('0x' || substr(md5(t.i::VARCHAR || '|' || k.tok), 1, 15))::BIGINT
+              % 16 AS j
+          FROM keys k CROSS JOIN range(3) t(i))
+        SELECT k.lang, k.tok, k.exact_n, MIN(r.c) AS est_n
+        FROM keys k
+        JOIN kp ON kp.lang = k.lang AND kp.tok = k.tok
+        JOIN reg r ON r.lang = kp.lang AND r.i = kp.i AND r.j = kp.j
+        GROUP BY k.lang, k.tok, k.exact_n
+        ORDER BY k.lang, k.tok""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

@@ -660,6 +660,21 @@ class OpsSpec extends SparkTestBase {
     val ghost = SketchOps.cmsEstimates(
       regs.where($"c" < 0), Seq("zzz").toDF("tok"), "tok", depth = 3, width = 8)
     assert(ghost.select("est_n").as[Long].head() == 0L)
+    // grouped flavor: each slice gets an INDEPENDENT sketch whose row
+    // mass equals that slice's stream length (cross-slice collisions
+    // are impossible by construction)
+    val byLang = docs.limit(300)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+    val gregs = SketchOps.cmsRegistersBy(byLang, Seq("lang"), "tok",
+      depth = 3, width = 8)
+    val mass = gregs.groupBy("lang", "i").agg(sum("c").as("m"))
+    val streamLen = byLang.groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(mass.join(streamLen, "lang").where($"m" =!= $"n").count() == 0)
+    val gexact = byLang.groupBy("lang", "tok").agg(count(lit(1)).as("exact_n"))
+    val gest = SketchOps.cmsEstimatesBy(gregs, gexact.select("lang", "tok"),
+      Seq("lang"), "tok", depth = 3, width = 8)
+    assert(gexact.join(gest, Seq("lang", "tok"))
+      .where($"est_n" < $"exact_n").count() == 0)
   }
 
   test("portable HLL: accurate, deterministic under repartitioning") {
