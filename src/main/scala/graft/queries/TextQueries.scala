@@ -97,6 +97,53 @@ object TextQueries {
       ORDER BY k"""
   }
 
+  /** Shared d06/d21/d22 oracle prefix: portable MinHash signatures →
+    * banded candidates → verified pairs → recursive-CC fixpoint →
+    * per-doc labels (`lab`) + cluster sizes (`sz`). Ends open after
+    * `sz` so callers append their own tail.
+    */
+  private val minhashClusterCtes = """WITH RECURSIVE toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM agree
+          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)"""
+
   /** Shared d10/d20 oracle: incremental MinHash banding — the bloom
     * prefilter is result-invariant (no false negatives), so both
     * flavors verify against the same SQL.
@@ -325,47 +372,7 @@ object TextQueries {
         "doc_id", "text", stopwords, numHashes = 16, bands = 2,
         minEstimate = 0.7, portable = true)
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE toks AS (
-          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
-          FROM documents),
-        sig AS (
-          SELECT doc_id, i,
-            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
-              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
-              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
-              % 2147483647) AS mh
-          FROM toks CROSS JOIN range(16) t(i)
-          GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // 8 AS band,
-            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
-          FROM sig GROUP BY doc_id, i // 8),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
-            AND a.doc_id < b.doc_id),
-        agree AS (
-          SELECT c.id_a, c.id_b,
-            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.id_a
-          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT id_a, id_b FROM agree
-          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
-        edges AS (
-          SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
-        reach(node, lbl) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
-        lab AS (
-          SELECT node AS doc_id, MIN(lbl) AS cluster_id
-          FROM reach GROUP BY node),
-        sz AS (
-          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+      Some(minhashClusterCtes + """,
         qual AS (
           SELECT doc_id,
             (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
@@ -469,51 +476,41 @@ object TextQueries {
         "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.7,
         portable = true)
         .orderBy("doc_id"),
-      Some("""WITH RECURSIVE toks AS (
-          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
-          FROM documents),
-        sig AS (
-          SELECT doc_id, i,
-            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
-              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
-              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
-              % 2147483647) AS mh
-          FROM toks CROSS JOIN range(16) t(i)
-          GROUP BY doc_id, i),
-        band AS (
-          SELECT doc_id, i // 8 AS band,
-            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
-          FROM sig GROUP BY doc_id, i // 8),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
-            AND a.doc_id < b.doc_id),
-        agree AS (
-          SELECT c.id_a, c.id_b,
-            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.id_a
-          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT id_a, id_b FROM agree
-          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
-        edges AS (
-          SELECT id_a AS u, id_b AS v FROM pairs
-          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
-        reach(node, lbl) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
-        lab AS (
-          SELECT node AS doc_id, MIN(lbl) AS cluster_id
-          FROM reach GROUP BY node),
-        sz AS (
-          SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      Some(minhashClusterCtes + """
         SELECT l.doc_id, l.cluster_id, s.cluster_size,
           CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id""")),
+
+    // ── dedup dashboard stat: cluster-size histogram (how much of the
+    //    corpus is duplicated, at what multiplicities) — one extra
+    //    groupBy over the d06 labels, keys are small integers. ────────
+    Q("d22_cluster_histogram",
+      (s, dir) => TextOps.dedupClustersMinHash(Tables.documents(s, dir),
+        "doc_id", "text", numHashes = 16, bands = 2, minEstimate = 0.7,
+        portable = true)
+        .select("cluster_id", "cluster_size").distinct()
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some(minhashClusterCtes + """
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY cluster_size ORDER BY cluster_size""")),
+
+    // ── corpus frequency spectrum (freq-of-frequencies): the Zipf
+    //    audit behind vocab-size / min-count decisions — how many
+    //    token types occur exactly k times. Two vocab-sized groupBys. ─
+    Q("t23_freq_spectrum",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_types"))
+        .orderBy("freq"),
+      Some("""WITH c1 AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok)
+        SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM c1 GROUP BY freq ORDER BY freq""")),
 
     // ── token counting ──────────────────────────────────────────────
     Q("t01_token_count",

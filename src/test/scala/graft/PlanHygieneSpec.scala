@@ -52,7 +52,8 @@ class PlanHygieneSpec extends SparkTestBase {
     // p04's min-over-groups tail.
     // t14_bigram_lm / t16_trigram_lm: the corpus-total token count —
     // identical 1-row global-scalar class as t11's (map-side combined
-    // partials).
+    // partials). p14_perplexity_split wraps t16's plan, so it carries
+    // the same (and only the same) scalar exchange.
     // t20_pmi_collocations: the corpus token total and bigram total —
     // two 1-row global scalar aggregates over already-combined count
     // tables (t14's exact class), broadcast back for the PMI ratio.
@@ -74,7 +75,7 @@ class PlanHygieneSpec extends SparkTestBase {
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
-      "t19_bm25", "t20_pmi_collocations")
+      "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
