@@ -35,7 +35,8 @@ object Bench {
     "s12_knn_ivf_trained", "t18_quality_classifier", "s13_pq_train",
     "s15_knn_ivfpq",
     "t20_pmi_collocations", "t21_bpe_train", "d21_cluster_representative",
-    "q55_cms_frequency", "p14_perplexity_split")
+    "q55_cms_frequency", "p14_perplexity_split",
+    "q57_dyadic_quantile", "d23_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

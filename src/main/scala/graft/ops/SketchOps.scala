@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Distributed sketches with PORTABLE, engine-recomputable semantics.
   *
@@ -193,5 +193,94 @@ object SketchOps {
     probes.join(registers, groupCols ++ Seq("i", "j"), "left")
       .groupBy(gcols :+ col(keyCol): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+  }
+
+  /** Dyadic Count-Min quantile sketch (Cormode & Muthukrishnan 2005,
+    * §4.2) — the quantile member of the portable-sketch family
+    * (distinct = [[hyperLogLog]], frequency = [[cmsRegisters]]).
+    *
+    * One CMS is maintained over COMPOSITE keys `"level:block"`: each
+    * value `v` in `[0, 2^levels)` updates, per dyadic level `l`, the
+    * counter of the aligned block `v >> l`. Any prefix `[0, x)` then
+    * decomposes into at most `levels` blocks (one per set bit of
+    * `x`), so an estimated RANK is a sum of at most `levels` CMS
+    * probes — and a φ-quantile is the smallest `x-1` whose estimated
+    * rank reaches `ceil(φ·N)`. Sharing one register matrix across
+    * levels keeps the state a single depth × width grid; cross-level
+    * collisions only ever OVERcount (CMS is one-sided), so estimated
+    * ranks dominate true ranks and the estimated quantile can only
+    * sit at-or-below the exact one — never above.
+    *
+    * Everything is integer arithmetic over MD5 hashes: no doubles
+    * anywhere in the register or rank path, so a warehouse engine
+    * replays the whole sketch bit-for-bit (q57's oracle does).
+    *
+    * Reference behavior: faust has no sketches; target addition for
+    * corpus-scale latency/length percentiles where the exact sort
+    * (`percentile`, q29) is the bottleneck. Spark's own
+    * `approx_percentile` (q51/q52) is the engine-local twin — KLL-ish
+    * and unverifiable outside the JVM, same split as q25 vs q53.
+    *
+    * Precondition: values must lie in `[0, 2^levels)` (nulls are
+    * dropped like every sketch here; out-of-range values would
+    * corrupt ranks silently — clamp or bucket first).
+    *
+    * Scale shape: one narrow scan exploding `levels` composite keys
+    * per row into [[cmsRegisters]]' partial-aggregatable groupBy —
+    * state and shuffle are depth × width register rows regardless of
+    * stream length, and `count` is commutative so update-mode
+    * streaming maintenance works unchanged (the q55 streaming twin's
+    * contract).
+    */
+  def dyadicCmsRegisters(df: DataFrame, valueCol: String, levels: Int,
+                         depth: Int = 3, width: Int = 128): DataFrame = {
+    require(levels >= 1 && levels <= 62, "levels in [1,62]")
+    val v = col(valueCol).cast(LongType)
+    val occ = df.where(col(valueCol).isNotNull)
+      .select(explode(array((0 until levels).map { l =>
+        concat(lit(s"$l:"), shiftrightunsigned(v, l).cast("string"))
+      }: _*)).as("dk"))
+    cmsRegisters(occ, "dk", depth, width)
+  }
+
+  /** Serving half of [[dyadicCmsRegisters]]: fold the register grid
+    * into φ-quantile estimates. `total` is a ONE-row `(n bigint)`
+    * frame with the exact stream length (an `agg(count)` — kept as a
+    * frame so nothing collects to the driver).
+    *
+    * Output: `(phi, target, q_est)` — `target = ceil(phi·n)` and
+    * `q_est` the smallest domain value whose estimated rank reaches
+    * it. The candidate scan enumerates all `2^levels` prefix bounds —
+    * fine for bucketed domains (levels ≤ ~20, still only millions of
+    * 2-column rows ACROSS THE CLUSTER and the decomposition join is
+    * against a ≤ depth×width broadcast); for wider domains serve by
+    * binary search over prefix probes instead (levels sequential
+    * probes, driver-side, against the same registers).
+    */
+  def dyadicCmsQuantiles(regs: DataFrame, total: DataFrame,
+                         phis: Seq[Double], levels: Int,
+                         depth: Int = 3, width: Int = 128): DataFrame = {
+    require(levels >= 1 && levels <= 30, "candidate enumeration needs levels <= 30")
+    val spark = regs.sparkSession
+    val cand = spark.range(1L, (1L << levels) + 1L).toDF("x")
+    // prefix [0, x) = one aligned block per set bit k of x, at level k
+    // with block index 2*(x >> (k+1)) — the textbook decomposition.
+    val dec = cand.select(col("x"), explode(array((0 until levels).map { k =>
+        when(shiftrightunsigned(col("x"), k).bitwiseAND(lit(1L)) === 1L,
+          concat(lit(s"$k:"),
+            (shiftrightunsigned(col("x"), k + 1) * 2L).cast("string")))
+      }: _*)).as("dk"))
+      .where(col("dk").isNotNull)
+    val est = cmsEstimates(regs, dec.select("dk").distinct(), "dk",
+      depth, width)
+    val prefix = dec.join(est, Seq("dk"))
+      .groupBy("x").agg(sum("est_n").as("est_rank"))
+    import spark.implicits._
+    val tgt = phis.toDF("phi").crossJoin(total)
+      .select(col("phi"), ceil(col("phi") * col("n")).as("target"))
+    tgt.crossJoin(prefix)
+      .groupBy("phi", "target")
+      .agg(min(when(col("est_rank") >= col("target"), col("x") - 1L))
+        .as("q_est"))
   }
 }

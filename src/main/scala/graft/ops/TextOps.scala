@@ -256,6 +256,46 @@ object TextOps {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Directional shingle-containment pairs — Broder (1997)'s
+    * containment `C(A,B) = |S(A) ∩ S(B)| / |S(A)|` over distinct
+    * n-gram shingle sets: the fraction of doc A's shingles that also
+    * occur in doc B. Emits ordered pairs with `containment >= threshold`
+    * (id_a = the contained doc).
+    *
+    * This is the asymmetric dedup signal symmetric Jaccard (d02/d03)
+    * structurally MISSES: a short doc quoted whole inside a much
+    * longer one scores `|A|/|B|` on Jaccard (arbitrarily low) but
+    * containment 1.0 — the quote/boilerplate/subset-recrawl case.
+    * Shingles, not tokens, are the unit: token-set containment
+    * saturates on small vocabularies (any short doc's tokens ⊂ a
+    * long doc's), while an n-gram only matches on verbatim n-token
+    * runs — d11's decontamination unit, reused here corpus-vs-self.
+    *
+    * Scale shape: one fused shingle-hash kernel pass, then the d02
+    * posting-list self-join on the 60-bit shingle hash — quadratic
+    * only within a shingle's posting list, so this is the exact tier;
+    * at 100 TB generate candidates with [[minHashPairs]] (banding
+    * bounds bucket fan-out) and confirm with this containment ratio
+    * on the candidate pairs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, threshold: Double = 0.9): DataFrame = {
+    import graft.functions.PortableSketches.ngramHashes60
+    val sh = df.select(col(idCol).as("id"),
+      explode(ngramHashes60(col(textCol), n)).as("ngh"))
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("id_a", "ngh")
+    val b = sh.toDF("id_b", "ngh")
+    a.join(b, Seq("ngh"))
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(cnt.toDF("id_a", "n_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** MinHash signature: k permutation-minima over distinct-token
     * hashes (seeded per permutation). Returns array<long>.
     *
@@ -840,6 +880,50 @@ object TextOps {
           (col("n_pair").cast("double") / col("_nb")) /
             ((col("c1w1").cast("double") / col("_n")) *
               (col("c1w2").cast("double") / col("_n")))), 6).as("pmi"))
+  }
+
+  /** Per-slice distribution drift: Jensen–Shannon divergence between
+    * each slice's unigram token distribution and the corpus-wide one —
+    * the mixture-monitoring statistic behind re-weighting decisions
+    * (a source whose JSD creeps up has shifted domain; feed p05/p09
+    * new weights). JSD rather than KL: symmetric, bounded by ln 2,
+    * and finite even on tokens a slice never emits (the corpus-side
+    * half `0.5·q·ln(q/m)` is still defined when `p = 0`, so the dense
+    * slice × vocab grid — zeros included — is the correct support).
+    *
+    * Output: `(slice, n_tokens, jsd)`, jsd rounded to 6dp for oracle
+    * parity (ln + double-sum order at the ulp level, cf.
+    * [[unigramLmScore]]).
+    *
+    * Scale shape: one (slice, term) partial-agg groupBy bounded by
+    * slices × vocab, one vocab groupBy; the dense grid is a broadcast
+    * nested-loop of the two COUNT tables (slices × vocab rows, never
+    * the token stream), and the scalar total rides the usual 1-row
+    * broadcast. No windows, no sorts; the occurrence stream is
+    * scanned exactly once... twice (slice and corpus legs share the
+    * scan under reused exchange when the planner elects to).
+    */
+  def distributionDrift(df: DataFrame, sliceCol: String,
+                        textCol: String): DataFrame = {
+    val occ = df.select(col(sliceCol).as("slice"),
+      explode(tokens(col(textCol))).as("term"))
+    val sliceCounts = occ.groupBy("slice", "term").agg(count(lit(1)).as("c_st"))
+    val sliceTotals = sliceCounts.groupBy("slice").agg(sum("c_st").as("n_s"))
+    val corpusCounts = occ.groupBy("term").agg(count(lit(1)).as("c_t"))
+    val total = corpusCounts.agg(sum("c_t").cast("double").as("_n"))
+    val p = coalesce(col("c_st").cast("double"), lit(0.0)) /
+      col("n_s").cast("double")
+    val q = col("c_t").cast("double") / col("_n")
+    val m = (p + q) / lit(2.0)
+    val term = when(col("c_st").isNotNull,
+        lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+      lit(0.5) * q * log(q / m)
+    sliceTotals.crossJoin(broadcast(corpusCounts))
+      .join(sliceCounts, Seq("slice", "term"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy("slice", "n_s")
+      .agg(round(sum(term), 6).as("jsd"))
+      .withColumnRenamed("n_s", "n_tokens")
   }
 
   /** Trigram-LM quality score with two-level interpolated backoff —

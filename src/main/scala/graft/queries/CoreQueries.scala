@@ -528,6 +528,74 @@ object CoreQueries {
         GROUP BY k.lang, k.tok, k.exact_n
         ORDER BY k.lang, k.tok""")),
 
+    // ── dyadic-CMS quantiles: the PORTABLE approximate percentile —
+    //    the quantile member of the sketch family (distinct q53/q54,
+    //    frequency q55/q56). Integer-only register+rank path, so the
+    //    oracle replays the ENTIRE sketch bit-for-bit; Spark's own
+    //    approx_percentile (q51/q52) is the engine-local twin. q_exact
+    //    is the rank-based exact answer — the accuracy readout next to
+    //    the estimate, like q55's exact_n column. ─────────────────────
+    Q("q57_dyadic_quantile",
+      (s, dir) => {
+        import graft.ops.SketchOps
+        val vals = Tables.lineitem(s, dir)
+          .select(col("l_quantity").cast("long").as("v"))
+        val regs = SketchOps.dyadicCmsRegisters(vals, "v", levels = 6,
+          depth = 3, width = 128)
+        val total = vals.agg(count(lit(1)).as("n"))
+        val est = SketchOps.dyadicCmsQuantiles(regs, total,
+          Seq(0.25, 0.5, 0.75, 0.9), levels = 6, depth = 3, width = 128)
+        val cand = s.range(1L, 65L).toDF("x")
+        val census = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+        val exactPrefix = cand.join(census, col("v") < col("x"), "left")
+          .groupBy("x").agg(coalesce(sum("cnt"), lit(0L)).as("ex_rank"))
+        val exact = est.select("phi", "target").crossJoin(exactPrefix)
+          .groupBy("phi", "target")
+          .agg(min(when(col("ex_rank") >= col("target"), col("x") - 1L))
+            .as("q_exact"))
+        est.join(exact, Seq("phi", "target")).orderBy("phi")
+      },
+      Some("""WITH vals AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+          WHERE l_quantity IS NOT NULL),
+        n AS (SELECT COUNT(*) AS n FROM vals),
+        upd AS (SELECT (l::VARCHAR || ':' || (v >> l)::VARCHAR) AS dk
+                FROM vals CROSS JOIN range(6) t(l)),
+        reg AS (
+          SELECT i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+              % 128 AS j,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM upd CROSS JOIN range(3) u(i) GROUP BY 1, 2),
+        cand AS (SELECT x FROM range(1, 65) c(x)),
+        dec AS (SELECT x,
+                  (k::VARCHAR || ':' || (2*(x >> (k+1)))::VARCHAR) AS dk
+                FROM cand CROSS JOIN range(6) d(k)
+                WHERE ((x >> k) & 1) = 1),
+        keys AS (SELECT DISTINCT dk FROM dec),
+        kp AS (SELECT dk, i,
+                 ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+                   % 128 AS j
+               FROM keys CROSS JOIN range(3) u(i)),
+        est AS (SELECT kp.dk, MIN(COALESCE(r.c, 0)) AS est_n
+                FROM kp LEFT JOIN reg r ON r.i = kp.i AND r.j = kp.j
+                GROUP BY kp.dk),
+        prefix AS (SELECT d.x, CAST(SUM(e.est_n) AS BIGINT) AS est_rank
+                   FROM dec d JOIN est e ON e.dk = d.dk GROUP BY d.x),
+        census AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v),
+        exact_prefix AS (
+          SELECT c.x, CAST(COALESCE(SUM(s.cnt), 0) AS BIGINT) AS ex_rank
+          FROM cand c LEFT JOIN census s ON s.v < c.x GROUP BY c.x),
+        phis AS (SELECT phi
+                 FROM (VALUES (0.25), (0.5), (0.75), (0.9)) p(phi)),
+        tgt AS (SELECT phi, CAST(CEIL(phi * n.n) AS BIGINT) AS target
+                FROM phis CROSS JOIN n)
+        SELECT t.phi, t.target,
+          MIN(CASE WHEN p.est_rank >= t.target THEN p.x - 1 END) AS q_est,
+          MIN(CASE WHEN e.ex_rank >= t.target THEN e.x - 1 END) AS q_exact
+        FROM tgt t CROSS JOIN prefix p JOIN exact_prefix e ON e.x = p.x
+        GROUP BY t.phi, t.target ORDER BY t.phi""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

@@ -496,6 +496,35 @@ object TextQueries {
         SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
         FROM sz GROUP BY cluster_size ORDER BY cluster_size""")),
 
+    // ── directional shingle containment (Broder's C(A,B)): the
+    //    asymmetric dedup signal Jaccard misses — a short doc quoted
+    //    whole inside a long one is containment 1.0 but Jaccard ~0.
+    //    Shingle unit = d11's 5-gram hash; d02's posting-join shape. ──
+    Q("d23_containment",
+      (s, dir) => TextOps.containmentPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 5, threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS ng
+            FROM ts)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.ngh = b.ngh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+          CAST(n_common AS DOUBLE) / c.n AS containment
+        FROM pairs JOIN cnt c ON c.doc_id = id_a
+        WHERE CAST(n_common AS DOUBLE) / c.n >= 0.9
+        ORDER BY id_a, id_b""")),
+
     // ── corpus frequency spectrum (freq-of-frequencies): the Zipf
     //    audit behind vocab-size / min-count decisions — how many
     //    token types occur exactly k times. Two vocab-sized groupBys. ─
@@ -511,6 +540,40 @@ object TextQueries {
           GROUP BY tok)
         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
         FROM c1 GROUP BY freq ORDER BY freq""")),
+
+    // ── per-source distribution drift (JSD vs corpus): the mixture-
+    //    monitoring statistic — a source whose unigram distribution
+    //    diverges has shifted domain; feeds p05/p09 re-weighting.
+    //    Dense slice×vocab grid so zero-count terms contribute their
+    //    corpus-side JSD mass; final round(6) absorbs ln/sum ulps. ────
+    Q("t24_source_drift",
+      (s, dir) => TextOps.distributionDrift(Tables.documents(s, dir),
+        "source", "text")
+        .withColumnRenamed("slice", "source")
+        .orderBy("source"),
+      Some("""WITH occ AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        sc AS (SELECT source, term, COUNT(*) AS c_st FROM occ GROUP BY 1, 2),
+        st AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+               FROM sc GROUP BY 1),
+        cc AS (SELECT term, COUNT(*) AS c_t FROM occ GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS n FROM cc),
+        j AS (
+          SELECT g.source, g.n_s,
+            COALESCE(s.c_st, 0)::DOUBLE / g.n_s AS p,
+            g.c_t::DOUBLE / tot.n AS q,
+            s.c_st IS NOT NULL AS present
+          FROM (SELECT st.source, st.n_s, cc.term, cc.c_t
+                FROM st CROSS JOIN cc) g
+          LEFT JOIN sc s ON s.source = g.source AND s.term = g.term
+          CROSS JOIN tot)
+        SELECT source, n_s AS n_tokens,
+          ROUND(SUM(
+            (CASE WHEN present THEN 0.5 * p * LN(p / ((p + q) / 2.0))
+                  ELSE 0.0 END)
+            + 0.5 * q * LN(q / ((p + q) / 2.0))), 6) AS jsd
+        FROM j GROUP BY source, n_s ORDER BY source""")),
 
     // ── token counting ──────────────────────────────────────────────
     Q("t01_token_count",

@@ -159,6 +159,44 @@ class OpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 3L, 1.0)), out.toString)
   }
 
+  test("containment is directional and catches the subset-dup Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta" // 8 toks, 4 shingles
+    val long = short + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val d = Seq((1L, short), (2L, long),
+      (3L, "pears plums melon quince fig date kiwi grape")).toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(d, "doc_id", "text", n = 5, threshold = 0.9)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // only the quoted-whole direction survives: all of doc 1's shingles
+    // occur in doc 2 (containment 1.0); the reverse is 4/20 and drops
+    assert(got == Seq((1L, 2L, 1.0)), got.toString)
+    // symmetric Jaccard structurally misses the same pair at any
+    // dedup-grade threshold (intersection/union = 4/20)
+    val jac = TextOps.jaccardPairs(d, "doc_id", "text", 0.9).count()
+    assert(jac == 0)
+  }
+
+  test("distribution drift: zero on identical slices, positive on shift, < ln 2") {
+    // two slices with the SAME token distribution -> both JSD 0
+    val same = Seq(
+      ("a", "x x y z"), ("a", "x y z z"),
+      ("b", "x x y z"), ("b", "x y z z")).toDF("source", "text")
+    val j0 = TextOps.distributionDrift(same, "source", "text")
+      .select($"slice", $"jsd").as[(String, Double)].collect().toMap
+    assert(j0("a") == 0.0 && j0("b") == 0.0, j0.toString)
+    // a slice emitting a token the other never does -> strictly
+    // positive on both (corpus mixes them), bounded by ln 2
+    val shifted = Seq(
+      ("a", "x y x y x y"), ("b", "z z z z z z")).toDF("source", "text")
+    val j1 = TextOps.distributionDrift(shifted, "source", "text")
+      .select($"slice", $"jsd").as[(String, Double)].collect().toMap
+    assert(j1.values.forall(v => v > 0.0 && v < math.log(2.0)), j1.toString)
+    // the fully-disjoint halves sit at the same divergence from the
+    // 50/50 corpus mix by symmetry
+    assert(j1("a") == j1("b"), j1.toString)
+  }
+
   test("duplicatedNgramSpans finds exactly the shared span") {
     val d = Seq(
       (1L, "p q r s t u v w x unique1"),
@@ -675,6 +713,47 @@ class OpsSpec extends SparkTestBase {
       Seq("lang"), "tok", depth = 3, width = 8)
     assert(gexact.join(gest, Seq("lang", "tok"))
       .where($"est_n" < $"exact_n").count() == 0)
+  }
+
+  test("dyadic-CMS quantiles: one-sided, exact when collision-free, mergeable") {
+    import graft.ops.SketchOps
+    val vals = Tables.lineitem(spark, sf)
+      .select($"l_quantity".cast("long").as("v"))
+    val total = vals.agg(count(lit(1)).as("n"))
+    val phis = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    // exact rank-based quantiles from the value census (domain <= 64)
+    val n = vals.count()
+    val census = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    def exactQ(phi: Double): Long = {
+      val target = math.ceil(phi * n).toLong
+      var acc = 0L
+      census.collectFirst { case (v, c) if { acc += c; acc >= target } => v }.get
+    }
+    // narrow sketch: estimates may cross early but NEVER late (CMS
+    // overestimates ranks -> quantile estimate sits at-or-below exact)
+    val narrow = SketchOps.dyadicCmsQuantiles(
+      SketchOps.dyadicCmsRegisters(vals, "v", levels = 6, width = 16),
+      total, phis, levels = 6, width = 16)
+      .select("phi", "q_est").as[(Double, Long)].collect().toMap
+    phis.foreach { p => assert(narrow(p) <= exactQ(p), s"phi=$p") }
+    // wide sketch: ~101 dyadic keys into 3x1024 registers -> no
+    // collisions -> the sketch answer IS the exact rank quantile
+    val wide = SketchOps.dyadicCmsQuantiles(
+      SketchOps.dyadicCmsRegisters(vals, "v", levels = 6, width = 1024),
+      total, phis, levels = 6, width = 1024)
+      .select("phi", "q_est").as[(Double, Long)].collect().toMap
+    phis.foreach { p => assert(wide(p) == exactQ(p), s"phi=$p") }
+    // register grid is layout-independent (count partial-aggs merge)
+    val r1 = SketchOps.dyadicCmsRegisters(vals, "v", levels = 6, width = 16)
+    val r2 = SketchOps.dyadicCmsRegisters(vals.repartition(7), "v",
+      levels = 6, width = 16)
+    assert(r1.except(r2).count() == 0 && r2.except(r1).count() == 0)
+    // each value touches exactly `levels` composite keys: every
+    // register row of the matrix carries n * levels total mass
+    val mass = r1.groupBy("i").agg(sum("c").as("m"))
+      .select("m").as[Long].collect().toSeq
+    assert(mass.size == 3 && mass.forall(_ == n * 6))
   }
 
   test("portable HLL: accurate, deterministic under repartitioning") {

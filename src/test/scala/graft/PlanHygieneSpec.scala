@@ -65,6 +65,12 @@ class PlanHygieneSpec extends SparkTestBase {
     // partials; one row per upstream partition crosses the exchange).
     // The per-STEP gradient aggregates are the same class and run at
     // train time, not in this inference plan.
+    // q57_dyadic_quantile: the exact stream length N — a 1-row
+    // count(*) broadcast back as the rank target (ceil(phi*N)), plus
+    // the tiny (2^levels-row) candidate/prefix folds it crosses into.
+    // Register maintenance itself is the partial-agg CMS groupBy.
+    // t24_source_drift: the corpus token total — t11's exact scalar
+    // class, broadcast back into the slice×vocab probability grid.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -75,7 +81,8 @@ class PlanHygieneSpec extends SparkTestBase {
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
-      "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split")
+      "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
+      "q57_dyadic_quantile", "t24_source_drift")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
