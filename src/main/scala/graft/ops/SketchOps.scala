@@ -148,18 +148,32 @@ object SketchOps {
     * distinct counts. Shuffle bounded by groups × depth × width.
     */
   def cmsRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
-                     depth: Int = 4, width: Int = 256): DataFrame = {
+                     depth: Int = 4, width: Int = 256): DataFrame =
+    cmsRegistersWeightedBy(df, groupCols, keyCol, lit(1L), depth, width)
+
+  /** Weighted register build: each key row adds `weight` instead of 1.
+    * The batch fast path when the key domain is much smaller than the
+    * stream: pre-aggregate a `(key, count)` census (a cheap narrow-key
+    * partial agg), then hash each DISTINCT key once — identical
+    * registers to the per-occurrence build (sum of per-key counts ≡
+    * occurrence count), at domain-many MD5s instead of stream-many.
+    * The unweighted per-occurrence form stays the streaming path
+    * (update-mode state maintenance has no census to pre-aggregate).
+    */
+  def cmsRegistersWeightedBy(df: DataFrame, groupCols: Seq[String],
+                             keyCol: String, weight: Column,
+                             depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth in [1,16]")
     require(width >= 2, "width >= 2")
     val gcols = groupCols.map(col)
     df.where(col(keyCol).isNotNull)
-      .select(gcols :+ explode(array((0 until depth).map { i =>
+      .select(gcols ++ Seq(weight.as("_w"), explode(array((0 until depth).map { i =>
         struct(lit(i).as("i"),
           (graft.functions.PortableHash.mdHash60(i, col(keyCol)) % width)
             .as("j"))
-      }: _*)).as("p"): _*)
+      }: _*)).as("p")): _*)
       .groupBy(gcols ++ Seq(col("p.i").as("i"), col("p.j").as("j")): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("_w").as("c"))
   }
 
   /** Point-estimate frequencies for `keys` against CMS registers:
@@ -233,15 +247,68 @@ object SketchOps {
     * contract).
     */
   def dyadicCmsRegisters(df: DataFrame, valueCol: String, levels: Int,
-                         depth: Int = 3, width: Int = 128): DataFrame = {
+                         depth: Int = 3, width: Int = 128): DataFrame =
+    dyadicCmsRegistersBy(df, Seq.empty, valueCol, levels, depth, width)
+
+  /** Grouped twin of [[dyadicCmsRegisters]]: one independent quantile
+    * sketch per value of `groupCols` (per-language length quantiles,
+    * per-source latency percentiles, …) — the grouped shape the other
+    * sketch members have (q54 HLL, q56 CMS). Shuffle bounded by
+    * groups × depth × width.
+    */
+  def dyadicCmsRegistersBy(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, levels: Int,
+                           depth: Int = 3, width: Int = 128): DataFrame = {
     require(levels >= 1 && levels <= 62, "levels in [1,62]")
-    val v = col(valueCol).cast(LongType)
+    val gcols = groupCols.map(col)
     val occ = df.where(col(valueCol).isNotNull)
-      .select(explode(array((0 until levels).map { l =>
-        concat(lit(s"$l:"), shiftrightunsigned(v, l).cast("string"))
-      }: _*)).as("dk"))
-    cmsRegisters(occ, "dk", depth, width)
+      .select(gcols :+
+        explode(dyadicUpdateKeys(col(valueCol).cast(LongType), levels))
+          .as("dk"): _*)
+    cmsRegistersBy(occ, groupCols, "dk", depth, width)
   }
+
+  /** Census-first register build — the batch fast path: callers
+    * pre-aggregate `(valueCol, countCol)` (for a bounded domain that
+    * partial agg collapses map-side to ≤ domain rows per partition),
+    * and each DISTINCT value is hashed once with its count as the
+    * register weight. Bit-identical registers to
+    * [[dyadicCmsRegistersBy]] over the raw stream (q57 proves it
+    * against the per-occurrence oracle) at domain-many MD5s instead
+    * of stream-many — at 100 TB that is the difference between
+    * hashing 10^12 occurrences and 10^3 distinct values. The
+    * per-occurrence form remains the streaming-update path.
+    */
+  def dyadicCmsRegistersFromCensus(census: DataFrame, groupCols: Seq[String],
+                                   valueCol: String, countCol: String,
+                                   levels: Int, depth: Int = 3,
+                                   width: Int = 128): DataFrame = {
+    require(levels >= 1 && levels <= 62, "levels in [1,62]")
+    val gcols = groupCols.map(col)
+    val occ = census.where(col(valueCol).isNotNull)
+      .select(gcols ++ Seq(col(countCol).as("_n"),
+        explode(dyadicUpdateKeys(col(valueCol).cast(LongType), levels))
+          .as("dk")): _*)
+    cmsRegistersWeightedBy(occ, groupCols, "dk", col("_n"), depth, width)
+  }
+
+  /** The `levels` composite `"level:block"` keys a value updates. */
+  private def dyadicUpdateKeys(v: Column, levels: Int): Column =
+    array((0 until levels).map { l =>
+      concat(lit(s"$l:"), shiftrightunsigned(v, l).cast("string"))
+    }: _*)
+
+  /** The ≤ `levels` aligned-block keys covering prefix `[0, x)` — one
+    * per set bit k of x, at level k with block index `2*(x >> (k+1))`
+    * (the textbook dyadic decomposition). Unset bits yield nulls;
+    * callers filter.
+    */
+  private def dyadicPrefixKeys(x: Column, levels: Int): Column =
+    array((0 until levels).map { k =>
+      when(shiftrightunsigned(x, k).bitwiseAND(lit(1L)) === 1L,
+        concat(lit(s"$k:"),
+          (shiftrightunsigned(x, k + 1) * 2L).cast("string")))
+    }: _*)
 
   /** Serving half of [[dyadicCmsRegisters]]: fold the register grid
     * into φ-quantile estimates. `total` is a ONE-row `(n bigint)`
@@ -257,6 +324,40 @@ object SketchOps {
     * binary search over prefix probes instead (levels sequential
     * probes, driver-side, against the same registers).
     */
+  /** Grouped twin of [[dyadicCmsQuantiles]]: per-group φ-quantiles
+    * from per-group register grids. `totals` is a `(groupCols..., n)`
+    * frame with each group's exact stream length. Candidate frames
+    * are `groups × 2^levels` rows — still tiny per group for bucketed
+    * domains; the probe joins stay bounded by groups × depth × width.
+    */
+  def dyadicCmsQuantilesBy(regs: DataFrame, totals: DataFrame,
+                           groupCols: Seq[String], phis: Seq[Double],
+                           levels: Int, depth: Int = 3,
+                           width: Int = 128): DataFrame = {
+    require(levels >= 1 && levels <= 30, "candidate enumeration needs levels <= 30")
+    val spark = regs.sparkSession
+    val gcols = groupCols.map(col)
+    val cand = spark.range(1L, (1L << levels) + 1L).toDF("x")
+    val dec = totals.select(gcols: _*).distinct()
+      .crossJoin(broadcast(cand))
+      .select(gcols ++ Seq(col("x"),
+        explode(dyadicPrefixKeys(col("x"), levels)).as("dk")): _*)
+      .where(col("dk").isNotNull)
+    val est = cmsEstimatesBy(regs,
+      dec.select(gcols :+ col("dk"): _*).distinct(), groupCols, "dk",
+      depth, width)
+    val prefix = dec.join(est, groupCols :+ "dk")
+      .groupBy(gcols :+ col("x"): _*).agg(sum("est_n").as("est_rank"))
+    import spark.implicits._
+    val tgt = phis.toDF("phi").crossJoin(totals)
+      .select(gcols ++ Seq(col("phi"),
+        ceil(col("phi") * col("n")).as("target")): _*)
+    tgt.join(prefix, groupCols)
+      .groupBy(gcols ++ Seq(col("phi"), col("target")): _*)
+      .agg(min(when(col("est_rank") >= col("target"), col("x") - 1L))
+        .as("q_est"))
+  }
+
   def dyadicCmsQuantiles(regs: DataFrame, total: DataFrame,
                          phis: Seq[Double], levels: Int,
                          depth: Int = 3, width: Int = 128): DataFrame = {

@@ -540,13 +540,16 @@ object CoreQueries {
         import graft.ops.SketchOps
         val vals = Tables.lineitem(s, dir)
           .select(col("l_quantity").cast("long").as("v"))
-        val regs = SketchOps.dyadicCmsRegisters(vals, "v", levels = 6,
-          depth = 3, width = 128)
-        val total = vals.agg(count(lit(1)).as("n"))
+        // census-first batch path: one narrow domain-bounded partial
+        // agg, then domain-many MD5s (not row-many) — registers are
+        // bit-identical to the per-occurrence build the oracle replays
+        val census = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+        val regs = SketchOps.dyadicCmsRegistersFromCensus(census,
+          Seq.empty, "v", "cnt", levels = 6, depth = 3, width = 128)
+        val total = census.agg(sum("cnt").as("n"))
         val est = SketchOps.dyadicCmsQuantiles(regs, total,
           Seq(0.25, 0.5, 0.75, 0.9), levels = 6, depth = 3, width = 128)
         val cand = s.range(1L, 65L).toDF("x")
-        val census = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
         val exactPrefix = cand.join(census, col("v") < col("x"), "left")
           .groupBy("x").agg(coalesce(sum("cnt"), lit(0L)).as("ex_rank"))
         val exact = est.select("phi", "target").crossJoin(exactPrefix)
@@ -595,6 +598,82 @@ object CoreQueries {
           MIN(CASE WHEN e.ex_rank >= t.target THEN e.x - 1 END) AS q_exact
         FROM tgt t CROSS JOIN prefix p JOIN exact_prefix e ON e.x = p.x
         GROUP BY t.phi, t.target ORDER BY t.phi""")),
+
+    // ── grouped dyadic quantiles: one independent quantile sketch per
+    //    language (per-slice doc-length percentiles — the q54/q56
+    //    grouped shape for QUANTILES). Census-first registers; width
+    //    512 leaves a live collision path (q_est ≈ q_exact, one-sided). ─
+    Q("q58_dyadic_quantile_grouped",
+      (s, dir) => {
+        import graft.ops.SketchOps
+        val vals = Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars").cast("long").as("v"))
+        val census = vals.groupBy("lang", "v").agg(count(lit(1)).as("cnt"))
+        val regs = SketchOps.dyadicCmsRegistersFromCensus(census,
+          Seq("lang"), "v", "cnt", levels = 10, depth = 3, width = 512)
+        val totals = census.groupBy("lang").agg(sum("cnt").as("n"))
+        val est = SketchOps.dyadicCmsQuantilesBy(regs, totals, Seq("lang"),
+          Seq(0.5, 0.9, 0.99), levels = 10, depth = 3, width = 512)
+        val cand = s.range(1L, 1025L).toDF("x")
+        val gx = totals.select("lang").crossJoin(broadcast(cand))
+        val exactPrefix = gx.join(census,
+            gx("lang") === census("lang") && census("v") < gx("x"), "left")
+          .groupBy(gx("lang"), gx("x"))
+          .agg(coalesce(sum("cnt"), lit(0L)).as("ex_rank"))
+        val exact = est.select("lang", "phi", "target")
+          .join(exactPrefix, Seq("lang"))
+          .groupBy("lang", "phi", "target")
+          .agg(min(when(col("ex_rank") >= col("target"), col("x") - 1L))
+            .as("q_exact"))
+        est.join(exact, Seq("lang", "phi", "target"))
+          .orderBy("lang", "phi")
+      },
+      Some("""WITH vals AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+          WHERE n_chars IS NOT NULL),
+        n AS (SELECT lang, COUNT(*) AS n FROM vals GROUP BY lang),
+        upd AS (SELECT lang, (l::VARCHAR || ':' || (v >> l)::VARCHAR) AS dk
+                FROM vals CROSS JOIN range(10) t(l)),
+        reg AS (
+          SELECT lang, i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+              % 512 AS j,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM upd CROSS JOIN range(3) u(i) GROUP BY 1, 2, 3),
+        cand AS (SELECT x FROM range(1, 1025) c(x)),
+        dec AS (SELECT n.lang, c.x,
+                  (k::VARCHAR || ':' || (2*(c.x >> (k+1)))::VARCHAR) AS dk
+                FROM n CROSS JOIN cand c CROSS JOIN range(10) d(k)
+                WHERE ((c.x >> k) & 1) = 1),
+        keys AS (SELECT DISTINCT lang, dk FROM dec),
+        kp AS (SELECT lang, dk, i,
+                 ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+                   % 512 AS j
+               FROM keys CROSS JOIN range(3) u(i)),
+        est AS (SELECT kp.lang, kp.dk, MIN(COALESCE(r.c, 0)) AS est_n
+                FROM kp LEFT JOIN reg r
+                  ON r.lang = kp.lang AND r.i = kp.i AND r.j = kp.j
+                GROUP BY kp.lang, kp.dk),
+        prefix AS (SELECT d.lang, d.x, CAST(SUM(e.est_n) AS BIGINT) AS est_rank
+                   FROM dec d JOIN est e ON e.lang = d.lang AND e.dk = d.dk
+                   GROUP BY d.lang, d.x),
+        census AS (SELECT lang, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+        exact_prefix AS (
+          SELECT n.lang, c.x, CAST(COALESCE(SUM(s.cnt), 0) AS BIGINT) AS ex_rank
+          FROM n CROSS JOIN cand c
+          LEFT JOIN census s ON s.lang = n.lang AND s.v < c.x
+          GROUP BY n.lang, c.x),
+        phis AS (SELECT phi FROM (VALUES (0.5), (0.9), (0.99)) p(phi)),
+        tgt AS (SELECT lang, phi, CAST(CEIL(phi * n.n) AS BIGINT) AS target
+                FROM phis CROSS JOIN n)
+        SELECT t.lang, t.phi, t.target,
+          MIN(CASE WHEN p.est_rank >= t.target THEN p.x - 1 END) AS q_est,
+          MIN(CASE WHEN e.ex_rank >= t.target THEN e.x - 1 END) AS q_exact
+        FROM tgt t
+        JOIN prefix p ON p.lang = t.lang
+        JOIN exact_prefix e ON e.lang = t.lang AND e.x = p.x
+        GROUP BY t.lang, t.phi, t.target
+        ORDER BY t.lang, t.phi""")),
 
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",

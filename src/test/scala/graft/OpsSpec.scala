@@ -754,6 +754,22 @@ class OpsSpec extends SparkTestBase {
     val mass = r1.groupBy("i").agg(sum("c").as("m"))
       .select("m").as[Long].collect().toSeq
     assert(mass.size == 3 && mass.forall(_ == n * 6))
+    // census-first batch build (hash each DISTINCT value once,
+    // weighted by its count) is bit-identical to the per-occurrence
+    // streaming build
+    val censusDf = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val rC = SketchOps.dyadicCmsRegistersFromCensus(censusDf, Seq.empty,
+      "v", "cnt", levels = 6, width = 16)
+    assert(rC.except(r1).count() == 0 && r1.except(rC).count() == 0)
+    // grouped flavor: each slice's sketch is independent — per-group
+    // register row mass is that group's stream length × levels
+    val gvals = Tables.documents(spark, sf)
+      .select($"lang", $"n_chars".cast("long").as("v"))
+    val gregs = SketchOps.dyadicCmsRegistersBy(gvals, Seq("lang"), "v",
+      levels = 10, width = 64)
+    val gmass = gregs.groupBy("lang", "i").agg(sum("c").as("m"))
+    val glen = gvals.groupBy("lang").agg((count(lit(1)) * 10).as("expect"))
+    assert(gmass.join(glen, "lang").where($"m" =!= $"expect").count() == 0)
   }
 
   test("portable HLL: accurate, deterministic under repartitioning") {
