@@ -107,6 +107,47 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dyadic quantile registers: bounded state, quantiles match batch") {
+    import graft.ops.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    // same commutative-count register groupBy as the CMS twin above —
+    // the quantile sketch is maintainable in complete mode with state
+    // bounded by depth*width regardless of stream length
+    val regs = SketchOps.dyadicCmsRegisters(input.toDS().toDF("v"), "v",
+      levels = 6, depth = 3, width = 32)
+    val q = regs.writeStream.format("memory").queryName("dyadic_regs")
+      .outputMode("complete").start()
+    try {
+      val batch1: Seq[Long] = (1L to 40L) ++ Seq.fill(20)(7L)
+      val batch2: Seq[Long] = Seq.fill(10)(55L) ++ (20L to 30L)
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamedRegs = spark.table("dyadic_regs")
+      assert(streamedRegs.count() <= 3 * 32)
+      val all = (batch1 ++ batch2)
+      val total = Seq(all.size.toLong).toDF("n")
+      val phis = Seq(0.5, 0.9)
+      val streamed = SketchOps.dyadicCmsQuantiles(streamedRegs, total,
+        phis, levels = 6, depth = 3, width = 32)
+        .select("phi", "q_est").as[(Double, Long)].collect().toMap
+      val batchRegs = SketchOps.dyadicCmsRegisters(all.toDF("v"), "v",
+        levels = 6, depth = 3, width = 32)
+      val batch = SketchOps.dyadicCmsQuantiles(batchRegs, total,
+        phis, levels = 6, depth = 3, width = 32)
+        .select("phi", "q_est").as[(Double, Long)].collect().toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // one-sided: the sketch quantile never exceeds the exact one
+      val sorted = all.sorted
+      phis.foreach { p =>
+        val exact = sorted((math.ceil(p * all.size) - 1).toInt)
+        assert(streamed(p) <= exact, s"phi=$p est=${streamed(p)} exact=$exact")
+      }
+    } finally q.stop()
+  }
+
   test("StatefulTable.runningFoldTws: same contract on transformWithState") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
