@@ -162,6 +162,32 @@ object UrlOps {
         countDistinct(col("_lang")).as("n_langs"))
   }
 
+  /** Per-domain crawl-budget scorecard — [[domainStats]]' curation
+    * companion: page count, distinct normalized URLs, the recrawl
+    * duplication rate that implies (`1 - n_urls/n_docs`), and mean
+    * content quality (any per-doc score column; t02's
+    * `qualityColumns` in the u05 query). The decision table behind
+    * per-domain caps and crawl scheduling: high dup_rate → waste,
+    * low mean_quality → demote the domain in the mix.
+    *
+    * Same Expand-rewrite shape as [[domainStats]] (one exact DISTINCT
+    * → 2 bounded shuffles on short string keys); mean quality rides
+    * the same partial agg, round(6) snapping the order-dependent
+    * double sum (cf. TextOps.unigramLmScore).
+    */
+  def domainScorecard(df: DataFrame, urlCol: String,
+                      qualityCol: String): DataFrame = {
+    val norm = normalize(col(urlCol))
+    df.select(registeredDomain(host(norm)).as("domain"),
+        norm.as("url_norm"), col(qualityCol).as("_q"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_urls"),
+        round(avg("_q"), 6).as("mean_quality"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_urls").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** URL-keyed exact dedup census, mirroring [[TextOps.exactDedup]]:
     * one row per distinct NORMALIZED url, smallest id wins. One
     * hash-shuffle on the normalized url. Rows whose URL fails to

@@ -167,6 +167,42 @@ object WebQueries {
           COUNT(DISTINCT lang) AS n_langs
         FROM g GROUP BY domain ORDER BY domain""")),
 
+    // ── per-domain crawl-budget scorecard: u03's stats + the dup rate
+    //    normalization implies + t02's quality score, one decision
+    //    table per registered domain (cap/demote/recrawl). Text joins
+    //    back by doc_id in the oracle (the shared norm CTE carries
+    //    only provenance columns). ────────────────────────────────────
+    Q("u05_domain_scorecard",
+      (s, dir) => {
+        val docs = urlFixture(Tables.documents(s, dir))
+        val qcol = graft.ops.TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .toMap.apply("quality_score")
+        UrlOps.domainScorecard(docs.withColumn("_qs", qcol), "url", "_qs")
+          .orderBy("domain")
+      },
+      Some(s"""WITH $urlCte, $normCte,
+        d AS (SELECT *, string_split(hst, '.') AS ls FROM n),
+        g AS (SELECT *,
+          CASE WHEN len(ls) >= 3 AND ls[-2] IN ('co','com','org','net','ac','gov','edu')
+            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+          ELSE hst END AS domain
+          FROM d),
+        q AS (SELECT doc_id,
+          (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+            / len(string_split(text, ' '))) AS qs
+          FROM documents)
+        SELECT domain, COUNT(*) AS n_docs,
+          COUNT(DISTINCT url_norm) AS n_urls,
+          ROUND(AVG(qs), 6) AS mean_quality,
+          1.0 - CAST(COUNT(DISTINCT url_norm) AS DOUBLE) / COUNT(*) AS dup_rate
+        FROM g JOIN q USING (doc_id)
+        GROUP BY domain ORDER BY domain""")),
+
     // ── URL-keyed dedup census (normalization merges raw variants) ──
     Q("u04_url_dedup",
       (s, dir) => UrlOps.dedupByUrl(urlFixture(Tables.documents(s, dir)),

@@ -91,6 +91,23 @@ class UrlOpsSpec extends SparkTestBase {
     assert(out == Seq(("http://h.com/p", 1L, 3L), ("https://other.com/q", 5L, 1L)))
   }
 
+  test("domainScorecard: dup rate from normalization merges, quality averaged per domain") {
+    val df = Seq(
+      // two raw variants of ONE page + one distinct page on h.com
+      (1L, "http://h.com/p", 2.0),
+      (2L, "HTTP://WWW.h.com:80/p/", 4.0),
+      (3L, "http://h.com/other", 6.0),
+      // clean domain: no dups
+      (4L, "https://other.com/q", 8.0)).toDF("doc_id", "url", "qs")
+    val out = UrlOps.domainScorecard(df, "url", "qs")
+      .select($"domain", $"n_docs", $"n_urls", $"mean_quality", $"dup_rate")
+      .orderBy("domain")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("h.com", 3L, 2L, 4.0, 1.0 - 2.0 / 3.0),
+      ("other.com", 1L, 1L, 8.0, 0.0)), out.toString)
+  }
+
   test("scalar url ops stay shuffle-free; domainStats bounded by the distinct rewrite") {
     val docs = spark.range(50)
       .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
