@@ -37,7 +37,8 @@ object Bench {
     "t20_pmi_collocations", "t21_bpe_train", "d21_cluster_representative",
     "q55_cms_frequency", "p14_perplexity_split",
     "q57_dyadic_quantile", "q58_dyadic_quantile_grouped",
-    "d23_containment", "t24_source_drift", "u05_domain_scorecard")
+    "d23_containment", "t24_source_drift", "u05_domain_scorecard",
+    "s17_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

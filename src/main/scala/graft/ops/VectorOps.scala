@@ -281,6 +281,56 @@ object VectorOps {
       .select("id_a", "rk", "id_b", "cos")
   }
 
+  /** ANN recall@k report — the index-tuning evaluation loop run
+    * in-engine: on a deterministic hash-sampled query subset, exact
+    * brute-force top-k is the ground truth and [[ivfNearestNeighbors]]
+    * the candidate; per query, how many of the true k the index
+    * returned. This is the number that decides nCells/probes (FAISS's
+    * recall-QPS tradeoff) — without it an ANN deployment is untuned
+    * guesswork.
+    *
+    * Scale shape: the ground truth is inherently exact, so it is
+    * bounded the standard way — SAMPLE the queries (mod `sampleMod`
+    * on the portable 60-bit hash), broadcast only the sampled side,
+    * and stream the corpus through one cos + WindowGroupLimit top-k
+    * (d17's pruning shape; the corpus is never broadcast and never
+    * self-joined). The IVF side is the s05 plan filtered to the same
+    * sample BEFORE its window. Queries with zero IVF candidates
+    * (alone in every probed cell) still report, at recall 0, via the
+    * truth-side left join.
+    */
+  def annRecallReport(df: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int = 16, k: Int = 3, probes: Int = 2,
+                      sampleMod: Int = 20): DataFrame = {
+    import graft.functions.PortableHash
+    require(sampleMod >= 1, "sampleMod >= 1")
+    def sampled(c: Column): Column =
+      PortableHash.mdHash60(c.cast("string")) % sampleMod === 0
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val queries = base.where(sampled(col("id")))
+      .select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a"))
+    val scored = base
+      .select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b"))
+      .join(broadcast(queries), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val truth = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k).select("id_a", "id_b")
+    val approx = ivfNearestNeighbors(df, idCol, vecCol, nCells, k, probes,
+        portablePivots = true)
+      .where(sampled(col("id_a")))
+      .select(col("id_a"), col("id_b")).withColumn("_hit", lit(1))
+    truth.join(approx, Seq("id_a", "id_b"), "left")
+      .groupBy("id_a").agg(count(col("_hit")).as("n_hits"))
+      .select(col("id_a"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** ANN: bucket vectors by [[lshBucket]], exact cosine rerank within
     * buckets, top-k per query. Only intra-bucket pairs are scored.
     */

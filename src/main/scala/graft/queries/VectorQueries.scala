@@ -70,6 +70,48 @@ object VectorQueries {
   private def kmeansSql(pivotCtes: String): String =
     kmeansCtes(pivotCtes) + "\n        SELECT cell, i, c, n FROM u2 ORDER BY cell, i"
 
+  /** Shared IVF self-kNN CTE chain — s05's plan replayed (portable
+    * pivot pick, probes=2 assignment, intra-cell exact cosine rerank),
+    * ending after `ranked(id_a, id_b, cos, rk)`. Reused by the s17
+    * recall report, which joins it against the brute-force truth.
+    */
+  private val ivfKnnCtes: String =
+    """base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN piv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 2),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id <> b.id),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+              / (ea.nrm * eb.nrm) AS cos
+          FROM pairs p
+          JOIN base ea ON ea.vec_id = p.id_a
+          JOIN base eb ON eb.vec_id = p.id_b),
+        ranked AS (
+          SELECT id_a, id_b, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+          FROM scored)"""
+
   val all: Seq[Q] = Seq(
 
     // ── brute-force cosine top-k (exact ANN baseline) ───────────────
@@ -171,43 +213,45 @@ object VectorQueries {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, probes = 2, portablePivots = true)
         .orderBy("id_a", "rk"),
-      Some("""WITH base AS (
-          SELECT vec_id, embedding,
-            SQRT(list_sum(list_transform(range(1, 65),
-              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-          FROM embeddings),
-        piv AS (
-          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
-          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        sim AS (
-          SELECT b.vec_id AS id, p.pid,
-            list_sum(list_transform(range(1, 65),
-              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
-              / (b.nrm * p.pnrm) AS psim
-          FROM base b CROSS JOIN piv p),
-        assigned AS (
-          SELECT id, pid AS cell FROM (
-            SELECT id, pid, ROW_NUMBER() OVER
-              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
-            FROM sim)
-          WHERE prk <= 2),
-        pairs AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id <> b.id),
-        scored AS (
-          SELECT p.id_a, p.id_b,
-            list_sum(list_transform(range(1, 65),
-              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-              / (ea.nrm * eb.nrm) AS cos
-          FROM pairs p
-          JOIN base ea ON ea.vec_id = p.id_a
-          JOIN base eb ON eb.vec_id = p.id_b),
-        ranked AS (
-          SELECT id_a, id_b, cos,
-            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
-          FROM scored)
+      Some(s"""WITH $ivfKnnCtes
         SELECT id_a, rk, id_b, cos FROM ranked WHERE rk <= 3
         ORDER BY id_a, rk""")),
+
+    // ── ANN recall@k report: the in-engine index-tuning loop — exact
+    //    brute-force truth on a hash-sampled query subset vs the s05
+    //    IVF plan; per-query hit count decides nCells/probes. ─────────
+    Q("s17_ann_recall",
+      (s, dir) => VectorOps.annRecallReport(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, k = 3, probes = 2, sampleMod = 20)
+        .orderBy("id_a"),
+      Some(s"""WITH $ivfKnnCtes,
+        qs AS (SELECT vec_id FROM base
+               WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                 % 20 = 0),
+        tsc AS (
+          SELECT qb.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qb.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (qb.nrm * b.nrm) AS cos
+          FROM qs q JOIN base qb ON qb.vec_id = q.vec_id
+          CROSS JOIN base b
+          WHERE b.vec_id <> q.vec_id),
+        truth AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, ROW_NUMBER() OVER
+              (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+            FROM tsc)
+          WHERE rk <= 3),
+        ap AS (
+          SELECT id_a, id_b FROM ranked
+          WHERE rk <= 3
+            AND ('0x' || substr(md5(id_a::VARCHAR), 1, 15))::BIGINT % 20 = 0)
+        SELECT t.id_a, CAST(COUNT(a.id_b) AS BIGINT) AS n_hits,
+          CAST(COUNT(a.id_b) AS DOUBLE) / 3.0 AS recall
+        FROM truth t
+        LEFT JOIN ap a ON a.id_a = t.id_a AND a.id_b = t.id_b
+        GROUP BY t.id_a ORDER BY t.id_a""")),
 
     // ── IVF cell centroids — the index-maintenance / k-means step:
     //    element-wise mean per cell (probes=1 assignment), rounded to

@@ -456,6 +456,25 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(pairs((1L, 2L))) < 1e-12)
   }
 
+  test("ANN recall report: probing every cell recovers recall 1.0; sampled and bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val report = VectorOps.annRecallReport(emb, "vec_id", "embedding",
+      nCells = 8, k = 3, probes = 2, sampleMod = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(report.nonEmpty && report.size < emb.count(),
+      "sample must be a strict subset")
+    assert(report.forall { case (_, h, r) =>
+      h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0 && r == h / 3.0 })
+    // probes = nCells means every candidate pair is scored: the index
+    // degenerates to brute force, so every sampled query must hit 3/3
+    val full = VectorOps.annRecallReport(emb, "vec_id", "embedding",
+      nCells = 8, k = 3, probes = 8, sampleMod = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(full.map(_._1).sorted == report.map(_._1).sorted,
+      "same sampled queries either way")
+    assert(full.forall(_._3 == 1.0), s"full-probe recall < 1: $full")
+  }
+
   test("lsh ANN returns a subset of brute-force neighbors with sane scores") {
     val emb = Tables.embeddings(spark, sf)
     val ann = VectorOps.lshNearestNeighbors(emb, "vec_id", "embedding", 4, 3)
