@@ -209,6 +209,48 @@ object SketchOps {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
+  /** Portable Bloom filter — the set-membership member of the
+    * portable-sketch family (distinct = [[hyperLogLog]], frequency =
+    * [[cmsRegisters]], quantile = [[dyadicCmsRegisters]]). Spark's
+    * native `bloom_filter_agg` (the d15/d20 prefilter) is an
+    * engine-local byte blob; this flavor is the textbook k-hash bit
+    * set over the MD5-seeded 60-bit hash, so any engine rebuilds the
+    * identical bit set and replays every probe (q59's oracle does).
+    *
+    * Build: one narrow scan → ≤ `numBits`-row DISTINCT (partial-agg,
+    * map-side collapses each partition to ≤ numBits rows; monotone
+    * set union, so streaming update-mode maintenance works like the
+    * other register sketches). Probe: explode k positions per key
+    * against the (broadcastable, ≤ numBits-row) bit set — might
+    * contain iff all k bits are set. No false negatives ever; false
+    * positive rate ≈ (1 - e^(-k·n/m))^k.
+    */
+  def bloomBits(df: DataFrame, keyCol: String, numBits: Int,
+                numHashes: Int): DataFrame = {
+    require(numBits >= 2 && numHashes >= 1, "numBits >= 2, numHashes >= 1")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(array((0 until numHashes).map { i =>
+        graft.functions.PortableHash.mdHash60(i, col(keyCol)) % numBits
+      }: _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Probe half of [[bloomBits]]: per distinct key in `keys`, whether
+    * every one of its k bit positions is set. The portable analog of
+    * `BloomMightContain` (d15's native probe).
+    */
+  def bloomMightContain(bits: DataFrame, keys: DataFrame, keyCol: String,
+                        numBits: Int, numHashes: Int): DataFrame = {
+    val probes = keys.where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct() // duplicate keys would double counts
+      .select(col(keyCol), explode(array((0 until numHashes).map { i =>
+        graft.functions.PortableHash.mdHash60(i, col(keyCol)) % numBits
+      }: _*)).as("bit"))
+    probes.join(broadcast(bits.withColumn("_set", lit(1))), Seq("bit"), "left")
+      .groupBy(keyCol)
+      .agg((count(col("_set")) === numHashes).as("might_contain"))
+  }
+
   /** Dyadic Count-Min quantile sketch (Cormode & Muthukrishnan 2005,
     * §4.2) — the quantile member of the portable-sketch family
     * (distinct = [[hyperLogLog]], frequency = [[cmsRegisters]]).

@@ -675,6 +675,54 @@ object CoreQueries {
         GROUP BY t.lang, t.phi, t.target
         ORDER BY t.lang, t.phi""")),
 
+    // ── portable Bloom membership: the set-membership sketch member —
+    //    d15's engine-local bloom_filter_agg gets an oracle-replayable
+    //    twin (the q25→q53 pattern). d09's incremental fixture: probe
+    //    an increment's fingerprints against the corpus bit set;
+    //    m=256 over ~70 keys leaves a live false-positive path, and
+    //    actually_in is the accuracy readout (no false negatives). ────
+    Q("q59_bloom_membership",
+      (s, dir) => {
+        import graft.ops.SketchOps
+        val docs = Tables.documents(s, dir)
+        val fp = md5(col("text").cast("binary")).as("fingerprint")
+        val corpus = docs.where(col("doc_id") % 7 === 0)
+          .select(fp).distinct()
+        val probe = docs.where(col("doc_id") % 5 === 0)
+          .select(fp).distinct()
+        val bits = SketchOps.bloomBits(corpus, "fingerprint",
+          numBits = 256, numHashes = 3)
+        val might = SketchOps.bloomMightContain(bits, probe, "fingerprint",
+          numBits = 256, numHashes = 3)
+        might.join(corpus.withColumn("_in", lit(1)), Seq("fingerprint"), "left")
+          .select(col("fingerprint"), col("might_contain"),
+            col("_in").isNotNull.as("actually_in"))
+          .orderBy("fingerprint")
+      },
+      Some("""WITH corpus AS (
+          SELECT DISTINCT MD5(text) AS fingerprint FROM documents
+          WHERE doc_id % 7 = 0),
+        bits AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(i::VARCHAR || '|' || fingerprint), 1, 15))::BIGINT
+              % 256 AS bit
+          FROM corpus CROSS JOIN range(3) t(i)),
+        probe AS (
+          SELECT DISTINCT MD5(text) AS fingerprint FROM documents
+          WHERE doc_id % 5 = 0),
+        pp AS (
+          SELECT fingerprint,
+            ('0x' || substr(md5(i::VARCHAR || '|' || fingerprint), 1, 15))::BIGINT
+              % 256 AS bit
+          FROM probe CROSS JOIN range(3) t(i)),
+        hits AS (
+          SELECT pp.fingerprint, COUNT(b.bit) AS nset
+          FROM pp LEFT JOIN bits b ON b.bit = pp.bit
+          GROUP BY pp.fingerprint)
+        SELECT h.fingerprint, h.nset = 3 AS might_contain,
+          h.fingerprint IN (SELECT fingerprint FROM corpus) AS actually_in
+        FROM hits h ORDER BY fingerprint""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

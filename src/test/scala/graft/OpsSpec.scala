@@ -734,6 +734,27 @@ class OpsSpec extends SparkTestBase {
       .where($"est_n" < $"exact_n").count() == 0)
   }
 
+  test("portable bloom: no false negatives, FP path live, layout-independent") {
+    import graft.ops.SketchOps
+    val corpus = docs.where($"doc_id" % 3 === 0)
+      .select(md5($"text".cast("binary")).as("fp"))
+    val probe = docs.select(md5($"text".cast("binary")).as("fp"))
+    val bits = SketchOps.bloomBits(corpus, "fp", numBits = 128, numHashes = 3)
+    assert(bits.count() <= 128)
+    val got = SketchOps.bloomMightContain(bits, probe, "fp",
+      numBits = 128, numHashes = 3)
+    val joined = got.join(corpus.distinct().withColumn("_in", lit(1)),
+      Seq("fp"), "left")
+    // every true member answers true — the bloom contract
+    assert(joined.where($"_in".isNotNull && !$"might_contain").count() == 0)
+    // 128 bits over this corpus must produce at least one false positive
+    assert(joined.where($"_in".isNull && $"might_contain").count() > 0)
+    // bit set is a distinct union: any partitioning, same set
+    val bits2 = SketchOps.bloomBits(corpus.repartition(7), "fp",
+      numBits = 128, numHashes = 3)
+    assert(bits.except(bits2).count() == 0 && bits2.except(bits).count() == 0)
+  }
+
   test("dyadic-CMS quantiles: one-sided, exact when collision-free, mergeable") {
     import graft.ops.SketchOps
     val vals = Tables.lineitem(spark, sf)
