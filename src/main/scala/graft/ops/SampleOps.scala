@@ -235,6 +235,55 @@ object SampleOps {
       .drop(hc)
   }
 
+  /** Curriculum-ordered shard assignment — [[shuffleShards]]' training-
+    * order upgrade: docs are first bucketed by an integer difficulty/
+    * quality score against φ-quantile CUTS, then hash-shuffled into
+    * `(shard, pos)` WITHIN each bucket. A trainer reading buckets in
+    * order (shards within a bucket in parallel) gets the curriculum —
+    * easy/high-quality first, hard/noisy last — without any global
+    * sort: the cuts come from the portable dyadic-CMS quantile sketch
+    * (q57's census-first build, one bounded partial agg + a tiny
+    * broadcast), the bucket id is a broadcast array probe, and the
+    * only window runs per (bucket, shard) like p08's.
+    *
+    * `scoreCol` must be integer-valued in `[0, 2^levels)` (floor a
+    * float score onto a fixed grid first — floor, not round: rounding
+    * half-cases are the one float op engines disagree on).
+    * `phis.size + 1` buckets come out; bucket k = score above exactly
+    * k of the cuts.
+    */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: Column,
+                       nShards: Int, phis: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                       levels: Int = 10, depth: Int = 3, width: Int = 512,
+                       salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    Seq("bucket", "shard", "pos").foreach { c =>
+      require(!df.columns.contains(c),
+        s"curriculumShards writes column '$c'; rename the existing one first")
+    }
+    val sc = "__graft_curr_score"
+    val hc = "__graft_curr_h"
+    val base = df.withColumn(sc, scoreCol.cast("long"))
+    val census = base.groupBy(col(sc).as("v")).agg(count(lit(1)).as("cnt"))
+    val regs = SketchOps.dyadicCmsRegistersFromCensus(census, Seq.empty,
+      "v", "cnt", levels, depth, width)
+    val total = census.agg(sum("cnt").as("n"))
+    val cuts = SketchOps.dyadicCmsQuantiles(regs, total, phis, levels,
+        depth, width)
+      .agg(sort_array(collect_list(col("q_est"))).as("_cuts"))
+    val h = PortableHash.mdHash60(
+      concat(lit(salt), lit("#"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col(hc), col(idCol))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        size(filter(col("_cuts"), c => col(sc) > c)).cast("int"))
+      .withColumn(hc, h)
+      .withColumn("shard", pmod(col(hc), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop(hc, "_cuts", sc)
+  }
+
   /** Shard-local sequence packing: assign documents to ~`budget`-token
     * bins by running token count within each group (the batch
     * construction step before training). A document lands in the bin

@@ -393,6 +393,75 @@ object PipelineQueries {
     // ── deterministic global training-order shuffle, written as
     //    (shard, pos) — a uniform permutation without a global sort;
     //    each shard orders independently (one window shuffle). ────────
+    Q("p15_curriculum",
+      (s, dir) => {
+        // integer difficulty grid: floor(quality*100) — floor, not
+        // round (rounding half-cases are the one float op engines
+        // disagree on); cuts from the q57 sketch, buckets broadcast
+        val qs = graft.ops.TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .toMap.apply("quality_score")
+        SampleOps.curriculumShards(
+          Tables.documents(s, dir)
+            .withColumn("score_i", floor(qs * 100).cast("long")),
+          "doc_id", col("score_i"), nShards = 4, salt = "cur")
+          .select(col("bucket"), col("shard"), col("pos").cast("long").as("pos"),
+            col("doc_id"), col("score_i"))
+          .orderBy("bucket", "shard", "pos")
+      },
+      Some("""WITH q AS (
+          SELECT doc_id,
+            CAST(FLOOR(
+              ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')))
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')))) * 100) AS BIGINT) AS score_i
+          FROM documents),
+        census AS (SELECT score_i AS v, COUNT(*) AS cnt FROM q GROUP BY 1),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM census),
+        upd AS (SELECT v, cnt, (l::VARCHAR || ':' || (v >> l)::VARCHAR) AS dk
+                FROM census CROSS JOIN range(10) t(l)),
+        reg AS (SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j,
+          CAST(SUM(cnt) AS BIGINT) AS c
+          FROM upd CROSS JOIN range(3) u(i) GROUP BY 1, 2),
+        cand AS (SELECT x FROM range(1, 1025) c(x)),
+        dec AS (SELECT x, (k::VARCHAR || ':' || (2*(x >> (k+1)))::VARCHAR) AS dk
+                FROM cand CROSS JOIN range(10) d(k)
+                WHERE ((x >> k) & 1) = 1),
+        keys AS (SELECT DISTINCT dk FROM dec),
+        kp AS (SELECT dk, i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j
+          FROM keys CROSS JOIN range(3) u(i)),
+        est AS (SELECT kp.dk, MIN(COALESCE(r.c, 0)) AS est_n
+                FROM kp LEFT JOIN reg r ON r.i = kp.i AND r.j = kp.j
+                GROUP BY kp.dk),
+        prefix AS (SELECT d.x, CAST(SUM(e.est_n) AS BIGINT) AS est_rank
+                   FROM dec d JOIN est e ON e.dk = d.dk GROUP BY d.x),
+        phis AS (SELECT phi FROM (VALUES (0.25), (0.5), (0.75)) p(phi)),
+        tgt AS (SELECT phi, CAST(CEIL(phi * n.n) AS BIGINT) AS target
+                FROM phis CROSS JOIN n),
+        cuts AS (SELECT t.phi,
+                   MIN(CASE WHEN p.est_rank >= t.target THEN p.x - 1 END)
+                     AS q_est
+                 FROM tgt t CROSS JOIN prefix p GROUP BY t.phi),
+        b AS (SELECT q.doc_id, q.score_i,
+                CAST(COUNT(CASE WHEN q.score_i > c.q_est THEN 1 END) AS INT)
+                  AS bucket
+              FROM q CROSS JOIN cuts c GROUP BY 1, 2),
+        h AS (SELECT *,
+                ('0x' || substr(md5('cur#' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  AS hv
+              FROM b)
+        SELECT bucket, CAST(hv % 4 AS INT) AS shard,
+          CAST(ROW_NUMBER() OVER
+            (PARTITION BY bucket, hv % 4 ORDER BY hv, doc_id) AS BIGINT) AS pos,
+          doc_id, score_i
+        FROM h ORDER BY bucket, shard, pos""")),
+
     Q("p08_shuffle_shards",
       (s, dir) => SampleOps.shuffleShards(Tables.documents(s, dir),
         "doc_id", nShards = 8, salt = "ord")

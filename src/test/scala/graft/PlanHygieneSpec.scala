@@ -71,6 +71,8 @@ class PlanHygieneSpec extends SparkTestBase {
     // Register maintenance itself is the partial-agg CMS groupBy.
     // t24_source_drift: the corpus token total — t11's exact scalar
     // class, broadcast back into the slice×vocab probability grid.
+    // p15_curriculum: q57's scalar N plus the 1-row sorted-cuts array
+    // (a phis-sized collect_list), broadcast back as the bucket probe.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -82,7 +84,7 @@ class PlanHygieneSpec extends SparkTestBase {
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
-      "q57_dyadic_quantile", "t24_source_drift")
+      "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

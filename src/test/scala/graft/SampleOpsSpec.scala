@@ -346,4 +346,30 @@ class SampleOpsSpec extends SparkTestBase {
     assert(disagree == 0)
     out.unpersist()
   }
+
+  test("curriculumShards: buckets monotone in score, shard positions contiguous") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("score_i", (col("n_chars") % 512).cast("long"))
+    val out = SampleOps.curriculumShards(docs, "doc_id", col("score_i"),
+      nShards = 4, levels = 9, salt = "t").persist()
+    // curriculum contract: score ranges never overlap across buckets —
+    // every doc in a later bucket outranks every doc in an earlier one
+    val ranges = out.groupBy("bucket")
+      .agg(min("score_i").as("lo"), max("score_i").as("hi"))
+      .orderBy("bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(ranges.size >= 2, s"cuts produced ${ranges.size} bucket(s)")
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi0), (_, lo1, _)) => assert(hi0 < lo1, ranges.toString)
+      case _ => ()
+    }
+    // within each (bucket, shard): pos is the contiguous 1..n
+    // permutation p08 guarantees
+    val bad = out.groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .where($"mx" =!= $"n" || $"mn" =!= 1).count()
+    assert(bad == 0)
+    // total is a partition of the input
+    assert(out.count() == docs.count())
+    out.unpersist()
+  }
 }
