@@ -731,6 +731,25 @@ object TextOps {
       .select("id", "term", "tf", "df", "tfidf")
   }
 
+  /** Top-k TF-IDF keywords per document — the doc-tagging/labeling
+    * step (route docs to domain experts, build facet indexes, explain
+    * dedup clusters by their distinguishing terms). Ranking is fully
+    * deterministic: the 6-dp-rounded [[tfIdf]] score (engine-exact)
+    * with ties broken by term.
+    *
+    * Scale shape: t06's two bounded groupBys, then ONE window per doc
+    * whose rank<=k predicate Spark turns into WindowGroupLimit —
+    * per-doc top-k is pruned inside the shuffle (d17's shape), never
+    * a full per-doc sort materialized.
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    val scored = tfIdf(df, idCol, textCol)
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id", "rk", "term", "tf", "tfidf")
+  }
+
   /** Okapi BM25 per (doc, term) — [[tfIdf]]'s IR-standard upgrade
     * (saturating tf, doc-length normalization; Lucene-style
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf that never goes

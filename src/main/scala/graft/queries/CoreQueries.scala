@@ -723,6 +723,42 @@ object CoreQueries {
           h.fingerprint IN (SELECT fingerprint FROM corpus) AS actually_in
         FROM hits h ORDER BY fingerprint""")),
 
+    // ── ordered conversion funnel: earliest view, earliest click
+    //    STRICTLY AFTER it, earliest purchase after that — per user,
+    //    one bounded user-key groupBy per step, no event sort. -1 =
+    //    never reached (sentinel keeps the longs non-null: the
+    //    driver's pandas path degrades nullable ints to float64).
+    //    Timestamps compare at µs — DuckDB's parquet reader coerces
+    //    the ns column to µs, so Spark divides the raw ns long the
+    //    same way (exact integer division, same total order). ─────────
+    Q("q60_event_funnel",
+      (s, dir) => {
+        val out = graft.ops.EventOps.funnelSteps(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+        out.select(col("user_id"), col("view_ts"),
+            coalesce(col("click_ts"), lit(-1L)).as("click_ts"),
+            coalesce(col("purchase_ts"), lit(-1L)).as("purchase_ts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        t1 AS (SELECT user_id, MIN(ts_us) AS view_ts FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, MIN(e.ts_us) AS click_ts
+               FROM e JOIN t1 ON t1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > t1.view_ts
+               GROUP BY 1),
+        t3 AS (SELECT e.user_id, MIN(e.ts_us) AS purchase_ts
+               FROM e JOIN t2 ON t2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > t2.click_ts
+               GROUP BY 1)
+        SELECT t1.user_id, t1.view_ts,
+          COALESCE(t2.click_ts, -1) AS click_ts,
+          COALESCE(t3.purchase_ts, -1) AS purchase_ts
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        ORDER BY user_id""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

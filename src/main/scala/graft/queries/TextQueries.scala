@@ -751,6 +751,32 @@ object TextQueries {
         FROM tfc JOIN dfc USING (term) CROSS JOIN n
         ORDER BY doc_id, term""")),
 
+    // ── top-k TF-IDF keywords per doc: the tagging/faceting step —
+    //    t06 + one WindowGroupLimit-pruned per-doc top-k (rounded
+    //    score + term tiebreak keeps the ranking engine-exact) ────────
+    Q("t25_keywords",
+      (s, dir) => TextOps.topKeywords(Tables.documents(s, dir),
+        "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tf AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+          FROM documents),
+        tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+            ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+          FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tf, tfidf,
+            ROW_NUMBER() OVER
+              (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        SELECT doc_id, rk, term, tf, tfidf FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk""")),
+
     // ── multimodal frame-sampling stub: chunk-offset selection over
     //    binary blobs (the real batch shape; decode stays stubbed) ────
     Q("m02_frame_offsets",

@@ -505,6 +505,50 @@ class OpsSpec extends SparkTestBase {
       s"prepend broke ${byDoc(1L).size - shared.size} of ${byDoc(1L).size} chunks")
   }
 
+  test("funnelSteps: strict temporal order, partial entry, re-click after view counts") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      // user 1: click BEFORE any view (must not count), then a proper
+      // view -> click -> purchase chain
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "purchase", 40L),
+      // user 2: purchase precedes the post-view click -> no conversion
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // user 3: enters but never clicks
+      (3L, "view", 5L),
+      // user 4: never views -> not in the report at all
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, Some(30L), Some(40L)),
+      (2L, 10L, Some(20L), None),
+      (3L, 5L, None, None)), got.toString)
+  }
+
+  test("topKeywords: k per doc, ranked by score then term, WindowGroupLimit pruned") {
+    val kw = TextOps.topKeywords(docs, "doc_id", "text", k = 3)
+    assert(kw.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-doc top-k should prune via WindowGroupLimit")
+    val rows = kw.select($"id", $"rk", $"term", $"tfidf")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.size <= 3 && sorted.map(_._2) == (1 to sorted.size))
+      // score non-increasing; equal scores ordered by term
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3), s"$a !>= $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("text kNN: ranked per doc, symmetric with the pair set, prunes via WindowGroupLimit") {
     val nn = TextOps.textNearestNeighbors(docs, "doc_id", "text",
       k = 3, numHashes = 16, bands = 2, minEstimate = 0.5, portable = true)
