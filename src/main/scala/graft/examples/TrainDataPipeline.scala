@@ -108,6 +108,20 @@ object TrainDataPipeline {
       .orderBy("split")
     budget.show(truncate = false)
 
+    // 7. curriculum shard writing: bucket the train fragment by the
+    // frozen-weight quality score (cuts from the portable quantile
+    // sketch — no global sort), hash-shuffled shards within buckets;
+    // the trainer then reads buckets high-quality-first
+    val curriculum = SampleOps.curriculumShards(
+      scored.where($"split" === "train")
+        .withColumn("score_i", floor($"quality" * 100).cast("long")),
+      "doc_id", $"score_i", nShards = 2, levels = 7, salt = "demo")
+    curriculum.groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        min("score_i").as("lo"), max("score_i").as("hi"))
+      .orderBy("bucket")
+      .show(truncate = false)
+
     val total = docs.count()
     val survived = scored.count()
     println(s"$total docs in -> $survived representative docs out " +

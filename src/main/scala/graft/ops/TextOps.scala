@@ -296,6 +296,62 @@ object TextOps {
       .select("id_a", "id_b", "n_common", "containment")
   }
 
+  /** MinHash estimator calibration — the dedup analog of the ANN
+    * recall report (s17): every LSH candidate pair's ESTIMATED
+    * Jaccard next to its TRUE Jaccard, folded into a calibration
+    * table per estimate bucket (estimates are exact multiples of
+    * 1/numHashes, so the bucket key is engine-exact). `n_true` /
+    * `precision` count candidates that clear the dedup threshold —
+    * the number that decides numHashes/bands: low precision wastes
+    * verify work, a mean far from the bucket key means the sketch is
+    * biased on this corpus.
+    *
+    * Scale shape: candidates from the banding join (bounded, d03's
+    * shape), then a deterministic 1/`sampleMod` hash-sample of the
+    * PAIRS — calibration is a statistic, so it is read off a sample,
+    * exactly like s17 samples its ground-truth queries (verifying
+    * every candidate's true Jaccard would cost a large fraction of
+    * the dedup run it is meant to tune). TRUE Jaccard is computed for
+    * the sampled candidates ONLY via one posting join per side
+    * (d16's verify trick — never all-pairs); the fold is a
+    * ≤ numHashes+1-row groupBy.
+    */
+  def minHashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 16, bands: Int = 2,
+                         threshold: Double = 0.9,
+                         sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, "sampleMod >= 1")
+    val all = minHashPairs(df, idCol, textCol, numHashes, bands,
+        minEstimate = 0.0, portable = true)
+      .select("id_a", "id_b", "est_jaccard")
+    val cand =
+      if (sampleMod == 1) all
+      else all.where(graft.functions.PortableHash.mdHash60(
+        concat(col("id_a").cast("string"), lit("|"),
+          col("id_b").cast("string"))) % sampleMod === 0)
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("ts"))
+      .select(col("id"), explode(col("ts")).as("tok"))
+    val cnt = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(toks.toDF("id_a", "tok"), Seq("id_a"))
+      .join(toks.toDF("id_b", "tok"), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val truth = cand
+      .join(common, Seq("id_a", "id_b"), "left")
+      .join(cnt.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(cnt.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+    truth.groupBy("est_jaccard")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"),
+        count(when(col("jaccard") >= threshold, 1)).as("n_true"))
+      .withColumn("precision",
+        col("n_true").cast("double") / col("n_pairs").cast("double"))
+  }
+
   /** MinHash signature: k permutation-minima over distinct-token
     * hashes (seeded per permutation). Returns array<long>.
     *

@@ -247,6 +247,67 @@ object TextQueries {
         FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
         ORDER BY id_a, id_b""")),
 
+    // ── MinHash calibration: est vs TRUE Jaccard per estimate bucket
+    //    over ALL banding candidates — the numHashes/bands tuning
+    //    table (s17's recall loop, for the dedup family). True
+    //    Jaccard computed for candidates only (d16's verify trick). ───
+    Q("d24_minhash_calibration",
+      (s, dir) => TextOps.minHashCalibration(Tables.documents(s, dir),
+        "doc_id", "text", numHashes = 16, bands = 2, threshold = 0.9,
+        sampleMod = 8)
+        .orderBy("est_jaccard"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        est AS (SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+                FROM agree
+                WHERE ('0x' || substr(md5(id_a::VARCHAR || '|' || id_b::VARCHAR),
+                  1, 15))::BIGINT % 8 = 0),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+        com AS (
+          SELECT e.id_a, e.id_b, COUNT(*) AS n_common
+          FROM est e
+          JOIN toks a ON a.doc_id = e.id_a
+          JOIN toks b ON b.doc_id = e.id_b AND b.tok = a.tok
+          GROUP BY 1, 2),
+        tj AS (
+          SELECT e.est_jaccard,
+            CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+              / (ca.n + cb.n - COALESCE(c.n_common, 0)) AS jaccard
+          FROM est e
+          LEFT JOIN com c ON c.id_a = e.id_a AND c.id_b = e.id_b
+          JOIN cnt ca ON ca.doc_id = e.id_a
+          JOIN cnt cb ON cb.doc_id = e.id_b)
+        SELECT est_jaccard, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ROUND(AVG(jaccard), 6) AS mean_jaccard,
+          CAST(COUNT(CASE WHEN jaccard >= 0.9 THEN 1 END) AS BIGINT) AS n_true,
+          CAST(COUNT(CASE WHEN jaccard >= 0.9 THEN 1 END) AS DOUBLE)
+            / COUNT(*) AS precision
+        FROM tj GROUP BY est_jaccard ORDER BY est_jaccard""")),
+
     // ── SimHash signatures (portable MD5 token hashes + bit-majority
     //    vote; hashes are 60-bit so the oracle votes bits 0-59) ───────
     Q("d04_dedup_simhash",

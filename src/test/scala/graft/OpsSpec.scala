@@ -159,6 +159,31 @@ class OpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 3L, 3L, 1.0)), out.toString)
   }
 
+  test("minHashCalibration: buckets are 1/k multiples, exact dups calibrate to 1.0") {
+    // add one exact duplicate pair so the est=1.0 bucket is non-empty
+    val dup = docs.limit(1).select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val d = docs.select("doc_id", "text").unionByName(dup)
+    val cal = TextOps.minHashCalibration(d, "doc_id", "text",
+      numHashes = 16, bands = 2, threshold = 0.9)
+      .orderBy("est_jaccard")
+      .as[(Double, Long, Double, Long, Double)].collect().toSeq
+    assert(cal.nonEmpty)
+    cal.foreach { case (est, nPairs, meanJ, nTrue, prec) =>
+      assert((est * 16).isWhole && est > 0 && est <= 1.0, s"bucket $est")
+      assert(meanJ >= 0.0 && meanJ <= 1.0 && nTrue <= nPairs)
+      assert(prec == nTrue.toDouble / nPairs)
+    }
+    // the exact-duplicate pair lands in the est=1.0 bucket and clears
+    // the threshold. On this pathologically-uniform corpus that bucket
+    // is NOT pure (16 hashes over ~25-token sets collide: mean true
+    // jaccard ~0.89, precision ~0.57) — surfacing exactly that bias is
+    // what the calibration table is for; a clean corpus reads ~1.0.
+    val top = cal.last
+    assert(top._1 == 1.0 && top._4 >= 1, top.toString)
+    assert(top._3 < 1.0 && top._5 < 1.0,
+      s"fixture corpus should exhibit estimator bias: $top")
+  }
+
   test("containment is directional and catches the subset-dup Jaccard misses") {
     val short = "alpha beta gamma delta epsilon zeta eta theta" // 8 toks, 4 shingles
     val long = short + " one two three four five six seven eight nine ten " +

@@ -101,7 +101,21 @@ class ScaleStressSpec extends SparkTestBase {
     // pair-count shuffle + two scalar totals: the salted 10× corpus
     // widens the bigram table ~linearly like t14's
     "t20_pmi_collocations" -> (df =>
-      TextOps.pmiCollocations(df, "text", minCount = 2L)))
+      TextOps.pmiCollocations(df, "text", minCount = 2L)),
+    // shingle posting-list self-join (d02's shape at 5-gram keys):
+    // disjoint salted copies keep pair output linear, like d03's
+    "d23_containment" -> (df =>
+      TextOps.containmentPairs(df, "doc_id", "text", n = 5, threshold = 0.9)),
+    // slice×vocab probability grid: the salted corpus widens the
+    // vocab ~10x, the grid must stay (slices × vocab)-bounded
+    "t24_source_drift" -> (df =>
+      TextOps.distributionDrift(
+        df.withColumn("src", (col("doc_id") % 20).cast("string")),
+        "src", "text")),
+    // tf-idf + per-doc WindowGroupLimit top-k: both count tables and
+    // the pruned window must scale with rows, not rows^2
+    "t25_keywords" -> (df =>
+      TextOps.topKeywords(df, "doc_id", "text", k = 3)))
 
   /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
     * (the session default), `executedPlan` is a single
