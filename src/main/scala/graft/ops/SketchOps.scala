@@ -226,12 +226,23 @@ object SketchOps {
     * positive rate ≈ (1 - e^(-k·n/m))^k.
     */
   def bloomBits(df: DataFrame, keyCol: String, numBits: Int,
-                numHashes: Int): DataFrame = {
+                numHashes: Int): DataFrame =
+    bloomBitsBy(df, Seq.empty, keyCol, numBits, numHashes)
+
+  /** Grouped twin of [[bloomBits]]: one independent bit set per value
+    * of `groupCols` — the per-slice membership filter (each shard or
+    * language keeps its own, so filters stay small and a slice's
+    * lookups never pay another slice's false-positive mass). Same
+    * grouped shape as q54/q56/q58.
+    */
+  def bloomBitsBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  numBits: Int, numHashes: Int): DataFrame = {
     require(numBits >= 2 && numHashes >= 1, "numBits >= 2, numHashes >= 1")
+    val gcols = groupCols.map(col)
     df.where(col(keyCol).isNotNull)
-      .select(explode(array((0 until numHashes).map { i =>
+      .select(gcols :+ explode(array((0 until numHashes).map { i =>
         graft.functions.PortableHash.mdHash60(i, col(keyCol)) % numBits
-      }: _*)).as("bit"))
+      }: _*)).as("bit"): _*)
       .distinct()
   }
 
@@ -240,14 +251,26 @@ object SketchOps {
     * `BloomMightContain` (d15's native probe).
     */
   def bloomMightContain(bits: DataFrame, keys: DataFrame, keyCol: String,
-                        numBits: Int, numHashes: Int): DataFrame = {
+                        numBits: Int, numHashes: Int): DataFrame =
+    bloomMightContainBy(bits, keys, Seq.empty, keyCol, numBits, numHashes)
+
+  /** Grouped twin of [[bloomMightContain]]: probe each group's own
+    * bit set (`keys` carries the group columns alongside the key).
+    */
+  def bloomMightContainBy(bits: DataFrame, keys: DataFrame,
+                          groupCols: Seq[String], keyCol: String,
+                          numBits: Int, numHashes: Int): DataFrame = {
+    val gcols = groupCols.map(col)
     val probes = keys.where(col(keyCol).isNotNull)
-      .select(col(keyCol)).distinct() // duplicate keys would double counts
-      .select(col(keyCol), explode(array((0 until numHashes).map { i =>
-        graft.functions.PortableHash.mdHash60(i, col(keyCol)) % numBits
-      }: _*)).as("bit"))
-    probes.join(broadcast(bits.withColumn("_set", lit(1))), Seq("bit"), "left")
-      .groupBy(keyCol)
+      .select(gcols :+ col(keyCol): _*)
+      .distinct() // duplicate keys would double counts
+      .select(gcols ++ Seq(col(keyCol),
+        explode(array((0 until numHashes).map { i =>
+          graft.functions.PortableHash.mdHash60(i, col(keyCol)) % numBits
+        }: _*)).as("bit")): _*)
+    probes.join(broadcast(bits.withColumn("_set", lit(1))),
+        groupCols :+ "bit", "left")
+      .groupBy(gcols :+ col(keyCol): _*)
       .agg((count(col("_set")) === numHashes).as("might_contain"))
   }
 

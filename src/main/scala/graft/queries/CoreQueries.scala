@@ -759,6 +759,54 @@ object CoreQueries {
         FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         ORDER BY user_id""")),
 
+    // ── grouped Bloom: one independent bit set per language (the
+    //    q54/q56/q58 grouped shape for MEMBERSHIP — per-shard filters
+    //    that never pay another slice's false-positive mass) ──────────
+    Q("q61_bloom_grouped",
+      (s, dir) => {
+        import graft.ops.SketchOps
+        val docs = Tables.documents(s, dir)
+        val fp = md5(col("text").cast("binary")).as("fingerprint")
+        val corpus = docs.where(col("doc_id") % 7 === 0)
+          .select(col("lang"), fp).distinct()
+        val probe = docs.where(col("doc_id") % 5 === 0)
+          .select(col("lang"), fp).distinct()
+        val bits = SketchOps.bloomBitsBy(corpus, Seq("lang"), "fingerprint",
+          numBits = 64, numHashes = 3)
+        val might = SketchOps.bloomMightContainBy(bits, probe, Seq("lang"),
+          "fingerprint", numBits = 64, numHashes = 3)
+        might.join(corpus.withColumn("_in", lit(1)),
+            Seq("lang", "fingerprint"), "left")
+          .select(col("lang"), col("fingerprint"), col("might_contain"),
+            col("_in").isNotNull.as("actually_in"))
+          .orderBy("lang", "fingerprint")
+      },
+      Some("""WITH corpus AS (
+          SELECT DISTINCT lang, MD5(text) AS fingerprint FROM documents
+          WHERE doc_id % 7 = 0),
+        bits AS (
+          SELECT DISTINCT lang,
+            ('0x' || substr(md5(i::VARCHAR || '|' || fingerprint), 1, 15))::BIGINT
+              % 64 AS bit
+          FROM corpus CROSS JOIN range(3) t(i)),
+        probe AS (
+          SELECT DISTINCT lang, MD5(text) AS fingerprint FROM documents
+          WHERE doc_id % 5 = 0),
+        pp AS (
+          SELECT lang, fingerprint,
+            ('0x' || substr(md5(i::VARCHAR || '|' || fingerprint), 1, 15))::BIGINT
+              % 64 AS bit
+          FROM probe CROSS JOIN range(3) t(i)),
+        hits AS (
+          SELECT pp.lang, pp.fingerprint, COUNT(b.bit) AS nset
+          FROM pp LEFT JOIN bits b ON b.lang = pp.lang AND b.bit = pp.bit
+          GROUP BY pp.lang, pp.fingerprint)
+        SELECT h.lang, h.fingerprint, h.nset = 3 AS might_contain,
+          EXISTS (SELECT 1 FROM corpus c
+                  WHERE c.lang = h.lang AND c.fingerprint = h.fingerprint)
+            AS actually_in
+        FROM hits h ORDER BY lang, fingerprint""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

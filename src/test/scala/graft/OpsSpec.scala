@@ -822,6 +822,18 @@ class OpsSpec extends SparkTestBase {
     val bits2 = SketchOps.bloomBits(corpus.repartition(7), "fp",
       numBits = 128, numHashes = 3)
     assert(bits.except(bits2).count() == 0 && bits2.except(bits).count() == 0)
+    // grouped flavor: filters are independent per slice — a key
+    // inserted only under group "x" reads ABSENT under group "y"
+    // (wide bit arrays so no cross-probe false positive interferes)
+    val gcorpus = Seq(("x", "kx"), ("y", "ky")).toDF("g", "k")
+    val gbits = SketchOps.bloomBitsBy(gcorpus, Seq("g"), "k",
+      numBits = 4096, numHashes = 3)
+    val gprobe = Seq(("x", "kx"), ("y", "kx"), ("x", "ky")).toDF("g", "k")
+    val gm = SketchOps.bloomMightContainBy(gbits, gprobe, Seq("g"), "k",
+        numBits = 4096, numHashes = 3)
+      .as[(String, String, Boolean)].collect().toSet
+    assert(gm == Set(("x", "kx", true), ("y", "kx", false), ("x", "ky", false)),
+      gm.toString)
   }
 
   test("dyadic-CMS quantiles: one-sided, exact when collision-free, mergeable") {
