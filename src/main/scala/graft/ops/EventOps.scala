@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-sequence analytics over the events stream — the funnel /
   * conversion-path operators a product-analytics pipeline runs on the
@@ -43,5 +44,50 @@ object EventOps {
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${st}_ts"))
         (acc.join(nxt, Seq(userCol), "left"), s"${st}_ts")
     }._1
+  }
+
+  /** Streaming twin of [[funnelSteps]] — the per-key stateful funnel
+    * a faust app would build from a Table of "last reached step"
+    * state, as `flatMapGroupsWithState`: state is one timestamp per
+    * step (-1 = not reached), each micro-batch advances it greedily
+    * and emits the key's current row (update mode).
+    *
+    * Delivery contract: per-key TIMESTAMP-ORDERED arrival across
+    * micro-batches — Kafka's per-partition ordering, the reference's
+    * execution model (out-of-order WITHIN a batch is fine: the
+    * handler sorts its iterator). Under that contract greedy
+    * first-match IS the batch semantics ("earliest step k strictly
+    * after step k-1"), and the spec proves streamed ≡ batch on the
+    * same events. State is `steps.length` longs per live user —
+    * bounded, TTL-able via the StatefulTable machinery if needed.
+    *
+    * Rows: `(user_id, step_ts)` with `step_ts(i)` the i-th step's
+    * timestamp or -1; filled slots never change, so the FINAL row per
+    * user is the per-column max across emitted rows.
+    */
+  def funnelStepsStream(events: Dataset[(Long, String, Long)],
+                        steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Long, String, Long)],
+         state: GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(Array.fill(n)(-1L))
+          evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, tpe, ts) =>
+            stepIdx.get(tpe).foreach { i =>
+              if (cur(i) == -1L &&
+                  (i == 0 || (cur(i - 1) != -1L && ts > cur(i - 1))))
+                cur(i) = ts
+            }
+          }
+          state.update(cur)
+          Iterator.single(user -> cur.toSeq)
+      }
+      .toDF("user_id", "step_ts")
   }
 }

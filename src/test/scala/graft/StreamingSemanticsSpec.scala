@@ -148,6 +148,50 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: stateful per-key steps converge to the batch answer") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // q60's crafted fixture: out-of-order pre-view click, a
+    // non-converting purchase-before-click, a partial entry, a
+    // never-enters user
+    val evs = Seq(
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "purchase", 40L),
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      (3L, "view", 5L),
+      (4L, "click", 1L), (4L, "purchase", 2L))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventOps.funnelStepsStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // per-key ts-ordered delivery (the Kafka partition contract),
+      // split across two micro-batches mid-funnel
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      val (b1, b2) = ordered.splitAt(5)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // filled slots never regress, so final per-user row = columnwise max
+      val streamed = spark.table("funnel_stream")
+        .groupBy("user_id")
+        .agg(max(element_at($"step_ts", 1)).as("v"),
+          max(element_at($"step_ts", 2)).as("c"),
+          max(element_at($"step_ts", 3)).as("p"))
+        .where($"v" =!= -1L) // never-entered users aren't in the batch report
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventOps.funnelSteps(evs.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .select($"user_id", $"view_ts",
+          coalesce($"click_ts", lit(-1L)).as("c"),
+          coalesce($"purchase_ts", lit(-1L)).as("p"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("StatefulTable.runningFoldTws: same contract on transformWithState") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
