@@ -235,6 +235,39 @@ object SampleOps {
       .drop(hc)
   }
 
+  /** Token-budget mixture sampling — [[mixtureSample]] with the
+    * recipe written the way data mixes actually are: a TOKEN budget
+    * per group, not a doc fraction. Keep probability per group is
+    * `min(1, budget_g / total_tokens_g)` (derived from one bounded
+    * per-group partial agg, broadcast back), so each group's kept
+    * token mass lands on its budget in expectation regardless of the
+    * groups' wildly different doc lengths and sizes. Groups without a
+    * budget drop entirely (null fraction → null predicate), which is
+    * the recipe semantics: unlisted sources are out of the mix.
+    *
+    * Same zero-shuffle hash predicate as every sampler here —
+    * rerun/append-stable, composable downstream of dedup/quality.
+    */
+  def tokenBudgetMixture(df: DataFrame, groupCol: String, idCol: String,
+                         tokenCol: Column, budgets: Seq[(String, Long)],
+                         salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "at least one group budget")
+    val tc = "__graft_tbm_tot"
+    val totals = df.groupBy(groupCol)
+      .agg(sum(tokenCol.cast("long")).as(tc))
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (els, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(els)
+    }
+    // the isNotNull guard is load-bearing: least() IGNORES nulls (both
+    // engines), so least(1.0, null/tot) would silently read as keep
+    // fraction 1.0 and unlisted groups would sail through whole
+    val kf = when(budget.isNotNull,
+      least(lit(1.0), budget.cast("double") / col(tc).cast("double")))
+    df.join(broadcast(totals), Seq(groupCol))
+      .where(unitHash(col(idCol), salt) < kf)
+      .drop(tc)
+  }
+
   /** Curriculum-ordered shard assignment — [[shuffleShards]]' training-
     * order upgrade: docs are first bucketed by an integer difficulty/
     * quality score against φ-quantile CUTS, then hash-shuffled into

@@ -300,6 +300,31 @@ object PipelineQueries {
             / 1152921504606846976.0 < f.kf
         ORDER BY doc_id""")),
 
+    // ── token-budget mixture: the recipe written in TOKENS — keep
+    //    fraction = min(1, budget/total_tokens) per group, derived
+    //    from one bounded agg and broadcast back; unlisted langs
+    //    (fr/de here) drop entirely, exercising the null path ─────────
+    Q("p16_token_budget",
+      (s, dir) => SampleOps.tokenBudgetMixture(Tables.documents(s, dir),
+        "lang", "doc_id", graft.ops.TextOps.tokenCount(col("text")),
+        Seq("en" -> 2000L, "zh" -> 500L, "es" -> 300L), salt = "tb")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+          SELECT lang,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+          FROM documents GROUP BY lang),
+        f AS (SELECT lang,
+          CASE WHEN lang IN ('en', 'zh', 'es')
+            THEN least(1.0, (CASE lang WHEN 'en' THEN 2000.0
+              WHEN 'zh' THEN 500.0 WHEN 'es' THEN 300.0 END) / tot)
+          END AS kf
+          FROM c)
+        SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+        WHERE ('0x' || substr(md5('tb#' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0 < f.kf
+        ORDER BY doc_id""")),
+
     // ── shard-local sequence packing into ~budget-token bins ────────
     Q("p07_pack",
       (s, dir) => SampleOps.packByBudget(Tables.documents(s, dir),

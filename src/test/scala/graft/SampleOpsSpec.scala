@@ -347,6 +347,32 @@ class SampleOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("tokenBudgetMixture: full-keep above total, expectation near budget, unlisted drop") {
+    import graft.ops.TextOps
+    val docs = Tables.documents(spark, sf)
+    val tokc = TextOps.tokenCount(col("text"))
+    val totals = docs.groupBy("lang").agg(sum(tokc.cast("long")).as("tot"))
+      .as[(String, Long)].collect().toMap
+    val out = SampleOps.tokenBudgetMixture(docs, "lang", "doc_id", tokc,
+      Seq("en" -> 10000000L, "zh" -> totals("zh") / 2), salt = "s").persist()
+    // budget >= group total -> fraction clamps to 1.0 -> whole group kept
+    val enDocs = docs.where($"lang" === "en").count()
+    assert(out.where($"lang" === "en").count() == enDocs)
+    // unlisted groups drop entirely
+    assert(out.where(!$"lang".isInCollection(Seq("en", "zh"))).count() == 0)
+    // half-budget group: kept token mass lands near budget/total = 50%
+    // (hash Bernoulli at ~35 docs -> generous 3-sigma-ish band)
+    val zhKept = out.where($"lang" === "zh")
+      .agg(sum(tokc.cast("long"))).as[Long].head()
+    val frac = zhKept.toDouble / totals("zh")
+    assert(frac > 0.2 && frac < 0.8, s"zh kept fraction $frac")
+    // rerun-stable: same salt, same survivors
+    val again = SampleOps.tokenBudgetMixture(docs, "lang", "doc_id", tokc,
+      Seq("en" -> 10000000L, "zh" -> totals("zh") / 2), salt = "s")
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("curriculumShards: buckets monotone in score, shard positions contiguous") {
     val docs = Tables.documents(spark, sf)
       .withColumn("score_i", (col("n_chars") % 512).cast("long"))
