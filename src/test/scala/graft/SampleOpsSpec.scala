@@ -347,6 +347,33 @@ class SampleOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("curriculum shards written partitionBy(bucket) prune the easy-first scan") {
+    // the write half of p15's contract: a trainer reading bucket 0
+    // first must touch ONLY bucket-0 files — partition pruning, not a
+    // full-scan-and-filter
+    val docs = Tables.documents(spark, sf)
+      .withColumn("score_i", (col("n_chars") % 512).cast("long"))
+    val out = SampleOps.curriculumShards(docs, "doc_id", col("score_i"),
+      nShards = 2, levels = 9, salt = "w")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curr").toString
+    out.write.partitionBy("bucket", "shard").mode("overwrite").parquet(dir)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().map(_.metrics)
+        .flatMap(_.get("numFiles").map(_.value)).sum
+    }
+    val full = filesRead(spark.read.parquet(dir))
+    val first = filesRead(spark.read.parquet(dir).where($"bucket" === 0))
+    assert(first < full, s"bucket-0 scan read $first of $full files")
+    // and the pruned read returns exactly bucket 0's docs
+    val expect = out.where($"bucket" === 0).select("doc_id")
+      .as[Long].collect().toSet
+    val got = spark.read.parquet(dir).where($"bucket" === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("tokenBudgetMixture: full-keep above total, expectation near budget, unlisted drop") {
     import graft.ops.TextOps
     val docs = Tables.documents(spark, sf)
