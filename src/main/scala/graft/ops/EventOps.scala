@@ -8,9 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * conversion-path operators a product-analytics pipeline runs on the
   * same engine the training pipeline does.
   *
-  * Reference behavior: faust apps hand-roll this shape with per-key
-  * tables holding "last seen step" state (the pattern its docs'
-  * page-view examples gesture at); here it is one declarative plan.
+  * Reference behavior: faust has no funnel operator — its apps
+  * hand-roll the shape with a per-key Table incremented by an agent
+  * (the pageviews playbook pattern,
+  * `docs/playbooks/pageviews.rst:76-92`: `app.Table` + an agent
+  * folding each event into per-key state). [[funnelSteps]] is that
+  * semantics as one declarative batch plan; [[funnelStepsStream]] is
+  * the literal stateful-table analog on Structured Streaming.
   */
 object EventOps {
 
@@ -31,16 +35,25 @@ object EventOps {
     * cost is `steps` narrow-key partial aggs, not an event sort.
     */
   def funnelSteps(df: DataFrame, userCol: String, typeCol: String,
-                  tsCol: String, steps: Seq[String]): DataFrame = {
+                  tsCol: String, steps: Seq[String],
+                  within: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(within.forall(_ > 0), "conversion window must be positive")
+    val firstCol = s"${steps.head}_ts"
     val first = df.where(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${steps.head}_ts"))
-    steps.drop(1).foldLeft((first, s"${steps.head}_ts")) {
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as(firstCol))
+    steps.drop(1).foldLeft((first, firstCol)) {
       case ((acc, prev), st) =>
+        // conversion window (when set) is anchored at the FIRST step —
+        // the standard "converted within N of entering" semantics
+        val inWindow = within.map(w => col(tsCol) <= col(firstCol) + w)
+          .getOrElse(lit(true))
+        val carry = (Seq(userCol, firstCol) ++
+          (if (prev == firstCol) Nil else Seq(prev))).map(col)
         val nxt = df.where(col(typeCol) === st)
-          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
-          .where(col(tsCol) > col(prev))
+          .join(acc.select(carry: _*), Seq(userCol))
+          .where(col(tsCol) > col(prev) && inWindow)
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${st}_ts"))
         (acc.join(nxt, Seq(userCol), "left"), s"${st}_ts")
     }._1
@@ -66,8 +79,10 @@ object EventOps {
     * user is the per-column max across emitted rows.
     */
   def funnelStepsStream(events: Dataset[(Long, String, Long)],
-                        steps: Seq[String]): DataFrame = {
+                        steps: Seq[String],
+                        within: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
+    require(within.forall(_ > 0), "conversion window must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val n = steps.size
@@ -81,7 +96,8 @@ object EventOps {
           evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, tpe, ts) =>
             stepIdx.get(tpe).foreach { i =>
               if (cur(i) == -1L &&
-                  (i == 0 || (cur(i - 1) != -1L && ts > cur(i - 1))))
+                  (i == 0 || (cur(i - 1) != -1L && ts > cur(i - 1) &&
+                    within.forall(w => ts <= cur(0) + w))))
                 cur(i) = ts
             }
           }

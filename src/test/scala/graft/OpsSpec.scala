@@ -555,6 +555,29 @@ class OpsSpec extends SparkTestBase {
       (3L, 5L, None, None)), got.toString)
   }
 
+  test("funnel conversion window: late steps outside `within` do not convert") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      // user 1 converts inside the window; user 2's purchase lands
+      // past view+100 and must not count, though its click does
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 60L),
+      (2L, "view", 10L), (2L, "click", 20L), (2L, "purchase", 200L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), within = Some(100L))
+      .orderBy("user_id")
+      .select($"user_id", $"click_ts", $"purchase_ts")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some(20L), Some(60L)), (2L, Some(20L), None)),
+      got.toString)
+    // unwindowed: user 2 converts after all
+    val open = EventOps.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .where($"user_id" === 2L).select($"purchase_ts")
+      .as[Option[Long]].head()
+    assert(open.contains(200L))
+  }
+
   test("topKeywords: k per doc, ranked by score then term, WindowGroupLimit pruned") {
     val kw = TextOps.topKeywords(docs, "doc_id", "text", k = 3)
     assert(kw.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
