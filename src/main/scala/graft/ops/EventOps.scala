@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -57,6 +58,35 @@ object EventOps {
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"${st}_ts"))
         (acc.join(nxt, Seq(userCol), "left"), s"${st}_ts")
     }._1
+  }
+
+  /** Batch sessionization — gap-based session assignment over
+    * HISTORICAL events: a session breaks where the per-user gap
+    * exceeds `gapSeconds` (`session_window`'s semantics — q27's
+    * streaming flavor — replayed over bounded data, which the
+    * streaming operator cannot do for a backfill). One row per
+    * (user, session) with bounds and event count.
+    *
+    * Scale shape: both windows partition by `userCol` and share ONE
+    * shuffle + sort (same partitioning and ordering); per-user data
+    * is small by construction, so the sort never sees a partition
+    * bigger than one user's history. The final groupBy partial-aggs
+    * on (user, session).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull || col(tsCol) - prev > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("__graft_sess_brk", brk)
+      .withColumn("session_id", sum(col("__graft_sess_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Streaming twin of [[funnelSteps]] — the per-key stateful funnel

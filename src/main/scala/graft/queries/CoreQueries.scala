@@ -807,6 +807,30 @@ object CoreQueries {
             AS actually_in
         FROM hits h ORDER BY lang, fingerprint""")),
 
+    // ── batch sessionization: q27's gap semantics over historical
+    //    data (the backfill the streaming operator can't run); one
+    //    user-partitioned shuffle shared by both windows ──────────────
+    Q("q62_sessionize_batch",
+      (s, dir) => graft.ops.EventOps.sessionize(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts_sec")),
+        "user_id", "ts_sec", "event_id", gapSeconds = 43200L)
+        .orderBy("user_id", "session_id"),
+      Some(Tables.eventsCte + """,
+        l AS (SELECT user_id, event_id, ts_sec,
+                LAG(ts_sec) OVER (PARTITION BY user_id
+                  ORDER BY ts_sec, event_id) AS prev
+              FROM e),
+        m AS (SELECT *, CASE WHEN prev IS NULL OR ts_sec - prev > 43200
+                THEN 1 ELSE 0 END AS brk FROM l),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+          MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ── conditional aggregation (pivot-style wide table) ────────────
     Q("q30_conditional_agg",
       (s, dir) => Tables.events(s, dir)

@@ -555,6 +555,28 @@ class OpsSpec extends SparkTestBase {
       (3L, 5L, None, None)), got.toString)
   }
 
+  test("sessionize: gap starts a new session, bounds exact, one shuffle total") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      // user 1: two sessions split by a 100s gap (gap=50)
+      (1L, 10L, 100L), (1L, 11L, 120L), (1L, 12L, 220L), (1L, 13L, 240L),
+      // user 2: single event = single session
+      (2L, 20L, 500L)
+    ).toDF("user_id", "event_id", "ts_sec")
+    val out = EventOps.sessionize(ev, "user_id", "ts_sec", "event_id", 50L)
+    val got = out.orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 100L, 120L, 2L),
+      (1L, 2L, 220L, 240L, 2L),
+      (2L, 1L, 500L, 500L, 1L)), got.toString)
+    // both windows and the (user, session) groupBy share ONE shuffle:
+    // hash(user_id) satisfies the grouping's clustered distribution
+    val exchanges = out.queryExecution.executedPlan.toString
+      .split("Exchange hashpartitioning").length - 1
+    assert(exchanges == 1, s"sessionize planned $exchanges shuffles")
+  }
+
   test("funnel conversion window: late steps outside `within` do not convert") {
     import graft.ops.EventOps
     val ev = Seq(
