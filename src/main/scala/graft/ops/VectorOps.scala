@@ -817,6 +817,48 @@ object VectorOps {
     * division, floor, multiply, compare) is deterministic IEEE, so
     * the report is hash-exact cross-engine.
     */
+  /** SQ8 ANN with asymmetric distance computation — the scalar-
+    * quantizer sibling of the PQ path (s15): the CORPUS is stored as
+    * int8 codes + one scale per vector (s07's quantization, 4× the
+    * memory cut of float32), queries stay full-precision, and the
+    * score is the asymmetric dot `scale_b · Σ q_b[i]·query[i]` (the
+    * FAISS `IndexScalarQuantizer` search shape). Queries are the s17
+    * hash sample; candidates here are brute-force — compose with
+    * [[ivfAssign]] cell gating for the 100 TB path exactly as s15
+    * does, the scoring column is the same either way.
+    *
+    * Determinism: quantization is integer (floor(x/scale + 0.5));
+    * the ADC fold is the same left-to-right double sum every s-family
+    * oracle replays (list_sum order).
+    *
+    * Scale shape: the corpus streams with its codes (never
+    * broadcast); only the sampled query block broadcasts; per-query
+    * top-k prunes in-shuffle via WindowGroupLimit.
+    */
+  def sq8NearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int = 3, sampleMod: Int = 20): DataFrame = {
+    import graft.functions.PortableHash
+    require(sampleMod >= 1, "sampleMod >= 1")
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val base = df.select(col(idCol).as("id"), v.as("v"),
+      (array_max(transform(v, x => abs(x))) / 127.0).as("scale"))
+    val codes = base.select(col("id").as("id_b"), col("scale"),
+      when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"), x => floor(x / col("scale") + 0.5)))
+        .as("q"))
+    val queries = base
+      .where(PortableHash.mdHash60(col("id").cast("string")) % sampleMod === 0)
+      .select(col("id").as("id_a"), col("v").as("vec_a"))
+    val scored = codes.join(broadcast(queries), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("scale") * aggregate(
+          zip_with(col("q"), col("vec_a"), (qi, ai) => qi.cast("double") * ai),
+          lit(0.0), (acc, x) => acc + x)).as("adc"))
+    val w = Window.partitionBy("id_a").orderBy(col("adc").desc, col("id_b"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "adc")
+  }
+
   def quantizeInt8Report(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val withScale = df.select(col(idCol), v.as("v"),

@@ -253,6 +253,44 @@ object VectorQueries {
         LEFT JOIN ap a ON a.id_a = t.id_a AND a.id_b = t.id_b
         GROUP BY t.id_a ORDER BY t.id_a""")),
 
+    // ── SQ8 ANN with asymmetric distance: int8 corpus codes + FP
+    //    queries (FAISS IndexScalarQuantizer shape) — the scalar-
+    //    quantizer sibling of s15's PQ-ADC, on the s17 query sample ───
+    Q("s18_knn_sq8",
+      (s, dir) => VectorOps.sq8NearestNeighbors(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 3, sampleMod = 20)
+        .orderBy("id_a", "rk"),
+      Some("""WITH base AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings),
+        codes AS (
+          SELECT vec_id AS id_b, scale,
+            CASE WHEN scale = 0.0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+            END AS q
+          FROM base),
+        qs AS (
+          SELECT vec_id AS id_a, v AS vec_a FROM base
+          WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+            % 20 = 0),
+        scored AS (
+          SELECT q2.id_a, c.id_b,
+            c.scale * list_sum(list_transform(range(1, 65),
+              i -> CAST(c.q[i] AS DOUBLE) * q2.vec_a[i])) AS adc
+          FROM codes c CROSS JOIN qs q2
+          WHERE c.id_b <> q2.id_a),
+        ranked AS (
+          SELECT id_a, id_b, adc,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY adc DESC, id_b) AS rk
+          FROM scored)
+        SELECT id_a, rk, id_b, adc FROM ranked WHERE rk <= 3
+        ORDER BY id_a, rk""")),
+
     // ── IVF cell centroids — the index-maintenance / k-means step:
     //    element-wise mean per cell (probes=1 assignment), rounded to
     //    6 dp for cross-engine summation-order independence ───────────

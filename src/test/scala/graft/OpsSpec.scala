@@ -481,6 +481,34 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(pairs((1L, 2L))) < 1e-12)
   }
 
+  test("SQ8 ADC: score within the quantization error bound of the exact dot") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = VectorOps.sq8NearestNeighbors(emb, "vec_id", "embedding",
+      k = 3, sampleMod = 10)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // per-element rounding error is at most half a quantum, so
+    // |adc - exact_dot| <= (scale_b / 2) * sum(|query_i|)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (qa, _, cb, adc) =>
+      val a = vecs(qa).map(_.toDouble); val b = vecs(cb).map(_.toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val scale = b.map(math.abs).max / 127.0
+      val bound = scale / 2.0 * a.map(math.abs).sum + 1e-9
+      assert(math.abs(adc - dot) <= bound,
+        s"adc=$adc dot=$dot bound=$bound for ($qa,$cb)")
+    }
+    // ranks contiguous per query; layout-independent
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (1 to g.size))
+    }
+    val again = VectorOps.sq8NearestNeighbors(emb.repartition(7),
+      "vec_id", "embedding", k = 3, sampleMod = 10)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("ANN recall report: probing every cell recovers recall 1.0; sampled and bounded") {
     val emb = Tables.embeddings(spark, sf)
     val report = VectorOps.annRecallReport(emb, "vec_id", "embedding",
