@@ -65,6 +65,27 @@ object LearnOps {
   def trainQualityClassifier(df: DataFrame, textCol: String, label: Column,
                              stopwords: Seq[String], steps: Int = 3,
                              lr: Double = 1.0): DataFrame = {
+    val (feats, w) = trainWeights(df, textCol, label, stopwords, steps, lr)
+    val pf = fastSigmoid(zOf(w))
+    val mse = feats.agg(round(avg((pf - col("y")) * (pf - col("y"))), 6).as("v"))
+      .select(lit("mse").as("k"), col("v"))
+    import df.sparkSession.implicits._
+    val weights = Seq("w0" -> w(0), "w1" -> w(1), "w2" -> w(2), "w3" -> w(3))
+      .toDF("k", "v")
+    mse.unionAll(weights)
+  }
+
+  private def zOf(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** The GD loop shared by [[trainQualityClassifier]] (weights + mse
+    * report) and [[classifierPrReport]] (per-threshold evaluation):
+    * returns the feature frame and the trained weight vector.
+    */
+  private def trainWeights(df: DataFrame, textCol: String, label: Column,
+                           stopwords: Seq[String], steps: Int,
+                           lr: Double): (DataFrame, Array[Double]) = {
     require(steps > 0, "steps must be positive")
     val q = TextOps.qualityColumns(col(textCol), stopwords).toMap
     val feats = df.select(
@@ -73,11 +94,6 @@ object LearnOps {
       q("stopword_ratio").as("x2"),
       (q("n_tokens").cast("double") / 100.0).as("x3"),
       label.cast("double").as("y"))
-
-    def zOf(w: Array[Double]): Column =
-      lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
-        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-
     var w = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to steps) {
       val z = zOf(w)
@@ -92,13 +108,42 @@ object LearnOps {
         round(avg(err * col("x3")), 6).as("g3")).head()
       w = Array.tabulate(4)(j => w(j) - lr * g.getDouble(j))
     }
+    (feats, w)
+  }
 
-    val pf = fastSigmoid(zOf(w))
-    val mse = feats.agg(round(avg((pf - col("y")) * (pf - col("y"))), 6).as("v"))
-      .select(lit("mse").as("k"), col("v"))
+  /** Per-threshold precision/recall of the trained classifier — the
+    * eval half of the train→deploy loop (s17 recall and d24
+    * calibration's pattern, for the model family): confusion counts
+    * and PR at each fixed threshold over the trained scores. Counts
+    * are integers and the scores are bit-reproducible (snapped-
+    * gradient weights + exact feature arithmetic), so the whole
+    * report is engine-exact; empty-denominator cells emit -1.0
+    * rather than null (the driver's pandas path degrades nullable
+    * doubles).
+    *
+    * Scale shape: one broadcast of the thresholds frame over the
+    * scored scan, one bounded groupBy — the training loop itself is
+    * the same `steps` 1-row aggregates t18 runs.
+    */
+  def classifierPrReport(df: DataFrame, textCol: String, label: Column,
+                         stopwords: Seq[String],
+                         thresholds: Seq[Double],
+                         steps: Int = 3, lr: Double = 1.0): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val (feats, w) = trainWeights(df, textCol, label, stopwords, steps, lr)
+    val scored = feats.select(fastSigmoid(zOf(w)).as("p"), col("y"))
     import df.sparkSession.implicits._
-    val weights = Seq("w0" -> w(0), "w1" -> w(1), "w2" -> w(2), "w3" -> w(3))
-      .toDF("k", "v")
-    mse.unionAll(weights)
+    val ratio = (num: Column, den: Column) =>
+      when(den === 0L, lit(-1.0)).otherwise(num.cast("double") / den.cast("double"))
+    scored.crossJoin(broadcast(thresholds.toDF("thr")))
+      .groupBy("thr")
+      .agg(
+        count(when(col("p") >= col("thr") && col("y") === 1.0, 1)).as("tp"),
+        count(when(col("p") >= col("thr") && col("y") === 0.0, 1)).as("fp"),
+        count(when(col("p") < col("thr") && col("y") === 1.0, 1)).as("fn"),
+        count(when(col("p") < col("thr") && col("y") === 0.0, 1)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"))
   }
 }

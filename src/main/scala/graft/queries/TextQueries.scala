@@ -48,7 +48,11 @@ object TextQueries {
     * only the 6-dp-rounded gradient averages are order-dependent, so
     * the trained weights are bit-identical cross-engine.
     */
-  private def gdOracleSql(steps: Int, lr: String = "1.0"): String = {
+  /** GD-training CTE chain shared by t18 (weights + mse tail) and t26
+    * (per-threshold PR tail): `steps` unrolled gradient rounds ending
+    * open after `w$steps(w0..w3)` and `pred(p, y)`.
+    */
+  private def gdCtes(steps: Int, lr: String = "1.0"): String = {
     // lr as CAST(... AS DOUBLE): DuckDB parses bare decimal literals
     // as DECIMAL, and the Scala side multiplies by a double
     val lrd = s"CAST($lr AS DOUBLE)"
@@ -87,7 +91,11 @@ object TextQueries {
       pred AS (
         SELECT $sig AS p, y FROM (
           SELECT f.y, ${z("w")} AS z
-          FROM feat f CROSS JOIN w$steps w))
+          FROM feat f CROSS JOIN w$steps w))"""
+  }
+
+  private def gdOracleSql(steps: Int, lr: String = "1.0"): String =
+    gdCtes(steps, lr) + s"""
       SELECT k, v FROM (
         SELECT 'mse' AS k, ROUND(AVG((p - y) * (p - y)), 6) AS v FROM pred
         UNION ALL SELECT 'w0' AS k, w0 AS v FROM w$steps
@@ -95,7 +103,6 @@ object TextQueries {
         UNION ALL SELECT 'w2' AS k, w2 AS v FROM w$steps
         UNION ALL SELECT 'w3' AS k, w3 AS v FROM w$steps)
       ORDER BY k"""
-  }
 
   /** Shared d06/d21/d22 oracle prefix: portable MinHash signatures →
     * banded candidates → verified pairs → recursive-CC fixpoint →
@@ -1287,6 +1294,33 @@ object TextQueries {
         stopwords, steps = 3, lr = 0.2)
         .orderBy("k"),
       Some(gdOracleSql(3, lr = "0.2"))),
+
+    // ── classifier eval report: per-threshold confusion + PR over the
+    //    t18-trained scores — the eval half of the train→deploy loop
+    //    (s17/d24's evaluation-loop pattern for the model family).
+    //    Counts are integers over bit-reproducible scores; -1.0
+    //    sentinels keep empty-denominator cells non-null. ─────────────
+    Q("t26_classifier_eval",
+      (s, dir) => LearnOps.classifierPrReport(
+        Tables.documents(s, dir), "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        stopwords, thresholds = Seq(0.3, 0.5, 0.7), steps = 3, lr = 0.2)
+        .orderBy("thr"),
+      Some(gdCtes(3, lr = "0.2") + """,
+        thr AS (SELECT thr FROM (VALUES (0.3), (0.5), (0.7)) t(thr))
+        SELECT t.thr,
+          CAST(COUNT(CASE WHEN p >= t.thr AND y = 1.0 THEN 1 END) AS BIGINT) AS tp,
+          CAST(COUNT(CASE WHEN p >= t.thr AND y = 0.0 THEN 1 END) AS BIGINT) AS fp,
+          CAST(COUNT(CASE WHEN p < t.thr AND y = 1.0 THEN 1 END) AS BIGINT) AS fn,
+          CAST(COUNT(CASE WHEN p < t.thr AND y = 0.0 THEN 1 END) AS BIGINT) AS tn,
+          CASE WHEN COUNT(CASE WHEN p >= t.thr THEN 1 END) = 0 THEN -1.0
+            ELSE CAST(COUNT(CASE WHEN p >= t.thr AND y = 1.0 THEN 1 END) AS DOUBLE)
+              / COUNT(CASE WHEN p >= t.thr THEN 1 END) END AS precision,
+          CASE WHEN COUNT(CASE WHEN y = 1.0 THEN 1 END) = 0 THEN -1.0
+            ELSE CAST(COUNT(CASE WHEN p >= t.thr AND y = 1.0 THEN 1 END) AS DOUBLE)
+              / COUNT(CASE WHEN y = 1.0 THEN 1 END) END AS recall
+        FROM thr t CROSS JOIN pred
+        GROUP BY t.thr ORDER BY t.thr""")),
 
     // ── incremental CDC-chunk dedup: the growing-corpus contract at
     //    chunk granularity — the production loop for recrawled/edited

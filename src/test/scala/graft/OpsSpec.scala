@@ -1307,6 +1307,31 @@ class OpsSpec extends SparkTestBase {
     assert(zs.sliding(2).forall(w => w(0) < w(1)))
   }
 
+  test("classifier PR report: confusion sums to n, recall monotone, edge thresholds") {
+    import graft.ops.LearnOps
+    val docs = Tables.documents(spark, sf)
+    val label = when($"lang" === "en", 1.0).otherwise(0.0)
+    val sw = Seq("the", "a", "of", "to")
+    val n = docs.count()
+    val nPos = docs.where($"lang" === "en").count()
+    val rep = LearnOps.classifierPrReport(docs, "text", label, sw,
+      thresholds = Seq(0.0, 0.4, 0.5, 0.6, 1.1), steps = 3, lr = 0.2)
+      .orderBy("thr")
+      .as[(Double, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    rep.foreach { case (thr, tp, fp, fn, tn, prec, rec) =>
+      assert(tp + fp + fn + tn == n, s"thr=$thr confusion != n")
+      if (tp + fp > 0) assert(prec == tp.toDouble / (tp + fp))
+      assert(rec == (if (nPos > 0) tp.toDouble / nPos else -1.0))
+    }
+    // recall never increases as the threshold rises
+    assert(rep.map(_._7).sliding(2).forall { case Seq(a, b) => a >= b })
+    // thr=0 accepts everything (sigmoid > 0): perfect recall, no TNs;
+    // thr>1 rejects everything: zero TPs and the -1 precision sentinel
+    val at0 = rep.head; val over1 = rep.last
+    assert(at0._2 == nPos && at0._5 == 0L && at0._7 == 1.0)
+    assert(over1._2 == 0L && over1._6 == -1.0)
+  }
+
   test("pq training: partition-layout independent, complete coverage, one shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val trained = VectorOps.pqTrain(emb, "vec_id", "embedding",
