@@ -983,6 +983,24 @@ class OpsSpec extends SparkTestBase {
     assert(exact >= 2.5 * 256, "fixture must stay in HLL raw range")
   }
 
+  test("HLL registers merge across slices: union of shards == global sketch") {
+    import graft.ops.SketchOps
+    val orders = Tables.orders(spark, sf)
+    // three disjoint shards build registers independently (the
+    // per-executor / per-day reality at 100 TB); their UNION folds to
+    // exactly the single-pass global estimate — max is the merge
+    val shards = (0 until 3).map { i =>
+      SketchOps.hllRegisters(orders.where($"o_orderkey" % 3 === i),
+        Seq.empty, "o_orderkey", p = 8)
+    }
+    val merged = SketchOps.hllEstimateFromRegisters(
+      shards.reduce(_ unionByName _), Seq.empty, p = 8)
+      .as[Double].head()
+    val global = SketchOps.hyperLogLog(orders, "o_orderkey", p = 8)
+      .as[Double].head()
+    assert(merged == global, s"merged=$merged global=$global")
+  }
+
   test("grouped portable HLL: per-slice accuracy and determinism") {
     import graft.ops.SketchOps
     // 2 buckets of ~750 distinct orderkeys at sf0.001 — both in raw range
