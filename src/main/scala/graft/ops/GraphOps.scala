@@ -79,4 +79,69 @@ object GraphOps {
     directed.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
+
+  /** Weighted PageRank by power iteration — crawl-frontier
+    * prioritization over the (domain → domain) link graph: rank mass
+    * flows along edges proportionally to link weight, damped, with
+    * dangling mass redistributed uniformly so total rank stays 1.
+    *
+    *   r'(v) = (1-d)/N + d·( Σ_u r(u)·w(u,v)/out(u) + dangling/N )
+    *
+    * Each of the `iters` rounds is ONE shuffle join of the (node,rank)
+    * frame against the edge list plus a key-grouped sum — rank rows
+    * are (string, double), edges never rebuild, so a billion-edge
+    * domain graph pays iters·|edges| join work and nothing quadratic.
+    * Ranks are snapped to 9 dp each round (same contract as
+    * [[graft.ops.VectorOps]]' Lloyd rounds): the NEXT round's input is
+    * bit-identical on any engine, so an oracle can replay the
+    * iteration exactly; order-dependent double summation inside one
+    * round is the documented measure-zero risk shared with p09.
+    *
+    * @param edges  (`u`, `v`, `w`) directed weighted edges; parallel
+    *               edges should be pre-aggregated into `w`
+    * @return (`node`, `rank`) for every node appearing as src or dst
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val e = edges.select(col("u").cast("string").as("u"),
+      col("v").cast("string").as("v"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // normalized out-weights: each edge carries the FRACTION of its
+    // source's rank it transports — computed once, reused every round
+    val outW = e.groupBy(col("u")).agg(sum(col("w")).as("ow"))
+    val frac = e.join(outW, Seq("u"))
+      .select(col("u"), col("v"), (col("w") / col("ow")).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u")).union(e.select(col("v").as("u")))
+      .distinct().select(col("u").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val hasOut = outW.select(col("u").as("node"))
+
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0) / n, 9).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // dangling nodes hold rank but transport none through edges;
+      // their mass re-enters uniformly (the standard teleport fix)
+      // scalar per round, same class as the CC loop's convergence
+      // count — a one-double driver read, not a data-plane collect
+      val dangling = ranks.join(hasOut, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
+        .head().getDouble(0)
+      val inbound = frac.join(ranks, frac("u") === ranks("node"))
+        .groupBy(frac("v").as("node"))
+        .agg(sum(col("rank") * col("f")).as("m"))
+      val next = nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dangling / n)),
+            9).as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    e.unpersist(); frac.unpersist(); nodes.unpersist()
+    ranks
+  }
 }

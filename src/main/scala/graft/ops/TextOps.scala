@@ -90,6 +90,14 @@ object TextOps {
   /** Exact content fingerprint. */
   def fingerprintMd5(text: Column): Column = md5(text)
 
+  /** Token-SET signature: md5 of the sorted distinct tokens. Two docs
+    * collide iff they use exactly the same vocabulary — the exact
+    * (collision-free) end of the spectrum MinHash approximates on
+    * shingle sets. Order-stable across engines (ASCII lexicographic).
+    */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
   /** Positional rolling fingerprint: sum_i i * len(token_i) mod p.
     * Pure integer arithmetic over the token array → engine-independent.
     */
@@ -159,6 +167,48 @@ object TextOps {
     incomingDedup.where(maybe.isNull || !maybe)
       .unionByName(incomingDedup.where(coalesce(maybe, lit(false)))
         .join(known, Seq("fingerprint"), "left_anti"))
+  }
+
+  /** Cross-source duplicate overlap matrix — which crawls/dumps are
+    * re-serving each other's content. For every source pair (a < b):
+    * the number of distinct fingerprints present in BOTH, plus the
+    * Jaccard overlap of the two fingerprint sets. This is the
+    * diagnostic that decides source-level dedup ORDER (dedup the
+    * biggest overlap cliques first) before any pairwise doc dedup runs.
+    *
+    * Scale shape: documents collapse to distinct (fingerprint, slice)
+    * rows first (one hash-shuffle on 16-byte fingerprints — text never
+    * shuffles), then a fingerprint-keyed self-join; a fingerprint
+    * shared by s sources expands to C(s,2) rows, bounded by the SOURCE
+    * count squared, not the corpus. Per-source set sizes ride in via a
+    * broadcast of the slice-count aggregate (|sources| rows).
+    *
+    * @param fpCol fingerprint granularity, caller-chosen: exact text
+    *              ([[fingerprintMd5]]) for byte-identical reposts, or
+    *              a token-SET signature ([[tokenSetFingerprint]] — the
+    *              exact analog of the shingle set MinHash banks on)
+    *              for content-level overlap
+    */
+  def sourceOverlap(df: DataFrame, fpCol: Column,
+                    sliceCol: String): DataFrame = {
+    val fpSlice = df
+      .select(fpCol.as("fingerprint"),
+        col(sliceCol).cast("string").as("slice"))
+      .distinct()
+    val sizes = fpSlice.groupBy(col("slice")).agg(count(lit(1)).as("sz"))
+    val a = fpSlice.select(col("fingerprint"), col("slice").as("src_a"))
+    val b = fpSlice.select(col("fingerprint"), col("slice").as("src_b"))
+    a.join(b, Seq("fingerprint"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.withColumnRenamed("slice", "src_a")
+        .withColumnRenamed("sz", "sz_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("slice", "src_b")
+        .withColumnRenamed("sz", "sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")), 6).as("jaccard"))
   }
 
   /** Distinct CDC-chunk fingerprints of a corpus — the compact unit

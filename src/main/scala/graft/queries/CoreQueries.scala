@@ -1515,6 +1515,28 @@ object CoreQueries {
           COUNT(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM sessions GROUP BY user_id, session_id
-        ORDER BY user_id, session_start"""))
+        ORDER BY user_id, session_start""")),
+
+    // ── per-column table profile (the "what did the crawl deliver"
+    //    report): null rate, exact cardinality, typed min/max, mean
+    //    rendered length. One column-pruned aggregation leg per
+    //    column, unioned — total I/O = one full-table read. ──────────
+    Q("q63_profile",
+      (s, dir) => graft.ops.ProfileOps.profile(
+        Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      Some {
+        val leg = (c: String) => s"""
+          SELECT '$c' AS "column", COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_nulls,
+            COUNT(DISTINCT $c) AS n_distinct,
+            CAST(MIN($c) AS VARCHAR) AS min_repr,
+            CAST(MAX($c) AS VARCHAR) AS max_repr,
+            ROUND(AVG(LENGTH(CAST($c AS VARCHAR))), 6) AS avg_len
+          FROM documents"""
+        Seq("doc_id", "text", "lang", "source", "n_chars")
+          .map(leg).mkString("", " UNION ALL ", """ ORDER BY "column"""")
+      })
   )
 }

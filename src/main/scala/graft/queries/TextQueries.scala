@@ -1590,6 +1590,35 @@ object TextQueries {
           FROM documents WHERE text IS NOT NULL)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ── cross-source duplicate overlap matrix: which crawls re-serve
+    //    each other's content, at token-set granularity (the exact
+    //    analog of the shingle sets MinHash banks on). Decides the
+    //    source-level dedup ORDER before any doc-pair work runs. ─────
+    Q("d25_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.sourceOverlap(docs,
+          TextOps.tokenSetFingerprint(col("text")), "source")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH fs AS (
+          SELECT DISTINCT md5(array_to_string(
+            list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+            source AS s
+          FROM documents),
+        sz AS (SELECT s, COUNT(*) AS sz FROM fs GROUP BY s),
+        pairs AS (
+          SELECT a.s AS src_a, b.s AS src_b, COUNT(*) AS n_common
+          FROM fs a JOIN fs b ON a.fp = b.fp AND a.s < b.s
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+          ROUND(CAST(n_common AS DOUBLE) / (za.sz + zb.sz - n_common), 6)
+            AS jaccard
+        FROM pairs
+        JOIN sz za ON za.s = src_a
+        JOIN sz zb ON zb.s = src_b
+        ORDER BY src_a, src_b"""))
   )
 }

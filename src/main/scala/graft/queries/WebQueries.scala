@@ -211,6 +211,68 @@ object WebQueries {
       Some(s"""WITH $urlCte, $normCte
         SELECT url_norm, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM n WHERE url_norm IS NOT NULL
-        GROUP BY url_norm ORDER BY url_norm"""))
+        GROUP BY url_norm ORDER BY url_norm""")),
+
+    // ── weighted PageRank over a synthetic source→source link graph:
+    //    crawl-frontier prioritization (faust has no analog; this is
+    //    the 100 TB domain-ranking loop). Each doc contributes one
+    //    link source→f(doc_id); parallel links pre-aggregate into
+    //    weights. 3 power rounds, ranks snapped to 9 dp per round so
+    //    the oracle replays the iteration bit-for-bit. ───────────────
+    Q("u06_domain_pagerank",
+      (s, dir) => {
+        val edges = Tables.documents(s, dir)
+          .groupBy(col("source").as("u"),
+            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)
+              .cast("string")).as("v"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.ops.GraphOps.pageRank(edges, iters = 3)
+          .withColumnRenamed("rank", "pr")
+          .orderBy("node")
+      },
+      Some(pageRankSql(iters = 3)))
   )
+
+  /** Unrolled power-iteration oracle for u06 — one CTE per round,
+    * replaying [[graft.ops.GraphOps.pageRank]]'s exact arithmetic:
+    * snapped ranks in, ROUND(..., 9) out, dangling mass folded
+    * uniformly (zero on this fixture, but the term is kept so the
+    * oracle stays faithful to the operator's semantics).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""dg$i AS (
+          SELECT COALESCE(SUM(pr), 0.0) AS dm FROM $prev
+          WHERE node NOT IN (SELECT u FROM ed)),
+        r$i AS (
+          SELECT nd.node,
+            ROUND((1.0 - 0.85) / cnt.n
+              + 0.85 * (COALESCE(m.m, 0.0) + dg$i.dm / cnt.n), 9) AS pr
+          FROM nd CROSS JOIN cnt CROSS JOIN dg$i
+          LEFT JOIN (
+            SELECT f.v AS node, SUM(r.pr * f.f) AS m
+            FROM fr f JOIN $prev r ON r.node = f.u
+            GROUP BY f.v) m USING (node))"""
+    }.mkString(",\n        ")
+    s"""WITH ed AS (
+          SELECT source AS u,
+            'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS v,
+            COUNT(*) AS w
+          FROM documents GROUP BY 1, 2),
+        ow AS (SELECT u, SUM(w) AS ow FROM ed GROUP BY u),
+        fr AS (
+          SELECT ed.u, ed.v,
+            CAST(ed.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS f
+          FROM ed JOIN ow USING (u)),
+        nd AS (
+          SELECT DISTINCT node FROM (
+            SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) t),
+        cnt AS (SELECT COUNT(*) AS n FROM nd),
+        r0 AS (
+          SELECT node, ROUND(1.0 / cnt.n, 9) AS pr
+          FROM nd CROSS JOIN cnt),
+        $rounds
+        SELECT node, pr FROM r$iters ORDER BY node"""
+  }
 }

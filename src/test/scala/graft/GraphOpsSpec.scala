@@ -30,6 +30,41 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got.count() == n)
   }
 
+  test("pageRank: uniform on a cycle, mass conserved, hub outranks") {
+    // 3-cycle: perfectly symmetric → every round keeps rank at 1/3
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("u", "v", "w")
+    val pr = GraphOps.pageRank(cycle, iters = 5).as[(String, Double)]
+      .collect().toMap
+    assert(pr.values.forall(r => math.abs(r - 1.0 / 3) < 1e-9), pr.toString)
+
+    // star into a hub: hub must strictly outrank every spoke, and the
+    // total mass stays 1 (damping + uniform teleport conserve it)
+    val star = (1 to 5).map(i => (s"s$i", "hub", 1.0)).toDF("u", "v", "w")
+    val got = GraphOps.pageRank(star, iters = 3).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass=${got.values.sum}")
+    assert((1 to 5).forall(i => got("hub") > got(s"s$i")))
+  }
+
+  test("pageRank: dangling mass redistributes; weights steer the flow") {
+    // b is dangling (no out-edges): its mass must re-enter uniformly,
+    // not vanish — total stays 1
+    val dangling = Seq(("a", "b", 1.0)).toDF("u", "v", "w")
+    val pr = GraphOps.pageRank(dangling, iters = 4).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass=${pr.values.sum}")
+    assert(pr("b") > pr("a")) // b receives a's flow plus teleport
+
+    // a splits 3:1 between b and c — after one round b holds exactly
+    // 3× c's edge-inbound share; with equal teleports b > c always
+    val weighted = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("u", "v", "w")
+    val wr = GraphOps.pageRank(weighted, iters = 3).as[(String, Double)]
+      .collect().toMap
+    assert(wr("b") > wr("c") && wr("a") > wr("b"), wr.toString)
+  }
+
   test("dedupClustersMinHash: clusters from LSH candidate edges (scale path)") {
     val docs = Tables.documents(spark, sf).limit(200)
     val clusters = TextOps.dedupClustersMinHash(docs, "doc_id", "text",

@@ -1441,4 +1441,35 @@ class OpsSpec extends SparkTestBase {
     val full = TextOps.vocabCoverage(docs, "doc_id", "text", k = 100000)
     assert(full.where($"in_vocab_ratio" =!= 1.0 || $"n_oov_terms" =!= 0).count() == 0)
   }
+
+  test("profile: nulls, cardinality, typed min/max per column") {
+    import graft.ops.ProfileOps
+    val df = Seq((Some(10L), Some("bb")), (None, Some("a")),
+      (Some(2L), None), (Some(10L), Some("bb")))
+      .toDF("k", "s")
+    val rows = ProfileOps.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 1 && k.getLong(3) == 2)
+    // typed (numeric) min/max — NOT lexicographic: min is 2, not "10"
+    assert(k.getString(4) == "2" && k.getString(5) == "10")
+    val s = rows("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "bb")
+    // avg_len over non-null renderings: ("2","10","10") → 5/3
+    assert(math.abs(k.getDouble(6) - 5.0 / 3) < 1e-6)
+  }
+
+  test("sourceOverlap: pair counts and jaccard from distinct fp sets") {
+    // fp sets: A={x,y,z}, B={x,y}, C={q}; duplicate (x,A) row must
+    // collapse before counting
+    val df = Seq(("x", "A"), ("x", "A"), ("y", "A"), ("z", "A"),
+      ("x", "B"), ("y", "B"), ("q", "C")).toDF("fp", "src")
+    val got = TextOps.sourceOverlap(df, $"fp", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("A", "B"))) // C shares nothing
+    val (n, j) = got(("A", "B"))
+    assert(n == 2 && math.abs(j - 2.0 / 3) < 1e-6) // |∩|=2, |∪|=3
+  }
 }
