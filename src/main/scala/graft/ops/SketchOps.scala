@@ -114,6 +114,72 @@ object SketchOps {
       4).as("hll_est"): _*)
   }
 
+  /** Slice-pair set-intersection estimates by inclusion–exclusion
+    * over portable HLL registers: |A∩B| ≈ |A| + |B| − |A∪B|, with
+    * |A∪B| folded from the element-wise max of the two slices'
+    * registers (register max IS set union — the merge property the
+    * shard-merge spec pins). The sketch-cost twin of d25's exact
+    * overlap matrix: registers are built in ONE pass over the data,
+    * then every pair estimate is assembled from #slices × 2^p sketch
+    * rows — the corpus is never self-joined.
+    *
+    * Output per pair (a < b): (src_a, src_b, est_a, est_b, est_union,
+    * est_common). Estimates are the bit-reproducible q53 fold, so the
+    * whole report is engine-recomputable despite being approximate;
+    * the usual inclusion–exclusion caveat applies (the intersection
+    * inherits BOTH sketches' ±1.04/√m error, so small true overlaps
+    * can estimate negative — returned as-is, a property of the
+    * method, not a bug).
+    *
+    * Scale shape: one register build (partial-aggregated groupBy,
+    * ≤ slices × 2^p rows), a broadcast-nested-loop pair of the tiny
+    * distinct-slice list (#slices² rows — the report's own
+    * cardinality), two broadcast joins fanning registers to their
+    * pairs, and keyed folds. Register frames are re-derived per leg
+    * here for a self-contained lazy plan; production maintains them
+    * as a materialized asset ([[hllRegisters]] is the streaming-safe
+    * maintenance half) and this report reads sketch rows only.
+    */
+  def hllOverlap(df: DataFrame, sliceCol: String, keyCol: String,
+                 p: Int = 8): DataFrame =
+    hllOverlapFromRegisters(hllRegisters(df, Seq(sliceCol), keyCol, p),
+      sliceCol, p)
+
+  /** Register-frame half of [[hllOverlap]] — feed it a maintained
+    * register table (e.g. the streaming [[hllRegisters]] state, or an
+    * update-mode register LOG with duplicate rows: every fold
+    * max-dedups) and the pairwise report is served from sketch rows
+    * without touching the corpus at all.
+    */
+  def hllOverlapFromRegisters(regs: DataFrame, sliceCol: String,
+                              p: Int): DataFrame = {
+    val singles = hllEstimateFromRegisters(regs, Seq(sliceCol), p)
+    val sl = regs.select(col(sliceCol)).distinct()
+    val pairs = sl.select(col(sliceCol).as("src_a"))
+      .crossJoin(broadcast(sl.select(col(sliceCol).as("src_b"))))
+      .where(col("src_a") < col("src_b"))
+    val ra = pairs.join(broadcast(regs.withColumnRenamed(sliceCol, "src_a")),
+      Seq("src_a"))
+    val rb = pairs.join(broadcast(regs.withColumnRenamed(sliceCol, "src_b")),
+      Seq("src_b"))
+    // duplicate (pair, reg) rows across the two legs are exactly what
+    // the estimate fold max-dedups — the union merge happens there
+    val union = hllEstimateFromRegisters(
+      ra.unionByName(rb).select(col("src_a"), col("src_b"),
+        col("reg"), col("mj")),
+      Seq("src_a", "src_b"), p)
+      .withColumnRenamed("hll_est", "est_union")
+    union
+      .join(broadcast(singles.select(col(sliceCol).as("src_a"),
+        col("hll_est").as("est_a"))), Seq("src_a"))
+      .join(broadcast(singles.select(col(sliceCol).as("src_b"),
+        col("hll_est").as("est_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4)
+          .as("est_common"))
+  }
+
   /** Column form of the register rank, exposed for specs. */
   def hllRank(h: Column, p: Int): Column = {
     val w = 64 - p

@@ -87,6 +87,44 @@ object TextOps {
     }.getField("l")
   }
 
+  /** Per-doc Shannon entropy of the token distribution (nats) — the
+    * gibberish/boilerplate signal the ratio heuristics (t02/t08) miss:
+    * low entropy flags keyword-stuffed or looping text, high entropy
+    * flags random noise.
+    *
+    * Zero-shuffle kernel: sort the token array, then ONE left-to-right
+    * `aggregate` pass accumulates run lengths (a run in the sorted
+    * array = one distinct token's count) and folds each finished run's
+    * -(c/n)·ln(c/n) term — linear in doc length, no explode/groupBy,
+    * stays inside whole-stage codegen. The term-sum order is fixed
+    * (sorted-token order) but an oracle's groupBy sums in its own
+    * order — ROUND(6) absorbs the last-ulp divergence (t11's
+    * documented ln-chain contract).
+    */
+  def tokenEntropy(text: Column): Column = {
+    val toks = array_sort(tokens(text))
+    val n = size(toks).cast("double")
+    def term(run: Column): Column = {
+      val p = run.cast("double") / n
+      p * log(p)
+    }
+    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s"))
+    val folded = aggregate(toks, z,
+      (acc, t) => when(t === acc.getField("prev"),
+        struct(t.as("prev"),
+          (acc.getField("run") + lit(1L)).as("run"),
+          acc.getField("s").as("s")))
+        .otherwise(struct(t.as("prev"), lit(1L).as("run"),
+          (acc.getField("s") + when(acc.getField("run") > 0,
+            term(acc.getField("run"))).otherwise(lit(0.0))).as("s"))),
+      acc => acc.getField("s") + when(acc.getField("run") > 0,
+        term(acc.getField("run"))).otherwise(lit(0.0)))
+    // 0.0 - s, not -s: a single-distinct-token doc folds s = 0.0 and
+    // unary negation would emit -0.0, which engines render/hash
+    // differently; IEEE 0.0 - 0.0 normalizes to +0.0 on both.
+    round(lit(0.0) - folded, 6)
+  }
+
   /** Exact content fingerprint. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

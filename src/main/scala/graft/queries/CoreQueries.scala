@@ -1537,6 +1537,37 @@ object CoreQueries {
           FROM documents"""
         Seq("doc_id", "text", "lang", "source", "n_chars")
           .map(leg).mkString("", " UNION ALL ", """ ORDER BY "column"""")
-      })
+      }),
+
+    // ── pivot (long→wide crosstab): the §2.5 analytics sibling of
+    //    rollup/cube — lang counts fanned into columns per source.
+    //    Values are PINNED, so Catalyst skips the extra distinct-scan
+    //    pass and plans one partial-aggregated groupBy; absent combos
+    //    fill 0 to match SUM(CASE)'s non-null arithmetic. ────────────
+    Q("q64_pivot",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"),
+      Some {
+        val legs = Seq("de", "en", "es", "fr", "zh").map(l =>
+          s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+          .mkString(", ")
+        s"SELECT source, $legs FROM documents GROUP BY source ORDER BY source"
+      }),
+
+    // ── slice-pair distinct-overlap estimates: inclusion–exclusion
+    //    over the q54 portable-HLL registers (register max = set
+    //    union). The sketch-cost twin of d25's exact matrix — one
+    //    pass builds registers, pairs are assembled from sketch rows
+    //    only, and DuckDB replays every estimate bit-for-bit. ────────
+    Q("q65_hll_overlap",
+      (s, dir) => graft.ops.SketchOps.hllOverlap(
+        Tables.orders(s, dir), "o_orderpriority", "o_custkey", p = 8)
+        .orderBy("src_a", "src_b"),
+      Some(XxHashSql.hllOverlapOracle(
+        "orders", "o_orderpriority", "o_custkey", p = 8)))
   )
 }

@@ -1619,6 +1619,27 @@ object TextQueries {
         FROM pairs
         JOIN sz za ON za.s = src_a
         JOIN sz zb ON zb.s = src_b
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ── per-doc token-distribution Shannon entropy: the gibberish /
+    //    boilerplate signal the ratio heuristics (t02/t08) miss.
+    //    Zero-shuffle: sorted-array run-length fold, one linear pass
+    //    per doc, no explode/groupBy (the oracle explodes instead —
+    //    same math, shuffled engine-side only where SQL needs it). ───
+    Q("t27_token_entropy",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+          FROM documents),
+        cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1)
+        SELECT doc_id,
+          ROUND(0.0 - SUM((c / CAST(n AS DOUBLE))
+            * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+        FROM cnt JOIN tot USING (doc_id)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -204,6 +204,55 @@ object XxHashSql {
        |FROM s ORDER BY g""".stripMargin
   }
 
+  /** Pairwise inclusion–exclusion twin of [[hllPortableGroupedOracle]]
+    * for `SketchOps.hllOverlap`: per-slice registers once, slice
+    * pairs (a < b), union registers via MAX over both slices' rows,
+    * then the identical bit-parity fold for |A|, |B|, |A∪B| and
+    * est_common = round(est_a + est_b − est_union, 4).
+    */
+  def hllOverlapOracle(table: String, groupCol: String, keyCol: String,
+                       p: Int = 8): String = {
+    val m = 1 << p
+    val w = 64 - p
+    val regDiv = BigInt(1) << w
+    val scale = BigInt(1) << (w + 1)
+    def fold(of: String) =
+      s"""round(0.7213 / (1 + 1.079 / $m.0) * $m.0 * $m.0 /
+         |  ((($of.sp + ($m - $of.cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)""".stripMargin
+    s"""WITH keys AS (SELECT $groupCol AS g, $keyCol::HUGEINT AS k FROM $table
+       |  WHERE $keyCol IS NOT NULL),
+       |${hashLongCtes("g")},
+       |hreg AS (SELECT g, (h // $regDiv::HUGEINT)::BIGINT AS reg,
+       |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
+       |rk AS (SELECT g, reg,
+       |  MAX(CASE WHEN v = 0 THEN ${w + 1}
+       |      ELSE ${w + 1} - length(bin(v)) END) AS mj
+       |  FROM hreg GROUP BY g, reg),
+       |sg AS (SELECT g, SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |              COUNT(*) AS cnt FROM rk GROUP BY g),
+       |est AS (SELECT g, ${fold("sg")} AS e FROM sg),
+       |sl AS (SELECT DISTINCT g FROM rk),
+       |pr AS (SELECT a.g AS src_a, b.g AS src_b
+       |       FROM sl a JOIN sl b ON a.g < b.g),
+       |ur AS (SELECT src_a, src_b, reg, MAX(mj) AS mj FROM (
+       |    SELECT pr.src_a, pr.src_b, rk.reg, rk.mj
+       |    FROM pr JOIN rk ON rk.g = pr.src_a
+       |    UNION ALL
+       |    SELECT pr.src_a, pr.src_b, rk.reg, rk.mj
+       |    FROM pr JOIN rk ON rk.g = pr.src_b) t
+       |  GROUP BY src_a, src_b, reg),
+       |su AS (SELECT src_a, src_b,
+       |              SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |              COUNT(*) AS cnt FROM ur GROUP BY src_a, src_b),
+       |uest AS (SELECT src_a, src_b, ${fold("su")} AS est_union FROM su)
+       |SELECT src_a, src_b, ea.e AS est_a, eb.e AS est_b, est_union,
+       |  round(ea.e + eb.e - est_union, 4) AS est_common
+       |FROM uest
+       |JOIN est ea ON ea.g = src_a
+       |JOIN est eb ON eb.g = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** [[hashLongCtes]] plus the signed conversion: input CTE
     * `keys(keep..., k)` (k a non-negative BIGINT cast to HUGEINT),
     * output CTE `key_hash_signed(keep..., hv)` where hv is Spark's

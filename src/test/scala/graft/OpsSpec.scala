@@ -1460,6 +1460,45 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(k.getDouble(6) - 5.0 / 3) < 1e-6)
   }
 
+  test("tokenEntropy: uniform=ln(k), constant=+0.0, order-invariant") {
+    val df = Seq(
+      ("a b c d", math.log(4)),        // 4 distinct, uniform → ln 4
+      ("a a a a", 0.0),                // single distinct token → 0
+      ("a a b b", math.log(2)),        // 2 runs of 2 → ln 2
+      ("b a b a", math.log(2)))        // same multiset, shuffled order
+      .toDF("text", "want")
+    val got = df.select(TextOps.tokenEntropy($"text").as("e"), $"want")
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6, r.toString) }
+    // the constant doc must emit +0.0, never -0.0 (engines render the
+    // two differently; the kernel subtracts from 0.0 to normalize)
+    val zero = df.where($"text" === "a a a a")
+      .select(TextOps.tokenEntropy($"text")).as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(zero) == 0L, s"got $zero")
+  }
+
+  test("hllOverlap: inclusion-exclusion tracks true overlap") {
+    import graft.ops.SketchOps
+    // two slices over a shared key space: A = [0, 1400), B = [700, 2100)
+    // → |A|=|B|=1400, |A∩B|=700, |A∪B|=2100; all ≥ 2.5·m at p=7 ✓
+    val rows = (0L until 1400L).map(k => (k, "A")) ++
+      (700L until 2100L).map(k => (k, "B"))
+    val df = rows.toDF("k", "slice")
+    val r = SketchOps.hllOverlap(df, "slice", "k", p = 7).collect()
+    assert(r.length == 1)
+    val (estA, estB, estU, estC) =
+      (r(0).getDouble(2), r(0).getDouble(3), r(0).getDouble(4), r(0).getDouble(5))
+    // stderr ≈ 1.04/√128 ≈ 9.2%; intersection inherits both sketches'
+    // error — accept 3σ on the singles/union, a loose 0.5× on ∩
+    assert(math.abs(estA - 1400) < 1400 * 0.28, s"est_a=$estA")
+    assert(math.abs(estB - 1400) < 1400 * 0.28, s"est_b=$estB")
+    assert(math.abs(estU - 2100) < 2100 * 0.28, s"est_union=$estU")
+    assert(math.abs(estC - 700) < 700 * 0.75, s"est_common=$estC")
+    // identity: est_common is exactly the inclusion-exclusion fold
+    assert(math.abs(estC - (estA + estB - estU)) < 1e-3)
+  }
+
   test("sourceOverlap: pair counts and jaccard from distinct fp sets") {
     // fp sets: A={x,y,z}, B={x,y}, C={q}; duplicate (x,A) row must
     // collapse before counting

@@ -73,6 +73,11 @@ class PlanHygieneSpec extends SparkTestBase {
     // class, broadcast back into the slice×vocab probability grid.
     // p15_curriculum: q57's scalar N plus the 1-row sorted-cuts array
     // (a phis-sized collect_list), broadcast back as the bucket probe.
+    // q63_profile: each per-column leg ends in a 1-row global
+    // aggregate (count/min/max partials map-side combined; the exact
+    // distinct leg reduces its partial-distinct rows) — the profiler's
+    // OUTPUT is one row per column, so the single-partition tail
+    // carries per-partition partials, identical at any scale.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -84,7 +89,8 @@ class PlanHygieneSpec extends SparkTestBase {
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
-      "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum")
+      "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
+      "q63_profile")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

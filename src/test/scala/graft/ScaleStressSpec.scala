@@ -115,7 +115,16 @@ class ScaleStressSpec extends SparkTestBase {
     // tf-idf + per-doc WindowGroupLimit top-k: both count tables and
     // the pruned window must scale with rows, not rows^2
     "t25_keywords" -> (df =>
-      TextOps.topKeywords(df, "doc_id", "text", k = 3)))
+      TextOps.topKeywords(df, "doc_id", "text", k = 3)),
+    // zero-shuffle run-length entropy fold: pure narrow linear pass
+    "t27_token_entropy" -> (df =>
+      df.select(col("doc_id"), TextOps.tokenEntropy(col("text")).as("e"))),
+    // fingerprint self-join at (fp, source) granularity: salted copies
+    // are fp-disjoint, so pair work must scale with rows, not rows^2
+    "d25_source_overlap" -> (df =>
+      TextOps.sourceOverlap(
+        df.withColumn("src", (col("doc_id") % 20).cast("string")),
+        TextOps.tokenSetFingerprint(col("text")), "src")))
 
   /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
     * (the session default), `executedPlan` is a single

@@ -68,6 +68,17 @@ class StreamingSemanticsSpec extends SparkTestBase {
       // accuracy on the true cardinalities (1300 and 700 distinct)
       assert(math.abs(streamed("a") - 1300) / 1300.0 < 0.25)
       assert(math.abs(streamed("b") - 700) / 700.0 < 0.25)
+      // the pairwise overlap report serves straight off the maintained
+      // register state — identical to the batch fold over all data
+      // (true overlap: users 500..900 + 1..700 ∩ 1..1300 = 700)
+      val streamedOverlap = SketchOps.hllOverlapFromRegisters(
+        spark.table("hll_regs"), "slice", p = 8).collect()
+      val batchOverlap = SketchOps.hllOverlap(all, "slice", "user", p = 8)
+        .collect()
+      assert(streamedOverlap.toSeq == batchOverlap.toSeq,
+        s"streamed=${streamedOverlap.toSeq} batch=${batchOverlap.toSeq}")
+      val estCommon = streamedOverlap.head.getDouble(5)
+      assert(math.abs(estCommon - 700) / 700.0 < 0.5, s"est_common=$estCommon")
     } finally q.stop()
   }
 
