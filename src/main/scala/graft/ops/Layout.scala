@@ -49,4 +49,30 @@ object Layout {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew diagnostic for a prospective join/groupBy key — the
+    * decision table behind [[saltedJoin]]'s `saltFactor` (and AQE's
+    * skew-join threshold): the k heaviest keys with their row share
+    * and their ratio to the mean rows-per-key. A ratio_to_mean in the
+    * hundreds on a key you are about to shuffle on IS the straggler
+    * task; salt it or route it through the skew-join path.
+    *
+    * Scale shape: one partial-aggregated groupBy on the key, a 1-row
+    * (total, n_keys) scalar over the count table broadcast back (the
+    * t19/p09 scalar-crossJoin class), and top-k via orderBy+limit —
+    * `TakeOrderedAndProject`, k rows per partition, never a global
+    * sort.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val scalars = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("nkeys"))
+    counts.crossJoin(broadcast(scalars))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows") / col("total").cast("double"), 6).as("share"),
+        round((col("n_rows") * col("nkeys")) / col("total").cast("double"), 6)
+          .as("ratio_to_mean"))
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .limit(k)
+  }
 }

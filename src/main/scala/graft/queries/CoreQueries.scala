@@ -1568,6 +1568,44 @@ object CoreQueries {
         Tables.orders(s, dir), "o_orderpriority", "o_custkey", p = 8)
         .orderBy("src_a", "src_b"),
       Some(XxHashSql.hllOverlapOracle(
-        "orders", "o_orderpriority", "o_custkey", p = 8)))
+        "orders", "o_orderpriority", "o_custkey", p = 8))),
+
+    // ── join-key skew diagnostic: the decision table behind
+    //    Layout.saltedJoin's saltFactor — top-k heaviest keys, row
+    //    share, ratio to mean rows-per-key. TakeOrderedAndProject
+    //    top-k + one scalar broadcast; never a global sort. ──────────
+    Q("q66_skew_report",
+      (s, dir) => graft.ops.Layout.skewReport(
+        Tables.events(s, dir), "user_id", k = 10),
+      Some("""WITH c AS (
+          SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+        s AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c)
+        SELECT user_id, n_rows,
+          ROUND(n_rows / CAST(total AS DOUBLE), 6) AS share,
+          ROUND((n_rows * nkeys) / CAST(total AS DOUBLE), 6) AS ratio_to_mean
+        FROM c CROSS JOIN s
+        ORDER BY n_rows DESC, user_id LIMIT 10""")),
+
+    // ── unpivot (wide→long): q64's inverse — melt the pinned lang
+    //    columns back to (source, lang, n_docs) rows, absent combos
+    //    kept as explicit zeros. Round-trip proves both directions. ──
+    Q("q67_unpivot",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, dir)
+          .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+          .na.fill(0, langs)
+          .unpivot(Array(col("source")), langs.map(col).toArray,
+            "lang", "n_docs")
+          .orderBy("source", "lang")
+      },
+      Some("""SELECT s.source, l.lang,
+          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_docs
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) l(lang)
+        LEFT JOIN (SELECT source, lang, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2) c
+          ON c.source = s.source AND c.lang = l.lang
+        ORDER BY s.source, l.lang"""))
   )
 }

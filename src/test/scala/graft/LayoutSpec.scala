@@ -153,4 +153,19 @@ class LayoutSpec extends SparkTestBase {
     assert(saltedShare < plainShare / 2,
       s"salting must halve the hottest partition: $saltedShare vs $plainShare")
   }
+
+  test("skewReport: flags the hot key, top-k via TakeOrderedAndProject") {
+    // 90 rows of "hot", 10 singletons → 11 keys, mean ≈ 9.09
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")).toDF("key")
+    val report = Layout.skewReport(df, "key", k = 3)
+    val rows = report.collect()
+    assert(rows.length == 3 && rows.head.getString(0) == "hot")
+    assert(rows.head.getLong(1) == 90)
+    assert(math.abs(rows.head.getDouble(2) - 0.9) < 1e-6)        // share
+    assert(math.abs(rows.head.getDouble(3) - 9.9) < 1e-6)        // 90/(100/11)
+    // top-k must plan as TakeOrderedAndProject (k rows per partition),
+    // never a global Sort
+    val plan = report.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

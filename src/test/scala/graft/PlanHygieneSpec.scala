@@ -78,6 +78,10 @@ class PlanHygieneSpec extends SparkTestBase {
     // distinct leg reduces its partial-distinct rows) — the profiler's
     // OUTPUT is one row per column, so the single-partition tail
     // carries per-partition partials, identical at any scale.
+    // q66_skew_report: the (total, n_keys) scalar over the per-KEY
+    // count table (cardinality = #keys, map-side combined), broadcast
+    // back via the scalar crossJoin idiom — p09/t19's exact class;
+    // top-k itself is TakeOrderedAndProject, not a global sort.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -90,7 +94,7 @@ class PlanHygieneSpec extends SparkTestBase {
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
       "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
-      "q63_profile")
+      "q63_profile", "q66_skew_report")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
