@@ -41,7 +41,7 @@ object Bench {
     "s17_ann_recall", "q59_bloom_membership", "p15_curriculum", "t25_keywords", "q60_event_funnel", "d24_minhash_calibration", "q61_bloom_grouped", "p16_token_budget", "q62_sessionize_batch", "s18_knn_sq8", "t26_classifier_eval",
     "q63_profile", "d25_source_overlap", "u06_domain_pagerank",
     "t27_token_entropy", "q64_pivot", "q65_hll_overlap",
-    "q66_skew_report", "q67_unpivot")
+    "q66_skew_report", "q67_unpivot", "d26_jaccard_prefix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -344,6 +344,88 @@ object TextOps {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** EXACT Jaccard-similarity join with prefix filtering (AllPairs /
+    * PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * linear-candidate path to the same answer [[jaccardPairs]] gets
+    * quadratically and [[minHashPairs]] gets approximately: identical
+    * output to `jaccardPairs(threshold)`, bit for bit, but candidates
+    * come only from collisions on each doc's RAREST tokens.
+    *
+    * Order every doc's distinct tokens rarest-first (global doc
+    * frequency, ties by token); for Jaccard ≥ t a pair needs
+    * |A∩B| ≥ ⌈t·n_x⌉ on each side, and the smallest common token
+    * under the global order must then sit within the first
+    * n_x − ⌈t·n_x⌉ + 1 tokens of BOTH docs (else too few tokens
+    * remain after it to reach the required overlap) — so joining on
+    * PREFIX tokens only is lossless. Prefixes are short (10% of the
+    * set at t=0.9) and built from the rare end of the Zipf curve, so
+    * posting lists stay tiny exactly where the full join explodes.
+    *
+    * The ⌈t·n⌉ is computed as `ceil(t·n − 1e-9)`: IEEE t·n can land a
+    * hair ABOVE an exact integer (0.9×30 → 27.000…0007, ceil 28 —
+    * a one-short prefix that could silently drop a true pair); the
+    * epsilon only ever LENGTHENS the prefix, trading a few candidates
+    * for provable completeness (spec: bit-identity with jaccardPairs).
+    *
+    * Scale shape: token df table (1 shuffle), per-doc rarest-first
+    * re-sort (1 shuffle), prefix-token self-join with the Jaccard
+    * length filter (min ≥ t·max) pushed into it, candidate-id dedup,
+    * then exact verification on the two token arrays joined back by
+    * id — shuffles carry ids and short prefixes, token arrays only
+    * fan to VERIFIED-candidate cardinality. At 100 TB hash tokens to
+    * 60-bit longs first (d11's kernel) so arrays ride as long[].
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    val (sorted, candIds) = prefixJaccardStages(df, idCol, textCol, threshold)
+    candIds
+      .join(sorted.select(col("id").as("id_a"), col("n_toks").as("n_a"),
+        col("stoks").as("ta")), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("n_toks").as("n_b"),
+        col("stoks").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Internal stages of [[prefixJaccardPairs]], exposed so specs can
+    * measure the filter's candidate volume: (per-doc rarest-first
+    * token frame `(id, n_toks, stoks, plen)`, UNVERIFIED candidate id
+    * pairs surviving the prefix collision + length filter).
+    */
+  private[graft] def prefixJaccardStages(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    val toks = docs.select(col("id"), col("n_toks"),
+      explode(col("toks")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy(col("id"), col("n_toks"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .select(col("id"), col("n_toks"),
+        transform(col("o"), x => x.getField("tok")).as("stoks"))
+      .withColumn("plen",
+        col("n_toks") -
+          ceil(lit(threshold) * col("n_toks") - lit(1e-9)).cast("int") + 1)
+    val prefix = sorted.select(col("id"), col("n_toks"),
+      explode(slice(col("stoks"), lit(1), col("plen"))).as("ptok"))
+    val candIds = prefix.toDF("id_a", "n_a", "ptok")
+      .join(prefix.toDF("id_b", "n_b", "ptok"), Seq("ptok"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select("id_a", "id_b").distinct()
+    (sorted, candIds)
+  }
+
   /** Directional shingle-containment pairs — Broder (1997)'s
     * containment `C(A,B) = |S(A) ∩ S(B)| / |S(A)|` over distinct
     * n-gram shingle sets: the fraction of doc A's shingles that also

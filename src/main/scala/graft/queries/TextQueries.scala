@@ -1621,6 +1621,31 @@ object TextQueries {
         JOIN sz zb ON zb.s = src_b
         ORDER BY src_a, src_b""")),
 
+    // ── EXACT Jaccard join via prefix filtering (AllPairs/PPJoin):
+    //    same answer as d02, linear candidate generation — collisions
+    //    only on each doc's rarest tokens. The exact-tier scale path
+    //    where d02 is the quadratic fixture and d03 the approximate
+    //    one; oracle is d02's exact SQL verbatim (lossless filter). ──
+    Q("d26_jaccard_prefix",
+      (s, dir) => TextOps.prefixJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 0.9)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+          CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.9
+        ORDER BY id_a, id_b""")),
+
     // ── per-doc token-distribution Shannon entropy: the gibberish /
     //    boilerplate signal the ratio heuristics (t02/t08) miss.
     //    Zero-shuffle: sorted-array run-length fold, one linear pass

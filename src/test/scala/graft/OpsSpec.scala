@@ -1460,6 +1460,32 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(k.getDouble(6) - 5.0 / 3) < 1e-6)
   }
 
+  test("prefixJaccardPairs: bit-identical to the quadratic exact join") {
+    // lossless prefix filter: same pairs, same n_common, same jaccard
+    // bits — including any ceil(t*n)-integral docs the epsilon guards
+    val t = 0.9
+    val full = TextOps.jaccardPairs(docs, "doc_id", "text", t)
+      .orderBy("id_a", "id_b").collect()
+    val pref = TextOps.prefixJaccardPairs(docs, "doc_id", "text", t)
+      .orderBy("id_a", "id_b").collect()
+    assert(pref.toSeq == full.toSeq,
+      s"prefix-filtered join diverged: ${pref.length} vs ${full.length} rows")
+    assert(full.nonEmpty, "fixture must produce pairs")
+    // and the filter actually filters: UNVERIFIED candidate volume
+    // must be well under the full posting-list join's
+    val toks = docs.select($"doc_id",
+      explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+    val fullCands = toks.toDF("a", "tok").join(toks.toDF("b", "tok"), "tok")
+      .where($"a" < $"b").select("a", "b").distinct().count()
+    val prefCands =
+      TextOps.prefixJaccardStages(docs, "doc_id", "text", t)._2.count()
+    info(s"prefix candidates $prefCands vs full-join candidates $fullCands" +
+      s" (verified pairs ${pref.length})")
+    assert(prefCands < fullCands / 2,
+      s"prefix filter must prune: $prefCands vs $fullCands")
+    assert(prefCands >= pref.length, "every emitted pair was a candidate")
+  }
+
   test("tokenEntropy: uniform=ln(k), constant=+0.0, order-invariant") {
     val df = Seq(
       ("a b c d", math.log(4)),        // 4 distinct, uniform → ln 4

@@ -119,6 +119,11 @@ class ScaleStressSpec extends SparkTestBase {
     // zero-shuffle run-length entropy fold: pure narrow linear pass
     "t27_token_entropy" -> (df =>
       df.select(col("doc_id"), TextOps.tokenEntropy(col("text")).as("e"))),
+    // prefix-filtered exact Jaccard: candidates only from rare-token
+    // collisions; salted copies are token-disjoint, so candidate and
+    // verify volume must scale with rows, not rows^2
+    "d26_jaccard_prefix" -> (df =>
+      TextOps.prefixJaccardPairs(df, "doc_id", "text", 0.9)),
     // fingerprint self-join at (fp, source) granularity: salted copies
     // are fp-disjoint, so pair work must scale with rows, not rows^2
     "d25_source_overlap" -> (df =>
