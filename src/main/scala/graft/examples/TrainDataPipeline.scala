@@ -17,6 +17,9 @@ import graft.ops.{BpeOps, LearnOps, SampleOps, TextOps}
   * (see COVERAGE.md for every variant and SCALE.md for why each stage
   * holds at 100 TB):
   *
+  *  0. PROFILE — per-column null rate / cardinality / ranges of the
+  *     raw delivery (`ProfileOps.profile`): the report that catches a
+  *     broken crawl before any compute is spent on it.
   *  1. QUALITY GATE — heuristic filter on token stats (narrow scan,
   *     zero shuffle; `TextOps.qualityColumns`).
   *  2. NEAR-DUP CLUSTERS — MinHash+LSH candidate edges → pointer-
@@ -57,6 +60,11 @@ object TrainDataPipeline {
     val stopwords = Seq("the", "a", "of", "to")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
+
+    // 0. profile the delivery: nulls/cardinalities/ranges per column
+    // BEFORE spending compute on a possibly-broken crawl
+    graft.ops.ProfileOps.profile(docs, Seq("doc_id", "text", "lang"))
+      .orderBy("column").show(truncate = false)
 
     // 1. quality gate: drop degenerate docs before anything shuffles
     val quality = TextOps.qualityColumns($"text", stopwords).toMap
