@@ -5,11 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's
-  * microsecond `TimestampType` rejects; we read it as epoch-nanos LONG
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive `ts_sec`
-  * (epoch seconds, exact integer division — no double roundtrip, so it
-  * agrees bit-for-bit with any other engine's `floor(epoch(ts))`).
+  * `events.parquet:ts` has shipped in two physical forms across testdata
+  * generations: INT64 TIMESTAMP(NANOS) (which Spark's microsecond
+  * `TimestampType` rejects — we read it as epoch-nanos LONG via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and plain `timestamp[us]`
+  * (read as TIMESTAMP_NTZ). [[events]] dispatches on the actual dtype and
+  * always derives `ts_sec: LONG` (epoch seconds, exact integer division —
+  * no double roundtrip) as the stable downstream contract, so every
+  * event-time query agrees bit-for-bit with DuckDB's `floor(epoch(ts))`.
+  * All graft sessions pin `spark.sql.session.timeZone=UTC`, so the NTZ →
+  * TIMESTAMP cast below is a deterministic UTC reinterpretation.
   */
 object Tables {
 
@@ -28,10 +33,37 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Events with `ts_sec: LONG` (epoch seconds) added. `ts` stays raw ns. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+  /** Events with `ts_sec: LONG` (epoch seconds) added; `ts` stays raw. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    val tsSec = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000000000") // epoch-nanos via nanosAsLong
+      case TimestampType    => expr("unix_micros(ts) div 1000000")
+      case TimestampNTZType => expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected dtype $other — extend Tables.events schema dispatch")
+    }
+    raw.withColumn("ts_sec", tsSec)
+  }
+
+  /** Epoch-microseconds expression over a loaded events frame — the
+    * fine-grained twin of `ts_sec` (same schema dispatch), for queries
+    * needing sub-second event ordering (q60's funnel). DuckDB side:
+    * `epoch_us(ts)`.
+    */
+  def tsMicros(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // epoch-nanos → µs
+      case TimestampType    => expr("unix_micros(ts)")
+      case TimestampNTZType => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected dtype $other — extend Tables.tsMicros schema dispatch")
+    }
+  }
 
   /** DuckDB-side equivalent of [[events]]: the oracle CTE every
     * event-time query's SQL starts from. `floor(epoch(ts))` keeps only

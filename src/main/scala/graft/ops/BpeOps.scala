@@ -85,8 +85,15 @@ object BpeOps {
             maxLen: Int = 8): (Seq[Merge], DataFrame) = {
     require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
     require(maxLen >= 2 && maxLen <= 16, "maxLen must be in [2, 16]")
+    // Each round's top-pair scan reads the PREVIOUS round's word state.
+    // Without a persist, round r would re-evaluate all r-1 prior merge
+    // expressions from the raw word counts (O(rounds²) work and one
+    // FileScan per round — at 100 TB vocab scale, hours not minutes).
+    // So: cache eagerly per round, then drop the predecessor — one
+    // FileScan total, O(1) recompute depth per round.
     var words = wordCounts(df, textCol)
       .select(col("word"), col("n"), chars(col("word")).as("syms"))
+      .persist()
     val over = words.where(length(col("word")) > maxLen).limit(1).collect()
     require(over.isEmpty,
       s"word '${over.headOption.map(_.getString(0)).getOrElse("")}' exceeds " +
@@ -109,10 +116,17 @@ object BpeOps {
         val (a, b, cnt) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(r, a, b, cnt)
-        words = words.withColumn("syms", applyMerge(col("syms"), a, b, maxLen))
+        val next = words
+          .withColumn("syms", applyMerge(col("syms"), a, b, maxLen))
+          .persist()
+        next.count() // materialize BEFORE dropping the predecessor's cache
+        words.unpersist(blocking = false)
+        words = next
         r += 1
       }
     }
+    // The returned frame stays cached (callers fold/segment over it);
+    // callers that only need the merge table should unpersist it.
     (merges.result(), words)
   }
 
@@ -120,7 +134,9 @@ object BpeOps {
   def bpeMerges(spark: SparkSession, df: DataFrame, textCol: String,
                 rounds: Int, maxLen: Int = 8): DataFrame = {
     import spark.implicits._
-    train(df, textCol, rounds, maxLen)._1.toDF("round", "w1", "w2", "n")
+    val (ms, words) = train(df, textCol, rounds, maxLen)
+    words.unpersist(blocking = false) // merge table only; drop the word state
+    ms.toDF("round", "w1", "w2", "n")
   }
 
   /** Per-doc subword census under the trained tokenizer: segment the

@@ -107,33 +107,83 @@ object EventOps {
     * Rows: `(user_id, step_ts)` with `step_ts(i)` the i-th step's
     * timestamp or -1; filled slots never change, so the FINAL row per
     * user is the per-column max across emitted rows.
+    *
+    * State bound: with `within` (or an explicit `stateTtl`) set, state
+    * expires on an EVENT-TIME timeout at `anchor + horizon` past the
+    * watermark (anchor = funnel entry ts, or the user's latest event if
+    * they never entered): the final row is emitted once more on expiry
+    * and the key's state is removed — a long-running 100 TB stream
+    * holds state only for users inside their conversion window, not
+    * every user ever seen. With neither set there is no horizon to
+    * expire against and state is unbounded (documented NoTimeout mode).
     */
   def funnelStepsStream(events: Dataset[(Long, String, Long)],
                         steps: Seq[String],
-                        within: Option[Long] = None): DataFrame = {
+                        within: Option[Long] = None,
+                        stateTtl: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     require(within.forall(_ > 0), "conversion window must be positive")
+    require(stateTtl.forall(_ > 0), "state TTL must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val n = steps.size
     val stepIdx = steps.zipWithIndex.toMap
-    events.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Long], (Long, Seq[Long])](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[(Long, String, Long)],
-         state: GroupState[Array[Long]]) =>
-          val cur = state.getOption.getOrElse(Array.fill(n)(-1L))
-          evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, tpe, ts) =>
-            stepIdx.get(tpe).foreach { i =>
-              if (cur(i) == -1L &&
-                  (i == 0 || (cur(i - 1) != -1L && ts > cur(i - 1) &&
-                    within.forall(w => ts <= cur(0) + w))))
-                cur(i) = ts
-            }
-          }
-          state.update(cur)
-          Iterator.single(user -> cur.toSeq)
+    // Greedy per-event advance — shared by both timeout modes. Under
+    // per-key ts-ordered delivery this IS the batch semantics.
+    def advance(cur: Array[Long], tpe: String, ts: Long): Unit =
+      stepIdx.get(tpe).foreach { i =>
+        if (cur(i) == -1L &&
+            (i == 0 || (cur(i - 1) != -1L && ts > cur(i - 1) &&
+              within.forall(w => ts <= cur(0) + w))))
+          cur(i) = ts
       }
-      .toDF("user_id", "step_ts")
+    stateTtl.orElse(within) match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[Array[Long], (Long, Seq[Long])](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+            (user: Long, evs: Iterator[(Long, String, Long)],
+             state: GroupState[Array[Long]]) =>
+              val cur = state.getOption.getOrElse(Array.fill(n)(-1L))
+              evs.toSeq.sortBy(e => (e._3, e._2))
+                .foreach { case (_, tpe, ts) => advance(cur, tpe, ts) }
+              state.update(cur)
+              Iterator.single(user -> cur.toSeq)
+          }
+          .toDF("user_id", "step_ts")
+      case Some(horizon) =>
+        // Event-time timeouts need a watermarked timestamp column.
+        val wm = events.toDF("user_id", "event_type", "ts")
+          .withColumn("event_time", timestamp_seconds(col("ts")))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, String, Long, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[Array[Long], (Long, Seq[Long])](
+            OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+            (user: Long, evs: Iterator[(Long, String, Long, java.sql.Timestamp)],
+             state: GroupState[Array[Long]]) =>
+              if (state.hasTimedOut) {
+                // Final row on expiry, then drop the key's state.
+                val cur = state.getOption.getOrElse(Array.fill(n)(-1L))
+                state.remove()
+                Iterator.single(user -> cur.toSeq)
+              } else {
+                val cur = state.getOption.getOrElse(Array.fill(n)(-1L))
+                var maxTs = Long.MinValue
+                evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, tpe, ts, _) =>
+                  maxTs = math.max(maxTs, ts)
+                  advance(cur, tpe, ts)
+                }
+                state.update(cur)
+                val anchor = if (cur(0) != -1L) cur(0) else maxTs
+                // never set a timeout at/behind the current watermark
+                val at = math.max((anchor + horizon) * 1000L,
+                  state.getCurrentWatermarkMs + 1L)
+                state.setTimeoutTimestamp(at)
+                Iterator.single(user -> cur.toSeq)
+              }
+          }
+          .toDF("user_id", "step_ts")
+    }
   }
 }

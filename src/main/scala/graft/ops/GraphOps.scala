@@ -97,13 +97,31 @@ object GraphOps {
     * iteration exactly; order-dependent double summation inside one
     * round is the documented measure-zero risk shared with p09.
     *
+    * Convergence: with `tol` set, iteration stops as soon as the max
+    * per-node rank change of a round is ≤ tol — the delta is read from
+    * the round's already-localCheckpointed frame (the previous rank
+    * rides along as `prev`, the CC loop's convergence-read pattern), so
+    * early-stop costs one scalar scan of materialized rows per round,
+    * not a recompute. `tol = None` (the oracle mode) runs exactly
+    * `iters` rounds — bit-identical to the pre-early-stop behavior.
+    *
     * @param edges  (`u`, `v`, `w`) directed weighted edges; parallel
     *               edges should be pre-aggregated into `w`
     * @return (`node`, `rank`) for every node appearing as src or dst
     */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               tol: Option[Double] = None): DataFrame =
+    pageRankRounds(edges, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of rounds actually run — the
+    * observable the early-stop spec asserts on.
+    */
+  def pageRankRounds(edges: DataFrame, iters: Int,
+                     damping: Double = 0.85,
+                     tol: Option[Double] = None): (DataFrame, Int) = {
     require(iters > 0, "iters must be positive")
+    require(tol.forall(_ > 0), "tol must be positive")
     val e = edges.select(col("u").cast("string").as("u"),
       col("v").cast("string").as("v"), col("w").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -121,7 +139,9 @@ object GraphOps {
 
     var ranks = nodes.select(col("node"),
       round(lit(1.0) / n, 9).as("rank")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
       // dangling nodes hold rank but transport none through edges;
       // their mass re-enters uniformly (the standard teleport fix)
       // scalar per round, same class as the CC loop's convergence
@@ -132,16 +152,25 @@ object GraphOps {
       val inbound = frac.join(ranks, frac("u") === ranks("node"))
         .groupBy(frac("v").as("node"))
         .agg(sum(col("rank") * col("f")).as("m"))
-      val next = nodes.join(inbound, Seq("node"), "left")
+      // ranks is the spine (it covers every node, invariantly), so the
+      // outgoing rank can ride along as `prev` for the delta read
+      val next = ranks.select(col("node"), col("rank").as("prev"))
+        .join(inbound, Seq("node"), "left")
         .select(col("node"),
           round(lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dangling / n)),
-            9).as("rank"))
+            9).as("rank"),
+          col("prev"))
         .localCheckpoint(true)
+      rounds += 1
+      converged = tol.exists { t =>
+        next.agg(max(abs(col("rank") - col("prev"))))
+          .head().getDouble(0) <= t
+      }
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(ranks)
       ranks = next
     }
     e.unpersist(); frac.unpersist(); nodes.unpersist()
-    ranks
+    (ranks.select(col("node"), col("rank")), rounds)
   }
 }

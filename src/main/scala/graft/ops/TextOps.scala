@@ -466,6 +466,44 @@ object TextOps {
       .select("id_a", "id_b", "n_common", "containment")
   }
 
+  /** Scale-path containment (d23's 100 TB tier, oracle-gated as d27):
+    * MinHash-banded candidate pairs first, then the EXACT directional
+    * shingle-containment confirm on candidate ids only — the
+    * candidate→verify LSH contract, never all-pairs. Both directions
+    * of each candidate pair are confirmed (containment is asymmetric).
+    *
+    * Recall caveat (by construction, measured in the spec): MinHash
+    * bands estimate symmetric JACCARD, so a short doc inside a much
+    * longer one — high containment, low Jaccard — can miss candidacy.
+    * This tier trades that recall for never materializing the shingle
+    * posting self-join; the exact tier ([[containmentPairs]]) stays
+    * the complete answer at oracle scale.
+    */
+  def containmentPairsViaMinHash(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int = 5,
+                                 threshold: Double = 0.9,
+                                 numHashes: Int = 16,
+                                 bands: Int = 2): DataFrame = {
+    import graft.functions.PortableSketches.ngramHashes60
+    val cand = minHashPairs(df, idCol, textCol, numHashes, bands,
+        minEstimate = 0.0, portable = true)
+      .select("id_a", "id_b")
+    val candBoth = cand.unionByName(
+      cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val sh = df.select(col(idCol).as("id"),
+      explode(ngramHashes60(col(textCol), n)).as("ngh"))
+    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    candBoth
+      .join(sh.toDF("id_a", "ngh"), Seq("id_a"))
+      .join(sh.toDF("id_b", "ngh"), Seq("id_b", "ngh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(cnt.toDF("id_a", "n_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "containment")
+  }
+
   /** MinHash estimator calibration — the dedup analog of the ANN
     * recall report (s17): every LSH candidate pair's ESTIMATED
     * Jaccard next to its TRUE Jaccard, folded into a calibration

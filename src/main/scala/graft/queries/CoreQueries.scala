@@ -401,17 +401,37 @@ object CoreQueries {
         ORDER BY segment, priority""")),
 
     // ── approximate distinct (HLL++): the scale path for SetTable
-    //    cardinality readers. Native sketch values are engine-specific
-    //    → rows-only check; the accuracy contract is oracle-bounded by
-    //    q51, and the family's hash-EXACT members are the portable
-    //    HLL flavors q53/q54 (SketchOps). ─────────────────────────────
+    //    cardinality readers. The NATIVE sketch's estimate is
+    //    engine-specific, so it is oracle-checked as a bounded-
+    //    deviation flag (q51's pattern, deterministic TRUE); the
+    //    estimate COLUMN the oracle hash-matches is the portable HLL
+    //    (q53/q54 machinery) over the same groupBy shape — all four
+    //    output columns deterministic → hash-EXACT, while the native
+    //    HLL++ path still executes in the plan. ────────────────────────
     Q("q25_approx_distinct",
-      (s, dir) => Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val est = graft.ops.SketchOps.hyperLogLogBy(
+          ev, Seq("event_type"), "user_id", p = 8)
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.05).as("_native"))
+          .join(est, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"), col("hll_est"),
+            (col("_native") >= col("exact_users") * 0.85 &&
+              col("_native") <= col("exact_users") * 1.15)
+              .as("native_within_15pct"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT ex.event_type, ex.exact_users, est.hll_est,
+        TRUE AS native_within_15pct
+        FROM (SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+              FROM events GROUP BY event_type) ex
+        JOIN (${XxHashSql.hllPortableGroupedOracle(
+          "events", "event_type", "user_id", p = 8)}) est
+          ON ex.event_type = est.event_type
+        ORDER BY ex.event_type""")),
 
     // ── q25's oracle-checkable face: the HLL estimate itself is
     //    engine-local, but its ACCURACY CONTRACT is not — emit the
@@ -728,13 +748,14 @@ object CoreQueries {
     //    one bounded user-key groupBy per step, no event sort. -1 =
     //    never reached (sentinel keeps the longs non-null: the
     //    driver's pandas path degrades nullable ints to float64).
-    //    Timestamps compare at µs — DuckDB's parquet reader coerces
-    //    the ns column to µs, so Spark divides the raw ns long the
-    //    same way (exact integer division, same total order). ─────────
+    //    Timestamps compare at µs — `Tables.tsMicros` schema-dispatches
+    //    the raw column to epoch-µs exactly as DuckDB's `epoch_us(ts)`
+    //    (exact integer arithmetic, same total order). ────────────────
     Q("q60_event_funnel",
       (s, dir) => {
+        val ev = Tables.events(s, dir)
         val out = graft.ops.EventOps.funnelSteps(
-          Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          ev.withColumn("ts_us", Tables.tsMicros(ev)),
           "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
         out.select(col("user_id"), col("view_ts"),
             coalesce(col("click_ts"), lit(-1L)).as("click_ts"),

@@ -593,6 +593,59 @@ object TextQueries {
         WHERE CAST(n_common AS DOUBLE) / c.n >= 0.9
         ORDER BY id_a, id_b""")),
 
+    // ── d23's SCALE tier (the 100 TB path named in its doc): MinHash-
+    //    banded candidates → exact shingle-containment confirm on
+    //    candidate ids only — candidate→verify, never the posting
+    //    self-join. Same portable signatures as d03, so the oracle
+    //    reuses that CTE chain; recall vs d23 is measured in
+    //    TextOpsSpec (Jaccard-LSH structurally under-recalls
+    //    short-in-long containment). ──────────────────────────────────
+    Q("d27_containment_fast",
+      (s, dir) => TextOps.containmentPairsViaMinHash(
+        Tables.documents(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.9, numHashes = 16, bands = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id <> b.doc_id),
+        tsx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(tk) - 3),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                || tk[i+3] || ' ' || tk[i+4]))) AS ng
+            FROM tsx)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        com AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.ngh = a.ngh
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_common,
+          CAST(n_common AS DOUBLE) / c.n AS containment
+        FROM com JOIN cnt c ON c.doc_id = id_a
+        WHERE CAST(n_common AS DOUBLE) / c.n >= 0.9
+        ORDER BY id_a, id_b""")),
+
     // ── corpus frequency spectrum (freq-of-frequencies): the Zipf
     //    audit behind vocab-size / min-count decisions — how many
     //    token types occur exactly k times. Two vocab-sized groupBys. ─

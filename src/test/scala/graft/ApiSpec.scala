@@ -58,7 +58,7 @@ class ApiSpec extends SparkTestBase {
 
   test("GTable.windowed: tumbling window wrapper matches manual window()") {
     val ev = Tables.events(spark, sf)
-      .withColumn("ts_ms", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ts_ms", timestamp_seconds(col("ts_sec")))
     val viaWrapper = GTable.windowed(app.streamDF(ev), TumblingWindow(3600 * 1000),
       col("ts_ms"), Seq(col("event_type")), Seq(count(lit(1)).as("n")))
       .select(unix_timestamp($"window.start").as("w"), $"event_type", $"n")

@@ -66,6 +66,47 @@ class BpeSpec extends SparkTestBase {
     assert(e.getMessage.contains("enormous9"))
   }
 
+  test("train caches per round: no executed plan re-scans the corpus file") {
+    // Regression guard for the O(rounds²) lineage recompute: without
+    // the per-round persist, every round's top-pair collect re-reads
+    // the parquet and re-applies all prior merges (≥1 FileSourceScan
+    // per round). With it, rounds read the predecessor's cache — the
+    // corpus file appears in NO per-round executed plan (the single
+    // real read happens inside the first cache build, which plans as
+    // an InMemoryTableScan here).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    def fileScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(fileScans).sum
+    }
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        seen.addAndGet(fileScans(qe.executedPlan))
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      val (merges, words) = BpeOps.train(docs, "text", rounds = 4, maxLen = 8)
+      assert(merges.size == 4)
+      words.unpersist(blocking = true)
+      // listener dispatch is async on the shared bus: poll to quiescence
+      var last = -1; var stable = 0
+      while (stable < 5) {
+        Thread.sleep(200)
+        val v = seen.get()
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+      assert(seen.get() == 0,
+        s"${seen.get()} FileSourceScans executed during a 4-round train — " +
+          "per-round cache regressed to lineage recompute")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("segmentation: subwords bounded by chars and tokens; more rounds never split finer") {
     val sample = docsSample
     val seg2 = BpeOps.segmentCounts(sample, "doc_id", "text", rounds = 2)

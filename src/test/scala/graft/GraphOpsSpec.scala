@@ -65,6 +65,27 @@ class GraphOpsSpec extends SparkTestBase {
     assert(wr("b") > wr("c") && wr("a") > wr("b"), wr.toString)
   }
 
+  test("pageRank: ε early-stop equals fixed-iters on a converged fixture") {
+    // 3-cycle converges in ONE round (ranks stay 1/3, snapped to 9dp):
+    // tol-mode must produce the same ranks as the fixed-iters oracle
+    // mode AND stop long before the iteration budget
+    val cycle = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("u", "v", "w")
+    val fixed = GraphOps.pageRank(cycle, iters = 20)
+      .as[(String, Double)].collect().toMap
+    val (early, rounds) = GraphOps.pageRankRounds(cycle, iters = 20,
+      tol = Some(1e-9))
+    val earlyMap = early.as[(String, Double)].collect().toMap
+    assert(earlyMap == fixed, s"early=$earlyMap fixed=$fixed")
+    assert(rounds < 20, s"expected early stop, ran all $rounds rounds")
+
+    // and on a fixture that does NOT converge within budget, tol-mode
+    // runs the full budget (no premature stop)
+    val star = (1 to 5).map(i => (s"s$i", "hub", 1.0)).toDF("u", "v", "w")
+    val (_, r2) = GraphOps.pageRankRounds(star, iters = 2, tol = Some(1e-12))
+    assert(r2 == 2, s"expected full budget, stopped at $r2")
+  }
+
   test("dedupClustersMinHash: clusters from LSH candidate edges (scale path)") {
     val docs = Tables.documents(spark, sf).limit(200)
     val clusters = TextOps.dedupClustersMinHash(docs, "doc_id", "text",

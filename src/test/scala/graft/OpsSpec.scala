@@ -202,6 +202,23 @@ class OpsSpec extends SparkTestBase {
     assert(jac == 0)
   }
 
+  test("containment scale tier (d27): subset of the exact tier, recall measured") {
+    val docs = graft.Tables.documents(spark, sf)
+    val exact = TextOps.containmentPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fast = TextOps.containmentPairsViaMinHash(docs, "doc_id", "text",
+        n = 5, threshold = 0.9, numHashes = 16, bands = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // confirm step is exact on candidates → no false positives ever
+    assert(fast.subsetOf(exact),
+      s"scale tier emitted non-pairs: ${fast.diff(exact)}")
+    // measured recall: Jaccard-banding may drop short-in-long pairs,
+    // but on the corpus fixture it must surface a solid majority
+    val recall = if (exact.isEmpty) 1.0 else fast.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${fast.size}/${exact.size})")
+  }
+
   test("distribution drift: zero on identical slices, positive on shift, < ln 2") {
     // two slices with the SAME token distribution -> both JSD 0
     val same = Seq(

@@ -131,6 +131,77 @@ class ScaleStressSpec extends SparkTestBase {
         df.withColumn("src", (col("doc_id") % 20).cast("string")),
         TextOps.tokenSetFingerprint(col("text")), "src")))
 
+  // ── trainer / vector / graph family: driver-loop operators whose
+  //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
+  //    training, eager per-round checkpoints), so their timings wrap
+  //    build + materialize ([[timeEager]]), not just the final write.
+  //    Inputs come from family-specific salted synthesizers. ─────────
+
+  private lazy val baseVecs: DataFrame =
+    Tables.embeddings(spark, baseDir)
+      .select(col("vec_id"), col("embedding")).cache()
+
+  /** k copies; copy i ROTATES each embedding by i%64 positions — a
+    * genuinely different direction (norm preserved), so IVF cells
+    * don't degenerate into k-fold duplicate stacks (exact copies all
+    * land in one cell and candidate volume goes k² — a property of a
+    * degenerate corpus, not of the plan; rotation keeps per-cell
+    * density ~constant when nCells scales with the data).
+    */
+  private def saltedVecs(k: Int): DataFrame = {
+    val n = baseVecs.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      val r = i % 64
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      baseVecs.select((col("vec_id") + lit(i * n)).as("vec_id"),
+        rot.as("embedding"))
+    }.reduce(_ unionByName _).cache()
+  }
+
+  private lazy val bigVecs: DataFrame = saltedVecs(copies)
+
+  /** (doc_id, text)-framed trainer entries (share [[salted]]).
+    * maxLen 12 tolerates the salt suffix (base words ≤ 8 chars + "x99").
+    */
+  private val trainerDocs: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "t21_bpe_train" -> (df =>
+      graft.ops.BpeOps.bpeMerges(spark, df, "text", rounds = 4, maxLen = 12)),
+    // domain graph derived from doc_id so node AND edge count scale
+    // ~linearly with the corpus (u ≈ N/250 sources, ~17 targets each)
+    "u06_domain_pagerank" -> { df =>
+      val edges = df.groupBy(
+        concat(lit("s"), expr("doc_id div 250")).as("u"),
+        concat(lit("s"), expr("(doc_id * 7 + 3) div 100")).as("v"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.GraphOps.pageRank(edges, iters = 3)
+    })
+
+  /** (vec_id, embedding)-framed trainer entries; the Int is the scale
+    * factor for scale-proportional knobs — s15 grows nCells with the
+    * corpus (cells ∝ N keeps per-cell candidate counts ~constant,
+    * the documented IVF operating point; the plan SHAPE must not
+    * change with it).
+    */
+  private val trainerVecs: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+    "s13_pq_train" -> ((df, _) => graft.ops.VectorOps.pqTrain(
+      df, "vec_id", "embedding", m = 4, nCentroids = 8, dim = 64,
+      iters = 2, portablePivots = true)),
+    "s15_knn_ivfpq" -> ((df, f) => graft.ops.VectorOps.ivfPqNearestNeighbors(
+      df, "vec_id", "embedding", nCells = 16 * f, m = 4, nCentroids = 8,
+      dim = 64, k = 3, iters = 2, portablePivots = true)))
+
+  /** Times construction + materialization (by-name): driver-loop
+    * trainers run their collect rounds during plan CONSTRUCTION, so
+    * wrapping only the final write would time a fraction of the work.
+    */
+  private def timeEager(mk: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    mk.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Operator-name sequence of the PRE-AQE physical plan. With AQE on
     * (the session default), `executedPlan` is a single
     * `AdaptiveSparkPlanExec` LEAF — collecting node names from it
@@ -175,6 +246,38 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  trainerDocs.foreach { case (name, q) =>
+    test(s"$name (trainer): 10x data => ~linear runtime, unchanged plan shape") {
+      base.count(); big.count()
+      timeEager(q(base))
+      val t1 = timeEager(q(base))
+      val t10 = timeEager(q(big))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
+      assert(ratio < 25.0,
+        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assert(normalizeEquiJoins(planShape(q(base)))
+          == normalizeEquiJoins(planShape(q(big))),
+        s"$name plan shape changed with data size (beyond join strategy)")
+    }
+  }
+
+  trainerVecs.foreach { case (name, q) =>
+    test(s"$name (trainer): 10x vectors => ~linear runtime, unchanged plan shape") {
+      baseVecs.count(); bigVecs.count()
+      timeEager(q(baseVecs, 1))
+      val t1 = timeEager(q(baseVecs, 1))
+      val t10 = timeEager(q(bigVecs, copies))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
+      assert(ratio < 25.0,
+        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assert(normalizeEquiJoins(planShape(q(baseVecs, 1)))
+          == normalizeEquiJoins(planShape(q(bigVecs, copies))),
+        s"$name plan shape changed with data size (beyond join strategy)")
+    }
+  }
+
   test("10x corpus is really ~10x") {
     assert(big.count() == base.count() * copies)
   }
@@ -196,7 +299,10 @@ class ScaleStressSpec extends SparkTestBase {
     // round 8: the two steepest 10x ratios join the knee hunt —
     // t16's trigram count table is the widest LM leg, t17 is the
     // production CDC kernel
-    "t16_trigram_lm", "t17_cdc_chunks_fast")
+    "t16_trigram_lm", "t17_cdc_chunks_fast",
+    // round 10: the prefix-filter tier joins (its candidate volume is
+    // the corpus-sensitive term; salted copies keep it linear)
+    "d26_jaccard_prefix")
   private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
     shape.map {
       case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
@@ -204,6 +310,7 @@ class ScaleStressSpec extends SparkTestBase {
     }
   extraFactor.foreach { f =>
     lazy val huge: DataFrame = salted(f)
+    lazy val hugeVecs: DataFrame = saltedVecs(f)
     heavy.filter { case (name, _) => top3.contains(name) }.foreach {
       case (name, q) =>
         test(s"$name: ${f}x data => ~linear runtime, unchanged plan shape") {
@@ -219,6 +326,38 @@ class ScaleStressSpec extends SparkTestBase {
               == normalizeEquiJoins(planShape(q(huge))),
             s"$name plan shape changed with data size (beyond join strategy)")
         }
+    }
+    // round 10: the trainer family joins the knee hunt (t21, u06 on
+    // the doc corpus; s13/s15 on the rotated-vector corpus)
+    trainerDocs.foreach { case (name, q) =>
+      test(s"$name (trainer): ${f}x data => ~linear runtime, unchanged plan shape") {
+        base.count(); huge.count()
+        timeEager(q(base))
+        val t1 = timeEager(q(base))
+        val tf = timeEager(q(huge))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+        assert(normalizeEquiJoins(planShape(q(base)))
+            == normalizeEquiJoins(planShape(q(huge))),
+          s"$name plan shape changed with data size (beyond join strategy)")
+      }
+    }
+    trainerVecs.foreach { case (name, q) =>
+      test(s"$name (trainer): ${f}x vectors => ~linear runtime, unchanged plan shape") {
+        baseVecs.count(); hugeVecs.count()
+        timeEager(q(baseVecs, 1))
+        val t1 = timeEager(q(baseVecs, 1))
+        val tf = timeEager(q(hugeVecs, f))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+        assert(normalizeEquiJoins(planShape(q(baseVecs, 1)))
+            == normalizeEquiJoins(planShape(q(hugeVecs, f))),
+          s"$name plan shape changed with data size (beyond join strategy)")
+      }
     }
   }
 }

@@ -203,6 +203,45 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: TTL evicts state past the watermark and resets the key") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, String, Long)]
+    // stateTtl=30s, no conversion window: user 1 enters at ts=10; once
+    // the watermark passes 10+30=40s the key's state must be evicted,
+    // so a later (non-late) purchase lands in a FRESH funnel (no view →
+    // doesn't fill) instead of completing the pre-eviction one.
+    val q = EventOps.funnelStepsStream(input.toDS(), steps,
+        within = None, stateTtl = Some(30L))
+      .writeStream.format("memory").queryName("funnel_ttl_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, "view", 10L), (1L, "click", 20L)))
+      q.processAllAvailable()
+      // advance the watermark past user 1's expiry (40s) via another key
+      input.addData(Seq((9L, "view", 100L)))
+      q.processAllAvailable()
+      input.addData(Seq((9L, "view", 101L))) // batch in which the timeout fires
+      q.processAllAvailable()
+      // ts=102 is ahead of the watermark (101), so it is NOT dropped as
+      // late — it reaches the function and must find an empty state
+      input.addData(Seq((1L, "purchase", 102L)))
+      q.processAllAvailable()
+      val finalRow = spark.table("funnel_ttl_stream")
+        .groupBy("user_id")
+        .agg(max(element_at($"step_ts", 1)).as("v"),
+          max(element_at($"step_ts", 2)).as("c"),
+          max(element_at($"step_ts", 3)).as("p"))
+        .where($"user_id" === 1L)
+        .as[(Long, Long, Long, Long)].collect().head
+      // pre-eviction progress survives as emitted rows (v=10, c=20); the
+      // post-eviction purchase must NOT have completed the old funnel
+      assert(finalRow == ((1L, 10L, 20L, -1L)),
+        s"expected evicted-state reset, got $finalRow")
+    } finally q.stop()
+  }
+
   test("StatefulTable.runningFoldTws: same contract on transformWithState") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
