@@ -89,6 +89,52 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Cohort retention matrix — the third classic event-sequence
+    * report next to [[funnelSteps]] and [[sessionize]]: users are
+    * cohorted by the period (`periodSeconds` bucket of `tsCol`) of
+    * their FIRST event, and each (cohort, periods-since-cohort) cell
+    * counts the distinct users from that cohort active in that later
+    * period. `retention` divides by the cohort's size (its offset-0
+    * cell — every user is active in their own cohort period by
+    * construction, so offset 0 always exists and equals the cohort
+    * size).
+    *
+    * Reference behavior: faust apps hand-roll this with a per-user
+    * first-seen Table plus a per-(cohort, bucket) counter Table (the
+    * same playbook pattern as the funnel); here it is one declarative
+    * plan.
+    *
+    * Scale shape: ONE user-key partial-agg shuffle builds each user's
+    * (cohort, distinct-period set) — per-user state is bounded by the
+    * number of periods in the data's time range, not by event volume
+    * (a year of daily periods is 366 longs). The exploded offsets then
+    * partial-agg on (cohort, offset) — a matrix bounded by periods²
+    * rows regardless of input size — and the cohort-size window runs
+    * over that tiny matrix only.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "period must be positive")
+    val period = expr(s"$tsCol div $periodSeconds")
+    val perUser = df.select(col(userCol), period.as("__graft_period"))
+      .groupBy(col(userCol))
+      .agg(min(col("__graft_period")).as("cohort_period"),
+        collect_set(col("__graft_period")).as("__graft_periods"))
+    val cells = perUser
+      .select(col("cohort_period"),
+        explode(col("__graft_periods")).as("__graft_p"))
+      .select(col("cohort_period"),
+        (col("__graft_p") - col("cohort_period")).as("period_offset"))
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val byCohort = Window.partitionBy(col("cohort_period"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("period_offset") === 0L, col("n_users"))).over(byCohort))
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size"))
+  }
+
   /** Streaming twin of [[funnelSteps]] — the per-key stateful funnel
     * a faust app would build from a Table of "last reached step"
     * state, as `flatMapGroupsWithState`: state is one timestamp per

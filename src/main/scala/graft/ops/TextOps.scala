@@ -72,6 +72,121 @@ object TextOps {
         "stopword_ratio" -> swRatio, "quality_score" -> score)
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, the "Colossal
+    * Clean Crawled Corpus" heuristics, arXiv:1910.10683 §2.2) as ONE
+    * zero-shuffle scalar pipeline — the classic web-crawl scrub that
+    * runs before every filter in this family:
+    *
+    *   - lines = `\n`-split of the document
+    *   - a line survives iff it ends in terminal punctuation
+    *     (`. ! ? "`), has at least `minLineWords` words, and does not
+    *     mention "javascript" (case-insensitive)
+    *   - the whole DOC is dropped when it mentions "lorem ipsum"
+    *     (boilerplate filler) or contains a curly brace (leaked
+    *     source code), or when fewer than `minKeptLines` lines
+    *     survive (the paper's ≥-5-sentences page gate, expressed in
+    *     lines)
+    *
+    * Output: (id, n_lines, n_kept_lines, doc_kept, clean_text) with
+    * `clean_text` the surviving lines rejoined ('' when dropped).
+    * Pure string/array HOF arithmetic — every rule is a narrow
+    * projection, nothing shuffles, and the whole pipeline stays
+    * inside whole-stage codegen at any corpus size.
+    *
+    * The synthetic corpus has no newlines or punctuation, so there
+    * every doc is one unterminated line and `doc_kept` is uniformly
+    * false — the oracle still verifies every rule's arithmetic; the
+    * multi-line semantics are pinned by the crafted fixture in
+    * OpsSpec (terminal-punct, short-line, javascript, lorem-ipsum,
+    * brace and min-lines cases each exercised).
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minKeptLines: Int = 1): DataFrame = {
+    require(minLineWords >= 1, "minLineWords >= 1")
+    require(minKeptLines >= 1, "minKeptLines >= 1")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val docOk = !lower(col(textCol)).contains("lorem ipsum") &&
+      !col(textCol).contains("{")
+    df.select(col(idCol).as("id"), lines.as("__graft_lines"),
+        kept.as("__graft_kept"), docOk.as("__graft_ok"))
+      .select(col("id"),
+        size(col("__graft_lines")).as("n_lines"),
+        size(col("__graft_kept")).as("n_kept_lines"),
+        (col("__graft_ok") &&
+          size(col("__graft_kept")) >= minKeptLines).cast("int").as("doc_kept"),
+        when(col("__graft_ok") && size(col("__graft_kept")) >= minKeptLines,
+          array_join(col("__graft_kept"), "\n")).otherwise(lit(""))
+          .as("clean_text"))
+  }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every raw-corpus document by how much
+    * likelier its bag of hashed n-gram features is under the TARGET
+    * distribution than under the raw one —
+    * `log_weight(doc) = Σ_g [ln p̂_t(bucket(g)) − ln p̂_r(bucket(g))]`
+    * over the doc's unigrams + bigrams, buckets from the portable
+    * 60-bit hash mod `numBuckets`, both distributions
+    * Laplace-smoothed (`(c_b + α) / (N + α·B)`). The target side here
+    * is any predicate over the corpus (a trusted slice standing in
+    * for DSIR's high-quality target sample).
+    *
+    * Output: (id, n_grams, log_weight) — log_weight > 0 means
+    * target-like. Feed `exp(log_weight)` to
+    * [[graft.ops.SampleOps.weightedSampleByHash]] (p10) for the
+    * resampling half of DSIR.
+    *
+    * Scale shape: both bucket tables are ≤ `numBuckets` rows — the
+    * gram stream partial-aggregates onto B keys map-side (64 keys
+    * collapse to 64 rows per partition before the shuffle), the
+    * smoothed log-ratio table broadcasts, and the per-doc sum is one
+    * doc-key shuffle. Nothing document-length-sized crosses a
+    * shuffle; the n-gram pass is shared by both distribution
+    * estimates and the scoring leg.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, numBuckets: Int = 64,
+                  alpha: Double = 0.5): DataFrame = {
+    import graft.functions.PortableHash
+    require(numBuckets >= 2, "numBuckets >= 2")
+    require(alpha > 0.0, "alpha > 0")
+    val toks = tokens(col(textCol))
+    val nBi = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
+      (a, b) => concat_ws(" ", a, b))
+    val grams = concat(toks, bigrams)
+    val docBuckets = df
+      .select(col(idCol).as("id"), targetPred.as("__graft_t"),
+        explode(grams).as("g"))
+      .select(col("id"), col("__graft_t"),
+        (PortableHash.mdHash60(col("g")) % numBuckets).as("b"))
+    val rawC = docBuckets.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtC = docBuckets.where(col("__graft_t"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val nR = rawC.agg(sum("cr").as("_nr"))
+    val nT = tgtC.agg(sum("ct").as("_nt"))
+    // raw counts cover every bucket any doc can probe (raw ⊇ doc), so
+    // the left join + coalesce(0) gives absent-in-target buckets their
+    // α-smoothed mass
+    val lr = rawC.join(tgtC, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+            (col("_nt").cast("double") + lit(alpha * numBuckets))) -
+          log((col("cr").cast("double") + alpha) /
+            (col("_nr").cast("double") + lit(alpha * numBuckets)))).as("lr"))
+    // round(6): ln + double-sum order differ at the ulp level across
+    // engines (cf. unigramLmScore)
+    docBuckets.join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")), 6).as("log_weight"))
+  }
+
   /** N-gram-heuristic language ID: score each language profile by
     * marker-token hits, pick the argmax (ties broken by profile order).
     * Profiles are (lang, marker tokens).

@@ -331,6 +331,56 @@ object VectorOps {
         (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
+  /** Semantic decontamination — [[graft.ops.TextOps.decontaminate]]'s
+    * contract at EMBEDDING granularity: flag corpus vectors whose
+    * cosine similarity to ANY eval-set vector reaches `threshold`
+    * (paraphrased benchmark leakage that n-gram overlap structurally
+    * misses — the reason semantic dedup papers run both filters).
+    * Eval membership is the deterministic portable hash sample
+    * (`mdHash60(id) % evalMod == 0`, the s17/s18 convention); corpus =
+    * everything else.
+    *
+    * Scale shape: the SemDeDup cell trick (s09) applied cross-set —
+    * both sides share ONE [[ivfAssign]] pass (pivots from the full
+    * table, so cells are consistent), and only corpus×eval pairs
+    * CO-RESIDENT in a probed cell are scored: candidate work is
+    * intra-cell, never corpus×eval. The eval side of the cell join is
+    * the small side and broadcasts. Same recall caveat as SemDeDup:
+    * a contaminated pair straddling cell boundaries needs `probes` > 1
+    * to surface (a pair connects if the two vectors co-occur in ANY
+    * probed cell).
+    *
+    * Output: one row per CONTAMINATED corpus vector —
+    * (id, n_eval_hits, max_cos, eval_id) with `eval_id` the
+    * highest-cos (ties → lowest id) offending eval vector.
+    */
+  def semanticDecontaminate(df: DataFrame, idCol: String, vecCol: String,
+                            evalMod: Int, nCells: Int, threshold: Double,
+                            probes: Int = 1,
+                            portablePivots: Boolean = false): DataFrame = {
+    import graft.functions.PortableHash
+    require(evalMod >= 2, "evalMod >= 2 (both sides must be non-empty)")
+    val isEval = PortableHash.mdHash60(col("id").cast("string")) % evalMod === 0
+    val assigned = ivfAssign(df, idCol, vecCol, nCells, probes, portablePivots)
+    val corpus = assigned.where(!isEval)
+      .select(col("cell"), col("id"), col("vec"), col("nrm"))
+    val eval = assigned.where(isEval)
+      .select(col("cell"), col("id").as("eval_id"),
+        col("vec").as("vec_e"), col("nrm").as("nrm_e"))
+    corpus.join(broadcast(eval), Seq("cell"))
+      .select(col("id"), col("eval_id"),
+        (dot(col("vec"), col("vec_e")) / (col("nrm") * col("nrm_e"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      // multi-probe may surface the same (corpus, eval) pair in
+      // several cells: max is duplicate-immune, the hit count needs
+      // the distinct
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(struct(col("cos"), (-col("eval_id")).as("neg"))).as("_top"))
+      .select(col("id"), col("n_eval_hits"),
+        col("_top.cos").as("max_cos"), (-col("_top.neg")).as("eval_id"))
+  }
+
   /** ANN: bucket vectors by [[lshBucket]], exact cosine rerank within
     * buckets, top-k per query. Only intra-bucket pairs are scored.
     */

@@ -1627,6 +1627,33 @@ object CoreQueries {
         LEFT JOIN (SELECT source, lang, COUNT(*) AS n
                    FROM documents GROUP BY 1, 2) c
           ON c.source = s.source AND c.lang = l.lang
-        ORDER BY s.source, l.lang"""))
+        ORDER BY s.source, l.lang""")),
+
+    // ── cohort retention matrix: users cohorted by first-seen day,
+    //    each (cohort, days-since) cell = distinct users active then.
+    //    One bounded user-key shuffle (per-user distinct-day set),
+    //    then a periods²-bounded matrix agg + window — event volume
+    //    never reaches the matrix. ───────────────────────────────────
+    Q("q68_cohort_retention",
+      (s, dir) => graft.ops.EventOps.cohortRetention(
+        Tables.events(s, dir).select(col("user_id"), col("ts_sec")),
+        "user_id", "ts_sec", periodSeconds = 86400L)
+        .orderBy("cohort_period", "period_offset"),
+      Some(Tables.eventsCte + """,
+        d AS (SELECT user_id, ts_sec // 86400 AS p FROM e),
+        c AS (SELECT user_id, MIN(p) AS cohort_period FROM d GROUP BY 1),
+        a AS (SELECT DISTINCT d.user_id, c.cohort_period,
+                d.p - c.cohort_period AS period_offset
+              FROM d JOIN c USING (user_id)),
+        m AS (SELECT cohort_period, period_offset,
+                CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM a GROUP BY 1, 2)
+        SELECT cohort_period, period_offset, n_users,
+          MAX(CASE WHEN period_offset = 0 THEN n_users END)
+            OVER (PARTITION BY cohort_period) AS cohort_size,
+          CAST(n_users AS DOUBLE)
+            / MAX(CASE WHEN period_offset = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_period) AS retention
+        FROM m ORDER BY cohort_period, period_offset"""))
   )
 }

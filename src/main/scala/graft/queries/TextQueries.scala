@@ -1718,6 +1718,76 @@ object TextQueries {
           ROUND(0.0 - SUM((c / CAST(n AS DOUBLE))
             * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
         FROM cnt JOIN tot USING (doc_id)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── C4-style line-level cleaning (arXiv:1910.10683 §2.2): the
+    //    crawl scrub that runs BEFORE every other filter here —
+    //    terminal-punct / min-words / javascript line rules plus the
+    //    lorem-ipsum / brace / min-lines doc gates, one zero-shuffle
+    //    HOF pipeline. Corpus docs are single unterminated lines
+    //    (doc_kept uniformly 0 here — arithmetic still verified);
+    //    the multi-line semantics are pinned in OpsSpec. ──────────────
+    Q("t28_c4_clean",
+      (s, dir) => TextOps.c4Clean(
+        Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+          SELECT doc_id,
+            string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(l, '[.!?"]$')
+              AND len(list_filter(string_split(l, ' '),
+                w -> len(w) > 0)) >= 3
+              AND NOT contains(lower(l), 'javascript')) AS kept,
+            NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{') AS docok
+          FROM documents)
+        SELECT doc_id,
+          len(lines) AS n_lines,
+          len(kept) AS n_kept_lines,
+          CAST(docok AND len(kept) >= 1 AS INT) AS doc_kept,
+          CASE WHEN docok AND len(kept) >= 1
+               THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+        FROM k ORDER BY doc_id""")),
+
+    // ── DSIR importance weights (arXiv:2302.03169): hashed-n-gram
+    //    log likelihood ratio of target (lang='en' slice) vs raw —
+    //    the data-selection score; exp(log_weight) feeds p10's
+    //    hash resampling. Bucket tables ≤ 64 rows (broadcast); one
+    //    doc-key shuffle for the per-doc sum. ─────────────────────────
+    Q("t29_dsir_weights",
+      (s, dir) => TextOps.dsirWeights(
+        Tables.documents(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", numBuckets = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        grams AS (
+          SELECT doc_id, lang, UNNEST(w) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, lang, UNNEST(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1])) AS g FROM toks),
+        gb AS (
+          SELECT doc_id, lang,
+            ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
+          FROM grams),
+        rawc AS (SELECT b, COUNT(*) AS cr FROM gb GROUP BY b),
+        tgtc AS (SELECT b, COUNT(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+        nr AS (SELECT SUM(cr) AS n FROM rawc),
+        nt AS (SELECT SUM(ct) AS n FROM tgtc),
+        lr AS (
+          SELECT r.b,
+            ln((COALESCE(t.ct, 0) + 0.5)
+               / (CAST(nt.n AS DOUBLE) + 0.5 * 64))
+            - ln((r.cr + 0.5)
+               / (CAST(nr.n AS DOUBLE) + 0.5 * 64)) AS lr
+          FROM rawc r LEFT JOIN tgtc t ON t.b = r.b
+          CROSS JOIN nr CROSS JOIN nt)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          ROUND(SUM(lr.lr), 6) AS log_weight
+        FROM gb JOIN lr ON lr.b = gb.b
         GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

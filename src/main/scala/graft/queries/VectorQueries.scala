@@ -70,12 +70,12 @@ object VectorQueries {
   private def kmeansSql(pivotCtes: String): String =
     kmeansCtes(pivotCtes) + "\n        SELECT cell, i, c, n FROM u2 ORDER BY cell, i"
 
-  /** Shared IVF self-kNN CTE chain — s05's plan replayed (portable
-    * pivot pick, probes=2 assignment, intra-cell exact cosine rerank),
-    * ending after `ranked(id_a, id_b, cos, rk)`. Reused by the s17
-    * recall report, which joins it against the brute-force truth.
+  /** Shared IVF assignment CTE prefix — the portable pivot pick and
+    * probes=2 cell assignment every IVF-family oracle starts from
+    * (ends after `assigned(id, cell)`). Reused by [[ivfKnnCtes]] and
+    * the d28 decontamination oracle.
     */
-  private val ivfKnnCtes: String =
+  private val ivfAssignCtes: String =
     """base AS (
           SELECT vec_id, embedding,
             SQRT(list_sum(list_transform(range(1, 65),
@@ -95,7 +95,15 @@ object VectorQueries {
             SELECT id, pid, ROW_NUMBER() OVER
               (PARTITION BY id ORDER BY psim DESC, pid) AS prk
             FROM sim)
-          WHERE prk <= 2),
+          WHERE prk <= 2)"""
+
+  /** Shared IVF self-kNN CTE chain — s05's plan replayed (portable
+    * pivot pick, probes=2 assignment, intra-cell exact cosine rerank),
+    * ending after `ranked(id_a, id_b, cos, rk)`. Reused by the s17
+    * recall report, which joins it against the brute-force truth.
+    */
+  private val ivfKnnCtes: String = ivfAssignCtes +
+    """,
         pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id <> b.id),
@@ -804,6 +812,45 @@ object VectorQueries {
           CASE WHEN vr > 0.0 THEN ROUND((sim - mu) / SQRT(vr), 6)
                ELSE 0.0 END AS z,
           CAST(rnk <= CEIL(0.1 * n_cell) AS INT) AS is_outlier
-        FROM rk2 ORDER BY id"""))
+        FROM rk2 ORDER BY id""")),
+
+    // ── semantic decontamination: d11's train/eval contract at
+    //    embedding granularity — corpus vectors cosine-close to the
+    //    hash-sampled eval set, candidates gated by shared IVF cells
+    //    (one assignment pass, eval side broadcast). ──────────────────
+    Q("d28_semantic_decontam",
+      (s, dir) => VectorOps.semanticDecontaminate(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        evalMod = 20, nCells = 16, threshold = 0.4, probes = 2,
+        portablePivots = true)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+      Some(s"""WITH $ivfAssignCtes,
+        cp AS (
+          SELECT cell, id FROM assigned
+          WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 20 <> 0),
+        ev AS (
+          SELECT cell, id AS eval_id FROM assigned
+          WHERE ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 20 = 0),
+        sc AS (
+          SELECT DISTINCT c.id, e.eval_id,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(ba.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)))
+              / (ba.nrm * bb.nrm) AS cos
+          FROM cp c JOIN ev e ON e.cell = c.cell
+          JOIN base ba ON ba.vec_id = c.id
+          JOIN base bb ON bb.vec_id = e.eval_id),
+        f AS (SELECT * FROM sc WHERE cos >= 0.4),
+        agg AS (
+          SELECT id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_hits
+          FROM f GROUP BY id),
+        top AS (
+          SELECT id, cos AS max_cos, eval_id FROM (
+            SELECT id, cos, eval_id, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY cos DESC, eval_id) AS rk
+            FROM f)
+          WHERE rk = 1)
+        SELECT a.id AS vec_id, a.n_eval_hits, t.max_cos, t.eval_id
+        FROM agg a JOIN top t USING (id) ORDER BY vec_id"""))
   )
 }

@@ -1554,4 +1554,96 @@ class OpsSpec extends SparkTestBase {
     val (n, j) = got(("A", "B"))
     assert(n == 2 && math.abs(j - 2.0 / 3) < 1e-6) // |∩|=2, |∪|=3
   }
+
+  test("c4Clean: every line rule and doc gate on a crafted multi-line fixture") {
+    val fix = Seq(
+      (1L, "This line is properly terminated.\nshort.\n" +
+        "no terminal punctuation here\nAnother good line stays here!"),
+      (2L, "Mentions javascript so it goes away.\n" +
+        "But this line survives just fine."),
+      (3L, "Contains lorem ipsum filler text here.\n" +
+        "A perfectly fine line otherwise."),
+      (4L, "Code leak { int x = 0; } here.\nA perfectly fine line otherwise."),
+      (5L, "no lines pass this one")).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(fix, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      // terminal-punct + min-words rules: "short." (1 word) and the
+      // unterminated line drop, the two real sentences survive
+      (1L, 4, 2, 1, "This line is properly terminated.\n" +
+        "Another good line stays here!"),
+      // javascript line drops, doc survives on the other line
+      (2L, 2, 1, 1, "But this line survives just fine."),
+      // lorem-ipsum doc gate: lines pass individually, doc still drops
+      (3L, 2, 2, 0, ""),
+      // curly-brace doc gate
+      (4L, 2, 2, 0, ""),
+      // no surviving line -> min-lines gate
+      (5L, 1, 0, 0, "")), out.toString)
+    // the paper's >=-N-lines page gate: raising minKeptLines to 2
+    // drops doc 2 (one surviving line) but keeps doc 1 (two)
+    val strict = TextOps.c4Clean(fix, "doc_id", "text", minKeptLines = 2)
+      .where($"doc_kept" === 1).select($"id").as[Long].collect().toSet
+    assert(strict == Set(1L), strict.toString)
+  }
+
+  test("dsirWeights: target-slice docs outscore off-target; grams = 2n-1") {
+    val fix = Seq(
+      (1L, "en", "alpha beta alpha beta alpha"),
+      (2L, "en", "alpha beta gamma alpha beta"),
+      (3L, "fr", "delta epsilon zeta delta epsilon"),
+      (4L, "fr", "delta zeta epsilon delta zeta")).toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirWeights(fix, "doc_id", "text", $"lang" === "en")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // 5 unigrams + 4 bigrams per doc
+    assert(out.forall(_._2 == 9L), out.toString)
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // disjoint vocabularies: both target docs must outscore both
+    // off-target docs under the target-vs-raw likelihood ratio
+    assert(math.min(byId(1L), byId(2L)) > math.max(byId(3L), byId(4L)),
+      byId.toString)
+  }
+
+  test("semanticDecontaminate: nCells=1 equals the brute-force cross-set filter") {
+    import graft.functions.PortableHash
+    val emb = Tables.embeddings(spark, sf)
+    val got = VectorOps.semanticDecontaminate(emb, "vec_id", "embedding",
+      evalMod = 20, nCells = 1, threshold = 0.4, probes = 1,
+      portablePivots = true)
+      .select($"id", $"n_eval_hits", $"eval_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val isEval = PortableHash.mdHash60($"vec_id".cast("string")) % 20 === 0
+    val ev = emb.where(isEval)
+      .select($"vec_id".as("eval_id"), $"embedding".as("ve"))
+    val bf = emb.where(!isEval)
+      .crossJoin(ev)
+      .select($"vec_id",
+        VectorOps.cosine($"embedding", $"ve").as("cos"), $"eval_id")
+      .where($"cos" >= 0.4)
+      .groupBy($"vec_id")
+      .agg(countDistinct($"eval_id").as("n"),
+        max(struct($"cos", (-$"eval_id").as("neg"))).as("t"))
+      .select($"vec_id", $"n", (-$"t.neg").as("eval_id"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.nonEmpty, "fixture should flag at least one vector")
+    assert(got == bf, s"got=${got.take(5)} bf=${bf.take(5)}")
+  }
+
+  test("cohortRetention: offset-0 is the cohort size; crafted matrix matches") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      (1L, 10L), (1L, 86400L + 5L),
+      (2L, 20L), (2L, 2L * 86400L + 7L),
+      (3L, 86400L + 100L)).toDF("user_id", "ts_sec")
+    val out = EventOps.cohortRetention(ev, "user_id", "ts_sec", 86400L)
+      .orderBy("cohort_period", "period_offset")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // u1, u2 cohorted day 0
+      (0L, 1L, 1L, 2L, 0.5),  // u1 back on day 1
+      (0L, 2L, 1L, 2L, 0.5),  // u2 back on day 2
+      (1L, 0L, 1L, 1L, 1.0)), // u3 cohorted day 1
+      out.toString)
+  }
 }
