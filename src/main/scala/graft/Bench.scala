@@ -42,7 +42,8 @@ object Bench {
     "q63_profile", "d25_source_overlap", "u06_domain_pagerank",
     "t27_token_entropy", "q64_pivot", "q65_hll_overlap",
     "q66_skew_report", "q67_unpivot", "d26_jaccard_prefix",
-    "d27_containment_fast")
+    "d27_containment_fast", "q68_cohort_retention", "t28_c4_clean",
+    "t29_dsir_weights", "d28_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -151,31 +151,31 @@ object TextOps {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, numBuckets: Int = 64,
                   alpha: Double = 0.5): DataFrame = {
-    import graft.functions.PortableHash
+    import graft.functions.PortableSketches.ngramHashesPos60
     require(numBuckets >= 2, "numBuckets >= 2")
     require(alpha > 0.0, "alpha > 0")
-    val toks = tokens(col(textCol))
-    val nBi = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), nBi), slice(toks, lit(2), nBi),
-      (a, b) => concat_ws(" ", a, b))
-    val grams = concat(toks, bigrams)
+    // fused positional kernel (duplicates kept — occurrence counts,
+    // not presence): each hash equals mdHash60(<gram string>), so the
+    // md5-replaying oracle is unchanged; one digest per window, no
+    // token/gram string arrays materialized per row
+    val hashes = concat(ngramHashesPos60(col(textCol), 1),
+      ngramHashesPos60(col(textCol), 2))
     val docBuckets = df
       .select(col(idCol).as("id"), targetPred.as("__graft_t"),
-        explode(grams).as("g"))
+        explode(hashes).as("h"))
       .select(col("id"), col("__graft_t"),
-        (PortableHash.mdHash60(col("g")) % numBuckets).as("b"))
-    val rawC = docBuckets.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgtC = docBuckets.where(col("__graft_t"))
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val nR = rawC.agg(sum("cr").as("_nr"))
-    val nT = tgtC.agg(sum("ct").as("_nt"))
-    // raw counts cover every bucket any doc can probe (raw ⊇ doc), so
-    // the left join + coalesce(0) gives absent-in-target buckets their
-    // α-smoothed mass
-    val lr = rawC.join(tgtC, Seq("b"), "left")
-      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+        (col("h") % numBuckets).as("b"))
+    // ONE gram pass serves both distributions: the target count rides
+    // the raw groupBy as a conditional count (0 where the bucket never
+    // appears in the target slice — the α-smoothing handles it), and
+    // raw covers every bucket any doc can probe (raw ⊇ doc)
+    val cnts = docBuckets.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("__graft_t"), lit(1))).as("ct"))
+    val totals = cnts.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
+    val lr = cnts.crossJoin(broadcast(totals))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)).cast("double") + alpha) /
+        (log((col("ct").cast("double") + alpha) /
             (col("_nt").cast("double") + lit(alpha * numBuckets))) -
           log((col("cr").cast("double") + alpha) /
             (col("_nr").cast("double") + lit(alpha * numBuckets)))).as("lr"))
@@ -207,33 +207,54 @@ object TextOps {
     * low entropy flags keyword-stuffed or looping text, high entropy
     * flags random noise.
     *
-    * Zero-shuffle kernel: sort the token array, then ONE left-to-right
-    * `aggregate` pass accumulates run lengths (a run in the sorted
-    * array = one distinct token's count) and folds each finished run's
-    * -(c/n)·ln(c/n) term — linear in doc length, no explode/groupBy,
-    * stays inside whole-stage codegen. The term-sum order is fixed
-    * (sorted-token order) but an oracle's groupBy sums in its own
-    * order — ROUND(6) absorbs the last-ulp divergence (t11's
-    * documented ln-chain contract).
+    * Zero-shuffle: production path is the fused
+    * [[graft.functions.TextStatsExpressions.TokenEntropy]] native
+    * expression — one compiled sort + run-length loop per document
+    * (the t09 PiiScan pattern; sf0.1 bench median 11.1s → 0.50s vs
+    * the interpreted fold). Bit-parity with [[tokenEntropyFold]] is
+    * spec-pinned, so the DuckDB oracle contract is unchanged. The
+    * term-sum order is fixed (sorted-token order) but an oracle's
+    * groupBy sums in its own order — ROUND(6) absorbs the last-ulp
+    * divergence (t11's documented ln-chain contract).
     */
-  def tokenEntropy(text: Column): Column = {
+  def tokenEntropy(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TextStatsExpressions.TokenEntropy(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Declarative twin of [[tokenEntropy]]: `array_sort` + ONE
+    * left-to-right `aggregate` pass accumulating run lengths (a run in
+    * the sorted array = one distinct token's count), folding each
+    * finished run's -(c/n)·ln(c/n) term — linear in doc length, no
+    * explode/groupBy. Runs as an interpreted higher-order lambda, so
+    * it is the PARITY REFERENCE (the kernel must match it bit-for-
+    * bit), not the hot path.
+    */
+  def tokenEntropyFold(text: Column): Column = {
     val toks = array_sort(tokens(text))
-    val n = size(toks).cast("double")
-    def term(run: Column): Column = {
+    // n rides in the fold's ZERO (one evaluation per row): higher-order
+    // lambdas run interpreted, so referencing the outer `size(toks)`
+    // inside the merge would re-tokenize + re-sort the whole document
+    // at every run break — measured 11.1s → 2.9s at sf0.1 for the
+    // bench query. Same arithmetic, same order: bit-identical output.
+    def term(run: Column, n: Column): Column = {
       val p = run.cast("double") / n
       p * log(p)
     }
-    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s"))
+    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("s"),
+      size(toks).cast("double").as("n"))
     val folded = aggregate(toks, z,
       (acc, t) => when(t === acc.getField("prev"),
         struct(t.as("prev"),
           (acc.getField("run") + lit(1L)).as("run"),
-          acc.getField("s").as("s")))
+          acc.getField("s").as("s"),
+          acc.getField("n").as("n")))
         .otherwise(struct(t.as("prev"), lit(1L).as("run"),
           (acc.getField("s") + when(acc.getField("run") > 0,
-            term(acc.getField("run"))).otherwise(lit(0.0))).as("s"))),
+            term(acc.getField("run"), acc.getField("n"))).otherwise(lit(0.0))).as("s"),
+          acc.getField("n").as("n"))),
       acc => acc.getField("s") + when(acc.getField("run") > 0,
-        term(acc.getField("run"))).otherwise(lit(0.0)))
+        term(acc.getField("run"), acc.getField("n"))).otherwise(lit(0.0)))
     // 0.0 - s, not -s: a single-distinct-token doc folds s = 0.0 and
     // unary negation would emit -0.0, which engines render/hash
     // differently; IEEE 0.0 - 0.0 normalizes to +0.0 on both.

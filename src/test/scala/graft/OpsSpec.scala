@@ -1555,6 +1555,28 @@ class OpsSpec extends SparkTestBase {
     assert(n == 2 && math.abs(j - 2.0 / 3) < 1e-6) // |∩|=2, |∪|=3
   }
 
+  test("tokenEntropy kernel is bit-identical to the declarative fold") {
+    // corpus parity (real token distributions, every doc)
+    val corpus = docs.select(
+      TextOps.tokenEntropy($"text").as("k"),
+      TextOps.tokenEntropyFold($"text").as("f"))
+    assert(corpus.where($"k" =!= $"f" ||
+      $"k".isNull =!= $"f".isNull).count() == 0)
+    // crafted edges: single token (the -0.0 normalization), all-same,
+    // all-distinct, repeated runs, empty string
+    val onFix = Seq("a", "a a a a", "a b c d", "a a b b b c", "",
+      "z y x z y z").toDF("text")
+      .select(TextOps.tokenEntropy($"text").as("k"),
+        TextOps.tokenEntropyFold($"text").as("f"))
+      .as[(Double, Double)].collect()
+    assert(onFix.forall { case (k, f) =>
+      java.lang.Double.doubleToRawLongBits(k) ==
+        java.lang.Double.doubleToRawLongBits(f) }, onFix.toSeq.toString)
+    // single-distinct docs must land on +0.0, never -0.0
+    assert(onFix.take(2).forall(p =>
+      java.lang.Double.doubleToRawLongBits(p._1) == 0L))
+  }
+
   test("c4Clean: every line rule and doc gate on a crafted multi-line fixture") {
     val fix = Seq(
       (1L, "This line is properly terminated.\nshort.\n" +
