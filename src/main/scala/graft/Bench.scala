@@ -43,7 +43,8 @@ object Bench {
     "t27_token_entropy", "q64_pivot", "q65_hll_overlap",
     "q66_skew_report", "q67_unpivot", "d26_jaccard_prefix",
     "d27_containment_fast", "q68_cohort_retention", "t28_c4_clean",
-    "t29_dsir_weights", "d28_semantic_decontam")
+    "t29_dsir_weights", "d28_semantic_decontam", "q69_resample_gapfill",
+    "q70_attribution", "t30_gopher_gates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,6 +135,95 @@ object EventOps {
         col("n_users").cast("double") / col("cohort_size"))
   }
 
+  /** Fixed-bucket time-series resample with GAP FILL — the "events →
+    * dense per-user series" step every rate/trend model needs (a gap
+    * is a zero datapoint, not a missing row; downstream diffs/moving
+    * averages are wrong without it). Buckets are `tsCol div
+    * bucketSeconds`; each user's series is densified between their
+    * own first and last active bucket.
+    *
+    * Reference behavior: a faust app materializes this as a tumbling-
+    * window Table keyed by (user, window) and reads gaps as the
+    * table's default zero (`faust/tables` relative-to-stream
+    * semantics); this is that contract over history as one plan.
+    *
+    * Scale shape: one (user, bucket) partial-agg shuffle, then one
+    * user-key shuffle that folds each user's buckets into a map and
+    * explodes the dense `sequence(min, max)` against it — the gap
+    * rows are GENERATED, never shuffled, and per-user state is
+    * bounded by the series length (range/bucketSeconds), not event
+    * volume. Money sums ride as DECIMAL(18,2) and surface as DOUBLE
+    * (exact cross-engine, the q30 contract).
+    */
+  def resampleEvents(df: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucket must be positive")
+    val bucket = expr(s"$tsCol div $bucketSeconds")
+    val perBucket = df
+      .select(col(userCol), bucket.as("bucket"),
+        col(valueCol).cast("decimal(18,2)").as("__graft_v"))
+      .groupBy(col(userCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__graft_v")).cast("double").as("total_value"))
+    perBucket
+      .groupBy(col(userCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+          struct(col("n_events"), col("total_value"))))).as("__graft_m"),
+        min(col("bucket")).as("__graft_mn"),
+        max(col("bucket")).as("__graft_mx"))
+      .select(col(userCol),
+        explode(sequence(col("__graft_mn"), col("__graft_mx"))).as("bucket"),
+        col("__graft_m"))
+      .select(col(userCol), col("bucket"),
+        coalesce(col("__graft_m")(col("bucket")).getField("n_events"),
+          lit(0L)).as("n_events"),
+        coalesce(col("__graft_m")(col("bucket")).getField("total_value"),
+          lit(0.0)).as("total_value"))
+  }
+
+  /** Last-touch attribution report — purchase-style conversions
+    * credited to the latest preceding touch event (click/view/…)
+    * within an attribution window, revenue summed per touch CHANNEL:
+    * the standard marketing-attribution query, here a pure
+    * COMPOSITION of the engine's own operators ([[AsOfJoin.join]]'s
+    * union-and-carry backward as-of + its tolerance post-filter +
+    * one channel groupBy). Conversions with no in-window touch land
+    * in the `(none)` channel, so revenue totals reconcile.
+    *
+    * Scale shape: the as-of join is ONE user-key shuffle (no event
+    * sort beyond the per-user window); the conversion's value column
+    * rides a second co-keyed join on the conversion id; the report
+    * groupBy is bounded by channel count. DECIMAL(18,2) money sums
+    * (the q30 contract).
+    */
+  def attributedRevenue(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String, valueCol: String,
+                        convType: String, touchTypes: Seq[String],
+                        windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(!touchTypes.contains(convType), "conversion is not a touch")
+    require(windowSeconds > 0, "attribution window must be positive")
+    val touches = AsOfJoin.dedupRight(
+      df.where(col(typeCol).isin(touchTypes.map(lit): _*))
+        .select(col(userCol), col(tsCol), col(idCol), col(typeCol)),
+      userCol, tsCol, idCol)
+    val conv = df.where(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol), col(idCol))
+    val joined = AsOfJoin.withTolerance(
+      AsOfJoin.join(conv, touches, userCol, tsCol, idCol, idCol,
+        payload = Seq(typeCol)),
+      tsCol, windowSeconds, payload = Seq(typeCol))
+    val values = df.where(col(typeCol) === convType)
+      .select(col(idCol), col(valueCol).cast("decimal(18,2)").as("__graft_v"))
+    joined
+      .join(values, Seq(idCol))
+      .select(coalesce(col(s"asof_$typeCol"), lit("(none)")).as("channel"),
+        col("__graft_v"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__graft_v")).cast("double").as("attributed_revenue"))
+  }
+
   /** Streaming twin of [[funnelSteps]] — the per-key stateful funnel
     * a faust app would build from a Table of "last reached step"
     * state, as `flatMapGroupsWithState`: state is one timestamp per

@@ -123,6 +123,54 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Gopher-style document-level quality gates (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the rule battery MassiveWeb filtered
+    * with, as one zero-shuffle scalar projection. Per document:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [minMeanLen, maxMeanLen] (t02's
+    *     exact chars/tokens arithmetic)
+    *   - symbol-to-word ratio (tokens containing `#` or `...`)
+    *     ≤ maxSymbolRatio
+    *   - fraction of words with ≥ 1 alphabetic char ≥ minAlphaRatio
+    *   - at least minStopwords stopword hits (the paper's
+    *     "2 of a small stop list" gibberish gate)
+    *
+    * Output: the five measurements, one 0/1 flag per rule and the
+    * conjunction `keep`. Every rule is integer/rational arithmetic
+    * (single divisions of exact ints — no rounding needed); the
+    * paper's remaining LINE-level rules (bullet/ellipsis line
+    * fractions) are [[c4Clean]]'s machinery.
+    */
+  def gopherQualityGates(df: DataFrame, idCol: String, textCol: String,
+                         stopwords: Seq[String],
+                         minWords: Int = 10, maxWords: Int = 100000,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         minAlphaRatio: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val meanLen = (length(col(textCol)) - (nTok - lit(1))).cast("double") / nTok
+    val symbolRatio = size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("double") / nTok
+    val alphaRatio = size(filter(toks,
+      t => t.rlike("[A-Za-z]"))).cast("double") / nTok
+    val nStop = stopwordCount(col(textCol), stopwords)
+    val flags = Seq(
+      "ok_words" -> (nTok >= minWords && nTok <= maxWords),
+      "ok_mean_len" -> (meanLen >= minMeanLen && meanLen <= maxMeanLen),
+      "ok_symbols" -> (symbolRatio <= maxSymbolRatio),
+      "ok_alpha" -> (alphaRatio >= minAlphaRatio),
+      "ok_stopwords" -> (nStop >= minStopwords))
+    df.select(
+      col(idCol).as("id") +: nTok.as("n_words") +:
+        meanLen.as("mean_word_len") +: symbolRatio.as("symbol_ratio") +:
+        alphaRatio.as("alpha_word_ratio") +: nStop.as("n_stopwords") +:
+        (flags.map { case (n, c) => c.cast("int").as(n) } :+
+          flags.map(_._2).reduce(_ && _).cast("int").as("keep")): _*)
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169): score every raw-corpus document by how much

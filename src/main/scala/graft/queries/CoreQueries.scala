@@ -1654,6 +1654,60 @@ object CoreQueries {
           CAST(n_users AS DOUBLE)
             / MAX(CASE WHEN period_offset = 0 THEN n_users END)
                 OVER (PARTITION BY cohort_period) AS retention
-        FROM m ORDER BY cohort_period, period_offset"""))
+        FROM m ORDER BY cohort_period, period_offset""")),
+
+    // ── hourly resample with GAP FILL: dense per-user series between
+    //    each user's first and last active bucket — gaps generated
+    //    from a per-user bucket map, never shuffled. ──────────────────
+    Q("q69_resample_gapfill",
+      (s, dir) => graft.ops.EventOps.resampleEvents(
+        Tables.events(s, dir).select(col("user_id"), col("ts_sec"),
+          col("value")),
+        "user_id", "ts_sec", "value", bucketSeconds = 3600L)
+        .orderBy("user_id", "bucket"),
+      Some(Tables.eventsCte + """,
+        b AS (SELECT user_id, ts_sec // 3600 AS bucket, value FROM e),
+        g AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+              FROM b GROUP BY 1, 2),
+        r AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+              FROM g GROUP BY 1),
+        s AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS bucket FROM r)
+        SELECT s.user_id, s.bucket,
+          COALESCE(g.n_events, 0) AS n_events,
+          COALESCE(g.total_value, 0.0) AS total_value
+        FROM s LEFT JOIN g ON g.user_id = s.user_id AND g.bucket = s.bucket
+        ORDER BY s.user_id, s.bucket""")),
+
+    // ── last-touch attribution report: purchases credited to the
+    //    latest preceding click/view within 24h (as-of join + channel
+    //    rollup — a pure composition of q26's machinery). ─────────────
+    Q("q70_attribution",
+      (s, dir) => graft.ops.EventOps.attributedRevenue(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts_sec"), col("event_id"), col("value")),
+        "user_id", "event_type", "ts_sec", "event_id", "value",
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        windowSeconds = 86400L)
+        .orderBy("channel"),
+      Some(Tables.eventsCte + """,
+        tch AS (SELECT user_id, ts_sec, MAX(event_id) AS event_id
+                FROM e WHERE event_type IN ('click', 'view')
+                GROUP BY 1, 2),
+        tt AS (SELECT t.user_id, t.ts_sec, t.event_id, e2.event_type
+               FROM tch t JOIN e e2 ON e2.event_id = t.event_id),
+        p AS (SELECT user_id, ts_sec, event_id, value FROM e
+              WHERE event_type = 'purchase'),
+        j AS (SELECT p.event_id, p.value, tt.event_type AS ch,
+                p.ts_sec - tt.ts_sec AS gap
+              FROM p ASOF LEFT JOIN tt
+                ON p.user_id = tt.user_id AND p.ts_sec >= tt.ts_sec),
+        a AS (SELECT CASE WHEN ch IS NOT NULL AND gap <= 86400
+                THEN ch ELSE '(none)' END AS channel, value FROM j)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            AS attributed_revenue
+        FROM a GROUP BY 1 ORDER BY 1"""))
   )
 }

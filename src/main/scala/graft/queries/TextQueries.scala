@@ -1788,6 +1788,43 @@ object TextQueries {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
           ROUND(SUM(lr.lr), 6) AS log_weight
         FROM gb JOIN lr ON lr.b = gb.b
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Gopher doc-level quality gates (arXiv:2112.11446 §A1.1):
+    //    word-count / mean-word-length / symbol-ratio / alpha-word /
+    //    stopword rules with per-rule flags, one zero-shuffle
+    //    projection; the paper's line-level rules live in t28. ────────
+    Q("t30_gopher_gates",
+      (s, dir) => TextOps.gopherQualityGates(
+        Tables.documents(s, dir), "doc_id", "text", stopwords)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH g AS (
+          SELECT doc_id,
+            len(string_split(text, ' ')) AS n_words,
+            CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) AS mean_word_len,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS symbol_ratio,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS alpha_word_ratio,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to'))) AS n_stopwords
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+          alpha_word_ratio, n_stopwords,
+          CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS ok_words,
+          CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+            AS ok_mean_len,
+          CAST(symbol_ratio <= 0.1 AS INT) AS ok_symbols,
+          CAST(alpha_word_ratio >= 0.8 AS INT) AS ok_alpha,
+          CAST(n_stopwords >= 2 AS INT) AS ok_stopwords,
+          CAST(n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+            AND n_stopwords >= 2 AS INT) AS keep
+        FROM g ORDER BY doc_id"""))
   )
 }

@@ -1652,6 +1652,69 @@ class OpsSpec extends SparkTestBase {
     assert(got == bf, s"got=${got.take(5)} bf=${bf.take(5)}")
   }
 
+  test("resampleEvents: gaps are zero rows; actives and sums survive") {
+    import graft.ops.EventOps
+    // u1: buckets 0, 3 (gap 1-2); u2: bucket 5 only (no gaps)
+    val ev = Seq(
+      (1L, 10L, 1.25), (1L, 20L, 2.00), (1L, 3L * 3600L + 30L, 4.50),
+      (2L, 5L * 3600L + 1L, 7.75)).toDF("user_id", "ts_sec", "value")
+    val out = EventOps.resampleEvents(ev, "user_id", "ts_sec", "value", 3600L)
+      .orderBy("user_id", "bucket")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 3.25), (1L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.0),
+      (1L, 3L, 1L, 4.5), (2L, 5L, 1L, 7.75)), out.toString)
+  }
+
+  test("attributedRevenue: last touch within window wins; out-of-window is (none)") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      // u1: view@10, click@20, purchase@30 → click (last touch)
+      (1L, "view", 10L, 1L, 0.0), (1L, "click", 20L, 2L, 0.0),
+      (1L, "purchase", 30L, 3L, 10.00),
+      // u2: click@0, purchase@1000000 → outside 24h window → (none)
+      (2L, "click", 0L, 4L, 0.0), (2L, "purchase", 1000000L, 5L, 5.00),
+      // u3: purchase with no touches at all → (none)
+      (3L, "purchase", 50L, 6L, 2.50),
+      // u4: view@40, purchase@40 (same second) → view attributed
+      (4L, "view", 40L, 7L, 0.0), (4L, "purchase", 40L, 8L, 1.00)
+    ).toDF("user_id", "event_type", "ts_sec", "event_id", "value")
+    val out = EventOps.attributedRevenue(ev, "user_id", "event_type",
+      "ts_sec", "event_id", "value", "purchase", Seq("click", "view"), 86400L)
+      .orderBy("channel")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("(none)", 2L, 7.5), ("click", 1L, 10.0), ("view", 1L, 1.0)),
+      out.toString)
+  }
+
+  test("gopherQualityGates: each rule trips independently on crafted docs") {
+    val fix = Seq(
+      // passes everything (12 words, the+a stopwords, alpha, no symbols)
+      (1L, "the quick brown fox jumps over a lazy dog near the river"),
+      // too few words
+      (2L, "the a tiny doc"),
+      // symbol-heavy: > 10% of words contain # or ...
+      (3L, "the a alpha #tag beta #x gamma delta... epsilon zeta eta theta"),
+      // numeric words: alpha ratio below 0.8
+      (4L, "the a 11 22 33 44 55 66 77 88 99 00"),
+      // no stopwords
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherQualityGates(fix, "doc_id", "text",
+        Seq("the", "a", "of", "to"))
+      .orderBy("id")
+      .select($"id", $"ok_words", $"ok_symbols", $"ok_alpha",
+        $"ok_stopwords", $"keep")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 0),
+      (3L, 1, 0, 1, 1, 0),
+      (4L, 1, 1, 0, 1, 0),
+      (5L, 1, 1, 1, 0, 0)), out.toString)
+  }
+
   test("cohortRetention: offset-0 is the cohort size; crafted matrix matches") {
     import graft.ops.EventOps
     val ev = Seq(
