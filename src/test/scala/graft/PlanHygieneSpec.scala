@@ -82,6 +82,10 @@ class PlanHygieneSpec extends SparkTestBase {
     // count table (cardinality = #keys, map-side combined), broadcast
     // back via the scalar crossJoin idiom — p09/t19's exact class;
     // top-k itself is TakeOrderedAndProject, not a global sort.
+    // t29_dsir_weights: the (N_raw, N_target) gram totals — a 1-row
+    // global scalar over the ≤ numBuckets-row count table (map-side
+    // combined), broadcast back into the log-ratio table; t11's exact
+    // class.
     //
     // Collect-and-broadcast contracts (not visible in these plans but
     // policed next to them): knnBruteForceKernel and GlobalTable.join
@@ -94,7 +98,7 @@ class PlanHygieneSpec extends SparkTestBase {
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
       "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
-      "q63_profile", "q66_skew_report")
+      "q63_profile", "q66_skew_report", "t29_dsir_weights")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
