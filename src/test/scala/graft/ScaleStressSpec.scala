@@ -129,7 +129,19 @@ class ScaleStressSpec extends SparkTestBase {
     "d25_source_overlap" -> (df =>
       TextOps.sourceOverlap(
         df.withColumn("src", (col("doc_id") % 20).cast("string")),
-        TextOps.tokenSetFingerprint(col("text")), "src")))
+        TextOps.tokenSetFingerprint(col("text")), "src")),
+    // zero-shuffle HOF line scrub: pure narrow linear pass
+    "t28_c4_clean" -> (df =>
+      TextOps.c4Clean(df, "doc_id", "text")),
+    // bucket tables stay <= numBuckets rows at any corpus size; the
+    // gram stream and the per-doc sum must scale with rows
+    "t29_dsir_weights" -> (df =>
+      TextOps.dsirWeights(df, "doc_id", "text",
+        targetPred = col("doc_id") % 5 === 0)),
+    // zero-shuffle rule battery: pure narrow linear pass
+    "t30_gopher_gates" -> (df =>
+      TextOps.gopherQualityGates(df, "doc_id", "text",
+        Seq("the", "a", "of", "to"))))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -190,7 +202,48 @@ class ScaleStressSpec extends SparkTestBase {
       iters = 2, portablePivots = true)),
     "s15_knn_ivfpq" -> ((df, f) => graft.ops.VectorOps.ivfPqNearestNeighbors(
       df, "vec_id", "embedding", nCells = 16 * f, m = 4, nCentroids = 8,
-      dim = 64, k = 3, iters = 2, portablePivots = true)))
+      dim = 64, k = 3, iters = 2, portablePivots = true)),
+    // cross-set cell gating: cells ∝ N keeps per-cell corpus×eval
+    // candidate counts ~constant (the s15 operating point)
+    "d28_semantic_decontam" -> ((df, f) =>
+      graft.ops.VectorOps.semanticDecontaminate(
+        df, "vec_id", "embedding", evalMod = 20, nCells = 16 * f,
+        threshold = 0.4, probes = 2, portablePivots = true)))
+
+  // ── events family: salted copies offset user AND event ids, so
+  //    copies are user-disjoint — per-user work is identical at every
+  //    scale and total work must scale with event volume. ────────────
+
+  private lazy val baseEvents: DataFrame =
+    Tables.events(spark, baseDir)
+      .select(col("user_id"), col("event_type"), col("ts_sec"),
+        col("event_id"), col("value")).cache()
+
+  private def saltedEvents(k: Int): DataFrame = {
+    val nu = baseEvents.agg(max("user_id")).head().getLong(0) + 1
+    val ne = baseEvents.agg(max("event_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      baseEvents.select((col("user_id") + lit(i * nu)).as("user_id"),
+        col("event_type"), col("ts_sec"),
+        (col("event_id") + lit(i * ne)).as("event_id"), col("value"))
+    }.reduce(_ unionByName _).cache()
+  }
+
+  private lazy val bigEvents: DataFrame = saltedEvents(copies)
+
+  private val eventEntries: Seq[(String, DataFrame => DataFrame)] = Seq(
+    // one user-key shuffle + periods²-bounded matrix
+    "q68_cohort_retention" -> (df =>
+      graft.ops.EventOps.cohortRetention(df, "user_id", "ts_sec", 86400L)),
+    // per-user map fold + generated gap rows
+    "q69_resample_gapfill" -> (df =>
+      graft.ops.EventOps.resampleEvents(df, "user_id", "ts_sec", "value",
+        3600L)),
+    // as-of union-and-carry + channel-bounded rollup
+    "q70_attribution" -> (df =>
+      graft.ops.EventOps.attributedRevenue(df, "user_id", "event_type",
+        "ts_sec", "event_id", "value", "purchase", Seq("click", "view"),
+        86400L)))
 
   /** Times construction + materialization (by-name): driver-loop
     * trainers run their collect rounds during plan CONSTRUCTION, so
@@ -258,6 +311,22 @@ class ScaleStressSpec extends SparkTestBase {
         f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
       assert(normalizeEquiJoins(planShape(q(base)))
           == normalizeEquiJoins(planShape(q(big))),
+        s"$name plan shape changed with data size (beyond join strategy)")
+    }
+  }
+
+  eventEntries.foreach { case (name, q) =>
+    test(s"$name (events): 10x events => ~linear runtime, unchanged plan shape") {
+      baseEvents.count(); bigEvents.count()
+      timeNoop(q(baseEvents))
+      val t1 = timeNoop(q(baseEvents))
+      val t10 = timeNoop(q(bigEvents))
+      val ratio = t10 / math.max(t1, 1e-3)
+      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
+      assert(ratio < 25.0,
+        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assert(normalizeEquiJoins(planShape(q(baseEvents)))
+          == normalizeEquiJoins(planShape(q(bigEvents))),
         s"$name plan shape changed with data size (beyond join strategy)")
     }
   }
