@@ -704,9 +704,12 @@ object TextOps {
     * exactly like s17 samples its ground-truth queries (verifying
     * every candidate's true Jaccard would cost a large fraction of
     * the dedup run it is meant to tune). TRUE Jaccard is computed for
-    * the sampled candidates ONLY via one posting join per side
-    * (d16's verify trick — never all-pairs); the fold is a
-    * ≤ numHashes+1-row groupBy.
+    * the sampled candidates ONLY — the token arrays join back by id
+    * and intersect per pair (d26's verify shape: shuffles carry ids,
+    * arrays fan only to candidate cardinality — the exploded posting
+    * join this replaced shuffled candidates × tokens rows, 7.0s →
+    * 4.8s on the sf0.1 bench, the rest is the banding join itself);
+    * the fold is a ≤ numHashes+1-row groupBy.
     */
   def minHashCalibration(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 16, bands: Int = 2,
@@ -721,21 +724,17 @@ object TextOps {
       else all.where(graft.functions.PortableHash.mdHash60(
         concat(col("id_a").cast("string"), lit("|"),
           col("id_b").cast("string"))) % sampleMod === 0)
-    val toks = df.select(col(idCol).as("id"),
+    val docsArr = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("ts"))
-      .select(col("id"), explode(col("ts")).as("tok"))
-    val cnt = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(toks.toDF("id_a", "tok"), Seq("id_a"))
-      .join(toks.toDF("id_b", "tok"), Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     val truth = cand
-      .join(common, Seq("id_a", "id_b"), "left")
-      .join(cnt.toDF("id_a", "n_a"), Seq("id_a"))
-      .join(cnt.toDF("id_b", "n_b"), Seq("id_b"))
+      .join(docsArr.toDF("id_a", "ta"), Seq("id_a"))
+      .join(docsArr.toDF("id_b", "tb"), Seq("id_b"))
+      .withColumn("__graft_nc",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard",
-        coalesce(col("n_common"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+        col("__graft_nc").cast("double") /
+          (size(col("ta")).cast("long") + size(col("tb")).cast("long") -
+            col("__graft_nc")))
     truth.groupBy("est_jaccard")
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(col("jaccard")), 6).as("mean_jaccard"),
