@@ -44,7 +44,8 @@ object Bench {
     "q66_skew_report", "q67_unpivot", "d26_jaccard_prefix",
     "d27_containment_fast", "q68_cohort_retention", "t28_c4_clean",
     "t29_dsir_weights", "d28_semantic_decontam", "q69_resample_gapfill",
-    "q70_attribution", "t30_gopher_gates")
+    "q70_attribution", "t30_gopher_gates", "p17_bottomk_sample",
+    "q71_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,6 +33,29 @@ object SampleOps {
                    salt: String = ""): DataFrame =
     df.where(unitHash(col(idCol), salt) < fraction)
 
+  /** EXACTLY-k uniform sample — the bottom k rows by salted unit
+    * hash: the deterministic distributed analog of reservoir sampling
+    * ([[sampleByHash]] gives a fraction, never an exact count). The
+    * kept set is simultaneously a KMV sketch of the id population
+    * (see [[graft.ops.SketchOps.kmvDistinctEstimate]]). Adds the
+    * `sample_uh` hash column.
+    *
+    * Scale shape: plans as `TakeOrderedAndProject` — each partition
+    * forwards only its OWN bottom k rows, no global sort (plan-
+    * asserted in SampleOpsSpec). Rerun-stable, and append-stable in
+    * the bottom-k sense: a new row enters only by evicting the
+    * current k-th, so membership never reshuffles on growth.
+    */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int,
+                    salt: String = ""): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(!df.columns.contains("sample_uh"),
+      "bottomKSample writes column 'sample_uh'; rename the existing one first")
+    df.withColumn("sample_uh", unitHash(col(idCol), salt))
+      .orderBy(col("sample_uh"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic train/validation/test split. `weights` are
     * (label, weight) in assignment order; cumulative weight fractions
     * partition [0, 1). Adds a `split` column.

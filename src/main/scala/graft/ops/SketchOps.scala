@@ -56,6 +56,37 @@ object SketchOps {
     hllEstimateFromRegisters(hllRegisters(df, groupCols, keyCol, p),
       groupCols, p)
 
+  /** KMV (k minimum values) distinct-count estimate — the fourth
+    * portable sketch next to HLL (q53), CMS (q55) and Bloom (q59),
+    * and the one you get FOR FREE from a
+    * [[graft.ops.SampleOps.bottomKSample]]: over the distinct 60-bit
+    * key hashes mapped to [0, 1), the k-th smallest value `m` yields
+    * `est = (k-1)/m` (Bar-Yossef et al. 2002; stderr ≈ 1/√(k−2)).
+    * When fewer than k distinct hashes exist the sample IS the
+    * population and the estimate is the exact count.
+    *
+    * Output: one row `(k_used, kth_uh, est_distinct)`.
+    *
+    * Scale shape: one DISTINCT partial agg on the hash, then a
+    * `TakeOrderedAndProject` bottom-k (k rows per partition cross,
+    * no global sort) and an O(k) fold. Unlike HLL the sketch is
+    * exact-membership on its k survivors — mergeable by unioning
+    * bottom-k sets and re-truncating.
+    */
+  def kmvDistinctEstimate(df: DataFrame, keyCol: String,
+                          k: Int = 64): DataFrame = {
+    require(k >= 3, "k >= 3 (estimator needs k-1 > 1)")
+    val uh = graft.functions.PortableHash.mdHash60(col(keyCol).cast("string"))
+      .cast("double") / (1L << 60).toDouble
+    df.select(uh.as("uh")).distinct()
+      .orderBy(col("uh")).limit(k)
+      .agg(count(lit(1)).as("k_used"), max(col("uh")).as("kth_uh"))
+      .select(col("k_used"), col("kth_uh"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((col("k_used") - 1).cast("double") / col("kth_uh"))
+          .as("est_distinct"))
+  }
+
   /** Register maintenance half: `(groupCols..., reg, mj)` via ONE
     * `max` aggregation — streaming-safe (update/complete modes), so a
     * Structured Streaming query can maintain per-(key, register) state

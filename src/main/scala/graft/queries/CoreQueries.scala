@@ -473,6 +473,26 @@ object CoreQueries {
       Some(XxHashSql.hllPortableGroupedOracle(
         "orders", "o_orderpriority", "o_custkey", p = 8))),
 
+    // ── KMV distinct estimate: the bottom-k-hash sketch (the fourth
+    //    portable member: HLL q53, CMS q55, Bloom q59) — one DISTINCT
+    //    partial agg + TakeOrderedAndProject bottom-k + O(k) fold;
+    //    est = (k-1)/kth-smallest unit hash. ──────────────────────────
+    Q("q71_kmv_distinct",
+      (s, dir) => graft.ops.SketchOps.kmvDistinctEstimate(
+        Tables.lineitem(s, dir), "l_partkey", k = 64),
+      Some("""WITH u AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM lineitem),
+        s AS (SELECT uh FROM u ORDER BY uh LIMIT 64),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                MAX(uh) AS kth_uh FROM s)
+        SELECT k_used, kth_uh,
+          CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+               ELSE CAST(k_used - 1 AS DOUBLE) / kth_uh END AS est_distinct
+        FROM a""")),
+
     // ── portable Count-Min Sketch: register matrix + min-over-rows
     //    frequency estimates for every token, vs exact counts. Width
     //    16 forces collisions so the overestimate path is exercised;

@@ -500,6 +500,23 @@ object PipelineQueries {
           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id)
             AS BIGINT) AS pos,
           doc_id
-        FROM h ORDER BY shard, pos"""))
+        FROM h ORDER BY shard, pos""")),
+
+    // ── EXACTLY-k sample: bottom k by salted hash — the deterministic
+    //    reservoir analog (p01 gives a fraction, never a count);
+    //    TakeOrderedAndProject, k rows per partition, no global sort
+    //    (plan-asserted in SampleOpsSpec). ─────────────────────────────
+    Q("p17_bottomk_sample",
+      (s, dir) => SampleOps.bottomKSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", k = 50)
+        .orderBy("doc_id"),
+      Some("""WITH u AS (
+          SELECT doc_id, lang,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS sample_uh
+          FROM documents),
+        s AS (SELECT * FROM u ORDER BY sample_uh, doc_id LIMIT 50)
+        SELECT doc_id, lang, sample_uh FROM s ORDER BY doc_id"""))
   )
 }

@@ -425,4 +425,39 @@ class SampleOpsSpec extends SparkTestBase {
     assert(out.count() == docs.count())
     out.unpersist()
   }
+
+  test("bottomKSample: exactly the k smallest hashes; TakeOrderedAndProject plan") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val k = 20
+    val plan = SampleOps.bottomKSample(docs, "doc_id", k)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must plan per-partition top-k, not a global sort:\n$plan")
+    val got = SampleOps.bottomKSample(docs, "doc_id", k)
+      .select($"doc_id").as[Long].collect().toSet
+    // driver-side truth: the k smallest salted hashes
+    val want = docs.as[Long].collect()
+      .sortBy(id => (graft.functions.PortableHash.md5Long60(s"#$id"), id))
+      .take(k).toSet
+    assert(got == want)
+    // k beyond the population returns the whole population
+    val tiny = Seq(1L, 2L, 3L).toDF("doc_id")
+    assert(SampleOps.bottomKSample(tiny, "doc_id", 10).count() == 3)
+  }
+
+  test("kmvDistinctEstimate: within 3 sigma of exact; small sets fall back exact") {
+    import graft.ops.SketchOps
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select($"l_partkey").distinct().count().toDouble
+    val k = 64
+    val est = SketchOps.kmvDistinctEstimate(li, "l_partkey", k)
+      .select($"est_distinct").as[Double].head()
+    // stderr ~ 1/sqrt(k-2); 3 sigma ≈ 38%
+    assert(math.abs(est - exact) < exact * 0.38, s"est=$est exact=$exact")
+    // below-k population: estimate IS the exact count
+    val tiny = Seq("a", "b", "c", "a").toDF("key")
+    val r = SketchOps.kmvDistinctEstimate(tiny, "key", 64)
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == 3L && r._3 == 3.0, r.toString)
+  }
 }
