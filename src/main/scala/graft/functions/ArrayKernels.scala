@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused set-intersection kernels for the candidate-verify hot path.
+  *
+  * Every candidate→verify operator (d24 calibration, d26 prefix
+  * Jaccard, d27 containment confirm) ends in "count the common
+  * elements of two distinct-element arrays, millions of times".
+  * `array_intersect` answers that by building a hash set PER CALL
+  * (~80 µs/pair measured on the d26 verify at sf0.1); over arrays
+  * pre-sorted ONCE per document the same count is a single merge
+  * pass with zero allocation. Inputs must be sorted ascending by the
+  * comparison the kernel uses — `array_sort` order for strings
+  * (UTF8String binary compare) and numeric order for longs — and
+  * de-duplicated (the operators intersect DISTINCT token/shingle
+  * sets; on non-distinct inputs the merge counts min-multiplicity
+  * matches, which is still the multiset intersection size).
+  *
+  * The count is definitionally identical to
+  * `size(array_intersect(a, b))` on distinct inputs (bit-parity
+  * spec-pinned in OpsSpec), so swapping the kernel in never changes
+  * an operator's output or its oracle.
+  */
+object ArrayKernels {
+
+  def intersectCountStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def intersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  private def check(e: Expression, elem: DataType,
+                    what: String): TypeCheckResult = e.dataType match {
+    case ArrayType(t, _) if t == elem => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$what requires array<${elem.catalogString}>, got ${other.catalogString}")
+  }
+
+  /** `sorted_intersect_count(a, b)` over lex-sorted string arrays. */
+  case class SortedIntersectCountStr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left, StringType, "sorted_intersect_count_str") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          check(right, StringType, "sorted_intersect_count_str")
+        case f => f
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectCountStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.ArrayKernels$$.MODULE$$.intersectCountStr($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `sorted_intersect_count(a, b)` over ascending long arrays. */
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(left, LongType, "sorted_intersect_count_long") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          check(right, LongType, "sorted_intersect_count_long")
+        case f => f
+      }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.ArrayKernels$$.MODULE$$.intersectCountLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def sortedIntersectCountStr(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountStr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

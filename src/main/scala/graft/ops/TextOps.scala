@@ -561,14 +561,21 @@ object TextOps {
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame = {
-    val (sorted, candIds) = prefixJaccardStages(df, idCol, textCol, threshold)
+    val (_, candIds) = prefixJaccardStages(df, idCol, textCol, threshold)
+    // verify against LEX-sorted distinct-token arrays with the fused
+    // merge-intersect kernel — array_intersect builds a hash set per
+    // candidate pair (~80 µs/pair over the 12.5M sf0.1 candidates);
+    // the merge over once-sorted arrays is allocation-free. Count is
+    // definitionally identical (bit-parity spec-pinned in OpsSpec).
+    val lex = df.select(col(idCol).as("id"),
+        array_sort(array_distinct(tokens(col(textCol)))).as("lt"))
+      .select(col("id"), col("lt"), size(col("lt")).cast("long").as("n"))
     candIds
-      .join(sorted.select(col("id").as("id_a"), col("n_toks").as("n_a"),
-        col("stoks").as("ta")), "id_a")
-      .join(sorted.select(col("id").as("id_b"), col("n_toks").as("n_b"),
-        col("stoks").as("tb")), "id_b")
+      .join(lex.toDF("id_a", "ta", "n_a"), "id_a")
+      .join(lex.toDF("id_b", "tb", "n_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_common"),
+        graft.functions.ArrayKernels
+          .sortedIntersectCountStr(col("ta"), col("tb")).as("n_common"),
         col("n_a"), col("n_b"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
@@ -674,14 +681,23 @@ object TextOps {
       .select("id_a", "id_b")
     val candBoth = cand.unionByName(
       cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // confirm on ASCENDING-sorted distinct shingle-hash arrays with
+    // the fused merge-intersect kernel (d26's verify shape): shuffles
+    // carry ids, arrays fan only to candidate cardinality — the
+    // exploded posting join this replaced shuffled candidates ×
+    // shingles rows. n_a > 0 guard = the old inner posting join's
+    // implicit drop of shingle-less docs (and keeps the ratio NaN-free).
     val sh = df.select(col(idCol).as("id"),
-      explode(ngramHashes60(col(textCol), n)).as("ngh"))
-    val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
+        sort_array(ngramHashes60(col(textCol), n)).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).cast("long").as("n"))
     candBoth
-      .join(sh.toDF("id_a", "ngh"), Seq("id_a"))
-      .join(sh.toDF("id_b", "ngh"), Seq("id_b", "ngh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(cnt.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sh.toDF("id_a", "sa", "n_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sb", "n_b"), Seq("id_b"))
+      .where(col("n_a") > 0)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayKernels
+          .sortedIntersectCountLong(col("sa"), col("sb")).as("n_common"),
+        col("n_a"))
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))
       .where(col("containment") >= threshold)
@@ -725,12 +741,13 @@ object TextOps {
         concat(col("id_a").cast("string"), lit("|"),
           col("id_b").cast("string"))) % sampleMod === 0)
     val docsArr = df.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("ts"))
+      array_sort(array_distinct(tokens(col(textCol)))).as("ts"))
     val truth = cand
       .join(docsArr.toDF("id_a", "ta"), Seq("id_a"))
       .join(docsArr.toDF("id_b", "tb"), Seq("id_b"))
       .withColumn("__graft_nc",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        graft.functions.ArrayKernels
+          .sortedIntersectCountStr(col("ta"), col("tb")))
       .withColumn("jaccard",
         col("__graft_nc").cast("double") /
           (size(col("ta")).cast("long") + size(col("tb")).cast("long") -

@@ -1555,6 +1555,29 @@ class OpsSpec extends SparkTestBase {
     assert(n == 2 && math.abs(j - 2.0 / 3) < 1e-6) // |∩|=2, |∪|=3
   }
 
+  test("sorted-intersect kernels equal array_intersect counts (str + long)") {
+    import graft.functions.{ArrayKernels, PortableSketches}
+    val arrs = docs.limit(40).select($"doc_id",
+      array_sort(array_distinct(split($"text", " "))).as("ts"))
+    val pairs = arrs.toDF("a", "ta").crossJoin(arrs.toDF("b", "tb"))
+      .where($"a" < $"b")
+    assert(pairs.where(
+      ArrayKernels.sortedIntersectCountStr($"ta", $"tb") =!=
+        size(array_intersect($"ta", $"tb")).cast("long")).count() == 0)
+    val sh = docs.limit(40).select($"doc_id",
+      sort_array(PortableSketches.ngramHashes60($"text", 3)).as("sh"))
+    val p2 = sh.toDF("a", "sa").crossJoin(sh.toDF("b", "sb"))
+      .where($"a" < $"b")
+    assert(p2.where(
+      ArrayKernels.sortedIntersectCountLong($"sa", $"sb") =!=
+        size(array_intersect($"sa", $"sb")).cast("long")).count() == 0)
+    // disjoint and empty edges
+    val e = Seq((Seq("a", "b"), Seq[String]()), (Seq("a"), Seq("b")))
+      .toDF("x", "y")
+    assert(e.select(ArrayKernels.sortedIntersectCountStr($"x", $"y"))
+      .as[Long].collect().toSeq == Seq(0L, 0L))
+  }
+
   test("tokenEntropy kernel is bit-identical to the declarative fold") {
     // corpus parity (real token distributions, every doc)
     val corpus = docs.select(
