@@ -109,4 +109,46 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(l => l.contains("SQRT") && l.contains("vectordot")) == 2,
       s"each side computes its norm exactly once:\n$p")
   }
+
+  test("t28/t30 scrub + gates stay narrow: zero exchanges beyond the ORDER BY") {
+    for (name <- Seq("t28_c4_clean", "t30_gopher_gates")) {
+      val p = plan(name)
+      // the one allowed range exchange is the driver-contract ORDER BY
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toVector
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$name must be a narrow projection (only the ORDER BY exchanges):\n$p")
+    }
+  }
+
+  test("q69 resample: two hash exchanges, gap rows generated not shuffled") {
+    val p = plan("q69_resample_gapfill")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"resample = (user,bucket) agg + user fold, nothing more:\n$p")
+    assert(p.contains("Generate explode"),
+      s"gap rows must come from a generator, not a join:\n$p")
+  }
+
+  test("q68 cohort: matrix agg + cohort window never touch event-sized data") {
+    val p = plan("q68_cohort_retention")
+    // partial aggregation on the user key (map-side combine before the
+    // one user shuffle)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("d28 decontamination broadcasts the eval side of the cell join") {
+    val p = plan("d28_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast (corpus never re-shuffles on cell):\n$p")
+  }
+
+  test("t29 DSIR: log-ratio table broadcasts back to the gram stream") {
+    val p = plan("t29_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=numBuckets-row lr table must broadcast:\n$p")
+    // the fused kernel hashes grams — no per-gram md5/concat expressions
+    assert(!p.contains("md5("), s"gram hashing must use the fused kernel:\n$p")
+  }
 }
