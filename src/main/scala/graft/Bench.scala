@@ -45,7 +45,9 @@ object Bench {
     "d27_containment_fast", "q68_cohort_retention", "t28_c4_clean",
     "t29_dsir_weights", "d28_semantic_decontam", "q69_resample_gapfill",
     "q70_attribution", "t30_gopher_gates", "p17_bottomk_sample",
-    "q71_kmv_distinct")
+    "q71_kmv_distinct",
+    "u07_hits", "p18_frequency_cap", "q72_robust_stats",
+    "d29_ngram_novelty", "t31_lexical_diversity", "s19_mips")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,4 +173,77 @@ object GraphOps {
     e.unpersist(); frac.unpersist(); nodes.unpersist()
     (ranks.select(col("node"), col("rank")), rounds)
   }
+
+  /** HITS hubs & authorities (Kleinberg) by power iteration — the
+    * complement of [[pageRank]] for seed-quality scoring: a good HUB
+    * links to many good authorities (a crawl seed list), a good
+    * AUTHORITY is linked from many good hubs (a canonical source).
+    *
+    *   a'(v) = Σ_{u→v} h(u)·w(u,v)      (then L1-normalize)
+    *   h'(u) = Σ_{u→v} a'(v)·w(u,v)     (then L1-normalize)
+    *
+    * Same oracle-replay contract as [[pageRank]]: every half-step
+    * snaps to 9 dp (raw scores, then normalized scores), so the next
+    * step's input is bit-identical on any engine and a SQL oracle can
+    * unroll the iteration. L1 (sum) normalization instead of the
+    * textbook L2 keeps the oracle to exact +/× on snapped values —
+    * the relative ORDER of scores is identical under either norm.
+    *
+    * Scale: each half-step is ONE shuffle join of the (node, score)
+    * frame against the edge list plus a key-grouped sum — score rows
+    * are (string, double), edges persist once, so a billion-edge graph
+    * pays 2·iters·|edges| join work and nothing quadratic. The L1
+    * total is a one-double driver read per half-step (the dangling-
+    * mass pattern), not a data-plane collect.
+    *
+    * @param edges (`u`, `v`, `w`) directed weighted edges; parallel
+    *              edges should be pre-aggregated into `w` (weights > 0)
+    * @return (`node`, `hub`, `auth`) for every node in the graph
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val e = edges.select(col("u").cast("string").as("u"),
+      col("v").cast("string").as("v"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u")).union(e.select(col("v").as("u")))
+      .distinct().select(col("u").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+
+    // one normalized propagation half-step: score flows across `ekey`
+    // (u→v for authorities, v→u for hubs), snaps, L1-normalizes, snaps
+    def halfStep(score: DataFrame, scoreCol: String,
+                 from: String, to: String, outCol: String): DataFrame = {
+      val flowed = e.join(score, e(from) === score("node"))
+        .groupBy(e(to).as("node"))
+        .agg(sum(col(scoreCol) * col("w")).as("s"))
+      val raw = nodes.join(flowed, Seq("node"), "left")
+        .select(col("node"), round(coalesce(col("s"), lit(0.0)), 9).as("raw"))
+        .localCheckpoint(true)
+      val total = raw.agg(sum(col("raw"))).head().getDouble(0)
+      val out = raw
+        .select(col("node"), round(col("raw") / lit(total), 9).as(outCol))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(raw)
+      out
+    }
+
+    var hub = nodes.select(col("node"), round(lit(1.0) / n, 9).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val authNext = halfStep(hub, "hub", "u", "v", "auth")
+      if (auth != null)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(auth)
+      auth = authNext
+      val hubNext = halfStep(auth, "auth", "v", "u", "hub")
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(hub)
+      hub = hubNext
+      i += 1
+    }
+    val res = hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+    e.unpersist(); nodes.unpersist()
+    res
+  }
 }

@@ -371,6 +371,37 @@ object SampleOps {
       .drop(nc, cc)
   }
 
+  /** Duplicate frequency capping (the SlimPajama / falcon-refinedweb
+    * recipe): instead of dropping ALL copies past the first (d01's
+    * exact dedup), keep up to `cap` copies of each distinct content
+    * key — the knob that preserves natural duplication signal (boiler-
+    * plate that SHOULD appear a few times) while bounding the
+    * memorization risk of heavy duplicates. Copies are ranked by
+    * `idCol` so the kept set is deterministic and append-stable for
+    * existing rows (a new copy can only ever rank LAST among equals).
+    *
+    * Output: input columns + `content_key`, `copy_rank` (1-based) and
+    * `kept` (rank ≤ cap). Callers filter on `kept`; emitting the flag
+    * instead of filtering keeps the audit trail queryable.
+    *
+    * Scale shape: ONE hash shuffle on the content key; the window
+    * walks each duplicate group (size = multiplicity, naturally
+    * small — a pathological mega-duplicate group is exactly the row
+    * set the cap discards, and rank-k-of-many still streams through
+    * the window operator without materializing the group).
+    */
+  def frequencyCap(df: DataFrame, contentKey: Column, idCol: String,
+                   cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(!df.columns.contains("content_key") &&
+      !df.columns.contains("copy_rank") && !df.columns.contains("kept"),
+      "frequencyCap writes content_key/copy_rank/kept; rename existing ones")
+    val w = Window.partitionBy(col("content_key")).orderBy(col(idCol))
+    df.withColumn("content_key", contentKey)
+      .withColumn("copy_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("copy_rank") <= cap)
+  }
+
   /** Perplexity-filtered split — the CCNet-shaped composition a
     * pretraining corpus actually runs: score every doc under the
     * corpus's own trigram LM ([[TextOps.trigramLmScore]]), drop docs

@@ -1671,6 +1671,57 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** Per-document lexical diversity: token/type/hapax counts plus the
+    * classic ratios — TTR (types/tokens, length-sensitive) and
+    * Guiraud's R (types/√tokens, the length-corrected variant) — the
+    * cheap quality gates that catch keyword-stuffed and template text
+    * (low diversity) before any model-based scoring.
+    *
+    * Scale shape: explode → (doc, token) partial-agg count →
+    * per-doc rollup; two narrow shuffles, linear in corpus tokens.
+    * Deliberately NOT a per-row nested-lambda expression (which is
+    * O(len²) per doc and blows up on 100k-token documents).
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_types").cast("double") /
+          sqrt(col("n_tokens").cast("double"))).as("guiraud"))
+
+  /** N-gram novelty per document: the fraction of a doc's distinct
+    * word n-grams whose FIRST corpus occurrence (min doc id) is this
+    * doc — the curriculum/filtering signal that separates documents
+    * contributing new text from ones restating earlier content
+    * (boilerplate scores ~0, fresh prose ~1). The complement of
+    * [[decontaminate]]: overlap against the corpus's own past instead
+    * of an eval set.
+    *
+    * Scale shape: n-grams collapse to 8-byte portable hashes; the
+    * first-occurrence census is one partial-agg min() shuffle on the
+    * hash key, the join back re-uses the same key partitioning, and
+    * the per-doc rollup is one id shuffle. Docs shorter than n tokens
+    * have no n-grams and drop out (novelty undefined).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    import graft.functions.PortableSketches.ngramHashes60
+    val grams = df
+      .select(col(idCol).as("doc_id"), explode(ngramHashes60(col(textCol), n)).as("ngh"))
+    val first = grams.groupBy("ngh").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("ngh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** The removal half of exact substring dedup (Lee et al. 2022): drop
     * every token covered by a duplicated `n`-gram span whose first
     * occurrence lives in an EARLIER document, keeping the first

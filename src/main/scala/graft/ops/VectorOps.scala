@@ -122,6 +122,65 @@ object VectorOps {
       }.toDF("id_a", "rk", "id_b", "cos")
   }
 
+  /** Maximum-inner-product search (MIPS) — top-k by RAW dot product,
+    * the retrieval objective when magnitude carries signal (recommender
+    * scores, unnormalized query/doc towers) and cosine's normalization
+    * would erase it. Same kernel contract as [[knnBruteForceKernel]]
+    * (broadcast right side, bounded top-k insertion, ties broken by
+    * lower id), scoring `dot` instead of `cos`.
+    *
+    * Scale path: the norm-augmentation reduction (Bachrach et al.
+    * 2014) — append sqrt(M² − ‖x‖²) to each database vector and 0 to
+    * queries, where M = max norm — turns MIPS into cosine NN, so the
+    * s03 LSH / s05 IVF bucketed tiers apply unchanged; this kernel is
+    * the exact small-right-side fixture that gates them.
+    */
+  def mipsBruteForceKernel(left: DataFrame, right: DataFrame, idCol: String,
+                           vecCol: String, k: Int,
+                           maxRightRows: Int = 1 << 20): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val probe = right.select(col(idCol)).limit(maxRightRows + 1).count()
+    require(probe <= maxRightRows,
+      s"mipsBruteForceKernel right side exceeds $maxRightRows rows — " +
+        "use the norm-augmented bucketed tiers (see Scaladoc) instead")
+    val rightRows = right.select(col(idCol), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(rightRows)
+
+    left.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rRows = bc.value
+        it.flatMap { case (idA, vecA) =>
+          val topDot = Array.fill(k)(Double.NegativeInfinity)
+          val topId = new Array[Long](k)
+          var r = 0
+          while (r < rRows.length) {
+            val (idB, vecB) = rRows(r)
+            if (idB != idA) {
+              var d = 0.0
+              var j = 0
+              val n = math.min(vecA.length, vecB.length)
+              while (j < n) { d += vecA(j).toDouble * vecB(j).toDouble; j += 1 }
+              var slot = k
+              var s2 = k - 1
+              while (s2 >= 0 && (d > topDot(s2) ||
+                (d == topDot(s2) && idB < topId(s2)))) { slot = s2; s2 -= 1 }
+              if (slot < k) {
+                var m = k - 1
+                while (m > slot) { topDot(m) = topDot(m - 1); topId(m) = topId(m - 1); m -= 1 }
+                topDot(slot) = d; topId(slot) = idB
+              }
+            }
+            r += 1
+          }
+          (0 until math.min(k, rRows.length - 1)).iterator
+            .filter(s => topDot(s) != Double.NegativeInfinity)
+            .map(s => (idA, s + 1, topId(s), topDot(s)))
+        }
+      }.toDF("id_a", "rk", "id_b", "dot")
+  }
+
   /** Near-duplicate pairs by embedding cosine (id_a < id_b, cos >= threshold). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

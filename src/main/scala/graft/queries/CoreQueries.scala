@@ -1728,6 +1728,55 @@ object CoreQueries {
         SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
             AS attributed_revenue
-        FROM a GROUP BY 1 ORDER BY 1"""))
+        FROM a GROUP BY 1 ORDER BY 1""")),
+
+    // ── q72: robust statistics per group — median/MAD (outlier-proof
+    //    location+scale), quartiles/IQR, and an exact decimal trimmed
+    //    sum over the [p10, p90] band. Two passes: pass 1 computes the
+    //    per-group quantile frame (groups-many rows → broadcast), pass
+    //    2 re-aggregates against it — the standard scale shape for any
+    //    statistic defined relative to its own group's distribution.
+    //    Quantile interpolation parity with DuckDB per q29; the
+    //    trimmed sum is exact 2-dp decimal arithmetic per q47 ─────────
+    Q("q72_robust_stats",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val bounds = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"),
+            expr("percentile(value, 0.25)").as("p25"),
+            expr("percentile(value, 0.75)").as("p75"),
+            expr("percentile(value, 0.1)").as("p10"),
+            expr("percentile(value, 0.9)").as("p90"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(min(col("med")).as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"),
+            min(col("p25")).as("p25"), min(col("p75")).as("p75"),
+            (min(col("p75")) - min(col("p25"))).as("iqr"),
+            count(when(col("value").between(col("p10"), col("p90")), 1))
+              .as("n_trim"),
+            sum(when(col("value").between(col("p10"), col("p90")),
+              dec2(col("value")))).cast("double").as("sum_trim"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+          SELECT event_type,
+            quantile_cont(value, 0.5) AS med,
+            quantile_cont(value, 0.25) AS p25,
+            quantile_cont(value, 0.75) AS p75,
+            quantile_cont(value, 0.1) AS p10,
+            quantile_cont(value, 0.9) AS p90
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+          MIN(b.med) AS med,
+          quantile_cont(ABS(e.value - b.med), 0.5) AS mad,
+          MIN(b.p25) AS p25, MIN(b.p75) AS p75,
+          MIN(b.p75) - MIN(b.p25) AS iqr,
+          CAST(COUNT(CASE WHEN e.value BETWEEN b.p10 AND b.p90
+            THEN 1 END) AS BIGINT) AS n_trim,
+          CAST(SUM(CASE WHEN e.value BETWEEN b.p10 AND b.p90
+            THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_trim
+        FROM events e JOIN b USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type"""))
   )
 }

@@ -517,6 +517,27 @@ object PipelineQueries {
               / 1152921504606846976.0 AS sample_uh
           FROM documents),
         s AS (SELECT * FROM u ORDER BY sample_uh, doc_id LIMIT 50)
-        SELECT doc_id, lang, sample_uh FROM s ORDER BY doc_id"""))
+        SELECT doc_id, lang, sample_uh FROM s ORDER BY doc_id""")),
+
+    // ── p18: duplicate frequency capping (SlimPajama recipe) — keep
+    //    at most `cap` copies per exact content key, ranked by doc_id
+    //    so the kept set is deterministic and append-stable ───────────
+    Q("p18_frequency_cap",
+      (s, dir) => SampleOps.frequencyCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        md5(col("text")), "doc_id", cap = 2)
+        .select("doc_id", "content_key", "copy_rank", "kept")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, md5(text) AS content_key FROM documents),
+        r AS (
+          SELECT doc_id, content_key,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY content_key ORDER BY doc_id) AS BIGINT)
+              AS copy_rank
+          FROM t)
+        SELECT doc_id, content_key, copy_rank,
+          copy_rank <= 2 AS kept
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -662,6 +662,26 @@ object TextQueries {
         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
         FROM c1 GROUP BY freq ORDER BY freq""")),
 
+    // ── t31: per-doc lexical diversity — type/token/hapax counts,
+    //    TTR and Guiraud's R; the cheap anti-template quality gate.
+    //    t23's spectrum machinery at document grain ──────────────────
+    Q("t31_lexical_diversity",
+      (s, dir) => TextOps.lexicalDiversity(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+          CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+          CAST(COUNT(*) AS DOUBLE) / sqrt(CAST(SUM(c) AS DOUBLE)) AS guiraud
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
     // ── per-source distribution drift (JSD vs corpus): the mixture-
     //    monitoring statistic — a source whose unigram distribution
     //    diverges has shifted domain; feeds p05/p09 re-weighting.
@@ -1199,6 +1219,33 @@ object TextQueries {
           CAST(h.n_contaminated AS DOUBLE) / tot.n_ngrams AS contamination_frac
         FROM hits h JOIN tot ON tot.doc_id = h.doc_id
         ORDER BY h.doc_id""")),
+
+    // ── d29: n-gram novelty — fraction of each doc's distinct
+    //    5-grams first seen (min doc_id) in that doc; boilerplate ~0,
+    //    fresh prose ~1. d11's overlap machinery turned on the
+    //    corpus's own past ─────────────────────────────────────────────
+    Q("d29_ngram_novelty",
+      (s, dir) => TextOps.ngramNovelty(
+        Tables.documents(s, dir), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS ng
+            FROM ts)),
+        f AS (SELECT ngh, MIN(doc_id) AS first_doc FROM sh GROUP BY ngh)
+        SELECT s.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS BIGINT)
+            AS n_novel,
+          CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS DOUBLE)
+            / COUNT(*) AS novelty
+        FROM sh s JOIN f USING (ngh)
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
 
     // ── fixed-size token chunking with overlap (context windows) ────
     Q("t10_chunking",

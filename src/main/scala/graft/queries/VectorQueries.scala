@@ -851,6 +851,28 @@ object VectorQueries {
             FROM f)
           WHERE rk = 1)
         SELECT a.id AS vec_id, a.n_eval_hits, t.max_cos, t.eval_id
-        FROM agg a JOIN top t USING (id) ORDER BY vec_id"""))
+        FROM agg a JOIN top t USING (id) ORDER BY vec_id""")),
+
+    // ── s19: maximum-inner-product search — top-k by RAW dot product
+    //    (magnitude-sensitive retrieval); scale path is the norm-
+    //    augmentation reduction to cosine (see mipsBruteForceKernel) ──
+    Q("s19_mips",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        VectorOps.mipsBruteForceKernel(e, e, "vec_id", "embedding", 3)
+          .orderBy("id_a", "rk")
+      },
+      Some("""WITH scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            AS dot
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT id_a, id_b, dot,
+            ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk
+          FROM scored)
+        SELECT id_a, rk, id_b, dot FROM ranked WHERE rk <= 3
+        ORDER BY id_a, rk"""))
   )
 }

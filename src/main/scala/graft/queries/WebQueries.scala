@@ -230,7 +230,22 @@ object WebQueries {
           .withColumnRenamed("rank", "pr")
           .orderBy("node")
       },
-      Some(pageRankSql(iters = 3)))
+      Some(pageRankSql(iters = 3))),
+
+    // ── u07: HITS hubs & authorities over the same synthetic link
+    //    graph as u06 — crawl-seed scoring (hubs) + canonical-source
+    //    scoring (authorities) from one power iteration ──────────────
+    Q("u07_hits",
+      (s, dir) => {
+        val edges = Tables.documents(s, dir)
+          .groupBy(col("source").as("u"),
+            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)
+              .cast("string")).as("v"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.ops.GraphOps.hits(edges, iters = 3)
+          .orderBy("node")
+      },
+      Some(hitsSql(iters = 3)))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,
@@ -274,5 +289,52 @@ object WebQueries {
           FROM nd CROSS JOIN cnt),
         $rounds
         SELECT node, pr FROM r$iters ORDER BY node"""
+  }
+
+  /** Unrolled HITS oracle for u07 — replays
+    * [[graft.ops.GraphOps.hits]]'s exact half-steps: snapped raw
+    * propagation (9 dp), L1 total, snapped normalized scores. Four
+    * CTEs per round (auth raw/total/norm, then hub raw/total/norm on
+    * the freshly-normalized authorities).
+    */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"h${i - 1}"
+      s"""ar$i AS (
+          SELECT nd.node, ROUND(COALESCE(f.s, 0.0), 9) AS raw
+          FROM nd LEFT JOIN (
+            SELECT e.v AS node, SUM(h.hub * e.w) AS s
+            FROM ed e JOIN $prev h ON h.node = e.u GROUP BY e.v) f
+          USING (node)),
+        at$i AS (SELECT SUM(raw) AS t FROM ar$i),
+        a$i AS (
+          SELECT node, ROUND(raw / at$i.t, 9) AS auth
+          FROM ar$i CROSS JOIN at$i),
+        hr$i AS (
+          SELECT nd.node, ROUND(COALESCE(f.s, 0.0), 9) AS raw
+          FROM nd LEFT JOIN (
+            SELECT e.u AS node, SUM(a.auth * e.w) AS s
+            FROM ed e JOIN a$i a ON a.node = e.v GROUP BY e.u) f
+          USING (node)),
+        ht$i AS (SELECT SUM(raw) AS t FROM hr$i),
+        h$i AS (
+          SELECT node, ROUND(raw / ht$i.t, 9) AS hub
+          FROM hr$i CROSS JOIN ht$i)"""
+    }.mkString(",\n        ")
+    s"""WITH ed AS (
+          SELECT source AS u,
+            'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS v,
+            CAST(COUNT(*) AS DOUBLE) AS w
+          FROM documents GROUP BY 1, 2),
+        nd AS (
+          SELECT DISTINCT node FROM (
+            SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) t),
+        cnt AS (SELECT COUNT(*) AS n FROM nd),
+        h0 AS (
+          SELECT node, ROUND(1.0 / cnt.n, 9) AS hub
+          FROM nd CROSS JOIN cnt),
+        $rounds
+        SELECT h.node, h.hub, a.auth
+        FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"""
   }
 }

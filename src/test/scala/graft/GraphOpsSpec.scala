@@ -125,4 +125,34 @@ class GraphOpsSpec extends SparkTestBase {
     assert(bad.count() == 0)
     clusters.unpersist()
   }
+
+  test("hits: star concentrates authority; L1 mass is 1 per score") {
+    // s1..s4 all link to hub: hub is the ONLY authority (score 1),
+    // the spokes are equal hubs (0.25 each), hub itself hubs nothing
+    val star = (1 to 4).map(i => (s"s$i", "hub", 1.0)).toDF("u", "v", "w")
+    val got = GraphOps.hits(star, iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(math.abs(got("hub")._2 - 1.0) < 1e-9, got.toString)
+    assert((1 to 4).forall(i => got(s"s$i")._2 == 0.0))
+    assert((1 to 4).forall(i => math.abs(got(s"s$i")._1 - 0.25) < 1e-9))
+    assert(got("hub")._1 == 0.0)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("hits: edge weights steer authority; better-connected hub wins") {
+    // a -(3)-> x, b -(1)-> x, b -(1)-> y: x out-authorities y (more
+    // weighted in-links), and a out-hubs b (its one link carries
+    // 3× weight into the stronger authority)
+    val g = Seq(("a", "x", 3.0), ("b", "x", 1.0), ("b", "y", 1.0))
+      .toDF("u", "v", "w")
+    val got = GraphOps.hits(g, iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(got("x")._2 > got("y")._2, got.toString)
+    assert(got("a")._1 > got("b")._1, got.toString)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+  }
 }

@@ -1754,4 +1754,41 @@ class OpsSpec extends SparkTestBase {
       (1L, 0L, 1L, 1L, 1.0)), // u3 cohorted day 1
       out.toString)
   }
+
+  test("ngramNovelty: fresh doc 1.0, exact dup 0.0, partial overlap fractional") {
+    val docs = Seq(
+      (1L, "a b c"), //  bigrams {ab, bc} — both first here
+      (2L, "a b c"), //  exact dup → nothing novel
+      (3L, "b c d") //   {bc (seen in 1), cd (new)} → 0.5
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5)), got.toString)
+    // doc shorter than n tokens has no n-grams and drops out
+    val tiny = Seq((1L, "only")).toDF("doc_id", "text")
+    assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
+  }
+
+  test("lexicalDiversity: counts, hapax, TTR and Guiraud on a known doc") {
+    val docs = Seq((1L, "a a b c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 3L, 2L, 0.75, 3.0 / 2.0)), got(0).toString)
+    assert(got(1) == ((2L, 4L, 1L, 0L, 0.25, 0.5)), got(1).toString)
+  }
+
+  test("MIPS ranks by raw dot product where cosine would rank otherwise") {
+    // query 1=[1,0]: dot favors the long vector 3=[5,5] (5 > 0.9),
+    // cosine favors the aligned short one 2=[.9,.1] (0.99 > 0.71)
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val mips = VectorOps.mipsBruteForceKernel(vecs, vecs, "vec_id", "embedding", 1)
+      .where($"id_a" === 1L).select($"id_b").as[Long].head()
+    val cos = VectorOps.knnBruteForceKernel(vecs, vecs, "vec_id", "embedding", 1)
+      .where($"id_a" === 1L).select($"id_b").as[Long].head()
+    assert(mips == 3L && cos == 2L, s"mips=$mips cos=$cos")
+  }
 }

@@ -460,4 +460,31 @@ class SampleOpsSpec extends SparkTestBase {
       .as[(Long, Double, Double)].head()
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
+
+  test("frequencyCap: ranks by id, keeps <= cap per key, cap=1 is exact dedup") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"),
+      (5L, "y"), (6L, "z")).toDF("doc_id", "text")
+    val capped = SampleOps.frequencyCap(docs, md5($"text"), "doc_id", cap = 2)
+    val byId = capped.select($"doc_id", $"copy_rank", $"kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId == Map(1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, false),
+      4L -> (1L, true), 5L -> (2L, true), 6L -> (1L, true)), byId.toString)
+
+    // cap=1 keeps exactly the min id per distinct content — d01's keep set
+    val kept1 = SampleOps.frequencyCap(docs, md5($"text"), "doc_id", cap = 1)
+      .where($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 4L, 6L))
+
+    // append-stability: adding a NEW copy of "x" (higher id) never
+    // changes existing rows' fate
+    val grown = docs.union(Seq((7L, "x")).toDF("doc_id", "text"))
+    val after = SampleOps.frequencyCap(grown, md5($"text"), "doc_id", cap = 2)
+      .where($"doc_id" <= 6).select($"doc_id", $"copy_rank", $"kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after == byId, s"append changed existing rows: $after")
+
+    intercept[IllegalArgumentException] {
+      SampleOps.frequencyCap(docs, md5($"text"), "doc_id", cap = 0)
+    }
+  }
 }

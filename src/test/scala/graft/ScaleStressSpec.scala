@@ -141,7 +141,20 @@ class ScaleStressSpec extends SparkTestBase {
     // zero-shuffle rule battery: pure narrow linear pass
     "t30_gopher_gates" -> (df =>
       TextOps.gopherQualityGates(df, "doc_id", "text",
-        Seq("the", "a", "of", "to"))))
+        Seq("the", "a", "of", "to"))),
+    // first-occurrence census on 8-byte gram keys + join-back: both
+    // shuffles on the same key, output rows = input docs
+    "d29_ngram_novelty" -> (df =>
+      TextOps.ngramNovelty(df, "doc_id", "text", n = 5)),
+    // explode -> (doc, tok) partial-agg -> per-doc rollup: two narrow
+    // shuffles, linear in corpus tokens
+    "t31_lexical_diversity" -> (df =>
+      TextOps.lexicalDiversity(df, "doc_id", "text")),
+    // one content-key shuffle; window walks duplicate groups whose
+    // size is the duplication multiplicity, not the corpus
+    "p18_frequency_cap" -> (df =>
+      graft.ops.SampleOps.frequencyCap(
+        df, md5(col("text")), "doc_id", cap = 2)))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -188,6 +201,15 @@ class ScaleStressSpec extends SparkTestBase {
         concat(lit("s"), expr("(doc_id * 7 + 3) div 100")).as("v"))
         .agg(count(lit(1)).cast("double").as("w"))
       graft.ops.GraphOps.pageRank(edges, iters = 3)
+    },
+    // same derived graph, HITS flavor: 2 joins + 2 scalar reads per
+    // round on (node, score) rows — iters·|edges| work like u06
+    "u07_hits" -> { df =>
+      val edges = df.groupBy(
+        concat(lit("s"), expr("doc_id div 250")).as("u"),
+        concat(lit("s"), expr("(doc_id * 7 + 3) div 100")).as("v"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.GraphOps.hits(edges, iters = 3)
     })
 
   /** (vec_id, embedding)-framed trainer entries; the Int is the scale
@@ -243,7 +265,21 @@ class ScaleStressSpec extends SparkTestBase {
     "q70_attribution" -> (df =>
       graft.ops.EventOps.attributedRevenue(df, "user_id", "event_type",
         "ts_sec", "event_id", "value", "purchase", Seq("click", "view"),
-        86400L)))
+        86400L)),
+    // two-pass quantile frame: groups-many bounds broadcast back over
+    // the stream — group count is fixed, rows scale linearly
+    "q72_robust_stats" -> { df =>
+      val bounds = df.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.1)").as("p10"),
+          expr("percentile(value, 0.9)").as("p90"))
+      df.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"),
+          count(when(col("value").between(col("p10"), col("p90")), 1))
+            .as("n_trim"))
+    })
 
   /** Times construction + materialization (by-name): driver-loop
     * trainers run their collect rounds during plan CONSTRUCTION, so
