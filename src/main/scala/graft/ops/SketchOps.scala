@@ -306,6 +306,33 @@ object SketchOps {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
   }
 
+  /** Join-size estimate from two CMS register sets (Cormode &
+    * Muthukrishnan 2005 §4.2, the AGMS/CMS inner-product estimator):
+    * for each depth row, the inner product Σ_j cA[i][j]·cB[i][j]
+    * OVERestimates the true equi-join cardinality Σ_k fA(k)·fB(k)
+    * (colliding keys only ever add mass); taking the MIN over rows
+    * bounds the excess by e/width · |A|·|B| with probability
+    * 1 − e^-depth. Pure integer arithmetic over already-built
+    * registers — deterministic on any engine.
+    *
+    * This is the plan-time diagnostic you run BEFORE shuffling two
+    * 100 TB tables on an unknown key: both sketches build in one
+    * narrow pass each (≤ depth·width rows cross the wire), and the
+    * estimate itself touches only depth·width register rows — the
+    * skew/explosion answer (q66's per-table report, lifted to the
+    * JOIN) at sketch cost.
+    *
+    * Both register frames must share `depth`/`width` (same seeded
+    * hash family by construction). Output: 1 row, `est_join_size`.
+    */
+  def cmsJoinSize(regA: DataFrame, regB: DataFrame): DataFrame = {
+    val a = regA.select(col("i"), col("j"), col("c").as("ca"))
+    val b = regB.select(col("i"), col("j"), col("c").as("cb"))
+    a.join(b, Seq("i", "j"))
+      .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_size"))
+  }
+
   /** Portable Bloom filter — the set-membership member of the
     * portable-sketch family (distinct = [[hyperLogLog]], frequency =
     * [[cmsRegisters]], quantile = [[dyadicCmsRegisters]]). Spark's

@@ -1671,6 +1671,54 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** Zipf fit over the corpus frequency spectrum: least-squares slope
+    * and intercept of ln(freq) against ln(rank) for the top-N terms —
+    * natural language sits near slope ≈ −1, and machine-generated /
+    * template corpora bend away from it, so the slope is a cheap
+    * corpus-level quality signal (and the input to smoothing choices
+    * for the t11/t14/t16 LM family).
+    *
+    * Engine-exact by construction: the only order-dependent step —
+    * summing the regression moments — runs on 6 dp-snapped DECIMAL
+    * log points (exact ± arithmetic at any summation order, the q47
+    * pattern), and the closed-form slope/intercept are then single
+    * fixed-order IEEE ops on the exact sums.
+    *
+    * Scale shape: term census is one Zipf-bounded (term, count)
+    * shuffle; top-N selection is `TakeOrderedAndProject` (k rows per
+    * partition, no global sort); everything after runs on N rows.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(topN)
+    // rank assignment AFTER the top-N cut: the window sorts N rows,
+    // not the vocabulary
+    val ranked = top.select(col("freq"),
+      row_number().over(Window.orderBy(col("freq").desc, col("tok")))
+        .as("rank"))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log(col("freq").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    // cast the EXACT decimal sums to double first, then closed-form
+    // slope/intercept as fixed-order IEEE ops — multiplying the wide
+    // decimal sums again would overflow both engines' decimal width
+    // and they degrade differently (observed 1e-12 drift)
+    s.select(col("n"), col("n").cast("double").as("nd"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+      col("sxx").cast("double").as("sxxd"), col("sxy").cast("double").as("sxyd"))
+      .select(col("n"),
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (col("nd") * col("sxxd") - col("sxd") * col("sxd"))).as("slope"),
+        col("nd"), col("sxd"), col("syd"))
+      .select(col("n"), col("slope"),
+        ((col("syd") - col("slope") * col("sxd")) / col("nd")).as("intercept"))
+  }
+
   /** Per-document lexical diversity: token/type/hapax counts plus the
     * classic ratios — TTR (types/tokens, length-sensitive) and
     * Guiraud's R (types/√tokens, the length-corrected variant) — the

@@ -1777,6 +1777,99 @@ object CoreQueries {
           CAST(SUM(CASE WHEN e.value BETWEEN b.p10 AND b.p90
             THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_trim
         FROM events e JOIN b USING (event_type)
-        GROUP BY e.event_type ORDER BY e.event_type"""))
+        GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    // ── q73: CMS join-cardinality estimate — the plan-time diagnostic
+    //    run BEFORE shuffling two huge tables on an unknown key: both
+    //    sides sketch in one narrow pass (≤ depth·width register rows),
+    //    the estimate touches only the sketches. Integer-exact, so the
+    //    oracle replays it bit-for-bit; the exact join size rides
+    //    along to exhibit the overestimate contract ────────────────────
+    Q("q73_join_size_cms",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.where(col("event_type") === "click").select("user_id")
+        val views = ev.where(col("event_type") === "view").select("user_id")
+        val est = graft.ops.SketchOps.cmsJoinSize(
+          graft.ops.SketchOps.cmsRegisters(clicks, "user_id", depth = 3, width = 32),
+          graft.ops.SketchOps.cmsRegisters(views, "user_id", depth = 3, width = 32))
+        val exact = clicks.groupBy("user_id").agg(count(lit(1)).as("ca"))
+          .join(views.groupBy("user_id").agg(count(lit(1)).as("cb")), Seq("user_id"))
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
+        est.crossJoin(exact)
+          .select(col("est_join_size"), col("exact_join_size"),
+            (col("est_join_size").cast("double") / col("exact_join_size"))
+              .as("overestimate"))
+      },
+      Some("""WITH a AS (
+          SELECT user_id FROM events WHERE event_type = 'click'),
+        b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        ra AS (
+          SELECT i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT
+              % 32 AS j,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM a CROSS JOIN range(3) t(i) GROUP BY 1, 2),
+        rb AS (
+          SELECT i,
+            ('0x' || substr(md5(i::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT
+              % 32 AS j,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM b CROSS JOIN range(3) t(i) GROUP BY 1, 2),
+        ip AS (
+          SELECT ra.i, CAST(SUM(ra.c * rb.c) AS BIGINT) AS ip
+          FROM ra JOIN rb ON ra.i = rb.i AND ra.j = rb.j GROUP BY ra.i),
+        est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+        ex AS (
+          SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS exact_join_size
+          FROM (SELECT user_id, COUNT(*) AS ca FROM a GROUP BY 1) x
+          JOIN (SELECT user_id, COUNT(*) AS cb FROM b GROUP BY 1) y
+          USING (user_id))
+        SELECT est_join_size, exact_join_size,
+          CAST(est_join_size AS DOUBLE) / exact_join_size AS overestimate
+        FROM est CROSS JOIN ex""")),
+
+    // ── q74: robust volume-anomaly flags — hourly event counts per
+    //    type scored against the type's own median/MAD (outlier-proof
+    //    center+spread, so one traffic spike can't mask itself by
+    //    inflating a mean/stddev baseline). q72's two-pass broadcast-
+    //    bounds shape on the q07 tumbling-bucket census: the monitor
+    //    you run on a stream's own history ─────────────────────────────
+    Q("q74_robust_anomaly",
+      (s, dir) => {
+        val buckets = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts_sec div 3600").as("hour_bucket"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = buckets.groupBy("event_type")
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val withMed = buckets.join(broadcast(bounds), Seq("event_type"))
+        val mad = withMed.groupBy("event_type")
+          .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+        withMed.join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("hour_bucket"), col("n"),
+            col("med"), col("mad"),
+            (abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+              .as("is_anomaly"))
+          .orderBy("event_type", "hour_bucket")
+      },
+      Some(Tables.eventsCte + """,
+        buckets AS (
+          SELECT event_type, ts_sec // 3600 AS hour_bucket,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+        med AS (
+          SELECT event_type, quantile_cont(n, 0.5) AS med
+          FROM buckets GROUP BY event_type),
+        mad AS (
+          SELECT b.event_type,
+            quantile_cont(ABS(b.n - m.med), 0.5) AS mad
+          FROM buckets b JOIN med m USING (event_type)
+          GROUP BY b.event_type)
+        SELECT b.event_type, b.hour_bucket, b.n, m.med, d.mad,
+          ABS(b.n - m.med) > 3.0 * d.mad AS is_anomaly
+        FROM buckets b JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        ORDER BY b.event_type, b.hour_bucket"""))
   )
 }

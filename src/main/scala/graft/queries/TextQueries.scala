@@ -662,6 +662,37 @@ object TextQueries {
         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
         FROM c1 GROUP BY freq ORDER BY freq""")),
 
+    // ── t32: Zipf fit — least-squares slope/intercept of the log-log
+    //    frequency spectrum over the top-50 terms; natural text sits
+    //    near slope −1, template corpora bend away. Moment sums are
+    //    exact decimals over 6 dp-snapped log points (q47 pattern) ────
+    Q("t32_zipf_fit",
+      (s, dir) => TextOps.zipfFit(Tables.documents(s, dir), "text", topN = 50),
+      Some("""WITH f AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        top AS (SELECT tok, freq FROM f ORDER BY freq DESC, tok LIMIT 50),
+        r AS (SELECT freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM top),
+        p AS (SELECT
+            CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+            CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          FROM r),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) AS DOUBLE) AS nd,
+            CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd,
+            CAST(SUM(x * x) AS DOUBLE) AS sxxd,
+            CAST(SUM(x * y) AS DOUBLE) AS sxyd
+          FROM p),
+        c AS (SELECT n, nd, sxd, syd,
+            (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+          FROM s)
+        SELECT n, slope,
+          (syd - slope * sxd) / nd AS intercept
+        FROM c""")),
+
     // ── t31: per-doc lexical diversity — type/token/hapax counts,
     //    TTR and Guiraud's R; the cheap anti-template quality gate.
     //    t23's spectrum machinery at document grain ──────────────────

@@ -93,12 +93,22 @@ class PlanHygieneSpec extends SparkTestBase {
     // fast with a pointer to their scale-path twins (s03/s05 LSH/IVF;
     // shuffle join / Layout bucketing) — guard-trip specs in
     // OpsSpec/ApiSpec.
+    // q73_join_size_cms: the est/exact legs each end in a 1-row global
+    // aggregate — est folds depth-many inner-product rows (≤ depth·width
+    // register pairs upstream, map-side combined), exact reduces the
+    // per-key count join; both are O(sketch)/O(partials) tails,
+    // identical at any scale, then meet in a 1×1 broadcast crossJoin.
+    // t32_zipf_fit: the top-50 cut is TakeOrderedAndProject (k rows per
+    // partition); the rank window and the moment aggregate then run on
+    // those 50 rows — the single-partition stages carry topN rows by
+    // construction, never the vocabulary.
     val allowed = Set("q19_enumerate", "p04_balance", "t11_unigram_lm",
       "q53_approx_distinct_portable", "p09_temperature_mixture",
       "t14_bigram_lm", "t16_trigram_lm", "t18_quality_classifier",
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
       "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
-      "q63_profile", "q66_skew_report", "t29_dsir_weights")
+      "q63_profile", "q66_skew_report", "t29_dsir_weights",
+      "q73_join_size_cms", "t32_zipf_fit")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

@@ -461,6 +461,42 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
 
+  test("cmsJoinSize: overestimates the true join size; exact when collision-free") {
+    import graft.ops.SketchOps
+    val a = Seq("u1", "u1", "u2", "u3").toDF("key")
+    val b = Seq("u1", "u2", "u2", "u4").toDF("key")
+    // true size: u1 2*1 + u2 1*2 = 4
+    val exact = 4L
+    // tight sketch (collisions likely): estimate >= exact always
+    val estTight = SketchOps.cmsJoinSize(
+      SketchOps.cmsRegisters(a, "key", depth = 3, width = 2),
+      SketchOps.cmsRegisters(b, "key", depth = 3, width = 2))
+      .as[Long].head()
+    assert(estTight >= exact, s"estTight=$estTight")
+    // wide sketch (4 keys into 1024 cells): min-row is collision-free
+    // with overwhelming probability for this FIXED hash family → exact
+    val estWide = SketchOps.cmsJoinSize(
+      SketchOps.cmsRegisters(a, "key", depth = 3, width = 1024),
+      SketchOps.cmsRegisters(b, "key", depth = 3, width = 1024))
+      .as[Long].head()
+    assert(estWide == exact, s"estWide=$estWide")
+  }
+
+  test("zipfFit: uniform spectrum fits slope 0; decaying spectrum fits negative") {
+    import graft.ops.TextOps
+    // uniform: every token same freq → y constant → slope exactly 0
+    val uniform = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val u = TextOps.zipfFit(uniform, "text", topN = 10)
+      .as[(Long, Double, Double)].head()
+    assert(u._1 == 4L && u._2 == 0.0, u.toString)
+    // geometric decay: freqs 8,4,2,1 → negative slope, positive intercept
+    val decay = Seq((1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("doc_id", "text")
+    val d = TextOps.zipfFit(decay, "text", topN = 10)
+      .as[(Long, Double, Double)].head()
+    assert(d._1 == 4L && d._2 < -0.5 && d._3 > 0.0, d.toString)
+  }
+
   test("frequencyCap: ranks by id, keeps <= cap per key, cap=1 is exact dedup") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"),
       (5L, "y"), (6L, "z")).toDF("doc_id", "text")

@@ -154,7 +154,11 @@ class ScaleStressSpec extends SparkTestBase {
     // size is the duplication multiplicity, not the corpus
     "p18_frequency_cap" -> (df =>
       graft.ops.SampleOps.frequencyCap(
-        df, md5(col("text")), "doc_id", cap = 2)))
+        df, md5(col("text")), "doc_id", cap = 2)),
+    // Zipf-bounded term census + TakeOrderedAndProject top-50; the
+    // regression itself runs on 50 rows regardless of corpus size
+    "t32_zipf_fit" -> (df =>
+      TextOps.zipfFit(df, "text", topN = 50)))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -266,6 +270,30 @@ class ScaleStressSpec extends SparkTestBase {
       graft.ops.EventOps.attributedRevenue(df, "user_id", "event_type",
         "ts_sec", "event_id", "value", "purchase", Seq("click", "view"),
         86400L)),
+    // both sides sketch to <= depth*width register rows; the estimate
+    // touches only sketches, the exact leg is a per-key count join
+    "q73_join_size_cms" -> { df =>
+      val clicks = df.where(col("event_type") === "click").select("user_id")
+      val views = df.where(col("event_type") === "view").select("user_id")
+      graft.ops.SketchOps.cmsJoinSize(
+        graft.ops.SketchOps.cmsRegisters(clicks, "user_id", depth = 3, width = 32),
+        graft.ops.SketchOps.cmsRegisters(views, "user_id", depth = 3, width = 32))
+    },
+    // hourly census (one keyed shuffle) + two tiny broadcast-bounds
+    // passes over it — bucket count grows with the time range only
+    "q74_robust_anomaly" -> { df =>
+      val buckets = df.groupBy(col("event_type"),
+        expr("ts_sec div 3600").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = buckets.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val withMed = buckets.join(broadcast(bounds), Seq("event_type"))
+      val mad = withMed.groupBy("event_type")
+        .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("hour_bucket"), col("n"),
+          (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
+    },
     // two-pass quantile frame: groups-many bounds broadcast back over
     // the stream — group count is fixed, rows scale linearly
     "q72_robust_stats" -> { df =>

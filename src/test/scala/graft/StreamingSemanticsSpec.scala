@@ -729,4 +729,58 @@ class StreamingSemanticsSpec extends SparkTestBase {
       .as[(String, Int)].collect().toSet
     assert(compacted == Set(("a", 10), ("b", 2), ("c", 3)))
   }
+
+  test("streaming robust-anomaly monitor: census in update mode, bounds at read") {
+    // q74's streaming twin: the hourly (type, bucket) census is the
+    // only stream-maintained state (bounded by types × hours — one
+    // commutative count agg); the median/MAD baseline + flags fold at
+    // READ time over that small census table, like the HLL/CMS
+    // register sketches. Streamed census ≡ batch census ⇒ identical
+    // monitor output.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (event_type, ts_sec)
+    val census = input.toDS().toDF("event_type", "ts_sec")
+      .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val q = census.writeStream.format("memory").queryName("anomaly_census")
+      .outputMode("complete").start()
+    try {
+      // type "a": steady 2/hour over 5 hours, then a 50-event spike
+      val steady = for (h <- 0L until 5L; i <- 0L until 2L)
+        yield ("a", h * 3600L + i * 7L)
+      val spike = (0L until 50L).map(i => ("a", 5L * 3600L + i))
+      input.addData(steady)
+      q.processAllAvailable()
+      input.addData(spike)
+      q.processAllAvailable()
+
+      def monitor(c: org.apache.spark.sql.DataFrame) = {
+        val bounds = c.groupBy("event_type")
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val withMed = c.join(broadcast(bounds), Seq("event_type"))
+        val mad = withMed.groupBy("event_type")
+          .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+        withMed.join(broadcast(mad), Seq("event_type"))
+          .select(col("event_type"), col("hour_bucket"), col("n"),
+            (abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+              .as("is_anomaly"))
+      }
+      // rebuild the census as a fresh frame: the monitor self-joins
+      // its input, and the memory-sink View's fixed attribute ids
+      // trip Spark's self-join disambiguation (INTERNAL_ERROR) —
+      // production reads the census from a real sink table anyway
+      val censusRows = spark.table("anomaly_census")
+        .as[(String, Long, Long)].collect().toSeq
+      val streamed = monitor(censusRows.toDF("event_type", "hour_bucket", "n"))
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      val batch = monitor(
+        (steady ++ spike).toDF("event_type", "ts_sec")
+          .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_bucket"))
+          .agg(count(lit(1)).as("n")))
+        .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch)
+      // only the spike bucket flags
+      assert(streamed.filter(_._4).map(_._2) == Set(5L), streamed.toString)
+    } finally q.stop()
+  }
 }
