@@ -1671,6 +1671,63 @@ object TextOps {
           .as("contamination_frac"))
   }
 
+  /** Per-term burstiness (Church & Gale): how a term's occurrences
+    * CLUSTER into documents — `burst` = cf/df (mean occurrences per
+    * containing doc) and the variance-to-mean ratio over containing
+    * docs. Uniformly-spread function words sit near burst ≈ 1,
+    * topical/bursty terms and keyword-stuffing spam sit high — the
+    * term-level complement of t08's doc-level repetition signals.
+    *
+    * All moments are exact integer sums (cf, df, Σc²); the ratios are
+    * fixed-order IEEE ops on those exact sums, so the output is
+    * engine-exact. Scale shape: (doc, term) partial-agg + term
+    * rollup — t06's two Zipf-bounded shuffles, nothing wider.
+    */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minCf: Long): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(sum(col("c")).as("cf"),
+        count(lit(1)).as("df"), sum(col("c") * col("c")).as("cf2"))
+      .where(col("cf") >= minCf)
+      .select(col("tok"), col("cf"), col("df"),
+        (col("cf").cast("double") / col("df")).as("burst"),
+        ((col("cf2").cast("double") / col("df") -
+          (col("cf").cast("double") / col("df")) *
+            (col("cf").cast("double") / col("df"))) /
+          (col("cf").cast("double") / col("df"))).as("vmr"))
+
+  /** LSH banding planner — the closed-form complement of d24's
+    * empirical calibration: for every (bands b, rows r) factorization
+    * of the signature budget, the collision S-curve
+    * p(s) = 1 − (1 − s^r)^b over a similarity grid, plus the curve's
+    * threshold estimate t* ≈ (1/b)^(1/r). This is the table you read
+    * BEFORE committing a 100 TB MinHash pass to one (b, r) choice:
+    * pick the divisor pair whose t* brackets the dedup threshold and
+    * whose low-s tail bounds the candidate-volume false-positive cost.
+    *
+    * Pure parameter arithmetic (no corpus scan); 6 dp snap on the two
+    * libm pow chains keeps the table engine-exact in practice.
+    */
+  def lshTuner(spark: org.apache.spark.sql.SparkSession,
+               numHashes: Int): DataFrame = {
+    import spark.implicits._
+    require(numHashes > 0, "numHashes must be positive")
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    pairs.toDF("bands", "rows_per_band")
+      .withColumn("threshold_est",
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6))
+      .withColumn("i", explode(sequence(lit(1), lit(19))))
+      .withColumn("s", col("i").cast("double") / 20)
+      .withColumn("p_collision",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("s"),
+          col("rows_per_band").cast("double")),
+          col("bands").cast("double")), 6))
+      .drop("i")
+  }
+
   /** Zipf fit over the corpus frequency spectrum: least-squares slope
     * and intercept of ln(freq) against ln(rank) for the top-N terms —
     * natural language sits near slope ≈ −1, and machine-generated /

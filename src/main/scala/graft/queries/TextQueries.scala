@@ -662,6 +662,51 @@ object TextQueries {
         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
         FROM c1 GROUP BY freq ORDER BY freq""")),
 
+    // ── t33: term burstiness — cf/df and variance-to-mean over
+    //    containing docs (Church & Gale): function words ≈ 1, topical
+    //    and keyword-stuffed terms high. Exact integer moments,
+    //    fixed-order IEEE ratios ──────────────────────────────────────
+    Q("t33_burstiness",
+      (s, dir) => TextOps.termBurstiness(
+        Tables.documents(s, dir), "doc_id", "text", minCf = 10L)
+        .orderBy("tok"),
+      Some("""WITH c AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        m AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS cf,
+            CAST(COUNT(*) AS BIGINT) AS df,
+            CAST(SUM(c * c) AS BIGINT) AS cf2
+          FROM c GROUP BY tok)
+        SELECT tok, cf, df,
+          CAST(cf AS DOUBLE) / df AS burst,
+          (CAST(cf2 AS DOUBLE) / df -
+            (CAST(cf AS DOUBLE) / df) * (CAST(cf AS DOUBLE) / df))
+            / (CAST(cf AS DOUBLE) / df) AS vmr
+        FROM m WHERE cf >= 10 ORDER BY tok""")),
+
+    // ── d30: LSH banding planner — closed-form collision S-curves
+    //    p(s) = 1 − (1 − s^r)^b for every (b, r) factorization of the
+    //    signature budget + threshold estimates; the table you read
+    //    BEFORE committing a 100 TB MinHash pass (d24 calibrates the
+    //    same choice empirically after the fact) ────────────────────────
+    Q("d30_lsh_tuner",
+      (s, dir) => TextOps.lshTuner(s, numHashes = 16)
+        .orderBy("bands", "s"),
+      Some("""WITH pairs AS (
+          SELECT bands, 16 // bands AS rows_per_band
+          FROM (SELECT UNNEST([1, 2, 4, 8, 16]) AS bands)),
+        g AS (SELECT i FROM range(1, 20) t(i))
+        SELECT bands, rows_per_band,
+          ROUND(power(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold_est,
+          CAST(i AS DOUBLE) / 20 AS s,
+          ROUND(1.0 - power(1.0 - power(CAST(i AS DOUBLE) / 20,
+            CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 6)
+            AS p_collision
+        FROM pairs CROSS JOIN g ORDER BY bands, s""")),
+
     // ── t32: Zipf fit — least-squares slope/intercept of the log-log
     //    frequency spectrum over the top-50 terms; natural text sits
     //    near slope −1, template corpora bend away. Moment sums are

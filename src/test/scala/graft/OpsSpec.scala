@@ -1779,6 +1779,38 @@ class OpsSpec extends SparkTestBase {
     assert(got(1) == ((2L, 4L, 1L, 0L, 0.25, 0.5)), got(1).toString)
   }
 
+  test("termBurstiness: hand-computed cf/df/burst/vmr; minCf prunes") {
+    val docs = Seq((1L, "x x x x"), (2L, "x y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.termBurstiness(docs, "doc_id", "text", minCf = 1L)
+      .orderBy("tok")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // x: counts (4,1) → cf=5, df=2, burst=2.5, var=17/2−6.25=2.25, vmr=0.9
+    // y: counts (1,1) → burst=1, vmr=0
+    assert(got == Seq(("x", 5L, 2L, 2.5, 0.9), ("y", 2L, 2L, 1.0, 0.0)),
+      got.toString)
+    assert(TextOps.termBurstiness(docs, "doc_id", "text", minCf = 3L)
+      .count() == 1)
+  }
+
+  test("lshTuner: budget factorizations, S-curve endpoints, known threshold") {
+    val t = TextOps.lshTuner(spark, numHashes = 16)
+      .as[(Int, Int, Double, Double, Double)].collect()
+    assert(t.forall { case (b, r, _, _, _) => b * r == 16 })
+    assert(t.length == 5 * 19)
+    // b=1: p = s^r exactly; r=1: p = 1-(1-s)^b
+    t.filter(_._1 == 1).foreach { case (_, r, _, s, p) =>
+      assert(math.abs(p - math.pow(s, r)) < 1e-6, s"s=$s p=$p") }
+    // p monotone nondecreasing in s within each curve
+    t.groupBy(x => (x._1, x._2)).values.foreach { curve =>
+      val ps = curve.sortBy(_._4).map(_._5)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    }
+    // (4,4): t* = (1/4)^(1/4) ≈ 0.707107
+    val t44 = t.find(x => x._1 == 4 && x._2 == 4).get._3
+    assert(math.abs(t44 - 0.707107) < 1e-6, t44.toString)
+  }
+
   test("MIPS ranks by raw dot product where cosine would rank otherwise") {
     // query 1=[1,0]: dot favors the long vector 3=[5,5] (5 > 0.9),
     // cosine favors the aligned short one 2=[.9,.1] (0.99 > 0.71)

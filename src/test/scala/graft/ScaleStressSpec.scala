@@ -158,7 +158,11 @@ class ScaleStressSpec extends SparkTestBase {
     // Zipf-bounded term census + TakeOrderedAndProject top-50; the
     // regression itself runs on 50 rows regardless of corpus size
     "t32_zipf_fit" -> (df =>
-      TextOps.zipfFit(df, "text", topN = 50)))
+      TextOps.zipfFit(df, "text", topN = 50)),
+    // (doc, term) partial agg + term rollup: t06's two Zipf-bounded
+    // shuffles; integer moments combine map-side
+    "t33_burstiness" -> (df =>
+      TextOps.termBurstiness(df, "doc_id", "text", minCf = 10L)))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -337,6 +341,28 @@ class ScaleStressSpec extends SparkTestBase {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Ratio assertion with a flake guard: a tripped bound re-measures
+    * both legs once and keeps the per-leg minimum — a real
+    * super-linear blowup reproduces, a one-off GC/JIT hiccup does not
+    * (t15 flaked at 26.0× once — base leg got an unusually fast time,
+    * the 10× leg a GC pause — and re-measured at 1.6×; same class as
+    * the round-9 t16 adjudication in SCALE.md).
+    */
+  private def assertLinear(name: String, t1a: Double, t10a: Double,
+                           retime1: => Double, retime10: => Double): Unit = {
+    var t1 = t1a; var t10 = t10a
+    var ratio = t10 / math.max(t1, 1e-3)
+    if (ratio >= 25.0) {
+      t1 = math.min(t1, retime1); t10 = math.min(t10, retime10)
+      ratio = t10 / math.max(t1, 1e-3)
+      info(f"$name flake-guard re-measure engaged")
+    }
+    info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
+    // linear-with-overhead lands well under 25x; quadratic ~100x
+    assert(ratio < 25.0,
+      f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+  }
+
   heavy.foreach { case (name, q) =>
     test(s"$name: 10x data => ~linear runtime, unchanged plan shape") {
       // materialize both cached inputs so synthesis cost stays untimed,
@@ -345,11 +371,7 @@ class ScaleStressSpec extends SparkTestBase {
       timeNoop(q(base))
       val t1 = timeNoop(q(base))
       val t10 = timeNoop(q(big))
-      val ratio = t10 / math.max(t1, 1e-3)
-      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
-      // linear-with-overhead lands well under 25x; quadratic ~100x
-      assert(ratio < 25.0,
-        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assertLinear(name, t1, t10, timeNoop(q(base)), timeNoop(q(big)))
       // equi-join strategy normalized like the SPARK_GRAFT_STRESS_FACTOR
       // tier below: at base=sf0.1 a count-table leg can already cross
       // spark.sql.autoBroadcastJoinThreshold at 10x, and that broadcast
@@ -369,10 +391,7 @@ class ScaleStressSpec extends SparkTestBase {
       timeEager(q(base))
       val t1 = timeEager(q(base))
       val t10 = timeEager(q(big))
-      val ratio = t10 / math.max(t1, 1e-3)
-      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
-      assert(ratio < 25.0,
-        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assertLinear(name, t1, t10, timeEager(q(base)), timeEager(q(big)))
       assert(normalizeEquiJoins(planShape(q(base)))
           == normalizeEquiJoins(planShape(q(big))),
         s"$name plan shape changed with data size (beyond join strategy)")
@@ -385,10 +404,8 @@ class ScaleStressSpec extends SparkTestBase {
       timeNoop(q(baseEvents))
       val t1 = timeNoop(q(baseEvents))
       val t10 = timeNoop(q(bigEvents))
-      val ratio = t10 / math.max(t1, 1e-3)
-      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
-      assert(ratio < 25.0,
-        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assertLinear(name, t1, t10,
+        timeNoop(q(baseEvents)), timeNoop(q(bigEvents)))
       assert(normalizeEquiJoins(planShape(q(baseEvents)))
           == normalizeEquiJoins(planShape(q(bigEvents))),
         s"$name plan shape changed with data size (beyond join strategy)")
@@ -401,10 +418,8 @@ class ScaleStressSpec extends SparkTestBase {
       timeEager(q(baseVecs, 1))
       val t1 = timeEager(q(baseVecs, 1))
       val t10 = timeEager(q(bigVecs, copies))
-      val ratio = t10 / math.max(t1, 1e-3)
-      info(f"$name base=$t1%.2fs 10x=$t10%.2fs ratio=$ratio%.1fx")
-      assert(ratio < 25.0,
-        f"$name grew $ratio%.1fx on 10x data — super-linear blowup")
+      assertLinear(name, t1, t10,
+        timeEager(q(baseVecs, 1)), timeEager(q(bigVecs, copies)))
       assert(normalizeEquiJoins(planShape(q(baseVecs, 1)))
           == normalizeEquiJoins(planShape(q(bigVecs, copies))),
         s"$name plan shape changed with data size (beyond join strategy)")
