@@ -152,9 +152,11 @@ object UrlOps {
     */
   def domainStats(df: DataFrame, urlCol: String, charsCol: String,
                   langCol: String): DataFrame = {
-    val norm = normalize(col(urlCol))
-    df.select(registeredDomain(host(norm)).as("domain"), norm.as("url_norm"),
+    // two-step projection = normalize once per row (see domainScorecard)
+    df.select(normalize(col(urlCol)).as("url_norm"),
         col(charsCol).as("_chars"), col(langCol).as("_lang"))
+      .select(registeredDomain(host(col("url_norm"))).as("domain"),
+        col("url_norm"), col("_chars"), col("_lang"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_norm")).as("n_urls"),
@@ -177,9 +179,15 @@ object UrlOps {
     */
   def domainScorecard(df: DataFrame, urlCol: String,
                       qualityCol: String): DataFrame = {
-    val norm = normalize(col(urlCol))
-    df.select(registeredDomain(host(norm)).as("domain"),
-        norm.as("url_norm"), col(qualityCol).as("_q"))
+    // normalize ONCE per row in its own projection; the second select
+    // derives the domain from the already-normalized string. Catalyst's
+    // CollapseProject keeps the two apart (url_norm is referenced
+    // twice and the normalize tree is not cheap), so the regex/HOF
+    // chain runs once instead of once per consumer.
+    df.select(normalize(col(urlCol)).as("url_norm"),
+        col(qualityCol).as("_q"))
+      .select(registeredDomain(host(col("url_norm"))).as("domain"),
+        col("url_norm"), col("_q"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_norm")).as("n_urls"),
@@ -195,9 +203,9 @@ object UrlOps {
     * one spurious null group.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val norm = normalize(col(urlCol))
-    df.where(norm.isNotNull)
-      .groupBy(norm.as("url_norm"))
+    df.select(col(idCol), normalize(col(urlCol)).as("url_norm"))
+      .where(col("url_norm").isNotNull)
+      .groupBy("url_norm")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 }
