@@ -19,7 +19,14 @@ import graft.ops.{BpeOps, LearnOps, SampleOps, TextOps}
   *
   *  0. PROFILE — per-column null rate / cardinality / ranges of the
   *     raw delivery (`ProfileOps.profile`): the report that catches a
-  *     broken crawl before any compute is spent on it.
+  *     broken crawl before any compute is spent on it — plus the
+  *     Zipf-fit corpus QA line (`TextOps.zipfFit`): a frequency
+  *     spectrum bending away from slope ≈ −1 flags template/generated
+  *     deliveries at census cost.
+  *  0.5 FREQUENCY CAP — bound exact-duplicate multiplicity BEFORE the
+  *     near-dup machinery (`SampleOps.frequencyCap`, the SlimPajama
+  *     recipe): natural duplication keeps up to `cap` copies, heavy
+  *     duplicates die here for one content-key shuffle.
   *  1. QUALITY GATE — heuristic filter on token stats (narrow scan,
   *     zero shuffle; `TextOps.qualityColumns`).
   *  2. NEAR-DUP CLUSTERS — MinHash+LSH candidate edges → pointer-
@@ -62,13 +69,24 @@ object TrainDataPipeline {
       .select($"doc_id", $"text", $"lang")
 
     // 0. profile the delivery: nulls/cardinalities/ranges per column
-    // BEFORE spending compute on a possibly-broken crawl
+    // BEFORE spending compute on a possibly-broken crawl — and the
+    // Zipf QA line: a spectrum far off slope ≈ −1 means template or
+    // machine-generated text shipped in this delivery
     graft.ops.ProfileOps.profile(docs, Seq("doc_id", "text", "lang"))
       .orderBy("column").show(truncate = false)
+    val zipf = TextOps.zipfFit(docs, "text", topN = 50)
+      .as[(Long, Double, Double)].head()
+    println(f"zipf fit over top-${zipf._1} terms: " +
+      f"slope ${zipf._2}%.4f intercept ${zipf._3}%.4f")
+
+    // 0.5 frequency cap: bound exact-duplicate multiplicity before the
+    // near-dup machinery (one content-key shuffle, audit flags kept)
+    val capped = SampleOps.frequencyCap(docs, md5($"text"), "doc_id", cap = 2)
+      .where($"kept").select($"doc_id", $"text", $"lang")
 
     // 1. quality gate: drop degenerate docs before anything shuffles
     val quality = TextOps.qualityColumns($"text", stopwords).toMap
-    val gated = docs.where(quality("n_tokens") >= 5).cache()
+    val gated = capped.where(quality("n_tokens") >= 5).cache()
 
     // 2. near-dup clusters; keep the HIGHEST-QUALITY representative
     // per cluster (the linear LSH path — never all-pairs)
