@@ -371,6 +371,36 @@ object SampleOps {
       .drop(nc, cc)
   }
 
+  /** Differentially-private count release (ε-DP Laplace mechanism)
+    * over a group column — the privacy-budgeted shape for publishing
+    * corpus composition stats (per-source/language doc counts in a
+    * datasheet) without exposing exact membership: each released
+    * count is n + Lap(1/ε).
+    *
+    * The Laplace draw is DERIVED from the salted group-key hash via
+    * the inverse CDF (x = −(1/ε)·sign(u−½)·ln(1−2|u−½|)), so the
+    * release is deterministic, rerun-stable, and engine-replayable —
+    * the properties every other SampleOps contract has. That makes
+    * the noise PSEUDO-random per (key, salt): rotate the salt per
+    * release and never re-release under two salts (classic DP budget
+    * accounting still applies per release).
+    *
+    * `n_true` is emitted for the oracle/audit tier ONLY — a real
+    * release drops it. Zero extra shuffles beyond the count census;
+    * the noise is a narrow projection on groups-many rows.
+    */
+  def dpNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                     salt: String = ""): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val u = unitHash(col(groupCol), salt)
+    // 1 − 2|u−½| ∈ (0, 1]; the 1e-12 floor guards the measure-zero
+    // u=0 endpoint from ln(0) without changing any realizable draw
+    val noise = round(lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(u - 0.5))), 6)
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_true"))
+      .withColumn("n_released", col("n_true") + noise)
+  }
+
   /** Duplicate frequency capping (the SlimPajama / falcon-refinedweb
     * recipe): instead of dropping ALL copies past the first (d01's
     * exact dedup), keep up to `cap` copies of each distinct content

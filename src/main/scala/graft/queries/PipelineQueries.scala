@@ -538,6 +538,29 @@ object PipelineQueries {
           FROM t)
         SELECT doc_id, content_key, copy_rank,
           copy_rank <= 2 AS kept
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ── p19: ε-DP Laplace count release — privacy-budgeted corpus
+    //    composition stats (per-source doc counts) with the noise
+    //    draw derived from the salted key hash, so the release is
+    //    deterministic and the oracle replays it bit-for-bit ───────────
+    Q("p19_dp_counts",
+      (s, dir) => SampleOps.dpNoisedCounts(
+        Tables.documents(s, dir), "source", epsilon = 1.0, salt = "demo")
+        .orderBy("source"),
+      Some("""WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM documents GROUP BY source),
+        u AS (
+          SELECT source, n_true,
+            ('0x' || substr(md5('demo' || '#' || source), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS u
+          FROM c)
+        SELECT source, n_true,
+          n_true + ROUND(-1.0 * CASE WHEN u - 0.5 > 0 THEN 1.0
+              WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END
+            * ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 6)
+            AS n_released
+        FROM u ORDER BY source"""))
   )
 }

@@ -461,6 +461,24 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
 
+  test("dpNoisedCounts: deterministic per salt, salt rotates the draw, scale bounds") {
+    import graft.ops.SampleOps
+    val docs = (1L to 300L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val r1 = SampleOps.dpNoisedCounts(docs, "source", epsilon = 1.0, salt = "a")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val r2 = SampleOps.dpNoisedCounts(docs, "source", epsilon = 1.0, salt = "a")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r1 == r2) // rerun-stable: same salt → identical release
+    val r3 = SampleOps.dpNoisedCounts(docs, "source", epsilon = 1.0, salt = "b")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r1.zip(r3).exists { case (a, b) => a._3 != b._3 }) // salt rotates
+    // Laplace scale: |noise| ≤ ln(1e12)/ε ≈ 27.64 at ε=1; ε=1000 → ≈0.028
+    assert(r1.forall { case (_, n, rel) => math.abs(rel - n) <= 27.7 })
+    val tight = SampleOps.dpNoisedCounts(docs, "source", epsilon = 1000.0)
+      .as[(String, Long, Double)].collect()
+    assert(tight.forall { case (_, n, rel) => math.abs(rel - n) <= 0.03 })
+  }
+
   test("cmsJoinSize: overestimates the true join size; exact when collision-free") {
     import graft.ops.SketchOps
     val a = Seq("u1", "u1", "u2", "u3").toDF("key")

@@ -450,7 +450,11 @@ class ScaleStressSpec extends SparkTestBase {
     "t16_trigram_lm", "t17_cdc_chunks_fast",
     // round 10: the prefix-filter tier joins (its candidate volume is
     // the corpus-sensitive term; salted copies keep it linear)
-    "d26_jaccard_prefix")
+    "d26_jaccard_prefix",
+    // round 10 second pass: the first-occurrence census is the new
+    // heaviest doc-family entry (gram-key cardinality grows with the
+    // salted vocab — the min() census must stay partial-agg linear)
+    "d29_ngram_novelty")
   private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
     shape.map {
       case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
