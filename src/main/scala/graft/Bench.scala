@@ -49,7 +49,8 @@ object Bench {
     "u07_hits", "p18_frequency_cap", "q72_robust_stats",
     "d29_ngram_novelty", "t31_lexical_diversity", "s19_mips",
     "q73_join_size_cms", "q74_robust_anomaly", "t32_zipf_fit",
-    "t33_burstiness", "d30_lsh_tuner", "p19_dp_counts")
+    "t33_burstiness", "d30_lsh_tuner", "p19_dp_counts",
+    "d31_ngram_novelty_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1827,6 +1827,40 @@ object TextOps {
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** Incremental [[ngramNovelty]] — the production shape for a growing
+    * corpus: score only the INCREMENT's documents, against (a) the
+    * history's gram census and (b) first-occurrence order within the
+    * increment itself. The history census is an append-only state
+    * table between increments (union the increment's distinct grams
+    * after each batch) — history text is never re-scanned, the d09/d10
+    * incremental-dedup contract applied to the novelty signal.
+    *
+    * Scale shape: both the history census and the increment's grams
+    * hash-partition on the same 8-byte gram key, so the membership
+    * join and the min() census co-partition; per-doc rollup is one id
+    * shuffle. A recrawl-heavy increment can additionally pre-filter
+    * through a Bloom sketch of the census (d15/d20's prefilter) to
+    * collapse known grams map-side before the join.
+    */
+  def ngramNoveltyIncremental(increment: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    import graft.functions.PortableSketches.ngramHashes60
+    val incG = increment.select(col(idCol).as("doc_id"),
+      explode(ngramHashes60(col(textCol), n)).as("ngh"))
+    val hist = corpus.select(explode(ngramHashes60(col(textCol), n)).as("ngh"))
+      .distinct().withColumn("_seen", lit(1))
+    val firstInc = incG.groupBy("ngh").agg(min(col("doc_id")).as("first_doc"))
+    incG.join(firstInc, Seq("ngh"))
+      .join(hist, Seq("ngh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_seen").isNull && col("first_doc") === col("doc_id"), 1))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** The removal half of exact substring dedup (Lee et al. 2022): drop
     * every token covered by a duplicated `n`-gram span whose first
     * occurrence lives in an EARLIER document, keeping the first

@@ -662,6 +662,41 @@ object TextQueries {
         SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
         FROM c1 GROUP BY freq ORDER BY freq""")),
 
+    // ── d31: incremental n-gram novelty — the new-crawl increment
+    //    (doc_id % 19 == 3, d11's split) scored against the history
+    //    census + within-increment first occurrence; history text is
+    //    never re-scanned (d09's incremental contract for d29) ─────────
+    Q("d31_ngram_novelty_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.ngramNoveltyIncremental(
+          docs.where(col("doc_id") % 19 === 3),
+          docs.where(col("doc_id") % 19 =!= 3),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS ngh
+          FROM (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+              range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS ng
+            FROM ts)),
+        inc AS (SELECT doc_id, ngh FROM sh WHERE doc_id % 19 = 3),
+        hist AS (SELECT DISTINCT ngh FROM sh WHERE doc_id % 19 <> 3),
+        f AS (SELECT ngh, MIN(doc_id) AS first_doc FROM inc GROUP BY ngh)
+        SELECT i.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(COUNT(CASE WHEN h.ngh IS NULL AND f.first_doc = i.doc_id
+            THEN 1 END) AS BIGINT) AS n_novel,
+          CAST(COUNT(CASE WHEN h.ngh IS NULL AND f.first_doc = i.doc_id
+            THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty
+        FROM inc i JOIN f USING (ngh)
+        LEFT JOIN hist h ON h.ngh = i.ngh
+        GROUP BY i.doc_id ORDER BY i.doc_id""")),
+
     // ── t33: term burstiness — cf/df and variance-to-mean over
     //    containing docs (Church & Gale): function words ≈ 1, topical
     //    and keyword-stuffed terms high. Exact integer moments,

@@ -1770,6 +1770,24 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
   }
 
+  test("ngramNoveltyIncremental equals full novelty restricted to the increment") {
+    // when every history id < every increment id, first-occurrence
+    // order in the FULL corpus coincides with (history membership +
+    // within-increment order) — the incremental contract
+    val hist = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val inc = Seq((10L, "a b c x"), (11L, "a b c x"), (12L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNoveltyIncremental(inc, hist, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val full = TextOps.ngramNovelty(hist.union(inc), "doc_id", "text", n = 2)
+      .where($"doc_id" >= 10L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == full, s"inc=$got full=$full")
+    // fresh doc scores 1.0, its exact dup 0.0
+    assert(got.find(_._1 == 12L).get._4 == 1.0)
+    assert(got.find(_._1 == 11L).get._4 == 0.0)
+  }
+
   test("lexicalDiversity: counts, hapax, TTR and Guiraud on a known doc") {
     val docs = Seq((1L, "a a b c"), (2L, "x x x x")).toDF("doc_id", "text")
     val got = TextOps.lexicalDiversity(docs, "doc_id", "text")

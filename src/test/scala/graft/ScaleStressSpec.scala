@@ -162,7 +162,14 @@ class ScaleStressSpec extends SparkTestBase {
     // (doc, term) partial agg + term rollup: t06's two Zipf-bounded
     // shuffles; integer moments combine map-side
     "t33_burstiness" -> (df =>
-      TextOps.termBurstiness(df, "doc_id", "text", minCf = 10L)))
+      TextOps.termBurstiness(df, "doc_id", "text", minCf = 10L)),
+    // membership + min census co-partition on the gram key; the
+    // history leg is the distinct census, never re-scanned text
+    "d31_ngram_novelty_incremental" -> (df =>
+      TextOps.ngramNoveltyIncremental(
+        df.where(col("doc_id") % 19 === 3),
+        df.where(col("doc_id") % 19 =!= 3),
+        "doc_id", "text", n = 5)))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
