@@ -89,6 +89,40 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Within-session transition matrix — the Markov path-analysis
+    * report next to [[sessionize]]: for every consecutive event pair
+    * of the same user with gap ≤ `gapSeconds` (the same session-break
+    * rule as sessionize), count (prev_type → next_type) transitions
+    * and the per-source transition probability. Feeds journey/sankey
+    * views and drop-off analysis; the q60 funnel counts ONE ordered
+    * path, this counts them all.
+    *
+    * Scale shape: ONE user-key window shuffle (lag over (ts, id) —
+    * the sessionize order), then a types²-bounded pair groupBy and a
+    * #types-row totals broadcast for the probabilities. Probabilities
+    * are single fixed-order divisions of exact counts.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String,
+                       gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("__graft_prev_type", lag(col(typeCol), 1).over(w))
+      .withColumn("__graft_prev_ts", lag(col(tsCol), 1).over(w))
+      .where(col("__graft_prev_type").isNotNull &&
+        col(tsCol) - col("__graft_prev_ts") <= gapSeconds)
+      .groupBy(col("__graft_prev_type").as("prev_type"),
+        col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("prev_type")
+      .agg(sum(col("n_transitions")).as("__graft_total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("__graft_total"))
+          .as("p_transition"))
+  }
+
   /** Cohort retention matrix — the third classic event-sequence
     * report next to [[funnelSteps]] and [[sessionize]]: users are
     * cohorted by the period (`periodSeconds` bucket of `tsCol`) of

@@ -1870,6 +1870,39 @@ object CoreQueries {
           ABS(b.n - m.med) > 3.0 * d.mad AS is_anomaly
         FROM buckets b JOIN med m USING (event_type)
         JOIN mad d USING (event_type)
-        ORDER BY b.event_type, b.hour_bucket"""))
+        ORDER BY b.event_type, b.hour_bucket""")),
+
+    // ── q75: within-session transition matrix — Markov path analysis
+    //    over consecutive same-user events (q62's gap rule): journey /
+    //    sankey counts + per-source transition probabilities. One
+    //    user-key window shuffle, types²-bounded report ────────────────
+    Q("q75_transition_matrix",
+      (s, dir) => graft.ops.EventOps.transitionMatrix(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts_sec"), col("event_id")),
+        "user_id", "event_type", "ts_sec", "event_id",
+        gapSeconds = 43200L)
+        .orderBy("prev_type", "next_type"),
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, event_type, ts_sec,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_type,
+            LAG(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_ts
+          FROM e),
+        p AS (
+          SELECT prev_type, event_type AS next_type,
+            CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM l
+          WHERE prev_type IS NOT NULL AND ts_sec - prev_ts <= 43200
+          GROUP BY 1, 2),
+        t AS (
+          SELECT prev_type, SUM(n_transitions) AS total
+          FROM p GROUP BY prev_type)
+        SELECT p.prev_type, p.next_type, p.n_transitions,
+          CAST(p.n_transitions AS DOUBLE) / t.total AS p_transition
+        FROM p JOIN t USING (prev_type)
+        ORDER BY p.prev_type, p.next_type"""))
   )
 }

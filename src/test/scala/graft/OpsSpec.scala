@@ -1770,6 +1770,28 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
   }
 
+  test("transitionMatrix: session gap splits pairs; probabilities sum to 1 per source") {
+    import graft.ops.EventOps
+    // u1: a->b->a within gap, then a BIG gap, then b->c
+    // u2: a->b within gap
+    val ev = Seq(
+      (1L, "a", 100L, 1L), (1L, "b", 200L, 2L), (1L, "a", 300L, 3L),
+      (1L, "b", 99999L, 4L), (1L, "c", 99999L + 10L, 5L),
+      (2L, "a", 50L, 6L), (2L, "b", 60L, 7L)
+    ).toDF("user_id", "event_type", "ts_sec", "event_id")
+    val got = EventOps.transitionMatrix(ev, "user_id", "event_type",
+      "ts_sec", "event_id", gapSeconds = 1000L)
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // pairs: a->b (u1 100->200, u2 50->60), b->a (u1 200->300),
+    // b->c (u1 99999->100009); a->b at the 99699-gap is DROPPED
+    assert(got == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 0.5),
+      ("b", "c", 1L, 0.5)), got.toString)
+    // per-source probabilities sum to 1
+    got.groupBy(_._1).values.foreach(rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12))
+  }
+
   test("ngramNoveltyIncremental equals full novelty restricted to the increment") {
     // when every history id < every increment id, first-occurrence
     // order in the FULL corpus coincides with (history membership +

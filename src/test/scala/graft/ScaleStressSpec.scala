@@ -305,6 +305,10 @@ class ScaleStressSpec extends SparkTestBase {
         .select(col("event_type"), col("hour_bucket"), col("n"),
           (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
     },
+    // one user-key window shuffle + types²-bounded pair report
+    "q75_transition_matrix" -> (df =>
+      graft.ops.EventOps.transitionMatrix(df, "user_id", "event_type",
+        "ts_sec", "event_id", gapSeconds = 43200L)),
     // two-pass quantile frame: groups-many bounds broadcast back over
     // the stream — group count is fixed, rows scale linearly
     "q72_robust_stats" -> { df =>
