@@ -355,4 +355,82 @@ object EventOps {
           .toDF("user_id", "step_ts")
     }
   }
+
+  /** Streaming twin of [[transitionMatrix]]'s pair-generation stage:
+    * per-user state holds ONLY the last event (type, ts, id); each
+    * arriving event emits its (prev_type, next_type) pair when the
+    * gap rule admits it and replaces the state. Downstream counting
+    * is an ordinary streaming aggregation over the emitted pairs.
+    *
+    * State is one tiny row per ACTIVE user: with `stateTtl` set, a
+    * key expires on an event-time timeout `last_ts + ttl` past the
+    * watermark and is removed (an expiring user emits nothing — a
+    * transition needs a next event, and any later event would have
+    * broken the gap rule anyway whenever ttl ≥ gapSeconds).
+    *
+    * Under per-key ts-ordered delivery this IS the batch semantics
+    * (spec-pinned); within a micro-batch events sort by (ts, id).
+    */
+  def transitionPairsStream(events: Dataset[(Long, String, Long, Long)],
+                            gapSeconds: Long,
+                            stateTtl: Option[Long] = None): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    require(stateTtl.forall(_ >= gapSeconds),
+      "stateTtl below gapSeconds would drop still-admissible pairs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (last_type, last_ts)
+    def chain(st: Option[(String, Long)], evs: Seq[(String, Long, Long)])
+        : (Option[(String, Long)], Seq[(String, String)]) = {
+      var cur = st
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      evs.foreach { case (tpe, ts, _) =>
+        cur.foreach { case (pt, pts) =>
+          if (ts - pts <= gapSeconds) out += (pt -> tpe)
+        }
+        cur = Some((tpe, ts))
+      }
+      (cur, out.toSeq)
+    }
+    stateTtl match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[(String, Long), (String, String)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, evs: Iterator[(Long, String, Long, Long)],
+             state: GroupState[(String, Long)]) =>
+              val (next, pairs) = chain(state.getOption,
+                evs.toSeq.sortBy(e => (e._3, e._4))
+                  .map(e => (e._2, e._3, e._4)))
+              next.foreach(state.update)
+              pairs.iterator
+          }
+          .toDF("prev_type", "next_type")
+      case Some(ttl) =>
+        val wm = events.toDF("user_id", "event_type", "ts", "event_id")
+          .withColumn("event_time", timestamp_seconds(col("ts")))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, String, Long, Long, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[(String, Long), (String, String)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (_: Long, evs: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+             state: GroupState[(String, Long)]) =>
+              if (state.hasTimedOut) {
+                state.remove(); Iterator.empty
+              } else {
+                val (next, pairs) = chain(state.getOption,
+                  evs.toSeq.sortBy(e => (e._3, e._4))
+                    .map(e => (e._2, e._3, e._4)))
+                next.foreach { s =>
+                  state.update(s)
+                  state.setTimeoutTimestamp(math.max((s._2 + ttl) * 1000L,
+                    state.getCurrentWatermarkMs + 1L))
+                }
+                pairs.iterator
+              }
+          }
+          .toDF("prev_type", "next_type")
+    }
+  }
 }

@@ -730,6 +730,41 @@ class StreamingSemanticsSpec extends SparkTestBase {
     assert(compacted == Set(("a", 10), ("b", 2), ("c", 3)))
   }
 
+  test("streaming transition pairs: last-event state, streamed ≡ batch, TTL evicts") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val pairs = EventOps.transitionPairsStream(input.toDS(),
+      gapSeconds = 1000L, stateTtl = Some(1000L))
+    val q = pairs.writeStream.format("memory").queryName("trans_pairs")
+      .outputMode("append").start()
+    try {
+      // u1: a->b->a inside the gap; u2: a then (batch 2) b inside gap —
+      // state carries ACROSS micro-batches
+      input.addData((1L, "a", 100L, 1L), (1L, "b", 200L, 2L),
+        (1L, "a", 300L, 3L), (2L, "a", 50L, 6L))
+      q.processAllAvailable()
+      // batch 2: must sit at/above the watermark (300s after batch 1 —
+      // a 0-second watermark drops older arrivals as late data)
+      input.addData((2L, "b", 360L, 7L))
+      q.processAllAvailable()
+      // u1 again far past the gap AND past the TTL: state was evicted,
+      // and the pair would be gap-inadmissible regardless — no emission
+      input.addData((1L, "c", 99999L, 8L))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_pairs").as[(String, String)]
+        .collect().groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val batch = EventOps.transitionMatrix(
+        Seq((1L, "a", 100L, 1L), (1L, "b", 200L, 2L), (1L, "a", 300L, 3L),
+          (2L, "a", 50L, 6L), (2L, "b", 360L, 7L), (1L, "c", 99999L, 8L))
+          .toDF("user_id", "event_type", "ts_sec", "event_id"),
+        "user_id", "event_type", "ts_sec", "event_id", gapSeconds = 1000L)
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming robust-anomaly monitor: census in update mode, bounds at read") {
     // q74's streaming twin: the hourly (type, bucket) census is the
     // only stream-maintained state (bounded by types × hours — one
