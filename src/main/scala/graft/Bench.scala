@@ -50,7 +50,8 @@ object Bench {
     "d29_ngram_novelty", "t31_lexical_diversity", "s19_mips",
     "q73_join_size_cms", "q74_robust_anomaly", "t32_zipf_fit",
     "t33_burstiness", "d30_lsh_tuner", "p19_dp_counts",
-    "d31_ngram_novelty_incremental", "q75_transition_matrix")
+    "d31_ngram_novelty_incremental", "q75_transition_matrix",
+    "t34_lift_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -146,4 +146,48 @@ object LearnOps {
         ratio(col("tp"), col("tp") + col("fp")).as("precision"),
         ratio(col("tp"), col("tp") + col("fn")).as("recall"))
   }
+
+  /** Lift / gains table — the ranking-quality view next to
+    * [[classifierPrReport]]'s threshold view: bucket the population
+    * into score quantiles and report each bucket's positive rate
+    * against the base rate (`lift`). A useful scorer concentrates
+    * positives in the top buckets (lift ≫ 1); lift ≈ 1 everywhere
+    * means the score carries no ranking signal.
+    *
+    * Scale-honest bucketing: NO global sort / ntile — the quantile
+    * cuts come from the portable dyadic-CMS sketch over the integer
+    * score census (q57's build, the p15 curriculum pattern) and
+    * broadcast back as an array probe, so bucket borders are
+    * approximate (sketch-rank) but deterministic and engine-exact.
+    *
+    * `scoreCol` must be integer-valued in `[0, 2^levels)`; bucket k =
+    * score above exactly k of the nBuckets−1 cuts (0 = bottom).
+    */
+  def liftTable(df: DataFrame, scoreCol: Column, label: Column,
+                nBuckets: Int = 10, levels: Int = 10, depth: Int = 3,
+                width: Int = 512): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val phis = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val base = df.select(scoreCol.cast("long").as("__graft_lift_s"),
+      label.cast("long").as("__graft_lift_y"))
+    val census = base.groupBy(col("__graft_lift_s").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val regs = graft.ops.SketchOps.dyadicCmsRegistersFromCensus(census,
+      Seq.empty, "v", "cnt", levels, depth, width)
+    val total = census.agg(sum("cnt").as("n"))
+    val cuts = graft.ops.SketchOps.dyadicCmsQuantiles(regs, total, phis,
+        levels, depth, width)
+      .agg(sort_array(collect_list(col("q_est"))).as("_cuts"))
+    val per = base.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        size(filter(col("_cuts"), c => col("__graft_lift_s") > c)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__graft_lift_y")).as("n_pos"))
+    val tot = per.agg(sum(col("n")).as("__nt"), sum(col("n_pos")).as("__pt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        ((col("n_pos").cast("double") / col("n")) /
+          (col("__pt").cast("double") / col("__nt"))).as("lift"))
+  }
 }

@@ -722,6 +722,76 @@ object TextQueries {
             / (CAST(cf AS DOUBLE) / df) AS vmr
         FROM m WHERE cf >= 10 ORDER BY tok""")),
 
+    // ── t34: lift/gains table — bucket the corpus into score
+    //    quantiles (dyadic-sketch cuts, p15's pattern — NO global
+    //    sort) and report per-bucket positive rate vs base rate; the
+    //    ranking-quality view next to t26's threshold view ────────────
+    Q("t34_lift_table",
+      (s, dir) => {
+        val qs = TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .toMap.apply("quality_score")
+        graft.ops.LearnOps.liftTable(
+          Tables.documents(s, dir)
+            .withColumn("score_i", floor(qs * 100).cast("long")),
+          col("score_i"), (col("lang") === "en").cast("int"),
+          nBuckets = 4)
+          .orderBy("bucket")
+      },
+      Some("""WITH q AS (
+          SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl,
+            CAST(FLOOR(
+              ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')))
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')))) * 100) AS BIGINT) AS score_i
+          FROM documents),
+        census AS (SELECT score_i AS v, COUNT(*) AS cnt FROM q GROUP BY 1),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM census),
+        upd AS (SELECT v, cnt, (l::VARCHAR || ':' || (v >> l)::VARCHAR) AS dk
+                FROM census CROSS JOIN range(10) t(l)),
+        reg AS (SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j,
+          CAST(SUM(cnt) AS BIGINT) AS c
+          FROM upd CROSS JOIN range(3) u(i) GROUP BY 1, 2),
+        cand AS (SELECT x FROM range(1, 1025) c(x)),
+        dec AS (SELECT x, (k::VARCHAR || ':' || (2*(x >> (k+1)))::VARCHAR) AS dk
+                FROM cand CROSS JOIN range(10) d(k)
+                WHERE ((x >> k) & 1) = 1),
+        keys AS (SELECT DISTINCT dk FROM dec),
+        kp AS (SELECT dk, i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j
+          FROM keys CROSS JOIN range(3) u(i)),
+        est AS (SELECT kp.dk, MIN(COALESCE(r.c, 0)) AS est_n
+                FROM kp LEFT JOIN reg r ON r.i = kp.i AND r.j = kp.j
+                GROUP BY kp.dk),
+        prefix AS (SELECT d.x, CAST(SUM(e.est_n) AS BIGINT) AS est_rank
+                   FROM dec d JOIN est e ON e.dk = d.dk GROUP BY d.x),
+        phis AS (SELECT phi FROM (VALUES (0.25), (0.5), (0.75)) p(phi)),
+        tgt AS (SELECT phi, CAST(CEIL(phi * n.n) AS BIGINT) AS target
+                FROM phis CROSS JOIN n),
+        cuts AS (SELECT t.phi,
+                   MIN(CASE WHEN p.est_rank >= t.target THEN p.x - 1 END)
+                     AS q_est
+                 FROM tgt t CROSS JOIN prefix p GROUP BY t.phi),
+        b AS (SELECT q.doc_id, q.score_i, q.lbl,
+                CAST(COUNT(CASE WHEN q.score_i > c.q_est THEN 1 END) AS INT)
+                  AS bucket
+              FROM q CROSS JOIN cuts c GROUP BY 1, 2, 3),
+        per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(lbl) AS BIGINT) AS n_pos
+                FROM b GROUP BY bucket),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                  CAST(SUM(n_pos) AS BIGINT) AS pt FROM per)
+        SELECT bucket, n, n_pos,
+          CAST(n_pos AS DOUBLE) / n AS pos_rate,
+          (CAST(n_pos AS DOUBLE) / n) / (CAST(pt AS DOUBLE) / nt) AS lift
+        FROM per CROSS JOIN tot ORDER BY bucket""")),
+
     // ── d30: LSH banding planner — closed-form collision S-curves
     //    p(s) = 1 − (1 − s^r)^b for every (b, r) factorization of the
     //    signature budget + threshold estimates; the table you read

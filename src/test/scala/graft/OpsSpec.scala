@@ -1770,6 +1770,26 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
   }
 
+  test("liftTable: positives concentrate in top buckets; mass conserved") {
+    import graft.ops.LearnOps
+    // 400 rows, scores 0..399; positives iff score >= 300 (top quarter)
+    val rows = (0 until 400).map(i => (i.toLong, if (i >= 300) 1 else 0))
+      .toDF("score", "y")
+    val got = LearnOps.liftTable(rows, $"score", $"y", nBuckets = 4)
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2).sum == 400L) // every row in exactly one bucket
+    assert(got.map(_._3).sum == 100L) // all positives accounted for
+    val byBucket = got.map(g => g._1 -> g).toMap
+    // top bucket: all positive (sketch borders are approximate but the
+    // label boundary coincides with the p75 cut region: lift ≈ 4)
+    assert(byBucket(3)._5 > 3.0, got.toString)
+    assert(byBucket(0)._3 == 0L && byBucket(0)._5 == 0.0)
+    // weighted bucket rates recompose to the base rate
+    val base = got.map(g => g._4 * g._2).sum / 400.0
+    assert(math.abs(base - 0.25) < 1e-12)
+  }
+
   test("transitionMatrix: session gap splits pairs; probabilities sum to 1 per source") {
     import graft.ops.EventOps
     // u1: a->b->a within gap, then a BIG gap, then b->c

@@ -108,7 +108,11 @@ class PlanHygieneSpec extends SparkTestBase {
       "t19_bm25", "t20_pmi_collocations", "p14_perplexity_split",
       "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
       "q63_profile", "q66_skew_report", "t29_dsir_weights",
-      "q73_join_size_cms", "t32_zipf_fit")
+      "q73_join_size_cms", "t32_zipf_fit",
+      // t34_lift_table: p15's exact sketch-cut chain (q57 scalar N +
+      // the tiny sorted-cuts collect_list) plus the per-bucket totals
+      // scalar — all ≤ levels·width-row or #buckets-row tails.
+      "t34_lift_table")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
