@@ -51,7 +51,7 @@ object Bench {
     "q73_join_size_cms", "q74_robust_anomaly", "t32_zipf_fit",
     "t33_burstiness", "d30_lsh_tuner", "p19_dp_counts",
     "d31_ngram_novelty_incremental", "q75_transition_matrix",
-    "t34_lift_table")
+    "t34_lift_table", "q76_corpus_diff", "q77_snapshot_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,4 +43,27 @@ object ProfileOps {
           col("n_distinct"), col("min_repr"), col("max_repr"), col("avg_len"))
     }.reduce(_ unionByName _)
   }
+
+  /** Snapshot diff between two corpus versions — the dataset-card /
+    * reproducibility audit: per id, whether the row was `added`,
+    * `removed`, `changed` (content hash differs), or `unchanged`.
+    * Content compares by 16-byte MD5, so document text never crosses
+    * the join — ONE co-keyed full-outer shuffle on the id regardless
+    * of document size; at 100 TB both sides prune to (id, hash)
+    * projections at the scan.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    val a = oldDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("h_old"))
+    val b = newDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("h_old"), col("h_new"))
+  }
 }

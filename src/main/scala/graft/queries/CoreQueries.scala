@@ -1903,6 +1903,66 @@ object CoreQueries {
         SELECT p.prev_type, p.next_type, p.n_transitions,
           CAST(p.n_transitions AS DOUBLE) / t.total AS p_transition
         FROM p JOIN t USING (prev_type)
-        ORDER BY p.prev_type, p.next_type"""))
+        ORDER BY p.prev_type, p.next_type""")),
+
+    // ── q76: corpus snapshot diff — added/removed/changed/unchanged
+    //    per id between two simulated dataset versions (v1 drops
+    //    doc_id%5==0 and carries edited text for doc_id%7==0; v2 drops
+    //    doc_id%3==0): the dataset-card reproducibility audit. Text
+    //    never crosses the join — 16-byte hashes on a co-keyed
+    //    full-outer shuffle ───────────────────────────────────────────
+    Q("q76_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v1 = docs.where(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1-edit"))).otherwise(col("text")))
+        val v2 = docs.where(col("doc_id") % 3 =!= 0)
+        graft.ops.ProfileOps.snapshotDiff(v1, v2, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""WITH v1 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' v1-edit'
+              ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0),
+        v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        a AS (SELECT doc_id AS id, md5(text) AS h_old FROM v1),
+        b AS (SELECT doc_id AS id, md5(text) AS h_new FROM v2)
+        SELECT COALESCE(a.id, b.id) AS id,
+          CASE WHEN a.h_old IS NULL THEN 'added'
+            WHEN b.h_new IS NULL THEN 'removed'
+            WHEN a.h_old <> b.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          a.h_old, b.h_new
+        FROM a FULL OUTER JOIN b ON a.id = b.id
+        ORDER BY id""")),
+
+    // ── q77: as-of snapshot read — the table's value per key at a
+    //    point in time (time travel over the event history): latest
+    //    (ts, id)-ordered value per user at the cutoff. One partial-agg
+    //    max(struct) shuffle — no window sort, dedup-immune ────────────
+    Q("q77_snapshot_asof",
+      (s, dir) => {
+        val cutoff = 1704067200L + 900000L
+        Tables.events(s, dir)
+          .where(col("ts_sec") <= cutoff)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_sec"), col("event_id"), col("value")))
+            .as("_last"))
+          .select(col("user_id"), col("_last.ts_sec").as("as_of_ts"),
+            col("_last.event_id").as("as_of_event"),
+            col("_last.value").as("as_of_value"))
+          .orderBy("user_id")
+      },
+      Some(Tables.eventsCte + """,
+        r AS (
+          SELECT user_id, ts_sec, event_id, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts_sec DESC, event_id DESC) AS rk
+          FROM e WHERE ts_sec <= 1704067200 + 900000)
+        SELECT user_id, ts_sec AS as_of_ts, event_id AS as_of_event,
+          value AS as_of_value
+        FROM r WHERE rk = 1 ORDER BY user_id"""))
   )
 }

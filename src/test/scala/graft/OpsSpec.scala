@@ -1770,6 +1770,16 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
   }
 
+  test("snapshotDiff: all four statuses on a crafted version pair") {
+    import graft.ops.ProfileOps
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = ProfileOps.snapshotDiff(v1, v2, "doc_id", "text")
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+  }
+
   test("liftTable: positives concentrate in top buckets; mass conserved") {
     import graft.ops.LearnOps
     // 400 rows, scores 0..399; positives iff score >= 300 (top quarter)

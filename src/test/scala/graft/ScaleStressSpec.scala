@@ -159,6 +159,12 @@ class ScaleStressSpec extends SparkTestBase {
     // regression itself runs on 50 rows regardless of corpus size
     "t32_zipf_fit" -> (df =>
       TextOps.zipfFit(df, "text", topN = 50)),
+    // text collapses to 16-byte hashes before the one co-keyed
+    // full-outer id join
+    "q76_corpus_diff" -> (df =>
+      graft.ops.ProfileOps.snapshotDiff(
+        df.where(col("doc_id") % 5 =!= 0),
+        df.where(col("doc_id") % 3 =!= 0), "doc_id", "text")),
     // (doc, term) partial agg + term rollup: t06's two Zipf-bounded
     // shuffles; integer moments combine map-side
     "t33_burstiness" -> (df =>
@@ -305,6 +311,12 @@ class ScaleStressSpec extends SparkTestBase {
         .select(col("event_type"), col("hour_bucket"), col("n"),
           (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
     },
+    // one partial-agg max(struct) shuffle — no window sort
+    "q77_snapshot_asof" -> (df =>
+      df.where(col("ts_sec") <= 1704067200L + 900000L)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_sec"), col("event_id"), col("value")))
+          .as("_last"))),
     // one user-key window shuffle + types²-bounded pair report
     "q75_transition_matrix" -> (df =>
       graft.ops.EventOps.transitionMatrix(df, "user_id", "event_type",
