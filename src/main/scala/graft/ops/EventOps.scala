@@ -123,6 +123,36 @@ object EventOps {
           .as("p_transition"))
   }
 
+  /** Time-weighted average value per key — the usage/billing
+    * statistic over a step function: each event's `value` holds until
+    * the key's next event, and the average weights each value by how
+    * long it held. Plain AVG answers "average of the readings";
+    * this answers "average of the SIGNAL" — the difference whenever
+    * sampling is irregular (exactly the metering/price-feed case).
+    * Keys with a single event have zero observed span and are
+    * dropped (no duration to weight over).
+    *
+    * Exactness: `value` is 2-dp — the value×duration products and
+    * their sums run in DECIMAL (exact at any summation order, the
+    * q47 contract); the final divide is one IEEE op. Scale shape: one
+    * user-key window shuffle (lead over (ts, id)), then a per-key
+    * partial agg.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__graft_twa_next", lead(col(tsCol), 1).over(w))
+      .where(col("__graft_twa_next").isNotNull)
+      .withColumn("__graft_twa_dur", col("__graft_twa_next") - col(tsCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col(valueCol).cast("decimal(18,2)") * col("__graft_twa_dur"))
+        .as("__graft_twa_vs"),
+        sum(col("__graft_twa_dur")).as("t_span"))
+      .select(col(keyCol), col("t_span"),
+        (col("__graft_twa_vs").cast("double") / col("t_span"))
+          .as("time_weighted_avg"))
+  }
+
   /** Cohort retention matrix — the third classic event-sequence
     * report next to [[funnelSteps]] and [[sessionize]]: users are
     * cohorted by the period (`periodSeconds` bucket of `tsCol`) of

@@ -371,6 +371,30 @@ object SampleOps {
       .drop(nc, cc)
   }
 
+  /** Quota sampling — exact-k per group with PER-GROUP targets (the
+    * balanced-eval-set constructor): group g keeps its `quotas(g)`
+    * lowest-hash rows (`defaultQuota` when unlisted), ranked by the
+    * salted unit hash then id — [[samplePerGroup]]'s determinism and
+    * append-stability (in the bottom-k sense) with a target map
+    * instead of one global n. One window shuffle on the group key;
+    * `WindowGroupLimit` prunes per partition when targets are small.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  quotas: Map[String, Int], defaultQuota: Int,
+                  salt: String = ""): DataFrame = {
+    require(defaultQuota >= 0, "defaultQuota must be >= 0")
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val rk = "__graft_quota_rk"
+    val target = quotas.foldLeft(lit(defaultQuota)) { case (acc, (g, n)) =>
+      when(col(groupCol) === g, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= target)
+      .drop(rk)
+  }
+
   /** Differentially-private count release (ε-DP Laplace mechanism)
     * over a group column — the privacy-budgeted shape for publishing
     * corpus composition stats (per-source/language doc counts in a

@@ -1963,6 +1963,32 @@ object CoreQueries {
           FROM e WHERE ts_sec <= 1704067200 + 900000)
         SELECT user_id, ts_sec AS as_of_ts, event_id AS as_of_event,
           value AS as_of_value
-        FROM r WHERE rk = 1 ORDER BY user_id"""))
+        FROM r WHERE rk = 1 ORDER BY user_id""")),
+
+    // ── q78: time-weighted average — each value holds until the
+    //    user's next event; the usage/billing statistic plain AVG gets
+    //    wrong under irregular sampling. Decimal value×duration sums
+    //    (q47 exactness), one user-key window shuffle ──────────────────
+    Q("q78_time_weighted_avg",
+      (s, dir) => graft.ops.EventOps.timeWeightedAvg(
+        Tables.events(s, dir).select(col("user_id"), col("ts_sec"),
+          col("event_id"), col("value")),
+        "user_id", "ts_sec", "event_id", "value")
+        .orderBy("user_id"),
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, ts_sec, value,
+            LEAD(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS nxt
+          FROM e),
+        d AS (
+          SELECT user_id,
+            CAST(value AS DECIMAL(18,2)) * (nxt - ts_sec) AS vs,
+            nxt - ts_sec AS dur
+          FROM l WHERE nxt IS NOT NULL)
+        SELECT user_id, CAST(SUM(dur) AS BIGINT) AS t_span,
+          CAST(SUM(vs) AS DOUBLE) / CAST(SUM(dur) AS BIGINT)
+            AS time_weighted_avg
+        FROM d GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -561,6 +561,32 @@ object PipelineQueries {
               WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END
             * ln(GREATEST(1e-12, 1.0 - 2.0 * ABS(u - 0.5))), 6)
             AS n_released
-        FROM u ORDER BY source"""))
+        FROM u ORDER BY source""")),
+
+    // ── p20: quota sampling — per-group exact-k targets (balanced
+    //    eval-set construction): bottom-k by salted hash within each
+    //    group, target from the quota map (p03's determinism with a
+    //    target per group) ─────────────────────────────────────────────
+    Q("p20_quota_sample",
+      (s, dir) => SampleOps.quotaSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        quotas = Map("src0" -> 10, "src1" -> 3, "src2" -> 0),
+        defaultQuota = 5, salt = "quota")
+        .orderBy("doc_id"),
+      Some("""WITH u AS (
+          SELECT doc_id, source,
+            ('0x' || substr(md5('quota' || '#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              AS hv
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY hv, doc_id) AS rk
+          FROM u)
+        SELECT doc_id, source FROM r
+        WHERE rk <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3
+          WHEN 'src2' THEN 0 ELSE 5 END
+        ORDER BY doc_id"""))
   )
 }

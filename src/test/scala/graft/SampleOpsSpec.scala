@@ -461,6 +461,39 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
 
+  test("quotaSample: per-group targets honored, zero quota empties a group") {
+    import graft.ops.SampleOps
+    val docs = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")
+    val got = SampleOps.quotaSample(docs, "source", "doc_id",
+      quotas = Map("g0" -> 7, "g1" -> 0), defaultQuota = 3, salt = "s")
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("g0" -> 7L, "g2" -> 3L, "g3" -> 3L), got.toString)
+    // determinism + subset property: the kept set is the bottom-k of
+    // each group's hash order, so shrinking a quota shrinks the set
+    // monotonically
+    val smaller = SampleOps.quotaSample(docs, "source", "doc_id",
+      quotas = Map("g0" -> 3, "g1" -> 0), defaultQuota = 3, salt = "s")
+      .where($"source" === "g0").select($"doc_id").as[Long].collect().toSet
+    val larger = SampleOps.quotaSample(docs, "source", "doc_id",
+      quotas = Map("g0" -> 7, "g1" -> 0), defaultQuota = 3, salt = "s")
+      .where($"source" === "g0").select($"doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(larger))
+  }
+
+  test("timeWeightedAvg: hand-computed step integral; single-event keys drop") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      (1L, 0L, 1L, 1.0), (1L, 10L, 2L, 3.0), (1L, 30L, 3L, 99.0),
+      (2L, 5L, 4L, 7.0) // single event: no span, dropped
+    ).toDF("user_id", "ts_sec", "event_id", "value")
+    val got = EventOps.timeWeightedAvg(ev, "user_id", "ts_sec",
+      "event_id", "value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // v=1 holds 10s, v=3 holds 20s → (1·10 + 3·20)/30 = 70/30
+    assert(got == Seq((1L, 30L, 70.0 / 30.0)), got.toString)
+  }
+
   test("dpNoisedCounts: deterministic per salt, salt rotates the draw, scale bounds") {
     import graft.ops.SampleOps
     val docs = (1L to 300L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")

@@ -311,6 +311,10 @@ class ScaleStressSpec extends SparkTestBase {
         .select(col("event_type"), col("hour_bucket"), col("n"),
           (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
     },
+    // one user-key window shuffle (lead) + per-key partial agg
+    "q78_time_weighted_avg" -> (df =>
+      graft.ops.EventOps.timeWeightedAvg(df, "user_id", "ts_sec",
+        "event_id", "value")),
     // one partial-agg max(struct) shuffle — no window sort
     "q77_snapshot_asof" -> (df =>
       df.where(col("ts_sec") <= 1704067200L + 900000L)
