@@ -320,6 +320,40 @@ object VectorOps {
       .groupBy("cell", "i")
       .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
 
+  /** Pairwise cosine between per-label mean embeddings — the
+    * embedding-space drift/separation monitor: collapsing centroids
+    * (cos → 1) mean two labels/sources have converged (a labeling
+    * problem or a domain shift); it is also the cheap class-
+    * separability report before training on the labels.
+    *
+    * Centroids are 6 dp-snapped dimension means (s06's contract), so
+    * the report is engine-replayable; the pairwise stage runs on
+    * labels² centroid rows — the corpus is read ONCE into
+    * labels × dim mean cells and never self-joins.
+    */
+  def labelCentroidDrift(df: DataFrame, vecCol: String,
+                         labelCol: String): DataFrame = {
+    val cent = df
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .select(col("label"), (col("pos") + 1).as("i"),
+        col("col").cast("double").as("x"))
+      .groupBy("label", "i")
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("_dims"),
+        transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          s => s.getField("c")).as("cv"))
+    val a = cent.select(col("label").as("label_a"), col("cv").as("va"))
+    val b = cent.select(col("label").as("label_b"), col("cv").as("vb"))
+    val dotAb = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val nrm = (v: Column) => sqrt(aggregate(
+      zip_with(v, v, (x, y) => x * y), lit(0.0), (acc, z) => acc + z))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        (dotAb / (nrm(col("va")) * nrm(col("vb")))).as("cos_centroid"))
+  }
+
   def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
                           nCells: Int, k: Int, probes: Int = 1,
                           portablePivots: Boolean = false): DataFrame = {

@@ -853,6 +853,31 @@ object VectorQueries {
         SELECT a.id AS vec_id, a.n_eval_hits, t.max_cos, t.eval_id
         FROM agg a JOIN top t USING (id) ORDER BY vec_id""")),
 
+    // ── s21: label-centroid drift — pairwise cosine between per-label
+    //    mean embeddings (6 dp-snapped, s06's contract): the
+    //    embedding-space separation/drift monitor; corpus read once
+    //    into labels × dim cells, pairwise on labels² rows ─────────────
+    Q("s21_centroid_drift",
+      (s, dir) => VectorOps.labelCentroidDrift(
+        Tables.embeddings(s, dir), "embedding", "label")
+        .orderBy("label_a", "label_b"),
+      Some("""WITH x AS (
+          SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        c AS (
+          SELECT label, i, ROUND(AVG(x), 6) AS c
+          FROM x GROUP BY label, i),
+        v AS (
+          SELECT label, list(c ORDER BY i) AS cv FROM c GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+          list_sum(list_transform(range(1, 65),
+            i -> a.cv[i] * b.cv[i]))
+          / (SQRT(list_sum(list_transform(range(1, 65), i -> a.cv[i] * a.cv[i])))
+           * SQRT(list_sum(list_transform(range(1, 65), i -> b.cv[i] * b.cv[i]))))
+            AS cos_centroid
+        FROM v a JOIN v b ON a.label < b.label
+        ORDER BY label_a, label_b""")),
+
     // ── s19: maximum-inner-product search — top-k by RAW dot product
     //    (magnitude-sensitive retrieval); scale path is the norm-
     //    augmentation reduction to cosine (see mipsBruteForceKernel) ──

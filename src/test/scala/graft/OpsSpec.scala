@@ -1770,6 +1770,20 @@ class OpsSpec extends SparkTestBase {
     assert(TextOps.ngramNovelty(tiny, "doc_id", "text", n = 2).count() == 0)
   }
 
+  test("labelCentroidDrift: identical labels cos 1, orthogonal labels cos 0") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), // label 0 → (1,0)
+      (3L, Array(0f, 1f), 1), //                          label 1 → (0,1)
+      (4L, Array(1f, 0f), 2) //                           label 2 → (1,0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.labelCentroidDrift(vecs, "embedding", "label")
+      .as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(got((0, 1))) < 1e-9, got.toString) // orthogonal
+    assert(math.abs(got((0, 2)) - 1.0) < 1e-9) //          identical
+    assert(math.abs(got((1, 2))) < 1e-9)
+  }
+
   test("snapshotDiff: all four statuses on a crafted version pair") {
     import graft.ops.ProfileOps
     val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
