@@ -52,7 +52,8 @@ object Bench {
     "t33_burstiness", "d30_lsh_tuner", "p19_dp_counts",
     "d31_ngram_novelty_incremental", "q75_transition_matrix",
     "t34_lift_table", "q76_corpus_diff", "q77_snapshot_asof",
-    "q78_time_weighted_avg", "p20_quota_sample", "s21_centroid_drift")
+    "q78_time_weighted_avg", "p20_quota_sample", "s21_centroid_drift",
+    "q79_trend_per_group", "q80_funnel_latency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1989,6 +1989,116 @@ object CoreQueries {
         SELECT user_id, CAST(SUM(dur) AS BIGINT) AS t_span,
           CAST(SUM(vs) AS DOUBLE) / CAST(SUM(dur) AS BIGINT)
             AS time_weighted_avg
-        FROM d GROUP BY user_id ORDER BY user_id"""))
+        FROM d GROUP BY user_id ORDER BY user_id""")),
+
+    // ── q79: per-type value trend — least-squares slope of value
+    //    against time within each event type (the metric-drift
+    //    monitor: is this signal rising?). t32's exact-moment recipe
+    //    at group grain: x re-anchors to the group's min ts (two-pass
+    //    broadcast-bounds, q72's shape) so decimal moments never
+    //    overflow; value is exact 2-dp decimal; the closed form is
+    //    fixed-order IEEE on the exact sums ─────────────────────────────
+    Q("q79_trend_per_group",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("ts_sec"), col("value"))
+        val anchors = ev.groupBy("event_type")
+          .agg(min(col("ts_sec")).as("t0"))
+        val pts = ev.join(broadcast(anchors), Seq("event_type"))
+          .select(col("event_type"),
+            (col("ts_sec") - col("t0")).cast("decimal(18,0)").as("x"),
+            col("value").cast("decimal(18,2)").as("y"))
+        val m = pts.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+        m.select(col("event_type"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("sxd"),
+          col("sy").cast("double").as("syd"),
+          col("sxx").cast("double").as("sxxd"),
+          col("sxy").cast("double").as("sxyd"))
+          .select(col("event_type"), col("n"),
+            ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+              .as("slope"),
+            col("nd"), col("sxd"), col("syd"))
+          .select(col("event_type"), col("n"), col("slope"),
+            ((col("syd") - col("slope") * col("sxd")) / col("nd"))
+              .as("intercept"))
+          .orderBy("event_type")
+      },
+      Some(Tables.eventsCte + """,
+        a AS (SELECT event_type, MIN(ts_sec) AS t0 FROM e GROUP BY 1),
+        p AS (
+          SELECT e.event_type,
+            CAST(e.ts_sec - a.t0 AS DECIMAL(18,0)) AS x,
+            CAST(e.value AS DECIMAL(18,2)) AS y
+          FROM e JOIN a USING (event_type)),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) AS DOUBLE) AS nd,
+            CAST(SUM(x) AS DOUBLE) AS sxd, CAST(SUM(y) AS DOUBLE) AS syd,
+            CAST(SUM(x * x) AS DOUBLE) AS sxxd,
+            CAST(SUM(x * y) AS DOUBLE) AS sxyd
+          FROM p GROUP BY event_type),
+        c AS (
+          SELECT event_type, n, nd, sxd, syd,
+            (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope
+          FROM m)
+        SELECT event_type, n, slope,
+          (syd - slope * sxd) / nd AS intercept
+        FROM c ORDER BY event_type""")),
+
+    // ── q80: funnel step latency — the time-to-convert distribution
+    //    between consecutive funnel steps (q60's step timestamps →
+    //    per-pair count/median/p90/max): the "WHERE do users stall"
+    //    report q60's conversion counts can't answer ───────────────────
+    Q("q80_funnel_latency",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val f = graft.ops.EventOps.funnelSteps(
+          ev.withColumn("ts_us", Tables.tsMicros(ev)),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        val d1 = f.where(col("click_ts").isNotNull)
+          .select(lit("1_view_to_click").as("step_pair"),
+            (col("click_ts") - col("view_ts")).as("latency_us"))
+        val d2 = f.where(col("purchase_ts").isNotNull)
+          .select(lit("2_click_to_purchase").as("step_pair"),
+            (col("purchase_ts") - col("click_ts")).as("latency_us"))
+        d1.union(d2).groupBy("step_pair")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(latency_us, 0.5)").as("p50_us"),
+            expr("percentile(latency_us, 0.9)").as("p90_us"),
+            max(col("latency_us")).as("max_us"))
+          .orderBy("step_pair")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        t1 AS (SELECT user_id, MIN(ts_us) AS view_ts FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, MIN(e.ts_us) AS click_ts
+               FROM e JOIN t1 ON t1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > t1.view_ts
+               GROUP BY 1),
+        t3 AS (SELECT e.user_id, MIN(e.ts_us) AS purchase_ts
+               FROM e JOIN t2 ON t2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > t2.click_ts
+               GROUP BY 1),
+        d AS (
+          SELECT '1_view_to_click' AS step_pair,
+            t2.click_ts - t1.view_ts AS latency_us
+          FROM t2 JOIN t1 USING (user_id)
+          UNION ALL
+          SELECT '2_click_to_purchase',
+            t3.purchase_ts - t2.click_ts
+          FROM t3 JOIN t2 USING (user_id))
+        SELECT step_pair, CAST(COUNT(*) AS BIGINT) AS n,
+          quantile_cont(latency_us, 0.5) AS p50_us,
+          quantile_cont(latency_us, 0.9) AS p90_us,
+          MAX(latency_us) AS max_us
+        FROM d GROUP BY step_pair ORDER BY step_pair"""))
   )
 }

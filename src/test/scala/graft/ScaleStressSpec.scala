@@ -311,6 +311,28 @@ class ScaleStressSpec extends SparkTestBase {
         .select(col("event_type"), col("hour_bucket"), col("n"),
           (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
     },
+    // two-pass anchor broadcast + exact decimal moments per group
+    "q79_trend_per_group" -> { df =>
+      val anchors = df.groupBy("event_type").agg(min(col("ts_sec")).as("t0"))
+      df.join(broadcast(anchors), Seq("event_type"))
+        .select(col("event_type"),
+          (col("ts_sec") - col("t0")).cast("decimal(18,0)").as("x"),
+          col("value").cast("decimal(18,2)").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+    },
+    // steps-many bounded user-key partial aggs + tiny percentile rollup
+    "q80_funnel_latency" -> { df =>
+      val f = graft.ops.EventOps.funnelSteps(df, "user_id", "event_type",
+        "ts_sec", Seq("view", "click", "purchase"))
+      f.where(col("click_ts").isNotNull)
+        .select(lit("vc").as("step_pair"),
+          (col("click_ts") - col("view_ts")).as("lat"))
+        .groupBy("step_pair")
+        .agg(count(lit(1)).as("n"), expr("percentile(lat, 0.5)").as("p50"))
+    },
     // one user-key window shuffle (lead) + per-key partial agg
     "q78_time_weighted_avg" -> (df =>
       graft.ops.EventOps.timeWeightedAvg(df, "user_id", "ts_sec",
