@@ -147,6 +147,47 @@ object LearnOps {
         ratio(col("tp"), col("tp") + col("fn")).as("recall"))
   }
 
+  /** Leakage-safe target encoding — the feature-engineering staple
+    * for high-cardinality categoricals: encode category g for row i
+    * as the smoothed MEAN LABEL of g computed WITHOUT row i
+    * (leave-one-out), shrunk toward the global prior by pseudo-count
+    * `m`:
+    *
+    *   enc_i = (sum_g − y_i + m·p) / (n_g − 1 + m)
+    *
+    * LOO + smoothing is what keeps the encoding from leaking each
+    * row's own label into its feature (the classic target-leak bug).
+    * Deterministic: per-category label sums are exact decimals, the
+    * prior is one fixed-order divide of exact totals, and the
+    * per-row encode is a single fixed-order IEEE expression.
+    *
+    * Scale shape: one category census shuffle (partial-agg, categories
+    * rows) broadcast back; the encode itself is a narrow projection.
+    * Singleton categories fall back to the pure prior (n_g−1 = 0).
+    */
+  def targetEncode(df: DataFrame, catCol: String, label: Column,
+                   m: Double): DataFrame = {
+    require(m > 0, "smoothing pseudo-count m must be positive")
+    val y = label.cast("decimal(18,2)")
+    val base = df.withColumn("__graft_te_y", y)
+    val census = base.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__graft_te_n"),
+        sum(col("__graft_te_y")).as("__graft_te_sum"))
+    val totals = census.agg(sum(col("__graft_te_n")).as("__nt"),
+      sum(col("__graft_te_sum")).as("__st"))
+    base.join(broadcast(census), Seq(catCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__graft_te_p",
+        col("__st").cast("double") / col("__nt").cast("double"))
+      .withColumn("target_enc",
+        ((col("__graft_te_sum").cast("double") -
+          col("__graft_te_y").cast("double") +
+          lit(m) * col("__graft_te_p")) /
+          (col("__graft_te_n").cast("double") - lit(1.0) + lit(m))))
+      .drop("__graft_te_n", "__graft_te_sum", "__nt", "__st",
+        "__graft_te_p", "__graft_te_y")
+  }
+
   /** Lift / gains table — the ranking-quality view next to
     * [[classifierPrReport]]'s threshold view: bucket the population
     * into score quantiles and report each bucket's positive rate

@@ -2099,6 +2099,58 @@ object CoreQueries {
           quantile_cont(latency_us, 0.5) AS p50_us,
           quantile_cont(latency_us, 0.9) AS p90_us,
           MAX(latency_us) AS max_us
-        FROM d GROUP BY step_pair ORDER BY step_pair"""))
+        FROM d GROUP BY step_pair ORDER BY step_pair""")),
+
+    // ── q81: session stats — the engagement report over q62's
+    //    sessionization: session count, bounce rate (single-event
+    //    sessions), exact total duration, mean events/duration. One
+    //    global scalar rollup over the (user, session) frame ───────────
+    Q("q81_session_stats",
+      (s, dir) => {
+        val sess = graft.ops.EventOps.sessionize(
+          Tables.events(s, dir).select(col("user_id"), col("event_id"),
+            col("ts_sec")),
+          "user_id", "ts_sec", "event_id", gapSeconds = 43200L)
+        sess.agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_events") === 1, 1)).as("n_bounces"),
+          sum(col("session_end") - col("session_start"))
+            .as("total_duration"),
+          sum(col("n_events")).as("total_events"))
+          .select(col("n_sessions"), col("n_bounces"),
+            (col("n_bounces").cast("double") / col("n_sessions"))
+              .as("bounce_rate"),
+            col("total_duration").cast("long").as("total_duration"),
+            (col("total_duration").cast("double") / col("n_sessions"))
+              .as("mean_duration_sec"),
+            (col("total_events").cast("double") / col("n_sessions"))
+              .as("mean_events"))
+      },
+      Some(Tables.eventsCte + """,
+        l AS (SELECT user_id, event_id, ts_sec,
+                LAG(ts_sec) OVER (PARTITION BY user_id
+                  ORDER BY ts_sec, event_id) AS prev_ts
+              FROM e),
+        m AS (SELECT user_id, ts_sec,
+                SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+                  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                    ORDER BY ts_sec, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM l),
+        sess AS (
+          SELECT user_id, session_id,
+            MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+            COUNT(*) AS n_events
+          FROM m GROUP BY user_id, session_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+            AS n_bounces,
+          CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+            / COUNT(*) AS bounce_rate,
+          CAST(SUM(session_end - session_start) AS BIGINT)
+            AS total_duration,
+          CAST(SUM(session_end - session_start) AS DOUBLE) / COUNT(*)
+            AS mean_duration_sec,
+          CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events
+        FROM sess"""))
   )
 }

@@ -722,6 +722,37 @@ object TextQueries {
             / (CAST(cf AS DOUBLE) / df) AS vmr
         FROM m WHERE cf >= 10 ORDER BY tok""")),
 
+    // ── t35: leakage-safe target encoding — smoothed leave-one-out
+    //    mean label per source: the high-cardinality-categorical
+    //    feature that avoids the classic target-leak bug; exact
+    //    decimal census + fixed-order per-row IEEE encode ─────────────
+    Q("t35_target_encode",
+      (s, dir) => graft.ops.LearnOps.targetEncode(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            (col("lang") === "en").cast("int").as("y")),
+        "source", col("y"), m = 10.0)
+        .select("doc_id", "source", "y", "target_enc")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+          SELECT doc_id, source,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+            CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_g
+          FROM b GROUP BY source),
+        t AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS nt,
+            CAST(SUM(sum_g) AS DECIMAL(38,2)) AS st
+          FROM c)
+        SELECT b.doc_id, b.source, b.y,
+          (CAST(c.sum_g AS DOUBLE) - CAST(CAST(b.y AS DECIMAL(18,2)) AS DOUBLE)
+            + 10.0 * (CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+          / (CAST(c.n_g AS DOUBLE) - 1.0 + 10.0) AS target_enc
+        FROM b JOIN c USING (source) CROSS JOIN t
+        ORDER BY b.doc_id""")),
+
     // ── t34: lift/gains table — bucket the corpus into score
     //    quantiles (dyadic-sketch cuts, p15's pattern — NO global
     //    sort) and report per-bucket positive rate vs base rate; the

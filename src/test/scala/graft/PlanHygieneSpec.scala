@@ -109,6 +109,10 @@ class PlanHygieneSpec extends SparkTestBase {
       "q57_dyadic_quantile", "t24_source_drift", "p15_curriculum",
       "q63_profile", "q66_skew_report", "t29_dsir_weights",
       "q73_join_size_cms", "t32_zipf_fit",
+      // q81_session_stats: the final 1-row engagement rollup over the
+      // (user, session) frame — map-side combined partials, one row per
+      // upstream partition crosses; q63's exact class.
+      "q81_session_stats",
       // t34_lift_table: p15's exact sketch-cut chain (q57 scalar N +
       // the tiny sorted-cuts collect_list) plus the per-bucket totals
       // scalar — all ≤ levels·width-row or #buckets-row tails.

@@ -461,6 +461,19 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
 
+  test("targetEncode: LOO excludes own label; singleton falls back to prior") {
+    import graft.ops.LearnOps
+    // A: y = 1,1,0 (sum 2, n 3); B: y = 0 (singleton). prior p = 2/4
+    val rows = Seq((1L, "A", 1), (2L, "A", 1), (3L, "A", 0), (4L, "B", 0))
+      .toDF("id", "cat", "y")
+    val got = LearnOps.targetEncode(rows, "cat", $"y", m = 10.0)
+      .select($"id", $"target_enc").as[(Long, Double)].collect().toMap
+    assert(got(1L) == (2.0 - 1.0 + 10.0 * 0.5) / 12.0) // own y excluded
+    assert(got(2L) == got(1L)) //     same cat+label → same encode
+    assert(got(3L) == (2.0 - 0.0 + 10.0 * 0.5) / 12.0)
+    assert(got(4L) == (0.0 - 0.0 + 10.0 * 0.5) / 10.0) // pure prior
+  }
+
   test("quotaSample: per-group targets honored, zero quota empties a group") {
     import graft.ops.SampleOps
     val docs = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "source")

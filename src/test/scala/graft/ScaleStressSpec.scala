@@ -311,6 +311,14 @@ class ScaleStressSpec extends SparkTestBase {
         .select(col("event_type"), col("hour_bucket"), col("n"),
           (abs(col("n") - col("med")) > lit(3.0) * col("mad")).as("is_anomaly"))
     },
+    // q62's shared window shuffle + a 1-row engagement rollup
+    "q81_session_stats" -> { df =>
+      graft.ops.EventOps.sessionize(df, "user_id", "ts_sec", "event_id",
+        gapSeconds = 43200L)
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_events") === 1, 1)).as("n_bounces"),
+          sum(col("session_end") - col("session_start")).as("td"))
+    },
     // two-pass anchor broadcast + exact decimal moments per group
     "q79_trend_per_group" -> { df =>
       val anchors = df.groupBy("event_type").agg(min(col("ts_sec")).as("t0"))
@@ -542,6 +550,25 @@ class ScaleStressSpec extends SparkTestBase {
           f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
         assert(normalizeEquiJoins(planShape(q(base)))
             == normalizeEquiJoins(planShape(q(huge))),
+          s"$name plan shape changed with data size (beyond join strategy)")
+      }
+    }
+    // round 10 second pass: the events family joins the knee hunt —
+    // user-disjoint salted copies, so per-user window/stateful work is
+    // constant and total work must scale with event volume
+    lazy val hugeEvents: DataFrame = saltedEvents(f)
+    eventEntries.foreach { case (name, q) =>
+      test(s"$name (events): ${f}x events => ~linear runtime, unchanged plan shape") {
+        baseEvents.count(); hugeEvents.count()
+        timeNoop(q(baseEvents))
+        val t1 = timeNoop(q(baseEvents))
+        val tf = timeNoop(q(hugeEvents))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+        assert(normalizeEquiJoins(planShape(q(baseEvents)))
+            == normalizeEquiJoins(planShape(q(hugeEvents))),
           s"$name plan shape changed with data size (beyond join strategy)")
       }
     }
