@@ -722,6 +722,48 @@ object TextQueries {
             / (CAST(cf AS DOUBLE) / df) AS vmr
         FROM m WHERE cf >= 10 ORDER BY tok""")),
 
+    // ── t36: effective token count — tokens before/after exact dedup
+    //    per source (the corpus-card "effective dataset size" line):
+    //    how much of each source's volume survives d01's keep rule.
+    //    Fingerprint census + co-keyed id join; text never re-shuffles ─
+    Q("t36_effective_tokens",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("n_toks", TextOps.tokenCount(col("text")))
+        val keep = docs
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(1).as("kept"))
+        docs.join(keep, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens_raw"),
+            count(col("kept")).as("n_docs_kept"),
+            coalesce(sum(when(col("kept").isNotNull, col("n_toks"))), lit(0L))
+              .as("n_tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_tokens_raw"),
+            col("n_docs_kept"), col("n_tokens_kept"),
+            (lit(1.0) - col("n_tokens_kept").cast("double") /
+              col("n_tokens_raw")).as("dup_token_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+            md5(text) AS fp
+          FROM documents),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY fp)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens_raw,
+          CAST(COUNT(k.doc_id) AS BIGINT) AS n_docs_kept,
+          CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL
+            THEN n_toks END), 0) AS BIGINT) AS n_tokens_kept,
+          1.0 - CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL
+            THEN n_toks END), 0) AS DOUBLE) / SUM(n_toks)
+            AS dup_token_rate
+        FROM d LEFT JOIN keep k USING (doc_id)
+        GROUP BY source ORDER BY source""")),
+
     // ── t35: leakage-safe target encoding — smoothed leave-one-out
     //    mean label per source: the high-cardinality-categorical
     //    feature that avoids the classic target-leak bug; exact

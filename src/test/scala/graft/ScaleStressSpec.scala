@@ -159,6 +159,17 @@ class ScaleStressSpec extends SparkTestBase {
     // regression itself runs on 50 rows regardless of corpus size
     "t32_zipf_fit" -> (df =>
       TextOps.zipfFit(df, "text", topN = 50)),
+    // fingerprint census + co-keyed id join; text never re-shuffles
+    "t36_effective_tokens" -> { df =>
+      val d = df.withColumn("n_toks", TextOps.tokenCount(col("text")))
+      val keep = d.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1).as("kept"))
+      d.join(keep, Seq("doc_id"), "left")
+        .groupBy((col("doc_id") % 20).as("src"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("raw"),
+          count(col("kept")).as("n_kept"))
+    },
     // text collapses to 16-byte hashes before the one co-keyed
     // full-outer id join
     "q76_corpus_diff" -> (df =>
