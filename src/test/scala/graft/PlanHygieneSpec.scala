@@ -113,6 +113,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // (user, session) frame — map-side combined partials, one row per
       // upstream partition crosses; q63's exact class.
       "q81_session_stats",
+      // t35_target_encode: the global-prior scalar — a 1-row aggregate
+      // over the CATEGORY census (cardinality = #categories, map-side
+      // combined), broadcast back into the per-row encode; p09/t19's
+      // exact normalizer class.
+      "t35_target_encode",
       // t34_lift_table: p15's exact sketch-cut chain (q57 scalar N +
       // the tiny sorted-cuts collect_list) plus the per-bucket totals
       // scalar — all ≤ levels·width-row or #buckets-row tails.
