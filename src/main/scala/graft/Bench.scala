@@ -54,7 +54,8 @@ object Bench {
     "t34_lift_table", "q76_corpus_diff", "q77_snapshot_asof",
     "q78_time_weighted_avg", "p20_quota_sample", "s21_centroid_drift",
     "q79_trend_per_group", "q80_funnel_latency",
-    "t35_target_encode", "q81_session_stats", "t36_effective_tokens")
+    "t35_target_encode", "q81_session_stats", "t36_effective_tokens",
+    "p21_quantile_normalize", "q82_funnel_dropoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

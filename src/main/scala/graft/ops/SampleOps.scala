@@ -371,6 +371,41 @@ object SampleOps {
       .drop(nc, cc)
   }
 
+  /** Quantile normalization — map an integer-valued score onto its
+    * approximate quantile rank (bucket/nBuckets ∈ [0, 1)): the
+    * rank/quantile feature transform ML preprocessing wants, WITHOUT
+    * a global sort — cut points come from the portable dyadic-CMS
+    * sketch over the score census ([[curriculumShards]]' machinery at
+    * feature grain) and broadcast back as an array probe.
+    *
+    * `scoreCol` must be integer-valued in `[0, 2^levels)`. Output
+    * adds `q_norm` = (number of cuts strictly below the score) /
+    * nBuckets — approximate in sketch rank, deterministic and
+    * engine-replayable.
+    */
+  def quantileNormalize(df: DataFrame, scoreCol: Column, nBuckets: Int,
+                        levels: Int = 10, depth: Int = 3,
+                        width: Int = 512): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    require(!df.columns.contains("q_norm"),
+      "quantileNormalize writes column 'q_norm'; rename the existing one")
+    val phis = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val sc = "__graft_qn_s"
+    val base = df.withColumn(sc, scoreCol.cast("long"))
+    val census = base.groupBy(col(sc).as("v")).agg(count(lit(1)).as("cnt"))
+    val regs = SketchOps.dyadicCmsRegistersFromCensus(census, Seq.empty,
+      "v", "cnt", levels, depth, width)
+    val total = census.agg(sum("cnt").as("n"))
+    val cuts = SketchOps.dyadicCmsQuantiles(regs, total, phis, levels,
+        depth, width)
+      .agg(sort_array(collect_list(col("q_est"))).as("_cuts"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("q_norm",
+        size(filter(col("_cuts"), c => col(sc) > c)).cast("double")
+          / nBuckets)
+      .drop("_cuts", sc)
+  }
+
   /** Quota sampling — exact-k per group with PER-GROUP targets (the
     * balanced-eval-set constructor): group g keeps its `quotas(g)`
     * lowest-hash rows (`defaultQuota` when unlisted), ranked by the

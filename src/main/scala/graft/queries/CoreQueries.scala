@@ -2151,6 +2151,63 @@ object CoreQueries {
           CAST(SUM(session_end - session_start) AS DOUBLE) / COUNT(*)
             AS mean_duration_sec,
           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events
-        FROM sess"""))
+        FROM sess""")),
+
+    // ── q82: funnel drop-off table — per-step user counts with
+    //    step-over-step and vs-entry conversion rates (the report
+    //    q60's timestamps and q80's latencies bracket). One global
+    //    rollup over the per-user funnel frame ──────────────────────────
+    Q("q82_funnel_dropoff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val f = graft.ops.EventOps.funnelSteps(
+          ev.withColumn("ts_us", Tables.tsMicros(ev)),
+          "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase"))
+        f.agg(count(col("view_ts")).as("n1"),
+            count(col("click_ts")).as("n2"),
+            count(col("purchase_ts")).as("n3"))
+          .select(explode(array(
+            struct(lit(1).as("step_idx"), lit("view").as("step"),
+              col("n1").as("n_users"),
+              lit(1.0).as("rate_vs_prev"), lit(1.0).as("rate_vs_entry")),
+            struct(lit(2).as("step_idx"), lit("click").as("step"),
+              col("n2").as("n_users"),
+              (col("n2").cast("double") / col("n1")).as("rate_vs_prev"),
+              (col("n2").cast("double") / col("n1")).as("rate_vs_entry")),
+            struct(lit(3).as("step_idx"), lit("purchase").as("step"),
+              col("n3").as("n_users"),
+              (col("n3").cast("double") / col("n2")).as("rate_vs_prev"),
+              (col("n3").cast("double") / col("n1")).as("rate_vs_entry"))))
+            .as("r"))
+          .select(col("r.step_idx"), col("r.step"), col("r.n_users"),
+            col("r.rate_vs_prev"), col("r.rate_vs_entry"))
+          .orderBy("step_idx")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        t1 AS (SELECT user_id, MIN(ts_us) AS view_ts FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, MIN(e.ts_us) AS click_ts
+               FROM e JOIN t1 ON t1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_us > t1.view_ts
+               GROUP BY 1),
+        t3 AS (SELECT e.user_id, MIN(e.ts_us) AS purchase_ts
+               FROM e JOIN t2 ON t2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_us > t2.click_ts
+               GROUP BY 1),
+        c AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+        SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
+          1.0 AS rate_vs_prev, 1.0 AS rate_vs_entry FROM c
+        UNION ALL
+        SELECT 2, 'click', n2,
+          CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1 FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+          CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1 FROM c
+        ORDER BY step_idx"""))
   )
 }

@@ -563,6 +563,67 @@ object PipelineQueries {
             AS n_released
         FROM u ORDER BY source""")),
 
+    // ── p21: quantile normalization — map the t02 quality grid score
+    //    onto its approximate quantile rank via sketch cuts (p15's
+    //    machinery as a FEATURE transform): rank-normalize 100 TB
+    //    without a global sort ─────────────────────────────────────────
+    Q("p21_quantile_normalize",
+      (s, dir) => {
+        val qs = graft.ops.TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .toMap.apply("quality_score")
+        SampleOps.quantileNormalize(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              floor(qs * 100).cast("long").as("score_i")),
+          col("score_i"), nBuckets = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+          SELECT doc_id,
+            CAST(FLOOR(
+              ((CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')))
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')))) * 100) AS BIGINT) AS score_i
+          FROM documents),
+        census AS (SELECT score_i AS v, COUNT(*) AS cnt FROM q GROUP BY 1),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM census),
+        upd AS (SELECT v, cnt, (l::VARCHAR || ':' || (v >> l)::VARCHAR) AS dk
+                FROM census CROSS JOIN range(10) t(l)),
+        reg AS (SELECT i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j,
+          CAST(SUM(cnt) AS BIGINT) AS c
+          FROM upd CROSS JOIN range(3) u(i) GROUP BY 1, 2),
+        cand AS (SELECT x FROM range(1, 1025) c(x)),
+        dec AS (SELECT x, (k::VARCHAR || ':' || (2*(x >> (k+1)))::VARCHAR) AS dk
+                FROM cand CROSS JOIN range(10) d(k)
+                WHERE ((x >> k) & 1) = 1),
+        keys AS (SELECT DISTINCT dk FROM dec),
+        kp AS (SELECT dk, i,
+          ('0x' || substr(md5(i::VARCHAR || '|' || dk), 1, 15))::BIGINT
+            % 512 AS j
+          FROM keys CROSS JOIN range(3) u(i)),
+        est AS (SELECT kp.dk, MIN(COALESCE(r.c, 0)) AS est_n
+                FROM kp LEFT JOIN reg r ON r.i = kp.i AND r.j = kp.j
+                GROUP BY kp.dk),
+        prefix AS (SELECT d.x, CAST(SUM(e.est_n) AS BIGINT) AS est_rank
+                   FROM dec d JOIN est e ON e.dk = d.dk GROUP BY d.x),
+        phis AS (SELECT phi FROM (VALUES (0.25), (0.5), (0.75)) p(phi)),
+        tgt AS (SELECT phi, CAST(CEIL(phi * n.n) AS BIGINT) AS target
+                FROM phis CROSS JOIN n),
+        cuts AS (SELECT t.phi,
+                   MIN(CASE WHEN p.est_rank >= t.target THEN p.x - 1 END)
+                     AS q_est
+                 FROM tgt t CROSS JOIN prefix p GROUP BY t.phi)
+        SELECT q.doc_id, q.score_i,
+          CAST(COUNT(CASE WHEN q.score_i > c.q_est THEN 1 END) AS DOUBLE)
+            / 4 AS q_norm
+        FROM q CROSS JOIN cuts c GROUP BY 1, 2
+        ORDER BY q.doc_id""")),
+
     // ── p20: quota sampling — per-group exact-k targets (balanced
     //    eval-set construction): bottom-k by salted hash within each
     //    group, target from the quota map (p03's determinism with a

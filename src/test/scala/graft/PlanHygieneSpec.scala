@@ -113,6 +113,12 @@ class PlanHygieneSpec extends SparkTestBase {
       // (user, session) frame — map-side combined partials, one row per
       // upstream partition crosses; q63's exact class.
       "q81_session_stats",
+      // q82_funnel_dropoff: the final 1-row step-count rollup over the
+      // per-user funnel frame — q81's exact class.
+      "q82_funnel_dropoff",
+      // p21_quantile_normalize: p15's exact sketch-cut chain (q57
+      // scalar N + the tiny sorted-cuts collect_list) — t34's class.
+      "p21_quantile_normalize",
       // t35_target_encode: the global-prior scalar — a 1-row aggregate
       // over the CATEGORY census (cardinality = #categories, map-side
       // combined), broadcast back into the per-row encode; p09/t19's

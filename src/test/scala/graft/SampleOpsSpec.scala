@@ -461,6 +461,21 @@ class SampleOpsSpec extends SparkTestBase {
     assert(r._1 == 3L && r._3 == 3.0, r.toString)
   }
 
+  test("quantileNormalize: monotone in score, bounded in [0,1), uniform-ish mass") {
+    import graft.ops.SampleOps
+    val rows = (0L until 400L).map(i => (i, i)).toDF("id", "score")
+    val got = SampleOps.quantileNormalize(rows, $"score", nBuckets = 4)
+      .select($"score", $"q_norm").as[(Long, Double)].collect().sortBy(_._1)
+    assert(got.forall { case (_, q) => q >= 0.0 && q < 1.0 })
+    // monotone: higher score never gets a lower quantile
+    got.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2) }
+    // each quarter holds roughly a quarter of the mass (sketch-rank
+    // borders: allow generous slack)
+    val byQ = got.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(byQ.size == 4, byQ.toString)
+    assert(byQ.values.forall(n => n > 40 && n < 160), byQ.toString)
+  }
+
   test("targetEncode: LOO excludes own label; singleton falls back to prior") {
     import graft.ops.LearnOps
     // A: y = 1,1,0 (sum 2, n 3); B: y = 0 (singleton). prior p = 2/4
