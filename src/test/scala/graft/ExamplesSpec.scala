@@ -17,4 +17,8 @@ class ExamplesSpec extends SparkTestBase {
   test("TrainDataPipeline walkthrough runs end-to-end on the test corpus") {
     graft.examples.TrainDataPipeline.run(spark, sf)
   }
+
+  test("EventAnalytics walkthrough runs end-to-end on the test corpus") {
+    graft.examples.EventAnalytics.run(spark, sf)
+  }
 }
