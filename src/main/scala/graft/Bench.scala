@@ -55,7 +55,11 @@ object Bench {
     "q78_time_weighted_avg", "p20_quota_sample", "s21_centroid_drift",
     "q79_trend_per_group", "q80_funnel_latency",
     "t35_target_encode", "q81_session_stats", "t36_effective_tokens",
-    "p21_quantile_normalize", "q82_funnel_dropoff")
+    "p21_quantile_normalize", "q82_funnel_dropoff",
+    "q83_share_of_total", "q84_growth_daily", "q85_histogram",
+    "q86_topk_ties", "q87_weighted_median", "p22_stratified_split",
+    "t37_readability", "t38_encoding_qa", "d32_dup_window_fraction",
+    "s22_knn_rerank", "u08_robots_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,48 @@ object SampleOps {
     df.withColumn("split", expr)
   }
 
+  /** Stratified EXACT-proportion split: within every stratum, rows are
+    * ranked by salted unit hash and the split boundaries are cut at
+    * `floor(n_stratum * cumulative_fraction)` — so each stratum lands
+    * the target proportions exactly (±1 row), unlike [[hashSplit]]
+    * whose per-stratum composition is only proportional in
+    * expectation. The price of exactness is one shuffle on the
+    * stratum key and the loss of append-stability (adding rows can
+    * move the boundary); use [[hashSplit]] when stability across
+    * dataset versions matters more than exact counts.
+    *
+    * Cross-engine determinism note: the cumulative cut fractions are
+    * compared via `floor(n * cut)`, so callers wanting oracle parity
+    * should pick weights whose cumulative fractions are exactly
+    * representable doubles (e.g. 6/1/1 → 0.75, 0.875) — a near-integer
+    * `n * cut` under two different roundings of the cut is the one way
+    * this op can disagree with a replay.
+    */
+  def stratifiedExactSplit(df: DataFrame, strataCol: String, idCol: String,
+                           weights: Seq[(String, Double)],
+                           salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    require(!df.columns.contains("split"),
+      "stratifiedExactSplit writes column 'split'; rename the existing one first")
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val rkCol = "__graft_strat_rk"
+    val nCol = "__graft_strat_n"
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    val wn = Window.partitionBy(col(strataCol))
+    val ranked = df.withColumn(rkCol, row_number().over(w))
+      .withColumn(nCol, count(lit(1)).over(wn))
+    // fold from the last bucket backwards: rk <= floor(n*cf_i) picks
+    // bucket i; cf_last = 1 makes the final branch catch everything
+    val assign = weights.zip(cum).reverse
+      .foldLeft(lit(weights.last._1)) { case (els, ((label, _), cf)) =>
+        when(col(rkCol) <= floor(col(nCol) * lit(cf)), lit(label))
+          .otherwise(els)
+      }
+    ranked.withColumn("split", assign).drop(rkCol, nCol)
+  }
+
   /** Deterministic k-fold assignment: `fold = pmod(xxhash64(id), k)`
     * — the cross-validation / sharded-eval split. Same contract
     * family as [[hashSplit]]: zero-shuffle narrow projection,

@@ -53,6 +53,58 @@ object TextOps {
         min(col(charsCol)).as("min_chars"),
         max(col(charsCol)).as("max_chars"))
 
+  /** Readability metrics (Flesch reading ease + Flesch–Kincaid grade)
+    * from deterministic heuristics: sentences = runs of `.!?`,
+    * syllables = vowel-group count per word (min 1) — the standard
+    * dictionary-free approximation. Zero-shuffle scalar bundle; the
+    * formula is written in one fixed evaluation order and snapped to
+    * 6 dp so an independent SQL replay lands the same bits.
+    */
+  def readabilityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val nSentences =
+      greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+        .cast("double")
+    val nSyllables = aggregate(
+      transform(toks, w => greatest(
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val wps = nWords / nSentences
+    val spw = nSyllables / nWords
+    Seq("n_words" -> nWords.cast("long"),
+      "n_sentences" -> nSentences.cast("long"),
+      "n_syllables" -> nSyllables.cast("long"),
+      "flesch_ease" ->
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6),
+      "fk_grade" ->
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+  }
+
+  /** Encoding/mojibake QA flags — the byte-hygiene gate of a crawl
+    * pipeline: U+FFFD replacement chars (decode failures), C0/DEL
+    * control chars, and the non-ASCII ratio. Pure narrow projection.
+    */
+  def encodingQaColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nAscii = length(regexp_replace(text, "[^\\x00-\\x7F]", ""))
+    val nonAscii = (nChars - nAscii).cast("long")
+    val nReplacement =
+      (nChars - length(regexp_replace(text, "�", ""))).cast("long")
+    val nControl =
+      (nChars - length(regexp_replace(text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
+    val ratio = nonAscii.cast("double") / nChars
+    Seq("n_chars" -> nChars.cast("long"),
+      "n_non_ascii" -> nonAscii,
+      "n_replacement" -> nReplacement,
+      "n_control" -> nControl,
+      "non_ascii_ratio" -> round(ratio, 6),
+      "encoding_suspect" ->
+        (nReplacement > 0 || nControl > 0 || ratio > lit(0.3)))
+  }
+
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(lit)
     size(filter(tokens(text), t => t.isin(sw: _*)))
@@ -1963,5 +2015,41 @@ object TextOps {
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("first_doc"))
       .where(col("n_docs") >= minDocs)
+  }
+
+  /** Per-doc duplicated-window fraction — the memorization-risk
+    * summary of substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * for every document, the share of its n-token windows whose
+    * n-gram also occurs in at least `minDocs` distinct documents.
+    * [[duplicatedNgramSpans]] reports the corpus-side span census;
+    * this is the doc-side risk score a filtering policy thresholds on.
+    *
+    * Shape: ONE positional n-gram explode feeds both the cross-doc
+    * census (distinct-doc counts per hash) and the per-doc dup-window
+    * count (semi join on the flagged hashes) — Catalyst reuses the
+    * exchange for the identical subplan, so the text is scanned and
+    * hashed once. Everything shuffles on the 8-byte hash, never the
+    * n-gram string.
+    */
+  def duplicatedWindowFraction(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, minDocs: Int = 2): DataFrame = {
+    import graft.functions.PortableSketches
+    val wins = df.select(col(idCol),
+      PortableSketches.ngramHashesPos60(col(textCol), n).as("__whs"))
+    val pos = wins.select(col(idCol), explode(col("__whs")).as("span_hash"))
+    val dup = pos.groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("span_hash")
+    val dupCounts = pos.join(dup, Seq("span_hash"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    wins.where(size(col("__whs")) > 0)
+      .select(col(idCol), size(col("__whs")).cast("long").as("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
+          / col("n_windows"), 6).as("dup_window_fraction"))
   }
 }

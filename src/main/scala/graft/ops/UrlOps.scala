@@ -115,6 +115,29 @@ object UrlOps {
         pth, q))
   }
 
+  /** Robots.txt-style path rules with LONGEST-PREFIX-MATCH precedence
+    * (the Google robots matcher semantics, REP RFC 9309 §2.2.2: the
+    * most specific matching rule wins; equal-length allow beats
+    * disallow — here length ties are broken by lexicographic rule
+    * order, deterministic either way). Rules are (pathPrefix, allow);
+    * unmatched paths get `defaultAllow`. Compiles to ONE zero-shuffle
+    * `when` chain — at 100 TB this is a scan-local scalar filter; a
+    * per-host rules TABLE would instead broadcast-join on host and
+    * apply the same chain per group.
+    */
+  def robotsClassify(pathCol: Column, rules: Seq[(String, Boolean)],
+                     defaultAllow: Boolean = true): Seq[(String, Column)] = {
+    require(rules.nonEmpty, "at least one rule")
+    val sorted = rules.sortBy { case (p, a) => (-p.length, p, a) }
+    val matchedRule = sorted.foldRight(lit(null).cast("string")) {
+      case ((p, _), els) => when(pathCol.startsWith(p), lit(p)).otherwise(els)
+    }
+    val allowed = sorted.foldRight(lit(defaultAllow)) {
+      case ((p, a), els) => when(pathCol.startsWith(p), lit(a)).otherwise(els)
+    }
+    Seq("matched_rule" -> matchedRule, "allowed" -> allowed)
+  }
+
   /** Two-level public suffixes the heuristic recognises. The real
     * Public Suffix List is a data file; at 100 TB you'd broadcast it
     * as a lookup map — the grouping shape is identical, so the

@@ -863,6 +863,43 @@ object VectorOps {
       .select("id_a", "rk", "id_b", "approx_d2")
   }
 
+  /** Two-stage ANN: IVF-PQ approximate shortlist → EXACT re-rank (the
+    * production FAISS search shape: `nprobe`+ADC gives a cheap
+    * shortlist, then full-precision vectors re-score only those
+    * `shortlist` candidates per query). Recovers most of the recall
+    * the PQ approximation loses while touching true vectors for
+    * shortlist·n pairs instead of n²/cells.
+    *
+    * Scale shape: stage 1 is [[ivfPqNearestNeighbors]] (codes + LUTs,
+    * vectors never cross the candidate shuffle); stage 2 joins the
+    * raw vectors back by id for ONLY the shortlist pairs — two hash
+    * joins keyed on ids, each shuffling shortlist·n narrow rows plus
+    * one pass of the embeddings table. Output ranks by the exact
+    * squared L2 (6-dp snapped, fixed-order sum) with id tiebreak.
+    */
+  def ivfPqRerankNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int, m: Int, nCentroids: Int, dim: Int,
+                           k: Int, shortlist: Int, iters: Int,
+                           portablePivots: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val sl = ivfPqNearestNeighbors(df, idCol, vecCol, nCells, m, nCentroids,
+      dim, k = shortlist, iters = iters, portablePivots = portablePivots)
+      .select("id_a", "id_b", "approx_d2")
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val exactD2 = aggregate(
+      zip_with(col("__va"), col("__vb"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, d) => acc + d)
+    val exact = sl.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("approx_d2"),
+        round(exactD2, 6).as("exact_d2"))
+    val w = Window.partitionBy("id_a").orderBy(col("exact_d2"), col("id_b"))
+    exact.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("id_a", "rk", "id_b", "exact_d2", "approx_d2")
+  }
+
   /** Init codebooks: hash-picked pivot vectors subsliced per subspace
     * (exactly [[pqCodes]]'s codebook — training strictly refines it).
     */

@@ -2208,6 +2208,203 @@ object CoreQueries {
         UNION ALL
         SELECT 3, 'purchase', n3,
           CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1 FROM c
-        ORDER BY step_idx"""))
+        ORDER BY step_idx""")),
+
+    // ── q83: share-of-total — each nation's revenue share within its
+    //    region (percent-of-total via a windowed sum over the grouped
+    //    frame). Sums are exact DECIMAL(18,2) so the share division is
+    //    a fixed-order IEEE op on identical inputs in both engines;
+    //    dims broadcast, one shuffle on the group keys ──────────────────
+    Q("q83_share_of_total",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        val w = Window.partitionBy("r_name")
+        rev.select(col("r_name"), col("n_name"),
+            col("revenue").cast("double").as("revenue"),
+            (col("revenue").cast("double")
+              / sum(col("revenue")).over(w).cast("double")).as("share"),
+            rank().over(w.orderBy(col("revenue").desc, col("n_name")))
+              .as("rk"))
+          .orderBy("r_name", "rk", "n_name")
+      },
+      Some("""WITH rev AS (
+          SELECT r_name, n_name,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, CAST(revenue AS DOUBLE) AS revenue,
+          CAST(revenue AS DOUBLE)
+            / CAST(SUM(revenue) OVER (PARTITION BY r_name) AS DOUBLE)
+            AS share,
+          RANK() OVER (PARTITION BY r_name
+            ORDER BY revenue DESC, n_name) AS rk
+        FROM rev ORDER BY r_name, rk, n_name""")),
+
+    // ── q84: period-over-period growth — daily value totals with lag
+    //    and relative growth. The unpartitioned lag window runs over
+    //    the ~30-row daily rollup, never the raw events ─────────────────
+    Q("q84_growth_daily",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(date_trunc("DAY", timestamp_seconds(col("ts_sec")))
+            .cast("date").cast("string").as("day"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("total"),
+            count(lit(1)).as("n_events"))
+        val w = Window.orderBy("day")
+        val prev = lag(col("total"), 1).over(w)
+        daily.select(col("day"),
+            col("total").cast("double").as("total"), col("n_events"),
+            prev.cast("double").as("prev_total"),
+            ((col("total") - prev).cast("double") / prev.cast("double"))
+              .as("growth"))
+          // first day has no predecessor: drop it rather than emit a
+          // NULL double (engines disagree on NULL-vs-NaN round-trips)
+          .where(col("prev_total").isNotNull)
+          .orderBy("day")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+              AS day,
+            SUM(CAST(value AS DECIMAL(18,2))) AS total,
+            COUNT(*) AS n_events
+          FROM events GROUP BY 1),
+        g AS (
+          SELECT day, CAST(total AS DOUBLE) AS total, n_events,
+            CAST(LAG(total) OVER (ORDER BY day) AS DOUBLE) AS prev_total,
+            CAST(total - LAG(total) OVER (ORDER BY day) AS DOUBLE)
+              / CAST(LAG(total) OVER (ORDER BY day) AS DOUBLE)
+              AS growth
+          FROM m)
+        SELECT * FROM g WHERE prev_total IS NOT NULL ORDER BY day""")),
+
+    // ── q85: equi-width histogram — 20 buckets over l_extendedprice.
+    //    Global min/max is a 1-row scalar broadcast; the bucket math is
+    //    identical double arithmetic in both engines, so floor() lands
+    //    every row in the same bucket bit-for-bit ───────────────────────
+    Q("q85_histogram",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+        val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val width = (col("hi") - col("lo")) / lit(20.0)
+        val bucket =
+          least(floor((col("x") - col("lo")) / width), lit(19.0)).cast("int")
+        val counts = li.crossJoin(broadcast(mm))
+          .select(bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        counts.crossJoin(broadcast(mm))
+          .select(col("bucket"),
+            (col("lo") + col("bucket") * width).as("bucket_lo"),
+            (col("lo") + (col("bucket") + 1) * width).as("bucket_hi"),
+            col("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH mm AS (
+          SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+          FROM lineitem),
+        b AS (
+          SELECT CAST(LEAST(FLOOR((l_extendedprice - lo)
+              / ((hi - lo) / 20.0)), 19.0) AS INT) AS bucket
+          FROM lineitem CROSS JOIN mm),
+        c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
+        SELECT bucket,
+          lo + bucket * ((hi - lo) / 20.0) AS bucket_lo,
+          lo + (bucket + 1) * ((hi - lo) / 20.0) AS bucket_hi,
+          n
+        FROM c CROSS JOIN mm ORDER BY bucket""")),
+
+    // ── q86: top-k with ties — dense_rank ≤ 3 parts per brand by
+    //    revenue. Revenue is an exact decimal product-sum so tie groups
+    //    are identical across engines; part broadcasts ──────────────────
+    Q("q86_topk_ties",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1.0).cast("decimal(18,2)")
+              - col("l_discount").cast("decimal(18,2)"))).as("revenue"))
+        val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc)
+        rev.select(col("p_brand"), col("p_name"), col("revenue"),
+            dense_rank().over(w).as("rk"))
+          .where(col("rk") <= 3)
+          .select(col("p_brand"), col("p_name"),
+            col("revenue").cast("double").as("revenue"), col("rk"))
+          .orderBy("p_brand", "rk", "p_name")
+      },
+      Some("""WITH rev AS (
+          SELECT p_brand, p_name,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1.0 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_name),
+        r AS (
+          SELECT p_brand, p_name, revenue,
+            DENSE_RANK() OVER (PARTITION BY p_brand
+              ORDER BY revenue DESC) AS rk
+          FROM rev)
+        SELECT p_brand, p_name, CAST(revenue AS DOUBLE) AS revenue, rk
+        FROM r WHERE rk <= 3 ORDER BY p_brand, rk, p_name""")),
+
+    // ── q87: weighted quantiles — quantity-weighted p25/median/p75 of
+    //    l_extendedprice per return flag. RANGE cumulative frames make
+    //    the tie-run totals order-independent; weights are exact
+    //    decimals so the threshold compare is deterministic ─────────────
+    Q("q87_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+          col("l_quantity").cast("decimal(18,2)").as("wt"))
+        val wspec = Window.partitionBy("g").orderBy("x")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = li.withColumn("cw", sum(col("wt")).over(wspec))
+        val tot = li.groupBy("g").agg(sum(col("wt")).as("tw"))
+        cum.join(broadcast(tot), "g")
+          .select(col("g"), col("x"), col("cw").cast("double").as("cwd"),
+            col("tw").cast("double").as("twd"))
+          .groupBy(col("g"), col("twd"))
+          .agg(
+            min(when(col("cwd") >= col("twd") * 0.25, col("x"))).as("w_p25"),
+            min(when(col("cwd") >= col("twd") * 0.5, col("x"))).as("w_median"),
+            min(when(col("cwd") >= col("twd") * 0.75, col("x"))).as("w_p75"))
+          .select(col("g"), col("twd").as("total_weight"),
+            col("w_p25"), col("w_median"), col("w_p75"))
+          .orderBy("g")
+      },
+      Some("""WITH li AS (
+          SELECT l_returnflag AS g, l_extendedprice AS x,
+            CAST(l_quantity AS DECIMAL(18,2)) AS wt
+          FROM lineitem),
+        cum AS (
+          SELECT g, x,
+            SUM(wt) OVER (PARTITION BY g ORDER BY x
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+          FROM li),
+        tot AS (SELECT g, SUM(wt) AS tw FROM li GROUP BY g)
+        SELECT cum.g, CAST(tw AS DOUBLE) AS total_weight,
+          MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.25
+            THEN x END) AS w_p25,
+          MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.5
+            THEN x END) AS w_median,
+          MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.75
+            THEN x END) AS w_p75
+        FROM cum JOIN tot ON cum.g = tot.g
+        GROUP BY cum.g, tw ORDER BY cum.g"""))
   )
 }

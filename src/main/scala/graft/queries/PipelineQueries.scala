@@ -648,6 +648,32 @@ object PipelineQueries {
         SELECT doc_id, source FROM r
         WHERE rk <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3
           WHEN 'src2' THEN 0 ELSE 5 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── p22: stratified EXACT-proportion split — per-lang 6/1/1
+    //    train/val/test with boundaries cut at floor(n·cum_frac), so
+    //    every stratum hits the target composition exactly (p01 is
+    //    only proportional in expectation). Cut fractions 0.75 / 0.875
+    //    are exact binary doubles: floor() cannot straddle engines ─────
+    Q("p22_stratified_split",
+      (s, dir) => SampleOps.stratifiedExactSplit(Tables.documents(s, dir),
+        "lang", "doc_id", Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id"),
+      Some("""WITH u AS (
+          SELECT doc_id, lang,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY uh, doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM u)
+        SELECT doc_id, lang,
+          CASE WHEN rk <= FLOOR(n * 0.75e0) THEN 'train'
+               WHEN rk <= FLOOR(n * 0.875e0) THEN 'val'
+               ELSE 'test' END AS split
+        FROM r ORDER BY doc_id"""))
   )
 }

@@ -2126,6 +2126,107 @@ object TextQueries {
             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
             AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
             AND n_stopwords >= 2 AS INT) AS keep
-        FROM g ORDER BY doc_id"""))
+        FROM g ORDER BY doc_id""")),
+
+    // ── t37: readability metrics — Flesch reading ease + FK grade
+    //    from the dictionary-free heuristics (sentences = `.!?` runs,
+    //    syllables = vowel groups, min 1/word). Zero-shuffle scalar
+    //    bundle; 6-dp snap makes the float formula replayable ───────────
+    Q("t37_readability",
+      (s, dir) => {
+        val cols = TextOps.readabilityColumns(col("text"))
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+            CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE) AS ns
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(toks) AS DOUBLE) AS nw, ns,
+            CAST(list_sum(list_transform(toks,
+              w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+                1))) AS DOUBLE) AS syl
+          FROM t)
+        SELECT doc_id,
+          CAST(nw AS BIGINT) AS n_words,
+          CAST(ns AS BIGINT) AS n_sentences,
+          CAST(syl AS BIGINT) AS n_syllables,
+          ROUND(206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw), 6)
+            AS flesch_ease,
+          ROUND(0.39 * (nw / ns) + 11.8 * (syl / nw) - 15.59, 6)
+            AS fk_grade
+        FROM m ORDER BY doc_id""")),
+
+    // ── t38: encoding / mojibake QA — U+FFFD decode failures, C0/DEL
+    //    control chars, non-ASCII ratio. The byte-hygiene gate that
+    //    runs before every text filter; pure narrow projection ──────────
+    Q("t38_encoding_qa",
+      (s, dir) => {
+        val cols = TextOps.encodingQaColumns(col("text"))
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(text) - length(regexp_replace(text,
+              '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+            CAST(length(text) - length(regexp_replace(text,
+              '�', '', 'g')) AS BIGINT) AS n_replacement,
+            CAST(length(text) - length(regexp_replace(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+              AS n_control
+          FROM documents),
+        r AS (
+          SELECT *, CAST(n_non_ascii AS DOUBLE) / n_chars AS ratio FROM m)
+        SELECT doc_id, n_chars, n_non_ascii, n_replacement, n_control,
+          ROUND(ratio, 6) AS non_ascii_ratio,
+          (n_replacement > 0 OR n_control > 0 OR ratio > 0.3)
+            AS encoding_suspect
+        FROM r ORDER BY doc_id""")),
+
+    // ── d32: per-doc duplicated-window fraction — the memorization-
+    //    risk score of substring dedup (share of a doc's 8-token
+    //    windows duplicated in ≥2 docs corpus-wide). d12's census,
+    //    pivoted to the doc side for threshold filtering ────────────────
+    Q("d32_dup_window_fraction",
+      (s, dir) => TextOps.duplicatedWindowFraction(
+        Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS span_hash
+          FROM (
+            SELECT doc_id, UNNEST(list_transform(
+              range(1, len(toks) - 6),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                || toks[i+6] || ' ' || toks[i+7])) AS ng
+            FROM ts)),
+        census AS (
+          SELECT span_hash FROM pos
+          GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2),
+        dupc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+          FROM pos WHERE span_hash IN (SELECT span_hash FROM census)
+          GROUP BY doc_id),
+        tot AS (
+          SELECT doc_id, CAST(len(toks) - 7 AS BIGINT) AS n_windows
+          FROM ts WHERE len(toks) >= 8)
+        SELECT t.doc_id, n_windows,
+          COALESCE(n_dup_windows, 0) AS n_dup_windows,
+          ROUND(CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows, 6)
+            AS dup_window_fraction
+        FROM tot t LEFT JOIN dupc d ON t.doc_id = d.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

@@ -120,6 +120,105 @@ object VectorQueries {
             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
           FROM scored)"""
 
+
+  /** Shared DuckDB replay of the IVF-PQ chain (cells, 2 Lloyd PQ
+    * rounds, encode, LUTs, candidate scoring) up to the `scored`
+    * CTE — s15 ranks it directly; s22 shortlists then re-ranks
+    * exactly. */
+  private val ivfPqScoredCtes: String =
+    """WITH base AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        cpiv AS (
+          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        sim AS (
+          SELECT b.vec_id AS id, p.pid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
+              / (b.nrm * p.pnrm) AS psim
+          FROM base b CROSS JOIN cpiv p),
+        assigned AS (
+          SELECT id, pid AS cell FROM (
+            SELECT id, pid, ROW_NUMBER() OVER
+              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
+            FROM sim)
+          WHERE prk <= 1),
+        piv AS (
+          SELECT vec_id AS pid, embedding AS pvec
+          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+        ss AS (SELECT UNNEST(range(0, 4)) AS sub),
+        cn0 AS (
+          SELECT s.sub, p.pid AS cell,
+            list_transform(range(1, 17),
+              i -> CAST(p.pvec[s.sub * 16 + i] AS DOUBLE)) AS cvec
+          FROM piv p CROSS JOIN ss s),
+        sv AS (
+          SELECT vec_id AS id, s.sub,
+            list_transform(range(1, 17),
+              i -> CAST(embedding[s.sub * 16 + i] AS DOUBLE)) AS svec
+          FROM embeddings CROSS JOIN ss s),
+        d1 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn0 c ON c.sub = v.sub),
+        a1 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d1)
+          WHERE rk = 1),
+        u1 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a1 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn1 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u1 GROUP BY sub, cell),
+        d2s AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn1 c ON c.sub = v.sub),
+        a2 AS (
+          SELECT id, sub, cell FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d2s)
+          WHERE rk = 1),
+        u2 AS (
+          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
+          FROM a2 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
+          CROSS JOIN range(1, 17) t(i)
+          GROUP BY a.sub, a.cell, t.i),
+        cn2 AS (
+          SELECT sub, cell, list(c ORDER BY i) AS cvec
+          FROM u2 GROUP BY sub, cell),
+        d3 AS (
+          SELECT v.id, v.sub, c.cell,
+            list_sum(list_transform(range(1, 17),
+              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
+          FROM sv v JOIN cn2 c ON c.sub = v.sub),
+        codes AS (
+          SELECT id AS id_b, sub, cell AS code FROM (
+            SELECT id, sub, cell, ROW_NUMBER() OVER
+              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d3)
+          WHERE rk = 1),
+        luts AS (
+          SELECT id AS id_a, sub, cell AS code, d2 AS lut FROM d3),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.id <> b.id),
+        scored AS (
+          SELECT p.id_a, p.id_b, ROUND(SUM(l.lut), 6) AS approx_d2
+          FROM pairs p
+          JOIN codes c ON c.id_b = p.id_b
+          JOIN luts l ON l.id_a = p.id_a AND l.sub = c.sub AND l.code = c.code
+          GROUP BY p.id_a, p.id_b)"""
+
   val all: Seq[Q] = Seq(
 
     // ── brute-force cosine top-k (exact ANN baseline) ───────────────
@@ -670,103 +769,47 @@ object VectorQueries {
         nCells = 16, m = 4, nCentroids = 8, dim = 64,
         k = 3, iters = 2, portablePivots = true)
         .orderBy("id_a", "rk"),
-      Some("""WITH base AS (
-          SELECT vec_id, embedding,
-            SQRT(list_sum(list_transform(range(1, 65),
-              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-          FROM embeddings),
-        cpiv AS (
-          SELECT vec_id AS pid, embedding AS pvec, nrm AS pnrm
-          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
-        sim AS (
-          SELECT b.vec_id AS id, p.pid,
-            list_sum(list_transform(range(1, 65),
-              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(p.pvec[i] AS DOUBLE)))
-              / (b.nrm * p.pnrm) AS psim
-          FROM base b CROSS JOIN cpiv p),
-        assigned AS (
-          SELECT id, pid AS cell FROM (
-            SELECT id, pid, ROW_NUMBER() OVER
-              (PARTITION BY id ORDER BY psim DESC, pid) AS prk
-            FROM sim)
-          WHERE prk <= 1),
-        piv AS (
-          SELECT vec_id AS pid, embedding AS pvec
-          FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
-        ss AS (SELECT UNNEST(range(0, 4)) AS sub),
-        cn0 AS (
-          SELECT s.sub, p.pid AS cell,
-            list_transform(range(1, 17),
-              i -> CAST(p.pvec[s.sub * 16 + i] AS DOUBLE)) AS cvec
-          FROM piv p CROSS JOIN ss s),
-        sv AS (
-          SELECT vec_id AS id, s.sub,
-            list_transform(range(1, 17),
-              i -> CAST(embedding[s.sub * 16 + i] AS DOUBLE)) AS svec
-          FROM embeddings CROSS JOIN ss s),
-        d1 AS (
-          SELECT v.id, v.sub, c.cell,
-            list_sum(list_transform(range(1, 17),
-              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
-          FROM sv v JOIN cn0 c ON c.sub = v.sub),
-        a1 AS (
-          SELECT id, sub, cell FROM (
-            SELECT id, sub, cell, ROW_NUMBER() OVER
-              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d1)
-          WHERE rk = 1),
-        u1 AS (
-          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
-          FROM a1 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
-          CROSS JOIN range(1, 17) t(i)
-          GROUP BY a.sub, a.cell, t.i),
-        cn1 AS (
-          SELECT sub, cell, list(c ORDER BY i) AS cvec
-          FROM u1 GROUP BY sub, cell),
-        d2s AS (
-          SELECT v.id, v.sub, c.cell,
-            list_sum(list_transform(range(1, 17),
-              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
-          FROM sv v JOIN cn1 c ON c.sub = v.sub),
-        a2 AS (
-          SELECT id, sub, cell FROM (
-            SELECT id, sub, cell, ROW_NUMBER() OVER
-              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d2s)
-          WHERE rk = 1),
-        u2 AS (
-          SELECT a.sub, a.cell, t.i, ROUND(AVG(v.svec[t.i]), 6) AS c
-          FROM a2 a JOIN sv v ON v.id = a.id AND v.sub = a.sub
-          CROSS JOIN range(1, 17) t(i)
-          GROUP BY a.sub, a.cell, t.i),
-        cn2 AS (
-          SELECT sub, cell, list(c ORDER BY i) AS cvec
-          FROM u2 GROUP BY sub, cell),
-        d3 AS (
-          SELECT v.id, v.sub, c.cell,
-            list_sum(list_transform(range(1, 17),
-              i -> (v.svec[i] - c.cvec[i]) * (v.svec[i] - c.cvec[i]))) AS d2
-          FROM sv v JOIN cn2 c ON c.sub = v.sub),
-        codes AS (
-          SELECT id AS id_b, sub, cell AS code FROM (
-            SELECT id, sub, cell, ROW_NUMBER() OVER
-              (PARTITION BY id, sub ORDER BY d2, cell) AS rk FROM d3)
-          WHERE rk = 1),
-        luts AS (
-          SELECT id AS id_a, sub, cell AS code, d2 AS lut FROM d3),
-        pairs AS (
-          SELECT a.id AS id_a, b.id AS id_b
-          FROM assigned a JOIN assigned b
-            ON a.cell = b.cell AND a.id <> b.id),
-        scored AS (
-          SELECT p.id_a, p.id_b, ROUND(SUM(l.lut), 6) AS approx_d2
-          FROM pairs p
-          JOIN codes c ON c.id_b = p.id_b
-          JOIN luts l ON l.id_a = p.id_a AND l.sub = c.sub AND l.code = c.code
-          GROUP BY p.id_a, p.id_b)
+      Some(ivfPqScoredCtes + """
         SELECT id_a, rk, id_b, approx_d2 FROM (
           SELECT id_a, id_b, approx_d2, ROW_NUMBER() OVER
             (PARTITION BY id_a ORDER BY approx_d2, id_b) AS rk
           FROM scored)
         WHERE rk <= 3 ORDER BY id_a, rk""")),
+
+    // ── two-stage ANN: the same IVF-PQ chain produces a 10-candidate
+    //    approximate shortlist per query; full-precision vectors then
+    //    re-rank ONLY those pairs by exact squared L2 (the FAISS
+    //    refine/rerank search shape). Oracle = s15's replayed chain +
+    //    an exact-distance join on the shortlist ───────────────────────
+    Q("s22_knn_rerank",
+      (s, dir) => VectorOps.ivfPqRerankNeighbors(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, m = 4, nCentroids = 8, dim = 64,
+        k = 3, shortlist = 10, iters = 2, portablePivots = true)
+        .orderBy("id_a", "rk"),
+      Some(ivfPqScoredCtes + """,
+        shortlist AS (
+          SELECT id_a, id_b, approx_d2 FROM (
+            SELECT id_a, id_b, approx_d2, ROW_NUMBER() OVER
+              (PARTITION BY id_a ORDER BY approx_d2, id_b) AS prk
+            FROM scored)
+          WHERE prk <= 10),
+        ex AS (
+          SELECT s.id_a, s.id_b, s.approx_d2,
+            ROUND(list_sum(list_transform(range(1, 65),
+              i -> (CAST(ea.embedding[i] AS DOUBLE)
+                  - CAST(eb.embedding[i] AS DOUBLE))
+                * (CAST(ea.embedding[i] AS DOUBLE)
+                  - CAST(eb.embedding[i] AS DOUBLE)))), 6) AS exact_d2
+          FROM shortlist s
+          JOIN embeddings ea ON ea.vec_id = s.id_a
+          JOIN embeddings eb ON eb.vec_id = s.id_b)
+        SELECT id_a, rk, id_b, exact_d2, approx_d2 FROM (
+          SELECT id_a, id_b, exact_d2, approx_d2, ROW_NUMBER() OVER
+            (PARTITION BY id_a ORDER BY exact_d2, id_b) AS rk
+          FROM ex)
+        WHERE rk <= 3 ORDER BY id_a, rk""")),
+
 
     // ── embedding outlier report: trained k-means cells -> similarity
     //    to own centroid -> per-cell z-score + bottom-pct RANK flag

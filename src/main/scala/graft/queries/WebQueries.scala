@@ -245,7 +245,40 @@ object WebQueries {
         graft.ops.GraphOps.hits(edges, iters = 3)
           .orderBy("node")
       },
-      Some(hitsSql(iters = 3)))
+      Some(hitsSql(iters = 3))),
+
+    // ── u08: robots-rules path gating — longest-prefix-match
+    //    allow/deny over the crawl's URL paths (REP RFC 9309 matcher
+    //    semantics). One zero-shuffle when-chain; per-host rule tables
+    //    broadcast-join the same chain at scale ─────────────────────────
+    Q("u08_robots_rules",
+      (s, dir) => {
+        val withPath = urlFixture(Tables.documents(s, dir))
+          .select(col("doc_id"), UrlOps.path(col("url")).as("path"))
+        val cols = UrlOps.robotsClassify(col("path"), Seq(
+          "/docs/de/1" -> true,
+          "/docs/de" -> false,
+          "/docs/fr/2" -> false))
+          .map { case (n, c) => c.as(n) }
+        withPath.select(col("doc_id") +: col("path") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $urlCte,
+        pth AS (
+          SELECT doc_id,
+            NULLIF(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS path
+          FROM u)
+        SELECT doc_id, path,
+          CASE WHEN starts_with(path, '/docs/de/1') THEN '/docs/de/1'
+               WHEN starts_with(path, '/docs/fr/2') THEN '/docs/fr/2'
+               WHEN starts_with(path, '/docs/de') THEN '/docs/de'
+               ELSE NULL END AS matched_rule,
+          CASE WHEN starts_with(path, '/docs/de/1') THEN TRUE
+               WHEN starts_with(path, '/docs/fr/2') THEN FALSE
+               WHEN starts_with(path, '/docs/de') THEN FALSE
+               ELSE TRUE END AS allowed
+        FROM pth ORDER BY doc_id"""))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,

@@ -1428,6 +1428,53 @@ class OpsSpec extends SparkTestBase {
     ann.unpersist()
   }
 
+  test("ivf-pq rerank: exact distances on the ADC shortlist, recall >= ADC-only") {
+    val emb = Tables.embeddings(spark, sf)
+    val rer = VectorOps.ivfPqRerankNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, nCentroids = 8, dim = 64, k = 3, shortlist = 10,
+      iters = 2, portablePivots = true).cache()
+    // reranked pairs are a subset of the ADC shortlist for the same params
+    val sl = VectorOps.ivfPqNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, nCentroids = 8, dim = 64, k = 10, iters = 2,
+      portablePivots = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val rp = rer.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(rp.subsetOf(sl), "rerank invented a pair outside the shortlist")
+    // exact_d2 matches an independent spark-side exact computation
+    val ids = rer.select($"id_a", $"id_b", $"exact_d2")
+      .as[(Long, Long, Double)].collect()
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    ids.take(50).foreach { case (a, b, d) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val ref = va.indices.map { i =>
+        val diff = va(i).toDouble - vb(i).toDouble; diff * diff
+      }.sum
+      assert(math.abs(d - ref) < 1e-4, s"($a,$b): $d vs $ref")
+    }
+    // recall vs exact-L2 truth (driver-side, tiny fixture): reranked
+    // top-3 must be >= ADC-only top-3 — refinement can only help
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map { i =>
+        val diff = a(i).toDouble - b(i).toDouble; diff * diff
+      }.sum
+    val truth = vecs.keys.flatMap { a =>
+      vecs.keys.filter(_ != a).toSeq
+        .sortBy(b => (d2(vecs(a), vecs(b)), b)).take(3).map(a -> _)
+    }.toSet
+    def recall(pred: Set[(Long, Long)]): Double =
+      pred.intersect(truth).size.toDouble / truth.size
+    val adc3 = VectorOps.ivfPqNearestNeighbors(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, nCentroids = 8, dim = 64, k = 3, iters = 2,
+      portablePivots = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val rAdc = recall(adc3)
+    val rRer = recall(rer.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet)
+    assert(rRer >= rAdc, s"rerank recall $rRer < ADC recall $rAdc")
+    rer.unpersist()
+  }
+
   test("kmeans: identical vectors collapse to one surviving cell") {
     // all points choose the lowest cell id (tie-break), the other
     // pivots' cells empty out and drop — standard Lloyd behavior, and
@@ -1906,5 +1953,56 @@ class OpsSpec extends SparkTestBase {
     val cos = VectorOps.knnBruteForceKernel(vecs, vecs, "vec_id", "embedding", 1)
       .where($"id_a" === 1L).select($"id_b").as[Long].head()
     assert(mips == 3L && cos == 2L, s"mips=$mips cos=$cos")
+  }
+
+  test("readability: hand-computed Flesch on a fixed sentence") {
+    // "the cat sat." → 3 words, 1 sentence, 3 syllables (1 each)
+    // ease = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    // grade = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val df = Seq((1L, "the cat sat."), (2L, "incomprehensibilities abound today."))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id" +:
+        TextOps.readabilityColumns($"text").map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(out(0) == ((1L, 3L, 1L, 3L, 119.19, -2.62)), out(0).toString)
+    // "incomprehensibilities"=8 vowel groups (i-o-e-e-i-i-i-ie), "abound"=2 (a-ou),
+    // "today."=2 (o-ay) → 12 syllables / 3 words / 1 sentence
+    assert(out(1)._4 == 12L, out(1).toString)
+    // more syllables per word → lower ease, higher grade
+    assert(out(1)._5 < out(0)._5 && out(1)._6 > out(0)._6)
+  }
+
+  test("encodingQa: flags replacement/control chars and non-ascii ratio") {
+    val df = Seq(
+      (1L, "plain ascii text"),
+      (2L, "bad � decode"),
+      (3L, "ctrl\u0001char"),
+      (4L, "café résumé")).toDF("doc_id", "text")
+    val out = df.select($"doc_id" +:
+        TextOps.encodingQaColumns($"text").map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect()
+    assert(out(0) == ((1L, 16L, 0L, 0L, 0L, 0.0, false)), out(0).toString)
+    assert(out(1)._4 == 1L && out(1)._7, out(1).toString) // replacement → suspect
+    assert(out(2)._5 == 1L && out(2)._7, out(2).toString) // control → suspect
+    assert(out(3)._3 == 3L && !out(3)._7, out(3).toString) // accents alone: fine
+  }
+
+  test("duplicatedWindowFraction: copied window flagged, unique doc zero") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " extra tail tokens here now"), // 13 tokens → 6 windows
+      (2L, shared),                                  // exactly 1 window
+      (3L, "a b c d e f g h i j"),                   // unique, 3 windows
+      (4L, "too short")                              // < 8 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicatedWindowFraction(df, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).sameElements(Array(1L, 2L, 3L))) // doc 4 dropped
+    assert(out(0)._2 == 6L && out(0)._3 == 1L, out(0).toString)
+    assert(out(1) == ((2L, 1L, 1L, 1.0)), out(1).toString)
+    assert(out(2) == ((3L, 3L, 0L, 0.0)), out(2).toString)
   }
 }

@@ -151,4 +151,31 @@ class PlanSpec extends SparkTestBase {
     // the fused kernel hashes grams — no per-gram md5/concat expressions
     assert(!p.contains("md5("), s"gram hashing must use the fused kernel:\n$p")
   }
+
+  test("q83/q86 dims broadcast; the fact scan never re-shuffles for them") {
+    val q83 = plan("q83_share_of_total")
+    assert(q83.contains("BroadcastHashJoin"), q83)
+    val q86 = plan("q86_topk_ties")
+    assert(q86.contains("BroadcastHashJoin"), q86)
+    assert(!q86.contains("SortMergeJoin"),
+      s"part is a broadcast dim — no shuffle join expected:\n$q86")
+  }
+
+  test("q85 histogram: min/max scalar broadcasts, no nested-loop over rows") {
+    val p = plan("q85_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row min/max frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket agg is partial+final
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("d32 dup-window fraction reuses one positional explode for both sides") {
+    val df = SparkEntry.queries("d32_dup_window_fraction")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // census + per-doc count share the exchange over span_hash
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage")
+      || p.linesIterator.count(_.contains("Generate explode")) <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

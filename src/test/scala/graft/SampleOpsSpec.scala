@@ -42,6 +42,35 @@ class SampleOpsSpec extends SparkTestBase {
     split.unpersist()
   }
 
+  test("stratifiedExactSplit: exact per-stratum proportions, rerun-stable") {
+    val docs = Tables.documents(spark, sf)
+    val split = SampleOps.stratifiedExactSplit(docs, "lang", "doc_id",
+      Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0)).cache()
+    assert(split.count() == docs.count()) // a partition, not a sample
+    // every stratum hits floor(n*0.75) / floor(n*0.875)-floor(n*0.75)
+    // exactly — the property hashSplit only has in expectation
+    val per = split.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.map(r => r._2 -> r._3).toMap
+      }
+    per.foreach { case (lang, m) =>
+      val n = m.values.sum
+      val cut1 = math.floor(n * 0.75).toLong
+      val cut2 = math.floor(n * 0.875).toLong
+      assert(m.getOrElse("train", 0L) == cut1, s"$lang train $m")
+      assert(m.getOrElse("val", 0L) == cut2 - cut1, s"$lang val $m")
+      assert(m.getOrElse("test", 0L) == n - cut2, s"$lang test $m")
+    }
+    // rerun-stable assignment
+    val a = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = SampleOps.stratifiedExactSplit(docs, "lang", "doc_id",
+      Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    split.unpersist()
+  }
+
   test("samplePerGroup: caps per group, deterministic") {
     val g = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
     val per = g.groupBy("event_type").count().as[(String, Long)].collect()

@@ -108,6 +108,26 @@ class UrlOpsSpec extends SparkTestBase {
       ("other.com", 1L, 1L, 8.0, 0.0)), out.toString)
   }
 
+  test("robotsClassify: longest prefix wins, default applies, zero shuffles") {
+    val paths = Seq("/a/b/c", "/a/b", "/a/x", "/z", "/a/b/c/d")
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "path")
+    val rules = Seq("/a" -> false, "/a/b/c" -> true, "/a/x" -> true)
+    val out = paths.select(Seq($"id", $"path") ++
+        UrlOps.robotsClassify($"path", rules).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").as[(Long, String, String, Boolean)].collect()
+    // /a/b/c + /a/b/c/d → allow via the longest rule; /a/b → deny via /a;
+    // /a/x → allow; /z unmatched → default allow with NULL rule
+    assert(out(0) == ((0L, "/a/b/c", "/a/b/c", true)), out(0).toString)
+    assert(out(1) == ((1L, "/a/b", "/a", false)), out(1).toString)
+    assert(out(2) == ((2L, "/a/x", "/a/x", true)), out(2).toString)
+    assert(out(3)._3 == null && out(3)._4, out(3).toString)
+    assert(out(4) == ((4L, "/a/b/c/d", "/a/b/c", true)), out(4).toString)
+    val plan = paths.select(
+        UrlOps.robotsClassify($"path", rules).map { case (n, c) => c.as(n) }: _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rule chain must stay scan-local:\n$plan")
+  }
+
   test("scalar url ops stay shuffle-free; domainStats bounded by the distinct rewrite") {
     val docs = spark.range(50)
       .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
