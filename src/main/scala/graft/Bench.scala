@@ -59,7 +59,9 @@ object Bench {
     "q83_share_of_total", "q84_growth_daily", "q85_histogram",
     "q86_topk_ties", "q87_weighted_median", "p22_stratified_split",
     "t37_readability", "t38_encoding_qa", "d32_dup_window_fraction",
-    "s22_knn_rerank", "u08_robots_rules")
+    "s22_knn_rerank", "u08_robots_rules",
+    "q88_value_concentration", "q89_new_vs_returning", "p23_epoch_plan",
+    "t39_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

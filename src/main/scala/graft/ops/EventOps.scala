@@ -463,4 +463,77 @@ object EventOps {
           .toDF("prev_type", "next_type")
     }
   }
+
+  /** Streaming twin of q89's new-vs-returning classification: per-user
+    * state is two longs (first day, max emitted day); each arriving
+    * event emits (day, is_new) ONCE per unseen (user, day) — a
+    * downstream day rollup in update mode gives the daily actives
+    * split. Under per-key day-ordered delivery this equals the batch
+    * query (spec-pinned); a day arriving below the user's max after a
+    * gap day is treated as already counted.
+    *
+    * `stateTtl` (seconds) bounds state by event-time timeout AND
+    * shifts the semantics the standard way: a user idle past the TTL
+    * is evicted and counts as NEW again on return — "new = first seen
+    * within the activity window", the resurrection definition product
+    * analytics actually uses for long-running streams.
+    */
+  def newVsReturningStream(events: Dataset[(Long, Long)],
+                           stateTtl: Option[Long] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (first_day, max_day); emissions: (day, is_new)
+    def chain(st: Option[(Long, Long)], days: Seq[Long])
+        : (Option[(Long, Long)], Seq[(Long, Boolean)]) = {
+      var cur = st
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      days.distinct.sorted.foreach { d =>
+        cur match {
+          case None =>
+            out += (d -> true); cur = Some((d, d))
+          case Some((fd, mx)) if d > mx =>
+            out += (d -> false); cur = Some((fd, d))
+          case _ => () // already-counted (or below-max) day
+        }
+      }
+      (cur, out.toSeq)
+    }
+    stateTtl match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Boolean)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, evs: Iterator[(Long, Long)],
+             state: GroupState[(Long, Long)]) =>
+              val (next, rows) = chain(state.getOption, evs.map(_._2).toSeq)
+              next.foreach(state.update)
+              rows.iterator
+          }
+          .toDF("day", "is_new")
+      case Some(ttl) =>
+        val wm = events.toDF("user_id", "day")
+          .withColumn("event_time", timestamp_seconds(col("day") * 86400L))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, Long, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Boolean)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (_: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+             state: GroupState[(Long, Long)]) =>
+              if (state.hasTimedOut) {
+                state.remove(); Iterator.empty
+              } else {
+                val (next, rows) = chain(state.getOption, evs.map(_._2).toSeq)
+                next.foreach { s =>
+                  state.update(s)
+                  state.setTimeoutTimestamp(math.max(
+                    (s._2 * 86400L + ttl) * 1000L,
+                    state.getCurrentWatermarkMs + 1L))
+                }
+                rows.iterator
+              }
+          }
+          .toDF("day", "is_new")
+    }
+  }
 }

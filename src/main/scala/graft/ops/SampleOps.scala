@@ -119,6 +119,37 @@ object SampleOps {
     ranked.withColumn("split", assign).drop(rkCol, nCol)
   }
 
+  /** Epoch-budget planning table — the data-constrained-scaling
+    * allocation step (Muennighoff et al. 2023, arXiv:2305.16264:
+    * repeating data beyond ~4 epochs stops helping): given per-group
+    * token inventories, target mixture `weights` (normalized here),
+    * and a total token `budget`, compute each group's wanted tokens,
+    * the epoch count after the `maxEpochs` repetition cap, tokens
+    * actually usable, and the unfillable deficit. Pure scalar math on
+    * the per-group rollup (one partial-agg shuffle, groups-many rows);
+    * every float op is a fixed-order IEEE expression, 6-dp snapped.
+    */
+  def epochBudgetPlan(df: DataFrame, groupCol: String, tokensCol: Column,
+                      weights: Seq[(String, Double)], budget: Double,
+                      maxEpochs: Double): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val wTotal = weights.map(_._2).sum
+    val wExpr = weights.foldRight(lit(0.0)) { case ((g, w), els) =>
+      when(col(groupCol) === g, lit(w / wTotal)).otherwise(els)
+    }
+    val per = df.groupBy(groupCol)
+      .agg(sum(tokensCol).cast("double").as("n_tokens"))
+    val want = lit(budget) * wExpr
+    val epochs = least(want / col("n_tokens"), lit(maxEpochs))
+    val usable = least(want, col("n_tokens") * lit(maxEpochs))
+    per.select(col(groupCol), col("n_tokens"),
+      round(wExpr, 6).as("target_weight"),
+      round(want, 6).as("tokens_wanted"),
+      round(epochs, 6).as("epochs"),
+      round(usable, 6).as("tokens_usable"),
+      round(want - usable, 6).as("deficit"))
+  }
+
   /** Deterministic k-fold assignment: `fold = pmod(xxhash64(id), k)`
     * — the cross-validation / sharded-eval split. Same contract
     * family as [[hashSplit]]: zero-shuffle narrow projection,

@@ -105,6 +105,28 @@ object TextOps {
         (nReplacement > 0 || nControl > 0 || ratio > lit(0.3)))
   }
 
+  /** Blocklist screening — per-doc hit count / rate over a fixed term
+    * list (the wordlist-filter tier of toxicity/unsafe-content
+    * screening; real pipelines chain a classifier behind it, the scan
+    * shape is this). Case-folded whole-token matches only — substring
+    * matching is the classic Scunthorpe failure. Zero-shuffle scalar
+    * bundle; a large blocklist becomes a broadcast-joined set at the
+    * same plan shape.
+    */
+  def blocklistColumns(text: Column, blocklist: Seq[String],
+                       maxRate: Double = 0.01): Seq[(String, Column)] = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val toks = tokens(lower(text))
+    val hits = filter(toks, t => t.isInCollection(blocklist))
+    val nToks = size(toks)
+    val nHits = size(hits)
+    val rate = nHits.cast("double") / nToks
+    Seq("n_tokens" -> nToks.cast("long"),
+      "n_blocklist_hits" -> nHits.cast("long"),
+      "blocklist_rate" -> round(rate, 6),
+      "blocklist_flagged" -> (rate > lit(maxRate)))
+  }
+
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(lit)
     size(filter(tokens(text), t => t.isin(sw: _*)))

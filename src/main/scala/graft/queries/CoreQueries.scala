@@ -2405,6 +2405,88 @@ object CoreQueries {
           MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.75
             THEN x END) AS w_p75
         FROM cum JOIN tot ON cum.g = tot.g
-        GROUP BY cum.g, tw ORDER BY cum.g"""))
+        GROUP BY cum.g, tw ORDER BY cum.g""")),
+
+    // ── q88: value-concentration report — how many users cover
+    //    50/80/90% of total value, and the share held by the top 10%
+    //    (the Pareto/whale curve of product analytics). The global
+    //    sort runs on the per-user ROLLUP (users ≪ events); at 100 TB
+    //    swap the exact curve for q57's dyadic-quantile cuts ────────────
+    Q("q88_value_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.events(s, dir).groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val w = Window.orderBy(col("v").desc, col("user_id"))
+        val ranked = per.select(col("user_id"), col("v"),
+          row_number().over(w).cast("long").as("rk"),
+          sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum"))
+        val tot = per.agg(sum(col("v")).as("tv"), count(lit(1)).as("nu"))
+        val cumD = col("cum").cast("double")
+        val tvD = col("tv").cast("double")
+        ranked.crossJoin(broadcast(tot))
+          .agg(max(col("nu")).as("n_users"),
+            round(max(tvD), 6).as("total_value"),
+            min(when(cumD >= tvD * 0.5, col("rk"))).as("users_for_50pct"),
+            min(when(cumD >= tvD * 0.8, col("rk"))).as("users_for_80pct"),
+            min(when(cumD >= tvD * 0.9, col("rk"))).as("users_for_90pct"),
+            round(max(when(col("rk") === greatest(lit(1L),
+              floor(col("nu") * 0.1).cast("long")), cumD / tvD)), 6)
+              .as("share_top_10pct"))
+      },
+      Some("""WITH per AS (
+          SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT user_id, v,
+            ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rk,
+            SUM(v) OVER (ORDER BY v DESC, user_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM per),
+        t AS (SELECT SUM(v) AS tv, COUNT(*) AS nu FROM per)
+        SELECT MAX(nu) AS n_users,
+          ROUND(MAX(CAST(tv AS DOUBLE)), 6) AS total_value,
+          MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(tv AS DOUBLE) * 0.5
+            THEN rk END) AS users_for_50pct,
+          MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(tv AS DOUBLE) * 0.8
+            THEN rk END) AS users_for_80pct,
+          MIN(CASE WHEN CAST(cum AS DOUBLE) >= CAST(tv AS DOUBLE) * 0.9
+            THEN rk END) AS users_for_90pct,
+          ROUND(MAX(CASE WHEN rk = GREATEST(1,
+              CAST(FLOOR(nu * 0.1) AS BIGINT))
+            THEN CAST(cum AS DOUBLE) / CAST(tv AS DOUBLE) END), 6)
+            AS share_top_10pct
+        FROM r CROSS JOIN t""")),
+
+    // ── q89: new-vs-returning daily actives — each day's users split
+    //    by whether it is their first-seen day. first_day comes from a
+    //    user-partitioned MIN window over the (user, day) distinct (no
+    //    self-join); the day rollup is time-range-bounded ───────────────
+    Q("q89_new_vs_returning",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        days
+          .withColumn("first_day",
+            min(col("day")).over(Window.partitionBy("user_id")))
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users"),
+            count(when(col("day") === col("first_day"), 1)).as("new_users"))
+          .select(col("day"), col("active_users"), col("new_users"),
+            (col("active_users") - col("new_users")).as("returning_users"))
+          .orderBy("day")
+      },
+      Some(Tables.eventsCte + """,
+        d AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM e),
+        f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users,
+          CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+            AS new_users,
+          CAST(COUNT(*) - COUNT(CASE WHEN day = first_day THEN 1 END)
+            AS BIGINT) AS returning_users
+        FROM d JOIN f USING (user_id) GROUP BY day ORDER BY day"""))
   )
 }

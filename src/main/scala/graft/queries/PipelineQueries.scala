@@ -674,6 +674,41 @@ object PipelineQueries {
           CASE WHEN rk <= FLOOR(n * 0.75e0) THEN 'train'
                WHEN rk <= FLOOR(n * 0.875e0) THEN 'val'
                ELSE 'test' END AS split
-        FROM r ORDER BY doc_id"""))
+        FROM r ORDER BY doc_id""")),
+
+    // ── p23: epoch-budget plan — the data-constrained allocation
+    //    table (want = budget·weight; epochs capped at 4; deficit =
+    //    what repetition can't fill). Double weight literals (e0) in
+    //    the oracle pin bit-identical arithmetic ───────────────────────
+    Q("p23_epoch_plan",
+      (s, dir) => SampleOps.epochBudgetPlan(
+        Tables.documents(s, dir)
+          .withColumn("n_toks", graft.ops.TextOps.tokenCount(col("text"))),
+        "source", col("n_toks"),
+        weights = Seq("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0),
+        budget = 20000.0, maxEpochs = 4.0)
+        .orderBy("source"),
+      Some("""WITH per AS (
+          SELECT source,
+            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+          FROM documents GROUP BY source),
+        m AS (
+          SELECT source, n_tokens,
+            CASE source WHEN 'src0' THEN 0.5e0 WHEN 'src1' THEN 0.3e0
+              WHEN 'src2' THEN 0.2e0 ELSE 0.0e0 END AS w
+          FROM per),
+        c AS (
+          SELECT source, n_tokens, w,
+            20000.0e0 * w AS want,
+            LEAST(20000.0e0 * w / n_tokens, 4.0e0) AS epochs,
+            LEAST(20000.0e0 * w, n_tokens * 4.0e0) AS usable
+          FROM m)
+        SELECT source, n_tokens,
+          ROUND(w, 6) AS target_weight,
+          ROUND(want, 6) AS tokens_wanted,
+          ROUND(epochs, 6) AS epochs,
+          ROUND(usable, 6) AS tokens_usable,
+          ROUND(want - usable, 6) AS deficit
+        FROM c ORDER BY source"""))
   )
 }

@@ -2227,6 +2227,33 @@ object TextQueries {
           ROUND(CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows, 6)
             AS dup_window_fraction
         FROM tot t LEFT JOIN dupc d ON t.doc_id = d.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ── t39: blocklist screening — whole-token wordlist hits per doc
+    //    (the scan tier of unsafe-content filtering; classifiers chain
+    //    behind this shape). Zero-shuffle scalar bundle ─────────────────
+    Q("t39_blocklist",
+      (s, dir) => {
+        val cols = TextOps.blocklistColumns(col("text"),
+          Seq("slow", "dup", "spill"), maxRate = 0.05)
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir)
+          .select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, len(toks) AS n_toks,
+            len(list_filter(toks,
+              t -> t IN ('slow', 'dup', 'spill'))) AS n_hits
+          FROM m)
+        SELECT doc_id,
+          CAST(n_toks AS BIGINT) AS n_tokens,
+          CAST(n_hits AS BIGINT) AS n_blocklist_hits,
+          ROUND(CAST(n_hits AS DOUBLE) / n_toks, 6) AS blocklist_rate,
+          (CAST(n_hits AS DOUBLE) / n_toks) > 0.05 AS blocklist_flagged
+        FROM h ORDER BY doc_id"""))
   )
 }

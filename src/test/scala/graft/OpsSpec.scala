@@ -1989,6 +1989,23 @@ class OpsSpec extends SparkTestBase {
     assert(out(3)._3 == 3L && !out(3)._7, out(3).toString) // accents alone: fine
   }
 
+  test("blocklistColumns: whole-token case-folded hits, rate threshold") {
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "SLOW query and slow scan"),          // 2 hits / 5 tokens
+      (3L, "slowness is not a hit"),             // substring must NOT match
+      (4L, "dup dup dup")).toDF("doc_id", "text")
+    val out = df.select($"doc_id" +:
+        TextOps.blocklistColumns($"text", Seq("slow", "dup"), maxRate = 0.5)
+          .map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out(0) == ((1L, 3L, 0L, 0.0, false)), out(0).toString)
+    assert(out(1) == ((2L, 5L, 2L, 0.4, false)), out(1).toString)
+    assert(out(2)._3 == 0L, out(2).toString)
+    assert(out(3) == ((4L, 3L, 3L, 1.0, true)), out(3).toString)
+  }
+
   test("duplicatedWindowFraction: copied window flagged, unique doc zero") {
     val shared = (1 to 8).map(i => s"w$i").mkString(" ")
     val df = Seq(

@@ -170,6 +170,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
 
+  test("q89 new-vs-returning: first_day via window, no self-join, <=3 shuffles") {
+    val df = SparkEntry.queries("q89_new_vs_returning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"first-seen must come from a window:\n$p")
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 3, s"q89 planned $exchanges shuffles:\n$p")
+  }
+
   test("d32 dup-window fraction reuses one positional explode for both sides") {
     val df = SparkEntry.queries("d32_dup_window_fraction")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

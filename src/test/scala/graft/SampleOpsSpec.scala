@@ -71,6 +71,28 @@ class SampleOpsSpec extends SparkTestBase {
     split.unpersist()
   }
 
+  test("epochBudgetPlan: cap binds where want exceeds maxEpochs, deficit accounts") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_toks", graft.ops.TextOps.tokenCount($"text"))
+    val plan = SampleOps.epochBudgetPlan(docs, "source", $"n_toks",
+      weights = Seq("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0),
+      budget = 20000.0, maxEpochs = 4.0)
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // src0 wants 10000 tokens on a tiny inventory: epoch cap binds
+    val s0 = plan("src0")
+    assert(s0._5 == 4.0, s"src0 epochs ${s0._5}")
+    assert(math.abs(s0._6 - s0._2 * 4.0) < 1e-6, s"usable != 4 epochs: $s0")
+    assert(math.abs(s0._7 - (s0._4 - s0._6)) < 1e-6, s"deficit mismatch: $s0")
+    // every unlisted source gets zero weight, want, and deficit
+    val unlisted = plan.values.filter(r => r._3 == 0.0)
+    assert(unlisted.nonEmpty)
+    assert(unlisted.forall(r => r._4 == 0.0 && r._5 == 0.0 && r._7 == 0.0))
+    // conservation: usable <= want, epochs <= cap, all non-negative
+    assert(plan.values.forall(r =>
+      r._6 <= r._4 + 1e-9 && r._5 <= 4.0 && r._7 >= -1e-9))
+  }
+
   test("samplePerGroup: caps per group, deterministic") {
     val g = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
     val per = g.groupBy("event_type").count().as[(String, Long)].collect()

@@ -186,7 +186,27 @@ class ScaleStressSpec extends SparkTestBase {
       TextOps.ngramNoveltyIncremental(
         df.where(col("doc_id") % 19 === 3),
         df.where(col("doc_id") % 19 =!= 3),
-        "doc_id", "text", n = 5)))
+        "doc_id", "text", n = 5)),
+    // ONE positional gram explode reused for census + per-doc count;
+    // salted copies are gram-disjoint so dup volume stays linear
+    "d32_dup_window_fraction" -> (df =>
+      TextOps.duplicatedWindowFraction(df, "doc_id", "text", n = 8)),
+    // zero-shuffle scalar bundles: pure narrow linear passes
+    "t37_readability" -> (df =>
+      df.select(col("doc_id") +:
+        TextOps.readabilityColumns(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)),
+    "t38_encoding_qa" -> (df =>
+      df.select(col("doc_id") +:
+        TextOps.encodingQaColumns(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)),
+    // one stratum-key window shuffle; strata count fixed, rows linear
+    "p22_stratified_split" -> (df =>
+      graft.ops.SampleOps.stratifiedExactSplit(
+        df.withColumn("strat", (col("doc_id") % 20).cast("string")),
+        "strat", "doc_id",
+        Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0))
+        .select("doc_id", "strat", "split")))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -262,7 +282,12 @@ class ScaleStressSpec extends SparkTestBase {
     "d28_semantic_decontam" -> ((df, f) =>
       graft.ops.VectorOps.semanticDecontaminate(
         df, "vec_id", "embedding", evalMod = 20, nCells = 16 * f,
-        threshold = 0.4, probes = 2, portablePivots = true)))
+        threshold = 0.4, probes = 2, portablePivots = true)),
+    // s15's chain + two id-keyed joins for the shortlist rerank: the
+    // exact stage touches shortlist·n pairs, never cell²
+    "s22_knn_rerank" -> ((df, f) => graft.ops.VectorOps.ivfPqRerankNeighbors(
+      df, "vec_id", "embedding", nCells = 16 * f, m = 4, nCentroids = 8,
+      dim = 64, k = 3, shortlist = 10, iters = 2, portablePivots = true)))
 
   // ── events family: salted copies offset user AND event ids, so
   //    copies are user-disjoint — per-user work is identical at every
@@ -366,6 +391,18 @@ class ScaleStressSpec extends SparkTestBase {
     "q75_transition_matrix" -> (df =>
       graft.ops.EventOps.transitionMatrix(df, "user_id", "event_type",
         "ts_sec", "event_id", gapSeconds = 43200L)),
+    // daily rollup (one keyed partial agg) + lag window over ~30 rows
+    "q84_growth_daily" -> { df =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = df
+        .groupBy(expr("ts_sec div 86400").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+      val prev = lag(col("total"), 1).over(Window.orderBy("day"))
+      daily.select(col("day"), col("total"),
+          ((col("total") - prev).cast("double") / prev.cast("double"))
+            .as("growth"))
+        .where(col("growth").isNotNull)
+    },
     // two-pass quantile frame: groups-many bounds broadcast back over
     // the stream — group count is fixed, rows scale linearly
     "q72_robust_stats" -> { df =>

@@ -818,4 +818,62 @@ class StreamingSemanticsSpec extends SparkTestBase {
       assert(streamed.filter(_._4).map(_._2) == Set(5L), streamed.toString)
     } finally q.stop()
   }
+
+  test("streaming new-vs-returning: first-seen state, streamed ≡ batch, TTL resurrects") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, day)
+    val rows = EventOps.newVsReturningStream(input.toDS())
+    val q = rows.writeStream.format("memory").queryName("nvr_rows")
+      .outputMode("append").start()
+    try {
+      // u1 day 1 (new) + duplicate same-day event; u2 day 1 (new)
+      input.addData((1L, 1L), (1L, 1L), (2L, 1L))
+      q.processAllAvailable()
+      // u1 returns day 2 — state carries across micro-batches
+      input.addData((1L, 2L))
+      q.processAllAvailable()
+      // u1 day-2 replay in a later batch: already counted, no emission
+      input.addData((1L, 2L))
+      q.processAllAvailable()
+      val streamed = spark.table("nvr_rows").as[(Long, Boolean)]
+        .collect().toSeq
+        .groupBy(_._1).map { case (d, v) =>
+          (d, v.size.toLong, v.count(_._2).toLong)
+        }.toSet
+      // batch twin over the same events (q89's shape on (user, day))
+      val batch = Seq((1L, 1L), (1L, 1L), (2L, 1L), (1L, 2L), (1L, 2L))
+        .toDF("user_id", "day").distinct()
+        .withColumn("first_day", min(col("day")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("active"),
+          count(when(col("day") === col("first_day"), 1)).as("new_users"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+
+    // TTL flavor: a user idle past the TTL is evicted and counts as
+    // NEW again on return (the activity-window "new" definition)
+    val input2 = MemoryStream[(Long, Long)]
+    val rows2 = EventOps.newVsReturningStream(input2.toDS(),
+      stateTtl = Some(86400L)) // 1-day activity window
+    val q2 = rows2.writeStream.format("memory").queryName("nvr_ttl")
+      .outputMode("append").start()
+    try {
+      input2.addData((1L, 1L))
+      q2.processAllAvailable()
+      // advance watermark far past day 1 + ttl via another user
+      input2.addData((2L, 100L))
+      q2.processAllAvailable()
+      input2.addData((2L, 100L)) // trigger timeout processing
+      q2.processAllAvailable()
+      // u1 returns on day 101: evicted state ⇒ counted new again
+      input2.addData((1L, 101L))
+      q2.processAllAvailable()
+      val out = spark.table("nvr_ttl").as[(Long, Boolean)].collect().toSeq
+      assert(out.contains((1L, true)) && out.contains((101L, true)), out.toString)
+      assert(out.count(_._2) == 3, s"u1 must be new twice + u2 once: $out")
+    } finally q2.stop()
+  }
 }
