@@ -900,6 +900,58 @@ object VectorOps {
       .select("id_a", "rk", "id_b", "exact_d2", "approx_d2")
   }
 
+  /** Top principal direction of the embedding cloud (un-centered,
+    * about the origin) by POWER ITERATION on the Gram operator:
+    * v ← Σᵢ xᵢ (xᵢ·v) / ‖·‖ — the covariance matrix is never
+    * materialized; each round is one pass over the data (per-row dot
+    * against the broadcast v, then a dim-keyed partial-agg of
+    * xⱼ·y — dim rows total) plus a dim-sized driver collect, the
+    * k-means/BPE driver-loop shape. The embedding-diagnostics op:
+    * anisotropy/"dominant direction" checks, whitening prep, drift
+    * of the spectrum's head.
+    *
+    * Determinism contract (same as the Lloyd trainers): per-round
+    * component sums snap to 6 dp before normalization, and the
+    * normalized loadings snap to 6 dp before the next round, so an
+    * independent SQL replay reproduces every round bit-for-bit.
+    * Output: one row per dimension (i, loading) plus the eigenvalue
+    * estimate (final pre-normalization norm) and the share of total
+    * squared mass it explains.
+    */
+  def principalComponent(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, iters: Int): DataFrame = {
+    require(iters > 0 && dim > 0, "positive dim/iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def snap6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x = df.select(col(idCol).as("id"),
+      transform(col(vecCol), c => c.cast("double")).as("x"))
+    var v: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vCol = array(v.toIndexedSeq.map(lit): _*)
+      val y = aggregate(zip_with(col("x"), vCol, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+      val sums = x.withColumn("y", y)
+        .select(col("y"), posexplode(col("x")).as(Seq("j", "xj")))
+        .groupBy("j").agg(round(sum(col("xj") * col("y")), 6).as("s"))
+        .orderBy("j").as[(Int, Double)].collect()
+      val s = sums.map(_._2)
+      val nrm = math.sqrt(s.map(d => d * d).sum) // fixed-order, 64 terms
+      lambda = nrm
+      v = s.map(d => snap6(d / nrm))
+    }
+    val tss = x.select(round(sum(aggregate(
+        transform(col("x"), a => a * a), lit(0.0), (acc, t) => acc + t)), 6))
+      .head().getDouble(0)
+    val lambdaR = snap6(lambda)
+    val share = snap6(lambdaR / tss)
+    v.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, c, lambdaR, share) }
+      .toDF("i", "loading", "eigenvalue", "explained_share")
+  }
+
   /** Init codebooks: hash-picked pivot vectors subsliced per subspace
     * (exactly [[pqCodes]]'s codebook — training strictly refines it).
     */

@@ -1346,6 +1346,73 @@ object TextQueries {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         ORDER BY id_a, id_b""")),
 
+    // ── m06: modality storage/compute budget — the capacity-planning
+    //    rollup of a multimodal corpus: per (source, modality) item
+    //    and byte volume plus modality-specific decode-cost units
+    //    (pixels for images, fake duration for audio, frames for
+    //    video; synthesis deterministic from the blob like m04). All
+    //    integer arithmetic → trivially hash-exact; one partial-agg
+    //    shuffle on the tiny (source, modality) key ────────────────────
+    Q("m06_modality_budget",
+      (s, dir) => {
+        val blob = col("text").cast("binary")
+        val nBytes = octet_length(blob).cast("long")
+        val d = col("doc_id")
+        val modality = when(d % 3 === 0, lit("image"))
+          .when(d % 3 === 1, lit("audio")).otherwise(lit("video"))
+        val h = md5(blob)
+        val w = (conv(substring(h, 1, 4), 16, 10).cast("long") % 1024 + 64)
+        val ht = (conv(substring(h, 5, 4), 16, 10).cast("long") % 1024 + 64)
+        val pixels = when(d % 3 === 0, w * ht).otherwise(lit(0L))
+        val durationMs = when(d % 3 === 1, nBytes * 8).otherwise(lit(0L))
+        val frames = when(d % 3 === 2, nBytes.divide(100).cast("long"))
+          .otherwise(lit(0L))
+        val decodeUnits = when(d % 3 === 0, (w * ht).divide(1000).cast("long"))
+          .when(d % 3 === 1, (nBytes * 8).divide(10).cast("long"))
+          .otherwise(nBytes.divide(100).cast("long") * 50)
+        Tables.documents(s, dir)
+          .select(col("source"), modality.as("modality"),
+            nBytes.as("n_bytes"), pixels.as("pixels"),
+            durationMs.as("duration_ms"), frames.as("frames"),
+            decodeUnits.as("decode_units"))
+          .groupBy("source", "modality")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("pixels")).as("total_pixels"),
+            sum(col("duration_ms")).as("total_duration_ms"),
+            sum(col("frames")).as("total_frames"),
+            sum(col("decode_units")).as("total_decode_units"))
+          .orderBy("source", "modality")
+      },
+      Some("""WITH m AS (
+          SELECT source, doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+            ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 64 AS w,
+            ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 64 AS h
+          FROM documents),
+        r AS (
+          SELECT source, modality, n_bytes,
+            CASE WHEN doc_id % 3 = 0 THEN w * h ELSE 0 END AS pixels,
+            CASE WHEN doc_id % 3 = 1 THEN n_bytes * 8 ELSE 0 END
+              AS duration_ms,
+            CASE WHEN doc_id % 3 = 2 THEN n_bytes // 100 ELSE 0 END
+              AS frames,
+            CASE doc_id % 3 WHEN 0 THEN (w * h) // 1000
+              WHEN 1 THEN (n_bytes * 8) // 10
+              ELSE (n_bytes // 100) * 50 END AS decode_units
+          FROM m)
+        SELECT source, modality,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          CAST(SUM(pixels) AS BIGINT) AS total_pixels,
+          CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+          CAST(SUM(frames) AS BIGINT) AS total_frames,
+          CAST(SUM(decode_units) AS BIGINT) AS total_decode_units
+        FROM r GROUP BY source, modality
+        ORDER BY source, modality""")),
+
     // ── multimodal plumbing: opaque binary column + typed metadata
     //    (decode itself is stubbed; schema/partition shape is real) ───
     Q("m01_binary_meta",

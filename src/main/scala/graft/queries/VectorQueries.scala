@@ -941,6 +941,56 @@ object VectorQueries {
             ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk
           FROM scored)
         SELECT id_a, rk, id_b, dot FROM ranked WHERE rk <= 3
-        ORDER BY id_a, rk"""))
+        ORDER BY id_a, rk""")),
+
+    // ── s23: top principal direction by power iteration on the Gram
+    //    operator (covariance never materialized) — the anisotropy /
+    //    whitening-prep diagnostic. Oracle unrolls both rounds with
+    //    the same 6-dp snap discipline as the Lloyd trainers ────────────
+    Q("s23_principal_component",
+      (s, dir) => VectorOps.principalComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, iters = 2)
+        .orderBy("i"),
+      Some("""WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings),
+        y1 AS (
+          SELECT vec_id, x,
+            list_sum(list_transform(x, a -> a * 0.125e0)) AS y
+          FROM e),
+        s1 AS (
+          SELECT t.j, ROUND(SUM(y1.x[t.j] * y1.y), 6) AS s
+          FROM y1 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        l1 AS (SELECT list(s ORDER BY j) AS sv FROM s1),
+        n1 AS (
+          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
+          FROM l1),
+        vv1 AS (
+          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v FROM n1),
+        y2 AS (
+          SELECT e.vec_id, e.x,
+            list_sum(list_transform(range(1, 65),
+              j -> e.x[j] * vv1.v[j])) AS y
+          FROM e CROSS JOIN vv1),
+        s2 AS (
+          SELECT t.j, ROUND(SUM(y2.x[t.j] * y2.y), 6) AS s
+          FROM y2 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        l2 AS (SELECT list(s ORDER BY j) AS sv FROM s2),
+        n2 AS (
+          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
+          FROM l2),
+        fin AS (
+          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v,
+            ROUND(nrm, 6) AS lambda
+          FROM n2),
+        tss AS (
+          SELECT ROUND(SUM(list_sum(list_transform(x, a -> a * a))), 6) AS t
+          FROM e)
+        SELECT t2.j AS i, fin.v[t2.j] AS loading, fin.lambda AS eigenvalue,
+          ROUND(fin.lambda / tss.t, 6) AS explained_share
+        FROM fin CROSS JOIN tss CROSS JOIN range(1, 65) t2(j)
+        ORDER BY i"""))
   )
 }

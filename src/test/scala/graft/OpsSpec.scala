@@ -1989,6 +1989,30 @@ class OpsSpec extends SparkTestBase {
     assert(out(3)._3 == 3L && !out(3)._7, out(3).toString) // accents alone: fine
   }
 
+  test("principalComponent: unit loadings, share in (0,1], finds the dominant axis") {
+    val vecs = Seq(
+      (1L, Array(3f, 0.1f, 0f, 0f)), (2L, Array(2.5f, -0.2f, 0.1f, 0f)),
+      (3L, Array(-2.8f, 0.1f, 0f, 0.1f)), (4L, Array(3.2f, 0f, -0.1f, 0f)),
+      (5L, Array(0.1f, 0.3f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val pc = VectorOps.principalComponent(vecs, "vec_id", "embedding",
+      dim = 4, iters = 3)
+      .orderBy("i").as[(Int, Double, Double, Double)].collect()
+    assert(pc.length == 4)
+    val norm = math.sqrt(pc.map(r => r._2 * r._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings norm $norm")
+    val share = pc.head._4
+    assert(share > 0.0 && share <= 1.0, s"share $share")
+    // nearly all mass lies along axis 1: its loading dominates
+    assert(math.abs(pc.head._2) > 0.95, pc.map(_._2).mkString(","))
+    assert(share > 0.9, s"dominant axis must explain >90%: $share")
+    // rerun-stable (snapped rounds make the whole iteration replayable)
+    val again = VectorOps.principalComponent(vecs, "vec_id", "embedding",
+      dim = 4, iters = 3).orderBy("i")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(pc.sameElements(again))
+  }
+
   test("blocklistColumns: whole-token case-folded hits, rate threshold") {
     val df = Seq(
       (1L, "clean text here"),

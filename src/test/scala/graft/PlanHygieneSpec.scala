@@ -127,7 +127,17 @@ class PlanHygieneSpec extends SparkTestBase {
       // t34_lift_table: p15's exact sketch-cut chain (q57 scalar N +
       // the tiny sorted-cuts collect_list) plus the per-bucket totals
       // scalar — all ≤ levels·width-row or #buckets-row tails.
-      "t34_lift_table")
+      "t34_lift_table",
+      // q84_growth_daily: the unpartitioned lag window runs on the
+      // ~30-row DAILY rollup (time-range-bounded), never raw events.
+      "q84_growth_daily",
+      // q85_histogram: the 1-row global min/max scalar plus the final
+      // ≤20-bucket ordered output — both O(buckets) tails.
+      "q85_histogram",
+      // q88_value_concentration: the concentration curve needs a global
+      // rank over the per-USER rollup (users ≪ events) + a 1-row
+      // summary; the 100 TB path swaps in q57's sketch cuts (doc'd).
+      "q88_value_concentration")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
