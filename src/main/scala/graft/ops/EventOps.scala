@@ -89,6 +89,46 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Top session ENTRY paths — the first `depth` event types of every
+    * session (the "how do journeys start" report; [[transitionMatrix]]
+    * counts all pairwise steps, this counts the opening sequences).
+    * Sessions use [[sessionize]]'s gap rule. Shorter sessions yield
+    * shorter paths (concat_ws skips the missing steps on both
+    * engines).
+    *
+    * Scale shape: ONE user-key window shuffle — the session id, the
+    * break flag, and the same-session-guarded leads all ride the same
+    * (user)(ts, id) window spec; the path census is ≤ |types|^depth
+    * rows and the top-k cut plans as TakeOrderedAndProject.
+    */
+  def sessionEntryPaths(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String, gapSeconds: Long,
+                        topK: Int = 10): DataFrame = {
+    require(gapSeconds > 0 && topK > 0, "positive gap/topK")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull || col(tsCol) - prev > gapSeconds, 1L)
+      .otherwise(0L)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = df.withColumn("__graft_path_brk", brk)
+      .withColumn("__graft_path_sess",
+        sum(col("__graft_path_brk")).over(cum))
+    val sess = col("__graft_path_sess")
+    val t2 = when(lead(sess, 1).over(w) === sess,
+      lead(col(typeCol), 1).over(w))
+    val t3 = when(lead(sess, 2).over(w) === sess,
+      lead(col(typeCol), 2).over(w))
+    withSess
+      .withColumn("__graft_path_t2", t2)
+      .withColumn("__graft_path_t3", t3)
+      .where(col("__graft_path_brk") === 1L)
+      .select(concat_ws(">", col(typeCol), col("__graft_path_t2"),
+        col("__graft_path_t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Within-session transition matrix — the Markov path-analysis
     * report next to [[sessionize]]: for every consecutive event pair
     * of the same user with gap ≤ `gapSeconds` (the same session-break

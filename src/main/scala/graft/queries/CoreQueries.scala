@@ -2487,6 +2487,105 @@ object CoreQueries {
             AS new_users,
           CAST(COUNT(*) - COUNT(CASE WHEN day = first_day THEN 1 END)
             AS BIGINT) AS returning_users
-        FROM d JOIN f USING (user_id) GROUP BY day ORDER BY day"""))
+        FROM d JOIN f USING (user_id) GROUP BY day ORDER BY day""")),
+
+    // ── q90: cohort LTV matrix — cumulative value per user by signup
+    //    cohort and age (the revenue companion of q68's retention
+    //    counts). One user-key window for first_day; the cumulative
+    //    runs on the periods²-bounded (cohort, age) rollup ──────────────
+    Q("q90_cohort_ltv",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"),
+            col("value"))
+          .withColumn("first_day",
+            min(col("day")).over(Window.partitionBy("user_id")))
+        val cohSize = ev.select("user_id", "first_day").distinct()
+          .groupBy(col("first_day").as("cohort_day"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val cell = ev.groupBy(col("first_day").as("cohort_day"),
+            (col("day") - col("first_day")).as("age"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+        val wc = Window.partitionBy("cohort_day").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell.withColumn("cum_rev", sum(col("rev")).over(wc))
+          .join(broadcast(cohSize), Seq("cohort_day"))
+          .select(col("cohort_day"), col("age"),
+            col("rev").cast("double").as("rev"),
+            col("cum_rev").cast("double").as("cum_rev"),
+            col("cohort_users"),
+            round(col("cum_rev").cast("double") / col("cohort_users"), 6)
+              .as("ltv_per_user"))
+          .orderBy("cohort_day", "age")
+      },
+      Some(Tables.eventsCte + """,
+        b AS (
+          SELECT user_id, ts_sec // 86400 AS day, value,
+            MIN(ts_sec // 86400) OVER (PARTITION BY user_id) AS first_day
+          FROM e),
+        cs AS (
+          SELECT first_day AS cohort_day,
+            CAST(COUNT(*) AS BIGINT) AS cohort_users
+          FROM (SELECT DISTINCT user_id, first_day FROM b)
+          GROUP BY first_day),
+        cell AS (
+          SELECT first_day AS cohort_day, day - first_day AS age,
+            SUM(CAST(value AS DECIMAL(18,2))) AS rev
+          FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort_day, age, rev,
+            SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age
+              ROWS UNBOUNDED PRECEDING) AS cum_rev
+          FROM cell)
+        SELECT c.cohort_day, c.age,
+          CAST(rev AS DOUBLE) AS rev,
+          CAST(cum_rev AS DOUBLE) AS cum_rev,
+          cohort_users,
+          ROUND(CAST(cum_rev AS DOUBLE) / cohort_users, 6) AS ltv_per_user
+        FROM cum c JOIN cs ON cs.cohort_day = c.cohort_day
+        ORDER BY c.cohort_day, c.age""")),
+
+    // ── q91: top session entry paths — the first 3 event types of
+    //    every session, counted and top-k cut (journey openings; q75
+    //    counts all pairwise steps). One user-key window shuffle;
+    //    TakeOrderedAndProject top-k over the |types|³ path census ──────
+    Q("q91_top_paths",
+      (s, dir) => graft.ops.EventOps.sessionEntryPaths(
+        Tables.events(s, dir), "user_id", "event_type", "ts_sec",
+        "event_id", gapSeconds = 43200L, topK = 10)
+        .orderBy(col("n_sessions").desc, col("path")),
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            LAG(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_ts
+          FROM e),
+        m AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+              THEN 1 ELSE 0 END AS brk,
+            SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM l),
+        g AS (
+          SELECT user_id, event_type, brk, sess,
+            CASE WHEN LEAD(sess, 1) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) = sess
+              THEN LEAD(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id) END AS t2,
+            CASE WHEN LEAD(sess, 2) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) = sess
+              THEN LEAD(event_type, 2) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id) END AS t3
+          FROM m),
+        p AS (
+          SELECT concat_ws('>', event_type, t2, t3) AS path
+          FROM g WHERE brk = 1),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM p GROUP BY path)
+        SELECT path, n_sessions FROM c
+        ORDER BY n_sessions DESC, path LIMIT 10"""))
   )
 }

@@ -2296,6 +2296,48 @@ object TextQueries {
         FROM tot t LEFT JOIN dupc d ON t.doc_id = d.doc_id
         ORDER BY t.doc_id""")),
 
+    // ── t40: language-ID confusion matrix — t03's marker-token
+    //    classifier evaluated against the labeled lang column: per
+    //    (true, predicted) counts and row-normalized rates (the lang
+    //    router's quality report, t26's shape for language ID).
+    //    Langs²-bounded rollup + a #langs-row totals broadcast ──────────
+    Q("t40_lang_confusion",
+      (s, dir) => {
+        val pred = Tables.documents(s, dir)
+          .select(col("lang"),
+            TextOps.langId(col("text"), langProfiles).as("predicted"))
+        val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+          .join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("predicted"), col("n"),
+            round(col("n").cast("double") / col("n_lang"), 6).as("row_rate"),
+            (col("lang") === col("predicted")).cast("int").as("is_diag"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS c_en,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('data', 'row'))) AS c_fr,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('vector', 'stream'))) AS c_zh
+          FROM documents),
+        pred AS (
+          SELECT lang,
+            CASE WHEN c_zh > GREATEST(c_en, c_fr) THEN 'zh'
+                 WHEN c_fr > c_en THEN 'fr'
+                 ELSE 'en' END AS predicted
+          FROM scored),
+        tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+                FROM pred GROUP BY lang)
+        SELECT p.lang, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_lang), 6) AS row_rate,
+          CAST(p.lang = predicted AS INT) AS is_diag
+        FROM pred p JOIN tot t ON t.lang = p.lang
+        GROUP BY p.lang, predicted
+        ORDER BY p.lang, predicted""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────

@@ -622,6 +622,28 @@ class OpsSpec extends SparkTestBase {
     assert(exchanges == 1, s"sessionize planned $exchanges shuffles")
   }
 
+  test("sessionEntryPaths: session-guarded leads, short paths, one user shuffle") {
+    import graft.ops.EventOps
+    val ev = Seq(
+      // user 1 session 1: a>b>c>d — path takes only the first 3
+      (1L, "a", 100L, 1L), (1L, "b", 110L, 2L), (1L, "c", 120L, 3L),
+      (1L, "d", 130L, 4L),
+      // user 1 session 2 (after the gap): a>b — 2-step path
+      (1L, "a", 1000L, 5L), (1L, "b", 1010L, 6L),
+      // user 2: single-event session — 1-step path; the lead must NOT
+      // leak user 1's or a later session's events
+      (2L, "a", 100L, 7L)
+    ).toDF("user_id", "event_type", "ts_sec", "event_id")
+    val out = EventOps.sessionEntryPaths(ev, "user_id", "event_type",
+      "ts_sec", "event_id", gapSeconds = 50L, topK = 10)
+    val got = out.orderBy(col("n_sessions").desc, col("path"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L), ("a>b", 1L), ("a>b>c", 1L)), got.toString)
+    val exchanges = out.queryExecution.executedPlan.toString
+      .split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"entry paths planned $exchanges hash shuffles")
+  }
+
   test("funnel conversion window: late steps outside `within` do not convert") {
     import graft.ops.EventOps
     val ev = Seq(
