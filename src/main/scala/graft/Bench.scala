@@ -62,7 +62,8 @@ object Bench {
     "s22_knn_rerank", "u08_robots_rules",
     "q88_value_concentration", "q89_new_vs_returning", "p23_epoch_plan",
     "t39_blocklist", "s23_principal_component", "m06_modality_budget",
-    "q90_cohort_ltv", "q91_top_paths", "t40_lang_confusion")
+    "q90_cohort_ltv", "q91_top_paths", "t40_lang_confusion",
+    "q92_scd2_build", "q93_dq_checks", "t41_inverted_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -105,6 +105,30 @@ object TextOps {
         (nReplacement > 0 || nControl > 0 || ratio > lit(0.3)))
   }
 
+  /** Inverted index build — the search-engine ingestion primitive:
+    * per (term, doc) postings with term frequency and sorted 1-based
+    * positions, plus each term's document frequency. t19's BM25 and
+    * t06's TF-IDF score FROM these statistics; this materializes the
+    * index itself (phrase/proximity queries need the positions).
+    *
+    * Scale shape: one (term, doc) partial-agg shuffle for the
+    * postings, one term-key window for doc_freq. `sort_array` pins
+    * the positions order (collect_list alone is partition-order
+    * dependent), keeping rows hash-exact across engines and reruns.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        array_join(sort_array(collect_list((col("pos") + 1).cast("long"))),
+          ",").as("positions"))
+      .withColumn("doc_freq",
+        count(lit(1)).over(Window.partitionBy("term")))
+  }
+
   /** Blocklist screening — per-doc hit count / rate over a fixed term
     * list (the wordlist-filter tier of toxicity/unsafe-content
     * screening; real pipelines chain a classifier behind it, the scan

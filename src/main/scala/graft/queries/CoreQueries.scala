@@ -2586,6 +2586,106 @@ object CoreQueries {
         c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
               FROM p GROUP BY path)
         SELECT path, n_sessions FROM c
-        ORDER BY n_sessions DESC, path LIMIT 10"""))
+        ORDER BY n_sessions DESC, path LIMIT 10""")),
+
+    // ── q92: SCD-2 dimension build — compress each user's event-type
+    //    changelog into validity intervals (effective_from/to, current
+    //    flag): the "changelog → slowly-changing dimension" warehouse
+    //    primitive that q77's as-of reads consume. Change rows keep
+    //    only transitions (type ≠ previous); both windows and the
+    //    filter ride ONE user-key shuffle ───────────────────────────────
+    Q("q92_scd2_build",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_sec"),
+            col("event_id"))
+        val changes = ev
+          .withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        val wc = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        changes
+          .withColumn("effective_to", lead(col("ts_sec"), 1).over(wc) - 1)
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts_sec").as("effective_from"),
+            coalesce(col("effective_to"), lit(Long.MaxValue))
+              .as("effective_to"),
+            col("effective_to").isNull.cast("int").as("is_current"))
+          .orderBy("user_id", "effective_from")
+      },
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_type
+          FROM e),
+        ch AS (
+          SELECT user_id, event_type, ts_sec, event_id FROM l
+          WHERE prev_type IS NULL OR prev_type <> event_type),
+        iv AS (
+          SELECT user_id, event_type AS state, ts_sec AS effective_from,
+            LEAD(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) - 1 AS eff_to
+          FROM ch)
+        SELECT user_id, state, effective_from,
+          COALESCE(eff_to, 9223372036854775807) AS effective_to,
+          CAST(eff_to IS NULL AS INT) AS is_current
+        FROM iv ORDER BY user_id, effective_from""")),
+
+    // ── q93: data-quality gate — dbt-style declarative checks as ONE
+    //    report: FK orphans (anti joins), key uniqueness, domain
+    //    rules. Each check is a partial-agg count; the union is
+    //    checks-many rows ────────────────────────────────────────────────
+    Q("q93_dq_checks",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        def check(name: String, violations: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          violations.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check_name"), col("n_violations"),
+              (col("n_violations") === 0).as("pass"))
+        val orphanLi = li.join(o, col("l_orderkey") === col("o_orderkey"),
+          "left_anti")
+        val orphanOrders = o.join(c, col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        val dupCust = c.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1)
+        val badQty = li.where(col("l_quantity").isNull
+          || col("l_quantity") <= 0)
+        val badDisc = li.where(col("l_discount") < 0 || col("l_discount") > 1)
+        check("lineitem_orderkey_fk", orphanLi)
+          .unionByName(check("orders_custkey_fk", orphanOrders))
+          .unionByName(check("customer_custkey_unique", dupCust))
+          .unionByName(check("lineitem_quantity_positive", badQty))
+          .unionByName(check("lineitem_discount_domain", badDisc))
+          .orderBy("check_name")
+      },
+      Some("""WITH checks AS (
+          SELECT 'lineitem_orderkey_fk' AS check_name,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+              AS n_violations
+          UNION ALL
+          SELECT 'orders_custkey_fk',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'customer_custkey_unique',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+              SELECT c_custkey FROM customer
+              GROUP BY c_custkey HAVING COUNT(*) > 1))
+          UNION ALL
+          SELECT 'lineitem_quantity_positive',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_quantity IS NULL OR l_quantity <= 0)
+          UNION ALL
+          SELECT 'lineitem_discount_domain',
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1))
+        SELECT check_name, n_violations, n_violations = 0 AS pass
+        FROM checks ORDER BY check_name"""))
   )
 }

@@ -2338,6 +2338,30 @@ object TextQueries {
         GROUP BY p.lang, predicted
         ORDER BY p.lang, predicted""")),
 
+    // ── t41: inverted index — (term, doc) postings with tf + sorted
+    //    positions + per-term doc_freq: the search-index build step
+    //    t19/t06 score from. Sorted positions keep rows hash-exact ──────
+    Q("t41_inverted_index",
+      (s, dir) => TextOps.invertedIndex(Tables.documents(s, dir),
+        "doc_id", "text")
+        .orderBy("term", "doc_id"),
+      Some("""WITH ts AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            UNNEST(range(1, len(toks) + 1)) AS pos,
+            UNNEST(toks) AS term
+          FROM ts),
+        g AS (
+          SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+            array_to_string(list(pos ORDER BY pos), ',') AS positions
+          FROM p GROUP BY term, doc_id),
+        d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+              FROM g GROUP BY term)
+        SELECT g.term, doc_id, tf, positions, doc_freq
+        FROM g JOIN d USING (term) ORDER BY g.term, doc_id""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────

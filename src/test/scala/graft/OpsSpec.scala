@@ -2035,6 +2035,22 @@ class OpsSpec extends SparkTestBase {
     assert(pc.sameElements(again))
   }
 
+  test("invertedIndex: tf, sorted positions, doc_freq on a crafted corpus") {
+    val df = Seq(
+      (1L, "a b a c"),
+      (2L, "b b"),
+      (3L, "a")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(df, "doc_id", "text")
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 1L, 2L, "1,3", 2L),
+      ("a", 3L, 1L, "1", 2L),
+      ("b", 1L, 1L, "2", 2L),
+      ("b", 2L, 2L, "1,2", 2L),
+      ("c", 1L, 1L, "4", 1L)), out.toString)
+  }
+
   test("blocklistColumns: whole-token case-folded hits, rate threshold") {
     val df = Seq(
       (1L, "clean text here"),
