@@ -63,7 +63,8 @@ object Bench {
     "q88_value_concentration", "q89_new_vs_returning", "p23_epoch_plan",
     "t39_blocklist", "s23_principal_component", "m06_modality_budget",
     "q90_cohort_ltv", "q91_top_paths", "t40_lang_confusion",
-    "q92_scd2_build", "q93_dq_checks", "t41_inverted_index")
+    "q92_scd2_build", "q93_dq_checks", "t41_inverted_index",
+    "u09_crawl_priority", "d33_fuzzy_key_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -129,6 +129,27 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy("term")))
   }
 
+  /** Blocked fuzzy key matching — the entity-resolution tier: pairs
+    * whose keys sit within `maxDistance` Levenshtein edits, candidate-
+    * gated by a caller-chosen blocking key (classic blocking: only
+    * same-block pairs are compared, so pair work is Σ|block|², never
+    * n² — pick blocks that bound skew, e.g. prefix+length, or salt a
+    * hot block). The verify metric is exact integer edit distance, so
+    * the report is hash-exact cross-engine.
+    */
+  def fuzzyKeyPairs(df: DataFrame, idCol: String, keyCol: Column,
+                    blockKey: Column, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0, "maxDistance >= 0")
+    val a = df.select(col(idCol).as("id_a"), keyCol.as("key_a"),
+      blockKey.as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), keyCol.as("key_b"),
+      blockKey.as("__blk"))
+    a.join(b, Seq("__blk")).where(col("id_a") < col("id_b"))
+      .withColumn("distance", levenshtein(col("key_a"), col("key_b")))
+      .where(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "key_a", "key_b", "distance")
+  }
+
   /** Blocklist screening — per-doc hit count / rate over a fixed term
     * list (the wordlist-filter tier of toxicity/unsafe-content
     * screening; real pipelines chain a classifier behind it, the scan

@@ -2362,6 +2362,28 @@ object TextQueries {
         SELECT g.term, doc_id, tf, positions, doc_freq
         FROM g JOIN d USING (term) ORDER BY g.term, doc_id""")),
 
+    // ── d33: blocked fuzzy key matching — Levenshtein ≤ 2 pairs over
+    //    12-char key prefixes, candidate-gated by a 4-char blocking
+    //    key (entity resolution's block-then-verify shape; the fixture
+    //    key is the doc's head, real pipelines block names/titles) ──────
+    Q("d33_fuzzy_key_pairs",
+      (s, dir) => TextOps.fuzzyKeyPairs(
+        Tables.documents(s, dir), "doc_id",
+        keyCol = substring(col("text"), 1, 12),
+        blockKey = substring(col("text"), 1, 4),
+        maxDistance = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH n AS (
+          SELECT doc_id, substr(text, 1, 12) AS nm,
+            substr(text, 1, 4) AS blk
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.nm AS key_a, b.nm AS key_b,
+          CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+        FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.nm, b.nm) <= 2
+        ORDER BY id_a, id_b""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────

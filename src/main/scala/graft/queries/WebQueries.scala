@@ -278,7 +278,39 @@ object WebQueries {
                WHEN starts_with(path, '/docs/fr/2') THEN FALSE
                WHEN starts_with(path, '/docs/de') THEN FALSE
                ELSE TRUE END AS allowed
-        FROM pth ORDER BY doc_id"""))
+        FROM pth ORDER BY doc_id""")),
+
+    // ── u09: crawl-frontier priority — u06's PageRank composed with
+    //    an exponential freshness decay (half-life 7 days): the score
+    //    a recrawl scheduler sorts its frontier by. Age is synthesized
+    //    per node; pow's sub-ulp engine differences vanish under the
+    //    9-dp snap ──────────────────────────────────────────────────────
+    Q("u09_crawl_priority",
+      (s, dir) => {
+        val edges = Tables.documents(s, dir)
+          .groupBy(col("source").as("u"),
+            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)
+              .cast("string")).as("v"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val pr = graft.ops.GraphOps.pageRank(edges, iters = 3)
+          .withColumnRenamed("rank", "pr")
+        val age = (substring(col("node"), 4, 10).cast("int") % 30)
+          .as("age_days")
+        pr.select(col("node"), col("pr"), age)
+          .withColumn("priority",
+            round(col("pr") * pow(lit(0.5),
+              col("age_days").cast("double") / lit(7.0)), 9))
+          .orderBy(col("priority").desc, col("node"))
+      },
+      Some(pageRankCtes(iters = 3) + """,
+        aged AS (
+          SELECT node, pr,
+            CAST(substr(node, 4) AS INT) % 30 AS age_days
+          FROM r3)
+        SELECT node, pr, age_days,
+          ROUND(pr * POWER(0.5e0, CAST(age_days AS DOUBLE) / 7.0e0), 9)
+            AS priority
+        FROM aged ORDER BY priority DESC, node"""))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,
@@ -287,7 +319,13 @@ object WebQueries {
     * uniformly (zero on this fixture, but the term is kept so the
     * oracle stays faithful to the operator's semantics).
     */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(iters: Int): String =
+    pageRankCtes(iters) + s"\n        SELECT node, pr FROM r$iters ORDER BY node"
+
+  /** u06's replayed power iteration, ending OPEN after `r{iters}` so
+    * callers (u06 select, u09 freshness compose) append their tails.
+    */
+  private def pageRankCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""dg$i AS (
@@ -320,8 +358,7 @@ object WebQueries {
         r0 AS (
           SELECT node, ROUND(1.0 / cnt.n, 9) AS pr
           FROM nd CROSS JOIN cnt),
-        $rounds
-        SELECT node, pr FROM r$iters ORDER BY node"""
+        $rounds"""
   }
 
   /** Unrolled HITS oracle for u07 — replays

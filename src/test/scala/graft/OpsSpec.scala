@@ -2035,6 +2035,22 @@ class OpsSpec extends SparkTestBase {
     assert(pc.sameElements(again))
   }
 
+  test("fuzzyKeyPairs: edit-distance verify inside blocks only") {
+    val df = Seq(
+      (1L, "smith john"), (2L, "smith jon"),   // distance 1, same block
+      (3L, "smith jane"), (4L, "smyth john"),  // 4 blocks away from 1-3
+      (5L, "doe a")).toDF("id", "name")
+    val out = TextOps.fuzzyKeyPairs(df, "id", $"name",
+        blockKey = substring($"name", 1, 4), maxDistance = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, String, Int)].collect().toSeq
+    // (1,2) d=1 and (2,3) d=2 match; (1,3) d=3 exceeds; 4 is in block
+    // "smyt" so its d=1 pair with 1 is never even compared (blocking
+    // recall loss — the documented trade)
+    assert(out == Seq((1L, 2L, "smith john", "smith jon", 1),
+      (2L, 3L, "smith jon", "smith jane", 2)), out.toString)
+  }
+
   test("invertedIndex: tf, sorted positions, doc_freq on a crafted corpus") {
     val df = Seq(
       (1L, "a b a c"),
