@@ -504,6 +504,47 @@ object EventOps {
     }
   }
 
+  /** Streaming twin of q92's SCD-2 build: per-user state is the open
+    * interval (state, effective_from); a type CHANGE closes it —
+    * emitting (user, state, effective_from, change_ts - 1) — and
+    * opens the next. Append mode carries exactly the CLOSED intervals
+    * (q92's is_current = 0 rows under per-key ts-ordered delivery,
+    * spec-pinned); the open interval per user lives in state and is
+    * servable from the state store. State is two fields per ACTIVE
+    * key — the changelog-to-dimension maintenance loop of a warehouse,
+    * run incrementally.
+    */
+  def scd2Stream(events: Dataset[(Long, String, Long, Long)]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (open_state, effective_from); emit closed intervals
+    def chain(st: Option[(String, Long)], evs: Seq[(String, Long, Long)])
+        : (Option[(String, Long)], Seq[(String, Long, Long)]) = {
+      var cur = st
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      evs.foreach { case (tpe, ts, _) =>
+        cur match {
+          case None => cur = Some((tpe, ts))
+          case Some((pt, pfrom)) if pt != tpe =>
+            out += ((pt, pfrom, ts - 1)); cur = Some((tpe, ts))
+          case _ => () // same state continues the open interval
+        }
+      }
+      (cur, out.toSeq)
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(String, Long)]) =>
+          val (next, closed) = chain(state.getOption,
+            evs.toSeq.sortBy(e => (e._3, e._4)).map(e => (e._2, e._3, e._4)))
+          next.foreach(state.update)
+          closed.iterator.map { case (st, from, to) => (user, st, from, to) }
+      }
+      .toDF("user_id", "state", "effective_from", "effective_to")
+  }
+
   /** Streaming twin of q89's new-vs-returning classification: per-user
     * state is two longs (first day, max emitted day); each arriving
     * event emits (day, is_new) ONCE per unseen (user, day) — a

@@ -991,6 +991,42 @@ object VectorQueries {
         SELECT t2.j AS i, fin.v[t2.j] AS loading, fin.lambda AS eigenvalue,
           ROUND(fin.lambda / tss.t, 6) AS explained_share
         FROM fin CROSS JOIN tss CROSS JOIN range(1, 65) t2(j)
-        ORDER BY i"""))
+        ORDER BY i""")),
+
+    // ── s24: IVF cell-balance diagnostic — per-cell population, load
+    //    factor vs the uniform mean, and the max-cell imbalance (the
+    //    health check that decides nCells/salting before an IVF index
+    //    ships: one hot cell = one hot candidate shuffle). Cells-many
+    //    rows + a 1-row totals broadcast ────────────────────────────────
+    Q("s24_ivf_balance",
+      (s, dir) => {
+        val cells = VectorOps.ivfAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", nCells = 16, probes = 2,
+          portablePivots = true)
+        val per = cells.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val tot = per.agg(sum(col("n_vecs")).as("n_total"),
+          count(lit(1)).as("n_cells"), max(col("n_vecs")).as("mx"))
+        val mean = col("n_total").cast("double") / col("n_cells")
+        per.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            round(col("n_vecs").cast("double") / mean, 6).as("load_factor"),
+            round(col("mx").cast("double") / mean, 6).as("imbalance"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $ivfAssignCtes,
+        per AS (
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM assigned GROUP BY cell),
+        t AS (
+          SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+            CAST(COUNT(*) AS BIGINT) AS n_cells,
+            CAST(MAX(n_vecs) AS BIGINT) AS mx
+          FROM per)
+        SELECT cell, n_vecs,
+          ROUND(CAST(n_vecs AS DOUBLE)
+            / (CAST(n_total AS DOUBLE) / n_cells), 6) AS load_factor,
+          ROUND(CAST(mx AS DOUBLE)
+            / (CAST(n_total AS DOUBLE) / n_cells), 6) AS imbalance
+        FROM per CROSS JOIN t ORDER BY cell"""))
   )
 }

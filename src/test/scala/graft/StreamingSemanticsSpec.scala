@@ -819,6 +819,43 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD-2: closed intervals ≡ batch non-current rows across batches") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val rows = EventOps.scd2Stream(input.toDS())
+    val q = rows.writeStream.format("memory").queryName("scd2_closed")
+      .outputMode("append").start()
+    try {
+      // u1: a(100) → a(150, same-state no-op) → b(200) closes a@[100,199]
+      input.addData((1L, "a", 100L, 1L), (1L, "a", 150L, 2L),
+        (1L, "b", 200L, 3L))
+      q.processAllAvailable()
+      // batch 2: u1 c(300) closes b@[200,299] — state crossed batches;
+      // u2 opens x (stays open, nothing emitted)
+      input.addData((1L, "c", 300L, 4L), (2L, "x", 50L, 5L))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_closed")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // batch twin: q92's change-compression on the same rows, closed only
+      val batch = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        Seq((1L, "a", 100L, 1L), (1L, "a", 150L, 2L), (1L, "b", 200L, 3L),
+          (1L, "c", 300L, 4L), (2L, "x", 50L, 5L))
+          .toDF("user_id", "event_type", "ts_sec", "event_id")
+          .withColumn("__prev", lag($"event_type", 1).over(w))
+          .where($"__prev".isNull || $"__prev" =!= $"event_type")
+          .withColumn("effective_to", lead($"ts_sec", 1).over(w) - 1)
+          .where($"effective_to".isNotNull)
+          .select($"user_id", $"event_type", $"ts_sec", $"effective_to")
+          .as[(Long, String, Long, Long)].collect().toSet
+      }
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set((1L, "a", 100L, 199L), (1L, "b", 200L, 299L)))
+    } finally q.stop()
+  }
+
   test("streaming new-vs-returning: first-seen state, streamed ≡ batch, TTL resurrects") {
     import graft.ops.EventOps
     implicit val sqlCtx = spark.sqlContext
