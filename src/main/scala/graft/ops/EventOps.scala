@@ -504,6 +504,50 @@ object EventOps {
     }
   }
 
+  /** SCD-2 interval build — compress a keyed changelog into validity
+    * intervals: one row per state RUN with `effective_from` and a
+    * nullable `effective_to` (null = still current). q92 formats this
+    * directly; [[pointInTimeJoin]] probes it. Change detection (lag)
+    * and interval close (lead) ride ONE key shuffle.
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, stateCol: String,
+                    tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__graft_scd_prev", lag(col(stateCol), 1).over(w))
+      .where(col("__graft_scd_prev").isNull
+        || col("__graft_scd_prev") =!= col(stateCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w) - 1)
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("effective_from"), col("effective_to"))
+  }
+
+  /** Point-in-time correct feature join — the feature-store primitive:
+    * each probe row picks up the dimension state whose validity
+    * interval contains its timestamp (left join: probes before the
+    * key's first state get NULL). Leak-free by construction — a probe
+    * can never see a state that starts after it.
+    *
+    * Scale shape: one equi-key shuffle join with a residual range
+    * predicate; per-key interval counts are change counts (small), so
+    * the per-key probe×interval work stays bounded. For high-churn
+    * dimensions use the as-of join (q26/q37) — same semantics at
+    * to = ∞, merge-pass execution.
+    */
+  def pointInTimeJoin(probes: DataFrame, intervals: DataFrame,
+                      keyCol: String, tsCol: String): DataFrame = {
+    // rename the interval key: probe and dimension often share lineage
+    // (both derived from one events scan), and dataframe-qualified
+    // column refs mis-bind under Spark's self-join disambiguation
+    val iv = intervals.withColumnRenamed(keyCol, "__graft_pit_key")
+    probes.join(iv,
+      col(keyCol) === col("__graft_pit_key")
+        && col(tsCol) >= col("effective_from")
+        && (col("effective_to").isNull
+          || col(tsCol) <= col("effective_to")),
+      "left")
+      .drop("__graft_pit_key")
+  }
+
   /** Streaming twin of q92's SCD-2 build: per-user state is the open
     * interval (state, effective_from); a type CHANGE closes it —
     * emitting (user, state, effective_from, change_ts - 1) — and

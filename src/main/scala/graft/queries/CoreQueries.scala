@@ -2596,19 +2596,12 @@ object CoreQueries {
     //    filter ride ONE user-key shuffle ───────────────────────────────
     Q("q92_scd2_build",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts_sec"),
             col("event_id"))
-        val changes = ev
-          .withColumn("__prev", lag(col("event_type"), 1).over(w))
-          .where(col("__prev").isNull || col("__prev") =!= col("event_type"))
-        val wc = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-        changes
-          .withColumn("effective_to", lead(col("ts_sec"), 1).over(wc) - 1)
-          .select(col("user_id"), col("event_type").as("state"),
-            col("ts_sec").as("effective_from"),
+        graft.ops.EventOps.scd2Intervals(ev, "user_id", "event_type",
+            "ts_sec", "event_id")
+          .select(col("user_id"), col("state"), col("effective_from"),
             coalesce(col("effective_to"), lit(Long.MaxValue))
               .as("effective_to"),
             col("effective_to").isNull.cast("int").as("is_current"))
@@ -2686,6 +2679,62 @@ object CoreQueries {
             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
              WHERE l_discount < 0 OR l_discount > 1))
         SELECT check_name, n_violations, n_violations = 0 AS pass
-        FROM checks ORDER BY check_name"""))
+        FROM checks ORDER BY check_name""")),
+
+    // ── q94: point-in-time feature join — purchases pick up the
+    //    engagement tier (an SCD-2 dimension built from click-value
+    //    transitions) valid AT purchase time: the leak-free feature-
+    //    store join (a probe can never see a later state). One
+    //    equi-key shuffle join + residual range predicate ───────────────
+    Q("q94_pit_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tier = when(col("value") >= 300, lit("high"))
+          .when(col("value") >= 100, lit("mid")).otherwise(lit("low"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), tier.as("tier"), col("ts_sec"),
+            col("event_id"))
+        val dim = graft.ops.EventOps.scd2Intervals(clicks, "user_id",
+          "tier", "ts_sec", "event_id")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_sec"),
+            col("value"))
+        graft.ops.EventOps.pointInTimeJoin(purchases, dim,
+            "user_id", "ts_sec")
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("value"),
+            coalesce(col("state"), lit("unknown")).as("tier_at_purchase"))
+          .orderBy("event_id")
+      },
+      Some(Tables.eventsCte + """,
+        cl AS (
+          SELECT user_id,
+            CASE WHEN value >= 300 THEN 'high'
+                 WHEN value >= 100 THEN 'mid' ELSE 'low' END AS tier,
+            ts_sec, event_id
+          FROM e WHERE event_type = 'click'),
+        l AS (
+          SELECT user_id, tier, ts_sec, event_id,
+            LAG(tier) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_tier
+          FROM cl),
+        ch AS (
+          SELECT user_id, tier, ts_sec, event_id FROM l
+          WHERE prev_tier IS NULL OR prev_tier <> tier),
+        iv AS (
+          SELECT user_id, tier AS state, ts_sec AS effective_from,
+            LEAD(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) - 1 AS effective_to
+          FROM ch),
+        pur AS (
+          SELECT user_id, event_id, ts_sec, value FROM e
+          WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts_sec, p.value,
+          COALESCE(iv.state, 'unknown') AS tier_at_purchase
+        FROM pur p LEFT JOIN iv
+          ON iv.user_id = p.user_id
+          AND p.ts_sec >= iv.effective_from
+          AND (iv.effective_to IS NULL OR p.ts_sec <= iv.effective_to)
+        ORDER BY p.event_id"""))
   )
 }

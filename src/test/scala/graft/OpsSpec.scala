@@ -622,6 +622,33 @@ class OpsSpec extends SparkTestBase {
     assert(exchanges == 1, s"sessionize planned $exchanges shuffles")
   }
 
+  test("pointInTimeJoin: interval containment, no future leak, pre-history null") {
+    import graft.ops.EventOps
+    val changes = Seq(
+      (1L, "bronze", 100L, 1L), (1L, "gold", 200L, 2L),
+      (1L, "gold", 250L, 3L), (1L, "silver", 300L, 4L)
+    ).toDF("user_id", "state_in", "ts_sec", "event_id")
+    val dim = EventOps.scd2Intervals(changes, "user_id", "state_in",
+      "ts_sec", "event_id")
+    // runs compress: bronze@[100,199], gold@[200,299], silver@[300,∞)
+    val iv = dim.orderBy("effective_from")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(iv == Seq((1L, "bronze", 100L, Some(199L)),
+      (1L, "gold", 200L, Some(299L)), (1L, "silver", 300L, None)), iv.toString)
+    val probes = Seq(
+      (1L, 10L, 50L),   // before any state → null
+      (1L, 11L, 100L),  // boundary: first second of bronze
+      (1L, 12L, 299L),  // last second of gold — must NOT see silver
+      (1L, 13L, 999L),  // open interval
+      (2L, 14L, 100L)   // unknown key → null
+    ).toDF("user_id", "probe_id", "ts_sec")
+    val out = EventOps.pointInTimeJoin(probes, dim, "user_id", "ts_sec")
+      .select($"probe_id", $"state").orderBy("probe_id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((10L, None), (11L, Some("bronze")),
+      (12L, Some("gold")), (13L, Some("silver")), (14L, None)), out.toString)
+  }
+
   test("sessionEntryPaths: session-guarded leads, short paths, one user shuffle") {
     import graft.ops.EventOps
     val ev = Seq(
