@@ -150,6 +150,33 @@ object SampleOps {
       round(want - usable, 6).as("deficit"))
   }
 
+  /** Materialize an [[epochBudgetPlan]] into actual training rows:
+    * each doc emits `floor(epochs)` full copies (copy_idx 0..⌊e⌋−1)
+    * plus one fractional copy kept when the salted unit hash falls
+    * below `e − ⌊e⌋` — so every group's expected row volume equals
+    * its planned epoch count exactly, deterministically, and append-
+    * stably (a doc's copy set never changes as other docs arrive).
+    * The plan is a groups-many broadcast; the explode is narrow.
+    */
+  def materializeEpochPlan(df: DataFrame, groupCol: String, idCol: String,
+                           tokensCol: Column, weights: Seq[(String, Double)],
+                           budget: Double, maxEpochs: Double,
+                           salt: String = ""): DataFrame = {
+    val plan = epochBudgetPlan(df, groupCol, tokensCol, weights, budget,
+      maxEpochs).select(col(groupCol), col("epochs"))
+    val joined = df.join(broadcast(plan), Seq(groupCol))
+    val full = floor(col("epochs")).cast("int")
+    val frac = col("epochs") - floor(col("epochs"))
+    val copies = when(full >= 1, sequence(lit(0), full - 1))
+      .otherwise(array().cast("array<int>"))
+    val fullRows = joined
+      .select(col(idCol), col(groupCol), explode(copies).as("copy_idx"))
+    val fracRows = joined
+      .where(unitHash(col(idCol), salt) < frac)
+      .select(col(idCol), col(groupCol), full.as("copy_idx"))
+    fullRows.unionByName(fracRows)
+  }
+
   /** Deterministic k-fold assignment: `fold = pmod(xxhash64(id), k)`
     * — the cross-validation / sharded-eval split. Same contract
     * family as [[hashSplit]]: zero-shuffle narrow projection,

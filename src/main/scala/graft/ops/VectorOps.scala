@@ -918,13 +918,19 @@ object VectorOps {
     * estimate (final pre-normalization norm) and the share of total
     * squared mass it explains.
     */
-  def principalComponent(df: DataFrame, idCol: String, vecCol: String,
-                         dim: Int, iters: Int): DataFrame = {
+  private def snap6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver-side power-iteration core shared by [[principalComponent]]
+    * and [[removeTopComponent]]: returns the 6-dp-snapped unit
+    * loadings plus the final pre-normalization norm (λ estimate).
+    */
+  private[ops] def principalDirection(df: DataFrame, idCol: String,
+                                      vecCol: String, dim: Int, iters: Int)
+      : (Array[Double], Double) = {
     require(iters > 0 && dim > 0, "positive dim/iters")
     val spark = df.sparkSession
     import spark.implicits._
-    def snap6(d: Double): Double =
-      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val x = df.select(col(idCol).as("id"),
       transform(col(vecCol), c => c.cast("double")).as("x"))
     var v: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
@@ -942,6 +948,16 @@ object VectorOps {
       lambda = nrm
       v = s.map(d => snap6(d / nrm))
     }
+    (v, lambda)
+  }
+
+  def principalComponent(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (v, lambda) = principalDirection(df, idCol, vecCol, dim, iters)
+    val x = df.select(
+      transform(col(vecCol), c => c.cast("double")).as("x"))
     val tss = x.select(round(sum(aggregate(
         transform(col("x"), a => a * a), lit(0.0), (acc, t) => acc + t)), 6))
       .head().getDouble(0)
@@ -950,6 +966,34 @@ object VectorOps {
     v.toIndexedSeq.zipWithIndex
       .map { case (c, i) => (i + 1, c, lambdaR, share) }
       .toDF("i", "loading", "eigenvalue", "explained_share")
+  }
+
+  /** "All-but-the-top" embedding cleanup (Mu & Viswanath 2018,
+    * arXiv:1702.01417): remove the dominant common direction —
+    * r = x − (x·v)v — which concentrates corpus-wide anisotropy and
+    * hurts cosine retrieval. Reports each vector's projection onto
+    * the top component and the residual norm; the projection column
+    * doubles as the anisotropy outlier score.
+    *
+    * Scale shape: the direction comes from [[principalDirection]]
+    * (iters bounded driver rounds); the cleanup itself is a narrow
+    * per-row projection against the broadcast literal v — a 100 TB
+    * corpus re-embeds in one scan.
+    */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, iters: Int): DataFrame = {
+    val (v, _) = principalDirection(df, idCol, vecCol, dim, iters)
+    val vCol = array(v.toIndexedSeq.map(lit): _*)
+    val x = transform(col(vecCol), c => c.cast("double"))
+    val proj = aggregate(zip_with(x, vCol, (a, b) => a * b),
+      lit(0.0), (acc, t) => acc + t)
+    df.select(col(idCol), proj.as("__proj"), x.as("__x"))
+      .select(col(idCol), col("__proj"),
+        sqrt(aggregate(zip_with(col("__x"), vCol,
+          (a, b) => (a - col("__proj") * b) * (a - col("__proj") * b)),
+          lit(0.0), (acc, t) => acc + t)).as("__rn"))
+      .select(col(idCol), round(col("__proj"), 6).as("top_projection"),
+        round(col("__rn"), 6).as("residual_norm"))
   }
 
   /** Init codebooks: hash-picked pivot vectors subsliced per subspace

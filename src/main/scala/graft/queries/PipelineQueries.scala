@@ -709,6 +709,49 @@ object PipelineQueries {
           ROUND(epochs, 6) AS epochs,
           ROUND(usable, 6) AS tokens_usable,
           ROUND(want - usable, 6) AS deficit
-        FROM c ORDER BY source"""))
+        FROM c ORDER BY source""")),
+
+    // ── p24: epoch-plan materialization — p23's table turned into
+    //    actual training rows: ⌊e⌋ full copies per doc + a fractional
+    //    hash-kept copy, so each group's expected volume equals its
+    //    planned epochs exactly. Plan broadcasts; the explode is a
+    //    narrow scan; assignment is append-stable ───────────────────────
+    Q("p24_epoch_materialize",
+      (s, dir) => SampleOps.materializeEpochPlan(
+        Tables.documents(s, dir)
+          .withColumn("n_toks", graft.ops.TextOps.tokenCount(col("text"))),
+        "source", "doc_id", col("n_toks"),
+        weights = Seq("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0),
+        budget = 20000.0, maxEpochs = 4.0)
+        .orderBy("doc_id", "copy_idx"),
+      Some("""WITH per AS (
+          SELECT source,
+            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+          FROM documents GROUP BY source),
+        m AS (
+          SELECT source, n_tokens,
+            CASE source WHEN 'src0' THEN 0.5e0 WHEN 'src1' THEN 0.3e0
+              WHEN 'src2' THEN 0.2e0 ELSE 0.0e0 END AS w
+          FROM per),
+        c AS (
+          SELECT source,
+            ROUND(LEAST(20000.0e0 * w / n_tokens, 4.0e0), 6) AS epochs
+          FROM m),
+        j AS (
+          SELECT d.doc_id, d.source, c.epochs,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM documents d JOIN c USING (source)),
+        fullr AS (
+          SELECT doc_id, source,
+            UNNEST(range(0, CAST(FLOOR(epochs) AS INT))) AS copy_idx
+          FROM j),
+        fracr AS (
+          SELECT doc_id, source, CAST(FLOOR(epochs) AS INT) AS copy_idx
+          FROM j WHERE uh < epochs - FLOOR(epochs))
+        SELECT doc_id, source, copy_idx FROM fullr
+        UNION ALL
+        SELECT doc_id, source, copy_idx FROM fracr
+        ORDER BY doc_id, copy_idx"""))
   )
 }

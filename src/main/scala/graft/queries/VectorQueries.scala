@@ -121,6 +121,45 @@ object VectorQueries {
           FROM scored)"""
 
 
+  /** Shared replay of the s23 power iteration (2 rounds, 6-dp snaps)
+    * ending after `fin(v, lambda)` over `e(vec_id, x)` — s23 appends
+    * the spectrum summary, s25 the per-vector cleanup.
+    */
+  private val pcaFinCtes: String =
+    """WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+          FROM embeddings),
+        y1 AS (
+          SELECT vec_id, x,
+            list_sum(list_transform(x, a -> a * 0.125e0)) AS y
+          FROM e),
+        s1 AS (
+          SELECT t.j, ROUND(SUM(y1.x[t.j] * y1.y), 6) AS s
+          FROM y1 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        l1 AS (SELECT list(s ORDER BY j) AS sv FROM s1),
+        n1 AS (
+          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
+          FROM l1),
+        vv1 AS (
+          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v FROM n1),
+        y2 AS (
+          SELECT e.vec_id, e.x,
+            list_sum(list_transform(range(1, 65),
+              j -> e.x[j] * vv1.v[j])) AS y
+          FROM e CROSS JOIN vv1),
+        s2 AS (
+          SELECT t.j, ROUND(SUM(y2.x[t.j] * y2.y), 6) AS s
+          FROM y2 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        l2 AS (SELECT list(s ORDER BY j) AS sv FROM s2),
+        n2 AS (
+          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
+          FROM l2),
+        fin AS (
+          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v,
+            ROUND(nrm, 6) AS lambda
+          FROM n2)"""
+
   /** Shared DuckDB replay of the IVF-PQ chain (cells, 2 Lloyd PQ
     * rounds, encode, LUTs, candidate scoring) up to the `scored`
     * CTE — s15 ranks it directly; s22 shortlists then re-ranks
@@ -952,39 +991,7 @@ object VectorQueries {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, iters = 2)
         .orderBy("i"),
-      Some("""WITH e AS (
-          SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-          FROM embeddings),
-        y1 AS (
-          SELECT vec_id, x,
-            list_sum(list_transform(x, a -> a * 0.125e0)) AS y
-          FROM e),
-        s1 AS (
-          SELECT t.j, ROUND(SUM(y1.x[t.j] * y1.y), 6) AS s
-          FROM y1 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
-        l1 AS (SELECT list(s ORDER BY j) AS sv FROM s1),
-        n1 AS (
-          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
-          FROM l1),
-        vv1 AS (
-          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v FROM n1),
-        y2 AS (
-          SELECT e.vec_id, e.x,
-            list_sum(list_transform(range(1, 65),
-              j -> e.x[j] * vv1.v[j])) AS y
-          FROM e CROSS JOIN vv1),
-        s2 AS (
-          SELECT t.j, ROUND(SUM(y2.x[t.j] * y2.y), 6) AS s
-          FROM y2 CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
-        l2 AS (SELECT list(s ORDER BY j) AS sv FROM s2),
-        n2 AS (
-          SELECT sv, SQRT(list_sum(list_transform(sv, d -> d * d))) AS nrm
-          FROM l2),
-        fin AS (
-          SELECT list_transform(sv, d -> ROUND(d / nrm, 6)) AS v,
-            ROUND(nrm, 6) AS lambda
-          FROM n2),
+      Some(pcaFinCtes + """,
         tss AS (
           SELECT ROUND(SUM(list_sum(list_transform(x, a -> a * a))), 6) AS t
           FROM e)
@@ -992,6 +999,27 @@ object VectorQueries {
           ROUND(fin.lambda / tss.t, 6) AS explained_share
         FROM fin CROSS JOIN tss CROSS JOIN range(1, 65) t2(j)
         ORDER BY i""")),
+
+    // ── s25: all-but-the-top cleanup — remove the dominant common
+    //    direction (s23's component): per-vector projection + residual
+    //    norm. The cleanup is a narrow scan against the broadcast
+    //    literal direction ──────────────────────────────────────────────
+    Q("s25_remove_top_component",
+      (s, dir) => VectorOps.removeTopComponent(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, iters = 2)
+        .orderBy("vec_id"),
+      Some(pcaFinCtes + """,
+        pr AS (
+          SELECT e.vec_id, e.x,
+            list_sum(list_transform(range(1, 65),
+              j -> e.x[j] * fin.v[j])) AS proj
+          FROM e CROSS JOIN fin)
+        SELECT pr.vec_id, ROUND(pr.proj, 6) AS top_projection,
+          ROUND(SQRT(list_sum(list_transform(range(1, 65),
+            j -> (pr.x[j] - pr.proj * fin.v[j])
+              * (pr.x[j] - pr.proj * fin.v[j])))), 6) AS residual_norm
+        FROM pr CROSS JOIN fin ORDER BY pr.vec_id""")),
 
     // ── s24: IVF cell-balance diagnostic — per-cell population, load
     //    factor vs the uniform mean, and the max-cell imbalance (the

@@ -2094,6 +2094,27 @@ class OpsSpec extends SparkTestBase {
       ("c", 1L, 1L, "4", 1L)), out.toString)
   }
 
+  test("removeTopComponent: Pythagoras closes — proj² + residual² = ‖x‖²") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = VectorOps.removeTopComponent(emb, "vec_id", "embedding",
+      dim = 64, iters = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val norms = emb.select($"vec_id",
+        sqrt(aggregate(transform($"embedding",
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, b) => a + b)).as("n"))
+      .as[(Long, Double)].collect().toMap
+    // residual ⊥ v ⇒ proj² + resid² ≈ ‖x‖² (snap tolerance only)
+    norms.foreach { case (id, n) =>
+      val (p, r) = out(id)
+      assert(math.abs(p * p + r * r - n * n) < 1e-2,
+        s"vec $id: $p² + $r² vs $n²")
+    }
+    // the top direction explains real mass: mean |proj| well above 0
+    val meanAbs = out.values.map(v => math.abs(v._1)).sum / out.size
+    assert(meanAbs > 0.01, s"mean |proj| $meanAbs")
+  }
+
   test("blocklistColumns: whole-token case-folded hits, rate threshold") {
     val df = Seq(
       (1L, "clean text here"),

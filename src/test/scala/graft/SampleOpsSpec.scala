@@ -93,6 +93,43 @@ class SampleOpsSpec extends SparkTestBase {
       r._6 <= r._4 + 1e-9 && r._5 <= 4.0 && r._7 >= -1e-9))
   }
 
+  test("materializeEpochPlan: copy counts follow the plan, append-stable") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_toks", graft.ops.TextOps.tokenCount($"text"))
+    val weights = Seq("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0)
+    val rows = SampleOps.materializeEpochPlan(docs, "source", "doc_id",
+      $"n_toks", weights, budget = 2000.0, maxEpochs = 4.0).cache()
+    val plan = SampleOps.epochBudgetPlan(docs, "source", $"n_toks",
+      weights, budget = 2000.0, maxEpochs = 4.0)
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r._5).toMap // source -> epochs
+    val perDoc = rows.groupBy("doc_id", "source").count()
+      .as[(Long, String, Long)].collect()
+    // every doc gets floor(e) or floor(e)+1 copies of its group's plan
+    perDoc.foreach { case (id, src, n) =>
+      val e = plan(src)
+      assert(n == math.floor(e).toLong || n == math.floor(e).toLong + 1,
+        s"doc $id in $src got $n copies for e=$e")
+    }
+    // group volume tracks planned epochs: total copies / ALL group
+    // docs ≈ e (zero-copy docs count in the denominator)
+    val groupDocs = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    perDoc.groupBy(_._2).foreach { case (src, ds) =>
+      val e = plan(src)
+      val mean = ds.map(_._3).sum.toDouble / groupDocs(src)
+      assert(math.abs(mean - e) < 0.35, s"$src mean $mean vs e=$e")
+    }
+    // unlisted sources emit nothing
+    assert(perDoc.forall(d => Set("src0", "src1", "src2")(d._2)))
+    // rerun-stable
+    val again = SampleOps.materializeEpochPlan(docs, "source", "doc_id",
+      $"n_toks", weights, budget = 2000.0, maxEpochs = 4.0)
+      .as[(Long, String, Int)].collect().toSet
+    assert(rows.as[(Long, String, Int)].collect().toSet == again)
+    rows.unpersist()
+  }
+
   test("samplePerGroup: caps per group, deterministic") {
     val g = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
     val per = g.groupBy("event_type").count().as[(String, Long)].collect()
