@@ -21,4 +21,8 @@ class ExamplesSpec extends SparkTestBase {
   test("EventAnalytics walkthrough runs end-to-end on the test corpus") {
     graft.examples.EventAnalytics.run(spark, sf)
   }
+
+  test("WarehouseTour walkthrough runs end-to-end on the test corpus") {
+    graft.examples.WarehouseTour.run(spark, sf)
+  }
 }
