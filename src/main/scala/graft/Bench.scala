@@ -65,7 +65,8 @@ object Bench {
     "q90_cohort_ltv", "q91_top_paths", "t40_lang_confusion",
     "q92_scd2_build", "q93_dq_checks", "t41_inverted_index",
     "u09_crawl_priority", "d33_fuzzy_key_pairs", "s24_ivf_balance",
-    "q94_pit_join", "p24_epoch_materialize", "s25_remove_top_component")
+    "q94_pit_join", "p24_epoch_materialize", "s25_remove_top_component",
+    "q95_seasonal_decompose")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2735,6 +2735,73 @@ object CoreQueries {
           ON iv.user_id = p.user_id
           AND p.ts_sec >= iv.effective_from
           AND (iv.effective_to IS NULL OR p.ts_sec <= iv.effective_to)
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ── q95: seasonal decomposition — hourly volume split into trend
+    //    (±12h centered moving average over the GAP-FILLED grid),
+    //    hour-of-day seasonal means, and remainder (the classical
+    //    additive decompose; q74's anomaly flags read the remainder).
+    //    All windows run on the hours-range-bounded rollup ──────────────
+    Q("q95_seasonal_decompose",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr("ts_sec div 3600").as("hb"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+        val mm = hourly.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+        val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("hb"))
+        val filled = grid.join(hourly, Seq("hb"), "left")
+          .select(col("hb"),
+            coalesce(col("total"), lit(0).cast("decimal(18,2)")).as("total"))
+        val w = Window.orderBy("hb").rowsBetween(-12, 12)
+        val trend = sum(col("total")).over(w).cast("double")
+          .divide(count(lit(1)).over(w))
+        val detr = filled
+          .withColumn("trend", trend)
+          .withColumn("detr", col("total").cast("double") - col("trend"))
+        val seasonal = detr.groupBy((col("hb") % 24).as("hod"))
+          .agg(round(avg(col("detr")), 6).as("seasonal"))
+        detr.withColumn("hod", col("hb") % 24)
+          .join(broadcast(seasonal), Seq("hod"))
+          .select(col("hb"), col("hod"),
+            col("total").cast("double").as("total"),
+            round(col("trend"), 6).as("trend"),
+            col("seasonal"),
+            round(col("detr") - col("seasonal"), 6).as("remainder"))
+          .orderBy("hb")
+      },
+      Some(Tables.eventsCte + """,
+        hourly AS (
+          SELECT ts_sec // 3600 AS hb,
+            SUM(CAST(value AS DECIMAL(18,2))) AS total
+          FROM e GROUP BY 1),
+        mm AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hourly),
+        grid AS (
+          SELECT UNNEST(range(lo, hi + 1)) AS hb FROM mm),
+        filled AS (
+          SELECT g.hb,
+            COALESCE(h.total, CAST(0 AS DECIMAL(18,2))) AS total
+          FROM grid g LEFT JOIN hourly h ON h.hb = g.hb),
+        tr AS (
+          SELECT hb, total,
+            CAST(SUM(total) OVER (ORDER BY hb
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS DOUBLE)
+              / COUNT(*) OVER (ORDER BY hb
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+          FROM filled),
+        dt AS (
+          SELECT hb, total, trend,
+            CAST(total AS DOUBLE) - trend AS detr
+          FROM tr),
+        se AS (
+          SELECT hb % 24 AS hod, ROUND(AVG(detr), 6) AS seasonal
+          FROM dt GROUP BY 1)
+        SELECT dt.hb, dt.hb % 24 AS hod,
+          CAST(dt.total AS DOUBLE) AS total,
+          ROUND(dt.trend, 6) AS trend,
+          se.seasonal,
+          ROUND(dt.detr - se.seasonal, 6) AS remainder
+        FROM dt JOIN se ON se.hod = dt.hb % 24
+        ORDER BY dt.hb"""))
   )
 }

@@ -137,7 +137,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // q88_value_concentration: the concentration curve needs a global
       // rank over the per-USER rollup (users ≪ events) + a 1-row
       // summary; the 100 TB path swaps in q57's sketch cuts (doc'd).
-      "q88_value_concentration")
+      "q88_value_concentration",
+      // q95_seasonal_decompose: the ±12h moving average runs on the
+      // gap-filled HOURLY grid (time-range-bounded rows), never events.
+      "q95_seasonal_decompose")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
