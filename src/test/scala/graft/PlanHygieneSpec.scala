@@ -140,7 +140,14 @@ class PlanHygieneSpec extends SparkTestBase {
       "q88_value_concentration",
       // q95_seasonal_decompose: the ±12h moving average runs on the
       // gap-filled HOURLY grid (time-range-bounded rows), never events.
-      "q95_seasonal_decompose")
+      "q95_seasonal_decompose",
+      // q93_dq_checks: each check reduces to a 1-row violation COUNT
+      // (map-side-combined partials) before the checks-many union —
+      // q63's scalar-tail class.
+      "q93_dq_checks",
+      // s24_ivf_balance: the 1-row totals aggregate runs over the
+      // cells-many (≤ nCells) per-cell counts, then broadcasts back.
+      "s24_ivf_balance")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
