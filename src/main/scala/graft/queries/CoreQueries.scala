@@ -2802,6 +2802,117 @@ object CoreQueries {
           se.seasonal,
           ROUND(dt.detr - se.seasonal, 6) AS remainder
         FROM dt JOIN se ON se.hod = dt.hb % 24
-        ORDER BY dt.hb"""))
+        ORDER BY dt.hb""")),
+
+    // ── q96: RFM segmentation — recency/frequency/monetary quintile
+    //    scores + rule-based segment labels (the classic CRM cut).
+    //    NTILE runs on the per-USER rollup (users ≪ events; the
+    //    100 TB path swaps quintile cuts for q57's sketch borders,
+    //    p21's pattern); unique order keys make every tile stable ───────
+    Q("q96_rfm_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val anchor = ev.agg(max(col("ts_sec")).as("now"))
+        val rfm = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max(col("ts_sec")).as("last_ts"),
+            count(lit(1)).as("frequency"),
+            sum(col("value").cast("decimal(18,2)")).as("monetary"))
+          .crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            expr("(now - last_ts) div 86400").as("recency_days"),
+            col("frequency"), col("monetary"))
+        val r = ntile(5).over(Window
+          .orderBy(col("recency_days").desc, col("user_id")))
+        val f = ntile(5).over(Window
+          .orderBy(col("frequency").asc, col("user_id")))
+        val m = ntile(5).over(Window
+          .orderBy(col("monetary").asc, col("user_id")))
+        val scored = rfm.select(col("user_id"), col("recency_days"),
+          col("frequency"), col("monetary").cast("double").as("monetary"),
+          r.as("r_score"), f.as("f_score"), m.as("m_score"))
+        scored.withColumn("segment",
+            when(col("r_score") >= 4 && col("f_score") >= 4
+              && col("m_score") >= 4, "champion")
+              .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+              .when(col("r_score") <= 2, "hibernating")
+              .when(col("f_score") >= 4, "loyal")
+              .when(col("m_score") >= 4, "big_spender")
+              .otherwise("casual"))
+          .orderBy("user_id")
+      },
+      Some("""WITH per AS (
+          SELECT user_id,
+            MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        a AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS now
+              FROM events),
+        rfm AS (
+          SELECT user_id, (now - last_ts) // 86400 AS recency_days,
+            frequency, monetary
+          FROM per CROSS JOIN a),
+        sc AS (
+          SELECT user_id, recency_days, frequency,
+            CAST(monetary AS DOUBLE) AS monetary,
+            NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+            NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+            NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+          FROM rfm)
+        SELECT user_id, recency_days, frequency, monetary,
+          r_score, f_score, m_score,
+          CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                 THEN 'champion'
+               WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+               WHEN r_score <= 2 THEN 'hibernating'
+               WHEN f_score >= 4 THEN 'loyal'
+               WHEN m_score >= 4 THEN 'big_spender'
+               ELSE 'casual' END AS segment
+        FROM sc ORDER BY user_id""")),
+
+    // ── q97: late-shipment share per order priority — the TPC-H Q4
+    //    shape: orders with at least one lineitem shipped > 30 days
+    //    after the order date (EXISTS semi join on the fact pair),
+    //    rolled to priorities-many rows ─────────────────────────────────
+    Q("q97_late_shipment",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val late = o.join(li,
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("late_orders"))
+        val tot = o.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+        tot.join(late, Seq("o_orderpriority"), "left")
+          .select(col("o_orderpriority"), col("n_orders"),
+            coalesce(col("late_orders"), lit(0L)).as("late_orders"),
+            round(coalesce(col("late_orders"), lit(0L)).cast("double")
+              / col("n_orders"), 6).as("late_share"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH late AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+          FROM orders o
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          GROUP BY o_orderpriority),
+        tot AS (
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_orderpriority)
+        SELECT t.o_orderpriority, n_orders,
+          COALESCE(late_orders, 0) AS late_orders,
+          ROUND(CAST(COALESCE(late_orders, 0) AS DOUBLE) / n_orders, 6)
+            AS late_share
+        FROM tot t LEFT JOIN late l
+          ON l.o_orderpriority = t.o_orderpriority
+        ORDER BY t.o_orderpriority"""))
   )
 }

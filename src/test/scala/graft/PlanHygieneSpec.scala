@@ -147,7 +147,11 @@ class PlanHygieneSpec extends SparkTestBase {
       "q93_dq_checks",
       // s24_ivf_balance: the 1-row totals aggregate runs over the
       // cells-many (≤ nCells) per-cell counts, then broadcasts back.
-      "s24_ivf_balance")
+      "s24_ivf_balance",
+      // q96_rfm_segments: the three NTILE windows run on the per-USER
+      // rollup (users ≪ events); the 100 TB path swaps quintile cuts
+      // for q57's sketch borders (p21's pattern).
+      "q96_rfm_segments")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
