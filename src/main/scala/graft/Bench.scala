@@ -66,7 +66,8 @@ object Bench {
     "q92_scd2_build", "q93_dq_checks", "t41_inverted_index",
     "u09_crawl_priority", "d33_fuzzy_key_pairs", "s24_ivf_balance",
     "q94_pit_join", "p24_epoch_materialize", "s25_remove_top_component",
-    "q95_seasonal_decompose", "q96_rfm_segments", "q97_late_shipment")
+    "q95_seasonal_decompose", "q96_rfm_segments", "q97_late_shipment",
+    "t43_sentence_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -129,6 +129,41 @@ object TextOps {
         count(lit(1)).over(Window.partitionBy("term")))
   }
 
+  /** Sentence-boundary chunking — the RAG chunker next to
+    * [[chunkTokens]]'s fixed token windows: sentences (runs ending in
+    * `.!?`, trailing fragment kept) pack greedily into chunks of
+    * ~`tokenBudget` tokens WITHOUT splitting a sentence; a chunk
+    * boundary falls only between sentences, so retrieval snippets
+    * stay readable. Chunk assignment is `tokens-before div budget` —
+    * deterministic, order-pinned reassembly.
+    *
+    * Scale shape: one doc-key window (cumulative token count) + one
+    * (doc, chunk) partial agg; rows are (id, short sentence), never
+    * full documents, and the sentence regex is a codegen'd scalar.
+    */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     tokenBudget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tokenBudget > 0, "positive token budget")
+    val sents = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+    val exploded = df
+      .select(col(idCol), posexplode(sents).as(Seq("sidx", "sent_raw")))
+      .select(col(idCol), col("sidx"), trim(col("sent_raw")).as("sent"))
+      .withColumn("n_toks", size(split(col("sent"), " ")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy("sidx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    exploded
+      .withColumn("__before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"__before div $tokenBudget"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_toks")).as("n_chunk_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("sidx"), col("sent")))),
+          s => s.getField("sent")), " ").as("chunk_text"))
+  }
+
   /** Blocked fuzzy key matching — the entity-resolution tier: pairs
     * whose keys sit within `maxDistance` Levenshtein edits, candidate-
     * gated by a caller-chosen blocking key (classic blocking: only

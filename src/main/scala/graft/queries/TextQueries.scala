@@ -2384,6 +2384,58 @@ object TextQueries {
         WHERE levenshtein(a.nm, b.nm) <= 2
         ORDER BY id_a, id_b""")),
 
+    // ── t43: sentence-boundary chunking — sentences pack greedily
+    //    into ~40-token chunks without ever splitting one (the RAG
+    //    chunker; t10 is the fixed-token-window flavor). The corpus
+    //    carries no punctuation, so the fixture deterministically ends
+    //    every 7th token with a period (urlFixture's pattern) — real
+    //    pipelines run the op on raw text directly ──────────────────────
+    Q("t43_sentence_chunks",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val punctuated = array_join(
+          zip_with(toks, sequence(lit(1), size(toks)),
+            (t, i) => concat(t,
+              when(i % 7 === 0, lit(".")).otherwise(lit("")))), " ")
+        TextOps.sentenceChunks(
+          Tables.documents(s, dir)
+            .withColumn("text", punctuated),
+          "doc_id", "text", tokenBudget = 40)
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH p AS (
+          SELECT doc_id,
+            array_to_string(list_transform(
+              range(1, len(string_split(text, ' ')) + 1),
+              i -> string_split(text, ' ')[i]
+                || CASE WHEN i % 7 = 0 THEN '.' ELSE '' END), ' ')
+              AS text
+          FROM documents),
+        sents AS (
+          SELECT doc_id,
+            UNNEST(range(1, len(regexp_extract_all(text,
+              '[^.!?]+[.!?]+|[^.!?]+$')) + 1)) - 1 AS sidx,
+            UNNEST(regexp_extract_all(text,
+              '[^.!?]+[.!?]+|[^.!?]+$')) AS sent_raw
+          FROM p),
+        t AS (
+          SELECT doc_id, sidx, trim(sent_raw) AS sent,
+            CAST(len(string_split(trim(sent_raw), ' ')) AS BIGINT)
+              AS n_toks
+          FROM sents),
+        c AS (
+          SELECT doc_id, sidx, sent, n_toks,
+            CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY doc_id
+              ORDER BY sidx ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) // 40 AS BIGINT) AS chunk_id
+          FROM t)
+        SELECT doc_id, chunk_id,
+          CAST(COUNT(*) AS BIGINT) AS n_sentences,
+          CAST(SUM(n_toks) AS BIGINT) AS n_chunk_tokens,
+          string_agg(sent, ' ' ORDER BY sidx) AS chunk_text
+        FROM c GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────

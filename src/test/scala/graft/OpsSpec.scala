@@ -2078,6 +2078,25 @@ class OpsSpec extends SparkTestBase {
       (2L, 3L, "smith jon", "smith jane", 2)), out.toString)
   }
 
+  test("sentenceChunks: boundaries only between sentences, budget respected") {
+    val df = Seq(
+      // 3 sentences of 4/4/3 tokens; budget 8: [s1 s2][s3]
+      (1L, "a b c one. d e f two. g h three."),
+      (2L, "no terminal punctuation here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.sentenceChunks(df, "doc_id", "text", tokenBudget = 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 2L, 8L, "a b c one. d e f two."),
+      (1L, 1L, 1L, 3L, "g h three."),
+      (2L, 0L, 1L, 6L, "no terminal punctuation here at all")), out.toString)
+    // a sentence never splits: every chunk_text ends where a sentence does
+    assert(out.forall { case (_, _, _, _, t) =>
+      t.endsWith(".") || !t.contains(".")
+    })
+  }
+
   test("invertedIndex: tf, sorted positions, doc_freq on a crafted corpus") {
     val df = Seq(
       (1L, "a b a c"),
