@@ -2436,6 +2436,47 @@ object TextQueries {
         FROM c GROUP BY doc_id, chunk_id
         ORDER BY doc_id, chunk_id""")),
 
+    // ── d34: entity clusters — connected components over d33's
+    //    blocked fuzzy-match edges (end-to-end entity resolution:
+    //    block → Levenshtein verify → cluster → canonical id). Same
+    //    pointer-jumping CC as d05; oracle replays the fixpoint ─────────
+    Q("d34_entity_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val edges = TextOps.fuzzyKeyPairs(docs, "doc_id",
+          keyCol = substring(col("text"), 1, 12),
+          blockKey = substring(col("text"), 1, 4),
+          maxDistance = 2)
+          .select("id_a", "id_b")
+        TextOps.dedupClustersFromEdges(docs, "doc_id", edges)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE n AS (
+          SELECT doc_id, substr(text, 1, 12) AS nm,
+            substr(text, 1, 4) AS blk
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.nm, b.nm) <= 2),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+        lab AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+          CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        FROM lab l JOIN sizes s ON s.cluster_id = l.cluster_id
+        ORDER BY l.doc_id""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────
