@@ -649,6 +649,39 @@ class OpsSpec extends SparkTestBase {
       (12L, Some("gold")), (13L, Some("silver")), (14L, None)), out.toString)
   }
 
+  test("scd2Intervals: partitions each user's timeline, runs compressed") {
+    import graft.ops.EventOps
+    // deterministic pseudo-random changelog: 40 users × 50 events
+    // per-user ts strictly increasing (disjoint 100s windows per step)
+    val ev = spark.range(2000).selectExpr(
+      "id % 40 AS user_id",
+      "concat('s', abs(hash(id, 7)) % 4) AS state_in",
+      "1000 + (id div 40) * 100 + abs(hash(id, 13)) % 100 AS ts_sec",
+      "id AS event_id")
+    val iv = EventOps.scd2Intervals(ev, "user_id", "state_in",
+      "ts_sec", "event_id")
+      .as[(Long, String, Long, Option[Long])].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.sortBy(_._3).toList
+      }
+    val firstTs = ev.groupBy("user_id").agg(min(col("ts_sec")))
+      .as[(Long, Long)].collect().toMap
+    iv.foreach { case (u, rows) =>
+      // starts at the user's first event
+      assert(rows.head._3 == firstTs(u), s"user $u starts late: $rows")
+      // exactly one open interval, at the end
+      assert(rows.init.forall(_._4.isDefined) && rows.last._4.isEmpty)
+      rows.sliding(2).foreach {
+        case List(a, b) =>
+          // contiguous: next opens exactly where the previous closed
+          assert(a._4.contains(b._3 - 1), s"user $u gap: $a -> $b")
+          // compressed: adjacent runs always change state
+          assert(a._2 != b._2, s"user $u uncompressed run: $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("sessionEntryPaths: session-guarded leads, short paths, one user shuffle") {
     import graft.ops.EventOps
     val ev = Seq(
