@@ -145,6 +145,38 @@ object SketchOps {
       4).as("hll_est"): _*)
   }
 
+  /** Sliding-window distinct counts from MERGED HLL registers — the
+    * "distinct users in the trailing 24 h, hourly" problem exact
+    * methods cannot do incrementally (windowed COUNT DISTINCT
+    * re-scans every window). Registers build ONCE per bucket
+    * (partial-agg, ≤ buckets×2^p rows); each target bucket then
+    * unions its trailing `windowSize` buckets by register MAX — set
+    * union is register max, the same merge property the shard-merge
+    * spec pins — and folds the standard estimate. The exact leg
+    * rides along as the error report; at 100 TB you drop it and keep
+    * the sketch (data is never re-joined for the sketch leg — the
+    * window fan touches calendar-bounded sketch rows only).
+    */
+  def hllSlidingDistinct(df: DataFrame, bucketCol: String, keyCol: String,
+                         windowSize: Int, p: Int = 8): DataFrame = {
+    require(windowSize >= 1, "windowSize >= 1")
+    val nn = df.where(col(keyCol).isNotNull)
+    val regs = hllRegisters(nn, Seq(bucketCol), keyCol, p)
+    val targets = nn.select(col(bucketCol).as("__t")).distinct()
+    val merged = targets.join(regs,
+        col(bucketCol).between(col("__t") - (windowSize - 1), col("__t")))
+      .groupBy(col("__t"), col("reg")).agg(max("mj").as("mj"))
+      .withColumnRenamed("__t", "bucket")
+    val est = hllEstimateFromRegisters(merged, Seq("bucket"), p)
+    val exact = targets.join(
+        nn.select(col(bucketCol), col(keyCol)).distinct(),
+        col(bucketCol).between(col("__t") - (windowSize - 1), col("__t")))
+      .groupBy(col("__t").as("bucket"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    est.join(exact, Seq("bucket"))
+      .select(col("bucket"), col("exact_distinct"), col("hll_est"))
+  }
+
   /** Slice-pair set-intersection estimates by inclusion–exclusion
     * over portable HLL registers: |A∩B| ≈ |A| + |B| − |A∪B|, with
     * |A∪B| folded from the element-wise max of the two slices'

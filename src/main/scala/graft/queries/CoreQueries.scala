@@ -2913,6 +2913,25 @@ object CoreQueries {
             AS late_share
         FROM tot t LEFT JOIN late l
           ON l.o_orderpriority = t.o_orderpriority
-        ORDER BY t.o_orderpriority"""))
+        ORDER BY t.o_orderpriority""")),
+
+    // ── q99: sliding-window distinct — "distinct users in the
+    //    trailing 24 h, hourly" from MERGED HLL registers (register
+    //    max = set union): registers build once per hour, the window
+    //    fan touches calendar-bounded sketch rows only; the exact
+    //    COUNT DISTINCT leg rides along as the error report and drops
+    //    at 100 TB ──────────────────────────────────────────────────────
+    Q("q99_sliding_distinct",
+      (s, dir) => graft.ops.SketchOps.hllSlidingDistinct(
+        Tables.events(s, dir)
+          .withColumn("hour_bucket", expr("ts_sec div 3600")),
+        "hour_bucket", "user_id", windowSize = 24, p = 8)
+        .withColumnRenamed("bucket", "hour_bucket")
+        .orderBy("hour_bucket"),
+      Some(XxHashSql.hllSlidingWindowOracle("events",
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 3600)", "user_id",
+        windowSize = 24, p = 8)
+        .replace("AS bucket", "AS hour_bucket")
+        .replace("ORDER BY bucket", "ORDER BY hour_bucket")))
   )
 }

@@ -204,6 +204,47 @@ object XxHashSql {
        |FROM s ORDER BY g""".stripMargin
   }
 
+  /** Sliding-window twin of [[hllPortableGroupedOracle]] for
+    * `SketchOps.hllSlidingDistinct`: per-bucket registers once, then
+    * each target bucket merges the trailing `windowSize` buckets'
+    * registers via MAX (register max IS set union) and folds the
+    * identical bit-parity estimate; the exact leg replays the
+    * windowed COUNT(DISTINCT) for the error report.
+    */
+  def hllSlidingWindowOracle(table: String, groupExpr: String,
+                             keyCol: String, windowSize: Int,
+                             p: Int = 8): String = {
+    val m = 1 << p
+    val w = 64 - p
+    val regDiv = BigInt(1) << w
+    val scale = BigInt(1) << (w + 1)
+    s"""WITH keys AS (SELECT $groupExpr AS g, $keyCol::HUGEINT AS k FROM $table
+       |  WHERE $keyCol IS NOT NULL),
+       |${hashLongCtes("g")},
+       |hreg AS (SELECT g, (h // $regDiv::HUGEINT)::BIGINT AS reg,
+       |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
+       |rk AS (SELECT g, reg,
+       |  MAX(CASE WHEN v = 0 THEN ${w + 1}
+       |      ELSE ${w + 1} - length(bin(v)) END) AS mj
+       |  FROM hreg GROUP BY g, reg),
+       |tg AS (SELECT DISTINCT g AS t FROM keys),
+       |merged AS (SELECT tg.t, rk.reg, MAX(rk.mj) AS mj
+       |  FROM tg JOIN rk ON rk.g BETWEEN tg.t - ${windowSize - 1} AND tg.t
+       |  GROUP BY tg.t, rk.reg),
+       |s AS (SELECT t, SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |             COUNT(*) AS cnt FROM merged GROUP BY t),
+       |ex AS (SELECT tg.t, CAST(COUNT(DISTINCT k) AS BIGINT)
+       |    AS exact_distinct
+       |  FROM tg JOIN keys ON keys.g BETWEEN tg.t - ${windowSize - 1}
+       |    AND tg.t
+       |  GROUP BY tg.t)
+       |SELECT s.t AS bucket, ex.exact_distinct,
+       |  round(0.7213 / (1 + 1.079 / $m.0) * $m.0 * $m.0 /
+       |  (((sp + ($m - cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)
+       |  AS hll_est
+       |FROM s JOIN ex ON ex.t = s.t ORDER BY bucket""".stripMargin
+  }
+
   /** Pairwise inclusion–exclusion twin of [[hllPortableGroupedOracle]]
     * for `SketchOps.hllOverlap`: per-slice registers once, slice
     * pairs (a < b), union registers via MAX over both slices' rows,

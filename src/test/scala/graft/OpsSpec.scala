@@ -649,6 +649,48 @@ class OpsSpec extends SparkTestBase {
       (12L, Some("gold")), (13L, Some("silver")), (14L, None)), out.toString)
   }
 
+  test("hllSlidingDistinct: window=1 equals grouped HLL; error within bound") {
+    import graft.ops.SketchOps
+    val ev = Tables.events(spark, sf)
+      .withColumn("hour_bucket", expr("ts_sec div 3600"))
+    // degenerate window: per-bucket estimates must equal the plain
+    // grouped HLL (merge of one bucket is the bucket)
+    val w1 = SketchOps.hllSlidingDistinct(ev, "hour_bucket", "user_id",
+        windowSize = 1, p = 8)
+      .select($"bucket", $"hll_est").as[(Long, Double)].collect().toMap
+    val grouped = SketchOps.hyperLogLogBy(ev, Seq("hour_bucket"),
+        "user_id", p = 8)
+      .as[(Long, Double)].collect().toMap
+    assert(w1 == grouped, "window=1 must reduce to the grouped sketch")
+    // merge identity: the trailing-window estimate from MERGED
+    // registers equals the estimate from registers built directly on
+    // the windowed key multiset — exact bit equality at any
+    // cardinality (the spec-scale sets are far below the raw-range
+    // estimator's 2.5·m validity floor, so absolute-error assertions
+    // belong to q54's fixture, not here)
+    val out = SketchOps.hllSlidingDistinct(ev, "hour_bucket", "user_id",
+        windowSize = 24, p = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val targets = ev.select($"hour_bucket".as("t")).distinct()
+    val windowedKeys = targets.join(ev.select($"hour_bucket", $"user_id"),
+      $"hour_bucket".between($"t" - 23, $"t"))
+      .select($"t".as("wb"), $"user_id")
+    val direct = SketchOps.hyperLogLogBy(windowedKeys, Seq("wb"),
+        "user_id", p = 8)
+      .as[(Long, Double)].collect().toMap
+    out.foreach { case (b, _, est) =>
+      assert(direct(b) == est, s"bucket $b: merged $est vs direct ${direct(b)}")
+    }
+    // windows only widen: 24h distinct >= the bucket's own distinct
+    val exact1 = SketchOps.hllSlidingDistinct(ev, "hour_bucket",
+        "user_id", windowSize = 1, p = 8)
+      .select($"bucket", $"exact_distinct").as[(Long, Long)].collect().toMap
+    out.foreach { case (b, exact24, _) =>
+      assert(exact24 >= exact1(b), s"bucket $b shrank")
+    }
+  }
+
   test("scd2Intervals: partitions each user's timeline, runs compressed") {
     import graft.ops.EventOps
     // deterministic pseudo-random changelog: 40 users × 50 events
