@@ -67,7 +67,8 @@ object Bench {
     "u09_crawl_priority", "d33_fuzzy_key_pairs", "s24_ivf_balance",
     "q94_pit_join", "p24_epoch_materialize", "s25_remove_top_component",
     "q95_seasonal_decompose", "q96_rfm_segments", "q97_late_shipment",
-    "t43_sentence_chunks", "d34_entity_clusters", "q99_sliding_distinct")
+    "t43_sentence_chunks", "d34_entity_clusters", "q99_sliding_distinct",
+    "t44_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1820,6 +1820,41 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(BpeSql.segmentOracle(6))),
 
+    // ── t44: tokenizer fertility — subwords-per-token by source under
+    //    the trained BPE (the tokenizer-eval metric that decides which
+    //    sources inflate sequence length): t22's per-doc counts rolled
+    //    to the source grain. Oracle replays the full train+segment ─────
+    Q("t44_tokenizer_fertility",
+      (s, dir) => {
+        val per = BpeOps.segmentCounts(Tables.documents(s, dir),
+          "doc_id", "text", rounds = 6)
+        per.join(Tables.documents(s, dir).select(col("doc_id"),
+            col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_subwords")).as("n_subwords"),
+            round(sum(col("n_subwords")).cast("double")
+              / sum(col("n_tokens")), 6).as("fertility"))
+          .orderBy("source")
+      },
+      Some(BpeSql.bpeCtes(6) + """,
+        occ AS (SELECT d.doc_id, d.source,
+                  UNNEST(string_split(d.text, ' ')) AS word
+                FROM documents d),
+        seg AS (SELECT word, len(syms) AS n_sub FROM w6),
+        pd AS (SELECT o.doc_id, o.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+               FROM occ o JOIN seg USING (word)
+               GROUP BY o.doc_id, o.source)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+          ROUND(CAST(SUM(n_subwords) AS DOUBLE) / SUM(n_tokens), 6)
+            AS fertility
+        FROM pd GROUP BY source ORDER BY source""")),
+
     // ── PMI collocations: pointwise mutual information over adjacent
     //    word pairs — the phrase-detection prep step. Pair counts are
     //    the only shuffle; unigram legs + scalar totals broadcast. ────
