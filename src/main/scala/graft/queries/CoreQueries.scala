@@ -2932,6 +2932,90 @@ object CoreQueries {
         "(CAST(floor(epoch(ts)) AS BIGINT) // 3600)", "user_id",
         windowSize = 24, p = 8)
         .replace("AS bucket", "AS hour_bucket")
-        .replace("ORDER BY bucket", "ORDER BY hour_bucket")))
+        .replace("ORDER BY bucket", "ORDER BY hour_bucket"))),
+
+    // ── q100: association rules — support/confidence/lift for
+    //    event-type pairs co-occurring in a session (the market-basket
+    //    classic; q75 counts ORDERED steps, this counts unordered
+    //    co-presence). Baskets = q62's sessions; the pair space is
+    //    types²-bounded; ratios are fixed-order divisions of exact
+    //    counts ─────────────────────────────────────────────────────────
+    Q("q100_assoc_rules",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        val prev = lag(col("ts_sec"), 1).over(w)
+        val brk = when(prev.isNull || col("ts_sec") - prev > 43200L, 1L)
+          .otherwise(0L)
+        val sess = ev
+          .withColumn("__brk", brk)
+          .withColumn("__sess", sum(col("__brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("__sess"), col("event_type"))
+          .distinct()
+        val nb = sess.select("user_id", "__sess").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val itemSupp = sess.groupBy(col("event_type").as("item"))
+          .agg(count(lit(1)).as("n_item"))
+        val pairs = sess.as("a").join(sess.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.__sess") === col("b.__sess")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("item_a"),
+            col("b.event_type").as("item_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(itemSupp.withColumnRenamed("item", "item_a")
+            .withColumnRenamed("n_item", "n_a")), Seq("item_a"))
+          .join(broadcast(itemSupp.withColumnRenamed("item", "item_b")
+            .withColumnRenamed("n_item", "n_b")), Seq("item_b"))
+          .crossJoin(broadcast(nb))
+          .select(col("item_a"), col("item_b"), col("n_both"),
+            col("n_a"), col("n_b"),
+            round(col("n_both").cast("double") / col("n_baskets"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") / col("n_a"), 6)
+              .as("confidence_a_to_b"),
+            round(col("n_both").cast("double") * col("n_baskets")
+              / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+          .orderBy("item_a", "item_b")
+      },
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            LAG(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_ts
+          FROM e),
+        m AS (
+          SELECT user_id, event_type,
+            SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM l),
+        sd AS (SELECT DISTINCT user_id, sess, event_type FROM m),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+               FROM (SELECT DISTINCT user_id, sess FROM sd)),
+        it AS (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+               FROM sd GROUP BY event_type),
+        pr AS (
+          SELECT a.event_type AS item_a, b.event_type AS item_b,
+            CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM sd a JOIN sd b
+            ON a.user_id = b.user_id AND a.sess = b.sess
+            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT item_a, item_b, n_both,
+          ia.n_item AS n_a, ib.n_item AS n_b,
+          ROUND(CAST(n_both AS DOUBLE) / nb.n_baskets, 6) AS support,
+          ROUND(CAST(n_both AS DOUBLE) / ia.n_item, 6)
+            AS confidence_a_to_b,
+          ROUND(CAST(n_both AS DOUBLE) * nb.n_baskets
+            / CAST(ia.n_item * ib.n_item AS DOUBLE), 6) AS lift
+        FROM pr
+        JOIN it ia ON ia.item = item_a
+        JOIN it ib ON ib.item = item_b
+        CROSS JOIN nb
+        ORDER BY item_a, item_b"""))
   )
 }

@@ -151,7 +151,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // q96_rfm_segments: the three NTILE windows run on the per-USER
       // rollup (users ≪ events); the 100 TB path swaps quintile cuts
       // for q57's sketch borders (p21's pattern).
-      "q96_rfm_segments")
+      "q96_rfm_segments",
+      // q100_assoc_rules: the basket-count scalar — a 1-row count over
+      // the (user, session) distinct frame, broadcast back into the
+      // support/lift ratios; p09/t19's normalizer class.
+      "q100_assoc_rules")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
