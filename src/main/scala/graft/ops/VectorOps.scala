@@ -1057,17 +1057,43 @@ object VectorOps {
       })
   }
 
-  /** One Lloyd update over all m subspaces: zero-shuffle assignment +
-    * one partial-agg (sub, cell, i) shuffle of 6-dp-snapped means.
+  /** One Lloyd update over all m subspaces: broadcast-joined codebook
+    * assignment + one partial-agg (sub, cell, i) shuffle of
+    * 6-dp-snapped means.
+    *
+    * The codebook rides as DATA (a broadcast m·k-row frame), not as
+    * literals baked into the expression tree: per-round literal
+    * codebooks generate different whole-stage code every round and
+    * force a fresh codegen compile per Lloyd iteration (measured:
+    * the compile dominated s13's bench time at these corpus sizes) —
+    * the joined shape keeps one stable plan whose generated code is
+    * cached across rounds. Arithmetic is unchanged: the same
+    * fixed-order zip d², and `min(struct(d2, cell))` keeps the
+    * lowest cell on ties exactly like [[pqBest]]'s strict-< fold
+    * over ascending cells (oracle-EXACT preserved, spec-pinned).
     */
   private def pqUpdate(subs: DataFrame,
-                       cs: Seq[Seq[(Long, Array[Double])]]): DataFrame =
-    subs.select(col("sub"), pqBest(cs).getField("cell").as("cell"),
+                       cs: Seq[Seq[(Long, Array[Double])]]): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val cb = cs.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.map { case (cell, cv) => (s, cell, cv.toSeq) }
+    }.toDF("sub", "cell", "cvec")
+    val d2 = aggregate(
+      zip_with(col("svec"), col("cvec"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    subs.join(broadcast(cb), Seq("sub"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(d2.as("d2"), col("cell").as("cell"))).as("b"),
+        max(col("svec")).as("svec")) // svec constant per (id, sub)
+      .select(col("sub"), col("b.cell").as("cell"),
         posexplode(col("svec")))
       .select(col("sub"), col("cell"), (col("pos") + 1).as("i"),
         col("col").cast("double").as("x"))
       .groupBy("sub", "cell", "i")
       .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n"))
+  }
 
   private def pqCollect(update: DataFrame,
                         m: Int): Seq[Seq[(Long, Array[Double])]] = {

@@ -2759,8 +2759,16 @@ object CoreQueries {
         val detr = filled
           .withColumn("trend", trend)
           .withColumn("detr", col("total").cast("double") - col("trend"))
+        // hb-ordered sequential fold, NOT avg(): a plain double avg
+        // sums in partition order and can flip the 6-dp snap between
+        // runs (observed once at the …375 boundary) — the sorted fold
+        // is bit-stable and the oracle replays the same order
         val seasonal = detr.groupBy((col("hb") % 24).as("hod"))
-          .agg(round(avg(col("detr")), 6).as("seasonal"))
+          .agg(round(
+            aggregate(transform(
+              sort_array(collect_list(struct(col("hb"), col("detr")))),
+              s => s.getField("detr")), lit(0.0), (a, x) => a + x)
+              / count(lit(1)), 6).as("seasonal"))
         detr.withColumn("hod", col("hb") % 24)
           .join(broadcast(seasonal), Seq("hod"))
           .select(col("hb"), col("hod"),
@@ -2794,7 +2802,9 @@ object CoreQueries {
             CAST(total AS DOUBLE) - trend AS detr
           FROM tr),
         se AS (
-          SELECT hb % 24 AS hod, ROUND(AVG(detr), 6) AS seasonal
+          SELECT hb % 24 AS hod,
+            ROUND(list_sum(list(detr ORDER BY hb)) / COUNT(*), 6)
+              AS seasonal
           FROM dt GROUP BY 1)
         SELECT dt.hb, dt.hb % 24 AS hod,
           CAST(dt.total AS DOUBLE) AS total,
