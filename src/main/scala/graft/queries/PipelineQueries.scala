@@ -752,6 +752,67 @@ object PipelineQueries {
         SELECT doc_id, source, copy_idx FROM fullr
         UNION ALL
         SELECT doc_id, source, copy_idx FROM fracr
-        ORDER BY doc_id, copy_idx"""))
+        ORDER BY doc_id, copy_idx""")),
+
+    // ── p25: split-leakage audit — for each held-out split of p01's
+    //    hash split, how many of its distinct 8-grams also appear in
+    //    TRAIN (the d11 decontamination lens turned on the split
+    //    itself: document-level splits still leak via shared spans).
+    //    Grams collapse to 8-byte hashes before any join ────────────────
+    Q("p25_split_leak_audit",
+      (s, dir) => {
+        val docs = SampleOps.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+        val grams = docs.select(col("split"),
+          explode(graft.functions.PortableSketches.ngramHashes60(
+            col("text"), 8)).as("g"))
+        val trainG = grams.where(col("split") === "train")
+          .select("g").distinct()
+        val held = grams.where(col("split") =!= "train").distinct()
+        val leaked = held.join(trainG, Seq("g"), "left_semi")
+          .groupBy("split").agg(count(lit(1)).as("n_leaked_grams"))
+        held.groupBy("split").agg(count(lit(1)).as("n_grams"))
+          .join(leaked, Seq("split"), "left")
+          .select(col("split"), col("n_grams"),
+            coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+            round(coalesce(col("n_leaked_grams"), lit(0L)).cast("double")
+              / col("n_grams"), 6).as("leak_rate"))
+          .orderBy("split")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, text,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM documents),
+        sp AS (
+          SELECT doc_id, text,
+            CASE WHEN uh < 8.0/10 THEN 'train'
+                 WHEN uh < 8.0/10 + 1.0/10 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM u),
+        ts AS (SELECT split, string_split(text, ' ') AS toks FROM sp),
+        gr AS (
+          SELECT split, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS g
+          FROM (
+            SELECT split, UNNEST(list_transform(
+              range(1, len(toks) - 6),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                || toks[i+6] || ' ' || toks[i+7])) AS ng
+            FROM ts)),
+        tg AS (SELECT DISTINCT g FROM gr WHERE split = 'train'),
+        held AS (SELECT DISTINCT split, g FROM gr WHERE split <> 'train'),
+        lk AS (
+          SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked_grams
+          FROM held WHERE g IN (SELECT g FROM tg) GROUP BY split),
+        tot AS (
+          SELECT split, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM held GROUP BY split)
+        SELECT t.split, n_grams,
+          COALESCE(n_leaked_grams, 0) AS n_leaked_grams,
+          ROUND(CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams, 6)
+            AS leak_rate
+        FROM tot t LEFT JOIN lk ON lk.split = t.split
+        ORDER BY t.split"""))
   )
 }
