@@ -559,7 +559,10 @@ class ScaleStressSpec extends SparkTestBase {
     // round 10 second pass: the first-occurrence census is the new
     // heaviest doc-family entry (gram-key cardinality grows with the
     // salted vocab — the min() census must stay partial-agg linear)
-    "d29_ngram_novelty")
+    "d29_ngram_novelty",
+    // round 11: the memorization-risk score joins — its positional
+    // explode + census reuse is the heaviest new doc-family kernel
+    "d32_dup_window_fraction")
   private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
     shape.map {
       case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
