@@ -554,9 +554,14 @@ object EventOps {
     * opens the next. Append mode carries exactly the CLOSED intervals
     * (q92's is_current = 0 rows under per-key ts-ordered delivery,
     * spec-pinned); the open interval per user lives in state and is
-    * servable from the state store. State is two fields per ACTIVE
-    * key — the changelog-to-dimension maintenance loop of a warehouse,
-    * run incrementally.
+    * servable from the state store.
+    *
+    * State sizing: one (state, from) pair per key with NO timeout —
+    * deliberately. The state IS the current dimension row, so its
+    * cardinality equals the dimension's (#entities), exactly what any
+    * SCD-2 table stores; evicting it would forget an entity's current
+    * truth, not reclaim leaked memory. Callers who genuinely retire
+    * entities should emit an explicit tombstone event instead.
     */
   def scd2Stream(events: Dataset[(Long, String, Long, Long)]): DataFrame = {
     val spark = events.sparkSession

@@ -2925,6 +2925,40 @@ object CoreQueries {
           ON l.o_orderpriority = t.o_orderpriority
         ORDER BY t.o_orderpriority""")),
 
+    // ── q98: weekday×hour activity heatmap — the "when are users
+    //    active" profile: counts + share of total per (dow, hod) cell.
+    //    Day-of-week is pure epoch arithmetic ((days+3) % 7, 0=Monday)
+    //    on BOTH engines — immune to their differing dayofweek
+    //    conventions (the q40 lesson). 168-cell rollup + one scalar ─────
+    Q("q98_weekday_profile",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cells = ev.groupBy(
+            expr("((ts_sec div 86400) + 3) % 7").as("dow"),
+            expr("(ts_sec div 3600) % 24").as("hod"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        val tot = cells.agg(sum(col("n_events")).as("n_total"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hod"), col("n_events"),
+            col("total_value").cast("double").as("total_value"),
+            round(col("n_events").cast("double") / col("n_total"), 6)
+              .as("share"))
+          .orderBy("dow", "hod")
+      },
+      Some(Tables.eventsCte + """,
+        cells AS (
+          SELECT ((ts_sec // 86400) + 3) % 7 AS dow,
+            (ts_sec // 3600) % 24 AS hod,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+          FROM e GROUP BY 1, 2),
+        t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
+        SELECT dow, hod, n_events,
+          CAST(total_value AS DOUBLE) AS total_value,
+          ROUND(CAST(n_events AS DOUBLE) / n_total, 6) AS share
+        FROM cells CROSS JOIN t ORDER BY dow, hod""")),
+
     // ── q99: sliding-window distinct — "distinct users in the
     //    trailing 24 h, hourly" from MERGED HLL registers (register
     //    max = set union): registers build once per hour, the window
