@@ -328,6 +328,43 @@ object EventOps {
         sum(col("__graft_v")).cast("double").as("attributed_revenue"))
   }
 
+  /** First-touch attribution — [[attributedRevenue]]'s complement:
+    * each conversion credits the EARLIEST qualifying touch inside the
+    * window (the brand-awareness lens where last-touch is the
+    * closing-channel lens). One user-key equi join with the residual
+    * window predicate, then a per-conversion `min(struct)` pick —
+    * partial-aggregated, no per-user sort. Untouched conversions land
+    * in `(none)` so totals reconcile with the last-touch report.
+    */
+  def firstTouchAttributedRevenue(df: DataFrame, userCol: String,
+                                  typeCol: String, tsCol: String,
+                                  idCol: String, valueCol: String,
+                                  convType: String, touchTypes: Seq[String],
+                                  windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(!touchTypes.contains(convType), "conversion is not a touch")
+    require(windowSeconds > 0, "attribution window must be positive")
+    val touches = df.where(col(typeCol).isin(touchTypes.map(lit): _*))
+      .select(col(userCol).as("__tuser"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("__ttype"))
+    val conv = df.where(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("__cts"), col(idCol).as("__cid"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+    conv.join(touches,
+        col(userCol) === col("__tuser")
+          && col("__tts") <= col("__cts")
+          && col("__tts") >= col("__cts") - windowSeconds,
+        "left")
+      .groupBy(col("__cid"))
+      .agg(min(struct(col("__tts"), col("__tid"), col("__ttype"))).as("__f"),
+        max(col("__v")).as("__v")) // constant per conversion
+      .select(coalesce(col("__f.__ttype"), lit("(none)")).as("channel"),
+        col("__v"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__v")).cast("double").as("attributed_revenue"))
+  }
+
   /** Streaming twin of [[funnelSteps]] — the per-key stateful funnel
     * a faust app would build from a Table of "last reached step"
     * state, as `flatMapGroupsWithState`: state is one timestamp per

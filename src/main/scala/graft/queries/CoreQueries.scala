@@ -2978,6 +2978,103 @@ object CoreQueries {
         .replace("AS bucket", "AS hour_bucket")
         .replace("ORDER BY bucket", "ORDER BY hour_bucket"))),
 
+    // ── q101: attribution model comparison — the same conversions
+    //    credited first-touch vs last-touch, side by side per channel
+    //    (the report that shows how model choice moves budget; q70 is
+    //    the last-touch half). Channel-bounded full outer join of the
+    //    two rollups ────────────────────────────────────────────────────
+    Q("q101_attribution_compare",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val last = graft.ops.EventOps.attributedRevenue(ev, "user_id",
+          "event_type", "ts_sec", "event_id", "value", "purchase",
+          Seq("click", "view"), 86400L)
+          .select(col("channel"),
+            col("n_conversions").as("last_n"),
+            col("attributed_revenue").as("last_revenue"))
+        val first = graft.ops.EventOps.firstTouchAttributedRevenue(ev,
+          "user_id", "event_type", "ts_sec", "event_id", "value",
+          "purchase", Seq("click", "view"), 86400L)
+          .select(col("channel"),
+            col("n_conversions").as("first_n"),
+            col("attributed_revenue").as("first_revenue"))
+        last.join(first, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("last_n"), lit(0L)).as("last_n"),
+            coalesce(col("last_revenue"), lit(0.0)).as("last_revenue"),
+            coalesce(col("first_n"), lit(0L)).as("first_n"),
+            coalesce(col("first_revenue"), lit(0.0)).as("first_revenue"))
+          .orderBy("channel")
+      },
+      Some(Tables.eventsCte + """,
+        tch AS (
+          SELECT user_id, ts_sec, event_id, event_type FROM e
+          WHERE event_type IN ('click', 'view')),
+        cnv AS (
+          SELECT user_id, ts_sec AS cts, event_id AS cid,
+            CAST(value AS DECIMAL(18,2)) AS v
+          FROM e WHERE event_type = 'purchase'),
+        lastj AS (
+          SELECT c.cid, c.v, t.event_type, t.ts_sec, t.event_id,
+            ROW_NUMBER() OVER (PARTITION BY c.cid
+              ORDER BY t.ts_sec DESC, t.event_id DESC) AS rk
+          FROM cnv c LEFT JOIN tch t
+            ON t.user_id = c.user_id AND t.ts_sec <= c.cts
+            AND t.ts_sec >= c.cts - 86400),
+        lastc AS (
+          SELECT COALESCE(event_type, '(none)') AS channel,
+            CAST(COUNT(*) AS BIGINT) AS last_n,
+            CAST(SUM(v) AS DOUBLE) AS last_revenue
+          FROM lastj WHERE rk = 1 GROUP BY 1),
+        firstj AS (
+          SELECT c.cid, c.v, t.event_type, t.ts_sec, t.event_id,
+            ROW_NUMBER() OVER (PARTITION BY c.cid
+              ORDER BY t.ts_sec ASC, t.event_id ASC) AS rk
+          FROM cnv c LEFT JOIN tch t
+            ON t.user_id = c.user_id AND t.ts_sec <= c.cts
+            AND t.ts_sec >= c.cts - 86400),
+        firstc AS (
+          SELECT COALESCE(event_type, '(none)') AS channel,
+            CAST(COUNT(*) AS BIGINT) AS first_n,
+            CAST(SUM(v) AS DOUBLE) AS first_revenue
+          FROM firstj WHERE rk = 1 GROUP BY 1)
+        SELECT COALESCE(l.channel, f.channel) AS channel,
+          COALESCE(last_n, 0) AS last_n,
+          COALESCE(last_revenue, 0.0) AS last_revenue,
+          COALESCE(first_n, 0) AS first_n,
+          COALESCE(first_revenue, 0.0) AS first_revenue
+        FROM lastc l FULL OUTER JOIN firstc f ON f.channel = l.channel
+        ORDER BY channel""")),
+
+    // ── q102: order-to-ship latency — p50/p90 shipping delay days per
+    //    priority over the fact pair (q80's latency lens on the
+    //    warehouse tables). Priorities-many rollup ──────────────────────
+    Q("q102_ship_latency",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          (unix_micros(col("l_shipdate").cast("timestamp"))
+            - unix_micros(col("o_orderdate").cast("timestamp")))
+            .divide(86400000000.0).as("lat_days"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(expr("percentile(lat_days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(lat_days, 0.9)"), 6).as("p90_days"),
+          round(max(col("lat_days")), 6).as("max_days"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH j AS (
+          SELECT o_orderpriority,
+            (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+              / 86400000000.0 AS lat_days
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+        SELECT o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+          ROUND(quantile_cont(lat_days, 0.5), 6) AS p50_days,
+          ROUND(quantile_cont(lat_days, 0.9), 6) AS p90_days,
+          ROUND(MAX(lat_days), 6) AS max_days
+        FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered
