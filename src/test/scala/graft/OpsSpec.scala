@@ -1504,10 +1504,15 @@ class OpsSpec extends SparkTestBase {
     val perSubI = trained.groupBy("sub", "i").agg(sum("n").as("tot"))
       .select("tot").distinct().as[Long].collect().toSeq
     assert(perSubI == Seq(n), s"per-(sub,i) coverage $perSubI != $n")
-    // all m subspaces train through ONE update shuffle
-    val exchanges = trained.queryExecution.executedPlan.toString
-      .linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected 1 update shuffle, got $exchanges")
+    // the update round is bounded: the broadcast codebook join (plan-
+    // stable across rounds — codegen cached, the round-11 perf fix),
+    // the (id, sub) argmin agg, and the (sub, cell, i) mean agg; the
+    // codebook itself rides a BroadcastExchange, never a shuffle
+    val plan = trained.queryExecution.executedPlan.toString
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2, s"expected <=2 keyed update shuffles, got $hashEx")
+    assert(plan.contains("BroadcastExchange"),
+      "codebook must broadcast (data, not literals)")
     intercept[IllegalArgumentException] {
       VectorOps.pqTrain(emb, "vec_id", "embedding",
         m = 3, nCentroids = 8, dim = 64, iters = 1)

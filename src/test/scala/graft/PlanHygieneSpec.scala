@@ -155,7 +155,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // q100_assoc_rules: the basket-count scalar — a 1-row count over
       // the (user, session) distinct frame, broadcast back into the
       // support/lift ratios; p09/t19's normalizer class.
-      "q100_assoc_rules")
+      "q100_assoc_rules",
+      // q98_weekday_profile: the 1-row event total over the 168-cell
+      // (dow, hod) rollup, broadcast back for the share — q85's class.
+      "q98_weekday_profile")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
