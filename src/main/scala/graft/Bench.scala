@@ -69,7 +69,8 @@ object Bench {
     "q95_seasonal_decompose", "q96_rfm_segments", "q97_late_shipment",
     "t43_sentence_chunks", "d34_entity_clusters", "q99_sliding_distinct",
     "t44_tokenizer_fertility", "q100_assoc_rules", "p25_split_leak_audit",
-    "q98_weekday_profile", "q101_attribution_compare", "q102_ship_latency")
+    "q98_weekday_profile", "q101_attribution_compare", "q102_ship_latency",
+    "q103_entry_path_conversion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

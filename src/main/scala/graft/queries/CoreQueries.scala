@@ -3075,6 +3075,81 @@ object CoreQueries {
           ROUND(MAX(lat_days), 6) AS max_days
         FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ── q103: conversion rate by entry path — which journey openings
+    //    convert: per q91 entry path, the share of sessions containing
+    //    a purchase (q91 counts openings, q60 one ordered funnel; this
+    //    joins the two lenses). Path labeling, purchase flag, and the
+    //    session rollup all ride ONE user-key window shuffle ────────────
+    Q("q103_entry_path_conversion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        val prev = lag(col("ts_sec"), 1).over(w)
+        val brk = when(prev.isNull || col("ts_sec") - prev > 43200L, 1L)
+          .otherwise(0L)
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withSess = ev.withColumn("__brk", brk)
+          .withColumn("__sess", sum(col("__brk")).over(cum))
+        val sess = col("__sess")
+        val t2 = when(lead(sess, 1).over(w) === sess,
+          lead(col("event_type"), 1).over(w))
+        val t3 = when(lead(sess, 2).over(w) === sess,
+          lead(col("event_type"), 2).over(w))
+        val path = when(col("__brk") === 1L,
+          concat_ws(">", col("event_type"), t2, t3))
+        val perSession = withSess
+          .withColumn("__path", path)
+          .groupBy(col("user_id"), sess.as("__s"))
+          .agg(max(col("__path")).as("path"), // exactly one non-null per session
+            max((col("event_type") === "purchase").cast("int"))
+              .as("converted"))
+        perSession.groupBy("path")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("converted")).as("n_converted"),
+            round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+              .as("conversion_rate"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(10)
+      },
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            LAG(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS prev_ts
+          FROM e),
+        m AS (
+          SELECT user_id, event_type, ts_sec, event_id,
+            CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+              THEN 1 ELSE 0 END AS brk,
+            SUM(CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 43200
+              THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM l),
+        g AS (
+          SELECT user_id, event_type, brk, sess,
+            CASE WHEN brk = 1 THEN concat_ws('>', event_type,
+              CASE WHEN LEAD(sess, 1) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id) = sess
+                THEN LEAD(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY ts_sec, event_id) END,
+              CASE WHEN LEAD(sess, 2) OVER (PARTITION BY user_id
+                ORDER BY ts_sec, event_id) = sess
+                THEN LEAD(event_type, 2) OVER (PARTITION BY user_id
+                  ORDER BY ts_sec, event_id) END) END AS path
+          FROM m),
+        ps AS (
+          SELECT user_id, sess, MAX(path) AS path,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS converted
+          FROM g GROUP BY user_id, sess)
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          CAST(SUM(converted) AS BIGINT) AS n_converted,
+          ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+            AS conversion_rate
+        FROM ps GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 10""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered
