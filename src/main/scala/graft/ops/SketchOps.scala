@@ -163,11 +163,7 @@ object SketchOps {
     val nn = df.where(col(keyCol).isNotNull)
     val regs = hllRegisters(nn, Seq(bucketCol), keyCol, p)
     val targets = nn.select(col(bucketCol).as("__t")).distinct()
-    val merged = targets.join(regs,
-        col(bucketCol).between(col("__t") - (windowSize - 1), col("__t")))
-      .groupBy(col("__t"), col("reg")).agg(max("mj").as("mj"))
-      .withColumnRenamed("__t", "bucket")
-    val est = hllEstimateFromRegisters(merged, Seq("bucket"), p)
+    val est = hllSlidingFromRegisters(regs, bucketCol, windowSize, p)
     val exact = targets.join(
         nn.select(col(bucketCol), col(keyCol)).distinct(),
         col(bucketCol).between(col("__t") - (windowSize - 1), col("__t")))
@@ -175,6 +171,25 @@ object SketchOps {
       .agg(countDistinct(col(keyCol)).as("exact_distinct"))
     est.join(exact, Seq("bucket"))
       .select(col("bucket"), col("exact_distinct"), col("hll_est"))
+  }
+
+  /** Serving half of [[hllSlidingDistinct]]: the sliding merge over an
+    * EXISTING per-bucket register frame — exactly what a streaming
+    * register log maintains in update mode ([[hllRegisters]] is the
+    * maintenance agg; [[hllEstimateFromRegisters]] max-dedups the log
+    * rows). The dashboard query reads sketch rows only; the stream is
+    * never re-scanned (spec: streamed registers ≡ batch sliding
+    * estimates, bit-equal).
+    */
+  def hllSlidingFromRegisters(regs: DataFrame, bucketCol: String,
+                              windowSize: Int, p: Int = 8): DataFrame = {
+    require(windowSize >= 1, "windowSize >= 1")
+    val targets = regs.select(col(bucketCol).as("__t")).distinct()
+    val merged = targets.join(regs,
+        col(bucketCol).between(col("__t") - (windowSize - 1), col("__t")))
+      .groupBy(col("__t"), col("reg")).agg(max("mj").as("mj"))
+      .withColumnRenamed("__t", "bucket")
+    hllEstimateFromRegisters(merged, Seq("bucket"), p)
   }
 
   /** Slice-pair set-intersection estimates by inclusion–exclusion

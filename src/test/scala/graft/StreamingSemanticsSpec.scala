@@ -82,6 +82,36 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding-distinct: window merges over the maintained register log") {
+    import graft.ops.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (hour bucket, user)
+    val regs = SketchOps.hllRegisters(
+      input.toDS().toDF("bucket", "user"), Seq("bucket"), "user", p = 8)
+    val q = regs.writeStream.format("memory").queryName("sliding_regs")
+      .outputMode("complete").start()
+    try {
+      // three hours of traffic with overlapping users across batches
+      val b1 = (1L to 300L).map(u => (0L, u)) ++ (100L to 350L).map(u => (1L, u))
+      val b2 = (200L to 600L).map(u => (2L, u)) ++ (301L to 400L).map(u => (0L, u))
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // the trailing-2h dashboard estimate reads ONLY the register log
+      val streamed = SketchOps.hllSlidingFromRegisters(
+        spark.table("sliding_regs"), "bucket", windowSize = 2, p = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = SketchOps.hllSlidingDistinct(
+        (b1 ++ b2).toDF("bucket", "user"), "bucket", "user",
+        windowSize = 2, p = 8)
+        .select($"bucket", $"hll_est")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // sanity: window 2 over hour 2 covers hours 1+2 →
+      // users 100..350 ∪ 200..600 = 100..600 (501 true)
+      assert(math.abs(streamed(2L) - 501) / 501.0 < 0.3, streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming CMS registers: bounded state, estimates match the batch sketch") {
     import graft.ops.SketchOps
     implicit val sqlCtx = spark.sqlContext
