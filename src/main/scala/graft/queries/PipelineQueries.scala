@@ -813,6 +813,32 @@ object PipelineQueries {
           ROUND(CAST(COALESCE(n_leaked_grams, 0) AS DOUBLE) / n_grams, 6)
             AS leak_rate
         FROM tot t LEFT JOIN lk ON lk.split = t.split
-        ORDER BY t.split"""))
+        ORDER BY t.split""")),
+
+    // ── p26: cluster-balanced sampling — keep probability 1/|cluster|
+    //    over d06's near-dup clusters, so CONTENT is sampled uniformly
+    //    instead of copies (dedup-by-downsampling: the soft alternative
+    //    to dropping that preserves natural duplication signal in
+    //    expectation-one form). Hash predicate stays narrow; the only
+    //    heavy stage is the cluster labeling it composes ────────────────
+    Q("p26_cluster_balanced_sample",
+      (s, dir) => {
+        val clusters = graft.ops.TextOps.dedupClustersMinHash(
+          Tables.documents(s, dir), "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+        clusters.where(
+            SampleOps.unitHash(col("doc_id"), "cb")
+              * col("cluster_size") < 1.0)
+          .select("doc_id", "cluster_id", "cluster_size")
+          .orderBy("doc_id")
+      },
+      Some(TextQueries.minhashClusterSql + """,
+        sel AS (
+          SELECT l.doc_id, l.cluster_id, s.cluster_size
+          FROM lab l JOIN sz s USING (cluster_id))
+        SELECT doc_id, cluster_id, cluster_size FROM sel
+        WHERE (('0x' || substr(md5('cb' || '#' || doc_id::VARCHAR), 1, 15))::BIGINT
+            / 1152921504606846976.0) * cluster_size < 1.0
+        ORDER BY doc_id"""))
   )
 }

@@ -109,6 +109,10 @@ object TextQueries {
     * per-doc labels (`lab`) + cluster sizes (`sz`). Ends open after
     * `sz` so callers append their own tail.
     */
+  /** Package-visible alias for cross-file reuse (p26 composes the
+    * same cluster chain). */
+  private[queries] def minhashClusterSql: String = minhashClusterCtes
+
   private val minhashClusterCtes = """WITH RECURSIVE toks AS (
           SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
           FROM documents),

@@ -130,6 +130,29 @@ class SampleOpsSpec extends SparkTestBase {
     rows.unpersist()
   }
 
+  test("cluster-balanced sample: singletons always survive, expectation one per cluster") {
+    val out = SparkEntry.queries("p26_cluster_balanced_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val clusters = graft.ops.TextOps.dedupClustersMinHash(
+      Tables.documents(spark, sf), "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val singletons = clusters.filter(_._3 == 1L).map(_._1).toSet
+    val kept = out.map(_._1).toSet
+    // keep prob 1/1 = certainty for unique content
+    assert(singletons.subsetOf(kept), "a singleton was dropped")
+    // per-cluster kept counts stay near expectation one (hash variance
+    // only; a cluster can't keep more than its members)
+    val perCluster = out.groupBy(_._2).map { case (c, rs) => c -> rs.length }
+    val sizes = clusters.groupBy(_._2).map { case (c, rs) => c -> rs.length }
+    perCluster.foreach { case (c, k) => assert(k <= sizes(c)) }
+    // rerun-stable
+    val again = SparkEntry.queries("p26_cluster_balanced_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("samplePerGroup: caps per group, deterministic") {
     val g = SampleOps.samplePerGroup(events, "event_type", "event_id", 50)
     val per = g.groupBy("event_type").count().as[(String, Long)].collect()
