@@ -3150,6 +3150,99 @@ object CoreQueries {
         FROM ps GROUP BY path
         ORDER BY n_sessions DESC, path LIMIT 10""")),
 
+    // ── q104: weekly movers — the biggest week-over-week changes per
+    //    event type (the "what moved" report on the q84 lens at type
+    //    grain): exact decimal deltas, top-10 by absolute change via
+    //    TakeOrderedAndProject ──────────────────────────────────────────
+    Q("q104_weekly_movers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts_sec div 604800").as("week"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+        val w = Window.partitionBy("event_type").orderBy("week")
+        val prev = lag(col("total"), 1).over(w)
+        weekly
+          .withColumn("prev_total", prev)
+          .where(col("prev_total").isNotNull)
+          .select(col("event_type"), col("week"),
+            col("total").cast("double").as("total"),
+            col("prev_total").cast("double").as("prev_total"),
+            (col("total") - col("prev_total")).cast("double").as("change"),
+            round((col("total") - col("prev_total")).cast("double")
+              / col("prev_total").cast("double"), 6).as("pct_change"))
+          .orderBy(abs(col("change")).desc, col("event_type"), col("week"))
+          .limit(10)
+      },
+      Some(Tables.eventsCte + """,
+        wk AS (
+          SELECT event_type, ts_sec // 604800 AS week,
+            SUM(CAST(value AS DECIMAL(18,2))) AS total
+          FROM e GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, week, total,
+            LAG(total) OVER (PARTITION BY event_type ORDER BY week)
+              AS prev_total
+          FROM wk)
+        SELECT event_type, week,
+          CAST(total AS DOUBLE) AS total,
+          CAST(prev_total AS DOUBLE) AS prev_total,
+          CAST(total - prev_total AS DOUBLE) AS change,
+          ROUND(CAST(total - prev_total AS DOUBLE)
+            / CAST(prev_total AS DOUBLE), 6) AS pct_change
+        FROM l WHERE prev_total IS NOT NULL
+        ORDER BY ABS(CAST(total - prev_total AS DOUBLE)) DESC,
+          event_type, week LIMIT 10""")),
+
+    // ── q105: inter-event gap spectrum — log2-bucketed histogram of
+    //    per-user gaps (the activity-cadence profile q27/q62's session
+    //    gap threshold is calibrated FROM). One user-key window, then
+    //    a ~32-bucket rollup ───────────────────────────────────────────
+    Q("q105_gap_spectrum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        val gap = col("ts_sec") - lag(col("ts_sec"), 1).over(w)
+        // integer log2 via binary length — floating log2 differs by an
+        // ulp across engines exactly AT powers of two (the buckets'
+        // own boundaries); the HLL rank uses the same trick
+        val bucket = when(col("gap") <= 0, lit(-1))
+          .otherwise((length(bin(col("gap"))) - 1).cast("int"))
+        val gaps = Tables.events(s, dir)
+          .withColumn("gap", gap)
+          .where(col("gap").isNotNull)
+        val tot = gaps.agg(count(lit(1)).as("n_total"))
+        gaps.select(bucket.as("log2_bucket"), col("gap"))
+          .groupBy("log2_bucket")
+          .agg(count(lit(1)).as("n_gaps"), min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap"))
+          .crossJoin(broadcast(tot))
+          .select(col("log2_bucket"), col("n_gaps"), col("min_gap"),
+            col("max_gap"),
+            round(col("n_gaps").cast("double") / col("n_total"), 6)
+              .as("share"))
+          .orderBy("log2_bucket")
+      },
+      Some(Tables.eventsCte + """,
+        l AS (
+          SELECT user_id, ts_sec,
+            ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id
+              ORDER BY ts_sec, event_id) AS gap
+          FROM e),
+        g AS (SELECT gap FROM l WHERE gap IS NOT NULL),
+        b AS (
+          SELECT CASE WHEN gap <= 0 THEN -1
+            ELSE CAST(length(bin(gap)) - 1 AS INT) END AS log2_bucket,
+            gap
+          FROM g),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b)
+        SELECT log2_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          MIN(gap) AS min_gap, MAX(gap) AS max_gap,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+        FROM b CROSS JOIN t GROUP BY log2_bucket
+        ORDER BY log2_bucket""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered

@@ -310,7 +310,45 @@ object WebQueries {
         SELECT node, pr, age_days,
           ROUND(pr * POWER(0.5e0, CAST(age_days AS DOUBLE) / 7.0e0), 9)
             AS priority
-        FROM aged ORDER BY priority DESC, node"""))
+        FROM aged ORDER BY priority DESC, node""")),
+
+    // ── u10: query-parameter census — which URL params the crawl
+    //    carries, how often, and which are tracking noise: the audit
+    //    that justifies (and extends) u02's strip list. Params-many
+    //    rollup + one scalar ────────────────────────────────────────────
+    Q("u10_param_census",
+      (s, dir) => {
+        val urls = urlFixture(Tables.documents(s, dir))
+        val q = UrlOps.query(col("url"))
+        val params = urls
+          .select(explode(split(coalesce(q, lit("")), "&")).as("p"))
+          .where(col("p") =!= "")
+          .select(split(col("p"), "=").getItem(0).as("param"))
+        val tot = params.agg(count(lit(1)).as("n_total"))
+        params.groupBy("param").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("param"), col("n"),
+            col("param").rlike("^(utm_.*|gclid|fbclid|ref)$")
+              .cast("int").as("is_tracking"),
+            round(col("n").cast("double") / col("n_total"), 6).as("share"))
+          .orderBy("param")
+      },
+      Some(s"""WITH $urlCte,
+        qp AS (
+          SELECT NULLIF(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '')
+            AS url_query
+          FROM u),
+        pr AS (
+          SELECT UNNEST(string_split(COALESCE(url_query, ''), '&')) AS p
+          FROM qp),
+        nm AS (
+          SELECT string_split(p, '=')[1] AS param FROM pr WHERE p <> ''),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM nm)
+        SELECT param, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(regexp_matches(param, '^(utm_.*|gclid|fbclid|ref)$$') AS INT)
+            AS is_tracking,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+        FROM nm CROSS JOIN t GROUP BY param ORDER BY param"""))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,
