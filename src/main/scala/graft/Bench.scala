@@ -71,7 +71,8 @@ object Bench {
     "t44_tokenizer_fertility", "q100_assoc_rules", "p25_split_leak_audit",
     "q98_weekday_profile", "q101_attribution_compare", "q102_ship_latency",
     "q103_entry_path_conversion", "p26_cluster_balanced_sample",
-    "q104_weekly_movers", "q105_gap_spectrum", "u10_param_census")
+    "q104_weekly_movers", "q105_gap_spectrum", "u10_param_census",
+    "q106_lag_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

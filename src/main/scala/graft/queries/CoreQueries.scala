@@ -3243,6 +3243,73 @@ object CoreQueries {
         FROM b CROSS JOIN t GROUP BY log2_bucket
         ORDER BY log2_bucket""")),
 
+    // ── q106: lead–lag cross-correlation — Pearson correlation of the
+    //    click and purchase HOURLY series at lags −6..+6 (does click
+    //    volume LEAD purchases?). Counts are integers, so every moment
+    //    is exact until the one final double formula; the lag join
+    //    runs on the gap-filled hour grid (q95's fixture) ────────────────
+    Q("q106_lag_correlation",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val mm = ev.agg(expr("min(ts_sec div 3600)").as("lo"),
+          expr("max(ts_sec div 3600)").as("hi"))
+        val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("hb"))
+        def series(t: String, cn: String) = grid.join(
+            ev.where(col("event_type") === t)
+              .groupBy(expr("ts_sec div 3600").as("hb"))
+              .agg(count(lit(1)).as(cn)),
+            Seq("hb"), "left")
+          .select(col("hb"), coalesce(col(cn), lit(0L)).as(cn))
+        val a = series("click", "a")
+        val b = series("purchase", "b")
+          .select(col("hb").as("hb_b"), col("b"))
+        val lagged = a.crossJoin(
+            broadcast(Tables.events(s, dir).sparkSession.range(-6, 7)
+              .select(col("id").as("lag"))))
+          .join(b, col("hb_b") === col("hb") + col("lag"))
+        val m = lagged.groupBy("lag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+            sum(col("a") * col("b")).as("sab"),
+            sum(col("a") * col("a")).as("sa2"),
+            sum(col("b") * col("b")).as("sb2"))
+        m.select(col("lag"), col("n"),
+            round((col("n") * col("sab") - col("sa") * col("sb"))
+              .cast("double")
+              / sqrt(((col("n") * col("sa2") - col("sa") * col("sa"))
+                * (col("n") * col("sb2") - col("sb") * col("sb")))
+                .cast("double")), 6).as("corr"))
+          .orderBy("lag")
+      },
+      Some(Tables.eventsCte + """,
+        mm AS (SELECT MIN(ts_sec // 3600) AS lo, MAX(ts_sec // 3600) AS hi
+               FROM e),
+        grid AS (SELECT UNNEST(range(lo, hi + 1)) AS hb FROM mm),
+        ca AS (SELECT ts_sec // 3600 AS hb, CAST(COUNT(*) AS BIGINT) AS a
+               FROM e WHERE event_type = 'click' GROUP BY 1),
+        cb AS (SELECT ts_sec // 3600 AS hb, CAST(COUNT(*) AS BIGINT) AS b
+               FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        sa AS (SELECT g.hb, COALESCE(ca.a, 0) AS a
+               FROM grid g LEFT JOIN ca ON ca.hb = g.hb),
+        sb AS (SELECT g.hb AS hb_b, COALESCE(cb.b, 0) AS b
+               FROM grid g LEFT JOIN cb ON cb.hb = g.hb),
+        lg AS (SELECT UNNEST(range(-6, 7)) AS lag),
+        j AS (
+          SELECT lg.lag, sa.a, sb.b
+          FROM sa CROSS JOIN lg JOIN sb ON sb.hb_b = sa.hb + lg.lag),
+        m AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+            CAST(SUM(a * b) AS BIGINT) AS sab,
+            CAST(SUM(a * a) AS BIGINT) AS sa2,
+            CAST(SUM(b * b) AS BIGINT) AS sb2
+          FROM j GROUP BY lag)
+        SELECT lag, n,
+          ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+            / SQRT(CAST((n * sa2 - sa * sa) * (n * sb2 - sb * sb)
+              AS DOUBLE)), 6) AS corr
+        FROM m ORDER BY lag""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered
