@@ -158,7 +158,17 @@ class PlanHygieneSpec extends SparkTestBase {
       "q100_assoc_rules",
       // q98_weekday_profile: the 1-row event total over the 168-cell
       // (dow, hod) rollup, broadcast back for the share — q85's class.
-      "q98_weekday_profile")
+      "q98_weekday_profile",
+      // q105_gap_spectrum: the 1-row gap total over the ≤ ~40-bucket
+      // log2 census, broadcast back for the share — q98's class.
+      "q105_gap_spectrum",
+      // u10_param_census: the 1-row param total over the params-many
+      // census — q98's class.
+      "u10_param_census",
+      // q106_lag_correlation: the 1-row min/max hour scalar that seeds
+      // the gap-filled grid (q95's fixture) plus the 13-row lag list —
+      // both calendar/constant-bounded tails.
+      "q106_lag_correlation")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
