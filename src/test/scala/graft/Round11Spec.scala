@@ -96,6 +96,53 @@ class Round11Spec extends SparkTestBase {
     assert(math.abs(total - 1.0) < 1e-4, s"shares sum to $total")
   }
 
+  test("q101 attribution models reconcile: same conversions, same revenue") {
+    val rows = q("q101_attribution_compare")
+      .select($"last_n", $"last_revenue", $"first_n", $"first_revenue")
+      .as[(Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // both models attribute EVERY conversion exactly once, so totals
+    // match each other and the raw purchase count/revenue
+    val purchases = Tables.events(spark, sf)
+      .where($"event_type" === "purchase")
+    val nP = purchases.count()
+    val rev = purchases.agg(sum($"value".cast("decimal(18,2)")))
+      .head().getDecimal(0).doubleValue()
+    assert(rows.map(_._1).sum == nP && rows.map(_._3).sum == nP)
+    assert(math.abs(rows.map(_._2).sum - rev) < 1e-6)
+    assert(math.abs(rows.map(_._4).sum - rev) < 1e-6)
+  }
+
+  test("q97/q102 warehouse reports: late counts bounded, percentiles ordered") {
+    val late = q("q97_late_shipment")
+      .select($"n_orders", $"late_orders", $"late_share")
+      .as[(Long, Long, Double)].collect()
+    assert(late.nonEmpty)
+    late.foreach { case (n, l, s) =>
+      assert(l <= n && math.abs(s - l.toDouble / n) < 1e-6)
+    }
+    val lat = q("q102_ship_latency")
+      .select($"p50_days", $"p90_days", $"max_days")
+      .as[(Double, Double, Double)].collect()
+    assert(lat.nonEmpty)
+    lat.foreach { case (p50, p90, mx) =>
+      assert(p50 <= p90 + 1e-9 && p90 <= mx + 1e-9)
+    }
+  }
+
+  test("q98 heatmap shares sum to one; q103 conversions bounded by sessions") {
+    val shares = q("q98_weekday_profile").select($"share")
+      .as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    val paths = q("q103_entry_path_conversion")
+      .select($"n_sessions", $"n_converted", $"conversion_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(paths.nonEmpty)
+    paths.foreach { case (n, c, r) =>
+      assert(c <= n && math.abs(r - c.toDouble / n) < 1e-6)
+    }
+  }
+
   test("p25 leak audit: leaked grams never exceed the split's gram count") {
     val rows = q("p25_split_leak_audit")
       .select($"n_grams", $"n_leaked_grams", $"leak_rate")
