@@ -143,6 +143,40 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  test("t40 confusion rows close per language; t44 fertility never below one") {
+    val conf = q("t40_lang_confusion")
+      .select($"lang", $"row_rate").as[(String, Double)].collect()
+    assert(conf.nonEmpty)
+    conf.groupBy(_._1).foreach { case (lang, rs) =>
+      val s = rs.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$lang row rates sum to $s")
+    }
+    // BPE only SPLITS words — every token yields >= 1 subword
+    val fert = q("t44_tokenizer_fertility")
+      .select($"fertility").as[Double].collect()
+    assert(fert.nonEmpty && fert.forall(_ >= 1.0 - 1e-9), fert.toSeq.toString)
+  }
+
+  test("d32 fractions bounded; u09 decay only lowers priority; u10 shares close") {
+    val d32 = q("d32_dup_window_fraction")
+      .select($"n_windows", $"n_dup_windows", $"dup_window_fraction")
+      .as[(Long, Long, Double)].collect()
+    assert(d32.nonEmpty)
+    d32.foreach { case (n, d, f) =>
+      assert(d <= n && f >= 0.0 && f <= 1.0)
+    }
+    val u09 = q("u09_crawl_priority")
+      .select($"pr", $"age_days", $"priority")
+      .as[(Double, Int, Double)].collect()
+    assert(u09.nonEmpty)
+    u09.foreach { case (pr, age, pri) =>
+      assert(pri <= pr + 1e-9, "freshness decay cannot raise priority")
+      if (age == 0) assert(math.abs(pri - pr) < 1e-8, "zero age keeps rank")
+    }
+    val u10 = q("u10_param_census").select($"share").as[Double].collect()
+    assert(math.abs(u10.sum - 1.0) < 1e-4)
+  }
+
   test("p25 leak audit: leaked grams never exceed the split's gram count") {
     val rows = q("p25_split_leak_audit")
       .select($"n_grams", $"n_leaked_grams", $"leak_rate")
