@@ -3310,6 +3310,45 @@ object CoreQueries {
               AS DOUBLE)), 6) AS corr
         FROM m ORDER BY lag""")),
 
+    // ── q107: local-supplier volume — the TPC-H Q5 shape: revenue
+    //    from lineitems whose supplier sits in the CUSTOMER's nation,
+    //    rolled per nation. The one fact-fact shuffle is
+    //    lineitem⋈orders on orderkey; supplier/customer/nation/region
+    //    all broadcast; the local-supplier constraint is a residual
+    //    equality on the two nation keys ────────────────────────────────
+    Q("q107_local_supplier_volume",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(18,2)")
+            - col("l_discount").cast("decimal(18,2)"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_lineitems"),
+            sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+          CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1.0 AS DECIMAL(18,2))
+              - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered
