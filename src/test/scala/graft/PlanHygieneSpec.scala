@@ -1,7 +1,7 @@
 package graft
 
 /** Blanket plan hygiene over the ENTIRE query surface: properties
-  * every one of the ~80 registered queries must satisfy to survive a
+  * every one of the 250 registered queries must satisfy to survive a
   * 100× scale-up. Individual plan shapes are asserted in PlanSpec /
   * LayoutSpec / AsOfJoinSpec; this sweep guards against regressions
   * anywhere in the surface.
