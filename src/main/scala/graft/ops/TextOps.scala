@@ -185,6 +185,27 @@ object TextOps {
       .select("id_a", "id_b", "key_a", "key_b", "distance")
   }
 
+  /** Incremental flavor of [[fuzzyKeyPairs]] — the entity-resolution
+    * ingest shape: new records match against the EXISTING corpus only
+    * (increment × history inside shared blocks), the d09/d31 growing-
+    * corpus contract. Within-increment pairs are the caller's batch
+    * [[fuzzyKeyPairs]] pass if needed; history never self-joins.
+    */
+  def fuzzyKeyPairsIncremental(increment: DataFrame, history: DataFrame,
+                               idCol: String, keyCol: Column,
+                               blockKey: Column, maxDistance: Int)
+      : DataFrame = {
+    require(maxDistance >= 0, "maxDistance >= 0")
+    val a = increment.select(col(idCol).as("id_new"), keyCol.as("key_new"),
+      blockKey.as("__blk"))
+    val b = history.select(col(idCol).as("id_old"), keyCol.as("key_old"),
+      blockKey.as("__blk"))
+    a.join(b, Seq("__blk"))
+      .withColumn("distance", levenshtein(col("key_new"), col("key_old")))
+      .where(col("distance") <= maxDistance)
+      .select("id_new", "id_old", "key_new", "key_old", "distance")
+  }
+
   /** Blocklist screening — per-doc hit count / rate over a fixed term
     * list (the wordlist-filter tier of toxicity/unsafe-content
     * screening; real pipelines chain a classifier behind it, the scan

@@ -3349,6 +3349,53 @@ object CoreQueries {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // ── q108: growth accounting — every active (user, day) classified
+    //    new / retained / resurrected by the gap to the user's
+    //    PREVIOUS active day (≤7 retained, >7 resurrected; q89 only
+    //    splits new vs returning). One user-key window over the
+    //    (user, day) distinct, day rollup bounded by the range ──────────
+    Q("q108_growth_accounting",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val prev = lag(col("day"), 1).over(w)
+        val cls = when(prev.isNull, lit("new"))
+          .when(col("day") - prev <= 7, lit("retained"))
+          .otherwise(lit("resurrected"))
+        days.withColumn("category", cls)
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users"),
+            count(when(col("category") === "new", 1)).as("new_users"),
+            count(when(col("category") === "retained", 1))
+              .as("retained_users"),
+            count(when(col("category") === "resurrected", 1))
+              .as("resurrected_users"))
+          .orderBy("day")
+      },
+      Some(Tables.eventsCte + """,
+        d AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM e),
+        l AS (
+          SELECT user_id, day,
+            LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+          FROM d),
+        c AS (
+          SELECT day,
+            CASE WHEN prev_day IS NULL THEN 'new'
+                 WHEN day - prev_day <= 7 THEN 'retained'
+                 ELSE 'resurrected' END AS category
+          FROM l)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users,
+          CAST(COUNT(CASE WHEN category = 'new' THEN 1 END) AS BIGINT)
+            AS new_users,
+          CAST(COUNT(CASE WHEN category = 'retained' THEN 1 END) AS BIGINT)
+            AS retained_users,
+          CAST(COUNT(CASE WHEN category = 'resurrected' THEN 1 END)
+            AS BIGINT) AS resurrected_users
+        FROM c GROUP BY day ORDER BY day""")),
+
     // ── q100: association rules — support/confidence/lift for
     //    event-type pairs co-occurring in a session (the market-basket
     //    classic; q75 counts ORDERED steps, this counts unordered

@@ -2516,6 +2516,34 @@ object TextQueries {
         FROM lab l JOIN sizes s ON s.cluster_id = l.cluster_id
         ORDER BY l.doc_id""")),
 
+    // ── d35: incremental entity matching — the d31 increment slice of
+    //    new records matched against the existing corpus only (increment ×
+    //    history inside shared blocks; history never self-joins): the
+    //    ingest half of d33/d34's entity resolution ─────────────────────
+    Q("d35_entity_match_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.fuzzyKeyPairsIncremental(
+          docs.where(col("doc_id") % 19 === 3),
+          docs.where(col("doc_id") % 19 =!= 3),
+          "doc_id",
+          keyCol = substring(col("text"), 1, 12),
+          blockKey = substring(col("text"), 1, 4),
+          maxDistance = 2)
+          .orderBy("id_new", "id_old")
+      },
+      Some("""WITH n AS (
+          SELECT doc_id, substr(text, 1, 12) AS nm,
+            substr(text, 1, 4) AS blk
+          FROM documents)
+        SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+          a.nm AS key_new, b.nm AS key_old,
+          CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+        FROM n a JOIN n b ON a.blk = b.blk
+        WHERE a.doc_id % 19 = 3 AND b.doc_id % 19 <> 3
+          AND levenshtein(a.nm, b.nm) <= 2
+        ORDER BY id_new, id_old""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────
