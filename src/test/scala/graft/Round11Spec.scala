@@ -177,6 +177,56 @@ class Round11Spec extends SparkTestBase {
     assert(math.abs(u10.sum - 1.0) < 1e-4)
   }
 
+  test("q108 reconciles with q89: same actives, same new users, categories close") {
+    val acc = q("q108_growth_accounting")
+      .select($"day", $"active_users", $"new_users", $"retained_users",
+        $"resurrected_users")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // two independently implemented queries agree on the shared facts
+    val nvr = q("q89_new_vs_returning")
+      .select($"day", $"active_users", $"new_users")
+      .as[(Long, Long, Long)].collect()
+    assert(nvr.nonEmpty && nvr.length == acc.size)
+    nvr.foreach { case (d, active, newU) =>
+      val a = acc(d)
+      assert(a._2 == active, s"day $d actives ${a._2} != $active")
+      assert(a._3 == newU, s"day $d new ${a._3} != $newU")
+      assert(a._3 + a._4 + a._5 == a._2, s"day $d categories do not close")
+    }
+  }
+
+  test("d35 increment pairs are exactly d33's pairs crossing the slice boundary") {
+    val inc = q("d35_entity_match_incremental")
+      .select($"id_new", $"id_old").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val full = q("d33_fuzzy_key_pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val crossing = full.filter { case (a, b) =>
+      (a % 19 == 3) != (b % 19 == 3)
+    }.toSet
+    assert(inc == crossing, s"inc=${inc.size} crossing=${crossing.size}")
+  }
+
+  test("q107 revenue per nation is bounded by the unconstrained nation revenue") {
+    val local = q("q107_local_supplier_volume")
+      .select($"n_name", $"revenue").as[(String, Double)].collect().toMap
+    // relaxing the local-supplier constraint can only grow revenue
+    val all = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")
+        * (lit(1.0).cast("decimal(18,2)")
+          - $"l_discount".cast("decimal(18,2)"))).cast("double").as("rev"))
+      .as[(String, Double)].collect().toMap
+    assert(local.nonEmpty)
+    local.foreach { case (n, r) =>
+      assert(r <= all(n) + 1e-6, s"$n local $r exceeds total ${all(n)}")
+    }
+  }
+
   test("p25 leak audit: leaked grams never exceed the split's gram count") {
     val rows = q("p25_split_leak_audit")
       .select($"n_grams", $"n_leaked_grams", $"leak_rate")
