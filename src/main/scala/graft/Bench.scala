@@ -73,7 +73,8 @@ object Bench {
     "q103_entry_path_conversion", "p26_cluster_balanced_sample",
     "q104_weekly_movers", "q105_gap_spectrum", "u10_param_census",
     "q106_lag_correlation", "q107_local_supplier_volume",
-    "q108_growth_accounting", "d35_entity_match_incremental")
+    "q108_growth_accounting", "d35_entity_match_incremental",
+    "t46_heaps_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2544,6 +2544,60 @@ object TextQueries {
           AND levenshtein(a.nm, b.nm) <= 2
         ORDER BY id_new, id_old""")),
 
+    // ── t46: vocabulary growth curve (Heaps' law) — distinct terms vs
+    //    corpus tokens at 8 doc-id checkpoints, from the first-
+    //    occurrence census (d29's machinery): vocab(k) = terms first
+    //    seen below the cut. The t32 Zipf audit's companion — together
+    //    they are the corpus-statistics card ─────────────────────────────
+    Q("t46_heaps_curve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val firstSeen = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+        val docToks = docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val cuts = mx.select(explode(sequence(lit(1), lit(8))).as("i"),
+            col("mx"))
+          .select(col("i"), expr("((mx + 1) * i) div 8").as("cut"))
+        cuts
+          .join(firstSeen, col("first_doc") < col("cut"), "left")
+          .groupBy("i", "cut")
+          .agg(count(col("term")).as("vocab"))
+          .join(
+            cuts.join(docToks, col("doc_id") < col("cut"), "left")
+              .groupBy(col("i").as("i2"))
+              .agg(coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens")),
+            col("i") === col("i2"))
+          .select(col("i"), col("cut"), col("n_tokens"), col("vocab"))
+          .orderBy("i")
+      },
+      Some("""WITH fs AS (
+          SELECT term, MIN(doc_id) AS first_doc FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents)
+          GROUP BY term),
+        dt AS (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        cuts AS (
+          SELECT i, ((mx + 1) * i) // 8 AS cut
+          FROM mx CROSS JOIN (SELECT UNNEST(range(1, 9)) AS i)),
+        v AS (
+          SELECT c.i, c.cut, CAST(COUNT(fs.term) AS BIGINT) AS vocab
+          FROM cuts c LEFT JOIN fs ON fs.first_doc < c.cut
+          GROUP BY c.i, c.cut),
+        t AS (
+          SELECT c.i, CAST(COALESCE(SUM(dt.n_toks), 0) AS BIGINT)
+            AS n_tokens
+          FROM cuts c LEFT JOIN dt ON dt.doc_id < c.cut
+          GROUP BY c.i)
+        SELECT v.i, v.cut, t.n_tokens, v.vocab
+        FROM v JOIN t ON t.i = v.i ORDER BY v.i""")),
+
     // ── t39: blocklist screening — whole-token wordlist hits per doc
     //    (the scan tier of unsafe-content filtering; classifiers chain
     //    behind this shape). Zero-shuffle scalar bundle ─────────────────

@@ -168,7 +168,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // q106_lag_correlation: the 1-row min/max hour scalar that seeds
       // the gap-filled grid (q95's fixture) plus the 13-row lag list —
       // both calendar/constant-bounded tails.
-      "q106_lag_correlation")
+      "q106_lag_correlation",
+      // t46_heaps_curve: the 1-row max-doc scalar that seeds the
+      // 8-row checkpoint frame — q106's grid-seed class.
+      "t46_heaps_curve")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
