@@ -74,7 +74,7 @@ object Bench {
     "q104_weekly_movers", "q105_gap_spectrum", "u10_param_census",
     "q106_lag_correlation", "q107_local_supplier_volume",
     "q108_growth_accounting", "d35_entity_match_incremental",
-    "t46_heaps_curve")
+    "t46_heaps_curve", "p27_split_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

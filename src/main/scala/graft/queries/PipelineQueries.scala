@@ -839,6 +839,82 @@ object PipelineQueries {
         SELECT doc_id, cluster_id, cluster_size FROM sel
         WHERE (('0x' || substr(md5('cb' || '#' || doc_id::VARCHAR), 1, 15))::BIGINT
             / 1152921504606846976.0) * cluster_size < 1.0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── p27: split drift (PSI) — Population Stability Index of the
+    //    doc-length distribution between TRAIN and each held-out split
+    //    (the standard ML monitoring score; > 0.2 flags drift). Ten
+    //    equal-width buckets off a 1-row min/max scalar, Laplace-
+    //    smoothed shares, and the PSI fold runs bucket-ordered (the
+    //    q95 lesson: unordered double sums can flip the 6-dp snap) ──────
+    Q("p27_split_psi",
+      (s, dir) => {
+        val docs = SampleOps.hashSplit(Tables.documents(s, dir), "doc_id",
+            Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+          .select(col("split"), col("n_chars").cast("double").as("x"))
+        val mm = docs.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        val width = (col("hi") - col("lo")) / lit(10.0)
+        val bucket = least(floor((col("x") - col("lo")) / width), lit(9.0))
+          .cast("int")
+        val counts = docs.crossJoin(broadcast(mm))
+          .select(col("split"), bucket.as("bucket"))
+          .groupBy("split", "bucket").agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("split").agg(sum(col("n")).as("nt"))
+        val sh = counts.join(broadcast(totals), Seq("split"))
+          .select(col("split"), col("bucket"),
+            ((col("n") + 1).cast("double") / (col("nt") + 10))
+              .as("share")) // Laplace: every bucket strictly positive
+        // inner join on bucket: a bucket absent from either side
+        // contributes no term (both engines apply the same convention;
+        // at these corpus sizes every bucket is populated)
+        val train = sh.where(col("split") === "train")
+          .select(col("bucket"), col("share").as("p_train"))
+        val held = sh.where(col("split") =!= "train")
+        held.join(train, Seq("bucket"))
+          .select(col("split"), col("bucket"),
+            ((col("share") - col("p_train"))
+              * log(col("share") / col("p_train"))).as("term"))
+          .groupBy("split")
+          .agg(round(aggregate(transform(
+            sort_array(collect_list(struct(col("bucket"), col("term")))),
+            t => t.getField("term")), lit(0.0), (a, x) => a + x), 6)
+            .as("psi"))
+          .orderBy("split")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM documents),
+        sp AS (
+          SELECT x,
+            CASE WHEN uh < 8.0/10 THEN 'train'
+                 WHEN uh < 8.0/10 + 1.0/10 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM u),
+        mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM sp),
+        b AS (
+          SELECT split,
+            CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / 10.0)), 9.0) AS INT)
+              AS bucket
+          FROM sp CROSS JOIN mm),
+        c AS (SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2),
+        t AS (SELECT split, CAST(SUM(n) AS BIGINT) AS nt
+              FROM c GROUP BY split),
+        sh AS (
+          SELECT c.split, c.bucket,
+            CAST(c.n + 1 AS DOUBLE) / (t.nt + 10) AS share
+          FROM c JOIN t ON t.split = c.split),
+        tr AS (SELECT bucket, share AS p_train FROM sh
+               WHERE split = 'train'),
+        terms AS (
+          SELECT sh.split, sh.bucket,
+            (sh.share - tr.p_train) * ln(sh.share / tr.p_train) AS term
+          FROM sh JOIN tr ON tr.bucket = sh.bucket
+          WHERE sh.split <> 'train')
+        SELECT split,
+          ROUND(list_sum(list(term ORDER BY bucket)), 6) AS psi
+        FROM terms GROUP BY split ORDER BY split"""))
   )
 }

@@ -171,7 +171,10 @@ class PlanHygieneSpec extends SparkTestBase {
       "q106_lag_correlation",
       // t46_heaps_curve: the 1-row max-doc scalar that seeds the
       // 8-row checkpoint frame — q106's grid-seed class.
-      "t46_heaps_curve")
+      "t46_heaps_curve",
+      // p27_split_psi: q85's 1-row min/max bucket-seed scalar plus the
+      // splits-many totals broadcast — both bounded tails.
+      "p27_split_psi")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
