@@ -89,7 +89,7 @@ object EventOps {
         count(lit(1)).as("n_events"))
   }
 
-  /** Top session ENTRY paths — the first `depth` event types of every
+  /** Top session ENTRY paths — the first 3 event types of every
     * session (the "how do journeys start" report; [[transitionMatrix]]
     * counts all pairwise steps, this counts the opening sequences).
     * Sessions use [[sessionize]]'s gap rule. Shorter sessions yield

@@ -117,9 +117,9 @@ object UrlOps {
 
   /** Robots.txt-style path rules with LONGEST-PREFIX-MATCH precedence
     * (the Google robots matcher semantics, REP RFC 9309 §2.2.2: the
-    * most specific matching rule wins; equal-length allow beats
-    * disallow — here length ties are broken by lexicographic rule
-    * order, deterministic either way). Rules are (pathPrefix, allow);
+    * most specific matching rule wins; an equal-specificity allow
+    * beats disallow — ties sort allow-first so the allow rule is the
+    * outermost `when` and wins). Rules are (pathPrefix, allow);
     * unmatched paths get `defaultAllow`. Compiles to ONE zero-shuffle
     * `when` chain — at 100 TB this is a scan-local scalar filter; a
     * per-host rules TABLE would instead broadcast-join on host and
@@ -128,7 +128,10 @@ object UrlOps {
   def robotsClassify(pathCol: Column, rules: Seq[(String, Boolean)],
                      defaultAllow: Boolean = true): Seq[(String, Column)] = {
     require(rules.nonEmpty, "at least one rule")
-    val sorted = rules.sortBy { case (p, a) => (-p.length, p, a) }
+    // foldRight makes the FIRST sorted rule the outermost branch, so
+    // within an equal-length prefix tie allow (!a == false) sorts —
+    // and therefore matches — first, per RFC 9309 §2.2.2.
+    val sorted = rules.sortBy { case (p, a) => (-p.length, p, !a) }
     val matchedRule = sorted.foldRight(lit(null).cast("string")) {
       case ((p, _), els) => when(pathCol.startsWith(p), lit(p)).otherwise(els)
     }

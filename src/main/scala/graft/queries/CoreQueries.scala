@@ -2298,7 +2298,11 @@ object CoreQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
         val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-        val width = (col("hi") - col("lo")) / lit(20.0)
+        // degenerate all-equal column: width 0 would make floor(0/0)=NaN
+        // and drop every row into a null bucket; width 1 puts them all
+        // in bucket 0 instead (same CASE guard in the oracle)
+        val width = when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")) / lit(20.0))
         val bucket =
           least(floor((col("x") - col("lo")) / width), lit(19.0)).cast("int")
         val counts = li.crossJoin(broadcast(mm))
@@ -2312,16 +2316,19 @@ object CoreQueries {
           .orderBy("bucket")
       },
       Some("""WITH mm AS (
-          SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
-          FROM lineitem),
+          SELECT lo, hi,
+            CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 20.0 END AS width
+          FROM (SELECT MIN(l_extendedprice) AS lo,
+                       MAX(l_extendedprice) AS hi
+                FROM lineitem)),
         b AS (
           SELECT CAST(LEAST(FLOOR((l_extendedprice - lo)
-              / ((hi - lo) / 20.0)), 19.0) AS INT) AS bucket
+              / width), 19.0) AS INT) AS bucket
           FROM lineitem CROSS JOIN mm),
         c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
         SELECT bucket,
-          lo + bucket * ((hi - lo) / 20.0) AS bucket_lo,
-          lo + (bucket + 1) * ((hi - lo) / 20.0) AS bucket_hi,
+          lo + bucket * width AS bucket_lo,
+          lo + (bucket + 1) * width AS bucket_hi,
           n
         FROM c CROSS JOIN mm ORDER BY bucket""")),
 
@@ -3267,18 +3274,25 @@ object CoreQueries {
             broadcast(Tables.events(s, dir).sparkSession.range(-6, 7)
               .select(col("id").as("lag"))))
           .join(b, col("hb_b") === col("hb") + col("lag"))
+        // moments in decimal(38,0): Long products a*b would silently
+        // overflow with production-scale hourly counts; the cross
+        // products then run in double (identical IEEE math on both
+        // engines) so they can never overflow either
+        def d(c: Column) = c.cast("decimal(19,0)")
         val m = lagged.groupBy("lag")
           .agg(count(lit(1)).as("n"),
-            sum(col("a")).as("sa"), sum(col("b")).as("sb"),
-            sum(col("a") * col("b")).as("sab"),
-            sum(col("a") * col("a")).as("sa2"),
-            sum(col("b") * col("b")).as("sb2"))
+            sum(d(col("a"))).as("sa"), sum(d(col("b"))).as("sb"),
+            sum(d(col("a")) * d(col("b"))).as("sab"),
+            sum(d(col("a")) * d(col("a"))).as("sa2"),
+            sum(d(col("b")) * d(col("b"))).as("sb2"))
+        def dd(c: Column) = c.cast("double")
         m.select(col("lag"), col("n"),
-            round((col("n") * col("sab") - col("sa") * col("sb"))
-              .cast("double")
-              / sqrt(((col("n") * col("sa2") - col("sa") * col("sa"))
-                * (col("n") * col("sb2") - col("sb") * col("sb")))
-                .cast("double")), 6).as("corr"))
+            round((dd(col("n")) * dd(col("sab"))
+                - dd(col("sa")) * dd(col("sb")))
+              / sqrt((dd(col("n")) * dd(col("sa2"))
+                  - dd(col("sa")) * dd(col("sa")))
+                * (dd(col("n")) * dd(col("sb2"))
+                  - dd(col("sb")) * dd(col("sb")))), 6).as("corr"))
           .orderBy("lag")
       },
       Some(Tables.eventsCte + """,
@@ -3299,15 +3313,19 @@ object CoreQueries {
           FROM sa CROSS JOIN lg JOIN sb ON sb.hb_b = sa.hb + lg.lag),
         m AS (
           SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-            CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
-            CAST(SUM(a * b) AS BIGINT) AS sab,
-            CAST(SUM(a * a) AS BIGINT) AS sa2,
-            CAST(SUM(b * b) AS BIGINT) AS sb2
+            SUM(CAST(a AS DECIMAL(19,0))) AS sa,
+            SUM(CAST(b AS DECIMAL(19,0))) AS sb,
+            SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sab,
+            SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))) AS sa2,
+            SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sb2
           FROM j GROUP BY lag)
         SELECT lag, n,
-          ROUND(CAST(n * sab - sa * sb AS DOUBLE)
-            / SQRT(CAST((n * sa2 - sa * sa) * (n * sb2 - sb * sb)
-              AS DOUBLE)), 6) AS corr
+          ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+            / SQRT((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE)
+                - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
         FROM m ORDER BY lag""")),
 
     // ── q107: local-supplier volume — the TPC-H Q5 shape: revenue

@@ -853,7 +853,10 @@ object PipelineQueries {
             Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
           .select(col("split"), col("n_chars").cast("double").as("x"))
         val mm = docs.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-        val width = (col("hi") - col("lo")) / lit(10.0)
+        // min==max degenerate guard: width 1 → everything in bucket 0
+        // (mirrored by the oracle's CASE), instead of floor(0/0)=NaN
+        val width = when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")) / lit(10.0))
         val bucket = least(floor((col("x") - col("lo")) / width), lit(9.0))
           .cast("int")
         val counts = docs.crossJoin(broadcast(mm))
@@ -892,10 +895,13 @@ object PipelineQueries {
                  WHEN uh < 8.0/10 + 1.0/10 THEN 'val'
                  ELSE 'test' END AS split
           FROM u),
-        mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM sp),
+        mm AS (
+          SELECT lo, hi,
+            CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 10.0 END AS width
+          FROM (SELECT MIN(x) AS lo, MAX(x) AS hi FROM sp)),
         b AS (
           SELECT split,
-            CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / 10.0)), 9.0) AS INT)
+            CAST(LEAST(FLOOR((x - lo) / width), 9.0) AS INT)
               AS bucket
           FROM sp CROSS JOIN mm),
         c AS (SELECT split, bucket, CAST(COUNT(*) AS BIGINT) AS n

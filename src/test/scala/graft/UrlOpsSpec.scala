@@ -128,6 +128,19 @@ class UrlOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"rule chain must stay scan-local:\n$plan")
   }
 
+  test("robotsClassify: equal-specificity tie — allow beats disallow (RFC 9309 §2.2.2)") {
+    val paths = Seq("/page", "/other").zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "path")
+    // duplicate prefix with conflicting verdicts: the allow rule must win
+    val rules = Seq("/page" -> false, "/page" -> true)
+    val out = paths.select(Seq($"id", $"path") ++
+        UrlOps.robotsClassify($"path", rules, defaultAllow = false)
+          .map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").as[(Long, String, String, Boolean)].collect()
+    assert(out(0) == ((0L, "/page", "/page", true)), out(0).toString)
+    assert(out(1)._3 == null && !out(1)._4, out(1).toString)
+  }
+
   test("scalar url ops stay shuffle-free; domainStats bounded by the distinct rewrite") {
     val docs = spark.range(50)
       .selectExpr("id AS doc_id", "'en' AS lang", "id AS n_chars")
