@@ -194,6 +194,51 @@ object VectorOps {
       .where(col("cos") >= threshold)
   }
 
+  /** Batch-hard triplet mining (the FaceNet recipe, Schroff et al.
+    * 2015, arXiv:1503.03832 §3.2): per anchor, the HARDEST positive
+    * (same label, lowest cosine) and HARDEST negative (different
+    * label, highest cosine), plus whether the pair violates the
+    * margin — the rows a metric-learning trainer actually consumes.
+    *
+    * Deterministic tie-breaks: lowest id wins on equal cosine, both
+    * sides. Anchors missing a positive (singleton label) or a
+    * negative (single-label corpus) are dropped.
+    *
+    * Scale shape: the all-pairs scoring is BROADCAST right-side —
+    * batch-hard mining is by construction per-batch, so the right
+    * side is one mining batch, never the corpus; corpus-scale mining
+    * blocks by label or IVF cell first ([[ivfAssign]]) and runs this
+    * within blocks. The argmin/argmax fold is ONE map-side-partial
+    * groupBy on the anchor id — pairs collapse to a row per anchor
+    * before the shuffle.
+    */
+  def tripletMine(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, margin: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(labelCol).as("label"),
+      col(vecCol).as("vec_a"), norm(col(vecCol)).as("nrm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(labelCol).as("label_b"),
+      col(vecCol).as("vec_b"), norm(col(vecCol)).as("nrm_b"))
+    val scored = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("label"), col("id_b"), col("label_b"),
+        (dot(col("vec_a"), col("vec_b"))
+          / (col("nrm_a") * col("nrm_b"))).as("cos"))
+    // struct min/max = lexicographic argmin/argmax: (cos asc, id asc)
+    // for the positive; (cos desc, id asc) for the negative via the
+    // negated-id trick. Order-independent aggregates — no float-sum
+    // ordering hazard.
+    scored.groupBy("id_a", "label")
+      .agg(
+        min(when(col("label_b") === col("label"),
+          struct(col("cos"), col("id_b")))).as("pos"),
+        max(when(col("label_b") =!= col("label"),
+          struct(col("cos"), (-col("id_b")).as("id_b")))).as("neg"))
+      .where(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("id_a"), col("label"),
+        col("pos.id_b").as("id_pos"), col("pos.cos").as("cos_pos"),
+        (-col("neg.id_b")).as("id_neg"), col("neg.cos").as("cos_neg"),
+        (col("neg.cos") > col("pos.cos") - lit(margin)).as("violation"))
+  }
+
   /** SemDeDup-style semantic dedup census (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into IVF cells, score
     * cosine only WITHIN cells, connect pairs above `threshold`, and

@@ -3496,6 +3496,55 @@ object CoreQueries {
         JOIN it ia ON ia.item = item_a
         JOIN it ib ON ib.item = item_b
         CROSS JOIN nb
-        ORDER BY item_a, item_b"""))
+        ORDER BY item_a, item_b""")),
+
+    // ── q109: small-quantity revenue — the TPC-H Q17 CORRELATED-
+    //    AGGREGATE shape: lineitems whose quantity sits below 20% of
+    //    their part's average, rolled per brand. Catalyst decorrelates
+    //    this to one per-partkey partial agg + a fact⋈agg join
+    //    CO-PARTITIONED on partkey (same shuffle key both sides — AQE
+    //    may still broadcast the small agg side); part broadcasts. The
+    //    threshold runs in integer cents (5·q·n < Σq ⟺ q < 0.2·avg)
+    //    so no engine ever divides ─────────────────────────────────────
+    Q("q109_small_qty_revenue",
+      (s, dir) => {
+        val qcents = (dec2(col("l_quantity")) * lit(100)).cast("long")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_extendedprice"),
+            qcents.as("qcents"))
+        val pa = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qcents")).as("sum_qcents"),
+            count(lit(1)).as("n_li"))
+        li.join(pa, col("l_partkey") === col("pk"))
+          .where(lit(5) * col("qcents") * col("n_li") < col("sum_qcents"))
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+            .as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH li AS (
+          SELECT l_partkey, l_extendedprice,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS qcents
+          FROM lineitem),
+        pa AS (
+          SELECT l_partkey AS pk,
+            CAST(SUM(qcents) AS BIGINT) AS sum_qcents,
+            CAST(COUNT(*) AS BIGINT) AS n_li
+          FROM li GROUP BY 1)
+        SELECT p_brand,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / 7.0 AS avg_yearly,
+          CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM li
+        JOIN pa ON pk = l_partkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE 5 * qcents * n_li < sum_qcents
+        GROUP BY p_brand
+        ORDER BY p_brand"""))
   )
 }

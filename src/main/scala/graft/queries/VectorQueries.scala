@@ -1055,6 +1055,46 @@ object VectorQueries {
             / (CAST(n_total AS DOUBLE) / n_cells), 6) AS load_factor,
           ROUND(CAST(mx AS DOUBLE)
             / (CAST(n_total AS DOUBLE) / n_cells), 6) AS imbalance
-        FROM per CROSS JOIN t ORDER BY cell"""))
+        FROM per CROSS JOIN t ORDER BY cell""")),
+
+    // ── s26: batch-hard triplet mining — per anchor the hardest
+    //    same-label positive + hardest cross-label negative and the
+    //    margin-violation flag (the metric-learning trainer's input
+    //    rows). Broadcast all-pairs (mining is per-batch by
+    //    construction) folded to one row per anchor by order-
+    //    independent struct argmin/argmax before the single shuffle ─────
+    Q("s26_triplet_mining",
+      (s, dir) => VectorOps.tripletMine(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", margin = 0.05)
+        .orderBy("id_a"),
+      Some("""WITH nrm AS (
+          SELECT vec_id, label, embedding,
+            SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              AS nrm
+          FROM embeddings),
+        sc AS (
+          SELECT a.vec_id AS id_a, a.label AS label,
+            b.vec_id AS id_b, b.label AS label_b,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (a.nrm * b.nrm) AS cos
+          FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+        pos AS (
+          SELECT id_a, label, id_b AS id_pos, cos AS cos_pos,
+            ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY cos ASC, id_b) AS rk
+          FROM sc WHERE label_b = label),
+        neg AS (
+          SELECT id_a, id_b AS id_neg, cos AS cos_neg,
+            ROW_NUMBER() OVER (PARTITION BY id_a
+              ORDER BY cos DESC, id_b) AS rk
+          FROM sc WHERE label_b <> label)
+        SELECT p.id_a, p.label, p.id_pos, p.cos_pos,
+          n.id_neg, n.cos_neg,
+          n.cos_neg > p.cos_pos - 0.05 AS violation
+        FROM pos p JOIN neg n ON n.id_a = p.id_a
+        WHERE p.rk = 1 AND n.rk = 1
+        ORDER BY p.id_a"""))
   )
 }
