@@ -234,4 +234,35 @@ object UrlOps {
       .groupBy("url_norm")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
+
+  /** Per-domain crawl politeness schedule: rank each domain's frontier
+    * by (priority desc, id asc) and pack at most `perSlot` fetches per
+    * domain per time slot — the classic crawl-rate-limit assignment
+    * (a polite crawler hits one host at a bounded rate; the slot index
+    * is the earliest round the fetch may run).
+    *
+    * Scale shape: ONE shuffle on the registered domain; the per-domain
+    * rank is inherently sequential (rate limiting is a per-host total
+    * order) but each partition holds whole domains, so parallelism is
+    * across domains — exactly how the fetch fleet consumes it. A
+    * pathological mega-domain bounds its own partition at
+    * rows-per-domain; that domain is equally the crawl's wall-clock
+    * floor (perSlot per slot), so the skew mirrors the real schedule
+    * rather than an artifact.
+    */
+  def politenessSchedule(df: DataFrame, urlCol: String, idCol: String,
+                         priorityCol: String, perSlot: Int): DataFrame = {
+    require(perSlot >= 1, "perSlot must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("_pri").desc, col("_id"))
+    df.select(normalize(col(urlCol)).as("url_norm"),
+        col(priorityCol).as("_pri"), col(idCol).as("_id"))
+      .where(col("url_norm").isNotNull)
+      .select(registeredDomain(host(col("url_norm"))).as("domain"),
+        col("_pri"), col("_id"))
+      .withColumn("fetch_rank", row_number().over(w))
+      .select(col("domain"), col("fetch_rank"),
+        expr(s"CAST((fetch_rank - 1) DIV $perSlot AS BIGINT)").as("slot"),
+        col("_id").as("doc_id"))
+  }
 }

@@ -1433,6 +1433,77 @@ object TextQueries {
         CAST(OCTET_LENGTH(ENCODE(text)) % 7 AS INT) AS fake_frames
         FROM documents ORDER BY doc_id""")),
 
+    // ── m07: multimodal shard manifest — WebDataset-style packing:
+    //    per source, round-robin-interleave the modalities (so every
+    //    shard trains a mixed batch), then cut ~2000-byte shards by
+    //    PRECEDING cumulative size (p07's streaming-packing rule: a
+    //    shard overflows by at most one sample). Packing never
+    //    crosses sources, so shard streams build in parallel; the
+    //    interleave rank costs one extra (source, modality) window
+    //    shuffle before the source-key packing window ───────────────────
+    Q("m07_shard_manifest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = col("doc_id")
+        val modality = when(d % 3 === 0, lit("image"))
+          .when(d % 3 === 1, lit("audio")).otherwise(lit("video"))
+        val base = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), modality.as("modality"),
+            octet_length(col("text").cast("binary")).cast("long")
+              .as("n_bytes"))
+        val wrr = Window.partitionBy(col("source"), col("modality"))
+          .orderBy("doc_id")
+        val word = Window.partitionBy(col("source"))
+          .orderBy(col("rr"), col("modality"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("rr", row_number().over(wrr))
+          .withColumn("cum", sum(col("n_bytes")).over(word))
+          .withColumn("shard",
+            floor((col("cum") - col("n_bytes")) / lit(2000L)).cast("long"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_items"),
+            sum("n_bytes").as("shard_bytes"),
+            sum(when(col("modality") === "image", 1L).otherwise(0L))
+              .as("n_image"),
+            sum(when(col("modality") === "audio", 1L).otherwise(0L))
+              .as("n_audio"),
+            sum(when(col("modality") === "video", 1L).otherwise(0L))
+              .as("n_video"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "shard")
+      },
+      Some("""WITH m AS (
+          SELECT source, doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source, modality
+            ORDER BY doc_id) AS rr
+          FROM m),
+        c AS (
+          SELECT *, SUM(n_bytes) OVER (PARTITION BY source
+            ORDER BY rr, modality, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+          FROM r),
+        p AS (
+          SELECT source, doc_id, modality, n_bytes,
+            CAST((cum - n_bytes) // 2000 AS BIGINT) AS shard
+          FROM c)
+        SELECT source, shard,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+          CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_image,
+          CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_audio,
+          CAST(SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_video,
+          CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+          CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM p GROUP BY source, shard ORDER BY source, shard""")),
+
     // ── Gopher-style repetition signals (quality gates) ─────────────
     // The local corpus is one parquet row group → one input split; a
     // real corpus scan yields thousands of splits. Fanning out the raw

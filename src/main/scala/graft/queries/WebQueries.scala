@@ -348,7 +348,34 @@ object WebQueries {
           CAST(regexp_matches(param, '^(utm_.*|gclid|fbclid|ref)$$') AS INT)
             AS is_tracking,
           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
-        FROM nm CROSS JOIN t GROUP BY param ORDER BY param"""))
+        FROM nm CROSS JOIN t GROUP BY param ORDER BY param""")),
+
+    // ── u11: crawl politeness schedule — each registered domain's
+    //    frontier ranked by (size desc, doc_id) and packed 2 fetches
+    //    per domain per slot: the rate-limit assignment a polite
+    //    fetch fleet executes. One domain-key shuffle; parallelism is
+    //    across domains, matching the fleet's own concurrency model ─────
+    Q("u11_politeness_plan",
+      (s, dir) => UrlOps.politenessSchedule(
+        urlFixture(Tables.documents(s, dir)),
+        "url", "doc_id", "n_chars", perSlot = 2)
+        .orderBy("domain", "fetch_rank"),
+      Some(s"""WITH $urlCte, $normCte,
+        d AS (SELECT *, string_split(hst, '.') AS ls FROM n),
+        g AS (SELECT doc_id, n_chars,
+          CASE WHEN len(ls) >= 3 AND ls[-2] IN ('co','com','org','net','ac','gov','edu')
+            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+          ELSE hst END AS domain
+          FROM d),
+        r AS (
+          SELECT domain, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY n_chars DESC, doc_id) AS INT) AS fetch_rank
+          FROM g)
+        SELECT domain, fetch_rank,
+          CAST((fetch_rank - 1) // 2 AS BIGINT) AS slot, doc_id
+        FROM r ORDER BY domain, fetch_rank"""))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,
