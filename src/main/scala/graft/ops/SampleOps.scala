@@ -615,4 +615,62 @@ object SampleOps {
     hashSplit(scored, "doc_id", weights, salt)
       .select("doc_id", "cross_entropy", "split")
   }
+
+  /** Water-filling quota allocation: split a global token budget
+    * (`budgetPct`% of total supply) across groups so every group gets
+    * min(its supply, a common water level λ) — small groups keep
+    * everything, big groups are capped at the level that exactly
+    * exhausts the budget. The fair-cap mixture rule (max-min fairness;
+    * the same allocator as network rate fairness, RFC 2914 lineage)
+    * a corpus mixture uses to stop one mega-source drowning the rest.
+    *
+    * No iteration: sort groups by supply ascending, and the cutoff k*
+    * is the largest prefix where prefix(k) + (n−k)·s_k still fits the
+    * budget; λ = (B − prefix(k*)) / (n − k*). All integer arithmetic
+    * until the single final division.
+    *
+    * Scale shape: input is one row per GROUP (domains/sources — small
+    * by construction at any corpus size), so the global sort window is
+    * a coordinator-scale step over already-aggregated rows; the heavy
+    * work (per-group supply) happens upstream in a partial agg.
+    */
+  def waterfillQuota(supply: DataFrame, groupCol: String,
+                     supplyCol: String, budgetPct: Int): DataFrame = {
+    require(budgetPct >= 1 && budgetPct <= 100, "budgetPct in 1..100")
+    val tot = supply.agg(sum(col(supplyCol)).as("__total"),
+      count(lit(1)).as("__n"))
+    val w = Window.orderBy(col(supplyCol), col(groupCol))
+    val ranked = supply.crossJoin(broadcast(tot))
+      .withColumn("__b",
+        expr(s"CAST(__total * $budgetPct DIV 100 AS BIGINT)"))
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__prefix", sum(col(supplyCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__feasible",
+        col("__prefix") + (col("__n") - col("__k")) * col(supplyCol)
+          <= col("__b"))
+    // argmax-by-k over the feasible prefix: (k*, prefix(k*)) — struct
+    // max is order-independent, k is unique
+    val cut = ranked.agg(
+      max(when(col("__feasible"), struct(col("__k"), col("__prefix"))))
+        .as("__cut"))
+      .select(coalesce(col("__cut.__k"), lit(0L)).as("__kstar"),
+        coalesce(col("__cut.__prefix"), lit(0L)).as("__pstar"))
+    ranked.crossJoin(broadcast(cut))
+      // CaseWhen short-circuits, so the division never runs in the
+      // k*=n (everyone fully funded) branch — ANSI mode would throw
+      // DIVIDE_BY_ZERO on the unguarded expression
+      .withColumn("__level",
+        when(col("__kstar") === col("__n"), lit(null).cast("double"))
+          .otherwise((col("__b") - col("__pstar")).cast("double")
+            / (col("__n") - col("__kstar")).cast("double")))
+      .select(col(groupCol), col(supplyCol).as("supply"),
+        when(col("__kstar") === col("__n"),
+            col(supplyCol).cast("double"))
+          .otherwise(round(least(col(supplyCol).cast("double"),
+            col("__level")), 6)).as("allocation"),
+        (col("__k") > col("__kstar")
+          && col("__kstar") =!= col("__n")).as("capped"),
+        round(col("__level"), 6).as("level"))
+  }
 }

@@ -181,6 +181,71 @@ object VectorOps {
       }.toDF("id_a", "rk", "id_b", "dot")
   }
 
+  /** MMR diversified rerank (Carbonell & Goldstein 1998): per query,
+    * take the top-`kCand` candidates by cosine relevance, then
+    * greedily select `kSelect` of them by Maximal Marginal Relevance —
+    * score = λ·rel − (1−λ)·max-sim-to-already-selected — so the final
+    * list trades relevance against redundancy (the standard RAG /
+    * search-results diversification step).
+    *
+    * The selection loop unrolls into `kSelect` deterministic plan
+    * stages (anti-join remaining → max-sim fold → per-query argmax);
+    * scores snap to 6 dp before the argmax so the greedy path is
+    * engine-portable, ties break on the lower candidate id. All
+    * per-round joins are keyed on the query id and the candidate sets
+    * are bounded by `kCand`, so every stage is a bounded per-query
+    * computation at any corpus scale; candidate generation itself is
+    * the brute-force fixture — swap in the LSH/IVF tiers (s03/s05)
+    * for the 100 TB candidate stage.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, kCand: Int, kSelect: Int,
+                lambda: Double): DataFrame = {
+    require(kSelect >= 1 && kCand >= kSelect, "need 1 <= kSelect <= kCand")
+    val cand = knnBruteForce(queries, corpus, idCol, vecCol, kCand)
+      .select(col("id_a").as("qid"), col("id_b").as("cid"),
+        col("cos").as("rel"))
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"))
+    // candidate×candidate cosines within each query's bounded set
+    val pairs = cand.select(col("qid"), col("cid"))
+      .join(cand.select(col("qid"), col("cid").as("cid2")), Seq("qid"))
+      .where(col("cid") =!= col("cid2"))
+      .join(broadcast(vecs), col("cid") === col("vid"))
+      .select(col("qid"), col("cid"), col("cid2"),
+        col("v").as("va"), col("nv").as("na"))
+      .join(broadcast(vecs), col("cid2") === col("vid"))
+      .select(col("qid"), col("cid"), col("cid2"),
+        (dot(col("va"), col("v")) / (col("na") * col("nv"))).as("sim"))
+    val lam = lit(lambda)
+    // expression-level 1-λ (NOT a Scala-side subtraction result typed
+    // into SQL): both engines then run the identical IEEE 1-λ
+    val mu = lit(1.0) - lit(lambda)
+    def pick(scored: DataFrame, r: Int): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+      scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("qid"), col("cid"), lit(r).as("mmr_rank"),
+          col("rel"), col("score"))
+    }
+    var sel = pick(cand.withColumn("score", round(lam * col("rel"), 6)), 1)
+    for (r <- 2 to kSelect) {
+      val rem = cand.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val ms = pairs.join(sel.select(col("qid"), col("cid").as("cid2")),
+          Seq("qid", "cid2"))
+        .groupBy("qid", "cid").agg(max(col("sim")).as("maxsim"))
+      val scored = rem.join(ms, Seq("qid", "cid"))
+        .withColumn("score",
+          round(lam * col("rel") - mu * col("maxsim"), 6))
+      sel = sel.unionByName(
+        pick(scored.select("qid", "cid", "rel", "score"), r))
+    }
+    sel.select(col("qid").as("query_id"), col("mmr_rank"),
+      col("cid").as("vec_id"), col("rel").as("relevance"),
+      col("score").as("mmr_score"))
+  }
+
   /** Near-duplicate pairs by embedding cosine (id_a < id_b, cos >= threshold). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

@@ -921,6 +921,61 @@ object PipelineQueries {
           WHERE sh.split <> 'train')
         SELECT split,
           ROUND(list_sum(list(term ORDER BY bucket)), 6) AS psi
-        FROM terms GROUP BY split ORDER BY split"""))
+        FROM terms GROUP BY split ORDER BY split""")),
+
+    // ── p28: water-filling token quota — 60% of total supply split
+    //    across sources at the common water level λ (max-min
+    //    fairness): small sources keep everything, mega-sources cap
+    //    at λ. Closed-form over the sorted per-source supply census —
+    //    one partial agg + a coordinator-scale sort window over
+    //    one-row-per-source, integer math until the final division ──────
+    Q("p28_token_waterfill",
+      (s, dir) => {
+        val sup = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(graft.ops.TextOps.tokenCount(col("text")))
+            .as("n_tokens"))
+        SampleOps.waterfillQuota(sup, "source", "n_tokens",
+          budgetPct = 60)
+          .withColumnRenamed("supply", "n_tokens")
+          .orderBy("source")
+      },
+      Some("""WITH sup AS (
+          SELECT source,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS supply
+          FROM documents GROUP BY source),
+        t AS (
+          SELECT CAST(SUM(supply) AS BIGINT) AS total,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM sup),
+        r AS (
+          SELECT source, supply, n,
+            CAST(total * 60 // 100 AS BIGINT) AS b,
+            CAST(ROW_NUMBER() OVER (ORDER BY supply, source) AS BIGINT)
+              AS k,
+            SUM(supply) OVER (ORDER BY supply, source
+              ROWS UNBOUNDED PRECEDING) AS prefix
+          FROM sup CROSS JOIN t),
+        f AS (
+          SELECT *, prefix + (n - k) * supply <= b AS feasible FROM r),
+        c AS (
+          SELECT COALESCE(MAX(CASE WHEN feasible THEN k END), 0)
+              AS kstar,
+            COALESCE(MAX(CASE WHEN feasible THEN prefix END), 0)
+              AS pstar
+          FROM f),
+        lv AS (
+          SELECT f.*, c.kstar,
+            CAST(f.b - c.pstar AS DOUBLE)
+              / CAST(f.n - c.kstar AS DOUBLE) AS level
+          FROM f CROSS JOIN c)
+        SELECT source, supply AS n_tokens,
+          CASE WHEN kstar = n THEN CAST(supply AS DOUBLE)
+            ELSE ROUND(LEAST(CAST(supply AS DOUBLE), level), 6) END
+            AS allocation,
+          (k > kstar AND kstar <> n) AS capped,
+          CASE WHEN kstar = n THEN NULL
+            ELSE ROUND(level, 6) END AS level
+        FROM lv ORDER BY source"""))
   )
 }

@@ -1095,6 +1095,88 @@ object VectorQueries {
           n.cos_neg > p.cos_pos - 0.05 AS violation
         FROM pos p JOIN neg n ON n.id_a = p.id_a
         WHERE p.rk = 1 AND n.rk = 1
-        ORDER BY p.id_a"""))
+        ORDER BY p.id_a""")),
+
+    // ── s27: MMR diversified rerank — per query (every 50th vector)
+    //    the greedy Maximal-Marginal-Relevance pick of 4 from the
+    //    top-8 cosine candidates at λ=0.7: relevance traded against
+    //    redundancy, the RAG/search diversification step. The greedy
+    //    loop unrolls into 4 bounded per-query stages; the oracle
+    //    replays each round as its own CTE ──────────────────────────────
+    Q("s27_mmr_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        VectorOps.mmrRerank(e.where(col("vec_id") % 50 === 0), e,
+          "vec_id", "embedding", kCand = 8, kSelect = 4, lambda = 0.7)
+          .orderBy("query_id", "mmr_rank")
+      },
+      Some(mmrSql(kCand = 8, kSelect = 4)))
   )
+
+  /** Unrolled greedy-MMR oracle for s27: candidate generation + one
+    * CTE triple (remaining / max-sim / argmax) per selection round,
+    * replaying [[graft.ops.VectorOps.mmrRerank]]'s exact arithmetic —
+    * scores snapped to 6 dp BEFORE the argmax, 1−λ written as the
+    * expression (1 - λ) so both engines run the same IEEE subtraction.
+    */
+  private def mmrSql(kCand: Int, kSelect: Int): String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a.embedding) + 1),
+              i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+              / ($a.nrm * $b.nrm)"""
+    val rounds = (2 to kSelect).map { r =>
+      s"""rem$r AS (
+          SELECT c.qid, c.cid, c.rel FROM cand c
+          LEFT JOIN sel${r - 1} s ON s.qid = c.qid AND s.cid = c.cid
+          WHERE s.cid IS NULL),
+        ms$r AS (
+          SELECT p.qid, p.cid, MAX(p.sim) AS maxsim
+          FROM pr p JOIN sel${r - 1} s ON s.qid = p.qid AND s.cid = p.cid2
+          GROUP BY p.qid, p.cid),
+        pk$r AS (
+          SELECT qid, cid, $r AS mmr_rank, rel, score FROM (
+            SELECT r.qid, r.cid, r.rel,
+              ROUND(0.7 * r.rel - (1 - 0.7) * m.maxsim, 6) AS score,
+              ROW_NUMBER() OVER (PARTITION BY r.qid
+                ORDER BY ROUND(0.7 * r.rel - (1 - 0.7) * m.maxsim, 6)
+                  DESC, r.cid) AS rk
+            FROM rem$r r JOIN ms$r m ON m.qid = r.qid AND m.cid = r.cid)
+          WHERE rk = 1),
+        sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pk$r)"""
+    }.mkString(",\n        ")
+    s"""WITH nrm AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              AS nrm
+          FROM embeddings),
+        sc AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+            ${cos("a", "b")} AS rel
+          FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0),
+        cand AS (
+          SELECT qid, cid, rel FROM (
+            SELECT qid, cid, rel,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel DESC, cid) AS rk
+            FROM sc) WHERE rk <= $kCand),
+        pr AS (
+          SELECT c1.qid, c1.cid, c2.cid AS cid2,
+            ${cos("x", "y")} AS sim
+          FROM cand c1 JOIN cand c2
+            ON c1.qid = c2.qid AND c1.cid <> c2.cid
+          JOIN nrm x ON x.vec_id = c1.cid
+          JOIN nrm y ON y.vec_id = c2.cid),
+        sel1 AS (
+          SELECT qid, cid, 1 AS mmr_rank, rel, score FROM (
+            SELECT qid, cid, rel, ROUND(0.7 * rel, 6) AS score,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY ROUND(0.7 * rel, 6) DESC, cid) AS rk
+            FROM cand) WHERE rk = 1),
+        $rounds
+        SELECT qid AS query_id, mmr_rank, cid AS vec_id,
+          rel AS relevance, score AS mmr_score
+        FROM sel$kSelect ORDER BY query_id, mmr_rank"""
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SampleOps, UrlOps, VectorOps}
+
+/** Crafted-fixture semantics for the round-12 operators — properties
+  * the oracles replay but don't isolate: the water-filling cutoff,
+  * MMR's redundancy skip, triplet hard-pick tie-breaks, and the
+  * politeness rate bound.
+  */
+class Round12Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("waterfillQuota: small groups keep supply, big group caps at the level") {
+    val sup = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("g", "s")
+    // B = 130*50 DIV 100 = 65; sorted [10,20,100]: g(1)=30, g(2)=50
+    // feasible, g(3)=130 not → k*=2, λ=(65-30)/1=35
+    val out = SampleOps.waterfillQuota(sup, "g", "s", budgetPct = 50)
+      .orderBy("g")
+      .select("g", "supply", "allocation", "capped", "level")
+      .as[(String, Long, Double, Boolean, Option[Double])].collect()
+    assert(out(0) == (("a", 10L, 10.0, false, Some(35.0))), out(0).toString)
+    assert(out(1) == (("b", 20L, 20.0, false, Some(35.0))), out(1).toString)
+    assert(out(2) == (("c", 100L, 35.0, true, Some(35.0))), out(2).toString)
+    // allocations exhaust the budget exactly
+    assert(out.map(_._3).sum == 65.0)
+  }
+
+  test("waterfillQuota: budget >= supply → everyone fully funded, null level") {
+    val sup = Seq(("a", 10L), ("b", 20L)).toDF("g", "s")
+    val out = SampleOps.waterfillQuota(sup, "g", "s", budgetPct = 100)
+      .orderBy("g")
+      .select("allocation", "capped", "level")
+      .as[(Double, Boolean, Option[Double])].collect()
+    assert(out.toSeq == Seq((10.0, false, None), (20.0, false, None)))
+  }
+
+  test("mmrRerank: diversity-heavy lambda skips the near-duplicate of the first pick") {
+    // q points at a; b is a's near-duplicate; c is distinct but less
+    // relevant. Pure relevance would rank (a, b, c); MMR at λ=0.3
+    // must pick c before b.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),          // the query vector
+      (1L, Array(1.0f, 0.01f)),         // a: most relevant
+      (2L, Array(1.0f, 0.011f)),        // b: a's near-dup
+      (3L, Array(0.7f, 0.7f))           // c: distinct, less relevant
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.mmrRerank(e.where($"vec_id" === 0), e,
+        "vec_id", "embedding", kCand = 3, kSelect = 3, lambda = 0.3)
+      .orderBy("mmr_rank")
+      .select("mmr_rank", "vec_id").as[(Int, Long)].collect()
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)), out.mkString(","))
+  }
+
+  test("tripletMine: hardest positive/negative with margin flag; singleton labels drop") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),   // near 1, same label
+      (3L, Array(0.0f, 1.0f), 0),   // far from 1, same label → its hardest positive
+      (4L, Array(1.0f, 0.05f), 1),  // very close to 1, other label → hard negative
+      (5L, Array(0.5f, 0.5f), 2)    // singleton label → dropped as anchor
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.tripletMine(e, "vec_id", "embedding", "label",
+        margin = 0.05)
+      .orderBy("id_a")
+      .select("id_a", "id_pos", "id_neg", "violation")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // anchor 1: hardest positive is the orthogonal 3, hardest negative
+    // the nearly-parallel 4 — cos(neg) ≈ 1 ≫ cos(pos) ≈ 0 → violation
+    assert(byId(1L) == ((1L, 3L, 4L, true)), byId(1L).toString)
+    // BOTH singleton-label vectors (4 and 5) drop as anchors — no
+    // positive exists for them; only the three label-0 anchors remain
+    assert(!byId.contains(4L) && !byId.contains(5L))
+    assert(out.length == 3, out.mkString(","))
+  }
+
+  test("politenessSchedule: at most perSlot fetches per domain per slot, priority first") {
+    val urls = Seq(
+      (1L, "http://ex.com/a", 100L), (2L, "http://ex.com/b", 300L),
+      (3L, "http://ex.com/c", 200L), (4L, "http://ex.com/d", 50L),
+      (5L, "http://other.org/x", 10L)
+    ).toDF("doc_id", "url", "pri")
+    val out = UrlOps.politenessSchedule(urls, "url", "doc_id", "pri", 2)
+      .orderBy("domain", "fetch_rank")
+      .select("domain", "fetch_rank", "slot", "doc_id")
+      .as[(String, Int, Long, Long)].collect()
+    val ex = out.filter(_._1 == "ex.com")
+    // priority desc: 2(300), 3(200), 1(100), 4(50) → slots 0,0,1,1
+    assert(ex.map(_._4).toSeq == Seq(2L, 3L, 1L, 4L), ex.mkString(","))
+    assert(ex.map(_._3).toSeq == Seq(0L, 0L, 1L, 1L), ex.mkString(","))
+    // rate bound: no (domain, slot) holds more than 2 fetches
+    assert(out.groupBy(r => (r._1, r._3)).values.forall(_.size <= 2))
+  }
+
+  test("q109 identity: every small-quantity line sits strictly below 20% of its part's mean") {
+    val rows = SparkEntry.queries("q109_small_qty_revenue")(spark, sf)
+      .agg(sum($"n_small")).as[Long].collect().head
+    // the fixture must actually exercise the filter
+    assert(rows > 0)
+  }
+
+  test("m07 shard manifest: shard bytes ≈ budget with one-sample overflow; modalities mixed") {
+    val out = SparkEntry.queries("m07_shard_manifest")(spark, sf)
+      .select("source", "shard", "n_items", "shard_bytes",
+        "n_image", "n_audio", "n_video")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, shard, n, bytes, ni, na, nv) =>
+      assert(ni + na + nv == n, s"$src/$shard modality counts != n_items")
+    }
+    // packing rule invariants per source: shard ids contiguous from 0,
+    // and a non-final shard j only closes once the source's cumulative
+    // byte stream has crossed its boundary (j+1)·budget — the
+    // "overflow by at most one sample" streaming-packing contract
+    out.groupBy(_._1).foreach { case (src, shards) =>
+      val ordered = shards.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
+        s"$src shard ids not contiguous")
+      var cum = 0L
+      ordered.dropRight(1).foreach { case (_, sh, _, bytes, _, _, _) =>
+        cum += bytes
+        assert(cum >= (sh + 1) * 2000,
+          s"$src/$sh closed before its boundary: cum=$cum")
+      }
+    }
+  }
+}
