@@ -566,6 +566,35 @@ object TextOps {
         .join(known, Seq("fingerprint"), "left_anti"))
   }
 
+  /** Sketch-based source similarity matrix: one k-lane MinHash
+    * signature per GROUP (source/dump/shard) — the elementwise min of
+    * its documents' signatures, which IS the signature of the union of
+    * their token sets — then the lane-agreement Jaccard estimate for
+    * every group pair. [[sourceOverlap]]'s exact census reads every
+    * fingerprint pair; this reads k longs per group, so the matrix
+    * costs |G|²·k regardless of corpus size.
+    *
+    * The mergeability is the 100 TB point: per-partition partial mins
+    * combine associatively (plain map-side-combine `min` per (group,
+    * lane)), signatures from yesterday's corpus merge with today's by
+    * the same elementwise min, and no token ever crosses the wire —
+    * only k·|G| longs shuffle.
+    */
+  def sourceSimilarityMinhash(df: DataFrame, groupCol: String,
+                              textCol: String, k: Int = 16): DataFrame = {
+    val sig = df.select(col(groupCol).as("grp"),
+        posexplode(minHashSignature(col(textCol), k, portable = true))
+          .as(Seq("i", "mh")))
+      .groupBy("grp", "i").agg(min(col("mh")).as("mh"))
+    val a = sig.select(col("grp").as("src_a"), col("i"), col("mh").as("mh_a"))
+    val b = sig.select(col("grp").as("src_b"), col("i"), col("mh").as("mh_b"))
+    a.join(b, Seq("i")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .as("n_agree"))
+      .withColumn("est_jaccard", col("n_agree").cast("double") / lit(k))
+  }
+
   /** Cross-source duplicate overlap matrix — which crawls/dumps are
     * re-serving each other's content. For every source pair (a < b):
     * the number of distinct fingerprints present in BOTH, plus the

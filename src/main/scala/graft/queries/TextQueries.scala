@@ -2615,6 +2615,38 @@ object TextQueries {
           AND levenshtein(a.nm, b.nm) <= 2
         ORDER BY id_new, id_old""")),
 
+    // ── d36: sketch-based source similarity — per-source MERGEABLE
+    //    MinHash signature (elementwise min over the source's docs =
+    //    the union-set signature) and the lane-agreement Jaccard
+    //    estimate per source pair. d25's exact census reads every
+    //    fingerprint; this shuffles k longs per source — the
+    //    incremental, corpus-size-independent variant ───────────────────
+    Q("d36_source_minhash_matrix",
+      (s, dir) => TextOps.sourceSimilarityMinhash(
+        Tables.documents(s, dir), "source", "text", k = 16)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH toks AS (
+          SELECT source,
+            UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT source, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY source, i),
+        ag AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(COUNT(CASE WHEN a.mh = b.mh THEN 1 END) AS BIGINT)
+              AS n_agree
+          FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_agree,
+          CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM ag ORDER BY src_a, src_b""")),
+
     // ── t46: vocabulary growth curve (Heaps' law) — distinct terms vs
     //    corpus tokens at 8 doc-id checkpoints, from the first-
     //    occurrence census (d29's machinery): vocab(k) = terms first

@@ -1103,6 +1103,78 @@ object VectorQueries {
     //    redundancy, the RAG/search diversification step. The greedy
     //    loop unrolls into 4 bounded per-query stages; the oracle
     //    replays each round as its own CTE ──────────────────────────────
+    Q("s28_matryoshka_recall",
+      (s, dir) => {
+        // Matryoshka-style truncation audit (Kusupati et al. 2022,
+        // arXiv:2205.13147): does retrieval by the first 16 dims
+        // reproduce the full-64-dim top-5? Per query: overlap count +
+        // recall@5. The production question behind shipping truncated
+        // embeddings (4× memory/bandwidth cut in the ANN tier).
+        val e = Tables.embeddings(s, dir)
+        val isQ = col("vec_id") % 50 === 0
+        val full = VectorOps.knnBruteForce(e.where(isQ), e,
+            "vec_id", "embedding", 5)
+          .select(col("id_a").as("query_id"), col("id_b").as("nb"))
+        val etr = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val tr = VectorOps.knnBruteForce(etr.where(isQ), etr,
+            "vec_id", "embedding", 5)
+          .select(col("id_a").as("query_id"), col("id_b").as("nb"))
+        val ov = full.join(tr, Seq("query_id", "nb"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+        e.where(isQ).select(col("vec_id").as("query_id"))
+          .join(ov, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+              / 5, 6).as("recall_at_5"))
+          .orderBy("query_id")
+      },
+      Some("""WITH fsc AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS nb,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+            AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0),
+        frk AS (
+          SELECT query_id, nb FROM (
+            SELECT query_id, nb, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, nb) AS rk
+            FROM fsc) WHERE rk <= 5),
+        tsc AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS nb,
+            list_sum(list_transform(range(1, 17),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(range(1, 17),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * SQRT(list_sum(list_transform(range(1, 17),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+            AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0),
+        trk AS (
+          SELECT query_id, nb FROM (
+            SELECT query_id, nb, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, nb) AS rk
+            FROM tsc) WHERE rk <= 5),
+        ov AS (
+          SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM frk f JOIN trk t
+            ON t.query_id = f.query_id AND t.nb = f.nb
+          GROUP BY f.query_id)
+        SELECT q.vec_id AS query_id,
+          COALESCE(ov.n_overlap, 0) AS n_overlap,
+          ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5, 6)
+            AS recall_at_5
+        FROM embeddings q LEFT JOIN ov ON ov.query_id = q.vec_id
+        WHERE q.vec_id % 50 = 0
+        ORDER BY query_id""")),
+
     Q("s27_mmr_rerank",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
