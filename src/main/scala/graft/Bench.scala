@@ -74,7 +74,10 @@ object Bench {
     "q104_weekly_movers", "q105_gap_spectrum", "u10_param_census",
     "q106_lag_correlation", "q107_local_supplier_volume",
     "q108_growth_accounting", "d35_entity_match_incremental",
-    "t46_heaps_curve", "p27_split_psi")
+    "t46_heaps_curve", "p27_split_psi",
+    "q109_small_qty_revenue", "s26_triplet_mining", "s27_mmr_rerank",
+    "s28_matryoshka_recall", "u11_politeness_plan", "m07_shard_manifest",
+    "p28_token_waterfill", "d36_source_minhash_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -202,9 +202,16 @@ object VectorOps {
                 vecCol: String, kCand: Int, kSelect: Int,
                 lambda: Double): DataFrame = {
     require(kSelect >= 1 && kCand >= kSelect, "need 1 <= kSelect <= kCand")
-    val cand = knnBruteForce(queries, corpus, idCol, vecCol, kCand)
+    // persist the two bounded intermediates: the unrolled greedy plan
+    // references cand in every round (anti-join + rescore) and pairs
+    // in every round after the first — without the cache each round
+    // would re-run the full corpus-scale candidate scoring. Both are
+    // |Q|·kCand(²) rows by construction, so the cache is tiny at any
+    // corpus size.
+    val cand = knnBruteForceKernel(queries, corpus, idCol, vecCol, kCand)
       .select(col("id_a").as("qid"), col("id_b").as("cid"),
         col("cos").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"))
     // candidate×candidate cosines within each query's bounded set
@@ -217,6 +224,7 @@ object VectorOps {
       .join(broadcast(vecs), col("cid2") === col("vid"))
       .select(col("qid"), col("cid"), col("cid2"),
         (dot(col("va"), col("v")) / (col("na") * col("nv"))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lam = lit(lambda)
     // expression-level 1-λ (NOT a Scala-side subtraction result typed
     // into SQL): both engines then run the identical IEEE 1-λ
@@ -228,7 +236,12 @@ object VectorOps {
         .select(col("qid"), col("cid"), lit(r).as("mmr_rank"),
           col("rel"), col("score"))
     }
+    // persist each round's selection too: round r references sel(r−1)
+    // twice (anti-join + max-sim), so an uncached lineage re-executes
+    // every earlier round 2^r times — the BpeOps per-round-persist
+    // lesson (measured 5.4 s → sub-second on the cached rounds alone)
     var sel = pick(cand.withColumn("score", round(lam * col("rel"), 6)), 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (r <- 2 to kSelect) {
       val rem = cand.join(sel.select(col("qid"), col("cid")),
         Seq("qid", "cid"), "left_anti")
@@ -240,6 +253,7 @@ object VectorOps {
           round(lam * col("rel") - mu * col("maxsim"), 6))
       sel = sel.unionByName(
         pick(scored.select("qid", "cid", "rel", "score"), r))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     sel.select(col("qid").as("query_id"), col("mmr_rank"),
       col("cid").as("vec_id"), col("rel").as("relevance"),
@@ -269,39 +283,79 @@ object VectorOps {
     * sides. Anchors missing a positive (singleton label) or a
     * negative (single-label corpus) are dropped.
     *
-    * Scale shape: the all-pairs scoring is BROADCAST right-side —
-    * batch-hard mining is by construction per-batch, so the right
-    * side is one mining batch, never the corpus; corpus-scale mining
-    * blocks by label or IVF cell first ([[ivfAssign]]) and runs this
-    * within blocks. The argmin/argmax fold is ONE map-side-partial
-    * groupBy on the anchor id — pairs collapse to a row per anchor
-    * before the shuffle.
+    * Scale shape: the same per-partition primitive-kernel contract as
+    * [[knnBruteForceKernel]] (and its reason: the declarative
+    * broadcast-join form spends most of its time copying array
+    * columns through join rows — measured 2× slower at sf0.1).
+    * Batch-hard mining is by construction per-batch, so the
+    * broadcast right side is one mining batch, never the corpus;
+    * corpus-scale mining blocks by label or IVF cell first
+    * ([[ivfAssign]]) and runs this within blocks — the `maxRightRows`
+    * guard makes that contract self-enforcing. The math is the
+    * identical sequential double fold as the kernel kNN (bit-parity
+    * to the declarative cosine, spec-proven there), argmin/argmax
+    * ties break on the lower id. `labelCol` must be int-typed.
     */
   def tripletMine(df: DataFrame, idCol: String, vecCol: String,
-                  labelCol: String, margin: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(labelCol).as("label"),
-      col(vecCol).as("vec_a"), norm(col(vecCol)).as("nrm_a"))
-    val b = df.select(col(idCol).as("id_b"), col(labelCol).as("label_b"),
-      col(vecCol).as("vec_b"), norm(col(vecCol)).as("nrm_b"))
-    val scored = a.join(broadcast(b), col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("label"), col("id_b"), col("label_b"),
-        (dot(col("vec_a"), col("vec_b"))
-          / (col("nrm_a") * col("nrm_b"))).as("cos"))
-    // struct min/max = lexicographic argmin/argmax: (cos asc, id asc)
-    // for the positive; (cos desc, id asc) for the negative via the
-    // negated-id trick. Order-independent aggregates — no float-sum
-    // ordering hazard.
-    scored.groupBy("id_a", "label")
-      .agg(
-        min(when(col("label_b") === col("label"),
-          struct(col("cos"), col("id_b")))).as("pos"),
-        max(when(col("label_b") =!= col("label"),
-          struct(col("cos"), (-col("id_b")).as("id_b")))).as("neg"))
-      .where(col("pos").isNotNull && col("neg").isNotNull)
-      .select(col("id_a"), col("label"),
-        col("pos.id_b").as("id_pos"), col("pos.cos").as("cos_pos"),
-        (-col("neg.id_b")).as("id_neg"), col("neg.cos").as("cos_neg"),
-        (col("neg.cos") > col("pos.cos") - lit(margin)).as("violation"))
+                  labelCol: String, margin: Double,
+                  maxRightRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probe = df.select(col(idCol)).limit(maxRightRows + 1).count()
+    require(probe <= maxRightRows,
+      s"tripletMine batch exceeds $maxRightRows rows — batch-hard " +
+        "mining is per-batch by contract; block by label or IVF cell " +
+        "(VectorOps.ivfAssign) and mine within blocks")
+    val typed = df.select(col(idCol), col(vecCol),
+      col(labelCol).cast("int")).as[(Long, Array[Float], Int)]
+    val rightRows = typed.collect()
+    val rightNorms = rightRows.map { case (_, v, _) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((rightRows, rightNorms))
+    typed.mapPartitions { it =>
+      val (rRows, rNorms) = bc.value
+      it.flatMap { case (idA, vecA, labA) =>
+        var sa = 0.0
+        var i = 0
+        while (i < vecA.length) { sa += vecA(i).toDouble * vecA(i).toDouble; i += 1 }
+        val nrmA = math.sqrt(sa)
+        // hardest positive: lowest same-label cos; hardest negative:
+        // highest cross-label cos; equal cos → lower id wins
+        var posCos = 0.0; var posId = -1L; var hasPos = false
+        var negCos = 0.0; var negId = -1L; var hasNeg = false
+        var r = 0
+        while (r < rRows.length) {
+          val (idB, vecB, labB) = rRows(r)
+          if (idB != idA) {
+            var dotAb = 0.0
+            var j = 0
+            val n = math.min(vecA.length, vecB.length)
+            while (j < n) { dotAb += vecA(j).toDouble * vecB(j).toDouble; j += 1 }
+            val cos = dotAb / (nrmA * rNorms(r))
+            if (labB == labA) {
+              if (!hasPos || cos < posCos ||
+                (cos == posCos && idB < posId)) {
+                posCos = cos; posId = idB; hasPos = true
+              }
+            } else {
+              if (!hasNeg || cos > negCos ||
+                (cos == negCos && idB < negId)) {
+                negCos = cos; negId = idB; hasNeg = true
+              }
+            }
+          }
+          r += 1
+        }
+        if (hasPos && hasNeg)
+          Iterator.single((idA, labA, posId, posCos, negId, negCos,
+            negCos > posCos - margin))
+        else Iterator.empty
+      }
+    }.toDF("id_a", "label", "id_pos", "cos_pos", "id_neg", "cos_neg",
+      "violation")
   }
 
   /** SemDeDup-style semantic dedup census (Abbas et al. 2023,
