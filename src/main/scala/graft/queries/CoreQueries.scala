@@ -3545,6 +3545,51 @@ object CoreQueries {
         JOIN part ON p_partkey = l_partkey
         WHERE 5 * qcents * n_li < sum_qcents
         GROUP BY p_brand
-        ORDER BY p_brand"""))
+        ORDER BY p_brand""")),
+
+    // ── q110: window funnel — the ClickHouse windowFunnel semantics:
+    //    each entrant's MAX ordered step depth where every later step
+    //    lands within 1 day of the FIRST step, rolled into the depth
+    //    histogram (the conversion report q82's unbounded dropoff
+    //    can't express). Same user-key partial-agg chain as q60 with
+    //    the horizon predicate anchored at step 1 ───────────────────────
+    Q("q110_window_funnel",
+      (s, dir) => {
+        val f = graft.ops.EventOps.funnelSteps(Tables.events(s, dir),
+          "user_id", "event_type", "ts_sec",
+          Seq("view", "click", "purchase"), within = Some(86400L))
+        val d = f.select(when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2).otherwise(1).as("depth"))
+        val tot = d.agg(count(lit(1)).as("n_total"))
+        d.groupBy("depth").agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("depth"), col("n_users"),
+            round(col("n_users").cast("double") / col("n_total"), 6)
+              .as("share"))
+          .orderBy("depth")
+      },
+      Some(Tables.eventsCte + """,
+        s1 AS (SELECT user_id AS u, MIN(ts_sec) AS ts1
+               FROM e WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, MIN(e.ts_sec) AS ts2
+               FROM e JOIN s1 ON s1.u = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_sec > s1.ts1
+                 AND e.ts_sec <= s1.ts1 + 86400
+               GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, MIN(e.ts_sec) AS ts3
+               FROM e JOIN s2 ON s2.u = e.user_id
+               JOIN s1 ON s1.u = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_sec > s2.ts2
+                 AND e.ts_sec <= s1.ts1 + 86400
+               GROUP BY 1),
+        d AS (
+          SELECT CASE WHEN s3.u IS NOT NULL THEN 3
+            WHEN s2.u IS NOT NULL THEN 2 ELSE 1 END AS depth
+          FROM s1 LEFT JOIN s2 ON s2.u = s1.u
+          LEFT JOIN s3 ON s3.u = s1.u),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+          ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
+        FROM d CROSS JOIN t GROUP BY depth ORDER BY depth"""))
   )
 }

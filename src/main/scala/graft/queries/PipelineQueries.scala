@@ -976,6 +976,74 @@ object PipelineQueries {
           (k > kstar AND kstar <> n) AS capped,
           CASE WHEN kstar = n THEN NULL
             ELSE ROUND(level, 6) END AS level
-        FROM lv ORDER BY source"""))
+        FROM lv ORDER BY source""")),
+
+    // ── p29: exponentiated-gradient mixture reweighting — the DoReMi
+    //    weight-update step (Xie et al. 2023, arXiv:2305.10429 Alg. 1)
+    //    with the per-source quality DEFICIT standing in for excess
+    //    loss: w ← normalize(w · exp(ℓ)), 3 unrolled rounds. Every
+    //    round snaps to 6 dp and the normalizer folds source-ordered
+    //    (the p27 determinism rule), so the oracle replays the whole
+    //    iteration. Source-many rows end to end — coordinator-scale
+    //    after the one quality rollup ───────────────────────────────────
+    Q("p29_mixture_eg",
+      (s, dir) => {
+        val qs = graft.ops.TextOps
+          .qualityColumns(col("text"), Seq("the", "a", "of", "to"))
+          .toMap.apply("quality_score")
+        val mq = Tables.documents(s, dir)
+          .groupBy("source").agg(round(avg(qs), 6).as("mq"))
+        val mx = mq.agg(max(col("mq")).as("mqmax"),
+          count(lit(1)).as("n_src"))
+        var w = mq.crossJoin(broadcast(mx))
+          .select(col("source"),
+            round(col("mqmax") - col("mq"), 6).as("excess_loss"),
+            round(lit(1.0) / col("n_src"), 6).as("w0"))
+        for (t <- 1 to 3) {
+          val u = w.withColumn(s"__u$t",
+            round(col(s"w${t - 1}") * exp(col("excess_loss")), 6))
+          val tot = u.agg(aggregate(transform(
+            sort_array(collect_list(struct(col("source"),
+              col(s"__u$t").as("u")))),
+            x => x.getField("u")), lit(0.0), (a, b) => a + b).as("__tot"))
+          w = u.crossJoin(broadcast(tot))
+            .withColumn(s"w$t",
+              round(col(s"__u$t") / col("__tot"), 6))
+            .drop(s"__u$t", "__tot")
+        }
+        w.select("source", "excess_loss", "w0", "w1", "w2", "w3")
+          .orderBy("source")
+      },
+      Some("""WITH q AS (
+          SELECT source,
+            (CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')))
+            * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+              / len(string_split(text, ' '))) AS qs
+          FROM documents),
+        mq AS (SELECT source, ROUND(AVG(qs), 6) AS mq FROM q GROUP BY 1),
+        mx AS (SELECT MAX(mq) AS mqmax,
+          CAST(COUNT(*) AS BIGINT) AS n_src FROM mq),
+        r0 AS (
+          SELECT source, ROUND(mqmax - mq, 6) AS excess_loss,
+            ROUND(1.0 / n_src, 6) AS w0
+          FROM mq CROSS JOIN mx),
+        u1 AS (SELECT *, ROUND(w0 * EXP(excess_loss), 6) AS u FROM r0),
+        t1 AS (SELECT list_sum(list(u ORDER BY source)) AS tot FROM u1),
+        r1 AS (SELECT source, excess_loss, w0, ROUND(u / tot, 6) AS w1
+               FROM u1 CROSS JOIN t1),
+        u2 AS (SELECT *, ROUND(w1 * EXP(excess_loss), 6) AS u FROM r1),
+        t2 AS (SELECT list_sum(list(u ORDER BY source)) AS tot FROM u2),
+        r2 AS (SELECT source, excess_loss, w0, w1,
+                 ROUND(u / tot, 6) AS w2
+               FROM u2 CROSS JOIN t2),
+        u3 AS (SELECT *, ROUND(w2 * EXP(excess_loss), 6) AS u FROM r2),
+        t3 AS (SELECT list_sum(list(u ORDER BY source)) AS tot FROM u3),
+        r3 AS (SELECT source, excess_loss, w0, w1, w2,
+                 ROUND(u / tot, 6) AS w3
+               FROM u3 CROSS JOIN t3)
+        SELECT source, excess_loss, w0, w1, w2, w3
+        FROM r3 ORDER BY source"""))
   )
 }
