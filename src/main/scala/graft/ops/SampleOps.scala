@@ -616,6 +616,38 @@ object SampleOps {
       .select("doc_id", "cross_entropy", "split")
   }
 
+  /** Label-striped training batches — the in-batch-negatives
+    * construction a two-tower/contrastive trainer wants: samples land
+    * in batches so that same-label samples are spread as far apart as
+    * possible (a batch mixes labels ⇒ every other sample in the batch
+    * is a usable negative). The stripe key is pure arithmetic:
+    * `(rank_within_label − 1) · n_labels + label_rank`, batched by
+    * integer division — NO global sort or single-partition window,
+    * just one label-key window plus a labels-sized broadcast, so the
+    * construction distributes at any corpus size. Uneven label counts
+    * leave gaps in the stripe ⇒ some batches run short (deterministic;
+    * audit with a batch-size rollup).
+    */
+  def stripedBatches(df: DataFrame, idCol: String, labelCol: String,
+                     batchSize: Int): DataFrame = {
+    require(batchSize >= 2, "batchSize must be >= 2")
+    val lr = df.select(col(labelCol).as("__lbl")).distinct()
+      .withColumn("__lrank",
+        row_number().over(Window.orderBy(col("__lbl"))))
+    val nl = lr.agg(count(lit(1)).as("__nl"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(lr), col(labelCol) === col("__lbl"))
+      .crossJoin(broadcast(nl))
+      .withColumn("__stripe",
+        (col("__rn") - 1).cast("long") * col("__nl") + col("__lrank"))
+      .withColumn("batch_id",
+        expr(s"CAST((__stripe - 1) DIV $batchSize AS BIGINT)"))
+      .withColumn("slot",
+        expr(s"CAST((__stripe - 1) % $batchSize AS INT)"))
+      .drop("__lbl", "__lrank", "__nl", "__rn", "__stripe")
+  }
+
   /** Water-filling quota allocation: split a global token budget
     * (`budgetPct`% of total supply) across groups so every group gets
     * min(its supply, a common water level λ) — small groups keep

@@ -1504,6 +1504,62 @@ object TextQueries {
           CAST(MAX(doc_id) AS BIGINT) AS last_doc
         FROM p GROUP BY source, shard ORDER BY source, shard""")),
 
+    // ── m08: modality-alignment gate — the CLIP-score-filter shape
+    //    (LAION-style curation): score every sample's embedding
+    //    against its source's prototype (the per-source centroid
+    //    standing in for the text-tower embedding; the real pipeline
+    //    broadcasts genuine caption embeddings into the SAME join)
+    //    and gate at a threshold. Centroids are a (source, dim)
+    //    partial agg → tiny broadcast; scoring is a zero-shuffle
+    //    scan-local HOF fold per row ────────────────────────────────────
+    Q("m08_prototype_gate",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))
+        val d = Tables.documents(s, dir).select("doc_id", "source")
+        val joined = e.join(d, Seq("doc_id"))
+        val cent = joined.select(col("source"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy("source", "i")
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        val cvec = cent.groupBy("source")
+          .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+            t => t.getField("c")).as("cvec"))
+        val xe = transform(col("embedding"), x => x.cast("double"))
+        def fold(arr: org.apache.spark.sql.Column) =
+          aggregate(arr, lit(0.0), (a, b) => a + b)
+        val cos = fold(zip_with(xe, col("cvec"), (x, y) => x * y)) /
+          (sqrt(fold(transform(xe, x => x * x)))
+            * sqrt(fold(transform(col("cvec"), y => y * y))))
+        joined.join(broadcast(cvec), Seq("source"))
+          .select(col("doc_id"), col("source"),
+            round(cos, 6).as("align_score"))
+          .withColumn("kept", col("align_score") >= 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH e AS (
+          SELECT d.source, d.doc_id, em.embedding
+          FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+        c AS (
+          SELECT source, i,
+            ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+          FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+        cv AS (SELECT source, list(c ORDER BY i) AS cvec FROM c GROUP BY 1),
+        sc AS (
+          SELECT e.doc_id, e.source,
+            ROUND(
+              list_sum(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * cv.cvec[i]))
+              / (SQRT(list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                     * CAST(e.embedding[i] AS DOUBLE))))
+               * SQRT(list_sum(list_transform(range(1, 65),
+                   i -> cv.cvec[i] * cv.cvec[i])))), 6) AS align_score
+          FROM e JOIN cv USING (source))
+        SELECT doc_id, source, align_score,
+          align_score >= 0.2 AS kept
+        FROM sc ORDER BY doc_id""")),
+
     // ── Gopher-style repetition signals (quality gates) ─────────────
     // The local corpus is one parquet row group → one input split; a
     // real corpus scan yields thousands of splits. Fanning out the raw

@@ -1103,6 +1103,51 @@ object VectorQueries {
     //    redundancy, the RAG/search diversification step. The greedy
     //    loop unrolls into 4 bounded per-query stages; the oracle
     //    replays each round as its own CTE ──────────────────────────────
+    // ── s29: in-batch-negatives batch construction — label-striped
+    //    batches for contrastive training (every other in-batch
+    //    sample is a usable negative). Stripe key is pure integer
+    //    arithmetic off one label-key window + a labels-sized
+    //    broadcast; no global sort anywhere. Audit columns expose the
+    //    short batches uneven label counts produce ──────────────────────
+    Q("s29_inbatch_negatives",
+      (s, dir) => {
+        val b = graft.ops.SampleOps.stripedBatches(
+          Tables.embeddings(s, dir).select("vec_id", "label"),
+          "vec_id", "label", batchSize = 8)
+        val audit = b.groupBy("batch_id")
+          .agg(count(lit(1)).as("batch_n"),
+            countDistinct(col("label")).as("batch_labels"))
+        b.join(audit, Seq("batch_id"))
+          .select("vec_id", "label", "batch_id", "slot",
+            "batch_n", "batch_labels")
+          .orderBy("vec_id")
+      },
+      Some("""WITH lr AS (
+          SELECT label AS lbl,
+            CAST(ROW_NUMBER() OVER (ORDER BY label) AS BIGINT) AS lrank
+          FROM (SELECT DISTINCT label FROM embeddings)),
+        nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM lr),
+        r AS (
+          SELECT vec_id, label,
+            CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id)
+              AS BIGINT) AS rn
+          FROM embeddings),
+        st AS (
+          SELECT vec_id, label, (rn - 1) * nl + lrank AS stripe
+          FROM r JOIN lr ON lr.lbl = r.label CROSS JOIN nl),
+        b AS (
+          SELECT vec_id, label,
+            CAST((stripe - 1) // 8 AS BIGINT) AS batch_id,
+            CAST((stripe - 1) % 8 AS INT) AS slot
+          FROM st),
+        a AS (
+          SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS batch_n,
+            CAST(COUNT(DISTINCT label) AS BIGINT) AS batch_labels
+          FROM b GROUP BY 1)
+        SELECT b.vec_id, b.label, b.batch_id, b.slot,
+          a.batch_n, a.batch_labels
+        FROM b JOIN a USING (batch_id) ORDER BY vec_id""")),
+
     Q("s28_matryoshka_recall",
       (s, dir) => {
         // Matryoshka-style truncation audit (Kusupati et al. 2022,

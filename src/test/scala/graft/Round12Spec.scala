@@ -95,6 +95,41 @@ class Round12Spec extends SparkTestBase {
     assert(out.groupBy(r => (r._1, r._3)).values.forall(_.size <= 2))
   }
 
+  test("stripedBatches theorem: batchSize <= n_labels → no intra-batch label dupes") {
+    // same-label stripes differ by multiples of n_labels, so with
+    // batchSize <= n_labels they can never share a batch
+    val out = SparkEntry.queries("s29_inbatch_negatives")(spark, sf)
+      .select("batch_n", "batch_labels").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, l) => assert(l == n, s"batch has label dupes: $n vs $l") }
+  }
+
+  test("p29 EG rounds: weights stay normalized and order by excess loss") {
+    val rows = SparkEntry.queries("p29_mixture_eg")(spark, sf)
+      .select("excess_loss", "w3").as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    // multiplicative-weights monotonicity: more excess loss never
+    // means less final weight
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array((l1, w1), (l2, w2)) =>
+      assert(l1 == l2 || w1 <= w2 + 1e-9, s"($l1,$w1) vs ($l2,$w2)")
+    }
+  }
+
+  test("q110 window funnel: depths partition the entrants") {
+    val rows = SparkEntry.queries("q110_window_funnel")(spark, sf)
+      .select("depth", "n_users", "share").as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf(Set(1, 2, 3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("m08 gate: kept flag is exactly the threshold predicate") {
+    val rows = SparkEntry.queries("m08_prototype_gate")(spark, sf)
+      .select("align_score", "kept").as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sc, k) => assert(k == (sc >= 0.2)) }
+  }
+
   test("q109 identity: every small-quantity line sits strictly below 20% of its part's mean") {
     val rows = SparkEntry.queries("q109_small_qty_revenue")(spark, sf)
       .agg(sum($"n_small")).as[Long].collect().head
