@@ -174,7 +174,22 @@ class PlanHygieneSpec extends SparkTestBase {
       "t46_heaps_curve",
       // p27_split_psi: q85's 1-row min/max bucket-seed scalar plus the
       // splits-many totals broadcast — both bounded tails.
-      "p27_split_psi")
+      "p27_split_psi",
+      // q110_window_funnel: the 1-row entrants total over the ≤3-row
+      // depth histogram, broadcast back for the share — q98's class.
+      "q110_window_funnel",
+      // s29_inbatch_negatives: the labels-many distinct label-rank
+      // window + the 1-row label count — both label-bounded tails
+      // (the per-sample striping itself shuffles on the label key).
+      "s29_inbatch_negatives",
+      // p29_mixture_eg: one 1-row ordered-fold normalizer per EG round
+      // over the sources-many weight rows — coordinator-scale by
+      // design after the quality rollup.
+      "p29_mixture_eg",
+      // p28_token_waterfill: the global sort window + 1-row cutoff run
+      // over one-row-per-SOURCE supply rows (groups ≪ corpus); the
+      // heavy census partial-aggs upstream.
+      "p28_token_waterfill")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
