@@ -206,7 +206,52 @@ class ScaleStressSpec extends SparkTestBase {
         df.withColumn("strat", (col("doc_id") % 20).cast("string")),
         "strat", "doc_id",
         Seq("train" -> 6.0, "val" -> 1.0, "test" -> 1.0))
-        .select("doc_id", "strat", "split")))
+        .select("doc_id", "strat", "split")),
+    // per-source signature = elementwise partial MIN over docs — the
+    // token stream scales with rows, the shuffle carries k longs per
+    // source, and the pair matrix is sources²-bounded
+    "d36_source_minhash_matrix" -> (df =>
+      TextOps.sourceSimilarityMinhash(
+        df.withColumn("src", (col("doc_id") % 20).cast("string")),
+        "src", "text")),
+    // two source-keyed windows (interleave rank + byte cumsum): shard
+    // count grows with bytes, partitions hold whole sources
+    "m07_shard_manifest" -> { df =>
+      import org.apache.spark.sql.expressions.Window
+      val base = df.select(
+        (col("doc_id") % 20).cast("string").as("source"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      val wrr = Window.partitionBy(col("source"), col("modality"))
+        .orderBy("doc_id")
+      val word = Window.partitionBy(col("source"))
+        .orderBy(col("rr"), col("modality"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("rr", row_number().over(wrr))
+        .withColumn("cum", sum(col("n_bytes")).over(word))
+        .withColumn("shard",
+          floor((col("cum") - col("n_bytes")) / lit(2000L)).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("b"))
+    },
+    // one domain-key window: rank work is per-domain sequential but
+    // partitions hold whole domains — linear total
+    "u11_politeness_plan" -> (df =>
+      graft.ops.UrlOps.politenessSchedule(
+        df.withColumn("url", concat(lit("http://s"),
+            (col("doc_id") % 20).cast("string"), lit(".com/"),
+            col("doc_id").cast("string")))
+          .withColumn("pri", length(col("text"))),
+        "url", "doc_id", "pri", perSlot = 2)),
+    // supply census partial-aggs map-side; the waterfill itself runs
+    // on one-row-per-source — corpus growth only touches the census
+    "p28_token_waterfill" -> { df =>
+      val sup = df.groupBy((col("doc_id") % 20).cast("string").as("src"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("n_toks"))
+      graft.ops.SampleOps.waterfillQuota(sup, "src", "n_toks", 60)
+    })
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
@@ -287,7 +332,33 @@ class ScaleStressSpec extends SparkTestBase {
     // exact stage touches shortlist·n pairs, never cell²
     "s22_knn_rerank" -> ((df, f) => graft.ops.VectorOps.ivfPqRerankNeighbors(
       df, "vec_id", "embedding", nCells = 16 * f, m = 4, nCentroids = 8,
-      dim = 64, k = 3, shortlist = 10, iters = 2, portablePivots = true)))
+      dim = 64, k = 3, shortlist = 10, iters = 2, portablePivots = true)),
+    // label-striped batching: one label-key window + a labels-sized
+    // broadcast — rows linear, labels fixed
+    "s29_inbatch_negatives" -> ((df, _) =>
+      graft.ops.SampleOps.stripedBatches(
+        df.withColumn("label", (col("vec_id") % 10).cast("int")),
+        "vec_id", "label", batchSize = 8)),
+    // prototype-gate scoring: (source, dim) partial-agg centroids
+    // broadcast back, then a zero-shuffle per-row HOF fold
+    "m08_prototype_gate" -> { (df, _) =>
+      val d = df.withColumn("source", (col("vec_id") % 20).cast("string"))
+      val cent = d.select(col("source"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("source", "i")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      val cvec = cent.groupBy("source")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("cvec"))
+      val xe = transform(col("embedding"), x => x.cast("double"))
+      def fold(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0.0), (p, q) => p + q)
+      val cos = fold(zip_with(xe, col("cvec"), (x, y) => x * y)) /
+        (sqrt(fold(transform(xe, x => x * x)))
+          * sqrt(fold(transform(col("cvec"), y => y * y))))
+      d.join(broadcast(cvec), Seq("source"))
+        .select(col("vec_id"), round(cos, 6).as("align_score"))
+    })
 
   // ── events family: salted copies offset user AND event ids, so
   //    copies are user-disjoint — per-user work is identical at every
@@ -402,6 +473,15 @@ class ScaleStressSpec extends SparkTestBase {
           ((col("total") - prev).cast("double") / prev.cast("double"))
             .as("growth"))
         .where(col("growth").isNotNull)
+    },
+    // steps-many user-key partial aggs with the horizon predicate
+    // (q80's class); the depth rollup is a ≤3-row tail
+    "q110_window_funnel" -> { df =>
+      val f = graft.ops.EventOps.funnelSteps(df, "user_id", "event_type",
+        "ts_sec", Seq("view", "click", "purchase"), within = Some(86400L))
+      f.select(when(col("purchase_ts").isNotNull, 3)
+          .when(col("click_ts").isNotNull, 2).otherwise(1).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
     },
     // two-pass quantile frame: groups-many bounds broadcast back over
     // the stream — group count is fixed, rows scale linearly
