@@ -77,7 +77,9 @@ object Bench {
     "t46_heaps_curve", "p27_split_psi",
     "q109_small_qty_revenue", "s26_triplet_mining", "s27_mmr_rerank",
     "s28_matryoshka_recall", "u11_politeness_plan", "m07_shard_manifest",
-    "p28_token_waterfill", "d36_source_minhash_matrix")
+    "p28_token_waterfill", "d36_source_minhash_matrix",
+    "q110_window_funnel", "q111_kmv_setops", "p29_mixture_eg",
+    "m08_prototype_gate", "s29_inbatch_negatives", "s30_sq8_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,6 +87,48 @@ object SketchOps {
           .as("est_distinct"))
   }
 
+  /** KMV set-operation estimates (Beyer et al. 2007, "On synopses
+    * for distinct-value estimation under multiset operations"):
+    * from each side's bottom-k distinct-hash sketch alone —
+    * union = (k−1)/m over the re-truncated combined sketch,
+    * Jaccard = the fraction of combined-sketch survivors present in
+    * BOTH sides, intersection = Jaccard × union. The whole point is
+    * that the ESTIMATES come from two k-row synopses: at 100 TB the
+    * sides never co-shuffle — each side reduces to k hashes
+    * independently (mergeable, incrementally maintainable), and the
+    * set algebra runs on 2k rows wherever the sketches meet.
+    *
+    * Output: one row `(k_used, n_both, union_est, jaccard_est,
+    * intersect_est)`. When the union has fewer than k distinct
+    * hashes the synopsis is the population and union_est is exact.
+    */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 3, "k >= 3 (estimator needs k-1 > 1)")
+    def sketch(df: DataFrame) = {
+      val uh = graft.functions.PortableHash.mdHash60(col(keyCol).cast("string"))
+        .cast("double") / (1L << 60).toDouble
+      df.select(uh.as("uh")).distinct().orderBy(col("uh")).limit(k)
+    }
+    val ka = sketch(dfA)
+    val kb = sketch(dfB)
+    val kab = ka.union(kb).distinct().orderBy(col("uh")).limit(k)
+    val both = ka.join(kb, Seq("uh"), "left_semi")
+    val inBoth = kab.join(both, Seq("uh"), "left_semi")
+    val agg = kab.agg(count(lit(1)).as("k_used"), max(col("uh")).as("m"))
+      .crossJoin(inBoth.agg(count(lit(1)).as("n_both")))
+    agg.select(col("k_used"), col("n_both"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((col("k_used") - 1).cast("double") / col("m"))
+          .as("union_est"))
+      .withColumn("jaccard_est",
+        round(col("n_both").cast("double") / col("k_used"), 6))
+      .withColumn("intersect_est",
+        round(col("n_both").cast("double") / col("k_used")
+          * col("union_est"), 6))
+      .withColumn("union_est", round(col("union_est"), 6))
+  }
+
   /** Register maintenance half: `(groupCols..., reg, mj)` via ONE
     * `max` aggregation — streaming-safe (update/complete modes), so a
     * Structured Streaming query can maintain per-(key, register) state

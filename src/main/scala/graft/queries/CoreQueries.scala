@@ -3590,6 +3590,54 @@ object CoreQueries {
         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
         SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_total), 6) AS share
-        FROM d CROSS JOIN t GROUP BY depth ORDER BY depth"""))
+        FROM d CROSS JOIN t GROUP BY depth ORDER BY depth""")),
+
+    // ── q111: KMV set-operation estimates — union / Jaccard /
+    //    intersection of the click-user and view-user sets computed
+    //    from two bottom-64 sketches ALONE (Beyer et al. 2007): the
+    //    sides never co-shuffle, each reduces to 64 hashes
+    //    independently and the set algebra runs on 128 rows — the
+    //    mergeable companion to q65's HLL overlap ───────────────────────
+    Q("q111_kmv_setops",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.ops.SketchOps.kmvSetOps(
+          ev.where(col("event_type") === "click").select("user_id"),
+          ev.where(col("event_type") === "view").select("user_id"),
+          "user_id", k = 64)
+      },
+      Some(Tables.eventsCte + """,
+        ua AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM e WHERE event_type = 'click'),
+        ub AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM e WHERE event_type = 'view'),
+        ka AS (SELECT uh FROM ua ORDER BY uh LIMIT 64),
+        kb AS (SELECT uh FROM ub ORDER BY uh LIMIT 64),
+        kab AS (
+          SELECT uh FROM (
+            SELECT DISTINCT uh FROM (
+              SELECT uh FROM ka UNION ALL SELECT uh FROM kb))
+          ORDER BY uh LIMIT 64),
+        bth AS (SELECT uh FROM ka WHERE uh IN (SELECT uh FROM kb)),
+        ib AS (SELECT uh FROM kab WHERE uh IN (SELECT uh FROM bth)),
+        a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(uh) AS m
+               FROM kab),
+        a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM ib),
+        f AS (
+          SELECT k_used, n_both,
+            CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                 ELSE CAST(k_used - 1 AS DOUBLE) / m END AS u_raw
+          FROM a1 CROSS JOIN a2)
+        SELECT k_used, n_both, ROUND(u_raw, 6) AS union_est,
+          ROUND(CAST(n_both AS DOUBLE) / k_used, 6) AS jaccard_est,
+          ROUND(CAST(n_both AS DOUBLE) / k_used * u_raw, 6)
+            AS intersect_est
+        FROM f"""))
   )
 }

@@ -1103,6 +1103,54 @@ object VectorQueries {
     //    redundancy, the RAG/search diversification step. The greedy
     //    loop unrolls into 4 bounded per-query stages; the oracle
     //    replays each round as its own CTE ──────────────────────────────
+    // ── s30: SQ8 calibration report — the step BEFORE s07/s18 ships:
+    //    per-dim robust clip range (p01/p99, outlier-immune where
+    //    min/max is not), 255-step quantization, and the per-dim
+    //    reconstruction error that decides whether 8 bits suffice.
+    //    One (dim)-keyed percentile agg broadcast back over the
+    //    exploded stream; 64 output rows at any corpus size ────────────
+    Q("s30_sq8_calibration",
+      (s, dir) => {
+        val px = Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("i0", "xf")))
+          .select((col("i0") + 1).as("i"), col("xf").cast("double").as("x"))
+        val bounds = px.groupBy("i").agg(
+          expr("percentile(x, 0.01)").as("lo"),
+          expr("percentile(x, 0.99)").as("hi"))
+        val width = when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("hi") - col("lo")) / lit(255.0))
+        val clip = least(greatest(col("x"), col("lo")), col("hi"))
+        val deq = col("lo") + round((clip - col("lo")) / width) * width
+        px.join(broadcast(bounds), Seq("i"))
+          .select(col("i"), col("lo"), col("hi"),
+            ((col("x") - deq) * (col("x") - deq)).as("se"),
+            abs(col("x") - deq).as("ae"))
+          .groupBy("i", "lo", "hi")
+          .agg(round(avg(col("se")), 9).as("mse"),
+            round(max(col("ae")), 6).as("max_abs_err"))
+          .orderBy("i")
+      },
+      Some("""WITH px AS (
+          SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        b AS (
+          SELECT i, quantile_cont(x, 0.01) AS lo,
+            quantile_cont(x, 0.99) AS hi
+          FROM px GROUP BY i),
+        j AS (
+          SELECT px.i, b.lo, b.hi, px.x,
+            CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS w,
+            LEAST(GREATEST(x, lo), hi) AS clip
+          FROM px JOIN b ON b.i = px.i),
+        d AS (
+          SELECT i, lo, hi, x,
+            lo + ROUND((clip - lo) / w) * w AS deq
+          FROM j)
+        SELECT i, lo, hi,
+          ROUND(AVG((x - deq) * (x - deq)), 9) AS mse,
+          ROUND(MAX(ABS(x - deq)), 6) AS max_abs_err
+        FROM d GROUP BY i, lo, hi ORDER BY i""")),
+
     // ── s29: in-batch-negatives batch construction — label-striped
     //    batches for contrastive training (every other in-batch
     //    sample is a usable negative). Stripe key is pure integer
