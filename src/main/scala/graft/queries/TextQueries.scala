@@ -2703,6 +2703,47 @@ object TextQueries {
           CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         FROM ag ORDER BY src_a, src_b""")),
 
+    // ── t47: TextRank keywords (Mihalcea & Tarau 2004) — PageRank
+    //    over the token co-occurrence graph (adjacent-token edges,
+    //    symmetrized, corpus-weighted): the graph-centrality keyword
+    //    extractor next to t25's tf-idf one. Reuses GraphOps.pageRank
+    //    (3 rounds, 9-dp snap) and u06's unrolled oracle on the new
+    //    edge CTE; graph size is vocab², corpus only feeds weights ──────
+    Q("t47_textrank",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val prs = Tables.documents(s, dir).select(explode(
+            zip_with(slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+          .select(col("p.x").as("a"), col("p.y").as("b"))
+          .where(col("a") =!= col("b"))
+        val und = prs.union(prs.select(col("b").as("a"), col("a").as("b")))
+        val edges = und.groupBy(col("a").as("u"), col("b").as("v"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.ops.GraphOps.pageRank(edges, iters = 3)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(15)
+          .select(col("node").as("term"), col("rank"))
+      },
+      Some(WebQueries.pageRankCtesFor("""bg AS (
+          SELECT UNNEST(list_transform(
+            range(1, len(string_split(text, ' '))),
+            i -> string_split(text, ' ')[i] || ' '
+              || string_split(text, ' ')[i + 1])) AS g
+          FROM documents),
+        prs AS (
+          SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b
+          FROM bg
+          WHERE split_part(g, ' ', 1) <> split_part(g, ' ', 2)),
+        und AS (SELECT a, b FROM prs
+          UNION ALL SELECT b AS a, a AS b FROM prs),
+        ed AS (
+          SELECT a AS u, b AS v, COUNT(*) AS w
+          FROM und GROUP BY 1, 2)""", iters = 3) + """
+        SELECT node AS term, pr AS rank FROM r3
+        ORDER BY pr DESC, node LIMIT 15""")),
+
     // ── t46: vocabulary growth curve (Heaps' law) — distinct terms vs
     //    corpus tokens at 8 doc-id checkpoints, from the first-
     //    occurrence census (d29's machinery): vocab(k) = terms first

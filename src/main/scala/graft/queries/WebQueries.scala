@@ -390,7 +390,12 @@ object WebQueries {
   /** u06's replayed power iteration, ending OPEN after `r{iters}` so
     * callers (u06 select, u09 freshness compose) append their tails.
     */
-  private def pageRankCtes(iters: Int): String = {
+  /** Package-visible generator: unrolled PageRank CTE chain over any
+    * caller-supplied CTE prefix that ends defining `ed(u, v, w)` —
+    * t47 (TextRank) reuses u06's exact round replay on its own
+    * co-occurrence graph.
+    */
+  private[queries] def pageRankCtesFor(edSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""dg$i AS (
@@ -406,11 +411,7 @@ object WebQueries {
             FROM fr f JOIN $prev r ON r.node = f.u
             GROUP BY f.v) m USING (node))"""
     }.mkString(",\n        ")
-    s"""WITH ed AS (
-          SELECT source AS u,
-            'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS v,
-            COUNT(*) AS w
-          FROM documents GROUP BY 1, 2),
+    s"""WITH $edSql,
         ow AS (SELECT u, SUM(w) AS ow FROM ed GROUP BY u),
         fr AS (
           SELECT ed.u, ed.v,
@@ -425,6 +426,13 @@ object WebQueries {
           FROM nd CROSS JOIN cnt),
         $rounds"""
   }
+
+  private def pageRankCtes(iters: Int): String =
+    pageRankCtesFor("""ed AS (
+          SELECT source AS u,
+            'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS v,
+            COUNT(*) AS w
+          FROM documents GROUP BY 1, 2)""", iters)
 
   /** Unrolled HITS oracle for u07 — replays
     * [[graft.ops.GraphOps.hits]]'s exact half-steps: snapped raw
