@@ -581,13 +581,34 @@ object TextOps {
     * only k·|G| longs shuffle.
     */
   def sourceSimilarityMinhash(df: DataFrame, groupCol: String,
-                              textCol: String, k: Int = 16): DataFrame = {
-    val sig = df.select(col(groupCol).as("grp"),
+                              textCol: String, k: Int = 16): DataFrame =
+    sourceSimilarityFromRegisters(
+      sourceSignatureRegisters(df, groupCol, textCol, k), k)
+
+  /** Register-maintenance half of [[sourceSimilarityMinhash]]: the
+    * per-(group, lane) signature mins via ONE `min` aggregation —
+    * streaming-safe in update/complete mode (min is commutative and
+    * idempotent, the hllRegisters contract), state bounded by
+    * groups × k regardless of document volume. A Structured Streaming
+    * query maintains the corpus signature incrementally; fold the
+    * matrix at read time with [[sourceSimilarityFromRegisters]].
+    */
+  def sourceSignatureRegisters(df: DataFrame, groupCol: String,
+                               textCol: String, k: Int = 16): DataFrame =
+    df.select(col(groupCol).as("grp"),
         posexplode(minHashSignature(col(textCol), k, portable = true))
           .as(Seq("i", "mh")))
       .groupBy("grp", "i").agg(min(col("mh")).as("mh"))
-    val a = sig.select(col("grp").as("src_a"), col("i"), col("mh").as("mh_a"))
-    val b = sig.select(col("grp").as("src_b"), col("i"), col("mh").as("mh_b"))
+
+  /** Read-time fold: pairwise lane-agreement Jaccard estimates off a
+    * maintained register table (serving-side work, |G|·k input rows).
+    */
+  def sourceSimilarityFromRegisters(regs: DataFrame,
+                                    k: Int = 16): DataFrame = {
+    val a = regs.select(col("grp").as("src_a"), col("i"),
+      col("mh").as("mh_a"))
+    val b = regs.select(col("grp").as("src_b"), col("i"),
+      col("mh").as("mh_b"))
     a.join(b, Seq("i")).where(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))

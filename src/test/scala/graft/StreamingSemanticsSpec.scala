@@ -82,6 +82,44 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming source-signature registers: incremental mins, matrix matches batch") {
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val regs = TextOps.sourceSignatureRegisters(
+      input.toDS().toDF("src", "text"), "src", "text", k = 16)
+    val q = regs.writeStream.format("memory").queryName("sig_regs")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq(("a", "alpha beta gamma delta"),
+        ("b", "alpha beta gamma epsilon"), ("c", "zeta eta theta iota"))
+      val batch2 = Seq(("a", "epsilon zeta"), ("c", "kappa lambda"))
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // min is commutative/idempotent → the maintained registers equal
+      // the batch signature over ALL docs, so the served matrix does too.
+      // (snapshot first: the memory-sink MemoryPlan exposes the same
+      // attribute ids on both legs of the fold's self-join)
+      val snap = spark.table("sig_regs")
+        .as[(String, Int, Long)].collect().toSeq.toDF("grp", "i", "mh")
+      val streamed = TextOps.sourceSimilarityFromRegisters(snap, k = 16)
+        .orderBy("src_a", "src_b").collect().toSeq
+      val batch = TextOps.sourceSimilarityMinhash(
+        (batch1 ++ batch2).toDF("src", "text"), "src", "text", k = 16)
+        .orderBy("src_a", "src_b").collect().toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // shape: all 3 source pairs present; a/b share most tokens so
+      // their estimate dominates the disjoint c pairs
+      assert(streamed.size == 3)
+      val est = streamed.map(r =>
+        (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+      assert(est(("a", "b")) > est(("a", "c")))
+      assert(est(("a", "b")) > est(("b", "c")))
+    } finally q.stop()
+  }
+
   test("streaming sliding-distinct: window merges over the maintained register log") {
     import graft.ops.SketchOps
     implicit val sqlCtx = spark.sqlContext
