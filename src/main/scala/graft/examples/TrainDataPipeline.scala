@@ -148,6 +148,16 @@ object TrainDataPipeline {
       .orderBy("bucket")
       .show(truncate = false)
 
+    // 8. mixture quota: max-min fair token budget across languages
+    // (the water-filling allocator) — small languages keep their whole
+    // supply, the dominant one caps at the common level, and the
+    // budget is exactly exhausted; feed `allocation / n_tokens` as the
+    // per-language sampling rate into the shard writer above
+    val supply = split.where($"split" === "train")
+      .groupBy("lang").agg(sum(TextOps.tokenCount($"text")).as("n_tokens"))
+    SampleOps.waterfillQuota(supply, "lang", "n_tokens", budgetPct = 60)
+      .orderBy("lang").show(truncate = false)
+
     val total = docs.count()
     val survived = scored.count()
     println(s"$total docs in -> $survived representative docs out " +
