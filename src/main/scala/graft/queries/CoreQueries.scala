@@ -3638,6 +3638,96 @@ object CoreQueries {
           ROUND(CAST(n_both AS DOUBLE) / k_used, 6) AS jaccard_est,
           ROUND(CAST(n_both AS DOUBLE) / k_used * u_raw, 6)
             AS intersect_est
-        FROM f"""))
+        FROM f""")),
+
+    // ── q112: A/B experiment readout — users hash-assigned to
+    //    variants (rerun/append-stable, the SampleOps contract),
+    //    purchase conversion per arm, lift, and the two-proportion
+    //    pooled z-score the experimentation dashboard shows. Two
+    //    user-key distinct aggs + a 2-row pivot; all counting until
+    //    the final double formula ───────────────────────────────────────
+    Q("q112_ab_test",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val users = ev.select("user_id").distinct()
+          .withColumn("variant",
+            when(graft.ops.SampleOps.unitHash(col("user_id"), "ab") < 0.5,
+              "A").otherwise("B"))
+        // conversion = completed the horizon-bounded funnel (q110's
+        // depth 3) — every user "purchases eventually" on this
+        // fixture, so the unbounded definition saturates at rate 1.0
+        val conv = graft.ops.EventOps.funnelSteps(ev,
+            "user_id", "event_type", "ts_sec",
+            Seq("view", "click", "purchase"), within = Some(86400L))
+          .where(col("purchase_ts").isNotNull)
+          .select("user_id").withColumn("cv", lit(1L))
+        val arms = users.join(conv, Seq("user_id"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("cv"), lit(0L))).as("conv"))
+        val one = arms.agg(
+          max(when(col("variant") === "A", col("n"))).as("n_a"),
+          max(when(col("variant") === "A", col("conv"))).as("conv_a"),
+          max(when(col("variant") === "B", col("n"))).as("n_b"),
+          max(when(col("variant") === "B", col("conv"))).as("conv_b"))
+        val ra = col("conv_a").cast("double") / col("n_a")
+        val rb = col("conv_b").cast("double") / col("n_b")
+        val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b"))
+        one.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+          round(ra - rb, 6).as("lift"),
+          // degenerate pools (0% or 100% conversion) have no sampling
+          // variance — the z-statistic is undefined, emit null
+          when(pooled === 0.0 || pooled === 1.0, lit(null).cast("double"))
+            .otherwise(round((ra - rb) / sqrt(pooled * (lit(1.0) - pooled)
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+            .as("z_score"))
+      },
+      Some(Tables.eventsCte + """,
+        u AS (
+          SELECT user_id,
+            CASE WHEN ('0x' || substr(md5('ab' || '#' || user_id::VARCHAR),
+                1, 15))::BIGINT / 1152921504606846976.0 < 0.5
+              THEN 'A' ELSE 'B' END AS variant
+          FROM (SELECT DISTINCT user_id FROM e)),
+        s1 AS (SELECT user_id AS fu, MIN(ts_sec) AS ts1
+               FROM e WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS fu, MIN(e.ts_sec) AS ts2
+               FROM e JOIN s1 ON s1.fu = e.user_id
+               WHERE e.event_type = 'click' AND e.ts_sec > s1.ts1
+                 AND e.ts_sec <= s1.ts1 + 86400
+               GROUP BY 1),
+        s3 AS (SELECT e.user_id AS fu, MIN(e.ts_sec) AS ts3
+               FROM e JOIN s2 ON s2.fu = e.user_id
+               JOIN s1 ON s1.fu = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts_sec > s2.ts2
+                 AND e.ts_sec <= s1.ts1 + 86400
+               GROUP BY 1),
+        c AS (SELECT fu AS user_id, 1 AS cv FROM s3),
+        arms AS (
+          SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(COALESCE(cv, 0)) AS BIGINT) AS conv
+          FROM u LEFT JOIN c USING (user_id) GROUP BY variant),
+        one AS (
+          SELECT
+            MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+            MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+          FROM arms)
+        SELECT n_a, conv_a, n_b, conv_b,
+          ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+          ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+          ROUND(CAST(conv_a AS DOUBLE) / n_a
+            - CAST(conv_b AS DOUBLE) / n_b, 6) AS lift,
+          CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+                 IN (0.0, 1.0) THEN NULL
+            ELSE ROUND((CAST(conv_a AS DOUBLE) / n_a
+                - CAST(conv_b AS DOUBLE) / n_b)
+              / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+        FROM one"""))
   )
 }

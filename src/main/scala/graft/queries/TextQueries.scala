@@ -2703,6 +2703,92 @@ object TextQueries {
           CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
         FROM ag ORDER BY src_a, src_b""")),
 
+    // ── d37: dual-channel dedup agreement — which near-dup channel
+    //    catches what: text MinHash-LSH pairs (d03's config) vs
+    //    embedding-cosine pairs (s02's, vec_id ≡ doc_id) full-outer-
+    //    joined on the pair key, rolled into the agreement census the
+    //    dedup-strategy decision reads (text-only = paraphrase-blind
+    //    channel's wins; emb-only = lexical channel's misses). Both
+    //    channels are the established linear paths; the overlay is
+    //    one pair-key join ───────────────────────────────────────────────
+    Q("d37_dual_channel_dedup",
+      (s, dir) => {
+        val txt = TextOps.minHashPairs(Tables.documents(s, dir),
+            "doc_id", "text",
+            numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+          .select(col("id_a"), col("id_b")).withColumn("t", lit(1L))
+        val emb = graft.ops.VectorOps.cosineNearDupPairs(
+            Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+          .select(col("id_a"), col("id_b")).withColumn("e", lit(1L))
+        txt.join(emb, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(when(col("t").isNotNull && col("e").isNotNull, 1L)
+              .otherwise(0L)).as("n_both"),
+            sum(when(col("t").isNotNull && col("e").isNull, 1L)
+              .otherwise(0L)).as("n_text_only"),
+            sum(when(col("t").isNull && col("e").isNotNull, 1L)
+              .otherwise(0L)).as("n_emb_only"))
+          .select(col("n_both"), col("n_text_only"), col("n_emb_only"),
+            round(col("n_both").cast("double")
+              / (col("n_both") + col("n_text_only") + col("n_emb_only")),
+              6).as("channel_jaccard"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2),
+        tp AS (
+          SELECT id_a, id_b, 1 AS t FROM agree
+          WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        ep AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1 AS e
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+            >= 0.4),
+        fo AS (
+          SELECT COALESCE(tp.id_a, ep.id_a) AS id_a,
+            COALESCE(tp.id_b, ep.id_b) AS id_b, tp.t, ep.e
+          FROM tp FULL OUTER JOIN ep
+            ON ep.id_a = tp.id_a AND ep.id_b = tp.id_b)
+        SELECT
+          CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+          CAST(SUM(CASE WHEN t IS NULL AND e IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_only,
+          ROUND(CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+              THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS channel_jaccard
+        FROM fo""")),
+
     // ── t47: TextRank keywords (Mihalcea & Tarau 2004) — PageRank
     //    over the token co-occurrence graph (adjacent-token edges,
     //    symmetrized, corpus-weighted): the graph-centrality keyword
