@@ -130,6 +130,65 @@ class Round12Spec extends SparkTestBase {
     rows.foreach { case (sc, k) => assert(k == (sc >= 0.2)) }
   }
 
+  test("s30 calibration: per-dim quantization error bounded by half a step") {
+    val rows = SparkEntry.queries("s30_sq8_calibration")(spark, sf)
+      .select("lo", "hi", "mse", "max_abs_err")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.length == 64)
+    rows.foreach { case (lo, hi, mse, mx) =>
+      val halfStep = (hi - lo) / 255.0 / 2.0
+      // in-range values err at most half a step; clipped outliers can
+      // exceed it only via the p01/p99 clip itself
+      assert(mse >= 0 && mx >= 0)
+      assert(mse <= math.max(halfStep * halfStep, mx * mx) + 1e-12)
+    }
+  }
+
+  test("q111 KMV estimates: within sketch error of the exact set sizes") {
+    val r = SparkEntry.queries("q111_kmv_setops")(spark, sf)
+      .select("union_est", "jaccard_est", "intersect_est")
+      .as[(Double, Double, Double)].collect().head
+    val ev = Tables.events(spark, sf)
+    val a = ev.where($"event_type" === "click").select("user_id").distinct()
+    val b = ev.where($"event_type" === "view").select("user_id").distinct()
+    val exactUnion = a.union(b).distinct().count().toDouble
+    val exactBoth = a.intersect(b).count().toDouble
+    // k=64 → stderr ~ 1/sqrt(62) ≈ 13%; assert a loose 3-sigma band
+    assert(math.abs(r._1 - exactUnion) / exactUnion < 0.4,
+      s"union est ${r._1} vs $exactUnion")
+    assert(math.abs(r._3 - exactBoth) / math.max(exactBoth, 1.0) < 0.6,
+      s"intersect est ${r._3} vs $exactBoth")
+    assert(r._2 >= 0.0 && r._2 <= 1.0)
+  }
+
+  test("q112 arms partition the users; z sign matches the lift") {
+    val r = SparkEntry.queries("q112_ab_test")(spark, sf)
+      .select("n_a", "n_b", "lift", "z_score")
+      .as[(Long, Long, Double, Option[Double])].collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r._1 + r._2 == users)
+    r._4.foreach(z => assert(z * r._3 >= 0.0, s"z=$z lift=${r._3}"))
+  }
+
+  test("d37 agreement census: channel jaccard well-formed") {
+    val r = SparkEntry.queries("d37_dual_channel_dedup")(spark, sf)
+      .select("n_both", "n_text_only", "n_emb_only", "channel_jaccard")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r._1 >= 0 && r._2 >= 0 && r._3 >= 0)
+    assert(r._4 >= 0.0 && r._4 <= 1.0)
+    assert(r._4 == (if (r._1 + r._2 + r._3 == 0) 0.0
+      else BigDecimal(r._1.toDouble / (r._1 + r._2 + r._3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("t47 TextRank: top-15 ranks are a probability fragment, sorted desc") {
+    val rows = SparkEntry.queries("t47_textrank")(spark, sf)
+      .select("rank").as[Double].collect()
+    assert(rows.length == 15)
+    assert(rows.sum <= 1.0 + 1e-6)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("q109 identity: every small-quantity line sits strictly below 20% of its part's mean") {
     val rows = SparkEntry.queries("q109_small_qty_revenue")(spark, sf)
       .agg(sum($"n_small")).as[Long].collect().head
