@@ -3547,6 +3547,64 @@ object CoreQueries {
         GROUP BY p_brand
         ORDER BY p_brand""")),
 
+    // ── q113: price-volume bridge — the FP&A revenue-delta
+    //    decomposition: Δrev per brand between two ship years split
+    //    into a VOLUME effect ((q₂−q₁)·p₁) and a PRICE effect
+    //    ((p₂−p₁)·q₂), which sum to the delta exactly (p = rev/qty).
+    //    Exact decimal sums per (brand, year), part broadcasts, the
+    //    bridge math is brands-many scalar rows ─────────────────────────
+    Q("q113_price_volume_bridge",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val yr = year(col("l_shipdate"))
+        val base = li.where(yr.isin(1997, 1998))
+          .join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), yr.as("yr"))
+          .agg(sum(dec2(col("l_quantity"))).as("qty"),
+            sum(revenueTerm).as("rev"))
+        val prev = base.where(col("yr") === 1997)
+          .select(col("p_brand"), col("qty").as("q1"), col("rev").as("r1"))
+        val curr = base.where(col("yr") === 1998)
+          .select(col("p_brand"), col("qty").as("q2"), col("rev").as("r2"))
+        val p1 = col("r1").cast("double") / col("q1").cast("double")
+        val p2 = col("r2").cast("double") / col("q2").cast("double")
+        prev.join(curr, Seq("p_brand"))
+          .select(col("p_brand"),
+            col("r1").cast("double").as("rev_1997"),
+            col("r2").cast("double").as("rev_1998"),
+            round((col("r2") - col("r1")).cast("double"), 2).as("delta"),
+            round((col("q2") - col("q1")).cast("double") * p1, 6)
+              .as("volume_effect"),
+            round((p2 - p1) * col("q2").cast("double"), 6)
+              .as("price_effect"))
+          .orderBy("p_brand")
+      },
+      Some(s"""WITH base AS (
+          SELECT p_brand, EXTRACT(YEAR FROM l_shipdate) AS yr,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+            SUM($revenueSql) AS rev
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE EXTRACT(YEAR FROM l_shipdate) IN (1997, 1998)
+          GROUP BY 1, 2),
+        pv AS (SELECT p_brand, qty AS q1, rev AS r1 FROM base
+               WHERE yr = 1997),
+        cu AS (SELECT p_brand, qty AS q2, rev AS r2 FROM base
+               WHERE yr = 1998)
+        SELECT pv.p_brand,
+          CAST(r1 AS DOUBLE) AS rev_1997,
+          CAST(r2 AS DOUBLE) AS rev_1998,
+          ROUND(CAST(r2 - r1 AS DOUBLE), 2) AS delta,
+          ROUND(CAST(q2 - q1 AS DOUBLE)
+            * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)), 6)
+            AS volume_effect,
+          ROUND((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+              - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+            * CAST(q2 AS DOUBLE), 6) AS price_effect
+        FROM pv JOIN cu ON cu.p_brand = pv.p_brand
+        ORDER BY pv.p_brand""")),
+
     // ── q110: window funnel — the ClickHouse windowFunnel semantics:
     //    each entrant's MAX ordered step depth where every later step
     //    lands within 1 day of the FIRST step, rolled into the depth

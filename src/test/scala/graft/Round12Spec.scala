@@ -189,6 +189,16 @@ class Round12Spec extends SparkTestBase {
     assert(rows.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("q113 bridge closes: volume effect + price effect = revenue delta") {
+    val rows = SparkEntry.queries("q113_price_volume_bridge")(spark, sf)
+      .select("delta", "volume_effect", "price_effect")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, v, p) =>
+      assert(math.abs(d - (v + p)) < 2e-2, s"$d != $v + $p")
+    }
+  }
+
   test("q109 identity: every small-quantity line sits strictly below 20% of its part's mean") {
     val rows = SparkEntry.queries("q109_small_qty_revenue")(spark, sf)
       .agg(sum($"n_small")).as[Long].collect().head
