@@ -33,6 +33,18 @@ class PlanSpec extends SparkTestBase {
     assert(q5.contains("BroadcastHashJoin"), q5)
   }
 
+  test("q109: part broadcasts; the decorrelated agg joins the fact without a cartesian") {
+    val p = plan("q109_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q113: part broadcasts into the year rollup; bridge joins on the brand key") {
+    val p = plan("q113_price_volume_bridge")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q02_agg_table")
     assert(p.contains("HashAggregate"), p)
