@@ -1103,6 +1103,74 @@ object VectorQueries {
     //    redundancy, the RAG/search diversification step. The greedy
     //    loop unrolls into 4 bounded per-query stages; the oracle
     //    replays each round as its own CTE ──────────────────────────────
+    // ── s31: retrieval nDCG@5 — ranking quality of the cosine
+    //    retriever with label agreement as binary gain: DCG over the
+    //    ranked top-5, ideal DCG from the relevant count, per-query
+    //    nDCG (0 when nothing relevant — both engines' convention).
+    //    DCG folds rank-ordered (the p27 determinism rule); kernel
+    //    candidate generation, labels broadcast twice ───────────────────
+    Q("s31_ndcg",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val nn = VectorOps.knnBruteForceKernel(
+          e.where(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 5)
+        val lq = e.select(col("vec_id").as("id_a"), col("label").as("lq"))
+        val ln = e.select(col("vec_id").as("id_b"), col("label").as("ln"))
+        val gains = nn.join(broadcast(lq), Seq("id_a"))
+          .join(broadcast(ln), Seq("id_b"))
+          .select(col("id_a").as("query_id"), col("rk"),
+            (col("lq") === col("ln")).cast("int").as("gain"))
+        val per = gains.groupBy("query_id")
+          .agg(sum(col("gain")).cast("long").as("n_relevant"),
+            aggregate(transform(
+              sort_array(collect_list(struct(col("rk"),
+                (col("gain").cast("double")
+                  / log(2.0, col("rk").cast("double") + 1)).as("t")))),
+              x => x.getField("t")), lit(0.0), (a, b) => a + b).as("dcg"))
+        per.select(col("query_id"), col("n_relevant"),
+            when(col("n_relevant") === 0, lit(0.0))
+              .otherwise(round(col("dcg") /
+                aggregate(sequence(lit(1L), col("n_relevant")), lit(0.0),
+                  (a, i) => a + lit(1.0) / log(2.0, i.cast("double") + 1)),
+                6)).as("ndcg_at_5"))
+          .orderBy("query_id")
+      },
+      Some("""WITH nrm AS (
+          SELECT vec_id, label, embedding,
+            SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              AS nrm
+          FROM embeddings),
+        sc AS (
+          SELECT a.vec_id AS query_id, a.label AS lq,
+            b.vec_id AS id_b, b.label AS ln,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (a.nrm * b.nrm) AS cos
+          FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0),
+        rk AS (
+          SELECT query_id, lq, ln,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id_b) AS rk
+          FROM sc),
+        g AS (
+          SELECT query_id, rk,
+            CAST(lq = ln AS INT) AS gain
+          FROM rk WHERE rk <= 5),
+        per AS (
+          SELECT query_id,
+            CAST(SUM(gain) AS BIGINT) AS n_relevant,
+            list_sum(list(CAST(gain AS DOUBLE) / log2(rk + 1)
+              ORDER BY rk)) AS dcg
+          FROM g GROUP BY query_id)
+        SELECT query_id, n_relevant,
+          CASE WHEN n_relevant = 0 THEN 0.0
+            ELSE ROUND(dcg / list_sum(list_transform(
+              range(1, n_relevant + 1), i -> 1.0 / log2(i + 1))), 6)
+          END AS ndcg_at_5
+        FROM per ORDER BY query_id""")),
+
     // ── s30: SQ8 calibration report — the step BEFORE s07/s18 ships:
     //    per-dim robust clip range (p01/p99, outlier-immune where
     //    min/max is not), 255-step quantization, and the per-dim
