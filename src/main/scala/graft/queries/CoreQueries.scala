@@ -3605,6 +3605,50 @@ object CoreQueries {
         FROM pv JOIN cu ON cu.p_brand = pv.p_brand
         ORDER BY pv.p_brand""")),
 
+    // ── q114: dormant high-balance customers — the TPC-H Q22 shape:
+    //    scalar-subquery threshold (above the mean positive balance)
+    //    composed with an anti-join (no RECENT order — the fixture's
+    //    customers all ordered at some point, so dormancy is
+    //    recency-based) and a nation rollup. The mean threshold
+    //    compares bal·n > Σbal in exact decimals (no division); the
+    //    date predicate pushes into the orders scan before the
+    //    anti-join; nation broadcasts ────────────────────────────────────
+    Q("q114_dormant_capital",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val pos = c.where(col("c_acctbal") > 0)
+          .agg(sum(dec2(col("c_acctbal"))).as("sum_bal"),
+            count(lit(1)).as("n_pos"))
+        val dormant = c.crossJoin(broadcast(pos))
+          .where(dec2(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= lit("1999-06-01").cast("timestamp"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+        dormant.join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_custs"),
+            sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+          .orderBy("n_name")
+      },
+      Some("""WITH pos AS (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+            CAST(COUNT(*) AS BIGINT) AS n_pos
+          FROM customer WHERE c_acctbal > 0),
+        dormant AS (
+          SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+          FROM customer c CROSS JOIN pos
+          WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
+            AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-06-01'))
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_bal
+        FROM dormant JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
     // ── q110: window funnel — the ClickHouse windowFunnel semantics:
     //    each entrant's MAX ordered step depth where every later step
     //    lands within 1 day of the FIRST step, rolled into the depth
