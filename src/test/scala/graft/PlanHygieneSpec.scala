@@ -189,7 +189,17 @@ class PlanHygieneSpec extends SparkTestBase {
       // p28_token_waterfill: the global sort window + 1-row cutoff run
       // over one-row-per-SOURCE supply rows (groups ≪ corpus); the
       // heavy census partial-aggs upstream.
-      "p28_token_waterfill")
+      "p28_token_waterfill",
+      // q112_ab_test: the 2-row arm pivot + 1-row experiment summary —
+      // all counting collapses map-side before these tails.
+      "q112_ab_test",
+      // d37_dual_channel_dedup: the 1-row agreement census over the
+      // pair-key overlay (pairs are channel-bounded, counts partial-agg
+      // map-side).
+      "d37_dual_channel_dedup",
+      // q114_dormant_capital: the 1-row mean-balance threshold scalar,
+      // broadcast back — q85's min/max-seed class.
+      "q114_dormant_capital")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
