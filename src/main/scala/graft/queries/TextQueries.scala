@@ -2789,6 +2789,42 @@ object TextQueries {
             / COUNT(*), 6) AS channel_jaccard
         FROM fo""")),
 
+    // ── t48: KWIC concordance — every occurrence of a probe term
+    //    with its ±3-token context (the corpus-inspection view behind
+    //    "show me how this token is actually used"; composes with
+    //    t41's inverted index for the indexed path). One narrow
+    //    explode + clamped array slices, zero shuffles beyond the
+    //    output order ───────────────────────────────────────────────────
+    Q("t48_kwic_concordance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        d.select(col("doc_id"), col("ts"),
+            posexplode(col("ts")).as(Seq("p0", "tok")))
+          .where(col("tok") === "spark")
+          .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"),
+            concat_ws(" ", slice(col("ts"),
+              greatest(col("p0") - 2, lit(1)),
+              (col("p0") + 1) - greatest(col("p0") - 2, lit(1))))
+              .as("left_ctx"),
+            concat_ws(" ", slice(col("ts"), col("p0") + 2, lit(3)))
+              .as("right_ctx"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        ox AS (
+          SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1)) AS p FROM d),
+        o AS (
+          SELECT doc_id, ts, CAST(p AS INT) AS pos
+          FROM ox WHERE ts[p] = 'spark')
+        SELECT doc_id, pos,
+          COALESCE(array_to_string(ts[GREATEST(pos - 3, 1):pos - 1], ' '),
+            '') AS left_ctx,
+          COALESCE(array_to_string(ts[pos + 1:LEAST(pos + 3, len(ts))], ' '),
+            '') AS right_ctx
+        FROM o ORDER BY doc_id, pos""")),
+
     // ── t47: TextRank keywords (Mihalcea & Tarau 2004) — PageRank
     //    over the token co-occurrence graph (adjacent-token edges,
     //    symmetrized, corpus-weighted): the graph-centrality keyword

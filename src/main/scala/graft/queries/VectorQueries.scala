@@ -1103,6 +1103,79 @@ object VectorQueries {
     //    redundancy, the RAG/search diversification step. The greedy
     //    loop unrolls into 4 bounded per-query stages; the oracle
     //    replays each round as its own CTE ──────────────────────────────
+    // ── s32: reciprocal-rank fusion — the standard hybrid-retrieval
+    //    merge (Cormack et al. 2009): the cosine and raw-dot (MIPS)
+    //    top-8 lists fuse per query by Σ 1/(60+rank), fused top-5 out.
+    //    Both legs are the proven kernels; the fusion is an id-keyed
+    //    outer join + a two-term scalar — at scale each leg is its own
+    //    bucketed tier and fusion stays per-query bounded ────────────────
+    Q("s32_rrf_fusion",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val qs = e.where(col("vec_id") % 50 === 0)
+        val cosL = VectorOps.knnBruteForceKernel(qs, e,
+            "vec_id", "embedding", 8)
+          .select(col("id_a").as("query_id"), col("id_b").as("cand"),
+            col("rk").as("rk_cos"))
+        val mipsL = VectorOps.mipsBruteForceKernel(qs, e,
+            "vec_id", "embedding", 8)
+          .select(col("id_a").as("query_id"), col("id_b").as("cand"),
+            col("rk").as("rk_dot"))
+        val fused = cosL.join(mipsL, Seq("query_id", "cand"), "full_outer")
+          .select(col("query_id"), col("cand"),
+            (coalesce(lit(1.0) / (lit(60) + col("rk_cos")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rk_dot")), lit(0.0)))
+              .as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand"))
+        fused.withColumn("fused_rank", row_number().over(w))
+          .where(col("fused_rank") <= 5)
+          .select(col("query_id"), col("fused_rank"),
+            col("cand").as("vec_id"), round(col("score"), 6).as("rrf_score"))
+          .orderBy("query_id", "fused_rank")
+      },
+      Some("""WITH nrm AS (
+          SELECT vec_id, embedding,
+            SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              AS nrm
+          FROM embeddings),
+        sc AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              AS dot,
+            a.nrm * b.nrm AS nn
+          FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id % 50 = 0),
+        ca AS (
+          SELECT query_id, cand, rk_cos FROM (
+            SELECT query_id, cand, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY dot / nn DESC, cand) AS rk_cos
+            FROM sc) WHERE rk_cos <= 8),
+        da AS (
+          SELECT query_id, cand, rk_dot FROM (
+            SELECT query_id, cand, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY dot DESC, cand) AS rk_dot
+            FROM sc) WHERE rk_dot <= 8),
+        fu AS (
+          SELECT COALESCE(ca.query_id, da.query_id) AS query_id,
+            COALESCE(ca.cand, da.cand) AS cand,
+            COALESCE(1.0 / (60 + rk_cos), 0.0)
+              + COALESCE(1.0 / (60 + rk_dot), 0.0) AS score
+          FROM ca FULL OUTER JOIN da
+            ON da.query_id = ca.query_id AND da.cand = ca.cand)
+        SELECT query_id, fused_rank, cand AS vec_id,
+          ROUND(score, 6) AS rrf_score
+        FROM (
+          SELECT query_id, cand, score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, cand) AS INT) AS fused_rank
+          FROM fu)
+        WHERE fused_rank <= 5
+        ORDER BY query_id, fused_rank""")),
+
     // ── s31: retrieval nDCG@5 — ranking quality of the cosine
     //    retriever with label agreement as binary gain: DCG over the
     //    ranked top-5, ideal DCG from the relevant count, per-query
