@@ -82,7 +82,8 @@ object Bench {
     "m08_prototype_gate", "s29_inbatch_negatives", "s30_sq8_calibration",
     "q112_ab_test", "d37_dual_channel_dedup", "t47_textrank",
     "q113_price_volume_bridge", "s31_ndcg",
-    "q114_dormant_capital", "s32_rrf_fusion", "t48_kwic_concordance")
+    "q114_dormant_capital", "s32_rrf_fusion", "t48_kwic_concordance",
+    "q115_gini_by_nation", "m09_modality_dropout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3649,6 +3649,59 @@ object CoreQueries {
         FROM dormant JOIN nation ON n_nationkey = c_nationkey
         GROUP BY n_name ORDER BY n_name""")),
 
+    // ── q115: Gini concentration per nation — the inequality index
+    //    over positive customer balances via the sorted-rank identity
+    //    G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx): q88's Pareto curve reduced to
+    //    one number per group. The rank runs in a nation-partitioned
+    //    window; the numerator is an EXACT decimal sum (integer rank
+    //    weights × decimal balances), one final double division ─────────
+    Q("q115_gini_by_nation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("x"), col("c_custkey"))
+        val ranked = c.select(col("c_nationkey"), col("c_custkey"),
+            dec2(col("c_acctbal")).as("x"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("c_nationkey")))
+        val g = ranked.groupBy("c_nationkey")
+          .agg(max(col("n")).as("n_custs"),
+            sum(col("x")).as("sum_bal"),
+            sum((lit(2) * col("i") - col("n") - 1) * col("x")).as("num"))
+          .select(col("c_nationkey"), col("n_custs"),
+            col("sum_bal").cast("double").as("total_bal"),
+            round(col("num").cast("double")
+              / (col("n_custs") * col("sum_bal")).cast("double"), 6)
+              .as("gini"))
+        g.join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("n_name", "n_custs", "total_bal", "gini")
+          .orderBy("n_name")
+      },
+      Some("""WITH c AS (
+          SELECT c_nationkey, c_custkey,
+            CAST(c_acctbal AS DECIMAL(18,2)) AS x
+          FROM customer WHERE c_acctbal > 0),
+        r AS (
+          SELECT c_nationkey, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY x, c_custkey) AS BIGINT) AS i,
+            CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+          FROM c),
+        g AS (
+          SELECT c_nationkey, MAX(n) AS n_custs,
+            SUM(x) AS sum_bal,
+            SUM((2 * i - n - 1) * x) AS num
+          FROM r GROUP BY c_nationkey)
+        SELECT n_name, n_custs,
+          CAST(sum_bal AS DOUBLE) AS total_bal,
+          ROUND(CAST(num AS DOUBLE)
+            / CAST(n_custs * sum_bal AS DOUBLE), 6) AS gini
+        FROM g JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY n_name""")),
+
     // ── q110: window funnel — the ClickHouse windowFunnel semantics:
     //    each entrant's MAX ordered step depth where every later step
     //    lands within 1 day of the FIRST step, rolled into the depth

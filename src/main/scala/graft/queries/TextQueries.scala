@@ -2789,6 +2789,46 @@ object TextQueries {
             / COUNT(*), 6) AS channel_jaccard
         FROM fo""")),
 
+    // ── m09: modality-dropout plan — the augmentation schedule a
+    //    multimodal trainer replays: per (sample, epoch), drop the
+    //    non-text channel with a per-modality rate, decided by the
+    //    salted (doc, epoch) hash so the plan is rerun-stable and
+    //    shardable (no RNG state; the SampleOps determinism
+    //    contract). Zero shuffles — scan-local hash + a 3-row
+    //    epoch explode ──────────────────────────────────────────────────
+    Q("m09_modality_dropout",
+      (s, dir) => {
+        val d = col("doc_id")
+        val modality = when(d % 3 === 0, lit("image"))
+          .when(d % 3 === 1, lit("audio")).otherwise(lit("video"))
+        val rate = when(col("modality") === "image", lit(0.2))
+          .when(col("modality") === "audio", lit(0.3))
+          .otherwise(lit(0.4))
+        val u = graft.ops.SampleOps.unitHash(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string")), "mdrop")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), modality.as("modality"),
+            explode(sequence(lit(1), lit(3))).as("epoch"))
+          .select(col("doc_id"), col("epoch"), col("modality"),
+            (u >= rate).as("keep_blob"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality
+          FROM documents),
+        x AS (
+          SELECT doc_id, modality, UNNEST(range(1, 4)) AS epoch FROM m)
+        SELECT doc_id, CAST(epoch AS INT) AS epoch, modality,
+          ('0x' || substr(md5('mdrop' || '#' ||
+              (doc_id::VARCHAR || ':' || epoch::VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0
+          >= (CASE modality WHEN 'image' THEN 0.2
+              WHEN 'audio' THEN 0.3 ELSE 0.4 END) AS keep_blob
+        FROM x ORDER BY doc_id, epoch""")),
+
     // ── t48: KWIC concordance — every occurrence of a probe term
     //    with its ±3-token context (the corpus-inspection view behind
     //    "show me how this token is actually used"; composes with
