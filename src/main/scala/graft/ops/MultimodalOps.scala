@@ -176,40 +176,152 @@ object MultimodalOps {
             (_, i) => i % stride === 0))
           .otherwise(array().cast("array<int>")))
 
-  /** 56-bit perceptual-hash STUB (the dHash shape): the real kernel
-    * decodes, downscales to an 8×8 grayscale grid, and emits one bit
-    * per horizontal gradient (`pixel[r][c] > pixel[r][c+1]`); this
-    * stub derives the pseudo-pixel grid from the blob's MD5 chain —
-    * row r's eight pixels are the 4-hex-digit words of
-    * `md5(md5(blob) || ':' || r)` — so the signature → banding →
-    * verify machinery downstream is real, deterministic, and
-    * engine-recomputable, while the pixel source remains an honestly
-    * documented stub (swap ONE expression for a decode+downscale
-    * kernel; the gradient/banding layers don't change). Bits 56..59
-    * are zero: the value fits the 60-bit Hamming-LSH contract of
-    * [[TextOps.hammingPairsFromSignatures]].
+  /** Fixed-point orthonormal DCT-II basis, `K[u][x] =
+    * round(a(u)·cos((2x+1)uπ/16)·8192)` with `a(0)=1/(2√2)`,
+    * `a(u>0)=1/2` — the standard 8-point DCT matrix scaled to
+    * integers so the transform is EXACT integer arithmetic: both the
+    * Spark plan and the DuckDB oracle consume these same 64 literals
+    * (via [[dctBasisSqlValues]]), so no floating-point cos() ever
+    * runs at query time on either engine and the hash is
+    * bit-reproducible across engines by construction.
     */
-  def phashStub(blob: Column): Column = {
-    val h = md5(blob)
-    val terms = for (r <- 0 until 8; c <- 0 until 7) yield {
-      val rowHex = md5(concat(h, lit(":" + r)))
-      val p1 = conv(substring(rowHex, 4 * c + 1, 4), 16, 10).cast("long")
-      val p2 = conv(substring(rowHex, 4 * c + 5, 4), 16, 10).cast("long")
-      when(p1 > p2, lit(1L << (r * 7 + c))).otherwise(lit(0L))
+  private[graft] val dctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val a = if (u == 0) 1.0 / (2.0 * math.sqrt(2.0)) else 0.5
+      math.round(a * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 8192.0)
     }
-    terms.reduce(_ + _)
-  }
+
+  /** The basis as DuckDB `VALUES` rows `(u, x, kv)` for oracle SQL. */
+  def dctBasisSqlValues: String =
+    (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u,$x,${dctBasis(u)(x)})").mkString(",")
+
+  /** 56-bit perceptual hash — the REAL pHash pipeline (resize → 2D
+    * DCT-II → low-frequency bits), per Zauner, "Implementation and
+    * Benchmarking of Perceptual Image Hash Functions" (2010):
+    *
+    *  1. decode: the container ships no image codecs, so the "pixel"
+    *     stream is the document's codepoint stream (`ascii % 256`) —
+    *     the ONE honestly-fake step; every later stage is the real
+    *     algorithm and survives a real decoder swap unchanged;
+    *  2. resize: nearest-neighbor downscale of that 1-D raster to an
+    *     8×8 grid — cell k samples offset `(k·len) >> 6`;
+    *  3. transform: exact fixed-point 8×8 DCT-II via [[dctBasis]]
+    *     (`F = K·P·Kᵀ`, all integer multiply-adds);
+    *  4. bits: the 56 lowest-frequency AC coefficients (row-major
+    *     indices 1..56, DC dropped) each compare against the AC mean
+    *     — `F[k]·56 > ΣF` keeps the comparison integer-exact.
+    *
+    * Emits `(id, sh)` with `sh` in `[0, 2^56)` — bits 56..59 zero, so
+    * the value fits the 60-bit Hamming-LSH contract of
+    * [[TextOps.hammingPairsFromSignatures]]. The px / coef stages
+    * materialize as array columns so the 56×64 multiply-add fan-out
+    * indexes computed arrays instead of re-running the substr scan.
+    */
+  def phashDct(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), phashDct56(col(textCol)).as("sh"))
+
+  /** The hash as a column — a single-pass native expression (the
+    * 3.6k-multiply-add kernel would be an OOM-sized Catalyst tree as
+    * declarative expressions; as a fused JVM kernel it is one codegen
+    * call, the SimHash60 pattern).
+    */
+  def phashDct56(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      PhashDct56(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** Perceptual near-duplicate image pairs — the image-dedup member of
-    * the near-dup family: [[phashStub]] signatures fed through the
+    * the near-dup family: [[phashDct]] signatures fed through the
     * same banded Hamming-LSH as SimHash text dedup (d07), at
     * distinct-signature granularity with pigeonhole-complete recall
-    * for `maxHamming < bands`. Blobs never cross the shuffle — only
-    * (band, 15-bit slice) keys and 8-byte signatures do.
+    * for `maxHamming < bands`. Raster sources never cross the shuffle
+    * — only (band, 15-bit slice) keys and 8-byte signatures do.
     */
-  def perceptualNearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+  def perceptualNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                              maxHamming: Int = 3, bands: Int = 4): DataFrame =
     TextOps.hammingPairsFromSignatures(
-      df.select(col(idCol).as("id"), phashStub(col(blobCol)).as("sh")),
-      maxHamming, bands)
+      phashDct(df, idCol, textCol), maxHamming, bands)
+}
+
+/** JVM kernel for the 56-bit perceptual hash — resize → fixed-point
+  * 2D DCT-II → AC-mean threshold, all integer arithmetic over
+  * [[MultimodalOps.dctBasis]]. Top-level object so generated code can
+  * call the static forwarder.
+  */
+object PhashKernel {
+
+  /** See [[MultimodalOps.phashDct]] for the algorithm contract; the
+    * DuckDB oracle in m05 recomputes this value from the same basis
+    * literals, so every step here must stay integer-exact.
+    */
+  def phash56(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val k = MultimodalOps.dctBasis
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length.toLong
+    // 8×8 raster: nearest-neighbor sample of the codepoint stream at
+    // offset (cell·n) >> 6 — P[x][y] with cell = x*8 + y
+    val p = new Array[Long](64)
+    var c = 0
+    while (c < 64) {
+      p(c) = if (n > 0) (cps(((c * n) >>> 6).toInt) % 256).toLong else 0L
+      c += 1
+    }
+    // separable DCT: tmp(u)(y) = Σ_x K[u][x]·P[x][y]
+    val tmp = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0L; var x = 0
+        while (x < 8) { acc += k(u)(x) * p(x * 8 + y); x += 1 }
+        tmp(u)(y) = acc; y += 1
+      }
+      u += 1
+    }
+    // F(u,v) = Σ_y K[v][y]·tmp(u)(y); AC coefficients uv = u*8+v in 1..56
+    val coef = new Array[Long](57)
+    var uv = 1
+    var acSum = 0L
+    while (uv <= 56) {
+      val uu = uv >> 3; val vv = uv & 7
+      var acc = 0L; var y = 0
+      while (y < 8) { acc += k(vv)(y) * tmp(uu)(y); y += 1 }
+      coef(uv) = acc; acSum += acc; uv += 1
+    }
+    var sh = 0L
+    uv = 1
+    while (uv <= 56) {
+      if (coef(uv) * 56L > acSum) sh |= 1L << (uv - 1)
+      uv += 1
+    }
+    sh
+  }
+}
+
+/** Catalyst expression wrapper for [[PhashKernel.phash56]] — null-safe,
+  * codegen'd as one static call (the SimHash60 pattern).
+  */
+case class PhashDct56(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text argument must be string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PhashKernel.phash56(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.PhashKernel.phash56($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): PhashDct56 =
+    copy(child = c)
 }

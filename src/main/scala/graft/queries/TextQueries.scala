@@ -1306,43 +1306,56 @@ object TextQueries {
           CAST(FLOOR(in_w * scale) < in_w AS INT) AS downscaled
         FROM planned ORDER BY doc_id""")),
 
-    // ── perceptual image near-dup: dHash-shaped 56-bit signature
-    //    (pseudo-pixels from the blob's MD5 chain — decode stubbed,
-    //    everything downstream real) → d07's banded Hamming-LSH.
-    //    Oracle recomputes the pixel grid, gradient bits, and the
-    //    brute-force pair set (banding is pigeonhole-complete, so the
-    //    banded engine pair set equals brute force). ──────────────────
+    // ── perceptual image near-dup: the REAL pHash pipeline (8×8
+    //    nearest-neighbor resize of the raster → exact fixed-point 2D
+    //    DCT-II → 56 low-frequency AC bits vs the AC mean) → d07's
+    //    banded Hamming-LSH. The only fake step is the decode (the
+    //    raster is the codepoint stream — no image codecs in the
+    //    container); resize, transform, and thresholding are the
+    //    published algorithm. Both engines consume the SAME 64
+    //    integer basis literals (MultimodalOps.dctBasis), so the
+    //    signature is bit-identical by construction. Oracle
+    //    recomputes signatures and the brute-force pair set (banding
+    //    is pigeonhole-complete → banded pairs ≡ brute force). ────────
     Q("m05_perceptual_near_dup",
       (s, dir) => {
         // recrawl-style fixture: every 25th image re-ingested under a
         // new id — identical bytes must collapse to hamming-0 pairs
         val docs = Tables.documents(s, dir)
-        val media = docs
-          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val media = docs.select(col("doc_id"), col("text"))
           .unionByName(docs.where(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 100000L).as("doc_id"),
-              col("text").cast("binary").as("blob")))
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
         graft.ops.MultimodalOps.perceptualNearDupPairs(
-          media, "doc_id", "blob", maxHamming = 3, bands = 4)
+          media, "doc_id", "text", maxHamming = 3, bands = 4)
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH media AS (
+      Some(s"""WITH media AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 100000 AS doc_id, text
           FROM documents WHERE doc_id % 25 = 0),
+        k AS (SELECT * FROM (VALUES ${graft.ops.MultimodalOps.dctBasisSqlValues})
+          t(u, x, kv)),
         px AS (
-          SELECT doc_id AS id, r.r AS r, c.c AS c,
-            ('0x' || substr(md5(md5(text) || ':' || r.r),
-              4 * c.c + 1, 4))::BIGINT AS p1,
-            ('0x' || substr(md5(md5(text) || ':' || r.r),
-              4 * c.c + 5, 4))::BIGINT AS p2
-          FROM media CROSS JOIN range(8) r(r) CROSS JOIN range(7) c(c)),
+          SELECT doc_id AS id, c.c AS cell,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((c.c * length(text)) // 64 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS p
+          FROM media CROSS JOIN range(64) c(c)),
+        coef AS (
+          SELECT px.id, (ka.u * 8 + kb.u) AS uv,
+            SUM(ka.kv * kb.kv * px.p) AS f
+          FROM px
+          JOIN k ka ON ka.x = px.cell // 8
+          JOIN k kb ON kb.x = px.cell % 8
+          GROUP BY px.id, ka.u, kb.u
+          HAVING (ka.u * 8 + kb.u) BETWEEN 1 AND 56),
+        tot AS (SELECT id, SUM(f) AS s FROM coef GROUP BY id),
         sig AS (
-          SELECT id,
-            CAST(SUM(CASE WHEN p1 > p2 THEN (1::BIGINT << (r * 7 + c))
-                 ELSE 0 END) AS BIGINT) AS sh
-          FROM px GROUP BY id),
+          SELECT coef.id,
+            CAST(SUM(CASE WHEN coef.f * 56 > tot.s
+                 THEN (1::BIGINT << (uv - 1)) ELSE 0 END) AS BIGINT) AS sh
+          FROM coef JOIN tot ON coef.id = tot.id GROUP BY coef.id),
         cand AS (
           SELECT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
           FROM sig a JOIN sig b ON a.id < b.id)

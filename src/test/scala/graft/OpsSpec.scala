@@ -944,16 +944,28 @@ class OpsSpec extends SparkTestBase {
   }
 
   test("perceptual hash: 56-bit bound, deterministic, near-dup gradations banded") {
-    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other bytes"))
-      .toDF("id", "t").select($"id", $"t".cast("binary").as("blob"))
-    val sigs = media.select($"id",
-      MultimodalOps.phashStub($"blob").as("sh"))
+    val media = Seq((1L, "the same raster bytes, repeated often enough to fill"),
+      (2L, "the same raster bytes, repeated often enough to fill"),
+      (3L, "a completely different raster with other content here"))
+      .toDF("id", "t")
+    val sigs = MultimodalOps.phashDct(media, "id", "t")
       .as[(Long, Long)].collect().toMap
     // bounded to 56 bits, identical bytes → identical signature
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 56)))
     assert(sigs(1L) == sigs(2L) && sigs(1L) != sigs(3L))
-    // identical blobs surface as a hamming-0 pair through the banding
-    val pairs = MultimodalOps.perceptualNearDupPairs(media, "id", "blob")
+    // the DCT basis is the orthonormal 8-point DCT-II, fixed-point:
+    // row 0 constant at round(8192/(2*sqrt(2))), row sums of AC rows ~0
+    assert(MultimodalOps.dctBasis(0).forall(_ == 2896L))
+    assert((1 until 8).forall(u => math.abs(MultimodalOps.dctBasis(u).sum) <= 4))
+    // a one-pixel perturbation moves FEW bits (the perceptual property):
+    // same text with one char changed stays within hamming 12 of original
+    val perturbed = Seq((9L, "the same raster bytes, repeated often enough to filL"))
+      .toDF("id", "t")
+    val sp = MultimodalOps.phashDct(perturbed, "id", "t")
+      .as[(Long, Long)].collect().head._2
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sp) <= 12)
+    // identical rasters surface as a hamming-0 pair through the banding
+    val pairs = MultimodalOps.perceptualNearDupPairs(media, "id", "t")
       .as[(Long, Long, Int)].collect().toSeq
     assert(pairs.contains((1L, 2L, 0)))
     // crafted signatures: hamming-2 neighbors collide on >=1 of 4 bands
