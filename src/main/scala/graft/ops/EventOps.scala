@@ -593,14 +593,24 @@ object EventOps {
     * spec-pinned); the open interval per user lives in state and is
     * servable from the state store.
     *
-    * State sizing: one (state, from) pair per key with NO timeout —
-    * deliberately. The state IS the current dimension row, so its
-    * cardinality equals the dimension's (#entities), exactly what any
-    * SCD-2 table stores; evicting it would forget an entity's current
-    * truth, not reclaim leaked memory. Callers who genuinely retire
-    * entities should emit an explicit tombstone event instead.
+    * State sizing: one (state, from) pair per key with NO timeout by
+    * default — deliberately. The state IS the current dimension row,
+    * so its cardinality equals the dimension's (#entities), exactly
+    * what any SCD-2 table stores; evicting it would forget an
+    * entity's current truth, not reclaim leaked memory.
+    *
+    * `stateTtl` (seconds, event time) is the retirement flavor for
+    * 100 TB keyspaces where entities genuinely churn: a key idle past
+    * `last_event_ts + ttl` under the watermark is evicted, and its
+    * OPEN interval flushes once as a final row with `effective_to =
+    * Long.MaxValue` (q92's current-row sentinel) — the dimension's
+    * retirement record. A resurrected entity restarts its history
+    * (first post-expiry event opens a fresh interval), the same
+    * activity-window semantics as [[newVsReturningStream]]'s TTL.
     */
-  def scd2Stream(events: Dataset[(Long, String, Long, Long)]): DataFrame = {
+  def scd2Stream(events: Dataset[(Long, String, Long, Long)],
+                 stateTtl: Option[Long] = None): DataFrame = {
+    require(stateTtl.forall(_ > 0), "state TTL must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     // state: (open_state, effective_from); emit closed intervals
@@ -618,17 +628,52 @@ object EventOps {
       }
       (cur, out.toSeq)
     }
-    events.groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Long), (Long, String, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[(Long, String, Long, Long)],
-         state: GroupState[(String, Long)]) =>
-          val (next, closed) = chain(state.getOption,
-            evs.toSeq.sortBy(e => (e._3, e._4)).map(e => (e._2, e._3, e._4)))
-          next.foreach(state.update)
-          closed.iterator.map { case (st, from, to) => (user, st, from, to) }
-      }
-      .toDF("user_id", "state", "effective_from", "effective_to")
+    stateTtl match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[(String, Long), (Long, String, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (user: Long, evs: Iterator[(Long, String, Long, Long)],
+             state: GroupState[(String, Long)]) =>
+              val (next, closed) = chain(state.getOption,
+                evs.toSeq.sortBy(e => (e._3, e._4)).map(e => (e._2, e._3, e._4)))
+              next.foreach(state.update)
+              closed.iterator.map { case (st, from, to) => (user, st, from, to) }
+          }
+          .toDF("user_id", "state", "effective_from", "effective_to")
+      case Some(ttl) =>
+        // state gains last_ts: the timeout anchors on the last EVENT,
+        // not the interval start — an entity active in one state for
+        // years must not retire while events still arrive
+        val wm = events.toDF("user_id", "event_type", "ts_sec", "event_id")
+          .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, String, Long, Long, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[(String, Long, Long), (Long, String, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (user: Long, evs: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+             state: GroupState[(String, Long, Long)]) =>
+              if (state.hasTimedOut) {
+                val (st, from, _) = state.get
+                state.remove()
+                Iterator.single((user, st, from, Long.MaxValue))
+              } else {
+                val sorted = evs.toSeq.sortBy(e => (e._3, e._4))
+                val (next, closed) = chain(
+                  state.getOption.map(s => (s._1, s._2)),
+                  sorted.map(e => (e._2, e._3, e._4)))
+                val lastTs = sorted.last._3
+                next.foreach { case (st, from) =>
+                  state.update((st, from, lastTs))
+                  state.setTimeoutTimestamp(math.max((lastTs + ttl) * 1000L,
+                    state.getCurrentWatermarkMs + 1L))
+                }
+                closed.iterator.map { case (st, from, to) => (user, st, from, to) }
+              }
+          }
+          .toDF("user_id", "state", "effective_from", "effective_to")
+    }
   }
 
   /** Streaming twin of q89's new-vs-returning classification: per-user
@@ -702,5 +747,160 @@ object EventOps {
           }
           .toDF("day", "is_new")
     }
+  }
+
+  /** Streaming twin of q108's growth accounting: per-user state is
+    * the last counted active day; each unseen (user, day) emits
+    * (day, category) ONCE — `new` (no prior day), `retained` (gap ≤
+    * `retainDays`), `resurrected` (gap > `retainDays`) — and a
+    * day-grain rollup in update mode gives q108's report. Same
+    * per-key day-ordered delivery contract as
+    * [[newVsReturningStream]] (a day below the user's max after a gap
+    * is treated as already counted); `stateTtl` (seconds) mirrors its
+    * activity-window semantics — an evicted user classifies as `new`
+    * on return, which also reclassifies what batch would call
+    * `resurrected`, the documented trade for bounded state.
+    */
+  def growthAccountingStream(events: Dataset[(Long, Long)],
+                             retainDays: Long = 7L,
+                             stateTtl: Option[Long] = None): DataFrame = {
+    require(retainDays > 0, "retention window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: last counted day; emissions: (day, category)
+    def chain(st: Option[Long], days: Seq[Long])
+        : (Option[Long], Seq[(Long, String)]) = {
+      var cur = st
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      days.distinct.sorted.foreach { d =>
+        cur match {
+          case None =>
+            out += (d -> "new"); cur = Some(d)
+          case Some(prev) if d > prev =>
+            out += (d -> (if (d - prev <= retainDays) "retained"
+                          else "resurrected"))
+            cur = Some(d)
+          case _ => () // already-counted (or below-max) day
+        }
+      }
+      (cur, out.toSeq)
+    }
+    stateTtl match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (Long, String)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, evs: Iterator[(Long, Long)], state: GroupState[Long]) =>
+              val (next, rows) = chain(state.getOption, evs.map(_._2).toSeq)
+              next.foreach(state.update)
+              rows.iterator
+          }
+          .toDF("day", "category")
+      case Some(ttl) =>
+        val wm = events.toDF("user_id", "day")
+          .withColumn("event_time", timestamp_seconds(col("day") * 86400L))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, Long, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (Long, String)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (_: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+             state: GroupState[Long]) =>
+              if (state.hasTimedOut) {
+                state.remove(); Iterator.empty
+              } else {
+                val (next, rows) = chain(state.getOption, evs.map(_._2).toSeq)
+                next.foreach { d =>
+                  state.update(d)
+                  state.setTimeoutTimestamp(math.max((d * 86400L + ttl) * 1000L,
+                    state.getCurrentWatermarkMs + 1L))
+                }
+                rows.iterator
+              }
+          }
+          .toDF("day", "category")
+    }
+  }
+
+  /** Streaming twin of q101's attribution comparison: per CONVERSION,
+    * resolve the first AND last touch within `lookback` seconds in
+    * one pass and emit (first_channel, last_channel, value) — the
+    * update-mode per-channel rollups of either column are q70/q101's
+    * reports. Per-user state is ONLY the touch buffer inside the
+    * trailing lookback window (pruned against the newest event seen),
+    * so state is bounded by touch rate × lookback, never all history
+    * — the same horizon discipline as the funnel's `within`.
+    *
+    * Delivery contract: per-key ts-ordered, with same-timestamp ties
+    * co-delivered in one micro-batch (a tie split across batches can
+    * drop that touch for the earlier conversion — spec-pinned).
+    */
+  def attributionPairsStream(events: Dataset[(Long, String, Long, Long, Double)],
+                             convType: String, touchTypes: Seq[String],
+                             lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touchSet = touchTypes.toSet
+    // state: (max_ts_seen, touches within the trailing lookback)
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(String, Long, Long)]),
+        (String, String, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[(Long, Seq[(String, Long, Long)])]) =>
+          val batch = evs.toSeq.sortBy(e => (e._3, e._4))
+          val (prevMax, buf) = state.getOption.getOrElse((Long.MinValue, Seq.empty))
+          // conversions see EVERY touch with ts <= cts, including
+          // same-ts touches later in event_id order (batch ties on ts
+          // only) — so resolve against the merged buffer, not a scan
+          val touches = buf ++ batch.collect {
+            case (_, tpe, ts, id, _) if touchSet(tpe) => (tpe, ts, id)
+          }
+          val out = batch.collect { case (_, tpe, cts, _, v) if tpe == convType =>
+            val inWin = touches.filter(t => t._2 <= cts && t._2 >= cts - lookback)
+            val first = if (inWin.isEmpty) "(none)"
+              else inWin.minBy(t => (t._2, t._3))._1
+            val last = if (inWin.isEmpty) "(none)"
+              else inWin.maxBy(t => (t._2, t._3))._1
+            (first, last, v)
+          }
+          val maxTs = batch.foldLeft(prevMax)((m, e) => math.max(m, e._3))
+          state.update((maxTs, touches.filter(_._2 >= maxTs - lookback)))
+          out.iterator
+      }
+      .toDF("first_channel", "last_channel", "value")
+  }
+
+  /** Streaming half of q104's weekly movers: the maintained state is
+    * ONLY the (event_type, week) decimal totals — one commutative
+    * streaming agg, update mode, bounded by types × weeks. The movers
+    * report itself ([[weeklyMoversFromTotals]]) folds at READ time
+    * over that small census, the census→report split used by the
+    * anomaly monitor and the sketch stores.
+    */
+  def weeklyTotalsStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), expr("ts_sec div 604800").as("week"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+
+  /** q104's report over a weekly-totals census (streamed snapshot or
+    * batch rollup — both engines produce identical movers because the
+    * totals are exact decimals): week-over-week deltas per type,
+    * top-`k` by absolute change.
+    */
+  def weeklyMoversFromTotals(totals: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("week")
+    totals
+      .withColumn("prev_total", lag(col("total"), 1).over(w))
+      .where(col("prev_total").isNotNull)
+      .select(col("event_type"), col("week"),
+        col("total").cast("double").as("total"),
+        col("prev_total").cast("double").as("prev_total"),
+        (col("total") - col("prev_total")).cast("double").as("change"),
+        round((col("total") - col("prev_total")).cast("double")
+          / col("prev_total").cast("double"), 6).as("pct_change"))
+      .orderBy(abs(col("change")).desc, col("event_type"), col("week"))
+      .limit(k)
   }
 }

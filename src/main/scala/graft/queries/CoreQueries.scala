@@ -3163,24 +3163,13 @@ object CoreQueries {
     //    TakeOrderedAndProject ──────────────────────────────────────────
     Q("q104_weekly_movers",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val weekly = Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            expr("ts_sec div 604800").as("week"))
-          .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
-        val w = Window.partitionBy("event_type").orderBy("week")
-        val prev = lag(col("total"), 1).over(w)
-        weekly
-          .withColumn("prev_total", prev)
-          .where(col("prev_total").isNotNull)
-          .select(col("event_type"), col("week"),
-            col("total").cast("double").as("total"),
-            col("prev_total").cast("double").as("prev_total"),
-            (col("total") - col("prev_total")).cast("double").as("change"),
-            round((col("total") - col("prev_total")).cast("double")
-              / col("prev_total").cast("double"), 6).as("pct_change"))
-          .orderBy(abs(col("change")).desc, col("event_type"), col("week"))
-          .limit(10)
+        // batch and the streaming twin share BOTH halves: the weekly
+        // census agg (incremental under structured streaming, update
+        // mode) and the read-time movers report over it
+        val weekly = graft.ops.EventOps.weeklyTotalsStream(
+          Tables.events(s, dir)
+            .select(col("event_type"), col("ts_sec"), col("value")))
+        graft.ops.EventOps.weeklyMoversFromTotals(weekly, 10)
       },
       Some(Tables.eventsCte + """,
         wk AS (

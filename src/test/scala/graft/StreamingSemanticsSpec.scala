@@ -924,6 +924,42 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming SCD-2 TTL: idle entity retires with a MaxValue final row, history restarts") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    // ttl = 300 s of event time past the entity's LAST event
+    val rows = EventOps.scd2Stream(input.toDS(), stateTtl = Some(300L))
+    val q = rows.writeStream.format("memory").queryName("scd2_ttl")
+      .outputMode("append").start()
+    def collected = spark.table("scd2_ttl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    try {
+      // u1: a(100) → b(200) closes a@[100,199]; open interval is b@200
+      input.addData((1L, "a", 100L, 1L), (1L, "b", 200L, 2L))
+      q.processAllAvailable()
+      assert(collected == Set((1L, "a", 100L, 199L)))
+      // u2 far in the future advances the watermark past 200 + 300
+      input.addData((2L, "x", 10000L, 3L))
+      q.processAllAvailable()
+      // timeout fires on the NEXT batch (watermark updates at batch end)
+      input.addData((3L, "y", 10001L, 4L))
+      q.processAllAvailable()
+      // u1 retired: its open b-interval flushed with the current-row sentinel
+      assert(collected == Set((1L, "a", 100L, 199L),
+        (1L, "b", 200L, Long.MaxValue)))
+      // resurrection: u1 returns — history RESTARTS (no b→c closure at
+      // from=200); c(20000) → d(20050) closes c@[20000,20049]
+      input.addData((1L, "c", 20000L, 5L), (1L, "d", 20050L, 6L))
+      q.processAllAvailable()
+      // u2/u3 retire too once the watermark reaches 20050 — every
+      // evicted entity flushes its open interval exactly once
+      assert(collected == Set((1L, "a", 100L, 199L),
+        (1L, "b", 200L, Long.MaxValue), (1L, "c", 20000L, 20049L),
+        (2L, "x", 10000L, Long.MaxValue), (3L, "y", 10001L, Long.MaxValue)))
+    } finally q.stop()
+  }
+
   test("streaming new-vs-returning: first-seen state, streamed ≡ batch, TTL resurrects") {
     import graft.ops.EventOps
     implicit val sqlCtx = spark.sqlContext
@@ -980,5 +1016,109 @@ class StreamingSemanticsSpec extends SparkTestBase {
       assert(out.contains((1L, true)) && out.contains((101L, true)), out.toString)
       assert(out.count(_._2) == 3, s"u1 must be new twice + u2 once: $out")
     } finally q2.stop()
+  }
+
+  test("streaming growth accounting: day classes streamed ≡ batch across batches") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, day)
+    val rows = EventOps.growthAccountingStream(input.toDS(), retainDays = 7L)
+    val q = rows.writeStream.format("memory").queryName("growth_rows")
+      .outputMode("append").start()
+    try {
+      // u1: day 1 (new) → day 3 (retained); u2: day 1 (new)
+      input.addData((1L, 1L), (1L, 3L), (2L, 1L))
+      q.processAllAvailable()
+      // cross-batch: u1 day 20 (gap 17 → resurrected), u2 day 8
+      // (gap 7 → retained, boundary inclusive), u3 day 20 (new)
+      input.addData((1L, 20L), (2L, 8L), (3L, 20L), (3L, 20L))
+      q.processAllAvailable()
+      val streamed = spark.table("growth_rows")
+        .groupBy("day").pivot("category",
+          Seq("new", "retained", "resurrected")).count()
+        .na.fill(0L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // batch twin: q108's window classification on the same rows
+      val batch = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("day")
+        Seq((1L, 1L), (1L, 3L), (2L, 1L), (1L, 20L), (2L, 8L), (3L, 20L))
+          .toDF("user_id", "day").distinct()
+          .withColumn("prev", lag($"day", 1).over(w))
+          .withColumn("category", when($"prev".isNull, "new")
+            .when($"day" - $"prev" <= 7, "retained").otherwise("resurrected"))
+          .groupBy("day").pivot("category",
+            Seq("new", "retained", "resurrected")).count()
+          .na.fill(0L)
+          .as[(Long, Long, Long, Long)].collect().toSet
+      }
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set((1L, 2L, 0L, 0L), (3L, 0L, 1L, 0L),
+        (8L, 0L, 1L, 0L), (20L, 1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming attribution pairs: first+last touch per conversion ≡ batch") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_type, ts_sec, event_id, value)
+    val input = MemoryStream[(Long, String, Long, Long, Double)]
+    val rows = EventOps.attributionPairsStream(input.toDS(),
+      convType = "purchase", touchTypes = Seq("click", "view"),
+      lookback = 100L)
+    val q = rows.writeStream.format("memory").queryName("attr_pairs")
+      .outputMode("append").start()
+    try {
+      // u1: view@10, click@50, purchase@60 → first=view, last=click
+      input.addData((1L, "view", 10L, 1L, 0.0), (1L, "click", 50L, 2L, 0.0),
+        (1L, "purchase", 60L, 3L, 25.0))
+      q.processAllAvailable()
+      // cross-batch state: u1 purchase@120 — view@10 now OUTSIDE the
+      // 100 s lookback, click@50 inside → first=last=click
+      input.addData((1L, "purchase", 120L, 4L, 10.0))
+      q.processAllAvailable()
+      // same-ts tie co-delivered: click@200 has HIGHER event_id than
+      // the purchase@200 — batch ties on ts only, so it counts
+      input.addData((2L, "purchase", 200L, 5L, 7.0), (2L, "click", 200L, 6L, 0.0))
+      q.processAllAvailable()
+      // no touch in window → "(none)" (q101's COALESCE channel)
+      input.addData((3L, "purchase", 500L, 7L, 3.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_pairs")
+        .as[(String, String, Double)].collect().toSet
+      assert(streamed == Set(("view", "click", 25.0), ("click", "click", 10.0),
+        ("click", "click", 7.0), ("(none)", "(none)", 3.0)), streamed.toString)
+    } finally q.stop()
+  }
+
+  test("streaming weekly movers: census in update mode, report at read ≡ batch q104") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val census = EventOps.weeklyTotalsStream(
+      input.toDS().toDF("event_type", "ts_sec", "value"))
+    val q = census.writeStream.format("memory").queryName("weekly_census")
+      .outputMode("complete").start()
+    try {
+      val wk = 604800L
+      val evs = Seq(("a", 0L * wk + 5L, 10.0), ("a", 1L * wk + 5L, 30.0),
+        ("b", 0L * wk + 9L, 100.0), ("b", 1L * wk + 9L, 40.0),
+        ("a", 2L * wk + 1L, 31.0))
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3))
+      q.processAllAvailable()
+      val streamedReport = EventOps.weeklyMoversFromTotals(
+        spark.table("weekly_census"), 10)
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+      val batchReport = EventOps.weeklyMoversFromTotals(
+        EventOps.weeklyTotalsStream(evs.toDF("event_type", "ts_sec", "value")), 10)
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+      assert(streamedReport == batchReport,
+        s"streamed=$streamedReport batch=$batchReport")
+      // b moved most (-60), then a (+20), then a week2 (+1)
+      assert(streamedReport.map(r => (r._1, r._2, r._5)) ==
+        Seq(("b", 1L, -60.0), ("a", 1L, 20.0), ("a", 2L, 1.0)))
+    } finally q.stop()
   }
 }
