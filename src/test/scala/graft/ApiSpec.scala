@@ -114,6 +114,55 @@ class ApiSpec extends SparkTestBase {
     assert(gathered == Map(10 -> 20, 20 -> 40, 30 -> 60))
   }
 
+  test("AskReplyWire: two-topic correlation-id round trip over MemoryStream") {
+    import graft.api.AskReplyWire
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // agent inbox rows: (key, value, headers) — both wire modes plus
+    // a bare cast (no reply address at all)
+    val input = MemoryStream[(String, String, Map[String, Array[Byte]])]
+    val inbox = input.toDS().toDF("key", "value", "headers")
+    val served = AskReplyWire.serve(inbox, payload => upper(payload))
+    val q = served.writeStream.format("memory").queryName("reply_wire")
+      .outputMode("append").start()
+    try {
+      val env1 = Seq(("k1", "ping")).toDF("k", "v")
+        .select(AskReplyWire.createReq($"v", lit("agent-reply"), lit("c-1")))
+        .as[String].head()
+      // envelope JSON carries the faust ns marker on the wire
+      assert(env1.contains("\"__faust\":{\"ns\":\"@ReqRepRequest\"}") &&
+        env1.contains("\"reply_to\":\"agent-reply\""), env1)
+      val hdrs = Seq(1).toDF("x")
+        .select(AskReplyWire.createReqHeaders(lit("other-reply"), lit("c-2")))
+        .as[Map[String, Array[Byte]]].head()
+      assert(hdrs.keySet == Set("Faust-Ag-ReplyTo", "Faust-Ag-CorrelationId"))
+      input.addData(
+        ("k1", env1, null),                 // envelope mode
+        ("k2", "pong", hdrs),               // use_reply_headers mode
+        ("k3", "fire-and-forget", null))    // cast: no reply expected
+      q.processAllAvailable()
+      val replies = spark.table("reply_wire")
+      val decoded = replies
+        .select($"topic", AskReplyWire.decodeReply($"value").as("r"))
+        .select($"topic", $"r.key", $"r.value", $"r.correlation_id",
+          $"r.__faust.ns")
+        .as[(String, String, String, String, String)].collect().toSet
+      // ReqRepResponse rows routed to each request's reply topic;
+      // the cast produced nothing
+      assert(decoded == Set(
+        ("agent-reply", "k1", "PING", "c-1", "@ReqRepResponse"),
+        ("other-reply", "k2", "PONG", "c-2", "@ReqRepResponse")), decoded.toString)
+      // barrier: finalized at total 2, both fulfilled → done
+      val barrier = AskReplyWire.barrierState(replies, Seq("c-1", "c-2"))
+        .as[(Long, Long, Boolean)].head()
+      assert(barrier == ((2L, 2L, true)))
+      // an unfulfilled promise keeps the barrier open
+      val open = AskReplyWire.barrierState(replies, Seq("c-1", "c-2", "c-9"))
+        .as[(Long, Long, Boolean)].head()
+      assert(open == ((2L, 3L, false)))
+    } finally q.stop()
+  }
+
   test("TopicSpec: source options, configs, changelog derivation") {
     val t = TopicSpec(name = Some("orders"), partitions = Some(8),
       retentionMs = Some(86400000L), compacting = true)
