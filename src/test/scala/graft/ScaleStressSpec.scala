@@ -570,6 +570,47 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  /** Zipf-vocabulary corpus, generated deterministically: doc i's
+    * tokens have log-uniform ranks over `vocab` terms (p(rank r) ∝
+    * 1/r — Zipf s≈1, the law real corpora follow), each rank drawn
+    * from `xxhash64(doc_id, position)`. The realistic-corpus
+    * complement to the testdata fixture's 31-token pathology: there
+    * a prefix token still carries posting lists hundreds long; here
+    * the prefix comes from the rare tail, so candidate volume per doc
+    * FALLS as the corpus (and with it the vocabulary) grows.
+    */
+  private def zipfCorpus(nDocs: Long, vocab: Int = 20000,
+                         tokensPerDoc: Int = 40): DataFrame = {
+    val lnV = math.log(vocab.toDouble)
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(tokensPerDoc)), i => {
+        val u = pmod(xxhash64(col("id"), i), lit(1000000L))
+          .cast("double") / 1000000.0
+        concat(lit("w"), floor(exp(u * lnV)).cast("long").cast("string"))
+      })).as("text"))
+  }
+
+  test("d26_jaccard_prefix (Zipf vocab): 10x data stays far under the fixture's ratio") {
+    // same doc counts as the salted tier, but a realistic frequency
+    // law — the measured ratio here is the one that predicts 100 TB
+    // behavior; the 31-token fixture's 19.7x is the documented
+    // worst case (SCALE.md)
+    val n = base.count()
+    val z1 = zipfCorpus(n).cache()
+    val z10 = zipfCorpus(n * 10).cache()
+    try {
+      z1.count(); z10.count()
+      val q = (df: DataFrame) => TextOps.prefixJaccardPairs(df, "doc_id", "text", 0.9)
+      timeNoop(q(z1))
+      val t1 = timeNoop(q(z1))
+      val t10 = timeNoop(q(z10))
+      assertLinear("d26_zipf", t1, t10, timeNoop(q(z1)), timeNoop(q(z10)))
+      assert(normalizeEquiJoins(planShape(q(z1)))
+          == normalizeEquiJoins(planShape(q(z10))),
+        "d26 plan shape changed with data size (beyond join strategy)")
+    } finally { z1.unpersist(); z10.unpersist() }
+  }
+
   trainerDocs.foreach { case (name, q) =>
     test(s"$name (trainer): 10x data => ~linear runtime, unchanged plan shape") {
       base.count(); big.count()
@@ -715,6 +756,55 @@ class ScaleStressSpec extends SparkTestBase {
           f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
         assert(normalizeEquiJoins(planShape(q(baseVecs, 1)))
             == normalizeEquiJoins(planShape(q(hugeVecs, f))),
+          s"$name plan shape changed with data size (beyond join strategy)")
+      }
+    }
+  }
+
+  // ── round 12: the 1000× decade — the four most expensive bench
+  //    entries (p12, d21, d26, p26 per BENCH_r11) get their own gate
+  //    (`SPARK_GRAFT_STRESS_HEAVY4=1000`) so the probe doesn't drag
+  //    the whole 28-entry sweep up a decade. Three of the four are
+  //    the LSH→connected-components cluster chain (its fixpoint
+  //    rounds grow log(component diameter), the one candidate for a
+  //    knee the 100× sweep couldn't see); d26 is the prefix-filter
+  //    candidate join. Results: SCALE.md's 1000× table. ────────────────
+  private val heavy4Factor: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STRESS_HEAVY4").map(_.toInt)
+  heavy4Factor.foreach { f =>
+    import graft.ops.SampleOps
+    lazy val huge: DataFrame = salted(f)
+    val four: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "p12_leakfree_split_lsh" -> (df => SampleOps.hashSplit(
+        TextOps.dedupClustersMinHash(df, "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+          .select("doc_id", "cluster_id"),
+        "cluster_id", Seq("train" -> 8.0, "test" -> 2.0), salt = "cs")),
+      "d21_cluster_representative" -> (df =>
+        TextOps.clusterRepresentatives(df, "doc_id", "text",
+          Seq("the", "a", "of", "to"), numHashes = 16, bands = 2,
+          minEstimate = 0.7, portable = true)),
+      "d26_jaccard_prefix" -> (df =>
+        TextOps.prefixJaccardPairs(df, "doc_id", "text", 0.9)),
+      "p26_cluster_balanced_sample" -> { df =>
+        val clusters = TextOps.dedupClustersMinHash(df, "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+        clusters.where(SampleOps.unitHash(col("doc_id"), "cb")
+            * col("cluster_size") < 1.0)
+          .select("doc_id", "cluster_id", "cluster_size")
+      })
+    four.foreach { case (name, q) =>
+      test(s"$name (heavy4): ${f}x data => ~linear runtime, unchanged plan shape") {
+        base.count(); huge.count()
+        timeNoop(q(base))
+        val t1 = timeNoop(q(base))
+        val tf = timeNoop(q(huge))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+        assert(normalizeEquiJoins(planShape(q(base)))
+            == normalizeEquiJoins(planShape(q(huge))),
           s"$name plan shape changed with data size (beyond join strategy)")
       }
     }
