@@ -1558,6 +1558,35 @@ object TextOps {
         round(avg(col("nll")), 6).as("cross_entropy"))
   }
 
+  /** Character-n-gram LM score — [[unigramLmScore]]'s shape at the
+    * CHARACTER level: the gibberish / OCR-noise detector (a doc whose
+    * char-trigram stream is improbable under the corpus trigram law
+    * is mojibake, markup soup, or OCR noise even when its WORDS pass
+    * the token-level gates). Same plan: one Zipf-bounded gram census
+    * + broadcast LM + per-doc avg; `ppl = e^H` for the familiar
+    * perplexity readout. Docs shorter than `n` chars emit nothing.
+    */
+  def charNgramLmScore(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    require(n > 0, "gram order must be positive")
+    val t = col(textCol)
+    val grams = df.select(col(idCol).as("id"),
+      explode(when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("gc"))
+    val total = counts.agg(sum("gc").cast("double").as("_total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select(col("g"),
+        (-log(col("gc").cast("double") / col("_total"))).as("nll"))
+    grams.join(broadcast(lm), Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("nll")), 6).as("cross_entropy"),
+        round(exp(avg(col("nll"))), 6).as("ppl"))
+  }
+
   /** Bigram-LM quality score with interpolated unigram backoff — one
     * rung up the CCNet ladder from [[unigramLmScore]] toward the
     * KenLM n-gram filter: per-bigram probability

@@ -3691,6 +3691,161 @@ object CoreQueries {
         FROM g JOIN nation ON n_nationkey = c_nationkey
         ORDER BY n_name""")),
 
+    // ── q116: cheapest supplier per part — the TPC-H Q2 correlated-
+    //    min shape on the available facts: each supplier's best unit
+    //    price per part from their lineitems, then the per-part argmin
+    //    via ONE partial-agg min(struct) (no window sort, no join-back
+    //    subquery — the aggregate carries the winner's identity), dims
+    //    broadcast. At 100 TB the (part, supp) rollup is the only
+    //    corpus-sized shuffle ───────────────────────────────────────────
+    Q("q116_min_cost_supplier",
+      (s, dir) => {
+        val unit = Tables.lineitem(s, dir)
+          .where(col("l_quantity") > 0)
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice").cast("double")
+              * (lit(1.0) - col("l_discount").cast("double"))
+              / col("l_quantity").cast("double")).as("u"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("u")).as("unit_cost"))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val best = unit.join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(min(struct(col("unit_cost"), col("s_name"), col("n_name")))
+            .as("w"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("w.s_name").as("s_name"), col("w.n_name").as("n_name"),
+            col("w.unit_cost").as("unit_cost"))
+        best.join(broadcast(Tables.part(s, dir)), Seq("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("unit_cost"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH unit AS (
+          SELECT l_partkey, l_suppkey,
+            MIN(CAST(l_extendedprice AS DOUBLE)
+              * (1.0 - CAST(l_discount AS DOUBLE))
+              / CAST(l_quantity AS DOUBLE)) AS unit_cost
+          FROM lineitem WHERE l_quantity > 0
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT u.l_partkey, s.s_name, n.n_name, u.unit_cost,
+            ROW_NUMBER() OVER (PARTITION BY u.l_partkey
+              ORDER BY u.unit_cost, s.s_name, n.n_name) AS rk
+          FROM unit u
+          JOIN supplier s ON s.s_suppkey = u.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey)
+        SELECT r.l_partkey AS p_partkey, p.p_name, r.s_name, r.n_name,
+          r.unit_cost
+        FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+        WHERE rk = 1 ORDER BY p_partkey""")),
+
+    // ── q117: sole-late supplier — the TPC-H Q21 exists/not-exists
+    //    shape: suppliers who were the ONLY late shipper (q97's
+    //    30-day rule) in a multi-supplier order, ranked by how often.
+    //    Both correlated EXISTS collapse into ONE (order, supplier)
+    //    rollup + one order-grain rollup — no per-row subqueries ───────
+    Q("q117_sole_late_supplier",
+      (s, dir) => {
+        val li = Tables.orders(s, dir).join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 30 DAYS")).cast("int").as("is_late"))
+        val perSupp = li.groupBy("ok", "l_suppkey")
+          .agg(max(col("is_late")).as("supp_late"))
+        val perOrder = perSupp.groupBy("ok")
+          .agg(count(lit(1)).as("n_supps"),
+            sum(col("supp_late")).as("n_late_supps"))
+        val waits = perSupp
+          .join(perOrder, Seq("ok"))
+          .where(col("supp_late") === 1 && col("n_supps") > 1
+            && col("n_late_supps") === 1)
+          .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        waits.join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH li AS (
+          SELECT o.o_orderkey AS ok, l.l_suppkey,
+            CAST(l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY AS INT)
+              AS is_late
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        per_supp AS (
+          SELECT ok, l_suppkey, MAX(is_late) AS supp_late
+          FROM li GROUP BY 1, 2),
+        per_order AS (
+          SELECT ok, COUNT(*) AS n_supps, SUM(supp_late) AS n_late_supps
+          FROM per_supp GROUP BY 1),
+        waits AS (
+          SELECT ps.l_suppkey, COUNT(*) AS numwait
+          FROM per_supp ps JOIN per_order po ON po.ok = ps.ok
+          WHERE ps.supp_late = 1 AND po.n_supps > 1 AND po.n_late_supps = 1
+          GROUP BY 1)
+        SELECT s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+        FROM waits w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        ORDER BY numwait DESC, s_name""")),
+
+    // ── q118: cross-sell brand pairs — market-basket co-occurrence on
+    //    the warehouse facts (q100 is the event-session twin): brands
+    //    co-purchased in one order, with support and lift. The basket
+    //    self-join runs WITHIN the order key (pair volume is bounded
+    //    by baskets × brands-per-basket², linear in orders), per-brand
+    //    counts broadcast back for the lift ─────────────────────────────
+    Q("q118_cross_sell_pairs",
+      (s, dir) => {
+        val ob = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand"))
+          .distinct()
+        val nOrders = Tables.orders(s, dir)
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+        val brandCnt = ob.groupBy("p_brand")
+          .agg(count(lit(1)).as("n_brand"))
+        val pairs = ob.select(col("ok"), col("p_brand").as("brand_a"))
+          .join(ob.select(col("ok"), col("p_brand").as("brand_b")), Seq("ok"))
+          .where(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(brandCnt.select(col("p_brand").as("brand_a"),
+            col("n_brand").as("n_a"))), Seq("brand_a"))
+          .join(broadcast(brandCnt.select(col("p_brand").as("brand_b"),
+            col("n_brand").as("n_b"))), Seq("brand_b"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("brand_a"), col("brand_b"), col("n_both"),
+            round(col("n_both").cast("double") / col("n_orders"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") * col("n_orders")
+              / (col("n_a") * col("n_b")), 6).as("lift"))
+          .orderBy(col("n_both").desc, col("brand_a"), col("brand_b"))
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+          SELECT DISTINCT l.l_orderkey AS ok, p.p_brand
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        n AS (SELECT COUNT(DISTINCT o_orderkey) AS n_orders FROM orders),
+        bc AS (SELECT p_brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+        pairs AS (
+          SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+            COUNT(*) AS n_both
+          FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+          GROUP BY 1, 2)
+        SELECT p.brand_a, p.brand_b, CAST(p.n_both AS BIGINT) AS n_both,
+          ROUND(CAST(p.n_both AS DOUBLE) / n.n_orders, 6) AS support,
+          ROUND(CAST(p.n_both AS DOUBLE) * n.n_orders
+            / (ca.n_brand * cb.n_brand), 6) AS lift
+        FROM pairs p
+        JOIN bc ca ON ca.p_brand = p.brand_a
+        JOIN bc cb ON cb.p_brand = p.brand_b
+        CROSS JOIN n
+        ORDER BY n_both DESC, brand_a, brand_b LIMIT 20""")),
+
     // ── q110: window funnel — the ClickHouse windowFunnel semantics:
     //    each entrant's MAX ordered step depth where every later step
     //    lands within 1 day of the FIRST step, rolled into the depth

@@ -1044,6 +1044,87 @@ object PipelineQueries {
                  ROUND(u / tot, 6) AS w3
                FROM u3 CROSS JOIN t3)
         SELECT source, excess_loss, w0, w1, w2, w3
-        FROM r3 ORDER BY source"""))
-  )
+        FROM r3 ORDER BY source""")),
+
+    // ── p30: shuffle-quality audit — the QA card for p08's shard
+    //    assignment: per shard, the source-mix entropy and the χ²
+    //    statistic against the corpus-wide source shares (a bad
+    //    shuffle shows low entropy / high χ² — ordered training would
+    //    see sources in runs). Terms fold shard-and-source-ordered
+    //    (the q95 lesson); only observed (shard, source) cells
+    //    contribute, same convention as p27's inner join ────────────────
+    Q("p30_shuffle_quality_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = SampleOps.shuffleShards(docs, "doc_id", nShards = 8,
+            salt = "ord")
+          .select(col("shard"), col("doc_id"))
+        val cells = sh
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("shard", "source").agg(count(lit(1)).as("n"))
+        val perShard = cells.groupBy("shard")
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_sources"))
+        val globalSrc = docs.groupBy("source").agg(count(lit(1)).as("g"))
+        val tot = docs.agg(count(lit(1)).as("nt"))
+        val terms = cells
+          .join(perShard, Seq("shard"))
+          .join(broadcast(globalSrc), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .select(col("shard"), col("source"), col("n_docs"),
+            col("n_sources"),
+            (col("n").cast("double") / col("n_docs")).as("p"),
+            (col("n_docs").cast("double") * col("g") / col("nt"))
+              .as("expd"), col("n"))
+        terms
+          .select(col("shard"), col("source"), col("n_docs"),
+            col("n_sources"),
+            (-col("p") * log(col("p"))).as("ent_term"),
+            ((col("n") - col("expd")) * (col("n") - col("expd"))
+              / col("expd")).as("chi_term"))
+          .groupBy("shard")
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("n_sources")).as("n_sources"),
+            round(aggregate(transform(
+              sort_array(collect_list(struct(col("source"),
+                col("ent_term")))), t => t.getField("ent_term")),
+              lit(0.0), (a, x) => a + x) / math.log(2.0), 6)
+              .as("entropy_bits"),
+            round(aggregate(transform(
+              sort_array(collect_list(struct(col("source"),
+                col("chi_term")))), t => t.getField("chi_term")),
+              lit(0.0), (a, x) => a + x), 6).as("chi2"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, source,
+            CAST(('0x' || substr(md5('ord#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              % 8 AS INT) AS shard
+          FROM documents),
+        cells AS (
+          SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM h GROUP BY 1, 2),
+        per_shard AS (
+          SELECT shard, CAST(SUM(n) AS BIGINT) AS n_docs,
+            CAST(COUNT(*) AS BIGINT) AS n_sources
+          FROM cells GROUP BY 1),
+        gsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS g
+                 FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents),
+        terms AS (
+          SELECT c.shard, c.source, ps.n_docs, ps.n_sources,
+            -(CAST(c.n AS DOUBLE) / ps.n_docs)
+              * LN(CAST(c.n AS DOUBLE) / ps.n_docs) AS ent_term,
+            (c.n - CAST(ps.n_docs AS DOUBLE) * gs.g / t.nt)
+              * (c.n - CAST(ps.n_docs AS DOUBLE) * gs.g / t.nt)
+              / (CAST(ps.n_docs AS DOUBLE) * gs.g / t.nt) AS chi_term
+          FROM cells c
+          JOIN per_shard ps ON ps.shard = c.shard
+          JOIN gsrc gs ON gs.source = c.source
+          CROSS JOIN tot t)
+        SELECT shard, MAX(n_docs) AS n_docs, MAX(n_sources) AS n_sources,
+          ROUND(list_sum(list(ent_term ORDER BY source)) / LN(2), 6)
+            AS entropy_bits,
+          ROUND(list_sum(list(chi_term ORDER BY source)), 6) AS chi2
+        FROM terms GROUP BY shard ORDER BY shard""")))
 }

@@ -2919,6 +2919,30 @@ object TextQueries {
         SELECT node AS term, pr AS rank FROM r3
         ORDER BY pr DESC, node LIMIT 15""")),
 
+    // ── t49: char-trigram LM score — t11's CCNet shape at CHARACTER
+    //    level: the gibberish / OCR-noise / mojibake detector (word
+    //    gates pass text whose character stream is improbable). One
+    //    Zipf-bounded trigram census + broadcast LM + per-doc avg;
+    //    ppl = e^H for the familiar readout ─────────────────────────────
+    Q("t49_char_trigram_lm",
+      (s, dir) => TextOps.charNgramLmScore(Tables.documents(s, dir),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH grams AS (
+          SELECT doc_id, substr(text, i.i, 3) AS g
+          FROM documents
+          CROSS JOIN LATERAL (SELECT UNNEST(range(1, length(text) - 1)) AS i) i
+          WHERE length(text) >= 3),
+        gc AS (SELECT g, COUNT(*) AS gc FROM grams GROUP BY 1),
+        tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS total FROM gc),
+        lm AS (SELECT g, -LN(gc / total) AS nll FROM gc CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          ROUND(AVG(nll), 6) AS cross_entropy,
+          ROUND(EXP(AVG(nll)), 6) AS ppl
+        FROM grams JOIN lm USING (g)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ── t46: vocabulary growth curve (Heaps' law) — distinct terms vs
     //    corpus tokens at 8 doc-id checkpoints, from the first-
     //    occurrence census (d29's machinery): vocab(k) = terms first

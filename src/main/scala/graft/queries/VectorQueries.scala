@@ -1416,8 +1416,68 @@ object VectorQueries {
           "vec_id", "embedding", kCand = 8, kSelect = 4, lambda = 0.7)
           .orderBy("query_id", "mmr_rank")
       },
-      Some(mmrSql(kCand = 8, kSelect = 4)))
-  )
+      Some(mmrSql(kCand = 8, kSelect = 4))),
+
+    // ── s33: cosine-similarity spectrum — the threshold-calibration
+    //    card for semantic dedup (d24 is the MinHash twin): the
+    //    distribution of pairwise cosines, histogrammed in 0.1-wide
+    //    bins over [-1, 1]. Pairs come from a PORTABLE-hash bucket
+    //    self-join (16 buckets → ~n²/16 pairs, the bucket count
+    //    scales with n so sampled-pair volume stays ~linear); the
+    //    cosine doubles are bit-identical across engines (s01), so
+    //    the bin floor is too ──────────────────────────────────────────
+    Q("s33_cosine_spectrum",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val bkt = pmod(graft.functions.PortableHash.mdHash60(
+          concat(lit("sp#"), col("vec_id").cast("string"))), lit(16L))
+        val side = e.select(col("vec_id"), col("embedding"),
+          bkt.as("bkt"), VectorOps.norm(col("embedding")).as("nrm"))
+        val a = side.select(col("bkt"), col("vec_id").as("id_a"),
+          col("embedding").as("va"), col("nrm").as("na"))
+        val b = side.select(col("bkt"), col("vec_id").as("id_b"),
+          col("embedding").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("bkt"))
+          .where(col("id_a") < col("id_b"))
+          .select((VectorOps.dot(col("va"), col("vb"))
+            / (col("na") * col("nb"))).as("cos"))
+        val tot = pairs.agg(count(lit(1)).as("n_pairs_total"))
+        pairs
+          .select(least(floor((col("cos") + 1.0) / 0.1), lit(19.0))
+            .cast("int").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(tot))
+          .select(col("bin"),
+            round(col("bin") * 0.1 - 1.0, 1).as("bin_lo"),
+            col("n_pairs"),
+            round(col("n_pairs").cast("double") / col("n_pairs_total"), 6)
+              .as("share"))
+          .orderBy("bin")
+      },
+      Some("""WITH side AS (
+          SELECT vec_id,
+            ('0x' || substr(md5('sp#' || vec_id::VARCHAR), 1, 15))::BIGINT
+              % 16 AS bkt,
+            embedding,
+            SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              AS nrm
+          FROM embeddings),
+        pairs AS (
+          SELECT list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.nrm * b.nrm) AS cos
+          FROM side a JOIN side b
+            ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        tot AS (SELECT COUNT(*) AS n_pairs_total FROM pairs),
+        bins AS (
+          SELECT CAST(LEAST(FLOOR((cos + 1.0) / 0.1), 19.0) AS INT) AS bin,
+            COUNT(*) AS n_pairs
+          FROM pairs GROUP BY 1)
+        SELECT bin, CAST(ROUND(bin * 0.1 - 1.0, 1) AS DOUBLE) AS bin_lo,
+          CAST(n_pairs AS BIGINT) AS n_pairs,
+          ROUND(CAST(n_pairs AS DOUBLE) / n_pairs_total, 6) AS share
+        FROM bins CROSS JOIN tot ORDER BY bin""")))
 
   /** Unrolled greedy-MMR oracle for s27: candidate generation + one
     * CTE triple (remaining / max-sim / argmax) per selection round,

@@ -199,7 +199,20 @@ class PlanHygieneSpec extends SparkTestBase {
       "d37_dual_channel_dedup",
       // q114_dormant_capital: the 1-row mean-balance threshold scalar,
       // broadcast back — q85's min/max-seed class.
-      "q114_dormant_capital")
+      "q114_dormant_capital",
+      // q118_cross_sell_pairs: the 1-row order-count scalar for the
+      // support/lift denominators, broadcast over the brand-pair
+      // rollup — q110's entrants-total class.
+      "q118_cross_sell_pairs",
+      // s33_cosine_spectrum: the 1-row pair-count total over the
+      // ≤20-row bin histogram — q110's share-denominator class.
+      "s33_cosine_spectrum",
+      // p30_shuffle_quality_audit: the 1-row corpus total seeding the
+      // expected per-shard source mix — q85's min/max-seed class.
+      "p30_shuffle_quality_audit",
+      // t49_char_trigram_lm: the 1-row trigram total normalizing the
+      // LM — t11's exact scalar class at character grain.
+      "t49_char_trigram_lm")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
