@@ -3744,6 +3744,42 @@ object CoreQueries {
         FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
         WHERE rk = 1 ORDER BY p_partkey""")),
 
+    // ── q119: important brands — the TPC-H Q11 group-vs-global
+    //    threshold shape: brands whose revenue exceeds their pro-rata
+    //    share of the corpus total (value·n_brands > total). The
+    //    HAVING compare stays in EXACT decimals — no division — and
+    //    the 1-row total broadcasts; only the reported share divides ────
+    Q("q119_important_brands",
+      (s, dir) => {
+        val byBrand = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum(revenueTerm).as("value"),
+            count(lit(1)).as("n_lineitems"))
+        val tot = byBrand.agg(sum(col("value")).as("tv"),
+          count(lit(1)).as("nb"))
+        byBrand.crossJoin(broadcast(tot))
+          .where(col("value") * col("nb") > col("tv"))
+          .select(col("p_brand"), col("n_lineitems"),
+            col("value").cast("double").as("total_value"),
+            round(col("value").cast("double") / col("tv").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("total_value").desc, col("p_brand"))
+      },
+      Some(s"""WITH by_brand AS (
+          SELECT p.p_brand, SUM($revenueSql) AS value,
+            CAST(COUNT(*) AS BIGINT) AS n_lineitems
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY 1),
+        tot AS (SELECT SUM(value) AS tv, COUNT(*) AS nb FROM by_brand)
+        SELECT p_brand, n_lineitems,
+          CAST(value AS DOUBLE) AS total_value,
+          ROUND(CAST(value AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS share
+        FROM by_brand CROSS JOIN tot
+        WHERE value * nb > tv
+        ORDER BY total_value DESC, p_brand""")),
+
     // ── q117: sole-late supplier — the TPC-H Q21 exists/not-exists
     //    shape: suppliers who were the ONLY late shipper (q97's
     //    30-day rule) in a multi-supplier order, ranked by how often.

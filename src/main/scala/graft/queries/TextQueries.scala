@@ -462,6 +462,51 @@ object TextQueries {
           CAST(rn = 1 AS INT) AS is_kept
         FROM ranked ORDER BY doc_id""")),
 
+    // ── d38: cluster quality report — the audit card dedup pipelines
+    //    keep next to the clusters: per near-dup cluster its size,
+    //    within-cluster edge count, and the est-jaccard spread
+    //    (mean/min) of those edges. A cluster with many low-estimate
+    //    edges is a chaining artifact (A~B~C with A≁C) — the signal
+    //    that the LSH threshold or banding needs retuning (d30's
+    //    planner is the prescriptive half). Estimates are k/16
+    //    binary fractions, so sums are order-exact ──────────────────────
+    Q("d38_cluster_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val labels = TextOps.dedupClustersMinHash(docs, "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+        val pairs = TextOps.minHashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+        // an edge's endpoints share a cluster by construction — label
+        // via id_a only
+        val e = pairs.join(labels.select(col("doc_id").as("id_a"),
+          col("cluster_id")), Seq("id_a"))
+        val rep = e.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_edges"),
+            round(avg(col("est_jaccard")), 6).as("mean_est"),
+            round(min(col("est_jaccard")), 6).as("min_est"))
+        labels.where(col("cluster_size") > 1)
+          .select(col("cluster_id"), col("cluster_size")).distinct()
+          .join(rep, Seq("cluster_id"))
+          .orderBy("cluster_id")
+      },
+      Some(minhashClusterCtes + """,
+        est AS (
+          SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 16 AS est
+          FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7),
+        lb AS (
+          SELECT l.cluster_id, e.est
+          FROM est e JOIN lab l ON l.doc_id = e.id_a),
+        rep AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+            ROUND(AVG(est), 6) AS mean_est,
+            ROUND(MIN(est), 6) AS min_est
+          FROM lb GROUP BY 1)
+        SELECT s.cluster_id, s.cluster_size, r.n_edges, r.mean_est,
+          r.min_est
+        FROM sz s JOIN rep r ON r.cluster_id = s.cluster_id
+        WHERE s.cluster_size > 1 ORDER BY s.cluster_id""")),
+
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). The pair

@@ -212,7 +212,10 @@ class PlanHygieneSpec extends SparkTestBase {
       "p30_shuffle_quality_audit",
       // t49_char_trigram_lm: the 1-row trigram total normalizing the
       // LM — t11's exact scalar class at character grain.
-      "t49_char_trigram_lm")
+      "t49_char_trigram_lm",
+      // q119_important_brands: the 1-row revenue total + brand count
+      // for the pro-rata threshold — q100's normalizer class.
+      "q119_important_brands")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
