@@ -556,6 +556,59 @@ object VectorOps {
     * (alone in every probed cell) still report, at recall 0, via the
     * truth-side left join.
     */
+  /** Recall CURVE — [[annRecallReport]] swept over k in one pass:
+    * truth and index lists rank once to `kMax`, the join carries both
+    * ranks, and each cutoff reads the same matched set. The
+    * mean-recall-vs-k table is the operating curve that picks k for a
+    * latency budget (the companion to the nCells/probes knobs).
+    * Queries are assumed to have ≥ kMax true neighbors (corpus ≫
+    * kMax), so the denominator is queries × k.
+    */
+  def annRecallCurve(df: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int = 16, kMax: Int = 5, probes: Int = 2,
+                     sampleMod: Int = 20,
+                     ks: Seq[Int] = Seq(1, 3, 5)): DataFrame = {
+    import graft.functions.PortableHash
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= kMax),
+      "cutoffs must lie in [1, kMax]")
+    def sampled(c: Column): Column =
+      PortableHash.mdHash60(c.cast("string")) % sampleMod === 0
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val queries = base.where(sampled(col("id")))
+      .select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a"))
+    val scored = base
+      .select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b"))
+      .join(broadcast(queries), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val truth = scored.withColumn("rk_t", row_number().over(w))
+      .where(col("rk_t") <= kMax).select("id_a", "id_b", "rk_t")
+    val approx = ivfNearestNeighbors(df, idCol, vecCol, nCells, kMax,
+        probes, portablePivots = true)
+      .where(sampled(col("id_a")))
+      .select(col("id_a"), col("id_b"), col("rk").as("rk_a"))
+    val matched = truth.join(approx, Seq("id_a", "id_b"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val ksDf = df.sparkSession.range(1)
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"))
+    val hits = matched
+      .join(broadcast(ksDf),
+        col("rk_t") <= col("k") && col("rk_a") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_hits"))
+    ksDf.join(hits, Seq("k"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("n_queries") * col("k")), 6).as("mean_recall"))
+      .orderBy("k")
+  }
+
   def annRecallReport(df: DataFrame, idCol: String, vecCol: String,
                       nCells: Int = 16, k: Int = 3, probes: Int = 2,
                       sampleMod: Int = 20): DataFrame = {

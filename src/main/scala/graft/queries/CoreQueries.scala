@@ -3744,6 +3744,51 @@ object CoreQueries {
         FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
         WHERE rk = 1 ORDER BY p_partkey""")),
 
+    // ── q120: customer tier migration — the segment-churn matrix:
+    //    spend quartiles in 1995–97 vs 1998–2001 cross-tabulated
+    //    (tier 0 = absent from the period). The NTILE windows run on
+    //    the per-CUSTOMER rollup (customers ≪ orders — q96's class);
+    //    the matrix is ≤ 5×5 rows ───────────────────────────────────────
+    Q("q120_tier_migration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+            dec2(col("o_totalprice")).as("v"),
+            (year(col("o_orderdate")) <= 1997).as("p1"))
+        def tiers(df: DataFrame, out: String): DataFrame =
+          df.withColumn(out, ntile(4).over(
+            Window.orderBy(col("spend"), col("o_custkey"))))
+            .select(col("o_custkey"), col(out))
+        val t1 = tiers(o.where(col("p1")).groupBy("o_custkey")
+          .agg(sum(col("v")).as("spend")), "tier_from")
+        val t2 = tiers(o.where(!col("p1")).groupBy("o_custkey")
+          .agg(sum(col("v")).as("spend")), "tier_to")
+        t1.join(t2, Seq("o_custkey"), "full_outer")
+          .select(coalesce(col("tier_from"), lit(0)).as("tier_from"),
+            coalesce(col("tier_to"), lit(0)).as("tier_to"))
+          .groupBy("tier_from", "tier_to")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("tier_from", "tier_to")
+      },
+      Some("""WITH o AS (
+          SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+            EXTRACT(year FROM o_orderdate) <= 1997 AS p1
+          FROM orders),
+        s1 AS (SELECT o_custkey, SUM(v) AS spend FROM o WHERE p1 GROUP BY 1),
+        s2 AS (SELECT o_custkey, SUM(v) AS spend FROM o WHERE NOT p1 GROUP BY 1),
+        t1 AS (SELECT o_custkey,
+            NTILE(4) OVER (ORDER BY spend, o_custkey) AS tier_from
+          FROM s1),
+        t2 AS (SELECT o_custkey,
+            NTILE(4) OVER (ORDER BY spend, o_custkey) AS tier_to
+          FROM s2)
+        SELECT COALESCE(tier_from, 0) AS tier_from,
+          COALESCE(tier_to, 0) AS tier_to,
+          CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ── q119: important brands — the TPC-H Q11 group-vs-global
     //    threshold shape: brands whose revenue exceeds their pro-rata
     //    share of the corpus total (value·n_brands > total). The

@@ -507,6 +507,84 @@ object TextQueries {
         FROM sz s JOIN rep r ON r.cluster_id = s.cluster_id
         WHERE s.cluster_size > 1 ORDER BY s.cluster_id""")),
 
+    // ── d39: dedup funnel — the before/after volume card every
+    //    pipeline publishes: docs/tokens/bytes surviving each stage
+    //    (raw → exact dedup → near-dup collapse), with the share of
+    //    raw retained. Exact keeps min-doc-id per fingerprint;
+    //    near-dup keeps min-doc-id per minhash cluster (d06's
+    //    labels). All counts are integer-exact; stages reuse the
+    //    linear dedup paths, the report adds one 3-row union ────────────
+    Q("d39_dedup_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+            octet_length(col("text").cast("binary")).cast("long")
+              .as("n_bytes"), col("text"))
+        def stage(df: org.apache.spark.sql.DataFrame, id: Int,
+                  name: String): org.apache.spark.sql.DataFrame =
+          df.agg(count(lit(1)).as("n_docs"),
+              sum(col("n_toks")).as("total_tokens"),
+              sum(col("n_bytes")).as("total_bytes"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              col("n_docs"), col("total_tokens"), col("total_bytes"))
+        val exactKeep = docs.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val ndKeep = TextOps.dedupClustersMinHash(
+            Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+          .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val raw = stage(docs, 0, "raw")
+        val exact = stage(docs.join(exactKeep, Seq("doc_id")), 1, "exact_dedup")
+        val nd = stage(docs.join(ndKeep, Seq("doc_id")), 2, "near_dup")
+        val tot = raw.select(col("n_docs").as("raw_docs"),
+          col("total_tokens").as("raw_tokens"))
+        raw.unionByName(exact).unionByName(nd)
+          .crossJoin(broadcast(tot))
+          .select(col("stage_id"), col("stage"), col("n_docs"),
+            col("total_tokens"), col("total_bytes"),
+            round(col("total_tokens").cast("double") / col("raw_tokens"), 6)
+              .as("token_share"))
+          .orderBy("stage_id")
+      },
+      Some(minhashClusterCtes + """,
+        d AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+              AS n_toks,
+            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes, text
+          FROM documents),
+        exact_keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+        nd_keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM lab GROUP BY cluster_id),
+        raw AS (
+          SELECT 0 AS stage_id, 'raw' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+          FROM d),
+        ex AS (
+          SELECT 1 AS stage_id, 'exact_dedup' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+          FROM d JOIN exact_keep USING (doc_id)),
+        nd AS (
+          SELECT 2 AS stage_id, 'near_dup' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+          FROM d JOIN nd_keep USING (doc_id)),
+        u AS (SELECT * FROM raw UNION ALL SELECT * FROM ex
+              UNION ALL SELECT * FROM nd),
+        t AS (SELECT total_tokens AS raw_tokens FROM raw)
+        SELECT stage_id, stage, n_docs, total_tokens, total_bytes,
+          ROUND(CAST(total_tokens AS DOUBLE) / raw_tokens, 6)
+            AS token_share
+        FROM u CROSS JOIN t ORDER BY stage_id""")),
+
     // ── engine-local MinHash flavor: same pipeline as d03 but with
     //    xxhash64 permutations — the PRODUCTION path (one codegen'd
     //    hash per (perm, token) instead of an MD5 digest). The pair

@@ -1477,7 +1477,54 @@ object VectorQueries {
         SELECT bin, CAST(ROUND(bin * 0.1 - 1.0, 1) AS DOUBLE) AS bin_lo,
           CAST(n_pairs AS BIGINT) AS n_pairs,
           ROUND(CAST(n_pairs AS DOUBLE) / n_pairs_total, 6) AS share
-        FROM bins CROSS JOIN tot ORDER BY bin""")))
+        FROM bins CROSS JOIN tot ORDER BY bin""")),
+
+    // ── s34: recall CURVE — s17's recall@k swept over k ∈ {1,3,5} in
+    //    ONE pass: truth and index lists rank once to kMax, every
+    //    cutoff reads the same matched join. The mean-recall-vs-k
+    //    operating curve that picks k for a latency budget ──────────────
+    Q("s34_recall_curve",
+      (s, dir) => VectorOps.annRecallCurve(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, kMax = 5, probes = 2, sampleMod = 20,
+        ks = Seq(1, 3, 5))
+        .orderBy("k"),
+      Some(s"""WITH $ivfKnnCtes,
+        qs AS (SELECT vec_id FROM base
+               WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                 % 20 = 0),
+        tsc AS (
+          SELECT qb.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qb.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (qb.nrm * b.nrm) AS cos
+          FROM qs q JOIN base qb ON qb.vec_id = q.vec_id
+          CROSS JOIN base b
+          WHERE b.vec_id <> q.vec_id),
+        truth AS (
+          SELECT id_a, id_b, rk_t FROM (
+            SELECT id_a, id_b, ROW_NUMBER() OVER
+              (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk_t
+            FROM tsc)
+          WHERE rk_t <= 5),
+        ap AS (
+          SELECT id_a, id_b, rk AS rk_a FROM ranked
+          WHERE rk <= 5
+            AND ('0x' || substr(md5(id_a::VARCHAR), 1, 15))::BIGINT % 20 = 0),
+        matched AS (
+          SELECT t.id_a, t.rk_t, ap.rk_a
+          FROM truth t JOIN ap ON ap.id_a = t.id_a AND ap.id_b = t.id_b),
+        nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+        ks AS (SELECT * FROM (VALUES (1), (3), (5)) t(k)),
+        hits AS (
+          SELECT k, CAST(COUNT(m.rk_t) AS BIGINT) AS n_hits
+          FROM ks LEFT JOIN matched m
+            ON m.rk_t <= ks.k AND m.rk_a <= ks.k
+          GROUP BY k)
+        SELECT k, n_queries, n_hits,
+          ROUND(CAST(n_hits AS DOUBLE) / (n_queries * k), 6)
+            AS mean_recall
+        FROM hits CROSS JOIN nq ORDER BY k""")))
 
   /** Unrolled greedy-MMR oracle for s27: candidate generation + one
     * CTE triple (remaining / max-sim / argmax) per selection round,

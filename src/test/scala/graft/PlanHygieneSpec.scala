@@ -215,7 +215,16 @@ class PlanHygieneSpec extends SparkTestBase {
       "t49_char_trigram_lm",
       // q119_important_brands: the 1-row revenue total + brand count
       // for the pro-rata threshold — q100's normalizer class.
-      "q119_important_brands")
+      "q119_important_brands",
+      // q120_tier_migration: the two NTILE windows run on per-CUSTOMER
+      // period rollups (customers ≪ orders) — q96's exact class.
+      "q120_tier_migration",
+      // d39_dedup_funnel: three 1-row stage rollups (map-side combined
+      // partials) + the raw-total broadcast — q63's scalar-tail class.
+      "d39_dedup_funnel",
+      // s34_recall_curve: the 1-row query count + the 3-row cutoff
+      // frame — both O(ks) tails over the once-ranked matched join.
+      "s34_recall_curve")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
