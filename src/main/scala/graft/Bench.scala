@@ -83,7 +83,14 @@ object Bench {
     "q112_ab_test", "d37_dual_channel_dedup", "t47_textrank",
     "q113_price_volume_bridge", "s31_ndcg",
     "q114_dormant_capital", "s32_rrf_fusion", "t48_kwic_concordance",
-    "q115_gini_by_nation", "m09_modality_dropout")
+    "q115_gini_by_nation", "m09_modality_dropout",
+    "q116_min_cost_supplier", "q117_sole_late_supplier",
+    "q118_cross_sell_pairs", "q119_important_brands",
+    "q120_tier_migration", "p30_shuffle_quality_audit",
+    "p31_class_weights", "s33_cosine_spectrum", "s34_recall_curve",
+    "t49_char_trigram_lm", "t50_license_tagger",
+    "d38_cluster_quality", "d39_dedup_funnel",
+    "m05_perceptual_near_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1046,6 +1046,39 @@ object PipelineQueries {
         SELECT source, excess_loss, w0, w1, w2, w3
         FROM r3 ORDER BY source""")),
 
+    // ── p31: class weights — the imbalanced-training table: inverse-
+    //    frequency weight per label, w_c = N / (K·n_c) (sklearn's
+    //    "balanced" heuristic), plus the sampling probability that
+    //    equalizes classes. Exact-integer threshold compare; one
+    //    label census + a 1-row (N, K) scalar ───────────────────────────
+    Q("p31_class_weights",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val census = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+        val tot = census.agg(sum(col("n_label")).as("n_total"),
+          count(lit(1)).as("k_classes"),
+          min(col("n_label")).as("n_min"))
+        census.crossJoin(broadcast(tot))
+          .select(col("label"), col("n_label"), col("n_total"),
+            round(col("n_total").cast("double")
+              / (col("k_classes") * col("n_label")), 6).as("weight"),
+            round(col("n_min").cast("double") / col("n_label"), 6)
+              .as("keep_prob"))
+          .orderBy("label")
+      },
+      Some("""WITH c AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+          FROM embeddings GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_label) AS BIGINT) AS n_total,
+            CAST(COUNT(*) AS BIGINT) AS k_classes,
+            CAST(MIN(n_label) AS BIGINT) AS n_min
+          FROM c)
+        SELECT label, n_label, n_total,
+          ROUND(CAST(n_total AS DOUBLE) / (k_classes * n_label), 6)
+            AS weight,
+          ROUND(CAST(n_min AS DOUBLE) / n_label, 6) AS keep_prob
+        FROM c CROSS JOIN t ORDER BY label""")),
+
     // ── p30: shuffle-quality audit — the QA card for p08's shard
     //    assignment: per shard, the source-mix entropy and the χ²
     //    statistic against the corpus-wide source shares (a bad

@@ -3042,6 +3042,63 @@ object TextQueries {
         SELECT node AS term, pr AS rank FROM r3
         ORDER BY pr DESC, node LIMIT 15""")),
 
+    // ── t50: license/compliance tagger — the rights-clearance census
+    //    training pipelines run before ingesting scraped text (The
+    //    Stack's license gate, C4's policy filters): regex notice
+    //    detection per doc, rolled to a per-source compliance card.
+    //    The synthetic corpus carries no notices, so deterministic
+    //    ones are injected (the m05 recrawl-fixture pattern) — the
+    //    operator under test is the tagger, not the corpus ──────────────
+    Q("t50_license_tagger",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fixed = docs.select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit(" Copyright 2024 Example Corp. All rights reserved."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" Licensed under the Apache License, Version 2.0."))
+              .otherwise(lit(""))).as("text"))
+        val tagged = fixed.select(col("source"),
+          col("text").rlike("(?i)copyright|\\(c\\) *[0-9]{4}|all rights reserved")
+            .cast("int").as("c"),
+          col("text").rlike("(?i)licensed under|apache license|mit license|gpl|creative commons")
+            .cast("int").as("l"))
+        tagged.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("c")).as("n_copyright"),
+            sum(col("l")).as("n_license"),
+            round(sum(greatest(col("c"), col("l"))).cast("double")
+              / count(lit(1)), 6).as("tagged_share"))
+          .orderBy("source")
+      },
+      Some("""WITH fixed AS (
+          SELECT doc_id, source,
+            text ||
+            CASE WHEN doc_id % 7 = 0
+              THEN ' Copyright 2024 Example Corp. All rights reserved.'
+              ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+              THEN ' Licensed under the Apache License, Version 2.0.'
+              ELSE '' END AS text
+          FROM documents),
+        tagged AS (
+          SELECT source,
+            CAST(regexp_matches(text,
+              '(?i)copyright|\(c\) *[0-9]{4}|all rights reserved') AS INT)
+              AS c,
+            CAST(regexp_matches(text,
+              '(?i)licensed under|apache license|mit license|gpl|creative commons')
+              AS INT) AS l
+          FROM fixed)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(c) AS BIGINT) AS n_copyright,
+          CAST(SUM(l) AS BIGINT) AS n_license,
+          ROUND(CAST(SUM(GREATEST(c, l)) AS DOUBLE) / COUNT(*), 6)
+            AS tagged_share
+        FROM tagged GROUP BY source ORDER BY source""")),
+
     // ── t49: char-trigram LM score — t11's CCNet shape at CHARACTER
     //    level: the gibberish / OCR-noise / mojibake detector (word
     //    gates pass text whose character stream is improbable). One

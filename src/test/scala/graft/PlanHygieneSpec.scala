@@ -224,7 +224,10 @@ class PlanHygieneSpec extends SparkTestBase {
       "d39_dedup_funnel",
       // s34_recall_curve: the 1-row query count + the 3-row cutoff
       // frame — both O(ks) tails over the once-ranked matched join.
-      "s34_recall_curve")
+      "s34_recall_curve",
+      // p31_class_weights: the 1-row (N, K, min) scalar over the
+      // K-row label census — p04's min-over-groups class.
+      "p31_class_weights")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
