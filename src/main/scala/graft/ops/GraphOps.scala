@@ -200,6 +200,45 @@ object GraphOps {
     *              edges should be pre-aggregated into `w` (weights > 0)
     * @return (`node`, `hub`, `auth`) for every node in the graph
     */
+  /** Synchronous label propagation (Raghavan et al. 2007), the
+    * fixed-round deterministic variant: labels start as node ids;
+    * each round every node adopts the neighbor label with the
+    * greatest incident edge weight, ties to the SMALLEST label. The
+    * argmax is ONE partial-agg `min(struct(-s, lbl))` per round — no
+    * per-node sorts — and fixed rounds + total tie order make the
+    * result engine-reproducible (u12's oracle unrolls the same
+    * rounds). Input edges are treated as undirected (symmetrized,
+    * parallel edges summed); callers use integer-count weights, so
+    * the weight sums are double-exact. Per-round shuffle is |edges|
+    * label lookups + a node-key agg — the u06 round shape.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, "rounds must be positive")
+    val dir0 = edges.select(col("u").cast("string").as("u"),
+      col("v").cast("string").as("v"), col("w").cast("double").as("w"))
+    val und = dir0
+      .unionAll(dir0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("u").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val nbr = und
+        .join(labels.select(col("node").as("v"), col("lbl").as("nl")),
+          Seq("v"))
+        .groupBy("u", "nl").agg(sum(col("w")).as("s"))
+      val prev = labels
+      labels = nbr.groupBy("u")
+        .agg(min(struct((col("s") * -1).as("ns"), col("nl"))).as("m"))
+        .select(col("u").as("node"), col("m.nl").as("lbl"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    und.unpersist()
+    labels
+  }
+
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, "iters must be positive")
     val e = edges.select(col("u").cast("string").as("u"),

@@ -3744,6 +3744,59 @@ object CoreQueries {
         FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
         WHERE rk = 1 ORDER BY p_partkey""")),
 
+    // ── q121: ABC inventory classification — parts ranked by revenue,
+    //    classed A/B/C at the 80%/95% cumulative-share cuts (the
+    //    Pareto warehouse classic, q88's curve folded to 3 classes).
+    //    Cumulative sums and both threshold compares stay in EXACT
+    //    decimals (cum·100 vs tot·80/95 — no division); the global
+    //    rank runs on the per-PART rollup (parts ≪ lineitems) ──────────
+    Q("q121_abc_classification",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byPart = Tables.lineitem(s, dir)
+          .groupBy("l_partkey").agg(sum(revenueTerm).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = byPart.agg(sum(col("rev")).as("tv"))
+        byPart
+          .withColumn("cum", sum(col("rev")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey"),
+            when(col("cum") * 100 <= col("tv") * 80, lit("A"))
+              .when(col("cum") * 100 <= col("tv") * 95, lit("B"))
+              .otherwise(lit("C")).as("abc_class"),
+            col("rev"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev")).cast("double").as("class_revenue"))
+          .crossJoin(broadcast(tot))
+          .select(col("abc_class"), col("n_parts"), col("class_revenue"),
+            round(col("class_revenue") / col("tv").cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy("abc_class")
+      },
+      Some(s"""WITH by_part AS (
+          SELECT l_partkey, SUM($revenueSql) AS rev
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT SUM(rev) AS tv FROM by_part),
+        ranked AS (
+          SELECT l_partkey, rev,
+            SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM by_part),
+        classed AS (
+          SELECT l_partkey, rev,
+            CASE WHEN cum * 100 <= tv * 80 THEN 'A'
+                 WHEN cum * 100 <= tv * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+          FROM ranked CROSS JOIN tot)
+        SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+          CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+          ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(tv AS DOUBLE), 6)
+            AS revenue_share
+        FROM classed CROSS JOIN tot
+        GROUP BY abc_class, tv ORDER BY abc_class""")),
+
     // ── q120: customer tier migration — the segment-churn matrix:
     //    spend quartiles in 1995–97 vs 1998–2001 cross-tabulated
     //    (tier 0 = absent from the period). The NTILE windows run on

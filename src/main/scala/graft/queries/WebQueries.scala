@@ -375,7 +375,59 @@ object WebQueries {
           FROM g)
         SELECT domain, fetch_rank,
           CAST((fetch_rank - 1) // 2 AS BIGINT) AS slot, doc_id
-        FROM r ORDER BY domain, fetch_rank"""))
+        FROM r ORDER BY domain, fetch_rank""")),
+
+    // ── u12: domain communities — synchronous label propagation over
+    //    u06's link graph (3 fixed rounds, smallest-label ties): the
+    //    site-cluster detector next to PageRank's importance and
+    //    HITS' roles. Deterministic by construction, so the oracle
+    //    unrolls the same rounds; community size joined back ────────────
+    Q("u12_domain_communities",
+      (s, dir) => {
+        val edges = Tables.documents(s, dir)
+          .groupBy(col("source").as("u"),
+            concat(lit("src"), ((col("doc_id") * 7 + 3) % 20)
+              .cast("string")).as("v"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        val com = graft.ops.GraphOps.labelPropagation(edges, rounds = 3)
+        val sz = com.groupBy("lbl")
+          .agg(count(lit(1)).as("community_size"))
+        com.join(sz, Seq("lbl"))
+          .select(col("node"), col("lbl").as("community"),
+            col("community_size"))
+          .orderBy("node")
+      },
+      Some {
+        val roundCtes = (1 to 3).map { r =>
+          s"""s$r AS (
+              SELECT und.u, l.lbl AS nl, SUM(w) AS s
+              FROM und JOIN l${r - 1} l ON l.node = und.v
+              GROUP BY 1, 2),
+            l$r AS (
+              SELECT u AS node, nl AS lbl FROM (
+                SELECT u, nl, ROW_NUMBER() OVER (PARTITION BY u
+                  ORDER BY s DESC, nl) AS rk
+                FROM s$r)
+              WHERE rk = 1)"""
+        }.mkString(",\n            ")
+        s"""WITH ed0 AS (
+            SELECT source AS u,
+              'src' || ((doc_id * 7 + 3) % 20)::VARCHAR AS v,
+              CAST(COUNT(*) AS DOUBLE) AS w
+            FROM documents GROUP BY 1, 2),
+          und AS (
+            SELECT u, v, SUM(w) AS w FROM (
+              SELECT u, v, w FROM ed0
+              UNION ALL SELECT v AS u, u AS v, w FROM ed0)
+            GROUP BY 1, 2),
+          l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+          $roundCtes,
+          sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+                 FROM l3 GROUP BY 1)
+        SELECT l3.node, l3.lbl AS community, sz.community_size
+        FROM l3 JOIN sz ON sz.lbl = l3.lbl
+        ORDER BY node"""
+      })
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,

@@ -227,7 +227,11 @@ class PlanHygieneSpec extends SparkTestBase {
       "s34_recall_curve",
       // p31_class_weights: the 1-row (N, K, min) scalar over the
       // K-row label census — p04's min-over-groups class.
-      "p31_class_weights")
+      "p31_class_weights",
+      // q121_abc_classification: the global cumulative window runs on
+      // the per-PART rollup (parts ≪ lineitems) + the 1-row revenue
+      // total — q88's concentration-curve class folded to 3 classes.
+      "q121_abc_classification")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
