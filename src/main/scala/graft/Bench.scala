@@ -90,7 +90,8 @@ object Bench {
     "p31_class_weights", "s33_cosine_spectrum", "s34_recall_curve",
     "t49_char_trigram_lm", "t50_license_tagger",
     "d38_cluster_quality", "d39_dedup_funnel",
-    "m05_perceptual_near_dup")
+    "m05_perceptual_near_dup",
+    "u12_domain_communities", "q121_abc_classification")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

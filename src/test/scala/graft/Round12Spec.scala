@@ -231,4 +231,97 @@ class Round12Spec extends SparkTestBase {
       }
     }
   }
+
+  // ── wave 4–8 identities ─────────────────────────────────────────────
+
+  test("d39 funnel: stages are monotone and consistent with d01/d06 counts") {
+    val out = SparkEntry.queries("d39_dedup_funnel")(spark, sf)
+      .select("stage", "n_docs", "total_tokens", "token_share")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs and tokens can only shrink down the funnel
+    assert(out("raw")._2 >= out("exact_dedup")._2)
+    assert(out("exact_dedup")._2 >= out("near_dup")._2)
+    assert(out("raw")._3 >= out("near_dup")._3)
+    assert(out("raw")._4 == 1.0)
+    // near-dup stage keeps exactly one doc per d06 cluster
+    val nClusters = graft.ops.TextOps.dedupClustersMinHash(
+      Tables.documents(spark, sf), "doc_id", "text",
+      numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+      .select("cluster_id").distinct().count()
+    assert(out("near_dup")._2 == nClusters)
+  }
+
+  test("q121 ABC: class revenues partition the total, shares sum to 1") {
+    val rows = SparkEntry.queries("q121_abc_classification")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    // A is the head: fewer per-part revenue but the largest share
+    assert(rows(0)._4 > rows(1)._4 && rows(1)._4 > rows(2)._4)
+  }
+
+  test("s34 recall curve: recall well-formed at every cutoff, hits monotone in k") {
+    val rows = SparkEntry.queries("s34_recall_curve")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1, 3, 5))
+    rows.foreach { case (k, nq, hits, rec) =>
+      assert(hits >= 0 && hits <= nq * k)
+      // rec is snapped to 6 dp in the query output
+      assert(math.abs(rec - hits.toDouble / (nq * k)) < 5e-7)
+    }
+    // matched pairs can only accumulate as the cutoff widens
+    assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3)
+  }
+
+  test("u12 LPA: 1 round on a crafted star adopts the hub's label; ties go smallest") {
+    import graft.ops.GraphOps
+    // star: hub h heavily linked to a,b,c → all leaves adopt h's
+    // label in round 1; h adopts the smallest leaf label on the tie
+    val edges = Seq(("h", "a", 1.0), ("h", "b", 1.0), ("h", "c", 1.0))
+      .toDF("u", "v", "w")
+    val l1 = GraphOps.labelPropagation(edges, rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(l1("a") == "h" && l1("b") == "h" && l1("c") == "h")
+    assert(l1("h") == "a") // tie across a,b,c → smallest
+    // weighted tie-break: a heavier edge wins over the lexical tie
+    val weighted = Seq(("h", "a", 1.0), ("h", "b", 5.0)).toDF("u", "v", "w")
+    val lw = GraphOps.labelPropagation(weighted, rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(lw("h") == "b")
+  }
+
+  test("q116 argmin matches a window-rank derivation of the same unit costs") {
+    val out = SparkEntry.queries("q116_min_cost_supplier")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val unit = Tables.lineitem(spark, sf)
+      .where($"l_quantity" > 0)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min($"l_extendedprice".cast("double")
+        * (lit(1.0) - $"l_discount".cast("double"))
+        / $"l_quantity".cast("double")).as("unit_cost"))
+    val sup = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val w = Window.partitionBy("l_partkey")
+      .orderBy($"unit_cost", $"s_name", $"n_name")
+    val viaWindow = unit.join(sup, $"l_suppkey" === $"s_suppkey")
+      .withColumn("rk", row_number().over(w)).where($"rk" === 1)
+      .select($"l_partkey".as("p_partkey"), $"s_name", $"unit_cost")
+    val a = out.select("p_partkey", "s_name", "unit_cost")
+      .as[(Long, String, Double)].collect().toSet
+    val b = viaWindow.as[(Long, String, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("t50 tagger: injected notices are recovered exactly by the regexes") {
+    val rows = SparkEntry.queries("t50_license_tagger")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val (nDocs, nCopy, nLic) =
+      (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+    val docs = Tables.documents(spark, sf)
+    assert(nDocs == docs.count())
+    assert(nCopy == docs.where($"doc_id" % 7 === 0).count())
+    assert(nLic == docs.where($"doc_id" % 11 === 0).count())
+  }
 }
