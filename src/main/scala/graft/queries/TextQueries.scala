@@ -473,6 +473,11 @@ object TextQueries {
     Q("d38_cluster_quality",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // labels and pairs deliberately run their own signature pass:
+        // feeding the 3.1M member-pair edges into CC instead costs
+        // 1.8x more than the second signature pass, because
+        // dedupClustersMinHash's fixpoint runs on the ~15k-edge
+        // SIGNATURE graph (measured both ways at sf0.1)
         val labels = TextOps.dedupClustersMinHash(docs, "doc_id", "text",
           numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
         val pairs = TextOps.minHashPairs(docs, "doc_id", "text",
