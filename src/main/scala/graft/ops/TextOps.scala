@@ -1028,11 +1028,44 @@ object TextOps {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
                    minEstimate: Double = 0.5,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false): DataFrame =
+    minHashPairsFromSignatures(
+      df.select(col(idCol).as("id"),
+        minHashSignature(col(textCol), numHashes, portable).as("sig")),
+      numHashes, bands, minEstimate)
+
+  /** w-shingling flavor (Broder 1997): the MinHash set is word
+    * `n`-grams instead of unigram tokens, so a match requires shared
+    * PHRASING, not just shared vocabulary — the classic prose
+    * near-dup channel (unigram sets false-positive on same-topic
+    * different-order text; shingles don't). Same banding chain,
+    * portable signatures; docs under `n` tokens have no shingles and
+    * drop out (the unigram chain's tokenless convention).
+    */
+  def shingleMinHashPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, numHashes: Int = 16,
+                          bands: Int = 2,
+                          minEstimate: Double = 0.7): DataFrame = {
+    require(n >= 2, "shingle order must be >= 2 (n = 1 is minHashPairs)")
+    val shingles = array_distinct(wordNgrams(col(textCol), n))
+    minHashPairsFromSignatures(
+      df.select(col(idCol).as("id"),
+        when(size(shingles) > 0,
+          graft.functions.PortableSketches.minhash60(shingles, numHashes))
+          .otherwise(lit(null)).as("sig")),
+      numHashes, bands, minEstimate)
+  }
+
+  /** The candidate→estimate→member-expansion half of [[minHashPairs]]
+    * over any `(id, sig)` signature frame — shared by the unigram and
+    * shingle flavors.
+    */
+  def minHashPairsFromSignatures(sigFrame: DataFrame, numHashes: Int,
+                                 bands: Int,
+                                 minEstimate: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, portable).as("sig"))
+    val sigs = sigFrame
       .where(col("sig").isNotNull) // tokenless docs have no signature
     // Candidate generation and scoring run at DISTINCT-SIGNATURE
     // granularity: duplicate-heavy corpora collapse identical

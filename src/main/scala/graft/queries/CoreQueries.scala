@@ -3744,6 +3744,36 @@ object CoreQueries {
         FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
         WHERE rk = 1 ORDER BY p_partkey""")),
 
+    // ── q122: rolling 7-day retention — per day, the share of active
+    //    users who were ALSO active exactly 7 days earlier (the DAU
+    //    quality metric next to q108's gap classes and q68's cohort
+    //    triangle). One (user, day) distinct + a self-equi-join on
+    //    the shifted day — both legs ride the same key ──────────────────
+    Q("q122_rolling_retention",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val prev = days.select(col("user_id"),
+          (col("day") + 7).as("day"), lit(1).as("was_active"))
+        days.join(prev, Seq("user_id", "day"), "left")
+          .groupBy("day")
+          .agg(count(lit(1)).as("active_users"),
+            count(col("was_active")).as("retained_7d"),
+            round(count(col("was_active")).cast("double")
+              / count(lit(1)), 6).as("retention_7d"))
+          .orderBy("day")
+      },
+      Some(Tables.eventsCte + """,
+        d AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM e),
+        p AS (SELECT user_id, day + 7 AS day, 1 AS was_active FROM d)
+        SELECT d.day, CAST(COUNT(*) AS BIGINT) AS active_users,
+          CAST(COUNT(p.was_active) AS BIGINT) AS retained_7d,
+          ROUND(CAST(COUNT(p.was_active) AS DOUBLE) / COUNT(*), 6)
+            AS retention_7d
+        FROM d LEFT JOIN p ON p.user_id = d.user_id AND p.day = d.day
+        GROUP BY d.day ORDER BY d.day""")),
+
     // ── q121: ABC inventory classification — parts ranked by revenue,
     //    classed A/B/C at the 80%/95% cumulative-share cuts (the
     //    Pareto warehouse classic, q88's curve folded to 3 classes).

@@ -512,6 +512,52 @@ object TextQueries {
         FROM sz s JOIN rep r ON r.cluster_id = s.cluster_id
         WHERE s.cluster_size > 1 ORDER BY s.cluster_id""")),
 
+    // ── d40: shingle MinHash near-dup (Broder's w-shingling) — the
+    //    PHRASING channel: the MinHash set is word 3-grams, so a
+    //    match needs shared word order, not just shared vocabulary
+    //    (the unigram chain d03 false-positives on same-topic
+    //    reordered text; this doesn't). Same banding chain and
+    //    distinct-signature granularity; oracle replays the md5
+    //    universal-hash permutations over shingle strings ───────────────
+    Q("d40_shingle_minhash",
+      (s, dir) => TextOps.shingleMinHashPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, numHashes = 16, bands = 2,
+        minEstimate = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        toks AS (
+          SELECT doc_id, UNNEST(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))) AS tok
+          FROM tk WHERE len(ts) >= 3),
+        sig AS (
+          SELECT doc_id, i,
+            MIN(((('0x' || substr(md5('a' || i::VARCHAR), 1, 7))::BIGINT + 1)
+              * (('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647)
+              + ('0x' || substr(md5('b' || i::VARCHAR), 1, 7))::BIGINT)
+              % 2147483647) AS mh
+          FROM toks CROSS JOIN range(16) t(i)
+          GROUP BY doc_id, i),
+        band AS (
+          SELECT doc_id, i // 8 AS band,
+            string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+          FROM sig GROUP BY doc_id, i // 8),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+            AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+            COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / 16 AS est_jaccard
+        FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
+        ORDER BY id_a, id_b""")),
+
     // ── d39: dedup funnel — the before/after volume card every
     //    pipeline publishes: docs/tokens/bytes surviving each stage
     //    (raw → exact dedup → near-dup collapse), with the share of
