@@ -198,4 +198,33 @@ class PlanSpec extends SparkTestBase {
       || p.linesIterator.count(_.contains("Generate explode")) <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("runtime bloom filter injects on a selective fact×fact join at scale thresholds") {
+    // Spark's InjectRuntimeFilter gates on scan sizes (application
+    // side ≥ 10 GB by default) that fixture data never reaches, so
+    // this test lowers the gates to demonstrate the 100 TB behavior
+    // the engine inherits for free: a selective filter on one join
+    // side materializes as a row-level bloom_filter probe on the
+    // OTHER side's scan — the d15 pattern, injected by the optimizer.
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // force the shuffle-join regime the rule targets (broadcast
+      // joins get their own pushdown)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf).where(col("o_totalprice") > 400000)
+      val li = Tables.lineitem(spark, sf)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
