@@ -92,7 +92,8 @@ object Bench {
     "d38_cluster_quality", "d39_dedup_funnel",
     "m05_perceptual_near_dup",
     "u12_domain_communities", "q121_abc_classification",
-    "d40_shingle_minhash", "q122_rolling_retention")
+    "d40_shingle_minhash", "q122_rolling_retention",
+    "d41_shingle_minhash_fast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

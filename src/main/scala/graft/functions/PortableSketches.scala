@@ -245,6 +245,42 @@ object PortableHashKernel {
     * kernel counterpart. Null iff the text is null (split never yields
     * an empty token array).
     */
+  /** Shingle (word n-gram) flavor of [[minhashXx]]: each permutation
+    * hashes the n-token window SPAN in place — `[starts(t),
+    * starts(t+n) - 1)` IS the bytes of the n-gram string (see
+    * [[tokenStarts]]), so no shingle string ever materializes.
+    * Duplicates need no dedup (MIN is idempotent). Returns null for
+    * texts with fewer than `n` tokens (no shingles — the empty-set
+    * convention of the portable chain).
+    */
+  def shingleMinhashXx(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val arr = text.getBytes
+    val starts = tokenStarts(arr)
+    val nTok = starts.length - 1
+    if (nTok < n) return null
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
+      i += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t + n <= nTok) {
+      val s = starts(t)
+      val len = starts(t + n) - 1 - s
+      i = 0
+      while (i < k) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s, len, seeds(i))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def minhashXx(text: UTF8String, k: Int): ArrayData = {
     val arr = text.getBytes
     val starts = tokenStarts(arr)
@@ -442,6 +478,33 @@ object PortableSketches {
   }
 
   /** Fused fast-MinHash kernel over raw text (xxhash64 flavor). */
+  /** Shingle flavor — null for texts shorter than `n` tokens, hence
+    * the MinHash60-style null-propagating codegen.
+    */
+  case class ShingleMinHashXx(child: Expression, n: Int, k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = checkText(child)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableHashKernel.shingleMinhashXx(input.asInstanceOf[UTF8String], n, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.PortableHashKernel.shingleMinhashXx($c, $n, $k);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class MinHashXx(child: Expression, k: Int) extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -479,4 +542,7 @@ object PortableSketches {
 
   def minhashXx(text: Column, k: Int): Column =
     ColumnBridge.column(MinHashXx(ColumnBridge.expression(text), k))
+
+  def shingleMinhashXx(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(ShingleMinHashXx(ColumnBridge.expression(text), n, k))
 }

@@ -872,6 +872,44 @@ object EventOps {
       .toDF("first_channel", "last_channel", "value")
   }
 
+  /** Streaming twin of q122's rolling 7-day retention: per-user state
+    * is the active-day set inside the trailing `window` days (pruned
+    * on every update — at most `window` longs per user); each unseen
+    * (user, day) emits (day, was_active_window_ago) ONCE, and the
+    * day-grain rollup in update mode is q122's report. Same per-key
+    * day-ordered delivery contract as [[growthAccountingStream]].
+    */
+  def rollingRetentionStream(events: Dataset[(Long, Long)],
+                             window: Long = 7L): DataFrame = {
+    require(window > 0, "window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state: (max counted day, recent active days within the window)
+    def chain(st: Option[(Long, Seq[Long])], days: Seq[Long])
+        : (Option[(Long, Seq[Long])], Seq[(Long, Boolean)]) = {
+      var (maxDay, recent) = st.getOrElse((Long.MinValue, Seq.empty[Long]))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      days.distinct.sorted.foreach { d =>
+        if (maxDay == Long.MinValue || d > maxDay) {
+          out += (d -> recent.contains(d - window))
+          maxDay = d
+          recent = (recent :+ d).filter(_ >= d - window)
+        }
+      }
+      (Some((maxDay, recent)), out.toSeq)
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[(Long, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val (next, rows) = chain(state.getOption, evs.map(_._2).toSeq)
+          next.foreach(state.update)
+          rows.iterator
+      }
+      .toDF("day", "retained")
+  }
+
   /** Streaming half of q104's weekly movers: the maintained state is
     * ONLY the (event_type, week) decimal totals — one commutative
     * streaming agg, update mode, bounded by types × weeks. The movers

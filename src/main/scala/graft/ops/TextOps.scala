@@ -1056,6 +1056,24 @@ object TextOps {
       numHashes, bands, minEstimate)
   }
 
+  /** Engine-local xxhash flavor of [[shingleMinHashPairs]] — the
+    * PRODUCTION path (d08's relationship to d03, at shingle grain):
+    * the fused kernel hashes each n-token window SPAN in place (the
+    * span IS the shingle string's bytes — no shingle strings, no
+    * token arrays materialize), one `XXH64` call per (window, perm).
+    */
+  def shingleMinHashPairsXx(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, numHashes: Int = 16,
+                            bands: Int = 2,
+                            minEstimate: Double = 0.7): DataFrame = {
+    require(n >= 2, "shingle order must be >= 2 (n = 1 is minHashPairs)")
+    minHashPairsFromSignatures(
+      df.select(col(idCol).as("id"),
+        graft.functions.PortableSketches
+          .shingleMinhashXx(col(textCol), n, numHashes).as("sig")),
+      numHashes, bands, minEstimate)
+  }
+
   /** The candidate→estimate→member-expansion half of [[minHashPairs]]
     * over any `(id, sig)` signature frame — shared by the unigram and
     * shingle flavors.

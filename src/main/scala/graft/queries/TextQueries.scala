@@ -558,6 +558,20 @@ object TextQueries {
         FROM agree WHERE CAST(n_agree AS DOUBLE) / 16 >= 0.7
         ORDER BY id_a, id_b""")),
 
+    // ── d41: shingle MinHash, PRODUCTION flavor — d40 with the fused
+    //    xxhash kernel (d08's relationship to d03): each permutation
+    //    hashes the n-token window SPAN in place, so no shingle
+    //    string or token array ever materializes. The oracle replays
+    //    Spark's exact XXH64 over shingle strings in DuckDB
+    //    (HUGEINT mod-2^64, seed-as-column via strHashCtesSeeded) ──────
+    Q("d41_shingle_minhash_fast",
+      (s, dir) => TextOps.shingleMinHashPairsXx(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, numHashes = 16, bands = 2,
+        minEstimate = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some(XxHashSql.d41ShingleFastOracle(n = 3, numHashes = 16,
+        bandRows = 8, minEstimate = 0.7))),
+
     // ── d39: dedup funnel — the before/after volume card every
     //    pipeline publishes: docs/tokens/bytes surviving each stage
     //    (raw → exact dedup → near-dup collapse), with the share of

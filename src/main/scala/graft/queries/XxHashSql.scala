@@ -395,6 +395,136 @@ object XxHashSql {
        |  FROM xf5)""".stripMargin
   }
 
+  /** [[strHashCtes]] with the seed as a per-row COLUMN instead of a
+    * compile-time constant — the generator for k-permutation MinHash
+    * over arbitrary-length strings (each permutation i hashes with
+    * its own seed, so one pipeline instantiation covers all k seed
+    * values; the constant-seed form would need k colliding CTE
+    * chains). Input CTE `dstr(s, i, sd)` must exist with `sd` the
+    * UNSIGNED HUGEINT seed; output CTE `str_hash(s, i, hv)` with hv
+    * the SIGNED Spark `xxhash64(s, seed)`. Same validated arithmetic
+    * as [[strHashCtes]] — only the five seed-derived init values
+    * become expressions of `sd`.
+    */
+  def strHashCtesSeeded(): String = {
+    def lane(v: String, w: String): String =
+      wmul(rotl(add(v, wmul(w, P2)), 31), P1)
+    def mergeRound(h: String, v: String): String =
+      add(wmul(xor(h, wmul(rotl(wmul(v, P2), 31), P1)), P1), s"$P4::HUGEINT")
+    val laneStruct =
+      "{'v1': " + lane("acc.v1", "e.v1") + ", 'v2': " + lane("acc.v2", "e.v2") +
+        ", 'v3': " + lane("acc.v3", "e.v3") + ", 'v4': " + lane("acc.v4", "e.v4") + "}"
+    val initStruct =
+      "{'v1': " + add("sd", s"${(P1 + P2) % M64}::HUGEINT") +
+        ", 'v2': " + add("sd", s"$P2::HUGEINT") +
+        ", 'v3': sd, 'v4': " + add("sd", s"${(M64 - P1) % M64}::HUGEINT") + "}"
+    val hShort = add("sd", s"$P5::HUGEINT")
+    val stripeStruct =
+      "{'v1': ws[4*t - 3], 'v2': ws[4*t - 2], 'v3': ws[4*t - 1], 'v4': ws[4*t]}"
+    val hMerged = Seq("vv.v1", "vv.v2", "vv.v3", "vv.v4").foldLeft(
+      add(add(add(rotl("vv.v1", 1), rotl("vv.v2", 7)),
+        rotl("vv.v3", 12)), rotl("vv.v4", 18)))(mergeRound)
+    val wordLe = "(" + (0 to 7).map {
+      case 0 => "bs[8*j - 7]"
+      case i => s"bs[8*j - 7 + $i] * ${BigInt(1) << (8 * i)}::HUGEINT"
+    }.mkString(" + ") + ")"
+    val wordStep =
+      add(wmul(rotl(xor("acc", wmul(rotl(wmul("w", P2), 31), P1)), 27), P1),
+        s"$P4::HUGEINT")
+    val k4 = "(bs[8*nw + 1] + bs[8*nw + 2] * 256::HUGEINT" +
+      " + bs[8*nw + 3] * 65536::HUGEINT + bs[8*nw + 4] * 16777216::HUGEINT)"
+    val h4 = add(wmul(rotl(xor("h", wmul(k4, P1)), 23), P2), s"$P3::HUGEINT")
+    val byteStep = wmul(rotl(xor("acc", wmul("b", P5)), 11), P1)
+    s"""xs0 AS (SELECT CASE WHEN length(s) <> strlen(s)
+       |  THEN error('XxHashSql precondition violated: non-ASCII string: ' || s)
+       |  ELSE s END AS s, i, sd FROM dstr),
+       |xs1 AS (SELECT s, i, sd, strlen(s)::HUGEINT AS len, strlen(s) AS ilen,
+       |  list_transform(range(1, strlen(s) + 1), j -> ord(substr(s, j, 1))::HUGEINT) AS bs
+       |  FROM xs0),
+       |xs2 AS (SELECT s, i, sd, len, ilen, bs, ilen // 8 AS nw,
+       |  CASE WHEN ilen >= 32 THEN ilen // 32 ELSE 0 END AS ns,
+       |  list_transform(range(1, ilen // 8 + 1), j -> $wordLe) AS ws
+       |  FROM xs1),
+       |xs3 AS (SELECT s, i, sd, len, ilen, bs, nw, ns, ws,
+       |  list_reduce(list_prepend($initStruct,
+       |    list_transform(range(1, ns + 1), t -> $stripeStruct)),
+       |    (acc, e) -> $laneStruct) AS vv
+       |  FROM xs2),
+       |xs4 AS (SELECT s, i, sd, len, ilen, bs, nw, ns, ws,
+       |  CASE WHEN ilen >= 32 THEN $hMerged ELSE $hShort END AS h
+       |  FROM xs3),
+       |xs5 AS (SELECT s, i, ilen, bs, nw, ns, ws, ${add("h", "len")} AS h FROM xs4),
+       |xs6 AS (SELECT s, i, ilen, bs, nw,
+       |  list_reduce(list_prepend(h, ws[4*ns + 1 : nw]), (acc, w) -> $wordStep) AS h
+       |  FROM xs5),
+       |xs7 AS (SELECT s, i, ilen, bs, nw,
+       |  CASE WHEN ilen % 8 >= 4 THEN $h4 ELSE h END AS h
+       |  FROM xs6),
+       |xs8 AS (SELECT s, i,
+       |  list_reduce(list_prepend(h,
+       |    bs[8*nw + (CASE WHEN ilen % 8 >= 4 THEN 4 ELSE 0 END) + 1 : ilen]),
+       |    (acc, b) -> $byteStep) AS h
+       |  FROM xs7),
+       |${fmixCtes("xf", "xs8", "s, i")},
+       |str_hash AS (SELECT s, i,
+       |  (h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |     THEN $M64::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS hv
+       |  FROM xf5)""".stripMargin
+  }
+
+  /** The d41 oracle: shingle (word 3-gram) MinHash with Spark-xxhash64
+    * permutation hashes — each permutation i hashes the shingle STRING
+    * with seed `XXH64.hashInt(i, 42)` (the kernel's seed schedule,
+    * interpolated as literals), MIN over SIGNED hashes per (doc, i),
+    * banding, candidates, agreement fraction — the d08 pipeline at
+    * shingle grain via [[strHashCtesSeeded]].
+    */
+  def d41ShingleFastOracle(n: Int = 3, numHashes: Int = 16,
+                           bandRows: Int = 8,
+                           minEstimate: Double = 0.7): String = {
+    val shingleExpr = (0 until n).map {
+      case 0 => "ts[i]"
+      case j => s"ts[i + $j]"
+    }.mkString(" || ' ' || ")
+    val seedRows = (0 until numHashes).map { i =>
+      val signed = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)
+      val unsigned = if (signed < 0) BigInt(signed) + M64 else BigInt(signed)
+      s"($i, $unsigned::HUGEINT)"
+    }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |toks AS (
+       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+       |    range(1, len(ts) - ${n - 2}),
+       |    i -> $shingleExpr))) AS tok
+       |  FROM tk WHERE len(ts) >= $n),
+       |seeds AS (SELECT * FROM (VALUES $seedRows) t(i, sd)),
+       |dstr AS (SELECT d.tok AS s, sd.i, sd.sd
+       |  FROM (SELECT DISTINCT tok FROM toks) d CROSS JOIN seeds sd),
+       |${strHashCtesSeeded()},
+       |sig AS (
+       |  SELECT toks.doc_id, sh.i, MIN(sh.hv) AS mh
+       |  FROM toks JOIN str_hash sh ON sh.s = toks.tok
+       |  GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id, i // $bandRows AS band,
+       |    string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+       |  FROM sig GROUP BY doc_id, i // $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+       |    AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.id_a, c.id_b,
+       |    COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS n_agree
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(n_agree AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM agree WHERE CAST(n_agree AS DOUBLE) / $numHashes >= $minEstimate
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The d08 oracle: identical pipeline to the d03 MD5-portable oracle
     * (TextQueries) but with the Spark-xxhash64 permutation hashes —
     * MIN over SIGNED hashes per (doc, perm), r=8 banding, candidate

@@ -314,6 +314,44 @@ class Round12Spec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("d40/d41: TRUE identical shingle sets land at est=1.0 in BOTH hash families") {
+    // est = 1.0 means identical signatures — guaranteed for identical
+    // shingle SETS in any hash family (equal set ⇒ equal minima ⇒
+    // same band ⇒ recalled), but each family also has its own
+    // 16-position near-miss collisions, so the est=1.0 sets need not
+    // be equal. The hash-independent contract: the TRUE
+    // identical-set pairs are a subset of both.
+    import graft.ops.TextOps
+    // no two natural docs share a full 3-gram set (reordering breaks
+    // shingles even when token sets match), so the m05 recrawl
+    // fixture injects byte-identical twins
+    val base = Tables.documents(spark, sf)
+    val docs = base.select($"doc_id", $"text").unionByName(
+      base.where($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val trueDups = docs
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct(
+          TextOps.wordNgrams($"text", 3))), "|")).as("fp"))
+      .groupBy("fp").agg(collect_list($"doc_id").as("ids"))
+      .where(size($"ids") > 1)
+      .select(explode($"ids").as("a"), $"ids")
+      .select($"a", explode($"ids").as("b")).where($"a" < $"b")
+      .as[(Long, Long)].collect().toSet
+    def exactPairs(df: org.apache.spark.sql.DataFrame) =
+      df.where($"est_jaccard" === 1.0)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val portable = exactPairs(TextOps.shingleMinHashPairs(
+      docs, "doc_id", "text", n = 3, numHashes = 16, bands = 2,
+      minEstimate = 0.7))
+    val xx = exactPairs(TextOps.shingleMinHashPairsXx(
+      docs, "doc_id", "text", n = 3, numHashes = 16, bands = 2,
+      minEstimate = 0.7))
+    assert(trueDups.nonEmpty) // the corpus has true duplicates
+    assert(trueDups.subsetOf(portable), (trueDups -- portable).toString)
+    assert(trueDups.subsetOf(xx), (trueDups -- xx).toString)
+  }
+
   test("t50 tagger: injected notices are recovered exactly by the regexes") {
     val rows = SparkEntry.queries("t50_license_tagger")(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

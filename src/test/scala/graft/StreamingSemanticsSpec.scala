@@ -1091,6 +1091,41 @@ class StreamingSemanticsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming rolling retention: trailing-window day set, streamed ≡ batch q122") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, day)
+    val rows = EventOps.rollingRetentionStream(input.toDS(), window = 7L)
+    val q = rows.writeStream.format("memory").queryName("retention_rows")
+      .outputMode("append").start()
+    try {
+      // u1: day 1; u2: day 1 and day 8 (active exactly 7 days later)
+      input.addData((1L, 1L), (2L, 1L), (2L, 8L))
+      q.processAllAvailable()
+      // cross-batch state: u1 day 8 (gap 7 → retained), u1 day 16
+      // (gap 8 → NOT retained: day-9 absence pruned), dup day ignored
+      input.addData((1L, 8L), (1L, 16L), (1L, 16L))
+      q.processAllAvailable()
+      val streamed = spark.table("retention_rows")
+        .groupBy("day").agg(count(lit(1)).as("active"),
+          sum(col("retained").cast("long")).as("ret"))
+        .as[(Long, Long, Long)].collect().toSet
+      // batch twin: q122's shifted self-join on the same rows
+      val batch = {
+        val d = Seq((1L, 1L), (2L, 1L), (2L, 8L), (1L, 8L), (1L, 16L))
+          .toDF("user_id", "day").distinct()
+        val p = d.select($"user_id", ($"day" + 7).as("day"),
+          lit(1).as("w"))
+        d.join(p, Seq("user_id", "day"), "left")
+          .groupBy("day").agg(count(lit(1)).as("active"),
+            count($"w").as("ret"))
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Set((1L, 2L, 0L), (8L, 2L, 2L), (16L, 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming weekly movers: census in update mode, report at read ≡ batch q104") {
     import graft.ops.EventOps
     implicit val sqlCtx = spark.sqlContext
