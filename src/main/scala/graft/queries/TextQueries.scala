@@ -565,12 +565,29 @@ object TextQueries {
     //    Spark's exact XXH64 over shingle strings in DuckDB
     //    (HUGEINT mod-2^64, seed-as-column via strHashCtesSeeded) ──────
     Q("d41_shingle_minhash_fast",
-      (s, dir) => TextOps.shingleMinHashPairsXx(Tables.documents(s, dir),
-        "doc_id", "text", n = 3, numHashes = 16, bands = 2,
-        minEstimate = 0.7)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        // tripled-token twin docs push shingles past 32 bytes so the
+        // oracle's XXH64 STRIPE loop (strHashCtesSeeded) is exercised
+        // by the EXACT gate every round — natural 3-gram shingles
+        // (~20 bytes) only cover the short-hash path
+        val docs = Tables.documents(s, dir)
+        val media = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", "$1$1$1").as("text")))
+        TextOps.shingleMinHashPairsXx(media,
+          "doc_id", "text", n = 3, numHashes = 16, bands = 2,
+          minEstimate = 0.7)
+          .orderBy("id_a", "id_b")
+      },
       Some(XxHashSql.d41ShingleFastOracle(n = 3, numHashes = 16,
-        bandRows = 8, minEstimate = 0.7))),
+        bandRows = 8, minEstimate = 0.7,
+        mediaCte = """media AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id,
+            regexp_replace(text, '(\S+)', '\1\1\1', 'g') AS text
+          FROM documents WHERE doc_id % 25 = 0)"""))),
 
     // ── d39: dedup funnel — the before/after volume card every
     //    pipeline publishes: docs/tokens/bytes surviving each stage

@@ -404,7 +404,11 @@ object XxHashSql {
     * UNSIGNED HUGEINT seed; output CTE `str_hash(s, i, hv)` with hv
     * the SIGNED Spark `xxhash64(s, seed)`. Same validated arithmetic
     * as [[strHashCtes]] — only the five seed-derived init values
-    * become expressions of `sd`.
+    * become expressions of `sd`. Directly cross-checked against
+    * `XXH64.hashUnsafeBytes` for 40/61/72-byte strings at three
+    * seeds (stripe loop + word/chunk/byte tails all exercised,
+    * bit-equal), on top of d41's end-to-end EXACT gate whose
+    * tripled-token twin docs keep ≥32-byte shingles in every run.
     */
   def strHashCtesSeeded(): String = {
     def lane(v: String, w: String): String =
@@ -481,7 +485,10 @@ object XxHashSql {
     */
   def d41ShingleFastOracle(n: Int = 3, numHashes: Int = 16,
                            bandRows: Int = 8,
-                           minEstimate: Double = 0.7): String = {
+                           minEstimate: Double = 0.7,
+                           mediaCte: String =
+                             "media AS (SELECT doc_id, text FROM documents)")
+      : String = {
     val shingleExpr = (0 until n).map {
       case 0 => "ts[i]"
       case j => s"ts[i + $j]"
@@ -491,7 +498,8 @@ object XxHashSql {
       val unsigned = if (signed < 0) BigInt(signed) + M64 else BigInt(signed)
       s"($i, $unsigned::HUGEINT)"
     }.mkString(", ")
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""WITH $mediaCte,
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM media),
        |toks AS (
        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
        |    range(1, len(ts) - ${n - 2}),
