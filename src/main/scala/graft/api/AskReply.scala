@@ -132,15 +132,19 @@ object AskReplyWire {
   /** BarrierState over a reply topic frame: `fulfilled` distinct
     * correlation ids among `correlationIds`, `total`, and `done =
     * fulfilled >= total` (`finalize` fixes the total; completion is
-    * then monotone, so this composes as a streaming agg in complete
-    * mode or folds at read time over the reply sink).
+    * then monotone). Deduplication is `dropDuplicates` + count —
+    * NOT `countDistinct`, which streaming aggregation rejects — so
+    * the same expression folds at read time over the reply sink or
+    * runs as a complete-mode streaming agg (the dedup state is
+    * bounded by the barrier's own id set).
     */
   def barrierState(replies: DataFrame, correlationIds: Seq[String]): DataFrame = {
     val cid = decodeReply(col("value")).getField("correlation_id")
     replies
       .select(cid.as("correlation_id"))
       .where(col("correlation_id").isin(correlationIds: _*))
-      .agg(countDistinct(col("correlation_id")).as("fulfilled"))
+      .dropDuplicates("correlation_id")
+      .agg(count(lit(1)).as("fulfilled"))
       .select(col("fulfilled"), lit(correlationIds.size.toLong).as("total"),
         (col("fulfilled") >= correlationIds.size.toLong).as("done"))
   }

@@ -834,47 +834,97 @@ object EventOps {
     * Delivery contract: per-key ts-ordered, with same-timestamp ties
     * co-delivered in one micro-batch (a tie split across batches can
     * drop that touch for the earlier conversion — spec-pinned).
+    *
+    * `stateTtl` (seconds, event time; must be ≥ `lookback`) bounds
+    * the KEYSPACE the way the sibling twins' TTLs do: a user idle
+    * past `last_event_ts + ttl` under the watermark is evicted.
+    * Because eviction requires idleness beyond the lookback, every
+    * dropped touch was already outside any future conversion's
+    * window — the TTL is purely a state bound, never a semantic
+    * shift (unlike the resurrection-flavored twins). Without it the
+    * per-key buffer is bounded but the key COUNT grows with
+    * lifetime-distinct users.
     */
   def attributionPairsStream(events: Dataset[(Long, String, Long, Long, Double)],
                              convType: String, touchTypes: Seq[String],
-                             lookback: Long): DataFrame = {
+                             lookback: Long,
+                             stateTtl: Option[Long] = None): DataFrame = {
     require(lookback > 0, "lookback must be positive")
+    require(stateTtl.forall(_ >= lookback),
+      "stateTtl below lookback would drop still-attributable touches")
     val spark = events.sparkSession
     import spark.implicits._
     val touchSet = touchTypes.toSet
-    // state: (max_ts_seen, touches within the trailing lookback)
-    events.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Seq[(String, Long, Long)]),
-        (String, String, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_: Long, evs: Iterator[(Long, String, Long, Long, Double)],
-         state: GroupState[(Long, Seq[(String, Long, Long)])]) =>
-          val batch = evs.toSeq.sortBy(e => (e._3, e._4))
-          val (prevMax, buf) = state.getOption.getOrElse((Long.MinValue, Seq.empty))
-          // conversions see EVERY touch with ts <= cts, including
-          // same-ts touches later in event_id order (batch ties on ts
-          // only) — so resolve against the merged buffer, not a scan
-          val touches = buf ++ batch.collect {
-            case (_, tpe, ts, id, _) if touchSet(tpe) => (tpe, ts, id)
-          }
-          val out = batch.collect { case (_, tpe, cts, _, v) if tpe == convType =>
-            val inWin = touches.filter(t => t._2 <= cts && t._2 >= cts - lookback)
-            val first = if (inWin.isEmpty) "(none)"
-              else inWin.minBy(t => (t._2, t._3))._1
-            val last = if (inWin.isEmpty) "(none)"
-              else inWin.maxBy(t => (t._2, t._3))._1
-            (first, last, v)
-          }
-          val maxTs = batch.foldLeft(prevMax)((m, e) => math.max(m, e._3))
-          state.update((maxTs, touches.filter(_._2 >= maxTs - lookback)))
-          out.iterator
+    // state: (max_ts_seen, touches within the trailing lookback);
+    // chain shared by both timeout modes
+    def chain(st: Option[(Long, Seq[(String, Long, Long)])],
+              batch: Seq[(Long, String, Long, Long, Double)])
+        : ((Long, Seq[(String, Long, Long)]), Seq[(String, String, Double)]) = {
+      val (prevMax, buf) = st.getOrElse((Long.MinValue, Seq.empty))
+      // conversions see EVERY touch with ts <= cts, including
+      // same-ts touches later in event_id order (batch ties on ts
+      // only) — so resolve against the merged buffer, not a scan
+      val touches = buf ++ batch.collect {
+        case (_, tpe, ts, id, _) if touchSet(tpe) => (tpe, ts, id)
       }
-      .toDF("first_channel", "last_channel", "value")
+      val out = batch.collect { case (_, tpe, cts, _, v) if tpe == convType =>
+        val inWin = touches.filter(t => t._2 <= cts && t._2 >= cts - lookback)
+        val first = if (inWin.isEmpty) "(none)"
+          else inWin.minBy(t => (t._2, t._3))._1
+        val last = if (inWin.isEmpty) "(none)"
+          else inWin.maxBy(t => (t._2, t._3))._1
+        (first, last, v)
+      }
+      val maxTs = batch.foldLeft(prevMax)((m, e) => math.max(m, e._3))
+      ((maxTs, touches.filter(_._2 >= maxTs - lookback)), out)
+    }
+    stateTtl match {
+      case None =>
+        events.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Seq[(String, Long, Long)]),
+            (String, String, Double)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+            (_: Long, evs: Iterator[(Long, String, Long, Long, Double)],
+             state: GroupState[(Long, Seq[(String, Long, Long)])]) =>
+              val (next, out) = chain(state.getOption,
+                evs.toSeq.sortBy(e => (e._3, e._4)))
+              state.update(next)
+              out.iterator
+          }
+          .toDF("first_channel", "last_channel", "value")
+      case Some(ttl) =>
+        val wm = events
+          .toDF("user_id", "event_type", "ts_sec", "event_id", "value")
+          .withColumn("event_time", timestamp_seconds(col("ts_sec")))
+          .withWatermark("event_time", "0 seconds")
+          .as[(Long, String, Long, Long, Double, java.sql.Timestamp)]
+        wm.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Seq[(String, Long, Long)]),
+            (String, String, Double)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (_: Long, evs: Iterator[(Long, String, Long, Long, Double, java.sql.Timestamp)],
+             state: GroupState[(Long, Seq[(String, Long, Long)])]) =>
+              if (state.hasTimedOut) {
+                state.remove(); Iterator.empty
+              } else {
+                val (next, out) = chain(state.getOption,
+                  evs.map(e => (e._1, e._2, e._3, e._4, e._5)).toSeq
+                    .sortBy(e => (e._3, e._4)))
+                state.update(next)
+                state.setTimeoutTimestamp(math.max((next._1 + ttl) * 1000L,
+                  state.getCurrentWatermarkMs + 1L))
+                out.iterator
+              }
+          }
+          .toDF("first_channel", "last_channel", "value")
+    }
   }
 
   /** Streaming twin of q122's rolling 7-day retention: per-user state
-    * is the active-day set inside the trailing `window` days (pruned
-    * on every update — at most `window` longs per user); each unseen
+    * is the active-day set inside the trailing `window` days — the
+    * inclusive range [d - window, d], at most `window` + 1 longs per
+    * user (the boundary day must stay for the exact-gap check);
+    * each unseen
     * (user, day) emits (day, was_active_window_ago) ONCE, and the
     * day-grain rollup in update mode is q122's report. Same per-key
     * day-ordered delivery contract as [[growthAccountingStream]].

@@ -1422,8 +1422,11 @@ object VectorQueries {
     //    card for semantic dedup (d24 is the MinHash twin): the
     //    distribution of pairwise cosines, histogrammed in 0.1-wide
     //    bins over [-1, 1]. Pairs come from a PORTABLE-hash bucket
-    //    self-join (16 buckets → ~n²/16 pairs, the bucket count
-    //    scales with n so sampled-pair volume stays ~linear); the
+    //    self-join — ~n²/B pairs at B buckets, so B is the SAMPLING
+    //    knob: B = 16 is this oracle fixture's pinned value, and a
+    //    production run scales B ∝ n to hold sampled-pair volume
+    //    linear (the declared-fixture convention of s01's
+    //    maxRightRows); the
     //    cosine doubles are bit-identical across engines (s01), so
     //    the bin floor is too ──────────────────────────────────────────
     Q("s33_cosine_spectrum",

@@ -160,6 +160,17 @@ class ApiSpec extends SparkTestBase {
       val open = AskReplyWire.barrierState(replies, Seq("c-1", "c-2", "c-9"))
         .as[(Long, Long, Boolean)].head()
       assert(open == ((2L, 3L, false)))
+      // the SAME expression runs as a complete-mode STREAMING agg
+      // (dedup + count, not countDistinct — which streaming rejects)
+      val bq = AskReplyWire.barrierState(served, Seq("c-1", "c-2"))
+        .writeStream.format("memory").queryName("barrier_stream")
+        .outputMode("complete").start()
+      try {
+        bq.processAllAvailable()
+        val sb = spark.table("barrier_stream")
+          .as[(Long, Long, Boolean)].head()
+        assert(sb == ((2L, 2L, true)), sb.toString)
+      } finally bq.stop()
     } finally q.stop()
   }
 

@@ -1089,6 +1089,33 @@ class StreamingSemanticsSpec extends SparkTestBase {
       assert(streamed == Set(("view", "click", 25.0), ("click", "click", 10.0),
         ("click", "click", 7.0), ("(none)", "(none)", 3.0)), streamed.toString)
     } finally q.stop()
+
+    // TTL flavor (ttl >= lookback): eviction only hits users idle
+    // past the lookback, whose buffers couldn't attribute anything
+    // anyway — identical output, bounded keyspace
+    val input2 = MemoryStream[(Long, String, Long, Long, Double)]
+    val rows2 = EventOps.attributionPairsStream(input2.toDS(),
+      convType = "purchase", touchTypes = Seq("click"),
+      lookback = 100L, stateTtl = Some(100L))
+    val q2 = rows2.writeStream.format("memory").queryName("attr_ttl")
+      .outputMode("append").start()
+    try {
+      input2.addData((1L, "click", 10L, 1L, 0.0))
+      q2.processAllAvailable()
+      // advance the watermark far past u1's ttl via another user,
+      // then trigger timeout processing
+      input2.addData((2L, "click", 5000L, 2L, 0.0))
+      q2.processAllAvailable()
+      input2.addData((2L, "click", 5001L, 3L, 0.0))
+      q2.processAllAvailable()
+      // u1 converts AFTER eviction: its old click was outside the
+      // lookback regardless — "(none)", same as the untimed flavor
+      input2.addData((1L, "purchase", 6000L, 4L, 9.0))
+      q2.processAllAvailable()
+      val out = spark.table("attr_ttl")
+        .as[(String, String, Double)].collect().toSet
+      assert(out == Set(("(none)", "(none)", 9.0)), out.toString)
+    } finally q2.stop()
   }
 
   test("streaming rolling retention: trailing-window day set, streamed ≡ batch q122") {
