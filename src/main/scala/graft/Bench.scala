@@ -266,11 +266,18 @@ object Bench {
         else ok.map(t => math.abs(t - med)).sorted.apply(ok.size / 2)
       (name, med, mn, mad)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.4f" }
+    // locale-pinned number formatting: under a comma-decimal default
+    // JVM locale, f"$v%.4f" would emit `0,0123` and the stdout line
+    // the driver json-parses would not be valid JSON
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.4f" }
+    val qsMin = results.map { case (k, _, v, _) => "\"" + k + "\":" + fmt4(v) }
       .mkString("{", ",", "}")
-    val qsMad = results.map { case (k, _, _, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qsMad = results.map { case (k, _, _, v) => "\"" + k + "\":" + fmt4(v) }
       .mkString("{", ",", "}")
     val rerunJson = rerunCounts.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -290,9 +297,9 @@ object Bench {
       val per10k = if (v > 0) v / (nEvents / 10000.0) else -1.0
       (k, rps, per10k)
     }
-    val rpsJson = rates.map { case (k, r, _) => "\"" + k + "\":" + f"$r%.1f" }
+    val rpsJson = rates.map { case (k, r, _) => "\"" + k + "\":" + fmt1(r) }
       .mkString("{", ",", "}")
-    val p10kJson = rates.map { case (k, _, p) => "\"" + k + "\":" + f"$p%.4f" }
+    val p10kJson = rates.map { case (k, _, p) => "\"" + k + "\":" + fmt4(p) }
       .mkString("{", ",", "}")
     // Emission order matters: the driver's BENCH artifact keeps only the
     // last 2000 chars of stdout, so the per-query MEDIANS print last —
@@ -322,7 +329,7 @@ object Bench {
       r._1 == "b04_bucketed_multi_join")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
     val compactQs = (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_._1 == s._1)))
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""sf":"$sfDir","n_entries":${results.size},""" +

@@ -969,7 +969,11 @@ object EventOps {
     */
   def weeklyTotalsStream(events: DataFrame): DataFrame =
     events
-      .groupBy(col("event_type"), expr("ts_sec div 604800").as("week"))
+      // FLOOR week bucketing (pmod-corrected integer division) — `div`
+      // truncates toward zero, which would disagree with the oracle's
+      // floor `//` for pre-epoch timestamps (negative ts_sec)
+      .groupBy(col("event_type"),
+        expr("(ts_sec - pmod(ts_sec, 604800)) div 604800").as("week"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
 
   /** q104's report over a weekly-totals census (streamed snapshot or

@@ -242,6 +242,10 @@ object VectorOps {
     // lesson (measured 5.4 s → sub-second on the cached rounds alone)
     var sel = pick(cand.withColumn("score", round(lam * col("rel"), 6)), 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // track every cached round so the intermediates can be released
+    // once the final selection is materialized — without this each
+    // invocation leaks 2+kSelect cached frames for the session lifetime
+    var cached = List[DataFrame](sel)
     for (r <- 2 to kSelect) {
       val rem = cand.join(sel.select(col("qid"), col("cid")),
         Seq("qid", "cid"), "left_anti")
@@ -254,10 +258,19 @@ object VectorOps {
       sel = sel.unionByName(
         pick(scored.select("qid", "cid", "rel", "score"), r))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached ::= sel
     }
-    sel.select(col("qid").as("query_id"), col("mmr_rank"),
+    // eager localCheckpoint materializes the |Q|·kSelect-row result
+    // (bounded by construction), truncating its lineage so every
+    // intermediate cache can be dropped NOW (the labelPropagation
+    // pattern in GraphOps) — callers hold only the checkpointed frame
+    val out = sel.select(col("qid").as("query_id"), col("mmr_rank"),
       col("cid").as("vec_id"), col("rel").as("relevance"),
-      col("score").as("mmr_score"))
+      col("score").as("mmr_score")).localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    cand.unpersist()
+    pairs.unpersist()
+    out
   }
 
   /** Near-duplicate pairs by embedding cosine (id_a < id_b, cos >= threshold). */
@@ -330,9 +343,15 @@ object VectorOps {
         while (r < rRows.length) {
           val (idB, vecB, labB) = rRows(r)
           if (idB != idA) {
+            // corrupt embeddings must surface as errors, not as
+            // silently truncated dots feeding plausible-but-wrong
+            // hardest-positive/negative picks
+            require(vecA.length == vecB.length,
+              s"tripletMine: dimension mismatch — id $idA has " +
+                s"${vecA.length} dims, id $idB has ${vecB.length}")
             var dotAb = 0.0
             var j = 0
-            val n = math.min(vecA.length, vecB.length)
+            val n = vecA.length
             while (j < n) { dotAb += vecA(j).toDouble * vecB(j).toDouble; j += 1 }
             val cos = dotAb / (nrmA * rNorms(r))
             if (labB == labA) {

@@ -571,9 +571,14 @@ object TextQueries {
         // by the EXACT gate every round — natural 3-gram shingles
         // (~20 bytes) only cover the short-hash path
         val docs = Tables.documents(s, dir)
+        // twin-id offset derived from the data (max+1), not a fixed
+        // constant: at any sf (or under a remapped-id fixture seed)
+        // the recrawl twins stay disjoint from genuine doc ids
+        val off = docs.agg((max(col("doc_id")) + lit(1L)).as("__off"))
         val media = docs.select(col("doc_id"), col("text"))
           .unionByName(docs.where(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 200000L).as("doc_id"),
+            .crossJoin(broadcast(off))
+            .select((col("doc_id") + col("__off")).as("doc_id"),
               regexp_replace(col("text"), "(\\S+)", "$1$1$1").as("text")))
         TextOps.shingleMinHashPairsXx(media,
           "doc_id", "text", n = 3, numHashes = 16, bands = 2,
@@ -585,7 +590,7 @@ object TextQueries {
         mediaCte = """media AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 200000 AS doc_id,
+          SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
             regexp_replace(text, '(\S+)', '\1\1\1', 'g') AS text
           FROM documents WHERE doc_id % 25 = 0)"""))),
 
@@ -1527,9 +1532,12 @@ object TextQueries {
         // recrawl-style fixture: every 25th image re-ingested under a
         // new id — identical bytes must collapse to hamming-0 pairs
         val docs = Tables.documents(s, dir)
+        // data-derived twin offset (max+1): disjoint at any sf / seed
+        val off = docs.agg((max(col("doc_id")) + lit(1L)).as("__off"))
         val media = docs.select(col("doc_id"), col("text"))
           .unionByName(docs.where(col("doc_id") % 25 === 0)
-            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+            .crossJoin(broadcast(off))
+            .select((col("doc_id") + col("__off")).as("doc_id"), col("text")))
         graft.ops.MultimodalOps.perceptualNearDupPairs(
           media, "doc_id", "text", maxHamming = 3, bands = 4)
           .orderBy("id_a", "id_b")
@@ -1537,7 +1545,8 @@ object TextQueries {
       Some(s"""WITH media AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 100000 AS doc_id, text
+          SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+            text
           FROM documents WHERE doc_id % 25 = 0),
         k AS (SELECT * FROM (VALUES ${graft.ops.MultimodalOps.dctBasisSqlValues})
           t(u, x, kv)),
