@@ -995,4 +995,75 @@ object EventOps {
       .orderBy(abs(col("change")).desc, col("event_type"), col("week"))
       .limit(k)
   }
+
+  /** q110's report over a funnel census ([[funnelStepsStream]]'s
+    * `(user_id, step_ts)` snapshot, -1 = step never reached): funnel
+    * depth histogram with share-of-entered. Only users who entered
+    * the funnel (step 1 reached) count — the same population
+    * [[funnelSteps]] returns in batch. The census→report split: the
+    * maintained state is one tiny step-timestamp array per active
+    * user; the histogram folds at read time.
+    */
+  def funnelDepthReport(census: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 1, "need at least one funnel step")
+    // deepest reached step: COALESCE over descending prefix checks
+    val depth = coalesce(
+      ((nSteps to 2 by -1).map(i =>
+        when(col("step_ts").getItem(i - 1) =!= -1L, lit(i))) :+
+        lit(1)): _*)
+    val entered = census.where(col("step_ts").getItem(0) =!= -1L)
+      .select(depth.as("depth"))
+    val tot = entered.agg(count(lit(1)).as("n_total"))
+    entered.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total"), 6)
+          .as("share"))
+      .orderBy("depth")
+  }
+
+  /** Streaming census for q118's cross-sell pairs: the distinct
+    * (order, brand) incidence stream. State is Spark's built-in
+    * streaming-dedup store — one key per distinct (order, brand),
+    * bounded by live orders × brands; pass a watermarked frame and
+    * use `withinWatermark = true` to TTL closed orders out of state
+    * (an order whose event time has passed the watermark can gain no
+    * new lines under the delivery contract shared with
+    * [[growthAccountingStream]]). The quadratic-per-order pair
+    * expansion lives in [[crossSellFromOrderBrands]] at read time,
+    * NOT in the maintained state.
+    */
+  def orderBrandsStream(lines: DataFrame,
+                        withinWatermark: Boolean = false): DataFrame =
+    if (withinWatermark) lines.dropDuplicatesWithinWatermark("ok", "brand")
+    else lines.dropDuplicates("ok", "brand")
+
+  /** q118's report over an (ok, brand) census snapshot: brand
+    * co-occurrence counts with support and lift, top-`k` by n_both.
+    * `nOrders` is the 1-row denominator frame (`n_orders`) — batch
+    * passes the orders-table count, streaming passes its own
+    * distinct-order census count.
+    */
+  def crossSellFromOrderBrands(orderBrands: DataFrame, nOrders: DataFrame,
+                               k: Int = 20): DataFrame = {
+    val ob = orderBrands.select(col("ok"), col("brand").as("p_brand"))
+    val brandCnt = ob.groupBy("p_brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = ob.select(col("ok"), col("p_brand").as("brand_a"))
+      .join(ob.select(col("ok"), col("p_brand").as("brand_b")), Seq("ok"))
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(brandCnt.select(col("p_brand").as("brand_a"),
+        col("n_brand").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(brandCnt.select(col("p_brand").as("brand_b"),
+        col("n_brand").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") * col("n_orders")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_both").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
 }

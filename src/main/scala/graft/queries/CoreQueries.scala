@@ -1537,11 +1537,16 @@ object CoreQueries {
         .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start"),
+      // Boundary rule (caught by the round-13 seed-randomized fixture
+      // audit): Spark's session_window MERGES an event at exactly
+      // last + gap (windows that touch coalesce), so a new session
+      // starts only when the gap STRICTLY exceeds 1800 — same strict
+      // rule as EventOps.sessionize / q62.
       Some(Tables.eventsCte + """,
         marked AS (
           SELECT user_id, ts_sec, event_id, value,
             CASE WHEN ts_sec - LAG(ts_sec) OVER
-              (PARTITION BY user_id ORDER BY ts_sec, event_id) >= 1800
+              (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
               OR LAG(ts_sec) OVER
               (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
             THEN 1 ELSE 0 END AS new_session
@@ -3963,32 +3968,17 @@ object CoreQueries {
     //    counts broadcast back for the lift ─────────────────────────────
     Q("q118_cross_sell_pairs",
       (s, dir) => {
+        // census→report split shared with the streaming twin: the
+        // distinct (order, brand) incidence is the census (streamed as
+        // EventOps.orderBrandsStream), the pair expansion is the report
         val ob = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)),
             col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("ok"), col("p_brand"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
           .distinct()
         val nOrders = Tables.orders(s, dir)
           .agg(countDistinct(col("o_orderkey")).as("n_orders"))
-        val brandCnt = ob.groupBy("p_brand")
-          .agg(count(lit(1)).as("n_brand"))
-        val pairs = ob.select(col("ok"), col("p_brand").as("brand_a"))
-          .join(ob.select(col("ok"), col("p_brand").as("brand_b")), Seq("ok"))
-          .where(col("brand_a") < col("brand_b"))
-          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_both"))
-        pairs
-          .join(broadcast(brandCnt.select(col("p_brand").as("brand_a"),
-            col("n_brand").as("n_a"))), Seq("brand_a"))
-          .join(broadcast(brandCnt.select(col("p_brand").as("brand_b"),
-            col("n_brand").as("n_b"))), Seq("brand_b"))
-          .crossJoin(broadcast(nOrders))
-          .select(col("brand_a"), col("brand_b"), col("n_both"),
-            round(col("n_both").cast("double") / col("n_orders"), 6)
-              .as("support"),
-            round(col("n_both").cast("double") * col("n_orders")
-              / (col("n_a") * col("n_b")), 6).as("lift"))
-          .orderBy(col("n_both").desc, col("brand_a"), col("brand_b"))
-          .limit(20)
+        graft.ops.EventOps.crossSellFromOrderBrands(ob, nOrders, 20)
       },
       Some("""WITH ob AS (
           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand

@@ -1183,4 +1183,90 @@ class StreamingSemanticsSpec extends SparkTestBase {
         Seq(("b", 1L, -60.0), ("a", 1L, 20.0), ("a", 2L, 1.0)))
     } finally q.stop()
   }
+
+  test("streaming window funnel: funnel census + depth report at read ≡ batch q110") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventOps.funnelStepsStream(input.toDS(), steps,
+        within = Some(86400L))
+      .writeStream.format("memory").queryName("wf_census")
+      .outputMode("update").start()
+    try {
+      // u1 full depth; u2 view+click (purchase outside the 1-day
+      // window); u3 view only; u4 click only (never entered)
+      val evs = Seq(
+        (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+        (2L, "view", 50L), (2L, "click", 60L), (2L, "purchase", 50L + 86401L),
+        (3L, "view", 10L), (4L, "click", 10L))
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      val (b1, b2) = ordered.splitAt(4)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // snapshot: latest per-user census row = columnwise max (filled
+      // slots never regress), reassembled into the step_ts array shape
+      val census = spark.table("wf_census")
+        .groupBy("user_id")
+        .agg(array(max(element_at($"step_ts", 1)),
+          max(element_at($"step_ts", 2)),
+          max(element_at($"step_ts", 3))).as("step_ts"))
+      val streamed = EventOps.funnelDepthReport(census, steps.size)
+        .as[(Int, Long, Double)].collect().toSeq
+      // batch twin: q110's depth histogram over batch funnelSteps
+      val f = EventOps.funnelSteps(evs.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, within = Some(86400L))
+      val d = f.select(when($"purchase_ts".isNotNull, 3)
+        .when($"click_ts".isNotNull, 2).otherwise(1).as("depth"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      val batch = d.groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select($"depth", $"n_users",
+          round($"n_users".cast("double") / $"n_total", 6).as("share"))
+        .orderBy("depth")
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Seq((1, 1L, 0.333333), (2, 1L, 0.333333),
+        (3, 1L, 0.333333)))
+    } finally q.stop()
+  }
+
+  test("streaming cross-sell: dedup census + pair report at read ≡ batch q118") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val census = EventOps.orderBrandsStream(
+      input.toDS().toDF("ok", "brand"))
+    val q = census.writeStream.format("memory").queryName("xsell_census")
+      .outputMode("append").start()
+    try {
+      // order 1: {A,B,C}; order 2: {A,B}; order 3: {B}; duplicate
+      // lines split across micro-batches must collapse in state
+      val lines = Seq((1L, "A"), (1L, "B"), (2L, "A"), (1L, "A"),
+        (1L, "C"), (2L, "B"), (3L, "B"), (2L, "A"), (3L, "B"))
+      val (b1, b2) = lines.splitAt(4)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // consistent read-time snapshot (also: the memory-sink view is
+      // not a MultiInstanceRelation, so the report's self-join needs a
+      // re-instantiable plan — localCheckpoint yields a LogicalRDD)
+      val snap = spark.table("xsell_census").localCheckpoint(true)
+      // the streamed census IS the distinct incidence — its own
+      // distinct-order count is the report denominator
+      val nOrders = snap.agg(countDistinct($"ok").as("n_orders"))
+      val streamed = EventOps.crossSellFromOrderBrands(snap, nOrders)
+        .as[(String, String, Long, Double, Double)].collect().toSeq
+      val ob = lines.toDF("ok", "brand").distinct()
+      val batch = EventOps.crossSellFromOrderBrands(ob,
+          ob.agg(countDistinct($"ok").as("n_orders")))
+        .as[(String, String, Long, Double, Double)].collect().toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // A-B co-occurs in orders 1,2; lift(A,B) = 2*3/(2*3) = 1
+      assert(streamed.head == (("A", "B", 2L, 0.666667, 1.0)))
+    } finally q.stop()
+  }
 }
