@@ -128,7 +128,15 @@ object Bench {
     "t11_unigram_lm", "t12_vocab_coverage", "t13_corpus_report",
     "t19_bm25", "t22_bpe_segment", "t23_freq_spectrum",
     "u01_url_parse", "u03_domain_stats",
-    "d02_dedup_jaccard", "d17_text_knn", "s02_embedding_near_dup")
+    "d17_text_knn", "s02_embedding_near_dup")
+    // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
+    //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
+    //     deliberately-quadratic oracle fixture; scale path = d03/d08
+    //     MinHash (benched) and d26's prefix filter (benched)
+    //   d05_dedup_clusters  87.3 s — connected components over d02's
+    //     exact pair edges; scale path = d06 MinHash clusters (benched)
+    //   p11_leakfree_split  86.6 s — split over d05's exact clusters;
+    //     scale path = p12 LSH split (benched)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -193,6 +201,53 @@ object Bench {
     // Bucketed-layout prep (untimed — layout is written once, amortized
     // over every co-located join in production): lineitem+orders
     // bucketed on orderkey → the q05 fact-fact join needs no exchange.
+    // b05 serving prep (untimed): the changelog-style per-user
+    // snapshot, range-sorted on the key so every point lookup is a
+    // row-group-pruned scan, served over TableServer's HTTP face —
+    // the "queryable table" claim with a number attached.
+    val needServing = want("b05_point_lookups")
+    val serving: Option[(graft.serving.TableServer, Int, Long)] = if (needServing) {
+      import org.apache.spark.sql.functions._
+      val snapDir = java.nio.file.Files
+        .createTempDirectory("graft-serve-snap").toString
+      Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(snapDir)
+      // one long-lived DataFrame over the snapshot: file listing +
+      // footer reads happen once; each lookup re-plans only the
+      // pushed-down point filter (the production serving posture)
+      val snap = spark.read.parquet(snapDir)
+      val srv = new graft.serving.TableServer()
+        .serveTable("users", () => snap, "user_id", numericKey = true)
+        .start()
+      // dense user_id key space: max+1 keys (lookups cycle within it
+      // so every GET hits — a 404 would mean the serving path broke)
+      val nKeys = spark.read.parquet(snapDir)
+        .agg(max(col("user_id"))).head().getLong(0) + 1
+      Some((srv, srv.boundPort, nKeys))
+    } else None
+    def pointLookups(): Unit = serving.foreach { case (_, port, nKeys) =>
+      var k = 0
+      while (k < 100) {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:$port/table/users/${k % nKeys}").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(30000)
+        val ok = conn.getResponseCode == 200
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect()
+        require(ok && body.contains("n_events"), s"lookup $k failed: $body")
+        k += 1
+      }
+    }
+    if (needServing) pointLookups() // connection + codegen warmup, untimed
+
     val needBucketed = want("b04_bucketed_multi_join")
     if (needBucketed) {
       graft.ops.Layout.writeBucketed(
@@ -246,7 +301,10 @@ object Bench {
       "b03_stream_windowed" -> (() => StreamBench.stageReplay(spark, replayRows)),
       // q05's fact-fact join on bucketed layout: the co-location story
       // with a number attached (vs q05's shuffle-join time above)
-      "b04_bucketed_multi_join" -> (() => () => bucketedMultiJoin()))
+      "b04_bucketed_multi_join" -> (() => () => bucketedMultiJoin()),
+      // 100 HTTP point lookups against the served snapshot — divide
+      // 100 by the reported seconds for lookups/sec (BASELINE.md b05)
+      "b05_point_lookups" -> (() => () => pointLookups()))
       .filter { case (name, _) => want(name) }
     val entries = named ++ scenarios
 
@@ -361,7 +419,7 @@ object Bench {
     // hundred chars, guaranteed under the tail budget. Untruncated
     // numbers live in bench_full.json for the judge.
     val headlineRes = results.filter(r => eventScenarios(r._1) ||
-      r._1 == "b04_bucketed_multi_join")
+      r._1 == "b04_bucketed_multi_join" || r._1 == "b05_point_lookups")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
     val compactQs = (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_._1 == s._1)))
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }
@@ -371,6 +429,7 @@ object Bench {
       s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
       s""""full":"bench_full.json","queries":$compactQs}"""
     println(compact)
+    serving.foreach(_._1.stop()) // release the HTTP dispatcher thread
     spark.stop()
   }
 }

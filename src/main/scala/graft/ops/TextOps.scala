@@ -795,9 +795,17 @@ object TextOps {
     val lex = df.select(col(idCol).as("id"),
         array_sort(array_distinct(tokens(col(textCol)))).as("lt"))
       .select(col("id"), col("lt"), size(col("lt")).cast("long").as("n"))
+    // SHUFFLED HASH join with the doc-array side as build (hint), not
+    // sort-merge: SMJ would sort the candidate stream WITH its wide
+    // token arrays attached — at 1000× corpus that sort is the first
+    // memory wall (UNABLE_TO_ACQUIRE_MEMORY under 32 concurrent sort
+    // consumers at the 8 GB default heap; SCALE.md round-12 finding 1).
+    // The build side hashes only each partition's share of DOCS
+    // (spillable since Spark 3.2), and the 12.5M-candidate stream is
+    // never sorted at all.
     candIds
-      .join(lex.toDF("id_a", "ta", "n_a"), "id_a")
-      .join(lex.toDF("id_b", "tb", "n_b"), "id_b")
+      .join(lex.toDF("id_a", "ta", "n_a").hint("shuffle_hash"), "id_a")
+      .join(lex.toDF("id_b", "tb", "n_b").hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayKernels
           .sortedIntersectCountStr(col("ta"), col("tb")).as("n_common"),

@@ -231,11 +231,118 @@ class PlanHygieneSpec extends SparkTestBase {
       // q121_abc_classification: the global cumulative window runs on
       // the per-PART rollup (parts ≪ lineitems) + the 1-row revenue
       // total — q88's concentration-curve class folded to 3 classes.
-      "q121_abc_classification")
+      "q121_abc_classification",
+      // d41/m05 recrawl fixtures: the data-derived twin-id offset
+      // (max(doc_id)+1, round-13 seed-audit hardening) is a 1-row
+      // global scalar broadcast back into the twin union — q85's
+      // min/max-seed class.
+      "d41_shingle_minhash_fast", "m05_perceptual_near_dup")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
     assert(offenders.isEmpty,
       s"unexpected single-partition exchange in: $offenders")
+  }
+
+  // ── runtime cardinality gate (round 13): the allowlist above argues
+  // each single-partition exchange carries O(groups/sketch/partitions)
+  // rows, not data — this test RUNS every allowlisted query and reads
+  // the exchange's shuffle-records-written SQLMetric to prove it.
+  // Caps are per-query at test scale (sf0.001: events=1000,
+  // lineitem=6000, documents=500), set ~2× the measured tail so any
+  // change that widens an exchange to carry raw-table rows fails here
+  // even though the name is allowlisted. ──────────────────────────────
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Rows written into each SinglePartition shuffle of an EXECUTED
+    * frame (AQE stages and reused exchanges unwrapped).
+    */
+  private def singlePartitionExchangeRows(df: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan).distinct.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        e.metrics.get("shuffleRecordsWritten").orElse(
+          e.metrics.get("numOutputRows")).map(_.value).getOrElse(-1L)
+    }
+  }
+
+  // per-query row cap for the widest single-partition exchange —
+  // grounded in the allowlist comment's cardinality class, measured at
+  // sf0.001 and set with ~2× headroom (a widened exchange carrying the
+  // raw events/lineitem/documents table blows through every cap here)
+  private val exchangeRowCaps: Map[String, Long] = Map(
+    "q19_enumerate" -> 1200,   // documented serving-only global index:
+                               // carries the FILTERED slice (≤ events)
+    "p04_balance" -> 64, "t11_unigram_lm" -> 64,
+    "q53_approx_distinct_portable" -> 600, // ≤ 2^p=256 registers + partials
+    "p09_temperature_mixture" -> 64, "t14_bigram_lm" -> 64,
+    "t16_trigram_lm" -> 64, "t18_quality_classifier" -> 64,
+    "t19_bm25" -> 64, "t20_pmi_collocations" -> 64,
+    "p14_perplexity_split" -> 64,
+    "q57_dyadic_quantile" -> 300,  // 2^levels candidate/prefix folds
+    "t24_source_drift" -> 64, "p15_curriculum" -> 300,
+    "q63_profile" -> 128,          // per-column scalar legs
+    "q66_skew_report" -> 64, "t29_dsir_weights" -> 64,
+    "q73_join_size_cms" -> 600,    // depth·width register pairs
+    "t32_zipf_fit" -> 300,         // top-50 cut × partitions
+    "q81_session_stats" -> 64, "q82_funnel_dropoff" -> 64,
+    "p21_quantile_normalize" -> 300, "t35_target_encode" -> 64,
+    "t34_lift_table" -> 300,
+    "q84_growth_daily" -> 128,     // ~30-row daily rollup
+    "q85_histogram" -> 128,        // ≤20 buckets + min/max scalar
+    "q88_value_concentration" -> 600,  // per-user rollup (users ≪ events)
+    "q95_seasonal_decompose" -> 1500,  // gap-filled hourly grid (~720 h)
+    "q93_dq_checks" -> 64, "s24_ivf_balance" -> 64,
+    "q96_rfm_segments" -> 600,     // per-customer rollup
+    "q100_assoc_rules" -> 64, "q98_weekday_profile" -> 400,  // 168 cells
+    "q105_gap_spectrum" -> 128, "u10_param_census" -> 128,
+    "q106_lag_correlation" -> 1500,  // gap-filled hourly grid + 13 lags
+    "t46_heaps_curve" -> 64, "p27_split_psi" -> 128,
+    "q110_window_funnel" -> 64, "s29_inbatch_negatives" -> 128,
+    "p29_mixture_eg" -> 64, "p28_token_waterfill" -> 128,
+    "q112_ab_test" -> 64, "d37_dual_channel_dedup" -> 64,
+    "q114_dormant_capital" -> 64, "q118_cross_sell_pairs" -> 64,
+    "s33_cosine_spectrum" -> 128, "p30_shuffle_quality_audit" -> 64,
+    "t49_char_trigram_lm" -> 64, "q119_important_brands" -> 64,
+    "q120_tier_migration" -> 600,  // per-customer period rollup
+    "d39_dedup_funnel" -> 64, "s34_recall_curve" -> 128,
+    "p31_class_weights" -> 64,
+    "q121_abc_classification" -> 600,  // per-part rollup (parts ≪ lines)
+    "d41_shingle_minhash_fast" -> 64,  // 1-row max(doc_id) offset scalar
+    "m05_perceptual_near_dup" -> 64)   // 1-row max(doc_id) offset scalar
+
+  test("allowlisted single-partition exchanges carry bounded rows at runtime") {
+    val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val rows = singlePartitionExchangeRows(SparkEntry.queries(name)(spark, sf))
+      val bad = rows.filter(r => r > cap || r < 0)
+      if (bad.nonEmpty) Some(s"$name: exchange rows $rows exceed cap $cap")
+      else None
+    }
+    assert(over.isEmpty, over.mkString("\n"))
+  }
+
+  test("the cardinality gate actually fires on a widened exchange") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // a global (unpartitioned) window drags the whole lineitem table
+    // through one SinglePartition exchange — exactly the regression
+    // class the caps exist to catch
+    val widened = Tables.lineitem(spark, sf)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+      .groupBy(col("l_returnflag")).agg(max(col("rn")).as("m"))
+    val rows = singlePartitionExchangeRows(widened)
+    assert(rows.exists(_ > 1024),
+      s"expected the widened exchange to carry raw lineitem rows, got $rows")
   }
 }
