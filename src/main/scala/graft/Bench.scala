@@ -117,7 +117,7 @@ object Bench {
     "d18_cdc_dedup", "d20_dedup_minhash_incremental_bloom",
     "d22_cluster_histogram",
     "m01_binary_meta", "m02_frame_offsets", "m03_embed_search",
-    "m04_resize_plan",
+    "m04_resize_plan", "m10_png_meta", "m11_png_phash",
     "p01_hash_split", "p02_sample_hash", "p03_sample_per_group",
     "p04_balance", "p08_shuffle_shards", "p09_temperature_mixture",
     "p10_weighted_sample", "p11_leakfree_split", "p13_kfold",

@@ -255,7 +255,6 @@ object PhashKernel {
     * literals, so every step here must stay integer-exact.
     */
   def phash56(t: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val k = MultimodalOps.dctBasis
     val cps = t.toString.codePoints().toArray
     val n = cps.length.toLong
     // 8×8 raster: nearest-neighbor sample of the codepoint stream at
@@ -266,6 +265,16 @@ object PhashKernel {
       p(c) = if (n > 0) (cps(((c * n) >>> 6).toInt) % 256).toLong else 0L
       c += 1
     }
+    phash56FromGrid(p)
+  }
+
+  /** The DCT + AC-mean-threshold half of [[phash56]] over an
+    * already-resized 8×8 grid (row-major, values 0..255) — exposed so
+    * a REAL pixel source (the PNG decode path, m11) feeds the same
+    * integer-exact kernel the text raster does.
+    */
+  def phash56FromGrid(p: Array[Long]): Long = {
+    val k = MultimodalOps.dctBasis
     // separable DCT: tmp(u)(y) = Σ_x K[u][x]·P[x][y]
     val tmp = Array.ofDim[Long](8, 8)
     var u = 0
