@@ -111,7 +111,7 @@ object Bench {
     "q48_asof_forward", "q49_map_suite", "q50_base64_codec",
     "q51_approx_bounds", "q52_percentile_bounds",
     "q54_approx_distinct_grouped", "q56_cms_grouped",
-    "d05_dedup_clusters", "d06_dedup_clusters_minhash",
+    "d06_dedup_clusters_minhash",
     "d09_dedup_incremental", "d10_dedup_minhash_incremental",
     "d15_dedup_incremental_bloom", "d16_dedup_minhash_verified",
     "d18_cdc_dedup", "d20_dedup_minhash_incremental_bloom",
@@ -120,7 +120,7 @@ object Bench {
     "m04_resize_plan", "m10_png_meta", "m11_png_phash",
     "p01_hash_split", "p02_sample_hash", "p03_sample_per_group",
     "p04_balance", "p08_shuffle_shards", "p09_temperature_mixture",
-    "p10_weighted_sample", "p11_leakfree_split", "p13_kfold",
+    "p10_weighted_sample", "p13_kfold",
     "s04_label_norms", "s05_knn_ivf", "s06_ivf_centroids",
     "s08_pq_codes", "s10_kmeans_train", "s14_pq_codes_trained",
     "s16_embedding_outliers",
@@ -128,7 +128,11 @@ object Bench {
     "t11_unigram_lm", "t12_vocab_coverage", "t13_corpus_report",
     "t19_bm25", "t22_bpe_segment", "t23_freq_spectrum",
     "u01_url_parse", "u03_domain_stats",
-    "d17_text_knn", "s02_embedding_near_dup")
+    "d17_text_knn", "s02_embedding_near_dup",
+    // round-13 TPC-H-shape additions
+    "q123_volume_shipping", "q124_market_share", "q125_product_profit",
+    "q126_returned_revenue", "q127_promo_share", "q128_large_orders",
+    "q129_disjunctive_revenue")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

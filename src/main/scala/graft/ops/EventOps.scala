@@ -1066,4 +1066,48 @@ object EventOps {
       .orderBy(col("n_both").desc, col("brand_a"), col("brand_b"))
       .limit(k)
   }
+
+  /** Streaming census for q121's ABC classification: per-part revenue
+    * totals — one commutative streaming sum keyed by part (update or
+    * complete mode), state bounded by #parts (the same byPart rollup
+    * the batch query builds; parts ≪ lineitems, so the snapshot is the
+    * cheap side). The Pareto ranking and A/B/C classing live in
+    * [[abcFromPartRevenue]] at read time, NOT in the maintained
+    * state — the census→report split shared with
+    * [[weeklyTotalsStream]] / [[orderBrandsStream]]. `rev` must arrive
+    * as the exact-decimal revenue term so streamed totals are
+    * bit-identical to the batch rollup.
+    */
+  def partRevenueStream(lines: DataFrame): DataFrame =
+    lines.groupBy(col("l_partkey")).agg(sum(col("rev")).as("rev"))
+
+  /** q121's report over a per-part revenue census (streamed snapshot
+    * or batch rollup — identical classes because the totals are exact
+    * decimals): parts ranked by revenue, classed A/B/C at the 80%/95%
+    * cumulative-share cuts. Cumulative sums and both threshold
+    * compares stay in EXACT decimals (cum·100 vs tv·80/95 — no
+    * division); the global rank runs on the census (#parts rows, a
+    * deliberate O(parts) single-partition read-time fold).
+    */
+  def abcFromPartRevenue(byPart: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byPart.agg(sum(col("rev")).as("tv"))
+    byPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"),
+        when(col("cum") * 100 <= col("tv") * 80, lit("A"))
+          .when(col("cum") * 100 <= col("tv") * 95, lit("B"))
+          .otherwise(lit("C")).as("abc_class"),
+        col("rev"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("double").as("class_revenue"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc_class"), col("n_parts"), col("class_revenue"),
+        round(col("class_revenue") / col("tv").cast("double"), 6)
+          .as("revenue_share"))
+      .orderBy("abc_class")
+  }
 }

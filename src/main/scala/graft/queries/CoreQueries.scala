@@ -3784,31 +3784,15 @@ object CoreQueries {
     //    Pareto warehouse classic, q88's curve folded to 3 classes).
     //    Cumulative sums and both threshold compares stay in EXACT
     //    decimals (cum·100 vs tot·80/95 — no division); the global
-    //    rank runs on the per-PART rollup (parts ≪ lineitems) ──────────
+    //    rank runs on the per-PART rollup (parts ≪ lineitems). The
+    //    byPart rollup is q121's streaming census
+    //    (EventOps.partRevenueStream), the classing is the report at
+    //    read time (abcFromPartRevenue, shared verbatim here) ──────────
     Q("q121_abc_classification",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val byPart = Tables.lineitem(s, dir)
           .groupBy("l_partkey").agg(sum(revenueTerm).as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = byPart.agg(sum(col("rev")).as("tv"))
-        byPart
-          .withColumn("cum", sum(col("rev")).over(w))
-          .crossJoin(broadcast(tot))
-          .select(col("l_partkey"),
-            when(col("cum") * 100 <= col("tv") * 80, lit("A"))
-              .when(col("cum") * 100 <= col("tv") * 95, lit("B"))
-              .otherwise(lit("C")).as("abc_class"),
-            col("rev"))
-          .groupBy("abc_class")
-          .agg(count(lit(1)).as("n_parts"),
-            sum(col("rev")).cast("double").as("class_revenue"))
-          .crossJoin(broadcast(tot))
-          .select(col("abc_class"), col("n_parts"), col("class_revenue"),
-            round(col("class_revenue") / col("tv").cast("double"), 6)
-              .as("revenue_share"))
-          .orderBy("abc_class")
+        graft.ops.EventOps.abcFromPartRevenue(byPart)
       },
       Some(s"""WITH by_part AS (
           SELECT l_partkey, SUM($revenueSql) AS rev
@@ -4181,6 +4165,270 @@ object CoreQueries {
               / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                 * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
-        FROM one"""))
+        FROM one""")),
+
+    // ── q123: volume shipping — the TPC-H Q7 shape: cross-nation
+    //    revenue by (supplier nation, customer nation, ship year) for
+    //    1995–96. One fact-fact shuffle (lineitem⋈orders on orderkey);
+    //    supplier/customer broadcast, nation broadcast TWICE under
+    //    different roles; the year filter prunes at the scan ────────────
+    Q("q123_volume_shipping",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .where(year(col("l_shipdate")).between(1995, 1996))
+        val n = Tables.nation(s, dir)
+        val n1 = n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))
+        val n2 = n.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))
+        li.join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("snk"))
+          .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          CAST(YEAR(l_shipdate) AS INT) AS l_year,
+          CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE YEAR(l_shipdate) BETWEEN 1995 AND 1996
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ── q124: market share — the TPC-H Q8 shape: NATION_3's share of
+    //    PROMO-part revenue sold to ASIA-region customers, per order
+    //    year. The share numerator is a conditional SUM over the same
+    //    rows (no second scan); nation⋈region pre-reduces to a
+    //    broadcast key list; exact decimals until the final division ────
+    Q("q124_market_share",
+      (s, dir) => {
+        val asiaN = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .select(col("n_nationkey").as("cnk"))
+        val sn = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))
+        val natRev = sum(when(col("supp_nation") === "NATION_3",
+          revenueTerm)).cast("double")
+        val totRev = sum(revenueTerm).cast("double")
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+              .where(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaN), col("c_nationkey") === col("cnk"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(natRev.as("nation_revenue"), totRev.as("total_revenue"))
+          .select(col("o_year"), col("nation_revenue"),
+            col("total_revenue"),
+            round(col("nation_revenue") / col("total_revenue"), 6)
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+            THEN $revenueSql END) AS DOUBLE) AS nation_revenue,
+          CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+          ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+              THEN $revenueSql END) AS DOUBLE)
+            / CAST(SUM($revenueSql) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── q125: product-type profit — the TPC-H Q9 shape with this
+    //    schema's cost proxy (no partsupp table: cost = qty ×
+    //    p_retailprice × 0.5): per (supplier nation, order year) profit.
+    //    All three decimal legs stay exact until the final cast;
+    //    part/supplier/nation broadcast; ONE fact-fact shuffle ──────────
+    Q("q125_product_profit",
+      (s, dir) => {
+        val sn = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"),
+            col("n_name").as("supp_nation"))
+        val cost = dec2(col("l_quantity")) * dec2(col("p_retailprice")) *
+          lit(0.5).cast("decimal(18,2)")
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .groupBy(col("supp_nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(revenueTerm - cost).cast("double").as("profit"))
+          .orderBy("supp_nation", "o_year")
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation,
+          CAST(YEAR(o_orderdate) AS INT) AS o_year,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM($revenueSql
+            - CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(p_retailprice AS DECIMAL(18,2))
+              * CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── q126: returned-item revenue — the TPC-H Q10 shape: top-20
+    //    customers by revenue lost to returns (l_returnflag = 'R') on
+    //    orders placed in 1996H1. The returnflag + date filters prune
+    //    BOTH scan sides before the one orderkey shuffle; customer and
+    //    nation broadcast; deterministic tie-break on custkey ───────────
+    Q("q126_returned_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir)
+              .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+                && col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ── q127: promo revenue share — the TPC-H Q14 shape: PROMO parts'
+    //    percentage of September-1996 shipped revenue. The month filter
+    //    prunes the fact scan; part broadcasts; the CASE numerator
+    //    rides the same aggregate — one scan, one 1-row result ──────────
+    Q("q127_promo_share",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("p_type") === "PROMO", revenueTerm))
+              .cast("double").as("promo_revenue"),
+            sum(revenueTerm).cast("double").as("total_revenue"))
+          .select(col("n_lines"), col("promo_revenue"),
+            col("total_revenue"),
+            round(col("promo_revenue") * 100 / col("total_revenue"), 6)
+              .as("promo_share_pct"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN $revenueSql END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
+          ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN $revenueSql END) AS DOUBLE) * 100
+            / CAST(SUM($revenueSql) AS DOUBLE), 6) AS promo_share_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'""")),
+
+    // ── q128: large-volume orders — the TPC-H Q18 shape: orders whose
+    //    total quantity tops 300 (p99 ≈ 262 on this corpus), with their
+    //    customer. The HAVING rollup runs FIRST (orders ≪ lineitems
+    //    survive), then joins orders on the same orderkey partitioning;
+    //    customer broadcasts. Quantities are integral doubles — sums
+    //    are FP-exact at any scale factor ───────────────────────────────
+    Q("q128_large_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .where(col("sum_qty") > 300)
+        big.join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ── q129: disjunctive-predicate revenue — the TPC-H Q19 shape:
+    //    three (brand, size-range, quantity-range) OR-branches as ONE
+    //    residual predicate after the broadcast part join — no union,
+    //    no second scan; the 1-row answer stays exact decimal until
+    //    the cast ───────────────────────────────────────────────────────
+    Q("q129_disjunctive_revenue",
+      (s, dir) => {
+        val branch = (col("p_brand") === "Brand#1"
+            && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#12"
+            && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20"
+            && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .where(branch)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(revenueTerm).cast("double").as("revenue"))
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+          CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+            AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 20 AND 30)"""))
   )
 }

@@ -236,7 +236,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // (max(doc_id)+1, round-13 seed-audit hardening) is a 1-row
       // global scalar broadcast back into the twin union — q85's
       // min/max-seed class.
-      "d41_shingle_minhash_fast", "m05_perceptual_near_dup")
+      "d41_shingle_minhash_fast", "m05_perceptual_near_dup",
+      // q127/q129: 1-row global answers (TPC-H Q14/Q19 shapes) — the
+      // final aggregate collapses map-side-combined partials, one row
+      // per upstream partition crosses; q63's scalar-tail class.
+      "q127_promo_share", "q129_disjunctive_revenue")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -319,7 +323,9 @@ class PlanHygieneSpec extends SparkTestBase {
     "p31_class_weights" -> 64,
     "q121_abc_classification" -> 600,  // per-part rollup (parts ≪ lines)
     "d41_shingle_minhash_fast" -> 64,  // 1-row max(doc_id) offset scalar
-    "m05_perceptual_near_dup" -> 64)   // 1-row max(doc_id) offset scalar
+    "m05_perceptual_near_dup" -> 64,   // 1-row max(doc_id) offset scalar
+    "q127_promo_share" -> 64,          // 1-row global answer partials
+    "q129_disjunctive_revenue" -> 64)  // 1-row global answer partials
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -1269,4 +1269,42 @@ class StreamingSemanticsSpec extends SparkTestBase {
       assert(streamed.head == (("A", "B", 2L, 0.666667, 1.0)))
     } finally q.stop()
   }
+
+  test("streaming ABC: per-part revenue census + Pareto report at read ≡ batch q121") {
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    // (l_partkey, l_extendedprice, l_discount) lines; the exact-decimal
+    // revenue term is computed BEFORE the census agg, as in batch
+    val input = MemoryStream[(Long, Double, Double)]
+    val rev = ($"l_extendedprice".cast("decimal(18,2)") *
+      (lit(1) - $"l_discount".cast("decimal(18,2)"))).as("rev")
+    val census = EventOps.partRevenueStream(
+      input.toDS().toDF("l_partkey", "l_extendedprice", "l_discount")
+        .select($"l_partkey", rev))
+    val q = census.writeStream.format("memory").queryName("abc_census")
+      .outputMode("complete").start()
+    try {
+      // per-part revenues 50/20/15/10/5 (total 100): cum shares 50, 70,
+      // 85, 95, 100 ⇒ A,A,B,B,C — every class populated, and part 1's
+      // total is split across micro-batches so state must accumulate
+      val lines = Seq((1L, 30.0, 0.0), (2L, 20.0, 0.0), (3L, 15.0, 0.0),
+        (1L, 25.0, 0.2), (4L, 10.0, 0.0), (5L, 5.0, 0.0))
+      val (b1, b2) = lines.splitAt(3)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val snap = spark.table("abc_census").localCheckpoint(true)
+      val streamed = EventOps.abcFromPartRevenue(snap)
+        .as[(String, Long, Double, Double)].collect().toSeq
+      val byPart = lines.toDF("l_partkey", "l_extendedprice", "l_discount")
+        .select($"l_partkey", rev)
+        .groupBy("l_partkey").agg(sum($"rev").as("rev"))
+      val batch = EventOps.abcFromPartRevenue(byPart)
+        .as[(String, Long, Double, Double)].collect().toSeq
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed == Seq(("A", 2L, 70.0, 0.7), ("B", 2L, 25.0, 0.25),
+        ("C", 1L, 5.0, 0.05)))
+    } finally q.stop()
+  }
 }
