@@ -2361,4 +2361,67 @@ object TextOps {
         round(coalesce(col("n_dup_windows"), lit(0L)).cast("double")
           / col("n_windows"), 6).as("dup_window_fraction"))
   }
+
+  /** Per-shard mergeable top-k summary — the deterministic cousin of
+    * SpaceSaving/Misra-Gries (Agarwal et al., "Mergeable Summaries",
+    * PODS'12): for each shard the EXACT top-`k` token counts plus the
+    * shard's tail bound (the (k+1)-th count — any token NOT kept in
+    * the shard occurs at most that often there; 0 when the shard has
+    * ≤ k types). Store one summary per source/day partition and merge
+    * ANY subset at read time with [[topkFromSummaries]], no corpus
+    * re-scan — the census→report split applied to frequency ranking.
+    * The (shard, token) census partial-aggs map-side; the rank window
+    * is shard-local; the summary is shards×k rows.
+    */
+  def topkSummaries(docs: DataFrame, shardCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val counts = docs
+      .select(col(shardCol).as("shard"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("shard", "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("shard").orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    val tails = ranked.groupBy("shard")
+      .agg(coalesce(max(when(col("rk") === k + 1, col("cnt"))), lit(0L))
+        .as("tail"))
+    ranked.where(col("rk") <= k)
+      .join(tails, "shard")
+      .select("shard", "tok", "cnt", "tail")
+  }
+
+  /** Range-merge of [[topkSummaries]] rows: each candidate token (kept
+    * in ≥ 1 shard) gets the exact-over-kept-shards lower bound and the
+    * sound upper bound lb + Σ tails of the shards that did NOT keep it
+    * (count there ≤ that shard's tail by construction). Reports the
+    * top-`k` by lower bound (token tie-break) with `guaranteed` = 1
+    * when the lower bound STRICTLY beats both every excluded
+    * candidate's upper bound and the total tail (the most a never-kept
+    * token could total) — strict because a tie can still displace the
+    * candidate under the count-then-token ordering. Touches only
+    * shards×k summary rows — the merged report never re-reads the
+    * corpus.
+    */
+  def topkFromSummaries(summaries: DataFrame, k: Int): DataFrame = {
+    val tails = summaries.select("shard", "tail").distinct()
+    val totalTail = tails.agg(sum("tail").as("total_tail"))
+    val cand = summaries.groupBy("tok")
+      .agg(sum(col("cnt")).as("lb"), sum(col("tail")).as("kept_tail"))
+      .crossJoin(broadcast(totalTail))
+      .select(col("tok"), col("lb"),
+        (col("lb") + col("total_tail") - col("kept_tail")).as("ub"),
+        col("total_tail"))
+    // the rank runs on the candidate census (≤ shards×k rows)
+    val ranked = cand.withColumn("rank",
+      row_number().over(Window.orderBy(col("lb").desc, col("tok"))))
+    val challenger = ranked.where(col("rank") > k)
+      .agg(coalesce(max(col("ub")), lit(0L)).as("max_excl"))
+    ranked.where(col("rank") <= k)
+      .crossJoin(broadcast(challenger))
+      .select(col("rank"), col("tok"), col("lb").as("est_low"),
+        col("ub").as("est_high"),
+        (col("lb") > greatest(col("max_excl"), col("total_tail")))
+          .cast("int").as("guaranteed"))
+      .orderBy("rank")
+  }
 }

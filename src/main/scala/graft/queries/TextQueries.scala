@@ -3363,5 +3363,54 @@ object TextQueries {
           ROUND(CAST(n_hits AS DOUBLE) / n_toks, 6) AS blocklist_rate,
           (CAST(n_hits AS DOUBLE) / n_toks) > 0.05 AS blocklist_flagged
         FROM h ORDER BY doc_id"""))
+  ,
+
+    // ── t51: mergeable top-k heavy hitters — per-SOURCE exact top-20
+    //    token summaries + tail bounds (the SpaceSaving/Misra-Gries
+    //    mergeable-summaries shape), range-merged at read time into a
+    //    global top-10 with sound [lb, ub] bounds and a guaranteed
+    //    flag. The stored artifact is sources×k rows; the merge never
+    //    re-reads the corpus — the trending-tokens report over
+    //    per-partition summaries. All-integer arithmetic, hash-EXACT ────
+    Q("t51_mergeable_topk",
+      (s, dir) => {
+        val sums = graft.ops.TextOps.topkSummaries(
+          Tables.documents(s, dir), "source", "text", k = 20)
+        graft.ops.TextOps.topkFromSummaries(sums, k = 10)
+      },
+      Some("""WITH tokd AS (
+          SELECT source, UNNEST(string_split(text, ' ')) AS tok
+          FROM documents),
+        c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tokd GROUP BY 1, 2),
+        r AS (SELECT source, tok, cnt,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, tok) AS rk
+              FROM c),
+        tails AS (
+          SELECT source,
+            COALESCE(MAX(CASE WHEN rk = 21 THEN cnt END), CAST(0 AS BIGINT))
+              AS tail
+          FROM r GROUP BY source),
+        tt AS (SELECT SUM(tail) AS total_tail FROM tails),
+        cand AS (
+          SELECT tok, SUM(cnt) AS lb, SUM(t.tail) AS kept_tail
+          FROM (SELECT source, tok, cnt FROM r WHERE rk <= 20) kept
+          JOIN tails t USING (source) GROUP BY tok),
+        b AS (
+          SELECT tok, lb, lb + (total_tail - kept_tail) AS ub, total_tail
+          FROM cand CROSS JOIN tt),
+        rk2 AS (
+          SELECT tok, lb, ub, total_tail,
+            ROW_NUMBER() OVER (ORDER BY lb DESC, tok) AS rank
+          FROM b),
+        chal AS (
+          SELECT COALESCE(MAX(ub), CAST(0 AS BIGINT)) AS max_excl
+          FROM rk2 WHERE rank > 10)
+        SELECT CAST(rank AS INT) AS rank, tok,
+          CAST(lb AS BIGINT) AS est_low, CAST(ub AS BIGINT) AS est_high,
+          CAST(lb > GREATEST(max_excl, total_tail) AS INT) AS guaranteed
+        FROM rk2 CROSS JOIN chal
+        WHERE rank <= 10 ORDER BY rank"""))
   )
 }

@@ -240,7 +240,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // q127/q129: 1-row global answers (TPC-H Q14/Q19 shapes) — the
       // final aggregate collapses map-side-combined partials, one row
       // per upstream partition crosses; q63's scalar-tail class.
-      "q127_promo_share", "q129_disjunctive_revenue")
+      "q127_promo_share", "q129_disjunctive_revenue",
+      // t51: the merge rank runs on the candidate census (≤ shards×k
+      // summary rows, never the token stream) + the 1-row total-tail /
+      // challenger scalars — t32's topN-cut class.
+      "t51_mergeable_topk")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -325,7 +329,8 @@ class PlanHygieneSpec extends SparkTestBase {
     "d41_shingle_minhash_fast" -> 64,  // 1-row max(doc_id) offset scalar
     "m05_perceptual_near_dup" -> 64,   // 1-row max(doc_id) offset scalar
     "q127_promo_share" -> 64,          // 1-row global answer partials
-    "q129_disjunctive_revenue" -> 64)  // 1-row global answer partials
+    "q129_disjunctive_revenue" -> 64,  // 1-row global answer partials
+    "t51_mergeable_topk" -> 900)       // candidate census ≤ shards(20)×k(20)
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

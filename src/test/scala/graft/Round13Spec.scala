@@ -96,4 +96,34 @@ class Round13Spec extends SparkTestBase {
     assert(meta.format == "png" && meta.width == 5 && meta.height == 3)
     assert(meta.nBytes == 68 + 3 * 6)
   }
+
+  test("mergeable top-k: bounds are sound and the guarantee flag is honest") {
+    import graft.ops.TextOps
+    // shard A: x dominates, y is mid, z hides below the top-2 cut;
+    // shard B: z dominates, x hides below the cut — the merged truth
+    // (x=7, z=6, y=3, w=3) is only PARTIALLY visible from k=2 summaries
+    val docs = Seq(
+      ("A", "x x x x y y y z w"),   // A counts: x=4 y=3 z=1 w=1, tail(k=2)=1
+      ("B", "z z z z z x x x w w")  // B counts: z=5 x=3 w=2, tail(k=2)=2
+    ).toDF("source", "text")
+    val sums = TextOps.topkSummaries(docs, "source", "text", k = 2)
+    // kept: A→(x,4),(y,3) tail 1; B→(z,5),(x,3) tail 2
+    val kept = sums.as[(String, String, Long, Long)].collect().toSet
+    assert(kept == Set(("A", "x", 4L, 1L), ("A", "y", 3L, 1L),
+      ("B", "z", 5L, 2L), ("B", "x", 3L, 2L)))
+    val merged = TextOps.topkFromSummaries(sums, k = 3)
+      .as[(Int, String, Long, Long, Int)].collect().toSeq
+    // x kept in BOTH shards: lb = ub = 7 (exact). z kept only in B:
+    // lb 5, ub 5 + tail(A) = 6. y kept only in A: lb 3, ub 3+2 = 5.
+    assert(merged == Seq((1, "x", 7L, 7L, 1), (2, "z", 5L, 6L, 1),
+      (3, "y", 3L, 5L, 0)))
+    // soundness vs the exact truth: every bound brackets the true count
+    val truth = Map("x" -> 7L, "z" -> 6L, "y" -> 3L)
+    merged.foreach { case (_, t, lb, ub, _) =>
+      assert(lb <= truth(t) && truth(t) <= ub, s"$t [$lb,$ub]") }
+    // the guarantee is honest AND strict: y at lb=3 is NOT guaranteed —
+    // the total tail is 3 and w (never kept anywhere) really does total
+    // 3, tying y and displacing it under the count-then-token ordering;
+    // x and z strictly beat both the excluded max-ub and total_tail=3
+  }
 }
