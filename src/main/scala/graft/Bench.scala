@@ -132,7 +132,8 @@ object Bench {
     // round-13 TPC-H-shape additions + the mergeable top-k summary
     "q123_volume_shipping", "q124_market_share", "q125_product_profit",
     "q126_returned_revenue", "q127_promo_share", "q128_large_orders",
-    "q129_disjunctive_revenue", "t51_mergeable_topk")
+    "q129_disjunctive_revenue", "t51_mergeable_topk",
+    "q130_zorder_skipping")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

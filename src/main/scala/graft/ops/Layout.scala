@@ -75,4 +75,76 @@ object Layout {
       .orderBy(col("n_rows").desc, col(keyCol))
       .limit(k)
   }
+
+  /** 32-bit Morton (Z-order) interleave of two 16-bit grid coordinates:
+    * bit i of `even` lands at position 2i, bit i of `odd` at 2i+1.
+    * Sixteen shift/mask terms with disjoint target bits — pure integer
+    * arithmetic, whole-stage-codegen'd, replayable in any SQL engine.
+    */
+  def mortonInterleave16(even: Column, odd: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(even, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(odd, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order data-skipping effectiveness report — the decision table
+    * behind an OPTIMIZE-ZORDER-style rewrite (Morton-curve clustering
+    * so per-file min/max stats prune on BOTH dimensions; the public
+    * Delta/Iceberg layout idea). Both columns scale to a 16-bit grid
+    * over their [min, max] span (exact integer `div` — no FP), rows
+    * fall into 256 Z-prefix chunks (`morton >> 24`) for the zorder
+    * layout and 256 `yCol`-prefix chunks for the `linear` baseline
+    * (the natural time-sorted layout when `yCol` is event time). A
+    * chunk survives pruning iff its min/max box overlaps the query
+    * rectangle [xLo, xHi] × [yLo, yHi] — exactly parquet row-group
+    * min/max semantics. Reports, per layout: chunk counts, rows
+    * scanned vs rows actually matching, and the scan amplification.
+    *
+    * Scale shape: one 1-row min/max scalar broadcast (q85's seed
+    * class), per-chunk partial-agg rollups (≤ 2×256 rows), a 2-row
+    * layout rollup, and the 1-row exact-match count — the raw table
+    * crosses no single-partition exchange and is scanned twice
+    * (grid pass + predicate count), never sorted.
+    */
+  def zorderSkippingReport(df: DataFrame, xCol: String, yCol: String,
+                           xLo: Long, xHi: Long,
+                           yLo: Long, yHi: Long): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
+      min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+    val gridded = df.select(col(xCol).as("xv"), col(yCol).as("yv"))
+      .crossJoin(broadcast(bounds))
+      .selectExpr("xv", "yv",
+        // 16-bit grid coords; `div` keeps it exact integer floor
+        // (operands non-negative after the min shift)
+        "((xv - minx) * 65535) div (CASE WHEN maxx > minx THEN maxx - minx ELSE 1 END) AS bx",
+        "((yv - miny) * 65535) div (CASE WHEN maxy > miny THEN maxy - miny ELSE 1 END) AS by")
+      .withColumn("morton", mortonInterleave16(col("bx"), col("by")))
+    val zChunks = gridded.select(lit("zorder").as("layout"),
+      shiftright(col("morton"), 24).as("chunk"), col("xv"), col("yv"))
+    val linChunks = gridded.select(lit("linear").as("layout"),
+      shiftright(col("by"), 8).as("chunk"), col("xv"), col("yv"))
+    val perChunk = zChunks.unionByName(linChunks)
+      .groupBy("layout", "chunk")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xv")).as("min_x"), max(col("xv")).as("max_x"),
+        min(col("yv")).as("min_y"), max(col("yv")).as("max_y"))
+      .withColumn("scanned",
+        (col("max_x") >= xLo && col("min_x") <= xHi &&
+          col("max_y") >= yLo && col("min_y") <= yHi).cast("long"))
+    val matching = df.where(col(xCol).between(xLo, xHi)
+      && col(yCol).between(yLo, yHi))
+      .agg(count(lit(1)).as("rows_matching"))
+    perChunk.groupBy("layout")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("scanned")).as("chunks_scanned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(col("scanned") * col("n_rows")).as("rows_scanned"))
+      .crossJoin(broadcast(matching))
+      .select(col("layout"), col("n_chunks"), col("chunks_scanned"),
+        col("rows_total"), col("rows_scanned"), col("rows_matching"),
+        round(col("rows_scanned").cast("double")
+          / col("rows_matching"), 6).as("scan_amplification"))
+      .orderBy("layout")
+  }
 }

@@ -4429,6 +4429,58 @@ object CoreQueries {
           OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
             AND l_quantity BETWEEN 10 AND 20)
           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
-            AND l_quantity BETWEEN 20 AND 30)"""))
+            AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ── q130: Z-order skipping report — would an OPTIMIZE-ZORDER
+    //    rewrite pay off for (user, time) predicates? Events grid to
+    //    16-bit coords (exact integer div), 256 Z-prefix chunks vs 256
+    //    time-prefix chunks, min/max-box pruning against a fixed
+    //    user×time rectangle — parquet row-group semantics exactly.
+    //    All integers until the final amplification ratio ───────────────
+    Q("q130_zorder_skipping",
+      (s, dir) => graft.ops.Layout.zorderSkippingReport(
+        Tables.events(s, dir).select("user_id", "ts_sec"),
+        "user_id", "ts_sec",
+        xLo = 10L, xHi = 30L, yLo = 1704844800L, yHi = 1705103999L),
+      Some {
+        val morton = (0 until 16).map(i =>
+          s"(((bx >> $i) & 1) << ${2 * i}) + (((by >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        Tables.eventsCte + s""",
+        b AS (SELECT MIN(user_id) AS minx, MAX(user_id) AS maxx,
+                MIN(ts_sec) AS miny, MAX(ts_sec) AS maxy FROM e),
+        g AS (SELECT user_id AS xv, ts_sec AS yv,
+                ((user_id - minx) * 65535)
+                  // (CASE WHEN maxx > minx THEN maxx - minx ELSE 1 END) AS bx,
+                ((ts_sec - miny) * 65535)
+                  // (CASE WHEN maxy > miny THEN maxy - miny ELSE 1 END) AS by
+              FROM e CROSS JOIN b),
+        m AS (SELECT xv, yv, by, ($morton) AS morton FROM g),
+        u AS (
+          SELECT 'zorder' AS layout, morton >> 24 AS chunk, xv, yv FROM m
+          UNION ALL
+          SELECT 'linear' AS layout, by >> 8 AS chunk, xv, yv FROM m),
+        pc AS (SELECT layout, chunk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 MIN(xv) AS min_x, MAX(xv) AS max_x,
+                 MIN(yv) AS min_y, MAX(yv) AS max_y
+               FROM u GROUP BY 1, 2),
+        sc AS (SELECT layout, chunk, n_rows,
+                 CASE WHEN max_x >= 10 AND min_x <= 30
+                       AND max_y >= 1704844800 AND min_y <= 1705103999
+                   THEN 1 ELSE 0 END AS scanned
+               FROM pc),
+        mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching FROM e
+               WHERE user_id BETWEEN 10 AND 30
+                 AND ts_sec BETWEEN 1704844800 AND 1705103999)
+        SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(scanned) AS BIGINT) AS chunks_scanned,
+          CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+          CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
+          rows_matching,
+          ROUND(CAST(SUM(scanned * n_rows) AS DOUBLE) / rows_matching, 6)
+            AS scan_amplification
+        FROM sc CROSS JOIN mt
+        GROUP BY layout, rows_matching ORDER BY layout"""
+      })
   )
 }

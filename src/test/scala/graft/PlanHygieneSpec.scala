@@ -244,7 +244,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // t51: the merge rank runs on the candidate census (≤ shards×k
       // summary rows, never the token stream) + the 1-row total-tail /
       // challenger scalars — t32's topN-cut class.
-      "t51_mergeable_topk")
+      "t51_mergeable_topk",
+      // q130: the 1-row grid min/max seed + the 1-row exact-match
+      // count — q85's min/max-seed class; chunks roll up in hash
+      // exchanges.
+      "q130_zorder_skipping")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -330,7 +334,8 @@ class PlanHygieneSpec extends SparkTestBase {
     "m05_perceptual_near_dup" -> 64,   // 1-row max(doc_id) offset scalar
     "q127_promo_share" -> 64,          // 1-row global answer partials
     "q129_disjunctive_revenue" -> 64,  // 1-row global answer partials
-    "t51_mergeable_topk" -> 900)       // candidate census ≤ shards(20)×k(20)
+    "t51_mergeable_topk" -> 900,       // candidate census ≤ shards(20)×k(20)
+    "q130_zorder_skipping" -> 64)      // 1-row min/max seed + match count
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -126,4 +126,41 @@ class Round13Spec extends SparkTestBase {
     // 3, tying y and displacing it under the count-then-token ordering;
     // x and z strictly beat both the excluded max-ub and total_tail=3
   }
+
+  test("morton interleave: even bits from x, odd bits from y") {
+    import graft.ops.Layout
+    val r = Seq((10L, 6L)).toDF("x", "y")
+      .select(Layout.mortonInterleave16(col("x"), col("y")).as("m"))
+      .as[Long].head()
+    // x=1010b → bits 2,6; y=0110b → bits 3,5 ⇒ 4+64+8+32
+    assert(r == 108L)
+  }
+
+  test("zorder skipping: sound pruning, 2-D predicate wins, 1-D keeps the linear edge") {
+    import graft.ops.Layout
+    // uniform 64×64 grid — fully deterministic chunk boxes
+    val grid = spark.range(64 * 64)
+      .selectExpr("id div 64 AS x", "id % 64 AS y")
+    def report(xLo: Long, xHi: Long, yLo: Long, yHi: Long) =
+      Layout.zorderSkippingReport(grid, "x", "y", xLo, xHi, yLo, yHi)
+        .as[(String, Long, Long, Long, Long, Long, Double)]
+        .collect().map(r => r._1 -> r).toMap
+    // 2-D rectangle (quarter × quarter): Z-prefix chunks cluster both
+    // dims, the time-linear layout must scan every x for the y-window
+    val rect = report(0, 15, 0, 15)
+    for ((_, (_, nChunks, scanned, total, rowsScanned, matching, amp))
+         <- rect) {
+      assert(total == 4096L && matching == 256L)
+      assert(scanned <= nChunks && rowsScanned >= matching)
+      assert(amp == rowsScanned.toDouble / matching)
+    }
+    assert(rect("zorder")._5 < rect("linear")._5,
+      s"zorder must out-prune linear on a 2-D predicate: $rect")
+    // 1-D y-slab (full x range): the y-sorted linear layout is optimal
+    // there — zorder's honest trade-off
+    val slab = report(0, 63, 0, 15)
+    assert(slab("linear")._5 <= slab("zorder")._5,
+      s"linear must keep the 1-D edge: $slab")
+    assert(slab("linear")._6 == 1024L)
+  }
 }
