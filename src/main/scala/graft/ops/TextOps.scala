@@ -2410,8 +2410,19 @@ object TextOps {
       .crossJoin(broadcast(totalTail))
       .select(col("tok"), col("lb"),
         (col("lb") + col("total_tail") - col("kept_tail")).as("ub"),
-        col("total_tail"))
-    // the rank runs on the candidate census (≤ shards×k rows)
+        col("total_tail").as("unseen_cap"))
+    rankCandidates(cand, k)
+  }
+
+  /** Shared report tail for the summary-merge flavors: rank the
+    * candidate census by lower bound (token tie-break), keep the top
+    * `k`, and flag `guaranteed` = 1 when the lower bound STRICTLY
+    * beats both every excluded candidate's upper bound and
+    * `unseen_cap` (the most a token absent from every summary could
+    * total). The rank runs on the candidate census (≤ shards×k rows),
+    * never token streams.
+    */
+  private def rankCandidates(cand: DataFrame, k: Int): DataFrame = {
     val ranked = cand.withColumn("rank",
       row_number().over(Window.orderBy(col("lb").desc, col("tok"))))
     val challenger = ranked.where(col("rank") > k)
@@ -2420,8 +2431,82 @@ object TextOps {
       .crossJoin(broadcast(challenger))
       .select(col("rank"), col("tok"), col("lb").as("est_low"),
         col("ub").as("est_high"),
-        (col("lb") > greatest(col("max_excl"), col("total_tail")))
+        (col("lb") > greatest(col("max_excl"), col("unseen_cap")))
           .cast("int").as("guaranteed"))
       .orderBy("rank")
+  }
+
+  /** Range-merge for [[mgSummariesStream]] rows — the Misra-Gries
+    * bound algebra differs from [[topkFromSummaries]]'s exact-top-k
+    * algebra: an MG counter UNDERcounts its token by at most the
+    * shard's cumulative decrement `dec` (emitted as `tail`), and a
+    * token absent from a shard's counters totals at most `dec` there,
+    * so lb = Σ kept counters (sound: counters never overcount) and
+    * ub = lb + Σ ALL shards' dec — the kept shards' slack included,
+    * unlike the exact flavor where kept counts are exact.
+    */
+  def topkFromMgSummaries(summaries: DataFrame, k: Int): DataFrame = {
+    val decs = summaries.select("shard", "tail").distinct()
+    val totalDec = decs.agg(sum("tail").as("total_dec"))
+    val cand = summaries.groupBy("tok").agg(sum(col("cnt")).as("lb"))
+      .crossJoin(broadcast(totalDec))
+      .select(col("tok"), col("lb"),
+        (col("lb") + col("total_dec")).as("ub"),
+        col("total_dec").as("unseen_cap"))
+    rankCandidates(cand, k)
+  }
+
+  /** Streaming Misra-Gries heavy hitters per shard — the
+    * bounded-state twin of [[topkSummaries]]: state is AT MOST `k`
+    * (token, counter) slots plus one decrement total per shard,
+    * REGARDLESS of vocabulary size (every other streaming count in
+    * the engine keeps state ∝ keyspace; this one trades exactness
+    * for a hard k-slot cap, the classic MG deal). Per token: present
+    * → increment; free slot → insert; else decrement every counter
+    * (and the incoming token's implicit 1) by 1, dropping zeroed
+    * slots and bumping `dec`. The MG invariants hold under ANY
+    * arrival order: true_shard_count − dec ≤ counter ≤
+    * true_shard_count, dec ≤ N/(k+1), and every token with true
+    * count > N/(k+1) holds a slot (spec-pinned). Each micro-batch
+    * emits the shard's full counter snapshot as
+    * (shard, tok, cnt, tail = dec, emit_seq) — [[topkFromSummaries]]
+    * shape plus a monotone per-shard version so a keyed store (or the
+    * spec's memory sink) can last-write-wins to the current summary;
+    * merge snapshots with [[topkFromMgSummaries]] (NOT the exact
+    * flavor — the bound algebra differs).
+    */
+  def mgSummariesStream(tokens: org.apache.spark.sql.Dataset[(String, String)],
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, "need k >= 1")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.groupByKey(_._1)
+      .flatMapGroupsWithState[(Map[String, Long], Long, Long),
+        (String, String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: String, toks: Iterator[(String, String)],
+         state: GroupState[(Map[String, Long], Long, Long)]) =>
+          val (m0, dec0, seq0) = state.getOption
+            .getOrElse((Map.empty[String, Long], 0L, 0L))
+          var m = m0; var dec = dec0
+          toks.foreach { case (_, t) =>
+            m.get(t) match {
+              case Some(c) => m = m.updated(t, c + 1)
+              case None if m.size < k => m = m.updated(t, 1L)
+              case None =>
+                // decrement-all-by-1: the incoming token's implicit
+                // count and all k counters shed 1 together (k+1 mass
+                // per decrement ⇒ dec ≤ N/(k+1))
+                dec += 1
+                m = m.flatMap { case (t2, c) =>
+                  if (c > 1) Some(t2 -> (c - 1)) else None }
+            }
+          }
+          val seq = seq0 + 1
+          state.update((m, dec, seq))
+          m.iterator.map { case (t, c) => (shard, t, c, dec, seq) }
+      }
+      .toDF("shard", "tok", "cnt", "tail", "emit_seq")
   }
 }

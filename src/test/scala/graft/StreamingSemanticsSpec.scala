@@ -1307,4 +1307,51 @@ class StreamingSemanticsSpec extends SparkTestBase {
         ("C", 1L, 5.0, 0.05)))
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: k-slot state, sound bounds, heavy hitters never evicted") {
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val census = TextOps.mgSummariesStream(input.toDS(), k = 3)
+    val q = census.writeStream.format("memory").queryName("mg_census")
+      .outputMode("update").start()
+    try {
+      // shard A truth: a=9, b=5, c=3, six singletons — N=23, k=3 ⇒
+      // decrement cap N/(k+1) = 5.75, so `a` (9 > 5.75) can NEVER be
+      // evicted, whatever the arrival order. Fixed 7-step permutation
+      // interleaves heavy and noise tokens; split across micro-batches
+      // so state must carry counters AND the decrement total over.
+      val toks = Seq.fill(9)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+        Seq("n1", "n2", "n3", "n4", "n5", "n6")
+      val ordered = toks.zipWithIndex
+        .sortBy { case (_, i) => (i * 7) % 23 }.map { case (t, _) => ("A", t) }
+      val (b1, b2) = ordered.splitAt(12)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = spark.table("mg_census")
+        .as[(String, String, Long, Long, Long)].collect()
+      val maxSeq = all.map(_._5).max
+      val snap = all.filter(_._5 == maxSeq)
+      // hard state cap: never more than k counters survive
+      assert(snap.length <= 3, s"state overflow: ${snap.toSeq}")
+      val truth = Map("a" -> 9L, "b" -> 5L, "c" -> 3L).withDefaultValue(1L)
+      val dec = snap.head._4
+      assert(dec <= 5, s"dec $dec exceeds N/(k+1)")
+      // MG invariant per surviving counter: cnt ≤ true ≤ cnt + dec
+      snap.foreach { case (_, t, cnt, d, _) =>
+        assert(cnt <= truth(t) && truth(t) <= cnt + d,
+          s"$t cnt=$cnt dec=$d truth=${truth(t)}") }
+      // the guaranteed heavy hitter holds a slot
+      assert(snap.exists(_._2 == "a"), s"'a' evicted: ${snap.toSeq}")
+      // merged report (MG bound algebra): bounds bracket the truth
+      val snapDf = snap.toSeq.toDF("shard", "tok", "cnt", "tail", "emit_seq")
+        .drop("emit_seq")
+      TextOps.topkFromMgSummaries(snapDf, 2)
+        .as[(Int, String, Long, Long, Int)].collect().foreach {
+          case (_, t, lo, hi, _) =>
+            assert(lo <= truth(t) && truth(t) <= hi, s"$t [$lo,$hi]") }
+    } finally q.stop()
+  }
 }
