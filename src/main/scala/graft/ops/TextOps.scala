@@ -2473,7 +2473,11 @@ object TextOps {
     * shape plus a monotone per-shard version so a keyed store (or the
     * spec's memory sink) can last-write-wins to the current summary;
     * merge snapshots with [[topkFromMgSummaries]] (NOT the exact
-    * flavor — the bound algebra differs).
+    * flavor — the bound algebra differs). Snapshot bounds are sound
+    * AS OF their emit_seq (any snapshot is stale w.r.t. later
+    * arrivals); the rare batch that decrements the table empty emits
+    * no rows, leaving the previous emit_seq as the reader's as-of
+    * point.
     */
   def mgSummariesStream(tokens: org.apache.spark.sql.Dataset[(String, String)],
                         k: Int): DataFrame = {

@@ -4171,11 +4171,14 @@ object CoreQueries {
     //    revenue by (supplier nation, customer nation, ship year) for
     //    1995–96. One fact-fact shuffle (lineitem⋈orders on orderkey);
     //    supplier/customer broadcast, nation broadcast TWICE under
-    //    different roles; the year filter prunes at the scan ────────────
+    //    different roles; the year filter is a RAW range predicate
+    //    (not year()-wrapped) so parquet min/max stats prune row
+    //    groups — year() appears only in the grouping projection ───────
     Q("q123_volume_shipping",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-          .where(year(col("l_shipdate")).between(1995, 1996))
+          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         val n = Tables.nation(s, dir)
         val n1 = n.select(col("n_nationkey").as("snk"),
           col("n_name").as("supp_nation"))
@@ -4204,7 +4207,8 @@ object CoreQueries {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         JOIN nation cn ON c_nationkey = cn.n_nationkey
-        WHERE YEAR(l_shipdate) BETWEEN 1995 AND 1996
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
           AND sn.n_name <> cn.n_name
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 

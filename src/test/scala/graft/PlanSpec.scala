@@ -227,4 +227,16 @@ class PlanSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("q123: the ship-year range pushes to the scan as raw timestamp bounds") {
+    val p = plan("q123_volume_shipping")
+    // the filter is written as l_shipdate >= / < literals (NOT
+    // year(l_shipdate), which would block min/max row-group pruning)
+    val scanLine = p.linesIterator
+      .filter(_.contains("PushedFilters"))
+      .find(_.contains("l_shipdate")).getOrElse("")
+    assert(scanLine.contains("GreaterThanOrEqual(l_shipdate")
+      && scanLine.contains("LessThan(l_shipdate"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
