@@ -110,6 +110,7 @@ object PngOps {
         s"CRC mismatch in $tag chunk")
       tag match {
         case "IHDR" =>
+          require(len == 13, s"IHDR must be 13 bytes, got $len")
           w = readBe32(png, pos + 8).toInt
           h = readBe32(png, pos + 12).toInt
           val bitDepth = png(pos + 16); val colorType = png(pos + 17)

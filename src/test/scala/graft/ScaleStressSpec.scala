@@ -251,7 +251,15 @@ class ScaleStressSpec extends SparkTestBase {
       val sup = df.groupBy((col("doc_id") % 20).cast("string").as("src"))
         .agg(sum(TextOps.tokenCount(col("text"))).as("n_toks"))
       graft.ops.SampleOps.waterfillQuota(sup, "src", "n_toks", 60)
-    })
+    },
+    // the (shard, token) census shuffle scales with corpus tokens;
+    // the summary artifact and the merge stay shards×k rows at any
+    // corpus size (the mergeable-summaries contract under stress)
+    "t51_mergeable_topk" -> (df =>
+      TextOps.topkFromSummaries(
+        TextOps.topkSummaries(
+          df.withColumn("src", (col("doc_id") % 20).cast("string")),
+          "src", "text", k = 20), k = 10)))
 
   // ── trainer / vector / graph family: driver-loop operators whose
   //    cost is paid at CONSTRUCTION (collect-per-round Lloyd/BPE
