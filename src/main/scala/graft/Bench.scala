@@ -230,9 +230,9 @@ object Bench {
         .serveTable("users", () => snap, "user_id", numericKey = true)
         .start()
       // dense user_id key space: max+1 keys (lookups cycle within it
-      // so every GET hits — a 404 would mean the serving path broke)
-      val nKeys = spark.read.parquet(snapDir)
-        .agg(max(col("user_id"))).head().getLong(0) + 1
+      // so every GET hits — a 404 would mean the serving path broke);
+      // derived from the already-opened snap frame, no second read
+      val nKeys = snap.agg(max(col("user_id"))).head().getLong(0) + 1
       Some((srv, srv.boundPort, nKeys))
     } else None
     def pointLookups(): Unit = serving.foreach { case (_, port, nKeys) =>
@@ -243,11 +243,18 @@ object Bench {
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(30000)
         conn.setReadTimeout(30000)
-        val ok = conn.getResponseCode == 200
-        val body = new String(conn.getInputStream.readAllBytes(),
+        // check the code FIRST: getInputStream throws on error statuses,
+        // which would swallow the diagnostic below
+        val code = conn.getResponseCode
+        val stream =
+          if (code == 200) conn.getInputStream
+          else Option(conn.getErrorStream)
+            .getOrElse(java.io.InputStream.nullInputStream())
+        val body = new String(stream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         conn.disconnect()
-        require(ok && body.contains("n_events"), s"lookup $k failed: $body")
+        require(code == 200 && body.contains("n_events"),
+          s"lookup $k (user ${k % nKeys}) failed: HTTP $code body=$body")
         k += 1
       }
     }

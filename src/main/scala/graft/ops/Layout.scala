@@ -104,27 +104,44 @@ object Layout {
     * class), per-chunk partial-agg rollups (≤ 2×256 rows), a 2-row
     * layout rollup, and the 1-row exact-match count — the raw table
     * crosses no single-partition exchange and is scanned twice
-    * (grid pass + predicate count), never sorted.
+    * (ONE grid pass emits both layouts' chunk labels per row +
+    * the predicate count), never sorted. Column spans wider than
+    * Long.MaxValue/65535 (≈4.5 years of epoch-MICROseconds — epoch
+    * seconds are always safe) would overflow the exact gridding;
+    * the plan raises a named error instead of reporting garbage.
     */
   def zorderSkippingReport(df: DataFrame, xCol: String, yCol: String,
                            xLo: Long, xHi: Long,
                            yLo: Long, yHi: Long): DataFrame = {
+    val spanCap = Long.MaxValue / 65535L
     val bounds = df.agg(
-      min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
-      min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+        min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
+        min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+      .withColumn("_span_ok", assert_true(
+        col("maxx") - col("minx") <= spanCap
+          && col("maxy") - col("miny") <= spanCap,
+        lit("zorderSkippingReport: column span exceeds Long-exact " +
+          "16-bit gridding ((v - min) * 65535 would overflow)")))
     val gridded = df.select(col(xCol).as("xv"), col(yCol).as("yv"))
       .crossJoin(broadcast(bounds))
       .selectExpr("xv", "yv",
         // 16-bit grid coords; `div` keeps it exact integer floor
-        // (operands non-negative after the min shift)
-        "((xv - minx) * 65535) div (CASE WHEN maxx > minx THEN maxx - minx ELSE 1 END) AS bx",
+        // (operands non-negative after the min shift). `_span_ok` is
+        // null on success and raises on overflow — referencing it here
+        // (adds 0) keeps the guard from being pruned out of the plan.
+        "((xv - minx) * 65535) div (CASE WHEN maxx > minx THEN maxx - minx ELSE 1 END)" +
+          " + COALESCE(CAST(_span_ok AS BIGINT), 0) AS bx",
         "((yv - miny) * 65535) div (CASE WHEN maxy > miny THEN maxy - miny ELSE 1 END) AS by")
       .withColumn("morton", mortonInterleave16(col("bx"), col("by")))
-    val zChunks = gridded.select(lit("zorder").as("layout"),
-      shiftright(col("morton"), 24).as("chunk"), col("xv"), col("yv"))
-    val linChunks = gridded.select(lit("linear").as("layout"),
-      shiftright(col("by"), 8).as("chunk"), col("xv"), col("yv"))
-    val perChunk = zChunks.unionByName(linChunks)
+    // ONE grid scan emits both layouts' (layout, chunk) labels per row
+    val perChunk = gridded
+      .select(col("xv"), col("yv"), explode(array(
+        struct(lit("zorder").as("layout"),
+          shiftright(col("morton"), 24).as("chunk")),
+        struct(lit("linear").as("layout"),
+          shiftright(col("by"), 8).as("chunk")))).as("lc"))
+      .select(col("lc.layout").as("layout"), col("lc.chunk").as("chunk"),
+        col("xv"), col("yv"))
       .groupBy("layout", "chunk")
       .agg(count(lit(1)).as("n_rows"),
         min(col("xv")).as("min_x"), max(col("xv")).as("max_x"),

@@ -111,8 +111,15 @@ object PngOps {
       tag match {
         case "IHDR" =>
           require(len == 13, s"IHDR must be 13 bytes, got $len")
-          w = readBe32(png, pos + 8).toInt
-          h = readBe32(png, pos + 12).toInt
+          val wv = readBe32(png, pos + 8)
+          val hv = readBe32(png, pos + 12)
+          // spec-invalid zero dims and huge dims whose h*(w+1) would
+          // overflow Int must surface as a named profile error, not a
+          // downstream array exception or a silent empty image
+          require(wv >= 1 && hv >= 1 && hv * (wv + 1) <= Int.MaxValue,
+            s"bad dimensions ${wv}x$hv")
+          w = wv.toInt
+          h = hv.toInt
           val bitDepth = png(pos + 16); val colorType = png(pos + 17)
           val interlace = png(pos + 20)
           require(bitDepth == 8 && colorType == 0 && interlace == 0,

@@ -2446,9 +2446,25 @@ object TextOps {
     * unlike the exact flavor where kept counts are exact.
     */
   def topkFromMgSummaries(summaries: DataFrame, k: Int): DataFrame = {
-    val decs = summaries.select("shard", "tail").distinct()
+    // accept the raw versioned emission stream: last-write-wins to the
+    // newest snapshot per shard (summing across emit_seq versions would
+    // double-count counters and break the sound-bounds contract)
+    val snap =
+      if (summaries.columns.contains("emit_seq")) {
+        val w = Window.partitionBy("shard").orderBy(col("emit_seq").desc)
+        summaries.withColumn("_rk", dense_rank().over(w))
+          .where(col("_rk") === 1).drop("_rk", "emit_seq")
+      } else summaries
+    // fail LOUDLY on mixed snapshots that slipped past (a shard must
+    // carry exactly one decrement total)
+    val decs = snap.select("shard", "tail").distinct()
+      .groupBy("shard").agg(count(lit(1)).as("_n"), max(col("tail")).as("tail"))
+      .select(col("shard"), (col("tail") + coalesce(
+        assert_true(col("_n") === 1, lit("topkFromMgSummaries: multiple " +
+          "snapshots per shard — dedup to one emit_seq before merging"))
+          .cast("long"), lit(0L))).as("tail"))
     val totalDec = decs.agg(sum("tail").as("total_dec"))
-    val cand = summaries.groupBy("tok").agg(sum(col("cnt")).as("lb"))
+    val cand = snap.groupBy("tok").agg(sum(col("cnt")).as("lb"))
       .crossJoin(broadcast(totalDec))
       .select(col("tok"), col("lb"),
         (col("lb") + col("total_dec")).as("ub"),

@@ -163,4 +163,18 @@ class Round13Spec extends SparkTestBase {
       s"linear must keep the 1-D edge: $slab")
     assert(slab("linear")._6 == 1024L)
   }
+
+  test("zorder skipping: an overflow-wide span raises, never reports garbage") {
+    import graft.ops.Layout
+    // (v - min) * 65535 would wrap Long for this y span — the plan
+    // must raise the named guard, not emit plausible wrong chunks
+    val wide = Seq((0L, 0L), (1L, Long.MaxValue / 65535L + 10))
+      .toDF("x", "y")
+    val e = intercept[Exception] {
+      Layout.zorderSkippingReport(wide, "x", "y", 0, 1, 0, 1).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("span exceeds"), msgs(e))
+  }
 }

@@ -1348,10 +1348,18 @@ class StreamingSemanticsSpec extends SparkTestBase {
       // merged report (MG bound algebra): bounds bracket the truth
       val snapDf = snap.toSeq.toDF("shard", "tok", "cnt", "tail", "emit_seq")
         .drop("emit_seq")
-      TextOps.topkFromMgSummaries(snapDf, 2)
-        .as[(Int, String, Long, Long, Int)].collect().foreach {
-          case (_, t, lo, hi, _) =>
-            assert(lo <= truth(t) && truth(t) <= hi, s"$t [$lo,$hi]") }
+      val viaSnap = TextOps.topkFromMgSummaries(snapDf, 2)
+        .as[(Int, String, Long, Long, Int)].collect().toSeq
+      viaSnap.foreach { case (_, t, lo, hi, _) =>
+        assert(lo <= truth(t) && truth(t) <= hi, s"$t [$lo,$hi]") }
+      // the RAW versioned emission stream (both batches' snapshots
+      // still in the sink) merges identically — last-write-wins on
+      // emit_seq is built into the merge, so the naive read cannot
+      // double-count counters across snapshots
+      val viaRaw = TextOps.topkFromMgSummaries(
+          spark.table("mg_census").localCheckpoint(true), 2)
+        .as[(Int, String, Long, Long, Int)].collect().toSeq
+      assert(viaRaw == viaSnap, s"raw=$viaRaw snap=$viaSnap")
     } finally q.stop()
   }
 }
