@@ -133,7 +133,7 @@ object Bench {
     "q123_volume_shipping", "q124_market_share", "q125_product_profit",
     "q126_returned_revenue", "q127_promo_share", "q128_large_orders",
     "q129_disjunctive_revenue", "t51_mergeable_topk",
-    "q130_zorder_skipping")
+    "q130_zorder_skipping", "q131_stickiness", "q132_engagement_depth")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -4167,6 +4167,85 @@ object CoreQueries {
                 * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
         FROM one""")),
 
+    // ── q131: DAU/WAU/MAU stickiness — the engagement-quality ratios
+    //    next to q122's rolling retention: per ACTIVE day, daily
+    //    actives, trailing-7 and trailing-28 actives, and the
+    //    DAU/WAU + DAU/MAU stickiness. Trailing windows come from a
+    //    bounded forward explode (each active (user, day) contributes
+    //    to the next w days — rows scale w×, never day²), distincts
+    //    collapse per (day, user) map-side; the scale path for the
+    //    distinct legs is q99's HLL register merge ──────────────────────
+    Q("q131_stickiness",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val active = d.select("day").distinct()
+        val dau = d.groupBy("day").agg(count(lit(1)).as("dau"))
+        def trailing(w: Int, name: String) = d
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + (w - 1))).as("day"))
+          .join(active, Seq("day"), "left_semi")
+          .groupBy("day").agg(countDistinct(col("user_id")).as(name))
+        dau.join(trailing(7, "wau"), Seq("day"))
+          .join(trailing(28, "mau"), Seq("day"))
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            round(col("dau").cast("double") / col("wau"), 6)
+              .as("stickiness_7"),
+            round(col("dau").cast("double") / col("mau"), 6)
+              .as("stickiness_28"))
+          .orderBy("day")
+      },
+      Some(Tables.eventsCte + """,
+        d AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM e),
+        act AS (SELECT DISTINCT day FROM d),
+        dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                FROM d GROUP BY 1),
+        w7 AS (SELECT x.day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+               FROM (SELECT user_id, day + g.g AS day
+                     FROM d, generate_series(0, 6) AS g(g)) x
+               JOIN act USING (day) GROUP BY 1),
+        w28 AS (SELECT x.day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+                FROM (SELECT user_id, day + g.g AS day
+                      FROM d, generate_series(0, 27) AS g(g)) x
+                JOIN act USING (day) GROUP BY 1)
+        SELECT day, dau, wau, mau,
+          ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness_7,
+          ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness_28
+        FROM dau JOIN w7 USING (day) JOIN w28 USING (day)
+        ORDER BY day""")),
+
+    // ── q132: engagement depth (the L7 histogram) — per active day,
+    //    how many users were active on exactly 1..7 of the trailing 7
+    //    days: the depth distribution behind q131's single ratio (a
+    //    shifting L7 histogram is the canonical engagement-health
+    //    dashboard). Same bounded forward explode; the per-(day, user)
+    //    depth count partial-aggs before the histogram rollup ──────────
+    Q("q132_engagement_depth",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+          .distinct()
+        val active = d.select("day").distinct()
+        d.select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .join(active, Seq("day"), "left_semi")
+          .groupBy("day", "user_id")
+          .agg(count(lit(1)).as("l_days"))
+          .groupBy("day", "l_days")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("day", "l_days")
+      },
+      Some(Tables.eventsCte + """,
+        d AS (SELECT DISTINCT user_id, ts_sec // 86400 AS day FROM e),
+        act AS (SELECT DISTINCT day FROM d),
+        x AS (SELECT user_id, day + g.g AS day
+              FROM d, generate_series(0, 6) AS g(g)),
+        c AS (SELECT x.day, user_id, CAST(COUNT(*) AS BIGINT) AS l_days
+              FROM x JOIN act USING (day) GROUP BY 1, 2)
+        SELECT day, l_days, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM c GROUP BY 1, 2 ORDER BY day, l_days""")),
+
     // ── q123: volume shipping — the TPC-H Q7 shape: cross-nation
     //    revenue by (supplier nation, customer nation, ship year) for
     //    1995–96. One fact-fact shuffle (lineitem⋈orders on orderkey);
