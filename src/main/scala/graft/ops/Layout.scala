@@ -117,8 +117,14 @@ object Layout {
     val bounds = df.agg(
         min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
         min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+      // the >= 0 legs catch the subtraction ITSELF wrapping: max >= min
+      // always, so a negative difference means the true span exceeded
+      // Long.MaxValue and the spanCap compare would otherwise pass on
+      // the wrapped value
       .withColumn("_span_ok", assert_true(
-        col("maxx") - col("minx") <= spanCap
+        col("maxx") - col("minx") >= 0L
+          && col("maxx") - col("minx") <= spanCap
+          && col("maxy") - col("miny") >= 0L
           && col("maxy") - col("miny") <= spanCap,
         lit("zorderSkippingReport: column span exceeds Long-exact " +
           "16-bit gridding ((v - min) * 65535 would overflow)")))
@@ -160,8 +166,11 @@ object Layout {
       .crossJoin(broadcast(matching))
       .select(col("layout"), col("n_chunks"), col("chunks_scanned"),
         col("rows_total"), col("rows_scanned"), col("rows_matching"),
-        round(col("rows_scanned").cast("double")
-          / col("rows_matching"), 6).as("scan_amplification"))
+        // explicit NULL when the rectangle matches nothing — relying
+        // on non-ANSI div-by-zero would differ from an ANSI/SQL mirror
+        when(col("rows_matching") > 0,
+          round(col("rows_scanned").cast("double")
+            / col("rows_matching"), 6)).as("scan_amplification"))
       .orderBy("layout")
   }
 }

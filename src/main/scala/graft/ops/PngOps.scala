@@ -115,8 +115,14 @@ object PngOps {
           val hv = readBe32(png, pos + 12)
           // spec-invalid zero dims and huge dims whose h*(w+1) would
           // overflow Int must surface as a named profile error, not a
-          // downstream array exception or a silent empty image
-          require(wv >= 1 && hv >= 1 && hv * (wv + 1) <= Int.MaxValue,
+          // downstream array exception or a silent empty image. Bound
+          // each dim to Int.MaxValue FIRST (the PNG spec caps at
+          // 2^31-1): wv/hv are unsigned-32 reads up to 2^32-1, so the
+          // Long product alone could wrap past Long.MaxValue and slip
+          // a negative result under the <= check.
+          require(wv >= 1 && hv >= 1 &&
+            wv <= Int.MaxValue && hv <= Int.MaxValue &&
+            hv * (wv + 1) <= Int.MaxValue,
             s"bad dimensions ${wv}x$hv")
           w = wv.toInt
           h = hv.toInt

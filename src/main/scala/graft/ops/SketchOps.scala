@@ -234,6 +234,42 @@ object SketchOps {
     hllEstimateFromRegisters(merged, Seq("bucket"), p)
   }
 
+  /** DAU/WAU/MAU stickiness served from a maintained per-day HLL
+    * register log — q131's sketch twin, making the whole engagement
+    * family live-serveable: the stream maintains per-(day, register)
+    * maxes ([[hllRegisters]] in update/complete mode, state ≤
+    * days×2^p), and this read assembles DAU (per-day fold), WAU/MAU
+    * (trailing 7/28-day register merges — register max IS set union)
+    * and the DAU/WAU, DAU/MAU ratios from sketch rows only. The event
+    * stream is never re-scanned; the exact batch twin (q131) re-scans
+    * per report. Same trailing-window convention as q131: day D
+    * aggregates activity over [D − w + 1, D], reported per ACTIVE day.
+    */
+  def stickinessFromRegisters(regs: DataFrame, dayCol: String,
+                              p: Int = 8): DataFrame = {
+    val dau = hllEstimateFromRegisters(regs, Seq(dayCol), p)
+      .select(col(dayCol).as("day"), col("hll_est").as("dau_est"))
+    val wau = hllSlidingFromRegisters(regs, dayCol, 7, p)
+      .select(col("bucket").as("day"), col("hll_est").as("wau_est"))
+    val mau = hllSlidingFromRegisters(regs, dayCol, 28, p)
+      .select(col("bucket").as("day"), col("hll_est").as("mau_est"))
+    dau.join(wau, Seq("day")).join(mau, Seq("day"))
+      .select(col("day"), col("dau_est"), col("wau_est"), col("mau_est"),
+        round(col("dau_est") / col("wau_est"), 6).as("stickiness_7"),
+        round(col("dau_est") / col("mau_est"), 6).as("stickiness_28"))
+      .orderBy("day")
+  }
+
+  /** Batch wrapper for [[stickinessFromRegisters]]: build the per-day
+    * registers in one pass, then assemble the report. At 100 TB the
+    * register build is the only corpus scan (partial-aggregated,
+    * output ≤ days×2^p rows); everything after is sketch-row algebra.
+    */
+  def hllStickiness(df: DataFrame, dayCol: String, keyCol: String,
+                    p: Int = 8): DataFrame =
+    stickinessFromRegisters(hllRegisters(df, Seq(dayCol), keyCol, p),
+      dayCol, p)
+
   /** Slice-pair set-intersection estimates by inclusion–exclusion
     * over portable HLL registers: |A∩B| ≈ |A| + |B| − |A∪B|, with
     * |A∪B| folded from the element-wise max of the two slices'

@@ -4246,6 +4246,21 @@ object CoreQueries {
         SELECT day, l_days, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM c GROUP BY 1, 2 ORDER BY day, l_days""")),
 
+    // ── q133: stickiness from HLL registers — q131's sketch twin and
+    //    the live-serving path for the engagement family: per-day
+    //    registers build in ONE corpus pass (partial-agg, ≤ days×2^p
+    //    rows — the same register log a streaming query maintains in
+    //    update mode), then DAU folds and trailing-7/28 register-MAX
+    //    merges assemble the ratios from sketch rows only. q99's
+    //    census→report split applied to q131; bit-reproducible fold ⇒
+    //    hash-EXACT despite being approximate ───────────────────────────
+    Q("q133_stickiness_sketch",
+      (s, dir) => graft.ops.SketchOps.hllStickiness(
+        Tables.events(s, dir).withColumn("day", expr("ts_sec div 86400")),
+        "day", "user_id", p = 8),
+      Some(XxHashSql.hllStickinessOracle("events",
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 86400)", "user_id", p = 8))),
+
     // ── q123: volume shipping — the TPC-H Q7 shape: cross-nation
     //    revenue by (supplier nation, customer nation, ship year) for
     //    1995–96. One fact-fact shuffle (lineitem⋈orders on orderkey);
@@ -4560,8 +4575,9 @@ object CoreQueries {
           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
           CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
           rows_matching,
-          ROUND(CAST(SUM(scanned * n_rows) AS DOUBLE) / rows_matching, 6)
-            AS scan_amplification
+          CASE WHEN rows_matching > 0 THEN
+            ROUND(CAST(SUM(scanned * n_rows) AS DOUBLE) / rows_matching, 6)
+          END AS scan_amplification
         FROM sc CROSS JOIN mt
         GROUP BY layout, rows_matching ORDER BY layout"""
       })

@@ -3412,5 +3412,119 @@ object TextQueries {
           CAST(lb > GREATEST(max_excl, total_tail) AS INT) AS guaranteed
         FROM rk2 CROSS JOIN chal
         WHERE rank <= 10 ORDER BY rank"""))
+  ,
+
+    // ── t52: streaming Misra-Gries bound verification — the oracle row
+    //    for mgSummariesStream (t51's bounded-state streaming twin).
+    //    MG counter VALUES are arrival-order-dependent, so the oracle
+    //    pins the order-FREE contract instead: replay the first 500
+    //    docs through the streaming operator (10 micro-batches, shard =
+    //    source, k = 10 slots), merge the final per-shard snapshots,
+    //    and emit — keyed by the TRUE top-20 tokens, which SQL computes
+    //    exactly — the full MG bound algebra as checks that must all be
+    //    1 under ANY replay order: lb = Σ kept counters ≤ true ≤ lb +
+    //    Σ dec = ub (counters never overcount; a shard undercounts any
+    //    token by ≤ its dec), dec_s·(k+1) ≤ N_s (each decrement sheds
+    //    k+1 mass), every per-shard-heavy token (> N_s/(k+1)) holds a
+    //    slot, and topkFromMgSummaries' guaranteed flag only ever marks
+    //    tokens genuinely in the true top-10. A wrong counter update,
+    //    a dec accounting slip, or a bad merge flips a 1 to 0 and
+    //    hash-fails. Replay is fixture-bounded (500 docs collected to
+    //    the driver — b03's staged-replay class); everything after the
+    //    memory sink is distributed and vocab-bounded ──────────────────
+    Q("t52_mg_stream_bounds",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val mgK = 10
+        // fixed replay set: first 500 docs by doc_id, tokenized exactly
+        // like tokens()/string_split (split on ' ', empties kept)
+        val docRows = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .orderBy("doc_id").limit(500)
+          .as[(Long, String, String)].collect()
+        // replay through the streaming operator in 50-doc micro-batches
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, String)]
+        val qn = "t52_mg_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val sq = graft.ops.TextOps.mgSummariesStream(input.toDS(), mgK)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").start()
+        try {
+          docRows.grouped(50).foreach { batch =>
+            input.addData(batch.toSeq.flatMap { case (_, src, text) =>
+              text.split(" ", -1).map(src -> _) })
+            sq.processAllAvailable()
+          }
+        } finally sq.stop()
+        // the same token multiset, distributed, for the exact counts
+        val toks = s.createDataset(docRows.toSeq.flatMap {
+          case (_, src, text) => text.split(" ", -1).map(src -> _) })
+          .toDF("shard", "tok")
+        val emitted = s.table(qn) // (shard, tok, cnt, tail, emit_seq)
+        // final snapshot per shard = its highest emit_seq (a shard
+        // absent from later batches saw no tokens since, so its last
+        // emission IS its final state)
+        val wSnap = Window.partitionBy("shard").orderBy(col("emit_seq").desc)
+        val snap = emitted.withColumn("_rk", dense_rank().over(wSnap))
+          .where(col("_rk") === 1).drop("_rk", "emit_seq")
+        val decs = snap.select("shard", "tail").distinct()
+        val totalDec = decs.agg(sum("tail").cast("long").as("total_dec"))
+        val lbs = snap.groupBy("tok").agg(sum(col("cnt")).as("lb"))
+        val trueTok = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+        val wRank = Window.orderBy(col("true_cnt").desc, col("tok"))
+        val trueRanked = trueTok.withColumn("rank",
+          row_number().over(wRank))
+        // per-shard invariants, folded to 1-row scalars: each
+        // decrement sheds k+1 mass (dec·(k+1) ≤ N_s), and any token
+        // heavier than N_s/(k+1) must hold a slot
+        val shardN = toks.groupBy("shard").agg(count(lit(1)).as("n"))
+        val decOk = decs.join(shardN, "shard")
+          .agg(min((col("tail") * (mgK + 1) <= col("n")).cast("int"))
+            .as("dec_bound_ok"))
+        val perShardTrue = toks.groupBy("shard", "tok")
+          .agg(count(lit(1)).as("tc"))
+        val heavyOk = perShardTrue.join(shardN, "shard")
+          .where(col("tc") * (mgK + 1) > col("n"))
+          .join(snap.select("shard", "tok"), Seq("shard", "tok"), "left_anti")
+          .agg((count(lit(1)) === 0).cast("int").as("heavy_kept_ok"))
+        // merged-report soundness: a guaranteed token must genuinely
+        // sit in the true top-10
+        val report = graft.ops.TextOps.topkFromMgSummaries(
+          s.table(qn), mgK)
+        val guarOk = report.where(col("guaranteed") === 1)
+          .join(trueRanked.select(col("tok"), col("rank").as("trank")),
+            Seq("tok"), "left")
+          .agg(coalesce(min((col("trank") <= mgK).cast("int")), lit(1))
+            .as("guaranteed_sound"))
+        trueRanked.where(col("rank") <= 20)
+          .join(lbs, Seq("tok"), "left")
+          .crossJoin(broadcast(totalDec))
+          .select(col("rank").cast("int").as("rank"), col("tok"),
+            col("true_cnt"),
+            (coalesce(col("lb"), lit(0L)) <= col("true_cnt"))
+              .cast("int").as("lb_sound"),
+            (col("true_cnt") <= coalesce(col("lb"), lit(0L)) + col("total_dec"))
+              .cast("int").as("ub_sound"))
+          .crossJoin(broadcast(decOk))
+          .crossJoin(broadcast(heavyOk))
+          .crossJoin(broadcast(guarOk))
+          .orderBy("rank")
+      },
+      Some("""WITH d AS (
+          SELECT source, text FROM documents ORDER BY doc_id LIMIT 500),
+        tokd AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+                 FROM d),
+        c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM tokd GROUP BY 1),
+        r AS (SELECT tok, true_cnt,
+                ROW_NUMBER() OVER (ORDER BY true_cnt DESC, tok) AS rank
+              FROM c)
+        SELECT CAST(rank AS INT) AS rank, tok, true_cnt,
+          CAST(1 AS INT) AS lb_sound, CAST(1 AS INT) AS ub_sound,
+          CAST(1 AS INT) AS dec_bound_ok, CAST(1 AS INT) AS heavy_kept_ok,
+          CAST(1 AS INT) AS guaranteed_sound
+        FROM r WHERE rank <= 20 ORDER BY rank"""))
   )
 }

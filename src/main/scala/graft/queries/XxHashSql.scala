@@ -245,6 +245,52 @@ object XxHashSql {
        |FROM s JOIN ex ON ex.t = s.t ORDER BY bucket""".stripMargin
   }
 
+  /** Stickiness twin of [[hllSlidingWindowOracle]] for
+    * `SketchOps.hllStickiness`: per-day registers once, DAU = per-day
+    * fold, WAU/MAU = trailing 7/28-day register-MAX merges with the
+    * identical bit-parity fold, then the round-6 DAU/WAU and DAU/MAU
+    * ratios — every arithmetic step mirrors the Spark side exactly so
+    * the approximate report is hash-EXACT cross-engine.
+    */
+  def hllStickinessOracle(table: String, dayExpr: String,
+                          keyCol: String, p: Int = 8): String = {
+    val m = 1 << p
+    val w = 64 - p
+    val regDiv = BigInt(1) << w
+    val scale = BigInt(1) << (w + 1)
+    def fold(of: String) =
+      s"""round(0.7213 / (1 + 1.079 / $m.0) * $m.0 * $m.0 /
+         |  ((($of.sp + ($m - $of.cnt) * $scale::HUGEINT))::DOUBLE / $scale.0), 4)""".stripMargin
+    def slide(win: Int, mcte: String, scte: String) =
+      s"""$mcte AS (SELECT tg.t, rk.reg, MAX(rk.mj) AS mj
+         |  FROM tg JOIN rk ON rk.g BETWEEN tg.t - ${win - 1} AND tg.t
+         |  GROUP BY tg.t, rk.reg),
+         |$scte AS (SELECT t, SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+         |             COUNT(*) AS cnt FROM $mcte GROUP BY t)""".stripMargin
+    s"""WITH keys AS (SELECT $dayExpr AS g, $keyCol::HUGEINT AS k FROM $table
+       |  WHERE $keyCol IS NOT NULL),
+       |${hashLongCtes("g")},
+       |hreg AS (SELECT g, (h // $regDiv::HUGEINT)::BIGINT AS reg,
+       |                (h % $regDiv::HUGEINT)::UBIGINT AS v FROM key_hash),
+       |rk AS (SELECT g, reg,
+       |  MAX(CASE WHEN v = 0 THEN ${w + 1}
+       |      ELSE ${w + 1} - length(bin(v)) END) AS mj
+       |  FROM hreg GROUP BY g, reg),
+       |tg AS (SELECT DISTINCT g AS t FROM keys),
+       |sd AS (SELECT g AS t, SUM((1::UBIGINT << (${w + 1} - mj))::HUGEINT) AS sp,
+       |             COUNT(*) AS cnt FROM rk GROUP BY g),
+       |dau AS (SELECT t, ${fold("sd")} AS dau_est FROM sd),
+       |${slide(7, "m7", "s7")},
+       |wau AS (SELECT t, ${fold("s7")} AS wau_est FROM s7),
+       |${slide(28, "m28", "s28")},
+       |mau AS (SELECT t, ${fold("s28")} AS mau_est FROM s28)
+       |SELECT dau.t AS day, dau_est, wau_est, mau_est,
+       |  round(dau_est / wau_est, 6) AS stickiness_7,
+       |  round(dau_est / mau_est, 6) AS stickiness_28
+       |FROM dau JOIN wau ON wau.t = dau.t JOIN mau ON mau.t = dau.t
+       |ORDER BY day""".stripMargin
+  }
+
   /** Pairwise inclusion–exclusion twin of [[hllPortableGroupedOracle]]
     * for `SketchOps.hllOverlap`: per-slice registers once, slice
     * pairs (a < b), union registers via MAX over both slices' rows,

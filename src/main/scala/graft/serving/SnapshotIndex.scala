@@ -1,0 +1,88 @@
+package graft.serving
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Refreshable in-memory point-lookup index over a table snapshot —
+  * the worker-local-store parity the reference gets from RocksDB
+  * (`/root/reference/faust/stores/rocksdb.py:135-478`) plus the
+  * router's "the owning worker answers from local state"
+  * (`faust/app/router.py:25-77`), collapsed to one driver-local map
+  * because local-mode serving has exactly one worker. A real cluster
+  * deployment would hold one such index per serving replica, each
+  * refreshed from the same compacted changelog — the contract (serve
+  * `table[k]` from memory, refresh per batch) is identical.
+  *
+  * `refresh()` re-runs the loader (typically
+  * [[graft.streaming.ChangelogSink.readCompacted]]), collects the
+  * snapshot into a `Map[keyString -> pre-rendered JSON body]`, and
+  * atomically swaps it in — readers never see a partial index and
+  * lookups between refreshes serve a consistent as-of view.
+  * Staleness is bounded by the refresh cadence: wire `refresh()` into
+  * the changelog writer's `foreachBatch` and the bound is one
+  * micro-batch.
+  *
+  * The replicate-into-memory contract only makes sense for snapshots
+  * that fit, so the row guard is part of the contract (the
+  * [[graft.api.GlobalTable]] posture): a column-pruned probe counts
+  * `limit(maxRows + 1)` rows FIRST and fails fast with a pointer to
+  * the cold tier instead of OOMing mid-collect.
+  */
+final class SnapshotIndex(loader: () => DataFrame, keyCol: String,
+                          maxRows: Long = 2_000_000L) {
+
+  // (key -> JSON array of row objects, version, refreshedAtMillis)
+  private val state =
+    new AtomicReference[(Map[String, String], Long, Long)]((Map.empty, 0L, 0L))
+
+  /** Rebuild the index from the loader; returns the new version. */
+  def refresh(): Long = {
+    val snap = loader()
+    val probed = snap.select(keyCol).limit((maxRows + 1).toInt).count()
+    require(probed <= maxRows,
+      s"SnapshotIndex($keyCol): snapshot exceeds $maxRows rows — " +
+        "serve it from the pruned-scan cold tier (TableServer without " +
+        "hot=true) or shard the serving layer")
+    val keyIdx = snap.schema.fieldIndex(keyCol)
+    val grouped = snap.collect().groupBy { r =>
+      val k = r.get(keyIdx)
+      if (k == null) "null" else k.toString
+    }
+    val m = grouped.map { case (k, rows) => k -> JsonRows.render(rows) }
+    val (_, v0, _) = state.get()
+    val v = v0 + 1
+    state.set((m, v, System.currentTimeMillis()))
+    v
+  }
+
+  /** Pure map hit — no Spark work on the request path. */
+  def lookup(key: Any): Option[String] =
+    state.get()._1.get(if (key == null) "null" else key.toString)
+
+  def version: Long = state.get()._2
+  def refreshedAtMillis: Long = state.get()._3
+  def size: Int = state.get()._1.size
+}
+
+/** Row → JSON rendering shared by the hot index (render-at-refresh)
+  * and the cold pruned-scan tier (render-per-request).
+  */
+private[serving] object JsonRows {
+  def render(rows: Array[Row]): String = {
+    if (rows.isEmpty) return "[]"
+    val fields = rows.head.schema.fieldNames
+    rows.map { r =>
+      fields.zipWithIndex.map { case (f, i) =>
+        val v = r.get(i) match {
+          case null => "null"
+          case n: Number => n.toString
+          case b: Boolean => b.toString
+          case other => "\"" + other.toString
+            .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        }
+        s""""$f":$v"""
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+  }
+}

@@ -2,6 +2,7 @@ package graft.serving
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
 
 import scala.collection.concurrent.TrieMap
 
@@ -11,45 +12,66 @@ import org.apache.spark.sql.DataFrame
 
 import graft.api.GTable
 
-/** Minimal HTTP serving face — the faust `@app.page(path)` views and
+/** HTTP serving face — the faust `@app.page(path)` views and
   * `@app.table_route(table, match_info)` key routing
   * (`/root/reference/faust/app/base.py:1218-1284`,
   * `faust/web/views.py:30-265`, router `faust/app/router.py:25-77`)
-  * collapsed onto one JDK-builtin endpoint (zero new dependencies).
+  * on one JDK-builtin endpoint (zero new dependencies).
   *
-  * Faust routes a key lookup to the worker OWNING the key's partition;
-  * here every worker can answer any key — the snapshot (a
-  * [[graft.streaming.ChangelogSink.readCompacted]] view or any
-  * DataFrame) is partition-pruned/pushed-down storage, not local
-  * memory, so there is no ownership to route around. That deletes the
-  * router/assignor concepts while keeping the user-facing contract:
-  * `GET /table/{name}/{key}` returns the table's row(s) for the key as
-  * JSON.
+  * Two serving tiers per table:
   *
-  * `page(path)(handler)` is the `@app.page` analog for custom views.
+  *  - **hot** (`hot = true`, the default posture for read traffic):
+  *    lookups hit a [[SnapshotIndex]] — a refreshable in-memory map
+  *    with pre-rendered JSON, the worker-local-RocksDB parity of
+  *    `faust/stores/rocksdb.py:135-478`. The request path does ZERO
+  *    Spark work; staleness is bounded by the refresh cadence
+  *    (`refresh(name)` / `POST /refresh/{name}`, typically wired into
+  *    the changelog `foreachBatch`). An index miss falls back to the
+  *    cold tier once, so keys written after the last refresh are
+  *    still served (at cold-tier cost) rather than 404'd.
+  *  - **cold** (`hot = false`): each lookup is a driver-side
+  *    partition-pruned point scan (predicate pushdown to the
+  *    snapshot's storage) — always current, pays a Spark job per GET.
+  *    Right for tables too large for [[SnapshotIndex]]'s row guard or
+  *    for rare admin queries.
   *
-  * Serving-path only — requests run a driver-side point lookup
-  * (pruned scan). Not a data-plane operator; throughput scales with
-  * the snapshot's pruning, not with this server.
+  * Faust routes a key lookup to the worker OWNING the key's
+  * partition; here every serving replica holds the full (guarded)
+  * index, which deletes the router/assignor concepts while keeping
+  * the user-facing contract: `GET /table/{name}/{key}` returns the
+  * table's row(s) for the key as JSON, with `X-Snapshot-Version` /
+  * `X-Snapshot-Age-Millis` headers on hot hits so callers can bound
+  * staleness.
+  *
+  * Requests run on a pooled executor (not the dispatcher thread), so
+  * concurrent lookups don't serialize behind each other.
   */
-final class TableServer(port: Int = 0) {
+final class TableServer(port: Int = 0, nThreads: Int = 16) {
 
   private case class Route(snapshot: () => DataFrame, keyCol: String,
-                           numericKey: Boolean)
+                           numericKey: Boolean,
+                           index: Option[SnapshotIndex])
 
   private val tables = TrieMap.empty[String, Route]
   private val pages = TrieMap.empty[String, Map[String, String] => String]
 
+  private val pool = Executors.newFixedThreadPool(nThreads)
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(null) // serve on the dispatcher thread; point lookups only
+  server.setExecutor(pool)
 
   /** Register a queryable table (the `@app.table_route` surface).
     * `numericKey = true` parses the path key segment as Long so the
-    * pushed-down predicate matches integer key columns.
+    * pushed-down cold-tier predicate matches integer key columns.
+    * `hot = true` builds a [[SnapshotIndex]] over the snapshot —
+    * call [[refresh]] (or let [[start]] do the initial load) before
+    * serving reads. `maxIndexRows` is the hot tier's row guard.
     */
   def serveTable(name: String, snapshot: () => DataFrame, keyCol: String,
-                 numericKey: Boolean = false): TableServer = {
-    tables.put(name, Route(snapshot, keyCol, numericKey))
+                 numericKey: Boolean = false, hot: Boolean = false,
+                 maxIndexRows: Long = 2_000_000L): TableServer = {
+    val idx = if (hot) Some(new SnapshotIndex(snapshot, keyCol, maxIndexRows))
+              else None
+    tables.put(name, Route(snapshot, keyCol, numericKey, idx))
     this
   }
 
@@ -61,8 +83,21 @@ final class TableServer(port: Int = 0) {
     this
   }
 
+  /** Rebuild a hot table's index from its snapshot (the foreachBatch
+    * hook). Returns the new index version; 0 if the table is cold or
+    * unknown.
+    */
+  def refresh(name: String): Long =
+    tables.get(name).flatMap(_.index).map(_.refresh()).getOrElse(0L)
+
+  /** Rebuild every hot index. */
+  def refreshAll(): Unit =
+    tables.values.foreach(_.index.foreach(_.refresh()))
+
   def start(): TableServer = {
+    refreshAll() // initial hot load, so the first GET never cold-starts
     server.createContext("/table/", (ex: HttpExchange) => handleTable(ex))
+    server.createContext("/refresh/", (ex: HttpExchange) => handleRefresh(ex))
     pages.foreach { case (path, handler) =>
       server.createContext(path, (ex: HttpExchange) => handlePage(ex, handler))
     }
@@ -72,7 +107,10 @@ final class TableServer(port: Int = 0) {
 
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -90,25 +128,40 @@ final class TableServer(port: Int = 0) {
           val route = tables(name)
           val key: Any =
             if (route.numericKey) java.lang.Long.parseLong(rawKey) else rawKey
-          val rows = GTable.lookup(route.snapshot(), route.keyCol, key)
-          if (rows.isEmpty) respond(ex, 404, s"""{"error":"key not found"}""")
-          else {
-            val fields = rows.head.schema.fieldNames
-            val body = rows.map { r =>
-              fields.zipWithIndex.map { case (f, i) =>
-                val v = r.get(i) match {
-                  case null => "null"
-                  case n: Number => n.toString
-                  case b: Boolean => b.toString
-                  case other => "\"" + other.toString
-                    .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-                }
-                s""""$f":$v"""
-              }.mkString("{", ",", "}")
-            }.mkString("[", ",", "]")
-            respond(ex, 200, body)
+          route.index match {
+            case Some(idx) =>
+              idx.lookup(key) match {
+                case Some(body) =>
+                  ex.getResponseHeaders.set("X-Snapshot-Version",
+                    idx.version.toString)
+                  ex.getResponseHeaders.set("X-Snapshot-Age-Millis",
+                    (System.currentTimeMillis() - idx.refreshedAtMillis).toString)
+                  respond(ex, 200, body)
+                case None => coldLookup(ex, route, key) // post-refresh keys
+              }
+            case None => coldLookup(ex, route, key)
           }
         case _ => respond(ex, 404, s"""{"error":"unknown table"}""")
+      }
+    } catch {
+      case e: Exception => respond(ex, 500,
+        s"""{"error":"${e.getClass.getSimpleName}"}""")
+    }
+
+  private def coldLookup(ex: HttpExchange, route: Route, key: Any): Unit = {
+    val rows = GTable.lookup(route.snapshot(), route.keyCol, key)
+    if (rows.isEmpty) respond(ex, 404, s"""{"error":"key not found"}""")
+    else respond(ex, 200, JsonRows.render(rows))
+  }
+
+  private def handleRefresh(ex: HttpExchange): Unit =
+    try {
+      val name = ex.getRequestURI.getPath.stripPrefix("/refresh/")
+      if (!tables.contains(name))
+        respond(ex, 404, s"""{"error":"unknown table"}""")
+      else {
+        val v = refresh(name)
+        respond(ex, 200, s"""{"table":"$name","version":$v}""")
       }
     } catch {
       case e: Exception => respond(ex, 500,

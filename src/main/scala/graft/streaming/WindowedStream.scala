@@ -42,21 +42,22 @@ object WindowedStream {
     base.groupBy(wcol.as("window") +: keyCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** `update`-mode view: every batch re-emits changed window rows
-    * (the reference's per-mutation changelog, batch-coalesced).
-    */
-  def updating(df: DataFrame, tsCol: String, spec: WindowSpec,
-               keyCols: Seq[Column], aggs: Seq[Column]): DataFrame =
-    windowedAgg(df, tsCol, spec, keyCols, aggs)
-
-  /** `on_window_close` view: consume with `outputMode("append")` — rows
-    * appear once, final, after watermark passes window end. Requires
-    * `spec.expires` (the watermark delay).
+  /** `on_window_close` view (`tables/base.py:377-379`): the same
+    * aggregation with the output mode ENFORCED in code — returns a
+    * writer already set to `append`, so rows appear once, final,
+    * after the watermark passes window end; a caller can't
+    * accidentally consume it in update mode. Requires `spec.expires`
+    * (the watermark delay — append mode needs a watermark to ever
+    * emit). For the per-mutation changelog view (update mode), use
+    * [[windowedAgg]] directly and pick `outputMode("update")` at the
+    * writer.
     */
   def onWindowClose(df: DataFrame, tsCol: String, spec: WindowSpec,
-                    keyCols: Seq[Column], aggs: Seq[Column]): DataFrame = {
+                    keyCols: Seq[Column], aggs: Seq[Column])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(spec.expires.isDefined,
       "on_window_close needs expires (watermark delay)")
     windowedAgg(df, tsCol, spec, keyCols, aggs)
+      .writeStream.outputMode("append")
   }
 }

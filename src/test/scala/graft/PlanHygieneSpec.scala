@@ -248,7 +248,12 @@ class PlanHygieneSpec extends SparkTestBase {
       // q130: the 1-row grid min/max seed + the 1-row exact-match
       // count — q85's min/max-seed class; chunks roll up in hash
       // exchanges.
-      "q130_zorder_skipping")
+      "q130_zorder_skipping",
+      // t52: the bound-check report ranks the VOCABULARY census (tiny
+      // fixture vocab; the stream itself ran through the memory sink
+      // before this plan) + 1-row total-dec / invariant scalars —
+      // t51's candidate-census class.
+      "t52_mg_stream_bounds")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -335,7 +340,8 @@ class PlanHygieneSpec extends SparkTestBase {
     "q127_promo_share" -> 64,          // 1-row global answer partials
     "q129_disjunctive_revenue" -> 64,  // 1-row global answer partials
     "t51_mergeable_topk" -> 900,       // candidate census ≤ shards(20)×k(20)
-    "q130_zorder_skipping" -> 64)      // 1-row min/max seed + match count
+    "q130_zorder_skipping" -> 64,      // 1-row min/max seed + match count
+    "t52_mg_stream_bounds" -> 900)     // vocab census + report tails
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

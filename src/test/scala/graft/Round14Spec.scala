@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.SketchOps
+
+/** Round-14 additions: the engagement pair's scale bounds (q131/q132
+  * were oracle-gated but spec-less in round 13), the stickiness
+  * sketch twin (streamed register log ≡ batch report), and the
+  * serving-tier staleness/refresh contract lives in ServingSpec.
+  */
+class Round14Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val actives = Tables.events(spark, sf)
+    .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+    .distinct()
+
+  test("q131 forward explode is bounded: exactly 7x/28x actives, never day^2") {
+    val nActives = actives.count()
+    assert(nActives > 0)
+    // sequence(day, day + w-1) always yields exactly w elements — the
+    // trailing-window fan is w× the distinct (user, day) frame, so at
+    // 100 TB the intermediate scales linearly with activity, never
+    // with days² (the naive day-range self-join)
+    val fan7 = actives.select(col("user_id"),
+      explode(sequence(col("day"), col("day") + 6)).as("day"))
+    val fan28 = actives.select(col("user_id"),
+      explode(sequence(col("day"), col("day") + 27)).as("day"))
+    assert(fan7.count() == 7 * nActives)
+    assert(fan28.count() == 28 * nActives)
+  }
+
+  test("q131/q132 cross-invariants: depth histogram partitions WAU per day") {
+    val q131 = SparkEntry.queries("q131_stickiness")(spark, sf)
+      .select($"day", $"dau", $"wau", $"mau").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val q132 = SparkEntry.queries("q132_engagement_depth")(spark, sf)
+      .select($"day", $"l_days", $"n_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // depth is 1..7 of the trailing 7 days by construction
+    assert(q132.forall(t => t._2 >= 1 && t._2 <= 7))
+    // the histogram PARTITIONS the trailing-7 actives: Σ n_users per
+    // day = that day's WAU (each user lands in exactly one depth bin)
+    val histSum = q132.groupBy(_._1).map { case (d, rows) =>
+      d -> rows.map(_._3).sum }
+    histSum.foreach { case (d, s) =>
+      assert(s == q131(d)._2, s"day $d: hist sum $s != wau ${q131(d)._2}") }
+    // same active-day frame on both reports
+    assert(histSum.keySet == q131.keySet)
+    // and sanity: dau <= wau <= mau on every day
+    q131.foreach { case (d, (dau, wau, mau)) =>
+      assert(dau <= wau && wau <= mau, s"day $d: $dau/$wau/$mau") }
+  }
+
+  test("stickiness sketch twin: streamed register log ≡ batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (day, user)
+    val regs = SketchOps.hllRegisters(
+      input.toDS().toDF("day", "user"), Seq("day"), "user", p = 8)
+    val q = regs.writeStream.format("memory").queryName("stick_regs")
+      .outputMode("complete").start()
+    try {
+      // three weeks of activity with churn: day d sees users
+      // [10d, 10d + 300) — overlapping cohorts so WAU/MAU differ
+      val days = (0L until 21L)
+      val b1 = days.take(10).flatMap(d => (10 * d until 10 * d + 300).map(d -> _))
+      val b2 = days.drop(10).flatMap(d => (10 * d until 10 * d + 300).map(d -> _))
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = SketchOps.stickinessFromRegisters(
+        spark.table("stick_regs"), "day", p = 8).collect().map(_.toSeq)
+      val batch = SketchOps.hllStickiness(
+        (b1 ++ b2).toDF("day", "user"), "day", "user", p = 8)
+        .collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      // sanity: stickiness ratios in (0, 1]; day 20's WAU ≈ users
+      // 140..500 (360 true, ±HLL error)
+      val byDay = batch.map(s => s.head.asInstanceOf[Long] -> s).toMap
+      val wau20 = byDay(20L)(2).asInstanceOf[Double]
+      assert(math.abs(wau20 - 360) / 360.0 < 0.3, wau20.toString)
+      batch.foreach { s =>
+        val (s7, s28) = (s(4).asInstanceOf[Double], s(5).asInstanceOf[Double])
+        assert(s7 > 0 && s7 <= 1.0001 && s28 > 0 && s28 <= s7 + 1e-9, s.toString)
+      }
+    } finally q.stop()
+  }
+}

@@ -90,4 +90,69 @@ class ServingSpec extends SparkTestBase {
       assert(c4 == 200 && b4.contains("up"))
     } finally server.stop()
   }
+
+  test("hot tier: in-memory index serves, refresh picks up a new batch") {
+    val dir = Files.createTempDirectory("graft-serve-hot").toString
+    writeChangelog(dir)
+    val server = new TableServer()
+      .serveTable("word_counts",
+        () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key",
+        hot = true)
+      .start()
+    try {
+      val port = server.boundPort
+      def get(path: String): (Int, String, Map[String, String]) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = Source.fromInputStream(is).mkString
+        val headers = Seq("X-Snapshot-Version", "X-Snapshot-Age-Millis")
+          .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+        (code, body, headers)
+      }
+      // hot hit: served from the index (version header present), v1
+      val (c1, b1, h1) = get("/table/word_counts/k1")
+      assert(c1 == 200 && b1 == """[{"key":"k1","value":4}]""", b1)
+      assert(h1.get("X-Snapshot-Version").contains("1"), h1)
+      assert(h1.contains("X-Snapshot-Age-Millis"))
+
+      // a new batch lands AFTER the index was built
+      ChangelogSink.appendBatch(dir)(
+        Seq(("k1", 5L), ("k5", 50L)).toDF("key", "value"), 4L)
+      // stale-but-bounded: the index still serves the as-of-v1 value
+      val (c2, b2, h2) = get("/table/word_counts/k1")
+      assert(c2 == 200 && b2 == """[{"key":"k1","value":4}]""", b2)
+      assert(h2.get("X-Snapshot-Version").contains("1"))
+      // a key UNKNOWN to the index falls back to the cold tier and is
+      // served current (no version header — it didn't come from the index)
+      val (c3, b3, h3) = get("/table/word_counts/k5")
+      assert(c3 == 200 && b3 == """[{"key":"k5","value":50}]""", b3)
+      assert(!h3.contains("X-Snapshot-Version"))
+      // truly absent key: cold fallback then 404
+      val (c4, _, _) = get("/table/word_counts/nope")
+      assert(c4 == 404)
+
+      // refresh endpoint: the index picks up batch 4, version bumps
+      val (c5, b5, _) = get("/refresh/word_counts")
+      assert(c5 == 200 && b5.contains("\"version\":2"), b5)
+      val (c6, b6, h6) = get("/table/word_counts/k1")
+      assert(c6 == 200 && b6 == """[{"key":"k1","value":5}]""", b6)
+      assert(h6.get("X-Snapshot-Version").contains("2"))
+      val (c7, b7, h7) = get("/table/word_counts/k5")
+      assert(c7 == 200 && b7 == """[{"key":"k5","value":50}]""", b7)
+      assert(h7.get("X-Snapshot-Version").contains("2"))
+    } finally server.stop()
+  }
+
+  test("hot tier row guard fails fast past maxIndexRows") {
+    val dir = Files.createTempDirectory("graft-serve-guard").toString
+    writeChangelog(dir)
+    val server = new TableServer()
+      .serveTable("tiny",
+        () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key",
+        hot = true, maxIndexRows = 2)
+    val e = intercept[IllegalArgumentException](server.start())
+    assert(e.getMessage.contains("cold tier"), e.getMessage)
+  }
 }

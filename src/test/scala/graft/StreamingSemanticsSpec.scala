@@ -371,11 +371,11 @@ class StreamingSemanticsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
     val df = input.toDS().toDF("ts", "key", "value")
-    val agg = WindowedStream.onWindowClose(df, "ts",
+    // onWindowClose returns the writer with append mode already set
+    val q = WindowedStream.onWindowClose(df, "ts",
       TumblingWindow(10_000, expires = Some(2_000)),
       Seq(col("key")), Seq(count(lit(1)).as("n"), sum($"value").as("sum_v")))
-    val q = agg.writeStream.format("memory").queryName("close_out")
-      .outputMode("append").start()
+      .format("memory").queryName("close_out").start()
     try {
       input.addData((ts(1), "k", 1.0), (ts(5), "k", 2.0))
       q.processAllAvailable()
@@ -398,7 +398,7 @@ class StreamingSemanticsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
     val df = input.toDS().toDF("ts", "key", "value")
-    val agg = WindowedStream.updating(df, "ts",
+    val agg = WindowedStream.windowedAgg(df, "ts",
       TumblingWindow(10_000, expires = Some(60_000)),
       Seq(col("key")), Seq(count(lit(1)).as("n")))
     val q = agg.writeStream.format("memory").queryName("late_out")
