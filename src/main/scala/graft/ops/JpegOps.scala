@@ -1,0 +1,475 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** A real baseline-JPEG decoder for the 8-bit grayscale profile — the
+  * second real-bytes image format next to [[PngOps]], so the
+  * multimodal family's decode path is proven against a LOSSY
+  * production codec too (PNG round-trips exactly; JPEG must match the
+  * independent decoder's pixels, which is a much stricter conformance
+  * test of the entropy/IDCT pipeline).
+  *
+  * Public formats only: ITU-T T.81 baseline sequential DCT, JFIF
+  * container. Scope: 8-bit precision, single grayscale component,
+  * Huffman entropy coding, optional restart markers. Everything else
+  * (progressive, chroma subsampling, arithmetic coding, 12-bit)
+  * throws a named profile error — corrupt or out-of-profile media
+  * must surface, not decode silently wrong.
+  *
+  * The IDCT is the classic Loeffler–Ligtenberg–Moshovitz 13-bit
+  * fixed-point integer algorithm (the JPEG literature's "islow"
+  * method) — integer-exact and deterministic on every platform, and
+  * the same method the JDK's own ImageIO JPEG reader uses, so decoded
+  * pixels match javax.imageio bit-for-bit on conformant baseline
+  * streams (spec-pinned in JpegSpec).
+  *
+  * Reference behavior: faust treats payloads as opaque bytes and
+  * leaves decoding to app code (`faust/serializers/codecs.py:1-60`);
+  * the engine contract is the same — bytes in, typed columns out,
+  * decode inside `mapPartitions` so blobs never cross a shuffle.
+  */
+object JpegOps {
+
+  /** Parsed stream header (SOF0) — metadata without entropy decode. */
+  final case class JpegMeta(width: Int, height: Int, precision: Int,
+                            nComponents: Int)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Zig-zag index → natural (row-major) index. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Walk the marker stream to SOF0 and return the frame header —
+    * the cheap metadata pass (m12's oracle checks it against the
+    * encode rule). Throws on non-JPEG bytes or a non-baseline frame.
+    */
+  def readMeta(jpeg: Array[Byte]): JpegMeta = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    var pos = 2
+    while (pos + 4 <= jpeg.length) {
+      require((jpeg(pos) & 0xff) == 0xff, f"bad marker at $pos")
+      val marker = jpeg(pos + 1) & 0xff
+      marker match {
+        case 0xc0 => // SOF0 baseline
+          val h = u16(jpeg, pos + 5); val w = u16(jpeg, pos + 7)
+          return JpegMeta(w, h, jpeg(pos + 4) & 0xff, jpeg(pos + 9) & 0xff)
+        case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG profile: SOF marker 0xff$m%02x (baseline SOF0 only)")
+        case 0xd9 => throw new IllegalArgumentException("no SOF0 before EOI")
+        case _ => ()
+      }
+      pos += 2 + u16(jpeg, pos + 2)
+    }
+    throw new IllegalArgumentException("no SOF0 found")
+  }
+
+  // ── Huffman table: canonical codes from the DHT counts+symbols,
+  // decoded MSB-first one bit at a time against per-length bounds
+  // (maxcode/valptr — the T.81 annex F decode procedure) ───────────────
+  private final class Huff(counts: Array[Int], symbols: Array[Byte]) {
+    // mincode/maxcode/valptr indexed by code length 1..16
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      require(l <= 16, "corrupt entropy stream (Huffman code overrun)")
+      symbols(valPtr(l) + code - minCode(l)) & 0xff
+    }
+  }
+
+  /** MSB-first bit reader over the entropy segment with 0xFF00
+    * byte-unstuffing; stops at any real marker (the caller handles
+    * RSTn). Past-the-end reads return 1-fill like production decoders
+    * (a truncated final EOB still decodes).
+    */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var atMarker = false
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (atMarker || pos >= data.length) return 1
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          val next = if (pos < data.length) data(pos) & 0xff else 0xd9
+          if (next == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { atMarker = true; pos -= 1; return 1 }
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def byteAlign(): Unit = nBits = 0
+  }
+
+  /** T.81 EXTEND: map a `size`-bit magnitude to its signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  // ── 13-bit fixed-point integer IDCT (Loeffler–Ligtenberg–Moshovitz,
+  // the "islow" method of the JPEG literature): column pass keeps
+  // PASS1_BITS of extra precision, row pass descales and level-shifts.
+  // Integer-exact — identical output on every platform. ────────────────
+  private val ConstBits = 13
+  private val Pass1Bits = 2
+  private val F0_298631336 = 2446
+  private val F0_390180644 = 3196
+  private val F0_541196100 = 4433
+  private val F0_765366865 = 6270
+  private val F0_899976223 = 7373
+  private val F1_175875602 = 9633
+  private val F1_501321110 = 12299
+  private val F1_847759065 = 15137
+  private val F1_961570560 = 16069
+  private val F2_053119869 = 16819
+  private val F2_562915447 = 20995
+  private val F3_072711026 = 25172
+
+  private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+  /** In-place 8×8 IDCT of dequantized coefficients → pixel values
+    * 0..255 (level shift +128, clamped).
+    */
+  private def idct8x8(blk: Array[Int], out: Array[Int]): Unit = {
+    val ws = new Array[Long](64)
+    // column pass
+    var c = 0
+    while (c < 8) {
+      if (blk(8 + c) == 0 && blk(16 + c) == 0 && blk(24 + c) == 0 &&
+        blk(32 + c) == 0 && blk(40 + c) == 0 && blk(48 + c) == 0 &&
+        blk(56 + c) == 0) {
+        val dc = (blk(c).toLong) << Pass1Bits
+        var i = 0
+        while (i < 8) { ws(8 * i + c) = dc; i += 1 }
+      } else {
+        var z2 = blk(16 + c).toLong; var z3 = blk(48 + c).toLong
+        var z1 = (z2 + z3) * F0_541196100
+        val t2 = z1 + z3 * (-F1_847759065)
+        val t3 = z1 + z2 * F0_765366865
+        z2 = blk(c).toLong; z3 = blk(32 + c).toLong
+        val t0 = (z2 + z3) << ConstBits
+        val t1 = (z2 - z3) << ConstBits
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var a0 = blk(56 + c).toLong; var a1 = blk(40 + c).toLong
+        var a2 = blk(24 + c).toLong; var a3 = blk(8 + c).toLong
+        z1 = a0 + a3; z2 = a1 + a2
+        z3 = a0 + a2; var z4 = a1 + a3
+        val z5 = (z3 + z4) * F1_175875602
+        a0 *= F0_298631336; a1 *= F2_053119869
+        a2 *= F3_072711026; a3 *= F1_501321110
+        z1 *= -F0_899976223; z2 *= -F2_562915447
+        z3 = z3 * (-F1_961570560) + z5
+        z4 = z4 * (-F0_390180644) + z5
+        a0 += z1 + z3; a1 += z2 + z4; a2 += z2 + z3; a3 += z1 + z4
+        ws(c) = descale(t10 + a3, ConstBits - Pass1Bits)
+        ws(56 + c) = descale(t10 - a3, ConstBits - Pass1Bits)
+        ws(8 + c) = descale(t11 + a2, ConstBits - Pass1Bits)
+        ws(48 + c) = descale(t11 - a2, ConstBits - Pass1Bits)
+        ws(16 + c) = descale(t12 + a1, ConstBits - Pass1Bits)
+        ws(40 + c) = descale(t12 - a1, ConstBits - Pass1Bits)
+        ws(24 + c) = descale(t13 + a0, ConstBits - Pass1Bits)
+        ws(32 + c) = descale(t13 - a0, ConstBits - Pass1Bits)
+      }
+      c += 1
+    }
+    // row pass: descale by CONST_BITS+PASS1_BITS+3, level shift, clamp
+    var r = 0
+    while (r < 8) {
+      val o = 8 * r
+      var z2 = ws(o + 2); var z3 = ws(o + 6)
+      var z1 = (z2 + z3) * F0_541196100
+      val t2 = z1 + z3 * (-F1_847759065)
+      val t3 = z1 + z2 * F0_765366865
+      z2 = ws(o); z3 = ws(o + 4)
+      val t0 = (z2 + z3) << ConstBits
+      val t1 = (z2 - z3) << ConstBits
+      val t10 = t0 + t3; val t13 = t0 - t3
+      val t11 = t1 + t2; val t12 = t1 - t2
+      var a0 = ws(o + 7); var a1 = ws(o + 5)
+      var a2 = ws(o + 3); var a3 = ws(o + 1)
+      z1 = a0 + a3; z2 = a1 + a2
+      z3 = a0 + a2; var z4 = a1 + a3
+      val z5 = (z3 + z4) * F1_175875602
+      a0 *= F0_298631336; a1 *= F2_053119869
+      a2 *= F3_072711026; a3 *= F1_501321110
+      z1 *= -F0_899976223; z2 *= -F2_562915447
+      z3 = z3 * (-F1_961570560) + z5
+      z4 = z4 * (-F0_390180644) + z5
+      a0 += z1 + z3; a1 += z2 + z4; a2 += z2 + z3; a3 += z1 + z4
+      val shift = ConstBits + Pass1Bits + 3
+      def px(v: Long): Int = {
+        val s = descale(v, shift) + 128
+        if (s < 0) 0 else if (s > 255) 255 else s.toInt
+      }
+      out(o) = px(t10 + a3); out(o + 7) = px(t10 - a3)
+      out(o + 1) = px(t11 + a2); out(o + 6) = px(t11 - a2)
+      out(o + 2) = px(t12 + a1); out(o + 5) = px(t12 - a1)
+      out(o + 3) = px(t13 + a0); out(o + 4) = px(t13 - a0)
+      r += 1
+    }
+  }
+
+  /** Decode a baseline grayscale JPEG to pixels. Verifies the marker
+    * structure, builds the Huffman/quant tables, entropy-decodes every
+    * 8×8 block (DC prediction + RST resync), dequantizes, IDCTs, and
+    * crops the block grid to the frame dims.
+    */
+  def decodeGray8Baseline(jpeg: Array[Byte]): PngOps.Gray8 = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0; var qsel = 0; var restartInterval = 0
+    var dcSel = 0; var acSel = 0
+    var pos = 2
+    var sosAt = -1
+    while (sosAt < 0 && pos + 4 <= jpeg.length) {
+      require((jpeg(pos) & 0xff) == 0xff, f"bad marker at $pos")
+      val marker = jpeg(pos + 1) & 0xff
+      val len = u16(jpeg, pos + 2)
+      marker match {
+        case 0xdb => // DQT — possibly several tables per segment
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pq = (jpeg(p) >> 4) & 0x0f; val tq = jpeg(p) & 0x0f
+            require(pq == 0, "16-bit quant tables are outside baseline-8")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = jpeg(p + 1 + i) & 0xff; i += 1 }
+            quant(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT — possibly several tables per segment
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tc = (jpeg(p) >> 4) & 0x0f; val th = jpeg(p) & 0x0f
+            val counts = (0 until 16).map(i => jpeg(p + 1 + i) & 0xff).toArray
+            val n = counts.sum
+            val syms = java.util.Arrays.copyOfRange(jpeg, p + 17, p + 17 + n)
+            if (tc == 0) dcTables(th) = new Huff(counts, syms)
+            else acTables(th) = new Huff(counts, syms)
+            p += 17 + n
+          }
+        case 0xc0 =>
+          require((jpeg(pos + 4) & 0xff) == 8, "8-bit precision only")
+          h = u16(jpeg, pos + 5); w = u16(jpeg, pos + 7)
+          require((jpeg(pos + 9) & 0xff) == 1,
+            "grayscale (1-component) profile only")
+          require((jpeg(pos + 11) & 0xff) == 0x11,
+            "1x1 sampling only (trivially true for grayscale)")
+          qsel = jpeg(pos + 12) & 0x0f
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG profile: SOF marker 0xff$m%02x (baseline SOF0 only)")
+        case 0xdd => restartInterval = u16(jpeg, pos + 4)
+        case 0xda =>
+          require((jpeg(pos + 4) & 0xff) == 1, "one scan component only")
+          dcSel = (jpeg(pos + 6) >> 4) & 0x0f
+          acSel = jpeg(pos + 6) & 0x0f
+          sosAt = pos + 2 + len
+        case _ => () // APPn / COM / etc.
+      }
+      pos += 2 + len
+    }
+    require(sosAt > 0 && w > 0 && h > 0, "missing SOS/SOF0")
+    val q = quant(qsel)
+    require(q != null, s"missing quant table $qsel")
+    val dcT = dcTables(dcSel); val acT = acTables(acSel)
+    require(dcT != null && acT != null, "missing Huffman tables")
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val px = new Array[Byte](w * h)
+    val br = new BitReader(jpeg, sosAt)
+    val blk = new Array[Int](64)
+    val out = new Array[Int](64)
+    var pred = 0
+    var blocksSinceRst = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && blocksSinceRst == restartInterval) {
+          // byte-align and consume the RSTn marker; DC prediction resets
+          br.byteAlign()
+          br.atMarker = false
+          var p = br.pos
+          while (p + 1 < jpeg.length && !((jpeg(p) & 0xff) == 0xff &&
+            (jpeg(p + 1) & 0xf8) == 0xd0)) p += 1
+          br.pos = p + 2
+          pred = 0
+          blocksSinceRst = 0
+        }
+        java.util.Arrays.fill(blk, 0)
+        // DC
+        val s = dcT.decode(br)
+        pred += extend(br.receive(s), s)
+        blk(0) = pred * q(0)
+        // AC
+        var k = 1
+        while (k < 64) {
+          val rs = acT.decode(br)
+          val r = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, "corrupt entropy stream (AC index overrun)")
+            blk(ZigZag(k)) = extend(br.receive(sz), sz) * q(ZigZag(k))
+            k += 1
+          }
+        }
+        idct8x8(blk, out)
+        // crop-copy the block into the frame
+        val x0 = bx * 8; val y0 = by * 8
+        var yy = 0
+        while (yy < 8 && y0 + yy < h) {
+          var xx = 0
+          while (xx < 8 && x0 + xx < w) {
+            px((y0 + yy) * w + (x0 + xx)) = out(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        blocksSinceRst += 1
+        bx += 1
+      }
+      by += 1
+    }
+    PngOps.Gray8(w, h, px)
+  }
+
+  /** Render each doc's text into the SAME deterministic raster rule
+    * as [[PngOps.textToPng]] and encode it with javax.imageio's JPEG
+    * writer — an INDEPENDENT production encoder, so decoding its
+    * output exercises real quant tables, real Huffman tables, and
+    * real entropy streams we did not author. Emits `(id, jpeg)`.
+    */
+  def textToJpeg(df: DataFrame, idCol: String, textCol: String,
+                 wCol: String, hCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("jpeg", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val w = row.getInt(wIdx); val h = row.getInt(hIdx)
+        val cps =
+          if (row.isNullAt(txtIdx)) Array.empty[Int]
+          else row.getString(txtIdx).codePoints().toArray
+        val n = cps.length.toLong
+        val px = new Array[Byte](w * h)
+        var c = 0
+        while (c < px.length) {
+          px(c) = if (n > 0) (cps(((c * n) / px.length).toInt) % 256).toByte
+            else 0
+          c += 1
+        }
+        val bi = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        bi.getRaster.setDataElements(0, 0, w, h, px)
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(bi, "jpg", bos),
+          "no JPEG writer available")
+        Row(row.getLong(idIdx), bos.toByteArray)
+      }
+    }.toDF("id", "jpeg")
+  }
+
+  /** DataFrame metadata pass: `(id, n_bytes, format, width, height)`
+    * from SOF0 only — blobs stay in their partitions, no entropy
+    * decode (m10's shape for JPEG).
+    */
+  def jpegMeta(df: DataFrame, idCol: String, jpegCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val jIdx = df.schema.fieldIndex(jpegCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n_bytes", IntegerType),
+      StructField("format", StringType), StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](jIdx)
+        val m = readMeta(bytes)
+        Row(row.getLong(idIdx), bytes.length, "jpeg", m.width, m.height)
+      }
+    }.toDF("id", "n_bytes", "format", "width", "height")
+  }
+
+  /** pHash over REAL decoded JPEG pixels — m11's shape for JPEG: the
+    * full entropy+IDCT path feeds the same integer-exact DCT kernel.
+    * Deterministic because the decode is (decoder-)deterministic even
+    * though the ENCODE was lossy.
+    */
+  def jpegPhash(df: DataFrame, idCol: String, jpegCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val jIdx = df.schema.fieldIndex(jpegCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("sh", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val img = decodeGray8Baseline(row.getAs[Array[Byte]](jIdx))
+        val grid = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val sy = (gy.toLong * img.height) / 8
+            val sx = (gx.toLong * img.width) / 8
+            grid(gy * 8 + gx) =
+              (img.pixels(sy.toInt * img.width + sx.toInt) & 0xff).toLong
+            gx += 1
+          }
+          gy += 1
+        }
+        Row(row.getLong(idIdx), img.width, img.height,
+          PhashKernel.phash56FromGrid(grid))
+      }
+    }.toDF("id", "width", "height", "sh")
+  }
+}

@@ -4529,6 +4529,140 @@ object CoreQueries {
           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
             AND l_quantity BETWEEN 20 AND 30)""")),
 
+    // ── q134: recent-concentration suppliers — the TPC-H Q20 shape
+    //    (semi-join through a correlated-aggregate threshold), adapted
+    //    to this schema (no partsupp): for ECONOMY parts, keep
+    //    (supplier, part) pairs whose 1998+ shipped quantity exceeds
+    //    half their all-time quantity, then semi-join suppliers and
+    //    name them. ONE conditional-sum pass computes both legs (no
+    //    second scan); the part filter broadcasts; the threshold
+    //    compare is integer-exact (quantities ×100 in cents-style) ─────
+    Q("q134_recent_concentration",
+      (s, dir) => {
+        val econ = Tables.part(s, dir).where(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val q100 = round(col("l_quantity") * 100).cast("long")
+        val pairs = Tables.lineitem(s, dir)
+          .join(broadcast(econ), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"),
+              q100).otherwise(lit(0L))).as("recent_q"),
+            sum(q100).as("total_q"))
+          .where(col("n_lines") >= 3 && col("recent_q") * 2 > col("total_q"))
+        Tables.supplier(s, dir)
+          .join(pairs.select(col("l_suppkey")).distinct(),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_name", "n_name")
+          .orderBy("s_name")
+      },
+      Some("""WITH pairs AS (
+          SELECT l_suppkey, COUNT(*) AS n_lines,
+            SUM(CASE WHEN l_shipdate >= TIMESTAMP '2001-01-01'
+                THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END)
+              AS recent_q,
+            SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS total_q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY'
+          GROUP BY l_suppkey, l_partkey)
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM pairs
+                            WHERE n_lines >= 3 AND recent_q * 2 > total_q)
+        ORDER BY s_name""")),
+
+    // ── q135: sole-late-shipper census — the TPC-H Q21 shape (the
+    //    same fact joined three ways: base + EXISTS + NOT EXISTS),
+    //    adapted to this schema (no commit/receipt dates): a line is
+    //    LATE when it ships > 90 days after its order date; count per
+    //    supplier the multi-supplier orders where it was the ONLY
+    //    late shipper. All three legs shuffle on l_orderkey — the
+    //    exchange is planned once and reused; supplier names
+    //    broadcast at the end ────────────────────────────────────────────
+    Q("q135_sole_late_shipper",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val late = li
+          .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey").distinct()
+        val others = li.select(col("l_orderkey").as("o2"),
+          col("l_suppkey").as("s2"))
+        val lateOthers = late.select(col("l_orderkey").as("o3"),
+          col("l_suppkey").as("s3"))
+        late
+          .join(others, col("l_orderkey") === col("o2")
+            && col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("o3")
+            && col("l_suppkey") =!= col("s3"), "left_anti")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")),
+
+    // ── q136: dormant rich customers — the TPC-H Q22 shape (scalar
+    //    subquery threshold + anti join), adapted to this schema (no
+    //    phone country codes → custkey mod-7 segments; every customer
+    //    has SOME order → "dormant" = no order in the last year):
+    //    above-average balance (integer-cents compare: bal·n > total,
+    //    exact in both engines — no avg-rounding parity risk), no
+    //    order since 2000-08-01, rolled up per segment. The threshold
+    //    is a 1-row broadcast; the anti join prunes to the recent
+    //    orders slice before shuffling ──────────────────────────────────
+    Q("q136_dormant_rich",
+      (s, dir) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), cents.as("bal_cents"))
+        val thresh = cust.where(col("bal_cents") > 0)
+          .agg(sum("bal_cents").as("tot"), count(lit(1)).as("n"))
+        val recent = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+          .select("o_custkey")
+        cust.crossJoin(broadcast(thresh))
+          .where(col("bal_cents") * col("n") > col("tot"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_custkey") % 7).as("segment"))
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("bal_cents")).cast("double") / 100.0).as("totacctbal"))
+          .orderBy("segment")
+      },
+      Some("""WITH cust AS (
+          SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer),
+        t AS (SELECT SUM(bal_cents) AS tot, COUNT(*) AS n
+              FROM cust WHERE bal_cents > 0)
+        SELECT c_custkey % 7 AS segment,
+          CAST(COUNT(*) AS BIGINT) AS numcust,
+          CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+        FROM cust CROSS JOIN t
+        WHERE bal_cents * n > tot
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-08-01')
+        GROUP BY 1 ORDER BY 1""")),
+
     // ── q130: Z-order skipping report — would an OPTIMIZE-ZORDER
     //    rewrite pay off for (user, time) predicates? Events grid to
     //    16-bit coords (exact integer div), 256 Z-prefix chunks vs 256

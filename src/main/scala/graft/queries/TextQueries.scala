@@ -1729,6 +1729,51 @@ object TextQueries {
         FROM coef JOIN tot ON coef.id = tot.id GROUP BY coef.id
         ORDER BY doc_id""")),
 
+    // ── m12: REAL lossy-codec round-trip — each doc's raster is
+    //    encoded by javax.imageio's JPEG writer (an independent
+    //    production encoder: real quant/Huffman tables we did not
+    //    author) and the frame header read back by OUR baseline
+    //    parser (JpegOps.readMeta walks the marker stream to SOF0).
+    //    The oracle checks the parsed dims/precision/format against
+    //    the encode rule — m10's shape for the second image format;
+    //    the full pixel path (entropy decode + islow IDCT ==
+    //    javax.imageio bit-for-bit) is pinned in JpegSpec ──────────────
+    Q("m12_jpeg_meta",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          (col("doc_id") % 13 + 1).cast("int").as("w"),
+          (col("doc_id") % 7 + 1).cast("int").as("h"))
+        val jpegs = graft.ops.JpegOps.textToJpeg(docs, "doc_id", "text", "w", "h")
+        graft.ops.JpegOps.jpegMeta(jpegs, "id", "jpeg")
+          .select(col("id").as("doc_id"), col("format"),
+            col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'jpeg' AS format,
+        CAST(doc_id % 13 + 1 AS INT) AS width,
+        CAST(doc_id % 7 + 1 AS INT) AS height
+        FROM documents ORDER BY doc_id""")),
+
+    // ── m13: pHash over REAL decoded JPEG pixels — the full baseline
+    //    pipeline (marker walk, Huffman entropy decode, dequant,
+    //    integer islow IDCT) feeds m05/m11's integer-exact DCT
+    //    kernel. The decode is deterministic even though the encode
+    //    was lossy, but the decoded pixels depend on the encoder's
+    //    quant tables — not SQL-recomputable, so this entry is
+    //    rows-only gated; pixel correctness is pinned by JpegSpec's
+    //    bit-for-bit match against the JDK decoder ─────────────────────
+    Q("m13_jpeg_phash",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          lit(16).as("w"), lit(16).as("h"))
+        val jpegs = graft.ops.JpegOps.textToJpeg(docs, "doc_id", "text", "w", "h")
+        graft.ops.JpegOps.jpegPhash(jpegs, "id", "jpeg")
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sh"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ── m07: multimodal shard manifest — WebDataset-style packing:
     //    per source, round-robin-interleave the modalities (so every
     //    shard trains a mixed batch), then cut ~2000-byte shards by

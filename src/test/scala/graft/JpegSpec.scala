@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.JpegOps
+
+/** Baseline-JPEG decoder conformance: pixels must MATCH the JDK's own
+  * (libjpeg-derived, islow-IDCT) decoder on streams written by the
+  * JDK's own encoder — a cross-implementation check on the full
+  * marker/Huffman/dequant/IDCT pipeline, not a self-round-trip.
+  */
+class JpegSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def encode(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    bi.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bos))
+    bos.toByteArray
+  }
+
+  private def imageIoDecode(jpeg: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val w = bi.getWidth; val h = bi.getHeight
+    val px = new Array[Byte](w * h)
+    bi.getRaster.getDataElements(0, 0, w, h, px)
+    (w, h, px)
+  }
+
+  // a mix of block-aligned and ragged dims, smooth and harsh content
+  private val fixtures: Seq[(Int, Int, Int => Byte)] = Seq(
+    (8, 8, i => i.toByte),                          // single block, ramp
+    (16, 16, i => ((i * 7) % 256).toByte),          // aligned grid
+    (13, 7, i => ((i * i + 3 * i) % 256).toByte),   // ragged, busy
+    (31, 17, i => (128 + 100 * math.sin(i / 3.0)).toInt.toByte), // smooth
+    (64, 48, i => (if ((i / 8 + i / (64 * 8)) % 2 == 0) 32 else 224).toByte),
+    (1, 1, _ => 77.toByte),                          // degenerate dims
+    (9, 25, i => ((i * 131) % 256).toByte))
+
+  test("readMeta parses SOF0 dims from ImageIO-written JPEGs") {
+    fixtures.foreach { case (w, h, f) =>
+      val jpeg = encode(w, h, Array.tabulate(w * h)(f))
+      val m = JpegOps.readMeta(jpeg)
+      assert((m.width, m.height, m.precision, m.nComponents) == ((w, h, 8, 1)))
+    }
+  }
+
+  test("decodeGray8Baseline matches the JDK decoder pixel-for-pixel") {
+    fixtures.foreach { case (w, h, f) =>
+      val jpeg = encode(w, h, Array.tabulate(w * h)(f))
+      val (iw, ih, ipx) = imageIoDecode(jpeg)
+      val img = JpegOps.decodeGray8Baseline(jpeg)
+      assert((img.width, img.height) == ((iw, ih)))
+      val deltas = img.pixels.zip(ipx).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) }
+      assert(deltas.forall(_ == 0),
+        s"${w}x$h: max pixel delta ${deltas.max} (${deltas.count(_ > 0)} diffs)")
+    }
+  }
+
+  test("decode rejects out-of-profile and corrupt streams by name") {
+    // RGB JPEG: 3 components — must throw, not misread luma silently
+    val rgb = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "jpg", bos)
+    val e1 = intercept[IllegalArgumentException](
+      JpegOps.decodeGray8Baseline(bos.toByteArray))
+    assert(e1.getMessage.contains("grayscale"))
+    intercept[IllegalArgumentException](
+      JpegOps.decodeGray8Baseline("definitely not a jpeg".getBytes))
+    intercept[IllegalArgumentException](
+      JpegOps.readMeta(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)))
+    // PNG bytes into the JPEG decoder: named error
+    val png = graft.ops.PngOps.encodeGray8(4, 4, Array.fill(16)(9.toByte))
+    intercept[IllegalArgumentException](JpegOps.decodeGray8Baseline(png))
+  }
+
+  test("m12/m13 plumbing: meta + phash over the documents fixture") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 13 + 1).cast("int").as("w"),
+        (col("doc_id") % 7 + 1).cast("int").as("h"))
+      .limit(20)
+    val jpegs = JpegOps.textToJpeg(docs, "doc_id", "text", "w", "h")
+    val meta = JpegOps.jpegMeta(jpegs, "id", "jpeg")
+      .select($"id", $"width", $"height")
+      .as[(Long, Int, Int)].collect()
+    assert(meta.nonEmpty)
+    meta.foreach { case (id, w, h) =>
+      assert(w == (id % 13 + 1).toInt && h == (id % 7 + 1).toInt) }
+    val ph = JpegOps.jpegPhash(jpegs, "id", "jpeg").collect()
+    assert(ph.length == meta.length)
+  }
+}

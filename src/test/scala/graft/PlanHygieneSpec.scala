@@ -253,7 +253,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // fixture vocab; the stream itself ran through the memory sink
       // before this plan) + 1-row total-dec / invariant scalars —
       // t51's candidate-census class.
-      "t52_mg_stream_bounds")
+      "t52_mg_stream_bounds",
+      // q136: the 1-row (total, n) balance-threshold scalar broadcast
+      // back over customers — q114's mean-threshold class.
+      "q136_dormant_rich")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -341,7 +344,8 @@ class PlanHygieneSpec extends SparkTestBase {
     "q129_disjunctive_revenue" -> 64,  // 1-row global answer partials
     "t51_mergeable_topk" -> 900,       // candidate census ≤ shards(20)×k(20)
     "q130_zorder_skipping" -> 64,      // 1-row min/max seed + match count
-    "t52_mg_stream_bounds" -> 900)     // vocab census + report tails
+    "t52_mg_stream_bounds" -> 900,     // vocab census + report tails
+    "q136_dormant_rich" -> 64)         // 1-row balance-threshold scalar
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
