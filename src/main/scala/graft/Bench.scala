@@ -133,7 +133,15 @@ object Bench {
     "q123_volume_shipping", "q124_market_share", "q125_product_profit",
     "q126_returned_revenue", "q127_promo_share", "q128_large_orders",
     "q129_disjunctive_revenue", "t51_mergeable_topk",
-    "q130_zorder_skipping", "q131_stickiness", "q132_engagement_depth")
+    "q130_zorder_skipping", "q131_stickiness", "q132_engagement_depth",
+    // round-14 additions: the engagement sketch twin, the MG-stream
+    // bound gate (includes its bounded 500-doc streaming replay —
+    // deliberately, the replay IS the operator), the TPC-H Q20-Q22
+    // shapes, the JPEG codec pair, and the triangle census
+    "q133_stickiness_sketch", "t52_mg_stream_bounds",
+    "q134_recent_concentration", "q135_sole_late_shipper",
+    "q136_dormant_rich", "m12_jpeg_meta", "m13_jpeg_phash",
+    "u13_triangle_census")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -285,4 +285,77 @@ object GraphOps {
     e.unpersist(); nodes.unpersist()
     res
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected simple graph (self-loops and parallel/reverse
+    * duplicates removed here). Degree-ORIENTED wedge join — the
+    * standard skew-safe distributed algorithm: direct every edge from
+    * its lower-(degree, node) endpoint to the higher one, enumerate
+    * wedges only at each edge's LOW endpoint, and close them against
+    * the oriented edge set. Orientation caps every node's out-degree
+    * at O(√m), so the wedge fan-out is Σ outdeg² ≤ O(m^1.5) total and
+    * no single hub explodes a partition — the property that lets this
+    * run on a billion-edge web graph where naive neighbor-pair
+    * enumeration at hubs is quadratic. Three hash shuffles (degree,
+    * wedge, close), all on node keys.
+    *
+    * Output: (node, degree, n_triangles, clustering) with
+    * clustering = 2T / (d·(d−1)) rounded to 6 dp (0.0 for d < 2 — a
+    * defined value, not NULL, so engine NULL/NaN conventions can't
+    * desynchronize a report that is otherwise exact integers), one
+    * row per node including triangle-free ones.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    // canonical undirected simple edges a < b
+    val und = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge low→high in the (deg, node) total order; carry
+    // the dst's order key for the wedge-side rank compare
+    val withDegs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDegs.select(
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the low endpoint: (v, w) with rank(v) < rank(w), both
+    // out-neighbors of u — then close with the oriented edge v→w
+    val o1 = oriented.select(col("u"), col("v"), col("dv"))
+    val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = o1.join(o2, Seq("u"))
+      .where(col("dv") < col("dw")
+        || (col("dv") === col("dw") && col("v") < col("w")))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // materialize before dropping the cached frames the plan reads
+    // (the CC loop's checkpoint-then-unpersist pattern)
+    val res = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("node")
+      .localCheckpoint(true)
+    oriented.unpersist()
+    und.unpersist()
+    res
+  }
 }

@@ -4338,19 +4338,28 @@ object CoreQueries {
           .join(broadcast(sn), col("s_nationkey") === col("snk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(natRev.as("nation_revenue"), totRev.as("total_revenue"))
-          .select(col("o_year"), col("nation_revenue"),
+          // a year with zero NATION_3 rows sums to NULL, and engine
+          // NULL/NaN float conventions differ — define both legs:
+          // 0.0 revenue, 0.0 share (round-14 seed audit caught this
+          // on seed 31415926; seed 42 never produced such a year)
+          .select(col("o_year"),
+            coalesce(col("nation_revenue"), lit(0.0)).as("nation_revenue"),
             col("total_revenue"),
-            round(col("nation_revenue") / col("total_revenue"), 6)
-              .as("mkt_share"))
+            when(col("total_revenue") > 0,
+              round(coalesce(col("nation_revenue"), lit(0.0))
+                / col("total_revenue"), 6))
+              .otherwise(lit(0.0)).as("mkt_share"))
           .orderBy("o_year")
       },
       Some(s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-          CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
-            THEN $revenueSql END) AS DOUBLE) AS nation_revenue,
+          COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+            THEN $revenueSql END) AS DOUBLE), 0.0) AS nation_revenue,
           CAST(SUM($revenueSql) AS DOUBLE) AS total_revenue,
-          ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
-              THEN $revenueSql END) AS DOUBLE)
-            / CAST(SUM($revenueSql) AS DOUBLE), 6) AS mkt_share
+          CASE WHEN CAST(SUM($revenueSql) AS DOUBLE) > 0 THEN
+            ROUND(COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN $revenueSql END) AS DOUBLE), 0.0)
+              / CAST(SUM($revenueSql) AS DOUBLE), 6)
+          ELSE 0.0 END AS mkt_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
         JOIN orders ON l_orderkey = o_orderkey

@@ -427,7 +427,67 @@ object WebQueries {
         SELECT l3.node, l3.lbl AS community, sz.community_size
         FROM l3 JOIN sz ON sz.lbl = l3.lbl
         ORDER BY node"""
-      })
+      }),
+
+    // ── u13: triangle census + local clustering coefficient over the
+    //    u06 link graph (undirected) — link-farm / tight-clique
+    //    detection for crawl quality. Degree-ORIENTED wedge join: every
+    //    edge directs low→high (degree, node) rank, wedges enumerate
+    //    only at the low endpoint, the closing edge is a semi-join —
+    //    orientation caps out-degree at O(√m) so no hub explodes a
+    //    partition at web scale. Exact integer counts; the coefficient
+    //    is the only division ──────────────────────────────────────────
+    Q("u13_triangle_census",
+      (s, dir) => {
+        // cohort target (doc_id div 20): NOT constant per source
+        // (source ≡ doc_id mod 20, so any linear-in-doc_id target
+        // collapses to one edge per source — a triangle-free
+        // matching); the mod-7 doc filter thins the otherwise-complete
+        // K20 to a mid-density graph with varied clustering
+        val edges = Tables.documents(s, dir)
+          .where(expr("doc_id % 7 < 2"))
+          .select(col("source").as("x"),
+            concat(lit("src"), expr("(doc_id div 20) % 20")
+              .cast("string")).as("y"))
+        graft.ops.GraphOps.triangleStats(edges, "x", "y")
+      },
+      Some("""WITH e0 AS (
+          SELECT source AS x,
+            'src' || ((doc_id // 20) % 20)::VARCHAR AS y
+          FROM documents WHERE doc_id % 7 < 2),
+        und AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x <> y),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                  SELECT a AS node FROM und
+                  UNION ALL SELECT b AS node FROM und)
+                GROUP BY 1),
+        o AS (SELECT
+                CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+                  THEN a ELSE b END AS u,
+                CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+                  THEN b ELSE a END AS v,
+                CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+                  THEN d2.deg ELSE d1.deg END AS dv
+              FROM und
+              JOIN deg d1 ON d1.node = a
+              JOIN deg d2 ON d2.node = b),
+        tri AS (SELECT o1.u, o1.v, o2.v AS w
+                FROM o o1 JOIN o o2 ON o1.u = o2.u
+                WHERE (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+                  AND EXISTS (SELECT 1 FROM o oc
+                              WHERE oc.u = o1.v AND oc.v = o2.v)),
+        pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                 SELECT u AS node FROM tri
+                 UNION ALL SELECT v AS node FROM tri
+                 UNION ALL SELECT w AS node FROM tri)
+               GROUP BY 1)
+        SELECT deg.node, deg.deg AS degree,
+          COALESCE(pn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+          CASE WHEN deg.deg >= 2 THEN
+            ROUND(2.0 * COALESCE(pn.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
+          ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN pn USING (node)
+        ORDER BY node"""))
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,

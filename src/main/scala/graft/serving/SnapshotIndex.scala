@@ -36,10 +36,17 @@ final class SnapshotIndex(loader: () => DataFrame, keyCol: String,
   private val state =
     new AtomicReference[(Map[String, String], Long, Long)]((Map.empty, 0L, 0L))
 
-  /** Rebuild the index from the loader; returns the new version. */
-  def refresh(): Long = {
+  /** Rebuild the index from the loader; returns the new version.
+    * Synchronized: concurrent refreshes would interleave the
+    * read-bump-set version sequence (lookups stay lock-free on the
+    * atomic reference).
+    */
+  def refresh(): Long = synchronized {
     val snap = loader()
-    val probed = snap.select(keyCol).limit((maxRows + 1).toInt).count()
+    // probe limit clamped: a huge maxRows must not overflow the Int
+    // limit() argument into a negative
+    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val probed = snap.select(keyCol).limit(probeCap).count()
     require(probed <= maxRows,
       s"SnapshotIndex($keyCol): snapshot exceeds $maxRows rows — " +
         "serve it from the pruned-scan cold tier (TableServer without " +
