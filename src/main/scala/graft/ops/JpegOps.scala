@@ -378,6 +378,182 @@ object JpegOps {
     PngOps.Gray8(w, h, px)
   }
 
+  // ── Baseline encoder — the conformance counterpart: a minimal,
+  // fully deterministic grayscale encoder whose output any spec
+  // decoder (ours, the JDK's) must read identically. Tables are
+  // GENERATED, not transcribed: DC symbols 0..11 all at code length
+  // 4 and the 162 valid AC run/size symbols all at length 8 — both
+  // trivially canonical/prefix-free (fixed length), spec-valid, and
+  // derived from the same counts+symbols lists the DHT segment
+  // carries, so encoder and any decoder can never disagree about
+  // them. Quant = flat 2 (keeps every coefficient within the
+  // baseline size-10 AC / size-11 DC-diff categories). Supports a
+  // restart interval so the decoder's RSTn resync path is testable.
+  private def canonicalCodes(counts: Array[Int],
+                             symbols: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) {
+        out(symbols(k)) = (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.toMap
+  }
+
+  private val EncDcSymbols: Array[Int] = (0 to 11).toArray
+  private val EncDcCounts: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) // all length 4
+  private val EncAcSymbols: Array[Int] =
+    (0 to 255).filter(b => b == 0x00 || b == 0xf0 ||
+      ((b & 0x0f) >= 1 && (b & 0x0f) <= 10)).toArray // 162 symbols
+  private val EncAcCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0) // all length 8
+  private val EncQ = 2
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** 1-fill to the byte boundary (T.81 pad rule). */
+    def align(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  private def category(v: Int): Int = {
+    var m = math.abs(v); var s = 0
+    while (m != 0) { m >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode 8-bit grayscale pixels as a valid baseline JPEG (flat
+    * quant 2, generated fixed-length Huffman tables, optional restart
+    * interval in MCUs). Deterministic byte-for-byte; decodable by any
+    * conformant decoder — JpegSpec cross-checks ours against the
+    * JDK's on this output, including the RSTn resync path.
+    */
+  def encodeGray8Baseline(w: Int, h: Int, px: Array[Byte],
+                          restartInterval: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(px.length == w * h, s"need ${w * h} pixels, got ${px.length}")
+    val dcCodes = canonicalCodes(EncDcCounts, EncDcSymbols)
+    val acCodes = canonicalCodes(EncAcCounts, EncAcSymbols)
+    // orthonormal DCT-II basis via StrictMath (platform-deterministic)
+    val basis = Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      0.5 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xdb, 0 +: Array.fill(64)(EncQ)) // DQT table 0 (flat, zigzag-invariant)
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0)) // SOF0: 8-bit, 1 component, 1x1, quant 0
+    seg(0xc4, ((0x00 +: EncDcCounts.toSeq) ++ EncDcSymbols.toSeq).toArray) // DHT DC
+    seg(0xc4, ((0x10 +: EncAcCounts.toSeq) ++ EncAcSymbols.toSeq).toArray) // DHT AC
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: component 1, DC 0 / AC 0
+    var bw = new BitWriter(out)
+    val bwAcross = (w + 7) / 8; val bhDown = (h + 7) / 8
+    var pred = 0
+    var mcu = 0
+    var rstIdx = 0
+    val coefs = new Array[Int](64)
+    var by = 0
+    while (by < bhDown) {
+      var bx = 0
+      while (bx < bwAcross) {
+        if (restartInterval > 0 && mcu == restartInterval) {
+          bw.align()
+          out.write(0xff); out.write(0xd0 + (rstIdx & 7))
+          rstIdx += 1; mcu = 0; pred = 0
+          bw = new BitWriter(out)
+        }
+        // FDCT of the level-shifted, edge-replicated block
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val sy = math.min(by * 8 + y, h - 1)
+                val sx = math.min(bx * 8 + x, w - 1)
+                s += basis(u)(y) * basis(v)(x) *
+                  ((px(sy * w + sx) & 0xff) - 128)
+                x += 1
+              }
+              y += 1
+            }
+            coefs(u * 8 + v) = math.round(s / EncQ).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC diff
+        val dc = coefs(0)
+        val diff = dc - pred
+        pred = dc
+        val dcCat = category(diff)
+        val (dcc, dcl) = dcCodes(dcCat)
+        bw.put(dcc, dcl)
+        if (dcCat > 0) {
+          val mag = if (diff >= 0) diff else diff + (1 << dcCat) - 1
+          bw.put(mag, dcCat)
+        }
+        // AC in zigzag order with run-length + ZRL + EOB
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val c = coefs(ZigZag(k))
+          if (c == 0) run += 1
+          else {
+            while (run > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
+            val sz = category(c)
+            val (ac, al) = acCodes((run << 4) | sz)
+            bw.put(ac, al)
+            val mag = if (c >= 0) c else c + (1 << sz) - 1
+            bw.put(mag, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Render each doc's text into the SAME deterministic raster rule
     * as [[PngOps.textToPng]] and encode it with javax.imageio's JPEG
     * writer — an INDEPENDENT production encoder, so decoding its

@@ -79,6 +79,31 @@ class JpegSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegOps.decodeGray8Baseline(png))
   }
 
+  test("our encoder's streams decode identically in OUR decoder and the JDK's") {
+    // the reverse-direction conformance check: bytes WE author must be
+    // readable by an independent production decoder, bit-for-bit equal
+    // to our own decode — including with restart markers, which
+    // ImageIO's writer never emits (this is the only way to exercise
+    // the RSTn resync path against a second implementation)
+    fixtures.foreach { case (w, h, f) =>
+      Seq(0, 3).foreach { rst =>
+        val px = Array.tabulate(w * h)(f)
+        val jpeg = graft.ops.JpegOps.encodeGray8Baseline(w, h, px, rst)
+        val mine = graft.ops.JpegOps.decodeGray8Baseline(jpeg)
+        val (iw, ih, ipx) = imageIoDecode(jpeg)
+        assert((mine.width, mine.height) == ((w, h)))
+        assert((iw, ih) == ((w, h)))
+        assert(mine.pixels.toSeq == ipx.toSeq,
+          s"${w}x$h rst=$rst: our decode != ImageIO decode of OUR stream")
+        // flat quant 2 bounds the reconstruction error: FDCT|IDCT are
+        // near-exact, quantization is the only loss
+        val maxDelta = mine.pixels.zip(px).map { case (a, b) =>
+          math.abs((a & 0xff) - (b & 0xff)) }.max
+        assert(maxDelta <= 16, s"${w}x$h rst=$rst: lossy delta $maxDelta")
+      }
+    }
+  }
+
   test("m12/m13 plumbing: meta + phash over the documents fixture") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"),

@@ -56,6 +56,48 @@ class Round14Spec extends SparkTestBase {
       assert(dau <= wau && wau <= mau, s"day $d: $dau/$wau/$mau") }
   }
 
+  test("advisor fixes pinned: PNG dim overflow + zorder span wrap raise by name") {
+    // IHDR with w = h = 0xFFFFFFFF: the old guard computed
+    // hv*(wv+1) in Long, which wraps negative and slips under
+    // <= Int.MaxValue — must now be rejected as bad dimensions
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = Array[Byte](
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // w
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // h
+      8, 0, 0, 0, 0)
+    val tag = "IHDR".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag); crc.update(ihdr)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    body.write(be32(13), 0, 4); body.write(tag, 0, 4)
+    body.write(ihdr, 0, 13); body.write(be32(crc.getValue), 0, 4)
+    val e1 = intercept[IllegalArgumentException](
+      graft.ops.PngOps.decodeGray8(body.toByteArray))
+    assert(e1.getMessage.contains("bad dimensions"), e1.getMessage)
+
+    // a column spanning more than Long.MaxValue must fail BY NAME, not
+    // grid garbage: under ANSI (Spark 4 default) the max−min
+    // subtraction itself raises ARITHMETIC_OVERFLOW; with ANSI off the
+    // wrap goes negative and the span guard's >= 0 leg catches it —
+    // either way the contract ("named error instead of garbage") holds
+    val wide = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L))
+      .toDF("x", "y")
+    val e2 = intercept[Exception] {
+      graft.ops.Layout.zorderSkippingReport(wide, "x", "y",
+        0L, 10L, 0L, 10L).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e2).exists(m => m.contains("column span exceeds")
+        || m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a named span failure, got: ${chain(e2).mkString(" | ")}")
+  }
+
   test("stickiness sketch twin: streamed register log ≡ batch report") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (day, user)
