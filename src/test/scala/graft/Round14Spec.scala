@@ -56,6 +56,39 @@ class Round14Spec extends SparkTestBase {
       assert(dau <= wau && wau <= mau, s"day $d: $dau/$wau/$mau") }
   }
 
+  test("triangleStats: closed-form graphs (complete / star / ring), hub-safe") {
+    import graft.ops.GraphOps
+    def complete(n: Int) = (for { i <- 0 until n; j <- i + 1 until n }
+      yield (s"n$i", s"n$j")).toDF("u", "v")
+    // K_n: every node in C(n-1, 2) triangles, clustering exactly 1.0
+    Seq(20, 40).foreach { n =>
+      val r = GraphOps.triangleStats(complete(n), "u", "v")
+        .select("degree", "n_triangles", "clustering")
+        .as[(Long, Long, Double)].collect()
+      assert(r.length == n)
+      val expect = (n - 1).toLong * (n - 2) / 2
+      assert(r.forall(_ == ((n - 1).toLong, expect, 1.0)), r.take(3).toSeq)
+    }
+    // star: the hub has the HIGHEST degree, so orientation points every
+    // edge into it and the hub enumerates ZERO wedges — the skew-safety
+    // property; no triangles anywhere, defined-0.0 clustering
+    val star = (1 to 50).map(i => ("hub", s"leaf$i")).toDF("u", "v")
+    val sr = GraphOps.triangleStats(star, "u", "v").collect()
+    assert(sr.length == 51)
+    assert(sr.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+    // ring: degree 2 everywhere, no triangles (n > 3)
+    val ring = (0 until 12).map(i => (s"r$i", s"r${(i + 1) % 12}")).toDF("u", "v")
+    val rr = GraphOps.triangleStats(ring, "u", "v").collect()
+    assert(rr.length == 12 &&
+      rr.forall(r => r.getLong(1) == 2L && r.getLong(2) == 0L))
+    // duplicate/reversed/self-loop edges are cleaned before counting
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      ("b", "c"), ("c", "a")).toDF("u", "v")
+    val mr = GraphOps.triangleStats(messy, "u", "v")
+      .select("node", "n_triangles").as[(String, Long)].collect().toMap
+    assert(mr == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("advisor fixes pinned: PNG dim overflow + zorder span wrap raise by name") {
     // IHDR with w = h = 0xFFFFFFFF: the old guard computed
     // hv*(wv+1) in Long, which wraps negative and slips under
