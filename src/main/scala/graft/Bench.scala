@@ -248,9 +248,6 @@ object Bench {
       val nKeys = snap.agg(max(col("user_id"))).head().getLong(0) + 1
       Some((srv, srv.boundPort, nKeys))
     } else None
-    // 10,000 sequential GETs (100 when the old cold tier was timed —
-    // the hot tier is too fast for 100 to measure): lookups/s =
-    // 10000 / reported seconds
     // 10,000 GETs across 8 concurrent client workers — the standard
     // posture for a serving-throughput number (the reference's routed
     // RocksDB lookups are likewise measured under concurrent load).

@@ -58,6 +58,8 @@ object JpegOps {
       val marker = jpeg(pos + 1) & 0xff
       marker match {
         case 0xc0 => // SOF0 baseline
+          require(pos + 10 <= jpeg.length,
+            "truncated SOF0 segment") // named, not an array exception
           val h = u16(jpeg, pos + 5); val w = u16(jpeg, pos + 7)
           return JpegMeta(w, h, jpeg(pos + 4) & 0xff, jpeg(pos + 9) & 0xff)
         case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) =>
@@ -165,10 +167,12 @@ object JpegOps {
   private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
 
   /** In-place 8×8 IDCT of dequantized coefficients → pixel values
-    * 0..255 (level shift +128, clamped).
+    * 0..255 (level shift +128, clamped). `ws` is caller-provided
+    * 64-long scratch (hoisted out of the per-block loop — no
+    * allocation on the hot decode path).
     */
-  private def idct8x8(blk: Array[Int], out: Array[Int]): Unit = {
-    val ws = new Array[Long](64)
+  private def idct8x8(blk: Array[Int], out: Array[Int],
+                      ws: Array[Long]): Unit = {
     // column pass
     var c = 0
     while (c < 8) {
@@ -321,6 +325,7 @@ object JpegOps {
     val br = new BitReader(jpeg, sosAt)
     val blk = new Array[Int](64)
     val out = new Array[Int](64)
+    val ws = new Array[Long](64)
     var pred = 0
     var blocksSinceRst = 0
     var by = 0
@@ -358,7 +363,7 @@ object JpegOps {
             k += 1
           }
         }
-        idct8x8(blk, out)
+        idct8x8(blk, out, ws)
         // crop-copy the block into the frame
         val x0 = bx * 8; val y0 = by * 8
         var yy = 0

@@ -4541,9 +4541,9 @@ object CoreQueries {
     // ── q134: recent-concentration suppliers — the TPC-H Q20 shape
     //    (semi-join through a correlated-aggregate threshold), adapted
     //    to this schema (no partsupp): for ECONOMY parts, keep
-    //    (supplier, part) pairs whose 1998+ shipped quantity exceeds
-    //    half their all-time quantity, then semi-join suppliers and
-    //    name them. ONE conditional-sum pass computes both legs (no
+    //    (supplier, part) pairs with ≥3 lines whose 2001+ shipped
+    //    quantity exceeds half their all-time quantity, then semi-join
+    //    suppliers and name them. ONE conditional-sum pass computes both legs (no
     //    second scan); the part filter broadcasts; the threshold
     //    compare is integer-exact (quantities ×100 in cents-style) ─────
     Q("q134_recent_concentration",

@@ -52,10 +52,11 @@ final class SnapshotIndex(loader: () => DataFrame, keyCol: String,
         "serve it from the pruned-scan cold tier (TableServer without " +
         "hot=true) or shard the serving layer")
     val keyIdx = snap.schema.fieldIndex(keyCol)
-    val grouped = snap.collect().groupBy { r =>
-      val k = r.get(keyIdx)
-      if (k == null) "null" else k.toString
-    }
+    // NULL keys are NOT indexed: the cold tier's equality predicate
+    // never matches NULL, and stringifying would conflate a NULL key
+    // with a real "null" string key — the two tiers must agree
+    val grouped = snap.collect().filter(!_.isNullAt(keyIdx))
+      .groupBy(_.get(keyIdx).toString)
     val m = grouped.map { case (k, rows) => k -> JsonRows.render(rows) }
     val (_, v0, _) = state.get()
     val v = v0 + 1
@@ -63,9 +64,21 @@ final class SnapshotIndex(loader: () => DataFrame, keyCol: String,
     v
   }
 
-  /** Pure map hit — no Spark work on the request path. */
+  /** Pure map hit — no Spark work on the request path. NULL keys are
+    * never indexed (cold-tier equality parity), so they always miss.
+    */
   def lookup(key: Any): Option[String] =
-    state.get()._1.get(if (key == null) "null" else key.toString)
+    if (key == null) None else state.get()._1.get(key.toString)
+
+  /** Lookup + the (version, refreshedAtMillis) of the SAME snapshot
+    * the body came from — one atomic read, so a concurrent refresh
+    * can't label an old body with the new version.
+    */
+  def lookupWithMeta(key: Any): Option[(String, Long, Long)] = {
+    if (key == null) return None
+    val (m, v, at) = state.get()
+    m.get(key.toString).map((_, v, at))
+  }
 
   def version: Long = state.get()._2
   def refreshedAtMillis: Long = state.get()._3

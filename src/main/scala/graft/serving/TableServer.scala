@@ -95,7 +95,11 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
     tables.values.foreach(_.index.foreach(_.refresh()))
 
   def start(): TableServer = {
-    refreshAll() // initial hot load, so the first GET never cold-starts
+    // initial hot load, so the first GET never cold-starts; if a row
+    // guard trips here, release the already-bound socket and pool
+    // before rethrowing — repeated construct-and-fail must not leak
+    try refreshAll()
+    catch { case e: Throwable => stop(); throw e }
     server.createContext("/table/", (ex: HttpExchange) => handleTable(ex))
     server.createContext("/refresh/", (ex: HttpExchange) => handleRefresh(ex))
     pages.foreach { case (path, handler) =>
@@ -130,12 +134,15 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
             if (route.numericKey) java.lang.Long.parseLong(rawKey) else rawKey
           route.index match {
             case Some(idx) =>
-              idx.lookup(key) match {
-                case Some(body) =>
+              // one atomic read: body + the version/age of the SAME
+              // snapshot (separate reads could label an old body with
+              // a concurrent refresh's new version)
+              idx.lookupWithMeta(key) match {
+                case Some((body, version, refreshedAt)) =>
                   ex.getResponseHeaders.set("X-Snapshot-Version",
-                    idx.version.toString)
+                    version.toString)
                   ex.getResponseHeaders.set("X-Snapshot-Age-Millis",
-                    (System.currentTimeMillis() - idx.refreshedAtMillis).toString)
+                    (System.currentTimeMillis() - refreshedAt).toString)
                   respond(ex, 200, body)
                 case None => coldLookup(ex, route, key) // post-refresh keys
               }
@@ -157,7 +164,11 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
   private def handleRefresh(ex: HttpExchange): Unit =
     try {
       val name = ex.getRequestURI.getPath.stripPrefix("/refresh/")
-      if (!tables.contains(name))
+      if (ex.getRequestMethod != "POST")
+        // the rebuild is expensive and state-mutating — never run it
+        // off a crawler's GET
+        respond(ex, 405, s"""{"error":"use POST"}""")
+      else if (!tables.contains(name))
         respond(ex, 404, s"""{"error":"unknown table"}""")
       else {
         val v = refresh(name)

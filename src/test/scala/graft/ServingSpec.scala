@@ -133,8 +133,19 @@ class ServingSpec extends SparkTestBase {
       val (c4, _, _) = get("/table/word_counts/nope")
       assert(c4 == 404)
 
-      // refresh endpoint: the index picks up batch 4, version bumps
-      val (c5, b5, _) = get("/refresh/word_counts")
+      // refresh endpoint (POST-only: the rebuild is state-mutating —
+      // a GET must be refused): the index picks up batch 4, v bumps
+      def post(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        (code, Source.fromInputStream(is).mkString)
+      }
+      val (cGet, _, _) = get("/refresh/word_counts")
+      assert(cGet == 405, "GET must not trigger a rebuild")
+      val (c5, b5) = post("/refresh/word_counts")
       assert(c5 == 200 && b5.contains("\"version\":2"), b5)
       val (c6, b6, h6) = get("/table/word_counts/k1")
       assert(c6 == 200 && b6 == """[{"key":"k1","value":5}]""", b6)
