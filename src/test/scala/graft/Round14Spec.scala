@@ -89,6 +89,40 @@ class Round14Spec extends SparkTestBase {
     assert(mr == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("triangleStats scale shapes: K120, planted cliques, 10k-leaf hub") {
+    import graft.ops.GraphOps
+    // K120: 7,140 edges -> 280,840 wedge closures, all closed-form
+    val n = 120
+    val kEdges = (for { i <- 0 until n; j <- i + 1 until n }
+      yield (s"k$i", s"k$j")).toDF("u", "v").repartition(8)
+    val kr = GraphOps.triangleStats(kEdges, "u", "v")
+      .agg(sum("n_triangles")).head().getLong(0)
+    // each triangle counted at all 3 vertices
+    assert(kr == 3L * n * (n - 1) * (n - 2) / 6, kr)
+    // 20 planted 15-cliques on a 2,000-node ring background:
+    // triangles = 20 * C(15,3), background contributes none — the
+    // mid-density shape a dedup cluster graph actually has
+    val cliques = (for { c <- 0 until 20; i <- 0 until 15; j <- i + 1 until 15 }
+      yield (s"c${c}_$i", s"c${c}_$j")).toDF("u", "v")
+    val ring = (0 until 2000).map(i => (s"bg$i", s"bg${(i + 1) % 2000}"))
+      .toDF("u", "v")
+    val pr = GraphOps.triangleStats(cliques.union(ring), "u", "v")
+      .agg(sum("n_triangles")).head().getLong(0)
+    assert(pr == 3L * 20 * 455, pr)
+    // 10k-leaf star + one side triangle: the hub's orientation
+    // out-degree is 0 (highest rank), so NO wedge enumerates at it —
+    // the skew-safety property at a size where hub-side enumeration
+    // (C(10000,2) ≈ 5e7 wedges) would be visibly pathological
+    val bigStar = (1 to 10000).map(i => ("HUB", s"l$i")).toDF("u", "v")
+    val side = Seq(("s1", "s2"), ("s2", "s3"), ("s3", "s1")).toDF("u", "v")
+    val t0 = System.nanoTime()
+    val sr = GraphOps.triangleStats(bigStar.union(side), "u", "v")
+      .agg(sum("n_triangles")).head().getLong(0)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(sr == 3L, sr)
+    assert(dt < 60.0, s"hub graph took ${dt}s — orientation regressed?")
+  }
+
   test("advisor fixes pinned: PNG dim overflow + zorder span wrap raise by name") {
     // IHDR with w = h = 0xFFFFFFFF: the old guard computed
     // hv*(wv+1) in Long, which wraps negative and slips under
