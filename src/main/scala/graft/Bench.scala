@@ -141,7 +141,7 @@ object Bench {
     "q133_stickiness_sketch", "t52_mg_stream_bounds",
     "q134_recent_concentration", "q135_sole_late_shipper",
     "q136_dormant_rich", "m12_jpeg_meta", "m13_jpeg_phash",
-    "u13_triangle_census")
+    "u13_triangle_census", "q137_cdc_merge", "u14_redirect_resolution")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

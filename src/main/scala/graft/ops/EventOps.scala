@@ -1110,4 +1110,33 @@ object EventOps {
           .as("revenue_share"))
       .orderBy("abc_class")
   }
+
+  /** Apply an op-coded CDC batch (Debezium-style I/U/D rows) to
+    * produce the post-merge snapshot — the warehouse MERGE INTO
+    * semantics [[graft.streaming.ChangelogSink]]'s upsert-only
+    * compaction doesn't express: per key, ops replay in `seqCols`
+    * order; the LAST op wins; a last op of `D` removes the key
+    * entirely (the faust tombstone contract — `tables/base.py`
+    * deletes on None values — as a batch merge).
+    *
+    * Emits one row per surviving key: the key columns, the last op's
+    * `valueCols`, plus `n_ops` (total ops replayed for the key,
+    * deletes included) and `last_seq`. One hash shuffle on the key;
+    * the per-key replay is a window rank, never a driver loop. The
+    * seq order must be total per key (pass a tiebreaker column, e.g.
+    * an offset) — ties would make last-op-wins nondeterministic.
+    */
+  def cdcApply(ops: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+               opCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    ops
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n_ops", count(lit(1)).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("_rk") === 1 && col(opCol) =!= "D")
+      .select(keyCols.map(col) ++ valueCols.map(col) ++ Seq(
+        col("_n_ops").as("n_ops"),
+        col(seqCols.head).as("last_seq")): _*)
+  }
 }

@@ -265,4 +265,38 @@ object UrlOps {
         expr(s"CAST((fetch_rank - 1) DIV $perSlot AS BIGINT)").as("slot"),
         col("_id").as("doc_id"))
   }
+
+  /** Resolve redirect chains to their terminal URL by pointer
+    * jumping — the crawl-pipeline step that collapses 301 maps before
+    * canonicalization (a chain A→B→C must index under C; a redirect
+    * LOOP must be flagged, not followed forever). Each round rewrites
+    * every source's target to its target's target, so resolved depth
+    * DOUBLES per round: `rounds` rounds resolve chains up to 2^rounds
+    * hops with `rounds` self-joins of the (src, dst) map — never a
+    * per-hop pass over a billion-URL map. After the rounds, a target
+    * that is still itself a redirect source means the chain didn't
+    * terminate in 2^rounds hops — a loop (or a deeper-than-budget
+    * chain, indistinguishable by construction and equally unindexable):
+    * `is_cycle = 1`, with `resolved` left at the (deterministic)
+    * round-limit target.
+    *
+    * Output: (src, resolved, is_cycle) — one row per redirect SOURCE.
+    */
+  def resolveRedirects(redirects: DataFrame, srcCol: String,
+                       dstCol: String, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
+    var cur = redirects.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var i = 0
+    while (i < rounds) {
+      val hop = cur.select(col("src").as("_hs"), col("dst").as("_hd"))
+      cur = cur.join(hop, cur("dst") === col("_hs"), "left")
+        .select(cur("src"), coalesce(col("_hd"), cur("dst")).as("dst"))
+      i += 1
+    }
+    val sources = redirects.select(col(srcCol).as("_s")).distinct()
+    cur.join(sources, cur("dst") === col("_s"), "left")
+      .select(col("src"), col("dst").as("resolved"),
+        col("_s").isNotNull.cast("int").as("is_cycle"))
+      .orderBy("src")
+  }
 }

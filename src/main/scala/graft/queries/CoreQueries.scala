@@ -4672,6 +4672,41 @@ object CoreQueries {
                             AND o_orderdate >= TIMESTAMP '2000-08-01')
         GROUP BY 1 ORDER BY 1""")),
 
+    // ── q137: CDC merge apply — the warehouse MERGE INTO semantics
+    //    ChangelogSink's upsert-only compaction doesn't express: an
+    //    op-coded (I/U/D) change batch replays per key in (ts, id)
+    //    order, last op wins, a last D deletes the key (the faust
+    //    tombstone contract as a batch merge). One key shuffle; the
+    //    replay is a window rank, never a driver loop ──────────────────
+    Q("q137_cdc_merge",
+      (s, dir) => {
+        val ops = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_sec"), col("event_id"),
+            when(col("event_type") === "purchase", lit("D"))
+              .when(col("event_type") === "click", lit("U"))
+              .otherwise(lit("I")).as("op"),
+            col("value"))
+        graft.ops.EventOps.cdcApply(ops, Seq("user_id"),
+            Seq("ts_sec", "event_id"), "op", Seq("value"))
+          .orderBy("user_id")
+      },
+      Some(Tables.eventsCte + """,
+        ops AS (
+          SELECT user_id, ts_sec, event_id,
+            CASE event_type WHEN 'purchase' THEN 'D'
+                            WHEN 'click' THEN 'U' ELSE 'I' END AS op,
+            value
+          FROM e),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts_sec DESC, event_id DESC) AS rk,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+          FROM ops)
+        SELECT user_id, value, CAST(n_ops AS BIGINT) AS n_ops,
+          ts_sec AS last_seq
+        FROM r WHERE rk = 1 AND op <> 'D'
+        ORDER BY user_id""")),
+
     // ── q130: Z-order skipping report — would an OPTIMIZE-ZORDER
     //    rewrite pay off for (user, time) predicates? Events grid to
     //    16-bit coords (exact integer div), 256 Z-prefix chunks vs 256

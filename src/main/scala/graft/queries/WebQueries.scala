@@ -487,7 +487,48 @@ object WebQueries {
             ROUND(2.0 * COALESCE(pn.n_triangles, 0) / (deg.deg * (deg.deg - 1)), 6)
           ELSE 0.0 END AS clustering
         FROM deg LEFT JOIN pn USING (node)
-        ORDER BY node"""))
+        ORDER BY node""")),
+
+    // ── u14: redirect-chain resolution — collapse 301 maps to their
+    //    terminal URL before canonicalization, flagging loops. Pointer
+    //    jumping: each round rewrites every target to its target's
+    //    target, so 6 self-joins resolve chains up to 2^6 hops — never
+    //    a per-hop pass over a billion-URL map. A target still in the
+    //    source set after the rounds = a loop (or over-budget chain),
+    //    flagged not followed. Fixture: every third doc redirects
+    //    u{id} → u{id div 2} (log-depth chains into terminals) plus a
+    //    planted 2-cycle ────────────────────────────────────────────────
+    Q("u14_redirect_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .where(expr("doc_id % 3 = 0"))
+          .select(concat(lit("u"), col("doc_id").cast("string")).as("src"),
+            concat(lit("u"), expr("doc_id div 2").cast("string")).as("dst"))
+        val cyc = Seq(("cyc_a", "cyc_b"), ("cyc_b", "cyc_a"))
+          .toDF("src", "dst")
+        graft.ops.UrlOps.resolveRedirects(base.union(cyc), "src", "dst",
+          rounds = 6)
+      },
+      Some {
+        val roundCtes = (1 to 6).map { i =>
+          s"""r$i AS (SELECT s.src, COALESCE(h.dst, s.dst) AS dst
+             |  FROM r${i - 1} s LEFT JOIN r${i - 1} h ON s.dst = h.src)"""
+            .stripMargin
+        }.mkString(",\n        ")
+        s"""WITH r0 AS (
+          SELECT 'u' || doc_id::VARCHAR AS src,
+                 'u' || (doc_id // 2)::VARCHAR AS dst
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL SELECT 'cyc_a', 'cyc_b'
+          UNION ALL SELECT 'cyc_b', 'cyc_a'),
+        $roundCtes,
+        srcs AS (SELECT DISTINCT src AS s FROM r0)
+        SELECT r6.src, r6.dst AS resolved,
+          CAST(srcs.s IS NOT NULL AS INT) AS is_cycle
+        FROM r6 LEFT JOIN srcs ON r6.dst = srcs.s
+        ORDER BY src"""
+      })
   )
 
   /** Unrolled power-iteration oracle for u06 — one CTE per round,

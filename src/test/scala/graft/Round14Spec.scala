@@ -56,6 +56,41 @@ class Round14Spec extends SparkTestBase {
       assert(dau <= wau && wau <= mau, s"day $d: $dau/$wau/$mau") }
   }
 
+  test("cdcApply: last op wins, D deletes, op totals survive the delete filter") {
+    import graft.ops.EventOps
+    val ops = Seq(
+      (1L, 10L, 0L, "I", 1.0), (1L, 20L, 0L, "U", 2.0),  // k1: I then U
+      (2L, 10L, 0L, "I", 5.0), (2L, 30L, 0L, "D", 0.0),  // k2: deleted
+      (3L, 10L, 0L, "D", 0.0), (3L, 20L, 0L, "I", 7.0),  // k3: D then re-I
+      (4L, 10L, 0L, "I", 9.0), (4L, 10L, 1L, "U", 9.5))  // k4: seq tiebreak
+      .toDF("k", "seq", "sub", "op", "v")
+    val got = EventOps.cdcApply(ops, Seq("k"), Seq("seq", "sub"), "op", Seq("v"))
+      .select($"k", $"v", $"n_ops", $"last_seq")
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2.0, 2L, 20L),   // last U wins
+      (3L, 7.0, 2L, 20L),   // re-inserted after delete
+      (4L, 9.5, 2L, 10L)))  // tiebreaker column decides; k2 gone
+  }
+
+  test("resolveRedirects: chains collapse, loops flagged, depth doubles per round") {
+    import graft.ops.UrlOps
+    // chain a->b->c->d (depth 3) + 2-cycle x<->y + self-terminal m->t
+    val m = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"),
+      ("m", "t")).toDF("s", "d")
+    // 2 rounds resolve up to 4 hops: whole chain lands on d
+    val asMap = UrlOps.resolveRedirects(m, "s", "d", rounds = 2)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(asMap("a") == (("d", 0)) && asMap("b") == (("d", 0))
+      && asMap("c") == (("d", 0)) && asMap("m") == (("t", 0)))
+    assert(asMap("x")._2 == 1 && asMap("y")._2 == 1, asMap.toString)
+    // 1 round resolves only 2 hops: a lands on c's target? depth check —
+    // r1(a) = r0(r0(a)) = r0(b) = c... still a source, so flagged
+    val one = UrlOps.resolveRedirects(m, "s", "d", rounds = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(one("a") == (("c", 1)), one.toString) // over-budget = flagged
+  }
+
   test("triangleStats: closed-form graphs (complete / star / ring), hub-safe") {
     import graft.ops.GraphOps
     def complete(n: Int) = (for { i <- 0 until n; j <- i + 1 until n }
