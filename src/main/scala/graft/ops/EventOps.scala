@@ -1139,4 +1139,61 @@ object EventOps {
         col("_n_ops").as("n_ops"),
         col(seqCols.head).as("last_seq")): _*)
   }
+
+  /** [[cdcApply]]'s streaming twin — a keyed last-op-wins store with
+    * REAL tombstone deletes (the faust `del table[k]` /
+    * value-None-deletes contract, `tables/base.py` — the one keyed
+    * mutation the engine's other stateful tables don't exercise:
+    * `state.remove()` actually frees the slot, so state stays
+    * proportional to LIVE keys, not ever-seen keys). Ops arrive as
+    * (key, seq, sub, op, value); within a micro-batch they replay in
+    * (seq, sub) order, across batches the store keeps the newest
+    * applied (seq, sub) and drops stale arrivals (out-of-order
+    * replays converge to the batch answer). Update-mode emission: one
+    * row per touched key per batch — (key, value, n_ops, last_seq,
+    * present); `present = false` is the downstream tombstone (value
+    * and last_seq then describe the delete op). Final snapshot
+    * (latest emission per key, `present` only) matches batch
+    * [[cdcApply]] on (key, value, last_seq) for ANY batch split —
+    * spec-pinned. The one documented divergence: because a delete
+    * FREES the slot, `n_ops` restarts when a key is deleted in one
+    * batch and re-inserted in a later one (ops since the last
+    * resurrection); within-batch delete+re-insert keeps the full
+    * count. That is the price of state ∝ live keys — the flag-only
+    * alternative never shrinks.
+    */
+  def cdcApplyStream(ops: Dataset[(Long, Long, Long, String, Double)])
+      : DataFrame = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Double, Long, Boolean), // lastSeq, lastSub, value, nOps, present
+        (Long, Double, Long, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, Long, Double, Long, Boolean)]) =>
+          val batch = it.toSeq.sortBy(t => (t._2, t._3))
+          var (ls, lb, v, n, present) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0.0, 0L, false))
+          batch.foreach { case (_, seq, sub, op, value) =>
+            n += 1
+            if (seq > ls || (seq == ls && sub > lb)) {
+              ls = seq; lb = sub
+              if (op == "D") { v = value; present = false }
+              else { v = value; present = true }
+            }
+          }
+          if (present) state.update((ls, lb, v, n, present))
+          else {
+            // a real delete: the slot is FREED, not flagged — but the
+            // op total must survive, so tombstoned keys that get
+            // re-inserted later resume their count from the emission
+            // the reader keeps (state itself restarts at the re-insert)
+            state.remove()
+          }
+          Iterator((key, v, n, ls, present))
+      }
+      .toDF("k", "value", "n_ops", "last_seq", "present")
+  }
 }
