@@ -141,7 +141,9 @@ object Bench {
     "q133_stickiness_sketch", "t52_mg_stream_bounds",
     "q134_recent_concentration", "q135_sole_late_shipper",
     "q136_dormant_rich", "m12_jpeg_meta", "m13_jpeg_phash",
-    "u13_triangle_census", "q137_cdc_merge", "u14_redirect_resolution")
+    "u13_triangle_census", "q137_cdc_merge", "u14_redirect_resolution",
+    // round-15 addition: the color (YCbCr 4:2:0) codec pair
+    "m14_color_jpeg")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08
@@ -219,7 +221,7 @@ object Bench {
     // layout, and what a refresh re-reads), loaded into TableServer's
     // hot in-memory SnapshotIndex at start() — the "queryable table"
     // claim with a number attached.
-    val needServing = want("b05_point_lookups")
+    val needServing = want("b05_point_lookups") || want("b06_sharded_lookups")
     val serving: Option[(graft.serving.TableServer, Int, Long)] = if (needServing) {
       import org.apache.spark.sql.functions._
       val snapDir = java.nio.file.Files
@@ -238,9 +240,16 @@ object Bench {
       // HTTP round-trip with ZERO Spark work — the refresh cadence
       // (per changelog batch) bounds staleness.
       val snap = spark.read.parquet(snapDir)
+      // the same rollup served twice: one flat SnapshotIndex (b05) and
+      // one 8-shard consistent-hash router (b06) — the faust
+      // partition-ownership posture, and the capacity path past one
+      // index's row guard. b06 vs b05 prices the routing hop (a
+      // driver-side xxhash64 + one more map indirection per GET).
       val srv = new graft.serving.TableServer()
         .serveTable("users", () => snap, "user_id", numericKey = true,
           hot = true)
+        .serveTableSharded("users_sharded", () => snap, "user_id",
+          nShards = 8, numericKey = true)
         .start()
       // dense user_id key space: max+1 keys (lookups cycle within it
       // so every GET hits — a 404 would mean the serving path broke);
@@ -258,9 +267,9 @@ object Bench {
     // faster AND the more honest client here.
     val nLookups = 10000
     val nWorkers = 8
-    def oneGet(port: Int, key: Long): Unit = {
+    def oneGet(port: Int, key: Long, table: String = "users"): Unit = {
       val url = java.net.URI.create(
-        s"http://127.0.0.1:$port/table/users/$key").toURL
+        s"http://127.0.0.1:$port/table/$table/$key").toURL
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(30000)
       conn.setReadTimeout(30000)
@@ -275,25 +284,29 @@ object Bench {
       require(code == 200 && body.contains("n_events"),
         s"lookup for user $key failed: HTTP $code body=$body")
     }
-    def pointLookups(): Unit = serving.foreach { case (_, port, nKeys) =>
-      val perWorker = nLookups / nWorkers
-      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val threads = (0 until nWorkers).map { w =>
-        val t = new Thread(() => {
-          try {
-            var i = 0
-            while (i < perWorker) {
-              oneGet(port, (w.toLong * perWorker + i) % nKeys)
-              i += 1
-            }
-          } catch { case e: Throwable => failure.compareAndSet(null, e) }
-        })
-        t.start(); t
+    def pointLookups(table: String = "users"): Unit =
+      serving.foreach { case (_, port, nKeys) =>
+        val perWorker = nLookups / nWorkers
+        val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+        val threads = (0 until nWorkers).map { w =>
+          val t = new Thread(() => {
+            try {
+              var i = 0
+              while (i < perWorker) {
+                oneGet(port, (w.toLong * perWorker + i) % nKeys, table)
+                i += 1
+              }
+            } catch { case e: Throwable => failure.compareAndSet(null, e) }
+          })
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        if (failure.get() != null) throw failure.get()
       }
-      threads.foreach(_.join())
-      if (failure.get() != null) throw failure.get()
+    if (needServing) { // connection + codegen warmup, untimed
+      if (want("b05_point_lookups")) pointLookups()
+      if (want("b06_sharded_lookups")) pointLookups("users_sharded")
     }
-    if (needServing) pointLookups() // connection + codegen warmup, untimed
 
     val needBucketed = want("b04_bucketed_multi_join")
     if (needBucketed) {
@@ -353,7 +366,12 @@ object Bench {
       // divide 10000 by the reported seconds for lookups/sec
       // (BASELINE.md b05; round 14 moved b05 from the cold pruned-scan
       // tier to the SnapshotIndex hot tier and 100 → 10000 lookups)
-      "b05_point_lookups" -> (() => () => pointLookups()))
+      "b05_point_lookups" -> (() => () => pointLookups()),
+      // the same 10,000 GETs through the 8-shard consistent-hash
+      // router (ShardedSnapshotIndex) — b06 minus b05 is the price of
+      // partition-ownership routing, and the capacity story past one
+      // index's row guard (BASELINE.md §b05/b06)
+      "b06_sharded_lookups" -> (() => () => pointLookups("users_sharded")))
       .filter { case (name, _) => want(name) }
     val entries = named ++ scenarios
 
@@ -468,7 +486,8 @@ object Bench {
     // hundred chars, guaranteed under the tail budget. Untruncated
     // numbers live in bench_full.json for the judge.
     val headlineRes = results.filter(r => eventScenarios(r._1) ||
-      r._1 == "b04_bucketed_multi_join" || r._1 == "b05_point_lookups")
+      r._1 == "b04_bucketed_multi_join" || r._1 == "b05_point_lookups" ||
+      r._1 == "b06_sharded_lookups")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
     val compactQs = (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_._1 == s._1)))
       .map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }

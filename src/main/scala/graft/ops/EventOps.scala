@@ -1155,12 +1155,16 @@ object EventOps {
     * and last_seq then describe the delete op). Final snapshot
     * (latest emission per key, `present` only) matches batch
     * [[cdcApply]] on (key, value, last_seq) for ANY batch split —
-    * spec-pinned. The one documented divergence: because a delete
-    * FREES the slot, `n_ops` restarts when a key is deleted in one
-    * batch and re-inserted in a later one (ops since the last
+    * spec-pinned. The one documented divergence — the CONTRACT,
+    * spec-asserted both ways in Round15Spec: because a delete FREES
+    * the slot, `n_ops` restarts when a key is deleted in one batch
+    * and re-inserted in a later one (ops since the last
     * resurrection); within-batch delete+re-insert keeps the full
-    * count. That is the price of state ∝ live keys — the flag-only
-    * alternative never shrinks.
+    * count. Nothing is lost: the tombstone emission carries the
+    * pre-delete prefix, so `tombstone.n_ops + resurrected.n_ops`
+    * reconstructs the batch total downstream (asserted). That is the
+    * price of state ∝ live keys — the flag-only alternative never
+    * shrinks.
     */
   def cdcApplyStream(ops: Dataset[(Long, Long, Long, String, Double)])
       : DataFrame = {

@@ -315,6 +315,12 @@ object JpegOps {
       pos += 2 + len
     }
     require(sosAt > 0 && w > 0 && h > 0, "missing SOS/SOF0")
+    // SOF0 carries u16 dims, so w*h can reach ~2^32 and wrap the Int
+    // allocation negative — a hostile-but-well-formed header must die
+    // with the named profile error, not NegativeArraySizeException
+    // (PngOps has the same guard)
+    require(w.toLong * h <= Int.MaxValue,
+      s"dimensions ${w}x$h exceed supported pixel count")
     val q = quant(qsel)
     require(q != null, s"missing quant table $qsel")
     val dcT = dcTables(dcSel); val acT = acTables(acSel)
@@ -559,6 +565,417 @@ object JpegOps {
     out.toByteArray
   }
 
+  // ── Color: baseline YCbCr 4:2:0 — the dominant crawl-image profile.
+  // One MCU = 16×16 pixels = 4 interleaved Y blocks (2×2) + 1 Cb + 1
+  // Cr; chroma planes are (⌈w/2⌉ × ⌈h/2⌉). The color transform is
+  // libjpeg's exact fixed-point table math (jdcolor.c): SCALEBITS=16,
+  // FIX(1.40200)=91881, FIX(0.34414)=22554, FIX(0.71414)=46802,
+  // FIX(1.77200)=116130 — integer-deterministic, so the DuckDB oracle
+  // replays it with `//` floor division. ────────────────────────────────
+
+  /** Decoded 4:2:0 frame: full-res luma + quarter-res chroma planes
+    * (values 0..255 as bytes). `cw`/`ch` are the chroma dims.
+    */
+  final case class YCbCr420(width: Int, height: Int, y: Array[Byte],
+                            cb: Array[Byte], cr: Array[Byte]) {
+    def cw: Int = (width + 1) / 2
+    def ch: Int = (height + 1) / 2
+  }
+
+  /** libjpeg-exact integer YCbCr→RGB (jdcolor.c table build):
+    * `r = y + ((91881·crd + 32768) >> 16)`,
+    * `g = y + ((−22554·cbd − 46802·crd + 32767) >> 16)`,
+    * `b = y + ((116130·cbd + 32768) >> 16)`, clamped to 0..255 —
+    * the `>> 16` is floor division by 65536 (arithmetic shift), which
+    * is what SQL `// 65536` computes, so the oracle replays this
+    * bit-for-bit.
+    */
+  def ycbcrToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val cbd = cb - 128; val crd = cr - 128
+    def cl(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    (cl(y + ((91881 * crd + 32768) >> 16)),
+      cl(y + ((-22554 * cbd - 46802 * crd + 32767) >> 16)),
+      cl(y + ((116130 * cbd + 32768) >> 16)))
+  }
+
+  /** Decode a baseline YCbCr 4:2:0 JPEG (SOF0, 3 components, Y 2×2 /
+    * Cb 1×1 / Cr 1×1 sampling) to its planes. The interleaved MCU
+    * scan decodes 4 Y blocks then Cb then Cr per MCU, with per-
+    * component DC prediction and quant/Huffman table selection, RSTn
+    * resync on MCU boundaries — the full T.81 color path minus only
+    * the upsample/color-transform (left to the caller so tests can
+    * pin the exact plane values).
+    */
+  def decodeYCbCr420Baseline(jpeg: Array[Byte]): YCbCr420 = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0; var restartInterval = 0
+    // per-component (in frame order Y, Cb, Cr): quant sel, DC sel, AC sel
+    val qSel = new Array[Int](3)
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
+    var pos = 2
+    var sosAt = -1
+    while (sosAt < 0 && pos + 4 <= jpeg.length) {
+      require((jpeg(pos) & 0xff) == 0xff, f"bad marker at $pos")
+      val marker = jpeg(pos + 1) & 0xff
+      val len = u16(jpeg, pos + 2)
+      marker match {
+        case 0xdb =>
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pq = (jpeg(p) >> 4) & 0x0f; val tq = jpeg(p) & 0x0f
+            require(pq == 0, "16-bit quant tables are outside baseline-8")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = jpeg(p + 1 + i) & 0xff; i += 1 }
+            quant(tq) = t
+            p += 65
+          }
+        case 0xc4 =>
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val tc = (jpeg(p) >> 4) & 0x0f; val th = jpeg(p) & 0x0f
+            val counts = (0 until 16).map(i => jpeg(p + 1 + i) & 0xff).toArray
+            val n = counts.sum
+            val syms = java.util.Arrays.copyOfRange(jpeg, p + 17, p + 17 + n)
+            if (tc == 0) dcTables(th) = new Huff(counts, syms)
+            else acTables(th) = new Huff(counts, syms)
+            p += 17 + n
+          }
+        case 0xc0 =>
+          require((jpeg(pos + 4) & 0xff) == 8, "8-bit precision only")
+          h = u16(jpeg, pos + 5); w = u16(jpeg, pos + 7)
+          require(w.toLong * h <= Int.MaxValue,
+            s"dimensions ${w}x$h exceed supported pixel count")
+          require((jpeg(pos + 9) & 0xff) == 3,
+            "YCbCr (3-component) profile only")
+          var c = 0
+          while (c < 3) {
+            val off = pos + 10 + 3 * c
+            val sampling = jpeg(off + 1) & 0xff
+            val expect = if (c == 0) 0x22 else 0x11
+            require(sampling == expect,
+              f"unsupported sampling 0x$sampling%02x for component $c " +
+                "(4:2:0 only: Y 2x2, chroma 1x1)")
+            qSel(c) = jpeg(off + 2) & 0x0f
+            c += 1
+          }
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG profile: SOF marker 0xff$m%02x (baseline SOF0 only)")
+        case 0xdd => restartInterval = u16(jpeg, pos + 4)
+        case 0xda =>
+          require((jpeg(pos + 4) & 0xff) == 3, "3-component scan only")
+          var c = 0
+          while (c < 3) {
+            val off = pos + 5 + 2 * c
+            dcSel(c) = (jpeg(off + 1) >> 4) & 0x0f
+            acSel(c) = jpeg(off + 1) & 0x0f
+            c += 1
+          }
+          sosAt = pos + 2 + len
+        case _ => ()
+      }
+      pos += 2 + len
+    }
+    require(sosAt > 0 && w > 0 && h > 0, "missing SOS/SOF0")
+    val q = qSel.map { s =>
+      val t = quant(s); require(t != null, s"missing quant table $s"); t
+    }
+    val dcT = dcSel.map { s =>
+      val t = dcTables(s); require(t != null, s"missing DC table $s"); t
+    }
+    val acT = acSel.map { s =>
+      val t = acTables(s); require(t != null, s"missing AC table $s"); t
+    }
+
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val yPl = new Array[Byte](w * h)
+    val cbPl = new Array[Byte](cw * ch)
+    val crPl = new Array[Byte](cw * ch)
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    val br = new BitReader(jpeg, sosAt)
+    val blk = new Array[Int](64)
+    val out = new Array[Int](64)
+    val ws = new Array[Long](64)
+    val pred = new Array[Int](3)
+    var mcusSinceRst = 0
+
+    // decode one block of component `comp`, then crop-copy into the
+    // target plane at (x0, y0)
+    def block(comp: Int, plane: Array[Byte], pw: Int, ph: Int,
+              x0: Int, y0: Int): Unit = {
+      java.util.Arrays.fill(blk, 0)
+      val s = dcT(comp).decode(br)
+      pred(comp) += extend(br.receive(s), s)
+      blk(0) = pred(comp) * q(comp)(0)
+      var k = 1
+      while (k < 64) {
+        val rs = acT(comp).decode(br)
+        val r = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) { if (r == 15) k += 16 else k = 64 }
+        else {
+          k += r
+          require(k < 64, "corrupt entropy stream (AC index overrun)")
+          blk(ZigZag(k)) = extend(br.receive(sz), sz) * q(comp)(ZigZag(k))
+          k += 1
+        }
+      }
+      idct8x8(blk, out, ws)
+      var yy = 0
+      while (yy < 8 && y0 + yy < ph) {
+        var xx = 0
+        while (xx < 8 && x0 + xx < pw) {
+          plane((y0 + yy) * pw + (x0 + xx)) = out(yy * 8 + xx).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcusSinceRst == restartInterval) {
+          br.byteAlign()
+          br.atMarker = false
+          var p = br.pos
+          while (p + 1 < jpeg.length && !((jpeg(p) & 0xff) == 0xff &&
+            (jpeg(p + 1) & 0xf8) == 0xd0)) p += 1
+          br.pos = p + 2
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+          mcusSinceRst = 0
+        }
+        // 4 Y blocks (2x2 raster order), then Cb, then Cr
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            block(0, yPl, w, h, mx * 16 + bx * 8, my * 16 + by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        block(1, cbPl, cw, ch, mx * 8, my * 8)
+        block(2, crPl, cw, ch, mx * 8, my * 8)
+        mcusSinceRst += 1
+        mx += 1
+      }
+      my += 1
+    }
+    YCbCr420(w, h, yPl, cbPl, crPl)
+  }
+
+  /** Encode 4:2:0 planes as a valid baseline color JPEG — the color
+    * twin of [[encodeGray8Baseline]]: flat quant 2 (one table, all
+    * components), the same generated fixed-length Huffman tables
+    * (selectors 0 for every component), interleaved MCU scan with
+    * per-component DC prediction, optional restart interval in MCUs.
+    * Deterministic byte-for-byte; ColorJpegSpec cross-checks the
+    * decode against the JDK on this output.
+    */
+  def encodeYCbCr420Baseline(w: Int, h: Int, yPl: Array[Byte],
+                             cbPl: Array[Byte], crPl: Array[Byte],
+                             restartInterval: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    require(yPl.length == w * h, s"need ${w * h} luma samples")
+    require(cbPl.length == cw * ch && crPl.length == cw * ch,
+      s"need ${cw * ch} chroma samples per plane")
+    val dcCodes = canonicalCodes(EncDcCounts, EncDcSymbols)
+    val acCodes = canonicalCodes(EncAcCounts, EncAcSymbols)
+    val basis = Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      0.5 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.fill(64)(EncQ))
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // Y 2x2, Cb/Cr 1x1, quant 0
+    seg(0xc4, ((0x00 +: EncDcCounts.toSeq) ++ EncDcSymbols.toSeq).toArray)
+    seg(0xc4, ((0x10 +: EncAcCounts.toSeq) ++ EncAcSymbols.toSeq).toArray)
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    var bw = new BitWriter(out)
+    val coefs = new Array[Int](64)
+    val pred = new Array[Int](3)
+
+    def encodeBlock(comp: Int, plane: Array[Byte], pw: Int, ph: Int,
+                    x0: Int, y0: Int): Unit = {
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sy = math.min(y0 + y, ph - 1)
+              val sx = math.min(x0 + x, pw - 1)
+              s += basis(u)(y) * basis(v)(x) *
+                ((plane(sy * pw + sx) & 0xff) - 128)
+              x += 1
+            }
+            y += 1
+          }
+          coefs(u * 8 + v) = math.round(s / EncQ).toInt
+          v += 1
+        }
+        u += 1
+      }
+      val dc = coefs(0)
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val dcCat = category(diff)
+      val (dcc, dcl) = dcCodes(dcCat)
+      bw.put(dcc, dcl)
+      if (dcCat > 0) {
+        val mag = if (diff >= 0) diff else diff + (1 << dcCat) - 1
+        bw.put(mag, dcCat)
+      }
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val c = coefs(ZigZag(k))
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
+          val sz = category(c)
+          val (ac, al) = acCodes((run << 4) | sz)
+          bw.put(ac, al)
+          val mag = if (c >= 0) c else c + (1 << sz) - 1
+          bw.put(mag, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+    }
+
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    var mcu = 0; var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu == restartInterval) {
+          bw.align()
+          out.write(0xff); out.write(0xd0 + (rstIdx & 7))
+          rstIdx += 1; mcu = 0
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+          bw = new BitWriter(out)
+        }
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            encodeBlock(0, yPl, w, h, mx * 16 + bx * 8, my * 16 + by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        encodeBlock(1, cbPl, cw, ch, mx * 8, my * 8)
+        encodeBlock(2, crPl, cw, ch, mx * 8, my * 8)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.align()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** Render each doc's text into a block-constant 16×16 COLOR fixture
+    * (one MCU: four constant Y blocks from codepoints 0..3 of the
+    * 6-point sample, one constant Cb block from point 4, one constant
+    * Cr from point 5) and encode with [[encodeYCbCr420Baseline]] —
+    * the m14 fixture rule. Block-constant planes make the lossy
+    * round-trip EXACT per component (the [[textToJpegOwn]] argument,
+    * component-wise), so decoded Y/Cb/Cr — and the RGB through the
+    * fixed-point transform — are pure integer functions of the text.
+    */
+  def textToColorJpegOwn(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("jpeg", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val cps =
+          if (row.isNullAt(txtIdx)) Array.empty[Int]
+          else row.getString(txtIdx).codePoints().toArray
+        val n = cps.length.toLong
+        def v(i: Int): Byte =
+          if (n > 0) (cps(((i * n) / 6).toInt) % 256).toByte else 0.toByte
+        val yPl = blockConstantRaster16(b => v(b))
+        val cbPl = Array.fill(64)(v(4))
+        val crPl = Array.fill(64)(v(5))
+        Row(row.getLong(idIdx),
+          encodeYCbCr420Baseline(16, 16, yPl, cbPl, crPl,
+            restartInterval = 1))
+      }
+    }.toDF("id", "jpeg")
+  }
+
+  /** m14's decode pass: full color pipeline (interleaved entropy
+    * decode, per-component dequant + IDCT, chroma upsample by
+    * replication, libjpeg fixed-point color transform) → per-image
+    * `(id, width, height, sh, r00, g00, b00)`: luma phash over the
+    * 8×8 grid sample plus the RGB of pixel (0,0) — both pure integer
+    * functions of the planes, so the oracle recomputes them from the
+    * fixture rule.
+    */
+  def colorJpegStats(df: DataFrame, idCol: String, jpegCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val jIdx = df.schema.fieldIndex(jpegCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("sh", LongType),
+      StructField("r00", IntegerType), StructField("g00", IntegerType),
+      StructField("b00", IntegerType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val img = decodeYCbCr420Baseline(row.getAs[Array[Byte]](jIdx))
+        val grid = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val sy = (gy.toLong * img.height) / 8
+            val sx = (gx.toLong * img.width) / 8
+            grid(gy * 8 + gx) =
+              (img.y(sy.toInt * img.width + sx.toInt) & 0xff).toLong
+            gx += 1
+          }
+          gy += 1
+        }
+        val (r, g, b) = ycbcrToRgb(img.y(0) & 0xff,
+          img.cb(0) & 0xff, img.cr(0) & 0xff)
+        Row(row.getLong(idIdx), img.width, img.height,
+          PhashKernel.phash56FromGrid(grid), r, g, b)
+      }
+    }.toDF("id", "width", "height", "sh", "r00", "g00", "b00")
+  }
+
   /** Render each doc's text into the SAME deterministic raster rule
     * as [[PngOps.textToPng]] and encode it with javax.imageio's JPEG
     * writer — an INDEPENDENT production encoder, so decoding its
@@ -597,6 +1014,64 @@ object JpegOps {
         Row(row.getLong(idIdx), bos.toByteArray)
       }
     }.toDF("id", "jpeg")
+  }
+
+  /** Render each doc's text into a BLOCK-CONSTANT 16×16 raster (four
+    * 8×8 blocks; block `b`'s value samples the codepoint stream at
+    * `(b·len)/4`, mod 256) and encode it with the repo's OWN
+    * deterministic baseline encoder ([[encodeGray8Baseline]], flat
+    * quant 2, generated fixed-length Huffman tables, restart interval
+    * 2 so the RSTn resync path runs inside the oracle-gated query
+    * too). Block-constant rasters make the LOSSY round-trip exact: a
+    * constant 8×8 block's FDCT is DC-only (every AC coefficient
+    * quantizes to zero under flat quant), the quantized DC
+    * `4·(v−128)` is integer-exact, and the islow IDCT of a DC-only
+    * block reproduces the constant bit-for-bit — so the decoded
+    * pixels are a pure integer function of the text, independent of
+    * any engine's quant tables, and the downstream phash is
+    * SQL-recomputable by the DuckDB oracle (m13). Spec-pinned:
+    * JpegSpec asserts decode∘encode ≡ identity on these rasters for
+    * both our decoder and the JDK's.
+    */
+  def textToJpegOwn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("jpeg", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val cps =
+          if (row.isNullAt(txtIdx)) Array.empty[Int]
+          else row.getString(txtIdx).codePoints().toArray
+        val n = cps.length.toLong
+        val px = blockConstantRaster16(b =>
+          if (n > 0) (cps(((b * n) / 4).toInt) % 256).toByte else 0.toByte)
+        Row(row.getLong(idIdx),
+          encodeGray8Baseline(16, 16, px, restartInterval = 2))
+      }
+    }.toDF("id", "jpeg")
+  }
+
+  /** 16×16 raster of four constant 8×8 blocks, row-major block index
+    * `b = (blockRow·2 + blockCol)` — the exact-round-trip fixture
+    * shape shared by [[textToJpegOwn]] and JpegSpec.
+    */
+  private[graft] def blockConstantRaster16(value: Int => Byte): Array[Byte] = {
+    val px = new Array[Byte](256)
+    var b = 0
+    while (b < 4) {
+      val v = value(b)
+      val y0 = (b / 2) * 8; val x0 = (b % 2) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { px((y0 + y) * 16 + (x0 + x)) = v; x += 1 }
+        y += 1
+      }
+      b += 1
+    }
+    px
   }
 
   /** DataFrame metadata pass: `(id, n_bytes, format, width, height)`

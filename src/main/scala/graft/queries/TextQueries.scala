@@ -1755,24 +1755,121 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ── m13: pHash over REAL decoded JPEG pixels — the full baseline
-    //    pipeline (marker walk, Huffman entropy decode, dequant,
-    //    integer islow IDCT) feeds m05/m11's integer-exact DCT
-    //    kernel. The decode is deterministic even though the encode
-    //    was lossy, but the decoded pixels depend on the encoder's
-    //    quant tables — not SQL-recomputable, so this entry is
-    //    rows-only gated; pixel correctness is pinned by JpegSpec's
-    //    bit-for-bit match against the JDK decoder ─────────────────────
+    //    pipeline (marker walk, DQT/DHT parse, Huffman entropy decode
+    //    with RSTn resync every 2 MCUs, dequant, integer islow IDCT)
+    //    feeds m05/m11's integer-exact DCT kernel. The fixtures are
+    //    encoded by the repo's OWN deterministic encoder over
+    //    block-constant rasters, which make the lossy round-trip
+    //    EXACT (constant blocks are DC-only; flat quant 2 keeps the
+    //    DC integer) — so the decoded pixels are a pure function of
+    //    the text and the oracle recomputes the hash from the same
+    //    block rule + DCT basis literals. Hash-EXACT here proves the
+    //    entire encode→entropy-decode→IDCT chain byte-perfect: any
+    //    misplaced bit in either codec changes sh. (Decode parity
+    //    against ImageIO-encoded streams — foreign quant tables —
+    //    stays spec-pinned in JpegSpec, where pixels can be compared
+    //    decoder-to-decoder instead of via SQL.) ────────────────────────
     Q("m13_jpeg_phash",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
-          lit(16).as("w"), lit(16).as("h"))
-        val jpegs = graft.ops.JpegOps.textToJpeg(docs, "doc_id", "text", "w", "h")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val jpegs = graft.ops.JpegOps.textToJpegOwn(docs, "doc_id", "text")
         graft.ops.JpegOps.jpegPhash(jpegs, "id", "jpeg")
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("sh"))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH k AS (SELECT * FROM
+          (VALUES ${graft.ops.MultimodalOps.dctBasisSqlValues}) t(u, x, kv)),
+        bv AS (
+          SELECT doc_id AS id, b.b AS blk,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((b.b * length(text)) // 4 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS v
+          FROM documents CROSS JOIN range(4) b(b)),
+        px AS (
+          SELECT bv.id, c.c AS cell, bv.v AS p
+          FROM bv JOIN range(64) c(c)
+            ON bv.blk = ((c.c // 8) // 4) * 2 + ((c.c % 8) // 4)),
+        coef AS (
+          SELECT px.id, (ka.u * 8 + kb.u) AS uv,
+            SUM(ka.kv * kb.kv * px.p) AS f
+          FROM px
+          JOIN k ka ON ka.x = px.cell // 8
+          JOIN k kb ON kb.x = px.cell % 8
+          GROUP BY px.id, ka.u, kb.u
+          HAVING (ka.u * 8 + kb.u) BETWEEN 1 AND 56),
+        tot AS (SELECT id, SUM(f) AS s FROM coef GROUP BY id)
+        SELECT coef.id AS doc_id, 16 AS width, 16 AS height,
+          CAST(SUM(CASE WHEN coef.f * 56 > tot.s
+               THEN (1::BIGINT << (uv - 1)) ELSE 0 END) AS BIGINT) AS sh
+        FROM coef JOIN tot ON coef.id = tot.id GROUP BY coef.id
+        ORDER BY doc_id""")),
+
+    // ── m14: COLOR JPEG (YCbCr 4:2:0) — the dominant crawl-image
+    //    profile: interleaved-MCU entropy decode (4 Y + Cb + Cr per
+    //    MCU, per-component DC prediction and tables, RSTn resync
+    //    every MCU), per-component dequant + islow IDCT, chroma
+    //    upsample, and libjpeg's exact fixed-point YCbCr→RGB. The
+    //    fixtures are own-encoded block-constant planes (m13's
+    //    exactness trick per component), so luma phash AND the
+    //    transform's RGB are pure integer functions of the text —
+    //    the oracle replays both, including the >>16 floor-shift via
+    //    an offset trick (DuckDB // truncates; +2^27 makes the
+    //    numerator positive where truncation == floor). JDK
+    //    cross-decode parity is spec-pinned in ColorJpegSpec ────────────
+    Q("m14_color_jpeg",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val jpegs = graft.ops.JpegOps.textToColorJpegOwn(docs, "doc_id", "text")
+        graft.ops.JpegOps.colorJpegStats(jpegs, "id", "jpeg")
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sh"), col("r00"), col("g00"), col("b00"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH k AS (SELECT * FROM
+          (VALUES ${graft.ops.MultimodalOps.dctBasisSqlValues}) t(u, x, kv)),
+        bv AS (
+          SELECT doc_id AS id, b.b AS i,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((b.b * length(text)) // 6 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS v
+          FROM documents CROSS JOIN range(6) b(b)),
+        px AS (
+          SELECT bv.id, c.c AS cell, bv.v AS p
+          FROM bv JOIN range(64) c(c)
+            ON bv.i = ((c.c // 8) // 4) * 2 + ((c.c % 8) // 4)),
+        coef AS (
+          SELECT px.id, (ka.u * 8 + kb.u) AS uv,
+            SUM(ka.kv * kb.kv * px.p) AS f
+          FROM px
+          JOIN k ka ON ka.x = px.cell // 8
+          JOIN k kb ON kb.x = px.cell % 8
+          GROUP BY px.id, ka.u, kb.u
+          HAVING (ka.u * 8 + kb.u) BETWEEN 1 AND 56),
+        tot AS (SELECT id, SUM(f) AS s FROM coef GROUP BY id),
+        shh AS (
+          SELECT coef.id,
+            CAST(SUM(CASE WHEN coef.f * 56 > tot.s
+                 THEN (1::BIGINT << (uv - 1)) ELSE 0 END) AS BIGINT) AS sh
+          FROM coef JOIN tot ON coef.id = tot.id GROUP BY coef.id),
+        comp AS (
+          SELECT id,
+            MAX(CASE WHEN i = 0 THEN v END) AS y0,
+            MAX(CASE WHEN i = 4 THEN v END) - 128 AS cbd,
+            MAX(CASE WHEN i = 5 THEN v END) - 128 AS crd
+          FROM bv GROUP BY id)
+        SELECT shh.id AS doc_id, 16 AS width, 16 AS height, shh.sh,
+          CAST(GREATEST(0, LEAST(255,
+            y0 + (91881 * crd + 32768 + 134217728) // 65536 - 2048))
+            AS INT) AS r00,
+          CAST(GREATEST(0, LEAST(255,
+            y0 + (-22554 * cbd - 46802 * crd + 32767 + 134217728) // 65536
+              - 2048)) AS INT) AS g00,
+          CAST(GREATEST(0, LEAST(255,
+            y0 + (116130 * cbd + 32768 + 134217728) // 65536 - 2048))
+            AS INT) AS b00
+        FROM shh JOIN comp ON shh.id = comp.id
+        ORDER BY doc_id""")),
 
     // ── m07: multimodal shard manifest — WebDataset-style packing:
     //    per source, round-robin-interleave the modalities (so every
@@ -3463,8 +3560,12 @@ object TextQueries {
     //    for mgSummariesStream (t51's bounded-state streaming twin).
     //    MG counter VALUES are arrival-order-dependent, so the oracle
     //    pins the order-FREE contract instead: replay the first 500
-    //    docs through the streaming operator (10 micro-batches, shard =
-    //    source, k = 10 slots), merge the final per-shard snapshots,
+    //    docs through the streaming operator (3 micro-batches — the
+    //    bound algebra holds under ANY batch split, so 3 barriers
+    //    exercise the cross-batch state merge at a third of the
+    //    round-14 fixture cost, which had grown to 43% of the entry's
+    //    bench time at 10 barriers; shard = source, k = 10 slots),
+    //    merge the final per-shard snapshots,
     //    and emit — keyed by the TRUE top-20 tokens, which SQL computes
     //    exactly — the full MG bound algebra as checks that must all be
     //    1 under ANY replay order: lb = Σ kept counters ≤ true ≤ lb +
@@ -3488,7 +3589,7 @@ object TextQueries {
           .select(col("doc_id"), col("source"), col("text"))
           .orderBy("doc_id").limit(500)
           .as[(Long, String, String)].collect()
-        // replay through the streaming operator in 50-doc micro-batches
+        // replay through the streaming operator in 167-doc micro-batches
         implicit val sqlCtx = s.sqlContext
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, String)]
@@ -3497,7 +3598,7 @@ object TextQueries {
           .writeStream.format("memory").queryName(qn)
           .outputMode("update").start()
         try {
-          docRows.grouped(50).foreach { batch =>
+          docRows.grouped(167).foreach { batch =>
             input.addData(batch.toSeq.flatMap { case (_, src, text) =>
               text.split(" ", -1).map(src -> _) })
             sq.processAllAvailable()

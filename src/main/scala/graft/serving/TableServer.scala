@@ -50,12 +50,18 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
 
   private case class Route(snapshot: () => DataFrame, keyCol: String,
                            numericKey: Boolean,
-                           index: Option[SnapshotIndex])
+                           index: Option[HotIndex])
 
   private val tables = TrieMap.empty[String, Route]
   private val pages = TrieMap.empty[String, Map[String, String] => String]
 
-  private val pool = Executors.newFixedThreadPool(nThreads)
+  // daemon threads: a constructed-but-never-stopped server (e.g. an
+  // exception between construction and start()) must not pin the JVM
+  private val pool = Executors.newFixedThreadPool(nThreads, r => {
+    val t = new Thread(r, "table-server-worker")
+    t.setDaemon(true)
+    t
+  })
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(pool)
 
@@ -72,6 +78,24 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
     val idx = if (hot) Some(new SnapshotIndex(snapshot, keyCol, maxIndexRows))
               else None
     tables.put(name, Route(snapshot, keyCol, numericKey, idx))
+    this
+  }
+
+  /** Register a table served hot through a [[ShardedSnapshotIndex]] —
+    * the faust `table_route` partition-ownership posture
+    * (`faust/app/router.py:25-77`): the key's consistent-hash shard
+    * answers from ITS in-memory slice, so tables bigger than one
+    * index's row guard stay hot (capacity = `nShards ×
+    * maxRowsPerShard`). Responses carry `X-Shard-Id` so callers can
+    * observe placement (the router parity surface).
+    */
+  def serveTableSharded(name: String, snapshot: () => DataFrame,
+                        keyCol: String, nShards: Int,
+                        numericKey: Boolean = false,
+                        maxRowsPerShard: Long = 2_000_000L): TableServer = {
+    val idx = new ShardedSnapshotIndex(snapshot, keyCol, nShards, numericKey,
+      maxRowsPerShard)
+    tables.put(name, Route(snapshot, keyCol, numericKey, Some(idx)))
     this
   }
 
@@ -113,7 +137,10 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
 
   def stop(): Unit = {
     server.stop(0)
-    pool.shutdown()
+    // interrupt in-flight cold-tier lookups and wait briefly so no
+    // Spark job is still running after stop() returns
+    pool.shutdownNow()
+    pool.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -143,6 +170,8 @@ final class TableServer(port: Int = 0, nThreads: Int = 16) {
                     version.toString)
                   ex.getResponseHeaders.set("X-Snapshot-Age-Millis",
                     (System.currentTimeMillis() - refreshedAt).toString)
+                  ex.getResponseHeaders.set("X-Shard-Id",
+                    idx.shardOf(key).toString)
                   respond(ex, 200, body)
                 case None => coldLookup(ex, route, key) // post-refresh keys
               }

@@ -104,6 +104,42 @@ class JpegSpec extends SparkTestBase {
     }
   }
 
+  test("block-constant rasters round-trip the lossy codec EXACTLY (m13's oracle contract)") {
+    // the m13 fixture shape: constant 8×8 blocks are DC-only spectra,
+    // flat quant 2 keeps the DC integer, and the islow IDCT of a
+    // DC-only block reproduces the constant — so decode∘encode must
+    // be the IDENTITY (not merely close) on every block value, in
+    // both our decoder and the JDK's, with and without restarts.
+    // This identity is what licenses m13's SQL oracle to recompute
+    // the phash from the raw block values.
+    val probes = Seq[Int => Byte](
+      b => Seq(0, 255, 128, 1)(b).toByte,          // extremes
+      b => Seq(127, 129, 64, 192)(b).toByte,       // around the level shift
+      b => (b * 85).toByte,                        // spread
+      _ => 0.toByte,                               // all-black
+      _ => 255.toByte)                             // all-white
+    probes.foreach { f =>
+      Seq(0, 2).foreach { rst =>
+        val px = JpegOps.blockConstantRaster16(f)
+        val jpeg = JpegOps.encodeGray8Baseline(16, 16, px, rst)
+        val mine = JpegOps.decodeGray8Baseline(jpeg)
+        assert(mine.pixels.toSeq == px.toSeq,
+          s"rst=$rst: our decode is not the identity on block-constant input")
+        val (_, _, ipx) = imageIoDecode(jpeg)
+        assert(ipx.toSeq == px.toSeq,
+          s"rst=$rst: JDK decode is not the identity on block-constant input")
+      }
+    }
+    // exhaustive single-value sweep: every possible block value 0..255
+    // must survive the round trip (DC magnitudes up to category 11)
+    (0 to 255).foreach { v =>
+      val px = JpegOps.blockConstantRaster16(_ => v.toByte)
+      val jpeg = JpegOps.encodeGray8Baseline(16, 16, px, 2)
+      assert(JpegOps.decodeGray8Baseline(jpeg).pixels.toSeq == px.toSeq,
+        s"block value $v did not round-trip")
+    }
+  }
+
   test("m12/m13 plumbing: meta + phash over the documents fixture") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"),

@@ -315,6 +315,20 @@ class ScaleStressSpec extends SparkTestBase {
         concat(lit("s"), expr("(doc_id * 7 + 3) div 100")).as("v"))
         .agg(count(lit(1)).cast("double").as("w"))
       graft.ops.GraphOps.hits(edges, iters = 3)
+    },
+    // round 15: redirect resolution by pointer doubling — derived
+    // 8-hop chains (depth FIXED as edges grow: chain i = docs
+    // [8i, 8i+7], tail maps to a terminal), so rounds=3 covers
+    // 2^3 = 8 hops at every scale and work is rounds × |edges| —
+    // the mapping self-joins, never a per-hop driver loop
+    "u14_redirect_resolution" -> { df =>
+      val edges = df.select(
+        concat(lit("n"), col("doc_id").cast("string")).as("s"),
+        when(col("doc_id") % 8 === 7,
+            concat(lit("t"), expr("doc_id div 8").cast("string")))
+          .otherwise(concat(lit("n"), (col("doc_id") + 1).cast("string")))
+          .as("d"))
+      graft.ops.UrlOps.resolveRedirects(edges, "s", "d", rounds = 3)
     })
 
   /** (vec_id, embedding)-framed trainer entries; the Int is the scale
@@ -490,6 +504,57 @@ class ScaleStressSpec extends SparkTestBase {
       f.select(when(col("purchase_ts").isNotNull, 3)
           .when(col("click_ts").isNotNull, 2).otherwise(1).as("depth"))
         .groupBy("depth").agg(count(lit(1)).as("n_users"))
+    },
+    // round 15: the engagement pair — the trailing-window forward
+    // explode is exactly w× the distinct (user, day) frame (salted
+    // copies are user-disjoint, day range shared, so actives per day
+    // scale with users and the explode scales with actives — never
+    // days²); the day-keyed report join is days-bounded
+    "q131_stickiness" -> { df =>
+      val d = df.select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+      val active = d.select("day").distinct()
+      val dau = d.groupBy("day").agg(count(lit(1)).as("dau"))
+      def trailing(w: Int, nm: String) = d
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (w - 1))).as("day"))
+        .join(active, Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as(nm))
+      dau.join(trailing(7, "wau"), Seq("day"))
+        .join(trailing(28, "mau"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("s7"))
+    },
+    // same explode; the (day, user) depth count partial-aggs before
+    // the days×7-bounded histogram rollup
+    "q132_engagement_depth" -> { df =>
+      val d = df.select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+      val active = d.select("day").distinct()
+      d.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(active, Seq("day"), "left_semi")
+        .groupBy("day", "user_id").agg(count(lit(1)).as("l_days"))
+        .groupBy("day", "l_days").agg(count(lit(1)).as("n_users"))
+    },
+    // q131's sketch twin: ONE corpus pass builds ≤ days×2^p register
+    // rows (CONSTANT as users grow — the live-serving state bound);
+    // the trailing merges touch sketch rows only
+    "q133_stickiness_sketch" -> (df =>
+      graft.ops.SketchOps.hllStickiness(
+        df.withColumn("day", expr("ts_sec div 86400")),
+        "day", "user_id", p = 8)),
+    // CDC MERGE batch apply: one key shuffle; the per-key replay is a
+    // window rank over per-user op groups whose size is constant
+    // across user-disjoint copies — total work ∝ op volume
+    "q137_cdc_merge" -> { df =>
+      val ops = df.select(col("user_id"), col("ts_sec"), col("event_id"),
+        when(col("event_type") === "purchase", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("value"))
+      graft.ops.EventOps.cdcApply(ops, Seq("user_id"),
+        Seq("ts_sec", "event_id"), "op", Seq("value"))
     },
     // two-pass quantile frame: groups-many bounds broadcast back over
     // the stream — group count is fixed, rows scale linearly
@@ -705,6 +770,12 @@ class ScaleStressSpec extends SparkTestBase {
   private def normalizeEquiJoins(shape: Seq[String]): Seq[String] =
     shape.map {
       case "BroadcastHashJoin" | "SortMergeJoin" | "ShuffledHashJoin" => "EquiJoin"
+      // the 1-row scalar-broadcast cross join flips between these two
+      // with estimated build-side size (measured: q133's register
+      // rollup at 100×) — the same planner-sizing class as the equi
+      // flip above; a cartesian APPEARING where none existed still
+      // changes the node count and fails
+      case "BroadcastNestedLoopJoin" | "CartesianProduct" => "CrossJoin"
       case other => other
     }
   extraFactor.foreach { f =>

@@ -156,6 +156,129 @@ class ServingSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("shard routing reproduces Spark's xxhash64 pmod bit-for-bit") {
+    // the slice filter (Spark plan) and the request router (driver
+    // JVM) must NEVER disagree about key ownership — assert
+    // ShardRouting against Spark's own evaluation on both key types
+    import graft.serving.ShardRouting
+    val n = 7
+    val longKeys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      123456789L) ++ (0L until 100L)
+    val sparkLong = longKeys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k").cast("long")), lit(n)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    longKeys.foreach { k =>
+      assert(ShardRouting.shardOf(Long.box(k), n) == sparkLong(k).toInt,
+        s"long key $k routed differently")
+    }
+    val strKeys = Seq("", "a", "k1", "user-12345", "καλημέρα", "\n",
+      "a longer key than eight bytes") ++ (0 until 50).map(i => s"key$i")
+    val sparkStr = strKeys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k").cast("string")), lit(n)).as("s"))
+      .as[(String, Long)].collect().toMap
+    strKeys.foreach { k =>
+      assert(ShardRouting.shardOf(k, n) == sparkStr(k).toInt,
+        s"string key '$k' routed differently")
+    }
+  }
+
+  test("sharded hot tier: capacity past one shard's guard, ownership visible") {
+    val dir = Files.createTempDirectory("graft-serve-shard").toString
+    writeChangelog(dir) // 4 keys
+    val keys = Seq("k1", "k2", "k3", "k4")
+    // pick a shard count under which the keys actually spread, then
+    // set the per-shard guard to the heaviest shard's load: a SINGLE
+    // index with that same guard could not hold all 4 keys, so a
+    // passing start() demonstrates capacity past one index's guard
+    val nShards = (2 to 5).find { n =>
+      keys.groupBy(k => graft.serving.ShardRouting.shardOf(k, n))
+        .values.map(_.size).max < keys.size
+    }.get
+    val maxLoad = keys.groupBy(k =>
+      graft.serving.ShardRouting.shardOf(k, nShards)).values.map(_.size).max
+    assert(maxLoad < keys.size)
+    val server = new TableServer()
+      .serveTableSharded("word_counts",
+        () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key",
+        nShards = nShards, maxRowsPerShard = maxLoad)
+      .start() // a SINGLE index with maxRows=maxLoad would fail this start()
+    try {
+      val port = server.boundPort
+      def get(path: String): (Int, String, Map[String, String]) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = Source.fromInputStream(is).mkString
+        val headers = Seq("X-Snapshot-Version", "X-Shard-Id")
+          .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+        (code, body, headers)
+      }
+      val expected = Map("k1" -> 4L, "k2" -> 11L, "k3" -> 30L, "k4" -> 40L)
+      expected.foreach { case (k, v) =>
+        val (c, b, h) = get(s"/table/word_counts/$k")
+        assert(c == 200 && b == s"""[{"key":"$k","value":$v}]""", s"$k: $b")
+        // placement surfaced and consistent with the routing function
+        assert(h.get("X-Shard-Id").contains(
+          graft.serving.ShardRouting.shardOf(k, nShards).toString), h)
+        assert(h.contains("X-Snapshot-Version"))
+      }
+      val (c404, _, _) = get("/table/word_counts/nope")
+      assert(c404 == 404)
+    } finally server.stop()
+  }
+
+  test("ShardedSnapshotIndex: slices are disjoint-and-complete; per-shard refresh") {
+    import graft.serving.ShardedSnapshotIndex
+    val dir = Files.createTempDirectory("graft-shard-idx").toString
+    writeChangelog(dir)
+    val keys = Seq("k1", "k2", "k3", "k4")
+    val nShards = (2 to 5).find { n =>
+      keys.groupBy(k => graft.serving.ShardRouting.shardOf(k, n))
+        .values.map(_.size).max < keys.size
+    }.get
+    val maxLoad = keys.groupBy(k =>
+      graft.serving.ShardRouting.shardOf(k, nShards)).values.map(_.size).max
+    val idx = new ShardedSnapshotIndex(
+      () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key",
+      nShards = nShards, numericKey = false, maxRowsPerShard = maxLoad)
+    idx.refresh()
+    assert(idx.size == 4, s"union of slices must be the whole table: ${idx.shardSizes}")
+    assert(idx.shardSizes.sum == 4 && idx.shardSizes.forall(_ <= maxLoad))
+    assert(idx.lookupWithMeta("k1").map(_._1)
+      .contains("""[{"key":"k1","value":4}]"""))
+    // a new batch lands; refreshing ONLY k1's owning shard picks it up
+    // there while other shards keep serving their current snapshots
+    ChangelogSink.appendBatch(dir)(Seq(("k1", 9L)).toDF("key", "value"), 4L)
+    idx.refreshShard(idx.shardOf("k1"))
+    assert(idx.lookupWithMeta("k1").map(_._1)
+      .contains("""[{"key":"k1","value":9}]"""))
+  }
+
+  test("JSON rendering escapes control characters (valid bodies on both tiers)") {
+    val dir = Files.createTempDirectory("graft-serve-esc").toString
+    val raw = "line1\nline2\ttab\rcr" + 1.toChar + "bell"
+    ChangelogSink.appendBatch(dir)(
+      Seq(("k1", raw)).toDF("key", "value"), 0L)
+    val server = new TableServer()
+      .serveTable("t", () => ChangelogSink.readCompacted(spark, dir, Seq("key")),
+        "key", hot = true)
+      .start()
+    try {
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${server.boundPort}/table/t/k1")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = Source.fromInputStream(conn.getInputStream).mkString
+      // named escapes for \n \t \r, \u00XX for other control chars,
+      // and NO raw control byte anywhere in the body
+      val expected = "[{\"key\":\"k1\",\"value\":" +
+        "\"line1\\nline2\\ttab\\rcr\\" + "u0001bell\"}]"
+      assert(body == expected, body)
+      assert(!body.exists(c => c < ' '))
+    } finally server.stop()
+  }
+
   test("hot tier row guard fails fast past maxIndexRows") {
     val dir = Files.createTempDirectory("graft-serve-guard").toString
     writeChangelog(dir)
