@@ -142,8 +142,9 @@ object Bench {
     "q134_recent_concentration", "q135_sole_late_shipper",
     "q136_dormant_rich", "m12_jpeg_meta", "m13_jpeg_phash",
     "u13_triangle_census", "q137_cdc_merge", "u14_redirect_resolution",
-    // round-15 addition: the color (YCbCr 4:2:0) codec pair
-    "m14_color_jpeg")
+    // round-15 additions: the color (YCbCr 4:2:0) codec pair, WAV/PCM
+    // audio features, GIF/LZW frame sampling, real bilinear resize
+    "m14_color_jpeg", "m15_wav_stats", "m16_gif_frames", "m17_real_resize")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -230,6 +230,69 @@ object MultimodalOps {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       PhashDct56(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Fixed-point integer bilinear resize of an 8-bit grayscale raster —
+    * the REAL resize member of the multimodal quartet (decode /
+    * feature-extract / RESIZE / frame-sample): 16.16 source
+    * coordinates (`fx = tx·(sw−1)·65536 / (tw−1)`, integer division),
+    * 4-tap blend in 64-bit integers, floor descale by 2^32 — fully
+    * deterministic and SQL-replayable (every intermediate is
+    * non-negative, so DuckDB's truncating `//` IS floor here). Edge
+    * taps clamp (`x1 = min(ix+1, sw−1)`), weight 0 when clamped.
+    * Degenerate 1-wide/1-tall targets pin to source origin.
+    */
+  def resizeBilinearGray8(src: Array[Byte], sw: Int, sh: Int,
+                          tw: Int, th: Int): Array[Int] = {
+    require(sw >= 1 && sh >= 1 && tw >= 1 && th >= 1, "bad dims")
+    require(src.length == sw * sh, "source size mismatch")
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val fy = if (th == 1) 0L else ty.toLong * (sh - 1) * 65536L / (th - 1)
+      val iy = (fy >> 16).toInt; val dy = fy & 0xffffL
+      val y1 = math.min(iy + 1, sh - 1)
+      var tx = 0
+      while (tx < tw) {
+        val fx = if (tw == 1) 0L else tx.toLong * (sw - 1) * 65536L / (tw - 1)
+        val ix = (fx >> 16).toInt; val dx = fx & 0xffffL
+        val x1 = math.min(ix + 1, sw - 1)
+        val p00 = src(iy * sw + ix) & 0xff
+        val p01 = src(iy * sw + x1) & 0xff
+        val p10 = src(y1 * sw + ix) & 0xff
+        val p11 = src(y1 * sw + x1) & 0xff
+        val top = p00 * (65536L - dx) + p01 * dx
+        val bot = p10 * (65536L - dx) + p11 * dx
+        out(ty * tw + tx) =
+          ((top * (65536L - dy) + bot * dy) >> 32).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** m17's DataFrame pass: decode each PNG (the REAL decoder —
+    * signature, chunk CRCs, inflate, row filters), bilinear-resize to
+    * `tw×th`, one row per target cell: `(id, cell, px)` — exploded so
+    * the oracle compares every resized pixel.
+    */
+  def realResize(df: DataFrame, idCol: String, pngCol: String,
+                 tw: Int, th: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(pngCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cell", IntegerType),
+      StructField("px", IntegerType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val img = PngOps.decodeGray8(row.getAs[Array[Byte]](pIdx))
+        val r = resizeBilinearGray8(img.pixels, img.width, img.height, tw, th)
+        val id = row.getLong(idIdx)
+        r.indices.map(c => Row(id, c, r(c)))
+      }
+    }.toDF("id", "cell", "px")
+  }
+
   /** Perceptual near-duplicate image pairs — the image-dedup member of
     * the near-dup family: [[phashDct]] signatures fed through the
     * same banded Hamming-LSH as SimHash text dedup (d07), at

@@ -1871,6 +1871,125 @@ object TextQueries {
         FROM shh JOIN comp ON shh.id = comp.id
         ORDER BY doc_id""")),
 
+    // ── m15: REAL audio decode — RIFF/WAVE PCM16 (WavOps): byte-level
+    //    chunk walk, named profile rejections, full sample decode
+    //    inside mapPartitions, integer-exact features (peak / energy /
+    //    zero crossings — the audio analog of the image phash). The
+    //    fixtures are own-encoded stereo clips whose samples are a
+    //    pure function of the text (PCM is LOSSLESS, so no exactness
+    //    trick is even needed); the oracle recomputes every feature.
+    //    JDK javax.sound cross-decode parity is spec-pinned in
+    //    WavSpec ──────────────────────────────────────────────────────────
+    Q("m15_wav_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+        graft.ops.WavOps.wavStats(wavs, "id", "wav")
+          .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("peak"), col("sumsq"), col("zero_crossings"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sm AS (
+          SELECT doc_id AS id, c.c AS i,
+            (CASE WHEN length(text) > 0 THEN
+               ascii(substr(text, CAST((c.c * length(text)) // 64 + 1 AS INT), 1)) % 256
+             ELSE 0 END - 128) * 256 AS s
+          FROM documents CROSS JOIN range(64) c(c)),
+        agg AS (
+          SELECT id, MAX(ABS(s)) AS peak,
+            SUM(CAST(s AS BIGINT) * s) AS sumsq
+          FROM sm GROUP BY id),
+        ch0 AS (SELECT id, i // 2 AS f, s FROM sm WHERE i % 2 = 0),
+        zcs AS (
+          SELECT id, s, LAG(s) OVER (PARTITION BY id ORDER BY f) AS ps
+          FROM ch0),
+        zc AS (
+          SELECT id, CAST(COALESCE(SUM(CASE WHEN ps IS NOT NULL
+              AND ((s < 0) != (ps < 0)) THEN 1 ELSE 0 END), 0) AS INT)
+            AS zero_crossings
+          FROM zcs GROUP BY id)
+        SELECT agg.id AS doc_id, 8000 AS sample_rate, 2 AS channels,
+          32 AS n_frames, CAST(agg.peak AS INT) AS peak,
+          CAST(agg.sumsq AS BIGINT) AS sumsq, zc.zero_crossings
+        FROM agg JOIN zc ON agg.id = zc.id
+        ORDER BY doc_id""")),
+
+    // ── m16: REAL frame sampling — GIF89a animations with full LZW
+    //    (GifOps): the video-pipeline shape (decode container →
+    //    sample every k-th frame → per-frame features) on a real
+    //    public byte format. Own-encoded 4-frame fixtures (GIF is
+    //    LOSSLESS — no exactness trick needed); stride-2 sampling
+    //    keeps frames 0 and 2; features are integer-exact so the
+    //    oracle recomputes them. Decoding FOREIGN streams (ImageIO's
+    //    variable-width LZW, interlaced) is spec-pinned in GifSpec ─────
+    Q("m16_gif_frames",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val gifs = graft.ops.GifOps.textToGifOwn(docs, "doc_id", "text")
+        graft.ops.GifOps.gifFrameSample(gifs, "id", "gif", stride = 2)
+          .select(col("id").as("doc_id"), col("n_frames"), col("frame_idx"),
+            col("px_sum"), col("px_min"), col("px_max"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH fv AS (
+          SELECT doc_id, f.f AS frame_idx,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((f.f * length(text)) // 4 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS v
+          FROM documents CROSS JOIN range(4) f(f)
+          WHERE f.f % 2 = 0)
+        SELECT doc_id, 4 AS n_frames, CAST(frame_idx AS INT) AS frame_idx,
+          CAST(64 * v AS BIGINT) AS px_sum, CAST(v AS INT) AS px_min,
+          CAST(v AS INT) AS px_max
+        FROM fv ORDER BY doc_id, frame_idx""")),
+
+    // ── m17: REAL resize — the last member of the multimodal quartet
+    //    (decode / feature-extract / resize / frame-sample) to go from
+    //    plan (m04) to pixels: decode each doc's PNG with the real
+    //    decoder (CRCs, inflate, row filters), then fixed-point
+    //    integer BILINEAR resize 6×5 → 4×4 (16.16 coords, 4-tap blend,
+    //    floor descale — every intermediate non-negative, so DuckDB's
+    //    truncating // replays the >> exactly). Exploded one row per
+    //    resized pixel so the oracle checks all 16 taps per doc ─────────
+    Q("m17_real_resize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          lit(6).as("w"), lit(5).as("h"))
+        val pngs = graft.ops.PngOps.textToPng(docs, "doc_id", "text", "w", "h")
+        graft.ops.MultimodalOps.realResize(pngs, "id", "png", tw = 4, th = 4)
+          .select(col("id").as("doc_id"), col("cell"), col("px"))
+          .orderBy("doc_id", "cell")
+      },
+      Some("""WITH src AS (
+          SELECT doc_id AS id, c.c AS sc,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((c.c * length(text)) // 30 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS p
+          FROM documents CROSS JOIN range(30) c(c)),
+        tgt AS (
+          SELECT t.t AS cell,
+            ((t.t % 4) * 5 * 65536) // 3 AS fx,
+            ((t.t // 4) * 4 * 65536) // 3 AS fy
+          FROM range(16) t(t)),
+        c2 AS (
+          SELECT cell, fx // 65536 AS ix, fx % 65536 AS dx,
+                 fy // 65536 AS iy, fy % 65536 AS dy
+          FROM tgt),
+        c3 AS (
+          SELECT cell, ix, dx, iy, dy,
+            LEAST(ix + 1, 5) AS x1, LEAST(iy + 1, 4) AS y1
+          FROM c2)
+        SELECT s00.id AS doc_id, CAST(c3.cell AS INT) AS cell,
+          CAST(((s00.p * (65536 - dx) + s01.p * dx) * (65536 - dy)
+              + (s10.p * (65536 - dx) + s11.p * dx) * dy)
+            // 4294967296 AS INT) AS px
+        FROM c3
+        JOIN src s00 ON s00.sc = iy * 6 + ix
+        JOIN src s01 ON s01.id = s00.id AND s01.sc = iy * 6 + x1
+        JOIN src s10 ON s10.id = s00.id AND s10.sc = y1 * 6 + ix
+        JOIN src s11 ON s11.id = s00.id AND s11.sc = y1 * 6 + x1
+        ORDER BY doc_id, cell""")),
+
     // ── m07: multimodal shard manifest — WebDataset-style packing:
     //    per source, round-robin-interleave the modalities (so every
     //    shard trains a mixed batch), then cut ~2000-byte shards by

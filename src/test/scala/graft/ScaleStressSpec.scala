@@ -252,6 +252,18 @@ class ScaleStressSpec extends SparkTestBase {
         .agg(sum(TextOps.tokenCount(col("text"))).as("n_toks"))
       graft.ops.SampleOps.waterfillQuota(sup, "src", "n_toks", 60)
     },
+    // round 15: codec kernels — encode+decode inside mapPartitions,
+    // zero shuffles, per-blob CPU; must scale with docs exactly
+    "m16_gif_frames" -> (df =>
+      graft.ops.GifOps.gifFrameSample(
+        graft.ops.GifOps.textToGifOwn(df, "doc_id", "text"),
+        "id", "gif", stride = 2)),
+    "m17_real_resize" -> (df =>
+      graft.ops.MultimodalOps.realResize(
+        graft.ops.PngOps.textToPng(
+          df.withColumn("w", lit(6)).withColumn("h", lit(5)),
+          "doc_id", "text", "w", "h"),
+        "id", "png", tw = 4, th = 4)),
     // the (shard, token) census shuffle scales with corpus tokens;
     // the summary artifact and the merge stay shards×k rows at any
     // corpus size (the mergeable-summaries contract under stress)
