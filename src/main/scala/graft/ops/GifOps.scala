@@ -196,6 +196,7 @@ object GifOps {
       "not a GIF stream")
     def u16(off: Int): Int = (gif(off) & 0xff) | ((gif(off + 1) & 0xff) << 8)
     val w = u16(6); val h = u16(8)
+    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$h")
     require(w.toLong * h <= Int.MaxValue,
       s"dimensions ${w}x$h exceed supported pixel count")
     val flags = gif(10) & 0xff
@@ -209,9 +210,12 @@ object GifOps {
         case 0x3b => done = true
         case 0x21 => // extension: label + sub-blocks
           pos += 2
-          while ((gif(pos) & 0xff) != 0) pos += 1 + (gif(pos) & 0xff)
+          while ({ require(pos < gif.length, "truncated GIF extension")
+                   (gif(pos) & 0xff) != 0 })
+            pos += 1 + (gif(pos) & 0xff)
           pos += 1
         case 0x2c =>
+          require(pos + 11 <= gif.length, "truncated image descriptor")
           val fw = u16(pos + 5); val fh = u16(pos + 7)
           val fflags = gif(pos + 9) & 0xff
           require((fflags & 0x80) == 0,
@@ -227,8 +231,10 @@ object GifOps {
           require(minCode == 8, s"unsupported LZW min code size $minCode")
           pos += 1
           val data = new java.io.ByteArrayOutputStream()
-          while ((gif(pos) & 0xff) != 0) {
+          while ({ require(pos < gif.length, "truncated GIF image data")
+                   (gif(pos) & 0xff) != 0 }) {
             val n = gif(pos) & 0xff
+            require(pos + 1 + n <= gif.length, "truncated GIF sub-block")
             data.write(gif, pos + 1, n)
             pos += 1 + n
           }
@@ -275,11 +281,8 @@ object GifOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
         val frames = (0 until 4).map { f =>
-          val v = if (n > 0) (cps(((f * n) / 4).toInt) % 256).toByte
-            else 0.toByte
-          Array.fill(64)(v)
+          Array.fill(64)(MultimodalOps.textPoint(cps, f, 4).toByte)
         }
         Row(row.getLong(idIdx), encodeGifFrames(8, 8, frames))
       }

@@ -271,28 +271,8 @@ object JpegOps {
       val marker = jpeg(pos + 1) & 0xff
       val len = u16(jpeg, pos + 2)
       marker match {
-        case 0xdb => // DQT — possibly several tables per segment
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pq = (jpeg(p) >> 4) & 0x0f; val tq = jpeg(p) & 0x0f
-            require(pq == 0, "16-bit quant tables are outside baseline-8")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) { t(ZigZag(i)) = jpeg(p + 1 + i) & 0xff; i += 1 }
-            quant(tq) = t
-            p += 65
-          }
-        case 0xc4 => // DHT — possibly several tables per segment
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tc = (jpeg(p) >> 4) & 0x0f; val th = jpeg(p) & 0x0f
-            val counts = (0 until 16).map(i => jpeg(p + 1 + i) & 0xff).toArray
-            val n = counts.sum
-            val syms = java.util.Arrays.copyOfRange(jpeg, p + 17, p + 17 + n)
-            if (tc == 0) dcTables(th) = new Huff(counts, syms)
-            else acTables(th) = new Huff(counts, syms)
-            p += 17 + n
-          }
+        case 0xdb => parseDqtInto(jpeg, pos, len, quant)
+        case 0xc4 => parseDhtInto(jpeg, pos, len, dcTables, acTables)
         case 0xc0 =>
           require((jpeg(pos + 4) & 0xff) == 8, "8-bit precision only")
           h = u16(jpeg, pos + 5); w = u16(jpeg, pos + 7)
@@ -301,6 +281,7 @@ object JpegOps {
           require((jpeg(pos + 11) & 0xff) == 0x11,
             "1x1 sampling only (trivially true for grayscale)")
           qsel = jpeg(pos + 12) & 0x0f
+          require(qsel < 4, s"quant selector $qsel is outside baseline (0..3)")
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw new IllegalArgumentException(
             f"unsupported JPEG profile: SOF marker 0xff$m%02x (baseline SOF0 only)")
@@ -309,6 +290,8 @@ object JpegOps {
           require((jpeg(pos + 4) & 0xff) == 1, "one scan component only")
           dcSel = (jpeg(pos + 6) >> 4) & 0x0f
           acSel = jpeg(pos + 6) & 0x0f
+          require(dcSel < 4 && acSel < 4,
+            s"scan table selectors $dcSel/$acSel are outside baseline (0..3)")
           sosAt = pos + 2 + len
         case _ => () // APPn / COM / etc.
       }
@@ -453,6 +436,113 @@ object JpegOps {
     s
   }
 
+  /** Orthonormal DCT-II basis via StrictMath (platform-deterministic),
+    * shared by both encoders.
+    */
+  private lazy val EncBasis: Array[Array[Double]] =
+    Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      0.5 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+
+  /** FDCT (over [[EncBasis]]) + flat-EncQ quantize + Huffman-emit of
+    * ONE 8×8 block sampled from `plane` at (x0, y0) with edge
+    * replication; updates the component's DC predictor in place — the
+    * single block kernel the gray and color encoders share.
+    */
+  private def encodeBlockInto(bw: BitWriter, coefs: Array[Int],
+      plane: Array[Byte], pw: Int, ph: Int, x0: Int, y0: Int,
+      pred: Array[Int], comp: Int,
+      dcCodes: Map[Int, (Int, Int)], acCodes: Map[Int, (Int, Int)]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sy = math.min(y0 + y, ph - 1)
+            val sx = math.min(x0 + x, pw - 1)
+            s += EncBasis(u)(y) * EncBasis(v)(x) *
+              ((plane(sy * pw + sx) & 0xff) - 128)
+            x += 1
+          }
+          y += 1
+        }
+        coefs(u * 8 + v) = math.round(s / EncQ).toInt
+        v += 1
+      }
+      u += 1
+    }
+    // DC diff, then AC in zigzag order with run-length + ZRL + EOB
+    val dc = coefs(0)
+    val diff = dc - pred(comp)
+    pred(comp) = dc
+    val dcCat = category(diff)
+    val (dcc, dcl) = dcCodes(dcCat)
+    bw.put(dcc, dcl)
+    if (dcCat > 0) {
+      val mag = if (diff >= 0) diff else diff + (1 << dcCat) - 1
+      bw.put(mag, dcCat)
+    }
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val c = coefs(ZigZag(k))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
+        val sz = category(c)
+        val (ac, al) = acCodes((run << 4) | sz)
+        bw.put(ac, al)
+        val mag = if (c >= 0) c else c + (1 << sz) - 1
+        bw.put(mag, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+  }
+
+  /** Parse one DQT segment (possibly several tables) into `quant` —
+    * shared by both decoders, ids validated against baseline.
+    */
+  private def parseDqtInto(jpeg: Array[Byte], pos: Int, len: Int,
+                           quant: Array[Array[Int]]): Unit = {
+    var p = pos + 4
+    while (p < pos + 2 + len) {
+      val pq = (jpeg(p) >> 4) & 0x0f; val tq = jpeg(p) & 0x0f
+      require(pq == 0, "16-bit quant tables are outside baseline-8")
+      require(tq < 4, s"quant table id $tq is outside baseline (0..3)")
+      val t = new Array[Int](64)
+      var i = 0
+      while (i < 64) { t(ZigZag(i)) = jpeg(p + 1 + i) & 0xff; i += 1 }
+      quant(tq) = t
+      p += 65
+    }
+  }
+
+  /** Parse one DHT segment (possibly several tables) into `dc`/`ac` —
+    * shared by both decoders, class/ids validated against baseline.
+    */
+  private def parseDhtInto(jpeg: Array[Byte], pos: Int, len: Int,
+                           dc: Array[Huff], ac: Array[Huff]): Unit = {
+    var p = pos + 4
+    while (p < pos + 2 + len) {
+      val tc = (jpeg(p) >> 4) & 0x0f; val th = jpeg(p) & 0x0f
+      require(tc <= 1 && th < 4,
+        s"Huffman table class $tc / id $th is outside baseline")
+      val counts = (0 until 16).map(i => jpeg(p + 1 + i) & 0xff).toArray
+      val n = counts.sum
+      val syms = java.util.Arrays.copyOfRange(jpeg, p + 17, p + 17 + n)
+      if (tc == 0) dc(th) = new Huff(counts, syms)
+      else ac(th) = new Huff(counts, syms)
+      p += 17 + n
+    }
+  }
+
   /** Encode 8-bit grayscale pixels as a valid baseline JPEG (flat
     * quant 2, generated fixed-length Huffman tables, optional restart
     * interval in MCUs). Deterministic byte-for-byte; decodable by any
@@ -465,11 +555,6 @@ object JpegOps {
     require(px.length == w * h, s"need ${w * h} pixels, got ${px.length}")
     val dcCodes = canonicalCodes(EncDcCounts, EncDcSymbols)
     val acCodes = canonicalCodes(EncAcCounts, EncAcSymbols)
-    // orthonormal DCT-II basis via StrictMath (platform-deterministic)
-    val basis = Array.tabulate(8, 8) { (u, x) =>
-      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
-      0.5 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
-    }
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Int]): Unit = {
       out.write(0xff); out.write(marker)
@@ -489,7 +574,7 @@ object JpegOps {
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: component 1, DC 0 / AC 0
     var bw = new BitWriter(out)
     val bwAcross = (w + 7) / 8; val bhDown = (h + 7) / 8
-    var pred = 0
+    val pred = Array(0)
     var mcu = 0
     var rstIdx = 0
     val coefs = new Array[Int](64)
@@ -500,61 +585,11 @@ object JpegOps {
         if (restartInterval > 0 && mcu == restartInterval) {
           bw.align()
           out.write(0xff); out.write(0xd0 + (rstIdx & 7))
-          rstIdx += 1; mcu = 0; pred = 0
+          rstIdx += 1; mcu = 0; pred(0) = 0
           bw = new BitWriter(out)
         }
-        // FDCT of the level-shifted, edge-replicated block
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val sy = math.min(by * 8 + y, h - 1)
-                val sx = math.min(bx * 8 + x, w - 1)
-                s += basis(u)(y) * basis(v)(x) *
-                  ((px(sy * w + sx) & 0xff) - 128)
-                x += 1
-              }
-              y += 1
-            }
-            coefs(u * 8 + v) = math.round(s / EncQ).toInt
-            v += 1
-          }
-          u += 1
-        }
-        // DC diff
-        val dc = coefs(0)
-        val diff = dc - pred
-        pred = dc
-        val dcCat = category(diff)
-        val (dcc, dcl) = dcCodes(dcCat)
-        bw.put(dcc, dcl)
-        if (dcCat > 0) {
-          val mag = if (diff >= 0) diff else diff + (1 << dcCat) - 1
-          bw.put(mag, dcCat)
-        }
-        // AC in zigzag order with run-length + ZRL + EOB
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val c = coefs(ZigZag(k))
-          if (c == 0) run += 1
-          else {
-            while (run > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
-            val sz = category(c)
-            val (ac, al) = acCodes((run << 4) | sz)
-            bw.put(ac, al)
-            val mag = if (c >= 0) c else c + (1 << sz) - 1
-            bw.put(mag, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
+        encodeBlockInto(bw, coefs, px, w, h, bx * 8, by * 8, pred, 0,
+          dcCodes, acCodes)
         mcu += 1
         bx += 1
       }
@@ -624,28 +659,8 @@ object JpegOps {
       val marker = jpeg(pos + 1) & 0xff
       val len = u16(jpeg, pos + 2)
       marker match {
-        case 0xdb =>
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val pq = (jpeg(p) >> 4) & 0x0f; val tq = jpeg(p) & 0x0f
-            require(pq == 0, "16-bit quant tables are outside baseline-8")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) { t(ZigZag(i)) = jpeg(p + 1 + i) & 0xff; i += 1 }
-            quant(tq) = t
-            p += 65
-          }
-        case 0xc4 =>
-          var p = pos + 4
-          while (p < pos + 2 + len) {
-            val tc = (jpeg(p) >> 4) & 0x0f; val th = jpeg(p) & 0x0f
-            val counts = (0 until 16).map(i => jpeg(p + 1 + i) & 0xff).toArray
-            val n = counts.sum
-            val syms = java.util.Arrays.copyOfRange(jpeg, p + 17, p + 17 + n)
-            if (tc == 0) dcTables(th) = new Huff(counts, syms)
-            else acTables(th) = new Huff(counts, syms)
-            p += 17 + n
-          }
+        case 0xdb => parseDqtInto(jpeg, pos, len, quant)
+        case 0xc4 => parseDhtInto(jpeg, pos, len, dcTables, acTables)
         case 0xc0 =>
           require((jpeg(pos + 4) & 0xff) == 8, "8-bit precision only")
           h = u16(jpeg, pos + 5); w = u16(jpeg, pos + 7)
@@ -662,6 +677,8 @@ object JpegOps {
               f"unsupported sampling 0x$sampling%02x for component $c " +
                 "(4:2:0 only: Y 2x2, chroma 1x1)")
             qSel(c) = jpeg(off + 2) & 0x0f
+            require(qSel(c) < 4,
+              s"quant selector ${qSel(c)} is outside baseline (0..3)")
             c += 1
           }
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
@@ -675,6 +692,8 @@ object JpegOps {
             val off = pos + 5 + 2 * c
             dcSel(c) = (jpeg(off + 1) >> 4) & 0x0f
             acSel(c) = jpeg(off + 1) & 0x0f
+            require(dcSel(c) < 4 && acSel(c) < 4,
+              s"scan table selectors ${dcSel(c)}/${acSel(c)} are outside baseline (0..3)")
             c += 1
           }
           sosAt = pos + 2 + len
@@ -789,10 +808,6 @@ object JpegOps {
       s"need ${cw * ch} chroma samples per plane")
     val dcCodes = canonicalCodes(EncDcCounts, EncDcSymbols)
     val acCodes = canonicalCodes(EncAcCounts, EncAcSymbols)
-    val basis = Array.tabulate(8, 8) { (u, x) =>
-      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
-      0.5 * cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
-    }
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Int]): Unit = {
       out.write(0xff); out.write(marker)
@@ -815,57 +830,9 @@ object JpegOps {
     val pred = new Array[Int](3)
 
     def encodeBlock(comp: Int, plane: Array[Byte], pw: Int, ph: Int,
-                    x0: Int, y0: Int): Unit = {
-      var u = 0
-      while (u < 8) {
-        var v = 0
-        while (v < 8) {
-          var s = 0.0
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val sy = math.min(y0 + y, ph - 1)
-              val sx = math.min(x0 + x, pw - 1)
-              s += basis(u)(y) * basis(v)(x) *
-                ((plane(sy * pw + sx) & 0xff) - 128)
-              x += 1
-            }
-            y += 1
-          }
-          coefs(u * 8 + v) = math.round(s / EncQ).toInt
-          v += 1
-        }
-        u += 1
-      }
-      val dc = coefs(0)
-      val diff = dc - pred(comp)
-      pred(comp) = dc
-      val dcCat = category(diff)
-      val (dcc, dcl) = dcCodes(dcCat)
-      bw.put(dcc, dcl)
-      if (dcCat > 0) {
-        val mag = if (diff >= 0) diff else diff + (1 << dcCat) - 1
-        bw.put(mag, dcCat)
-      }
-      var run = 0
-      var k = 1
-      while (k < 64) {
-        val c = coefs(ZigZag(k))
-        if (c == 0) run += 1
-        else {
-          while (run > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); run -= 16 }
-          val sz = category(c)
-          val (ac, al) = acCodes((run << 4) | sz)
-          bw.put(ac, al)
-          val mag = if (c >= 0) c else c + (1 << sz) - 1
-          bw.put(mag, sz)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { val (e, el) = acCodes(0x00); bw.put(e, el) }
-    }
+                    x0: Int, y0: Int): Unit =
+      encodeBlockInto(bw, coefs, plane, pw, ph, x0, y0, pred, comp,
+        dcCodes, acCodes)
 
     val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
     var mcu = 0; var rstIdx = 0
@@ -922,9 +889,7 @@ object JpegOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
-        def v(i: Int): Byte =
-          if (n > 0) (cps(((i * n) / 6).toInt) % 256).toByte else 0.toByte
+        def v(i: Int): Byte = MultimodalOps.textPoint(cps, i, 6).toByte
         val yPl = blockConstantRaster16(b => v(b))
         val cbPl = Array.fill(64)(v(4))
         val crPl = Array.fill(64)(v(5))
@@ -1044,9 +1009,8 @@ object JpegOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
         val px = blockConstantRaster16(b =>
-          if (n > 0) (cps(((b * n) / 4).toInt) % 256).toByte else 0.toByte)
+          MultimodalOps.textPoint(cps, b, 4).toByte)
         Row(row.getLong(idIdx),
           encodeGray8Baseline(16, 16, px, restartInterval = 2))
       }

@@ -21,6 +21,19 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  /** THE deterministic text→value sampling rule every own-encoded
+    * media fixture shares (PNG raster, JPEG blocks, WAV samples, GIF
+    * frames): slot `i` of `slots` reads the codepoint at
+    * `(i·len)/slots`, mod 256; empty text yields 0. Centralized so
+    * the rule and its SQL replay (`ascii(substr(text,
+    * (i*length(text))//slots + 1, 1)) % 256`) have exactly one
+    * authoritative definition.
+    */
+  private[ops] def textPoint(cps: Array[Int], i: Int, slots: Int): Int = {
+    val n = cps.length.toLong
+    if (n > 0) cps(((i * n) / slots).toInt) % 256 else 0
+  }
+
   /** Typed metadata extracted from a media blob. */
   final case class MediaMeta(id: Long, nBytes: Int, format: String,
                              width: Int, height: Int, durationMs: Long)

@@ -208,12 +208,10 @@ object PngOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
         val px = new Array[Byte](w * h)
         var c = 0
         while (c < px.length) {
-          px(c) = if (n > 0) (cps(((c * n) / px.length).toInt) % 256).toByte
-            else 0
+          px(c) = MultimodalOps.textPoint(cps, c, px.length).toByte
           c += 1
         }
         Row(row.getLong(idIdx), encodeGray8(w, h, px))

@@ -47,6 +47,12 @@ object WavOps {
     while (pos + 8 <= wav.length && (rate < 0 || dataLen < 0)) {
       val id = new String(wav, pos, 4, "US-ASCII")
       val len = u32le(wav, pos + 4)
+      // a declared chunk length can't exceed what's physically in the
+      // stream — hostile u32 lengths (≈ 2^32) would otherwise wrap the
+      // Int advance below into a no-op (infinite loop) or a negative
+      // index; die with the named error instead
+      require(len <= wav.length.toLong - pos - 8,
+        s"truncated $id chunk (declared $len bytes past end of stream)")
       id match {
         case "fmt " =>
           require(len >= 16, "truncated fmt chunk")
@@ -66,6 +72,7 @@ object WavOps {
     require(rate > 0, "missing fmt chunk")
     require(dataLen >= 0, "missing data chunk")
     require(dataLen % (2L * ch) == 0, "data chunk is not whole frames")
+    // dataLen ≤ wav.length (checked above) keeps nFrames inside Int
     WavMeta(rate, ch, 16, (dataLen / (2L * ch)).toInt)
   }
 
@@ -74,12 +81,15 @@ object WavOps {
     */
   def decodePcm16(wav: Array[Byte]): (WavMeta, Array[Short]) = {
     val meta = readMeta(wav)
-    // find the data chunk again (cheap — headers are tiny)
+    // find the data chunk again (cheap — headers are tiny); readMeta
+    // already validated every chunk length against the stream, so
+    // this walk terminates, but keep the bound anyway
     var pos = 12
     while (!(wav(pos) == 'd' && wav(pos + 1) == 'a' && wav(pos + 2) == 't' &&
       wav(pos + 3) == 'a')) {
       val len = u32le(wav, pos + 4).toInt
       pos += 8 + len + (len & 1)
+      require(pos + 8 <= wav.length, "truncated stream (data chunk lost)")
     }
     val n = meta.nFrames * meta.channels
     require(pos + 8 + 2L * n <= wav.length, "truncated data chunk")
@@ -147,10 +157,8 @@ object WavOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
         val samples = Array.tabulate(64) { i =>
-          val v = if (n > 0) cps(((i * n) / 64).toInt) % 256 else 0
-          ((v - 128) * 256).toShort
+          ((MultimodalOps.textPoint(cps, i, 64) - 128) * 256).toShort
         }
         Row(row.getLong(idIdx), encodePcm16Wav(8000, 2, samples))
       }

@@ -47,9 +47,10 @@ final class SnapshotIndex(loader: () => DataFrame, keyCol: String,
     // separate collect() would race a changelog batch landing between
     // the two (the collect could then exceed the guard). limit(cap)
     // bounds driver memory to maxRows+1 rows no matter how large the
-    // snapshot grew; cap clamped so a huge maxRows can't overflow the
-    // Int limit() argument into a negative
-    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    // snapshot grew; maxRows is clamped BEFORE the +1 so
+    // maxRows = Long.MaxValue (the natural guard-off value) can't
+    // wrap the cap to 0 and install a silently empty index
+    val probeCap = (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt
     val collected = snap.limit(probeCap).collect()
     require(collected.length <= maxRows,
       s"SnapshotIndex($keyCol): snapshot exceeds $maxRows rows — " +

@@ -96,8 +96,11 @@ class ColorJpegSpec extends SparkTestBase {
     val w = 40; val h = 24
     val y = Array.tabulate(w * h)(i => (((i / (8 * w)) * 5 + (i % w) / 8 * 17) % 256).toByte)
     val cw = (w + 1) / 2; val ch = (h + 1) / 2
-    val cb = Array.tabulate(cw * ch)(i => (((i / (4 * cw)) * 29) % 256).toByte)
-    val cr = Array.tabulate(cw * ch)(i => (((i % cw) / 4 * 43) % 256).toByte)
+    // chroma planes vary per 8×8 CHROMA block (row bands of 8 for Cb,
+    // col bands of 8 for Cr) — actually block-constant, so the exact
+    // round-trip below follows from the DC-only argument per plane
+    val cb = Array.tabulate(cw * ch)(i => (((i / (8 * cw)) * 29) % 256).toByte)
+    val cr = Array.tabulate(cw * ch)(i => (((i % cw) / 8 * 43) % 256).toByte)
     val jpeg = JpegOps.encodeYCbCr420Baseline(w, h, y, cb, cr, 2)
     val img = JpegOps.decodeYCbCr420Baseline(jpeg)
     assert((img.width, img.height) == ((w, h)))
@@ -145,6 +148,18 @@ class ColorJpegSpec extends SparkTestBase {
     val e3 = intercept[IllegalArgumentException](
       JpegOps.decodeGray8Baseline(jpeg))
     assert(e3.getMessage.contains("grayscale"), e3.getMessage)
+    // out-of-baseline table ids (4-bit fields can claim 0..15 but the
+    // table arrays are 0..3): named error, not AIOOBE. Corrupt the DQT
+    // table id — DQT is at SOI(2) + APP0(18) = 20, id byte at 20+4
+    val badTq = jpeg.clone()
+    assert((badTq(20 + 1) & 0xff) == 0xdb)
+    badTq(20 + 4) = 7
+    val e4 = intercept[IllegalArgumentException](
+      JpegOps.decodeYCbCr420Baseline(badTq))
+    assert(e4.getMessage.contains("quant table id"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](
+      JpegOps.decodeGray8Baseline(badTq)) // shared parser: gray too
+    assert(e5.getMessage.contains("quant table id"), e5.getMessage)
   }
 
   test("m14 plumbing: colorJpegStats over the documents fixture") {

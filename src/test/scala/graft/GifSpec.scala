@@ -114,6 +114,17 @@ class GifSpec extends SparkTestBase {
     bad(idOff + 9) = 0x80.toByte
     val e = intercept[IllegalArgumentException](GifOps.decodeGifFrames(bad))
     assert(e.getMessage.contains("local color"), e.getMessage)
+    // truncated mid-extension (no terminator before EOF): named error,
+    // not ArrayIndexOutOfBoundsException
+    val truncated = gif.take(789 - 2) // cut inside the GCE sub-blocks
+    val e2 = intercept[IllegalArgumentException](
+      GifOps.decodeGifFrames(truncated))
+    assert(e2.getMessage.toLowerCase.contains("truncated"), e2.getMessage)
+    // degenerate 0-width header: named rejection, not silent nonsense
+    val zeroW = gif.clone()
+    zeroW(6) = 0; zeroW(7) = 0
+    val e3 = intercept[IllegalArgumentException](GifOps.decodeGifFrames(zeroW))
+    assert(e3.getMessage.contains("degenerate"), e3.getMessage)
   }
 
   test("interlaced streams de-interlace correctly (round-trip through permutation)") {

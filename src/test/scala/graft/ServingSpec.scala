@@ -279,6 +279,21 @@ class ServingSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("maxRows = Long.MaxValue (guard off) builds a full index, not an empty one") {
+    // maxRows + 1 used to wrap to Long.MinValue -> limit(0) -> a
+    // silently EMPTY hot index; the clamp-before-increment fix keeps
+    // the natural guard-off value working
+    import graft.serving.SnapshotIndex
+    val dir = Files.createTempDirectory("graft-guard-off").toString
+    writeChangelog(dir)
+    val idx = new SnapshotIndex(
+      () => ChangelogSink.readCompacted(spark, dir, Seq("key")), "key",
+      maxRows = Long.MaxValue)
+    idx.refresh()
+    assert(idx.size == 4, s"guard-off index must hold all rows, got ${idx.size}")
+    assert(idx.lookup("k1").contains("""[{"key":"k1","value":4}]"""))
+  }
+
   test("hot tier row guard fails fast past maxIndexRows") {
     val dir = Files.createTempDirectory("graft-serve-guard").toString
     writeChangelog(dir)

@@ -105,6 +105,20 @@ class WavSpec extends SparkTestBase {
     ragged(40) = 6 // 6 bytes = 1.5 stereo frames
     val e4 = intercept[IllegalArgumentException](WavOps.readMeta(ragged))
     assert(e4.getMessage.contains("whole frames"), e4.getMessage)
+    // hostile u32 chunk length (0xFFFFFFF8 would wrap the Int advance
+    // into a no-op → infinite loop before the fix): named error
+    val hostile = WavOps.encodePcm16Wav(8000, 1, Array[Short](1, 2))
+    hostile(16) = 0xf8.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xff.toByte // fmt len
+    val e5 = intercept[IllegalArgumentException](WavOps.readMeta(hostile))
+    assert(e5.getMessage.contains("past end of stream"), e5.getMessage)
+    // declared data length near 4 GiB (would wrap nFrames negative):
+    // same named error, not NegativeArraySizeException
+    val huge = WavOps.encodePcm16Wav(8000, 1, Array[Short](1, 2))
+    huge(40) = 0xfe.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0xff.toByte // data len
+    val e6 = intercept[IllegalArgumentException](WavOps.readMeta(huge))
+    assert(e6.getMessage.contains("past end of stream"), e6.getMessage)
   }
 
   test("m15 plumbing: wavStats features match a scalar replay") {
