@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries, Q, TextQueries, VectorQueries, WebQueries}
+import graft.queries.{CoreQueries, PipelineQueries, Q, SourceQueries, TextQueries, VectorQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   val allQueries: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      PipelineQueries.all ++ WebQueries.all
+      PipelineQueries.all ++ WebQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -445,6 +445,16 @@ object TextOps {
       graft.functions.TextStatsExpressions.TokenEntropy(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Unicode NFC canonical composition as a native codegen expression
+    * ([[graft.functions.UnicodeExpressions.NfcNormalize]]) — the
+    * standard pre-dedup/pre-tokenize cleaning step; see the
+    * expression's scaladoc for the oracle-parity contract.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.UnicodeExpressions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Declarative twin of [[tokenEntropy]]: `array_sort` + ONE
     * left-to-right `aggregate` pass accumulating run lengths (a run in
     * the sorted array = one distinct token's count), folding each

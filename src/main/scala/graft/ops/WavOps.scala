@@ -206,4 +206,63 @@ object WavOps {
     }.toDF("id", "sample_rate", "channels", "n_frames", "peak", "sumsq",
       "zero_crossings")
   }
+
+  /** Windowed feature CONTOUR — the audio analog of m16's frame
+    * sampling: decode once, then emit one row per fixed-length
+    * analysis window (`frameLen` frames, last window ragged) with
+    * integer-exact features over the window's samples:
+    * `(id, win, win_frames, peak, sumsq, zero_crossings)`.
+    *
+    * `peak`/`sumsq` run over ALL channels of the window's frames;
+    * `zero_crossings` counts channel-0 sign flips between consecutive
+    * frames WITHIN the window (the first frame of a window never
+    * crosses — windows are independently recomputable, which is what
+    * lets each window parallelize and the oracle replay it with a
+    * plain `GROUP BY frame // frameLen`).
+    *
+    * Scale shape: one decode per blob inside `mapPartitions` (blobs
+    * never cross a shuffle — the m01 contract); output is
+    * `n_frames / frameLen` skinny rows per clip, so downstream
+    * aggregation shuffles feature rows, never audio bytes. At 100 TB
+    * the decode is embarrassingly parallel over the blob partitioning.
+    */
+  def wavFrameEnergy(df: DataFrame, idCol: String, wavCol: String,
+                     frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val wIdx = df.schema.fieldIndex(wavCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("win", IntegerType),
+      StructField("win_frames", IntegerType), StructField("peak", IntegerType),
+      StructField("sumsq", LongType),
+      StructField("zero_crossings", IntegerType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val (meta, s) = decodePcm16(row.getAs[Array[Byte]](wIdx))
+        val id = row.getLong(idIdx)
+        val ch = meta.channels
+        val nWins = (meta.nFrames + frameLen - 1) / frameLen
+        (0 until nWins).iterator.map { w =>
+          val f0 = w * frameLen
+          val f1 = math.min(meta.nFrames, f0 + frameLen)
+          var peak = 0; var sumsq = 0L; var zc = 0
+          var f = f0
+          while (f < f1) {
+            var c = 0
+            while (c < ch) {
+              val v = s(f * ch + c).toInt
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumsq += v.toLong * v
+              c += 1
+            }
+            if (f > f0 && ((s(f * ch) < 0) != (s((f - 1) * ch) < 0))) zc += 1
+            f += 1
+          }
+          Row(id, w, f1 - f0, peak, sumsq, zc)
+        }
+      }
+    }.toDF("id", "win", "win_frames", "peak", "sumsq", "zero_crossings")
+  }
 }

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.PortableHash
+import graft.sources.FileSources
+
+/** File-format connectors (§2.1 "sources" beyond parquet): JSON-lines
+  * and RFC 4180 CSV read paths, proven LOSSLESS end-to-end by writing
+  * the corpus out and reading it back (the m13/m15 own-encoder
+  * fixture pattern applied to file formats), then census-aggregating
+  * the round-tripped rows so the DuckDB oracle checks every byte that
+  * matters (codepoint mass, portable content hashes, key range,
+  * corrupt-line count) straight off the original parquet.
+  *
+  * Crafted rows (negative doc_ids, constructed IDENTICALLY in the
+  * oracle SQL) force the hard cases a real drop contains regardless of
+  * what the synthetic corpus happens to hold: embedded newlines,
+  * embedded quotes, field separators, backslashes, combining-mark
+  * non-ASCII, empty and NULL text.
+  *
+  * Reference behavior: faust's codec layer — bytes at the edge decode
+  * through a declared schema, and undecodable payloads surface as
+  * counted, typed errors instead of crashes
+  * (`faust/serializers/codecs.py:1-60`, `faust/app/base.py` decode-
+  * error policy); here that's PERMISSIVE mode + `_corrupt_record`.
+  */
+object SourceQueries {
+
+  /** The five documents columns every round trip carries. */
+  private def docCols(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+
+  /** Crafted hard-case rows; `withNulls=false` drops the NULL/empty
+    * text rows for the CSV path (CSV cannot represent the null/empty
+    * distinction portably — the q139 census is null-insensitive
+    * instead).
+    */
+  private def crafted(s: SparkSession, withNulls: Boolean): DataFrame = {
+    import s.implicits._
+    val base = Seq(
+      (-1L, Option("line1\nline2"), "xx", "crafted", 11L),
+      (-2L, Option("he said \"hi\", twice"), "xx", "crafted", 19L),
+      (-3L, Option("back\\slash e\u0301"), "xx", "crafted", 13L))
+    val extra = Seq(
+      (-4L, Option(""), "xx", "crafted", 0L),
+      (-5L, Option.empty[String], "xx", "crafted", 0L))
+    (if (withNulls) base ++ extra else base)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Shared crafted-rows CTE for the oracles (chr() construction —
+    * byte-identical to the Scala literals above).
+    */
+  private def craftedSql(withNulls: Boolean): String = {
+    val base =
+      """(-1, 'line1' || chr(10) || 'line2', 'xx', 'crafted', 11),
+        (-2, 'he said "hi", twice', 'xx', 'crafted', 19),
+        (-3, 'back\slash e' || chr(769), 'xx', 'crafted', 13)"""
+    val extra =
+      """,
+        (-4, '', 'xx', 'crafted', 0),
+        (-5, NULL, 'xx', 'crafted', 0)"""
+    s"""SELECT * FROM (VALUES
+        $base${if (withNulls) extra else ""}
+      ) t(doc_id, text, lang, source, n_chars)"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ── q138: JSON-lines source — the SCALE drop format (newline-
+    //    framed records split by byte range, so a 100 TB drop fans out
+    //    with no coordination). Explicit schema (no inference scan),
+    //    PERMISSIVE decode with a counted corrupt-record column (one
+    //    malformed line injected on purpose), multi-part read. JSON is
+    //    lossless for every value incl. NULL vs empty string ────────────
+    Q("q138_json_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = true))
+        // the malformed line breaks at the FIRST token, so PERMISSIVE
+        // mode can't retain any partially-parsed field values
+        val back = FileSources.jsonRoundTrip(all,
+          rawExtraLines = Seq("""{BROKEN "doc_id": 999999}"""))
+        val corrupt = col("_corrupt_record").isNotNull
+        back.agg(
+          sum(when(corrupt, 0L).otherwise(1L)).as("n_rows"),
+          sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(!corrupt && col("text").isNull, 1L).otherwise(0L))
+            .as("n_null_text"),
+          sum(when(!corrupt, length(col("text")).cast("long")))
+            .as("sum_cp"),
+          min(when(!corrupt, col("doc_id"))).as("min_id"),
+          max(when(!corrupt, col("doc_id"))).as("max_id"),
+          sum(when(!corrupt,
+            PortableHash.mdHash60(col("text")) % 1000000000L)).as("h_sum"),
+          countDistinct(when(!corrupt, col("lang"))).as("n_lang"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = true)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_corrupt,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          COUNT(DISTINCT lang) AS n_lang
+        FROM u""")),
+
+    // ── q139: RFC 4180 CSV source — header + every field quoted +
+    //    doubled embedded quotes (escape = quote), the dialect every
+    //    warehouse exports. `multiLine` carries embedded newlines (the
+    //    documented non-splittable trade — keep multiline CSV drops in
+    //    many files). The census is NULL-insensitive (coalesce) because
+    //    CSV cannot portably distinguish NULL from '' ─────────────────────
+    Q("q139_csv_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = false))
+        val back = FileSources.csvRoundTrip(all)
+        back.agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(coalesce(col("text"), lit(""))).cast("long"))
+            .as("sum_cp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(PortableHash.mdHash60(coalesce(col("text"), lit("")))
+            % 1000000000L).as("h_sum"),
+          sum(col("n_chars")).as("sum_n_chars"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = false)}),
+        u AS (
+          SELECT doc_id, text, n_chars FROM documents
+          UNION ALL SELECT doc_id, text, n_chars FROM crafted)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        FROM u""")),
+
+    // ── q140: ORC source — the columnar interchange format next to
+    //    parquet: typed round trip (NULL vs '' preserved exactly, no
+    //    string re-parse), splittable by stripe, predicate/column
+    //    pushdown. Same census as q138 (sans corrupt — a columnar
+    //    file either reads or fails its footer checksum) ─────────────────
+    Q("q140_orc_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = true))
+        val back = FileSources.orcRoundTrip(all)
+        back.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(length(col("text")).cast("long")).as("sum_cp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(PortableHash.mdHash60(col("text")) % 1000000000L).as("h_sum"),
+          countDistinct(col("lang")).as("n_lang"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = true)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          COUNT(DISTINCT lang) AS n_lang
+        FROM u""")),
+
+    // ── q141: Hive-partitioned lake + partition PRUNING — the single
+    //    biggest 100 TB scan lever: documents land partitioned by
+    //    lang (one directory per value), and the per-lang census
+    //    below reads ONLY that directory's bytes (PartitionFilters,
+    //    not a post-scan filter — plan-asserted in SourcesSpec). The
+    //    census runs per lang so the oracle checks every partition's
+    //    content landed in the right directory ──────────────────────────
+    Q("q141_partitioned_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = false))
+        val lake = FileSources.partitionedRoundTrip(all, "lang")
+        // the filter prunes to one directory; union over the known
+        // lang domain proves every partition's content individually
+        lake.where(col("lang") === "en" || col("lang") === "xx" ||
+            col("lang") === "fr" || col("lang") === "de" ||
+            col("lang") === "es" || col("lang") === "zh")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(length(coalesce(col("text"), lit(""))).cast("long"))
+              .as("sum_cp"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            sum(PortableHash.mdHash60(coalesce(col("text"), lit("")))
+              % 1000000000L).as("h_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = false)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT lang, COUNT(*) AS n_rows,
+          CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum
+        FROM u
+        WHERE lang IN ('en', 'xx', 'fr', 'de', 'es', 'zh')
+        GROUP BY lang ORDER BY lang"""))
+  )
+}

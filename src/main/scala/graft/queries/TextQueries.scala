@@ -3790,6 +3790,83 @@ object TextQueries {
           CAST(1 AS INT) AS lb_sound, CAST(1 AS INT) AS ub_sound,
           CAST(1 AS INT) AS dec_bound_ok, CAST(1 AS INT) AS heavy_kept_ok,
           CAST(1 AS INT) AS guaranteed_sound
-        FROM r WHERE rank <= 20 ORDER BY rank"""))
+        FROM r WHERE rank <= 20 ORDER BY rank""")),
+
+    // ── t53: Unicode NFC normalization — the standard first cleaning
+    //    step before dedup fingerprints/tokenizers (decomposed accents
+    //    collapse to one canonical spelling). Native codegen expression
+    //    (zero-UDF contract); the fixture appends decomposed Latin
+    //    combining sequences (acute/tilde/grave/ring) whose NFC
+    //    compositions are frozen by the Unicode stability policy, so
+    //    JDK ICU data and DuckDB's utf8proc agree byte-for-byte. The
+    //    full normalized STRING is in the output, so the hash gate
+    //    checks the composition itself, not just the lengths ─────────────
+    Q("t53_unicode_normalize",
+      (s, dir) => {
+        val dirty = concat(substring(col("text"), 1, 40),
+          lit(" e\u0301n\u0303a\u0300 A\u030Ae\u0301"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), dirty.as("dirty"))
+          .select(col("doc_id"),
+            TextOps.nfcNormalize(col("dirty")).as("norm"),
+            length(col("dirty")).as("pre_cp"),
+            length(TextOps.nfcNormalize(col("dirty"))).as("post_cp"),
+            (col("dirty") =!= TextOps.nfcNormalize(col("dirty")))
+              .cast("int").as("changed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            substr(text, 1, 40) || ' e' || chr(769) || 'n' || chr(771)
+              || 'a' || chr(768) || ' A' || chr(778) || 'e' || chr(769)
+              AS dirty
+          FROM documents)
+        SELECT doc_id, nfc_normalize(dirty) AS norm,
+          CAST(length(dirty) AS INT) AS pre_cp,
+          CAST(length(nfc_normalize(dirty)) AS INT) AS post_cp,
+          CAST(dirty <> nfc_normalize(dirty) AS INT) AS changed
+        FROM d ORDER BY doc_id""")),
+
+    // ── m18: windowed audio feature CONTOUR — m15's whole-clip stats
+    //    at analysis-window grain (frameLen=8 → 4 windows per 32-frame
+    //    clip): decode once per blob inside mapPartitions, emit skinny
+    //    integer-exact feature rows (peak / energy / channel-0 zero
+    //    crossings per window; crossings never span a window boundary,
+    //    so each window is independently recomputable and the oracle
+    //    replays it as GROUP BY frame // 8) ─────────────────────────────
+    Q("m18_audio_frames",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+        graft.ops.WavOps.wavFrameEnergy(wavs, "id", "wav", frameLen = 8)
+          .select(col("id").as("doc_id"), col("win"), col("win_frames"),
+            col("peak"), col("sumsq"), col("zero_crossings"))
+          .orderBy("doc_id", "win")
+      },
+      Some("""WITH sm AS (
+          SELECT doc_id AS id, c.c AS i, c.c // 2 AS f,
+            (CASE WHEN length(text) > 0 THEN
+               ascii(substr(text, CAST((c.c * length(text)) // 64 + 1 AS INT), 1)) % 256
+             ELSE 0 END - 128) * 256 AS s
+          FROM documents CROSS JOIN range(64) c(c)),
+        agg AS (
+          SELECT id, f // 8 AS w, MAX(ABS(s)) AS peak,
+            SUM(CAST(s AS BIGINT) * s) AS sumsq
+          FROM sm GROUP BY id, f // 8),
+        ch0 AS (SELECT id, f, s FROM sm WHERE i % 2 = 0),
+        zcs AS (
+          SELECT id, f, s, LAG(s) OVER (PARTITION BY id ORDER BY f) AS ps
+          FROM ch0),
+        zc AS (
+          SELECT id, f // 8 AS w,
+            CAST(COALESCE(SUM(CASE WHEN f % 8 <> 0 AND ps IS NOT NULL
+                AND ((s < 0) != (ps < 0)) THEN 1 ELSE 0 END), 0) AS INT)
+              AS zero_crossings
+          FROM zcs GROUP BY id, f // 8)
+        SELECT agg.id AS doc_id, CAST(agg.w AS INT) AS win,
+          8 AS win_frames, CAST(agg.peak AS INT) AS peak,
+          CAST(agg.sumsq AS BIGINT) AS sumsq, zc.zero_crossings
+        FROM agg JOIN zc ON agg.id = zc.id AND agg.w = zc.w
+        ORDER BY doc_id, win"""))
   )
 }

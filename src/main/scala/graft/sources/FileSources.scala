@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** File-format connectors beyond parquet — schema-enforced JSON-lines
+  * and RFC 4180 CSV read paths, exercised as lossless round-trips.
+  *
+  * The WRITE side here is fixture machinery (the m13/m15 own-encoder
+  * pattern: produce the byte stream ourselves so the read path is
+  * oracle-checkable end-to-end); the READ side is the real connector a
+  * pipeline would point at third-party drops:
+  *
+  *  - explicit schema (never inferSchema — a schema inference pass is
+  *    a full extra scan at 100 TB and type-drifts between drops);
+  *  - PERMISSIVE mode with a named corrupt-record column, so malformed
+  *    lines become COUNTABLE rows instead of job failures (faust's
+  *    on-decode-error contract, `faust/serializers/codecs.py:1-60`:
+  *    bytes that don't parse surface as typed errors, not crashes);
+  *  - JSON lines is the scale format: newline-framed records split by
+  *    byte range, so a 100 TB drop fans out across executors with no
+  *    coordination. CSV with embedded newlines needs `multiLine`,
+  *    which parses each FILE serially — documented here as the
+  *    non-splittable trade; keep multiline CSV drops in many files.
+  */
+object FileSources {
+
+  /** Fresh driver-local staging dir (fixture side only). */
+  private def stageDir(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  /** Write `df` as JSON lines (multiple part files — proves the
+    * multi-file read), optionally drop extra RAW lines alongside
+    * (malformed-record injection), then read everything back with the
+    * writer's schema plus a `_corrupt_record` column in PERMISSIVE
+    * mode. Lossless for every JSON-representable value including
+    * nulls, embedded newlines/quotes and non-ASCII.
+    */
+  def jsonRoundTrip(df: DataFrame, rawExtraLines: Seq[String] = Nil,
+                    parts: Int = 4): DataFrame = {
+    val dir = stageDir("graft-json-src-")
+    df.repartition(parts).write.mode("overwrite").json(dir.toString)
+    if (rawExtraLines.nonEmpty)
+      Files.write(Paths.get(dir.toString, "part-injected.json"),
+        (rawExtraLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(df.schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    df.sparkSession.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+  }
+
+  /** Write `df` as RFC 4180 CSV (header, every field quoted, embedded
+    * quotes doubled via `escape = "` — the interoperable dialect every
+    * warehouse emits) and read it back with the writer's schema.
+    * `multiLine` handles embedded newlines; see the scaladoc trade.
+    */
+  def csvRoundTrip(df: DataFrame, parts: Int = 4): DataFrame = {
+    val dir = stageDir("graft-csv-src-")
+    df.repartition(parts).write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(dir.toString)
+    df.sparkSession.read
+      .schema(df.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(dir.toString)
+  }
+
+  /** Write `df` as ORC and read it back — the columnar interchange
+    * format next to parquet: typed (no string re-parse, NULL vs ''
+    * preserved exactly), splittable by stripe, and predicate/column
+    * pushdown capable, so unlike q138/q139's text formats the census
+    * scan reads only the columns it aggregates.
+    */
+  def orcRoundTrip(df: DataFrame, parts: Int = 4): DataFrame = {
+    val dir = stageDir("graft-orc-src-")
+    df.repartition(parts).write.mode("overwrite").orc(dir.toString)
+    df.sparkSession.read.schema(df.schema).orc(dir.toString)
+  }
+
+  /** Hive-style partitioned parquet lake: write `df` partitioned by
+    * `partCol` (one directory per value), read it back, and let the
+    * caller's `WHERE partCol = …` prune to the matching directories —
+    * the single biggest 100 TB scan lever (a filtered read touches
+    * only the selected partitions' bytes; PartitionFilters in the
+    * plan, verified in SourcesSpec). The partition column round-trips
+    * through the DIRECTORY NAME, not the data files, so its type is
+    * re-derived on read — pass `partColType` casting expectations via
+    * the caller's schema discipline (string columns round-trip as-is).
+    */
+  def partitionedRoundTrip(df: DataFrame, partCol: String): DataFrame = {
+    val dir = stageDir("graft-part-src-")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+}

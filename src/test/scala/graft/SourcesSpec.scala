@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.sources.FileSources
+
+/** File-format connectors (q138/q139): round-trip losslessness on the
+  * hard cases (embedded newlines, quotes, separators, backslashes,
+  * combining marks, NULL vs empty), corrupt-record accounting, and the
+  * multi-part read path.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private def hardRows = {
+    import spark.implicits._
+    Seq(
+      (1L, Option("line1\nline2"), "en"),
+      (2L, Option("he said \"hi\", twice"), "en"),
+      (3L, Option("back\\slash é and a comma,"), "fr"),
+      (4L, Option("tab\there"), "de"),
+      (5L, Option(""), "en"),
+      (6L, Option.empty[String], "xx"))
+      .toDF("id", "text", "lang")
+  }
+
+  test("JSON round trip is lossless incl. NULL vs empty string") {
+    // corrupt-only aggregations over a raw JSON scan are disallowed
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first, per Spark's
+    // own guidance; q138's census is exempt because it references
+    // the data columns in the same aggregation
+    val back = FileSources.jsonRoundTrip(hardRows).cache()
+    assert(back.where(col("_corrupt_record").isNotNull).count() === 0L)
+    val got = back.select("id", "text", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    val want = hardRows.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    assert(got === want) // newline/quote/backslash/combining-mark/NULL/'' all survive
+  }
+
+  test("JSON corrupt lines are counted, not fatal, and leak no fields") {
+    val back = FileSources.jsonRoundTrip(hardRows,
+      rawExtraLines = Seq("""{BROKEN "id": 999}""", "not json at all"))
+      .cache()
+    val bad = back.where(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 2L)
+    // a syntax error at the first token must not retain parsed fields
+    assert(bad.where(col("id").isNotNull).count() === 0L)
+    assert(back.where(col("_corrupt_record").isNull).count() === 6L)
+  }
+
+  test("JSON read spans multiple part files") {
+    val back = FileSources.jsonRoundTrip(hardRows, parts = 3)
+    // reference a DATA column (id), not the corrupt column: corrupt-
+    // only scans are disallowed, and input_file_name() over a cached
+    // relation would return empty strings
+    val nFiles = back.where(col("id").isNotNull)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles >= 2L) // 6 rows over 3 parts: at least 2 non-empty files
+  }
+
+  test("CSV RFC 4180 round trip is lossless on non-null text") {
+    val rows = hardRows.where(col("text").isNotNull) // CSV can't carry NULL-vs-'' portably
+    val back = FileSources.csvRoundTrip(rows)
+    val got = back.select("id", "text", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    val want = rows.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    // the empty string may come back NULL (the documented CSV
+    // ambiguity q139's census is insensitive to) — compare modulo it
+    def conflate(t: (Long, Option[String], String)) =
+      (t._1, t._2.getOrElse(""), t._3)
+    assert(got.map(conflate) === want.map(conflate))
+    // the HARD cases (newline, quote, comma, backslash, combining
+    // mark) must survive byte-for-byte, not just modulo conflation
+    val gotById = got.map(t => t._1 -> t._2).toMap
+    val wantById = want.map(t => t._1 -> t._2).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) assert(gotById(id) === wantById(id), s"id=$id")
+  }
+
+  test("CSV numeric columns round trip exactly") {
+    import spark.implicits._
+    val df = Seq((1L, 42L, "a,b"), (2L, -7L, "c\"d"), (3L, 0L, "e\nf"))
+      .toDF("id", "n", "s")
+    val back = FileSources.csvRoundTrip(df)
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("ORC round trip is lossless incl. NULL vs empty string (typed format)") {
+    val back = FileSources.orcRoundTrip(hardRows)
+    val got = back.select("id", "text", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    val want = hardRows.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    assert(got === want) // incl. row 5 ('') vs row 6 (NULL) — ORC keeps them distinct
+  }
+
+  test("partitioned lake: lossless round trip and REAL partition pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val lake = FileSources.partitionedRoundTrip(hardRows, "lang")
+    // content survives (partition col round-trips via directory names)
+    assert(lake.count() === 6L)
+    assert(lake.where(col("lang") === "en").count() === 3L)
+    // the filter must land in PartitionFilters (directory pruning),
+    // NOT as a post-scan data filter
+    val plan = lake.where(col("lang") === "en").queryExecution.executedPlan
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "lang = 'en' should prune partitions at planning time")
+    // and the pruned scan reads only the en directory's files
+    val files = lake.where(col("lang") === "en")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")))
+  }
+
+  test("streaming JSON file source: directory backlog drains incrementally") {
+    // the streaming twin of q138: records LAND as files in a drop
+    // directory and stream through with a declared schema — faust's
+    // topic-consume shape over a file-system transport. One file per
+    // trigger proves incremental (not monolithic) ingestion.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    hardRows.where(col("text").isNotNull).repartition(3)
+      .write.mode("overwrite").json(dir.toString)
+    val stream = spark.readStream
+      .schema(hardRows.schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir.toString)
+      .groupBy().agg(count(lit(1)).as("n"), sum(length(col("text"))).as("cp"))
+    val q = stream.writeStream
+      .format("memory").queryName("src_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val row = spark.table("src_stream").collect().head
+      assert(row.getLong(0) === 5L)
+      val want = hardRows.where(col("text").isNotNull)
+        .agg(sum(length(col("text")))).collect().head.getLong(0)
+      assert(row.getLong(1) === want)
+      // one file per micro-batch: at least as many batches as files
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
+  test("q138/q139 census queries run and agree on shared invariants") {
+    val j = SparkEntry.queries("q138_json_source")(spark, sf).collect().head
+    val c = SparkEntry.queries("q139_csv_source")(spark, sf).collect().head
+    // JSON carries 2 extra crafted rows (empty + NULL text) vs CSV
+    assert(j.getAs[Long]("n_rows") === c.getAs[Long]("n_rows") + 2L)
+    assert(j.getAs[Long]("n_corrupt") === 1L)
+    assert(j.getAs[Long]("max_id") === c.getAs[Long]("max_id"))
+    // sum_cp: identical corpora; JSON skips NULL, CSV coalesces — the
+    // two extra JSON rows ('' and NULL) both contribute 0 codepoints
+    assert(j.getAs[Long]("sum_cp") === c.getAs[Long]("sum_cp"))
+  }
+
+  test("q140/q141 census queries agree with the JSON census where comparable") {
+    val j = SparkEntry.queries("q138_json_source")(spark, sf).collect().head
+    val o = SparkEntry.queries("q140_orc_source")(spark, sf).collect().head
+    // ORC carries the same rows as JSON minus nothing (both withNulls)
+    assert(o.getAs[Long]("n_rows") === j.getAs[Long]("n_rows"))
+    assert(o.getAs[Long]("sum_cp") === j.getAs[Long]("sum_cp"))
+    assert(o.getAs[Long]("h_sum") === j.getAs[Long]("h_sum"))
+    assert(o.getAs[Long]("n_null_text") === j.getAs[Long]("n_null_text"))
+    val p = SparkEntry.queries("q141_partitioned_source")(spark, sf).collect()
+    // per-lang rows sum back to the CSV census total (same crafted set)
+    val c = SparkEntry.queries("q139_csv_source")(spark, sf).collect().head
+    assert(p.map(_.getAs[Long]("n_rows")).sum === c.getAs[Long]("n_rows"))
+    assert(p.map(_.getAs[Long]("sum_cp")).sum === c.getAs[Long]("sum_cp"))
+  }
+}

@@ -144,4 +144,56 @@ class WavSpec extends SparkTestBase {
       assert(r.getInt(6) == zc, s"doc $id zero crossings")
     }
   }
+
+  test("wavFrameEnergy: hand-computed windows, sign flips land in the right window") {
+    // mono, 10 frames, frameLen 4 → windows of 4/4/2 (ragged tail);
+    // samples chosen so window 0 has 3 sign flips, window 1 has 2
+    // (its first frame's flip vs frame 3 must NOT count — crossings
+    // never span a window boundary), window 2 has 0
+    val samples = Array[Short](100, -200, 300, -400, 500, 600, -700, 800,
+      -900, -1000)
+    val wav = WavOps.encodePcm16Wav(16000, 1, samples)
+    val df = Seq((7L, wav)).toDF("id", "wav")
+    val got = WavOps.wavFrameEnergy(df, "id", "wav", frameLen = 4)
+      .orderBy("win").collect()
+    assert(got.length == 3)
+    def w(i: Int) = (got(i).getInt(1), got(i).getInt(2), got(i).getInt(3),
+      got(i).getLong(4), got(i).getInt(5))
+    assert(w(0) == ((0, 4, 400,
+      100L * 100 + 200L * 200 + 300L * 300 + 400L * 400, 3)))
+    assert(w(1) == ((1, 4, 800,
+      500L * 500 + 600L * 600 + 700L * 700 + 800L * 800, 2)))
+    assert(w(2) == ((2, 2, 1000, 900L * 900 + 1000L * 1000, 0)))
+  }
+
+  test("wavFrameEnergy windows partition wavStats exactly (stereo corpus)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .limit(40)
+    val wavs = WavOps.textToWavOwn(docs, "doc_id", "text").cache()
+    val whole = WavOps.wavStats(wavs, "id", "wav")
+      .select("id", "peak", "sumsq").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val parts = WavOps.wavFrameEnergy(wavs, "id", "wav", frameLen = 8)
+      .groupBy("id")
+      .agg(max("peak").as("peak"), sum("sumsq").as("sumsq"),
+        sum("win_frames").as("nf"), count(lit(1)).as("nw"),
+        sum("zero_crossings").as("zc"))
+      .collect()
+    wavs.unpersist()
+    assert(parts.length == whole.size)
+    parts.foreach { r =>
+      val (peak, sumsq) = whole(r.getLong(0))
+      assert(r.getAs[Int]("peak") == peak)
+      assert(r.getAs[Long]("sumsq") == sumsq)
+      assert(r.getAs[Long]("nf") == 32L && r.getAs[Long]("nw") == 4L)
+    }
+  }
+
+  test("wavFrameEnergy rejects frameLen < 1") {
+    val df = Seq((1L, WavOps.encodePcm16Wav(8000, 1, Array[Short](1, 2))))
+      .toDF("id", "wav")
+    intercept[IllegalArgumentException] {
+      WavOps.wavFrameEnergy(df, "id", "wav", frameLen = 0)
+    }
+  }
 }
