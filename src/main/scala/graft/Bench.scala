@@ -144,7 +144,13 @@ object Bench {
     "u13_triangle_census", "q137_cdc_merge", "u14_redirect_resolution",
     // round-15 additions: the color (YCbCr 4:2:0) codec pair, WAV/PCM
     // audio features, GIF/LZW frame sampling, real bilinear resize
-    "m14_color_jpeg", "m15_wav_stats", "m16_gif_frames", "m17_real_resize")
+    "m14_color_jpeg", "m15_wav_stats", "m16_gif_frames", "m17_real_resize",
+    // round-15 second batch: file-source connectors (write+read I/O is
+    // the workload — staged like the m-series own-encoder fixtures),
+    // NFC normalization (narrow codegen map), windowed audio contour
+    "q138_json_source", "q139_csv_source", "q140_orc_source",
+    "q141_partitioned_source", "q142_xml_source",
+    "t53_unicode_normalize", "m18_audio_frames")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -213,6 +213,37 @@ object SourceQueries {
             % 1000000000) AS BIGINT) AS h_sum
         FROM u
         WHERE lang IN ('en', 'xx', 'fr', 'de', 'es', 'zh')
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ── q142: XML source — Spark 4's BUILT-IN XML reader (the
+    //    third-party-feed format: sitemaps, RSS, SOAP exports), one
+    //    <row> element per record, schema-enforced. Entity escaping
+    //    carries the hard characters; NULL vs '' is not portable
+    //    (absent vs empty element), so the census is null-insensitive
+    //    like q139's ─────────────────────────────────────────────────────
+    Q("q142_xml_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = false))
+        val back = FileSources.xmlRoundTrip(all)
+        back.agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(coalesce(col("text"), lit(""))).cast("long"))
+            .as("sum_cp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(PortableHash.mdHash60(coalesce(col("text"), lit("")))
+            % 1000000000L).as("h_sum"),
+          countDistinct(col("lang")).as("n_lang"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = false)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          COUNT(DISTINCT lang) AS n_lang
+        FROM u"""))
   )
 }

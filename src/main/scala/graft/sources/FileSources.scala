@@ -87,6 +87,26 @@ object FileSources {
     df.sparkSession.read.schema(df.schema).orc(dir.toString)
   }
 
+  /** Write `df` as XML (one `<row>` element per record — Spark 4's
+    * BUILT-IN XML source) and read it back with the writer's schema.
+    * XML is the third-party-feed format (sitemaps, RSS/Atom, SOAP
+    * exports): schema-enforced like the others, PERMISSIVE-decoded.
+    * Character data preserves embedded newlines/quotes/commas and
+    * non-ASCII via entity escaping; NULL vs '' is NOT portable
+    * (absent element vs empty element both read back null with the
+    * default readers) — census must be null-insensitive, like CSV.
+    */
+  def xmlRoundTrip(df: DataFrame, parts: Int = 4): DataFrame = {
+    val dir = stageDir("graft-xml-src-")
+    df.repartition(parts).write.mode("overwrite")
+      .format("xml").option("rowTag", "row")
+      .save(dir.toString)
+    df.sparkSession.read
+      .schema(df.schema)
+      .format("xml").option("rowTag", "row")
+      .load(dir.toString)
+  }
+
   /** Hive-style partitioned parquet lake: write `df` partitioned by
     * `partCol` (one directory per value), read it back, and let the
     * caller's `WHERE partCol = …` prune to the matching directories —

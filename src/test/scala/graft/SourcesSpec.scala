@@ -121,6 +121,46 @@ class SourcesSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("lang=en")))
   }
 
+  test("gzip-compressed JSON lines read transparently by extension") {
+    // compressed drops are the common reality; gzip decodes inline but
+    // is NON-SPLITTABLE (one task per file at any size) — the scale
+    // trade is documented in SCALE.md: many small .gz files, or
+    // recompress to a splittable layout at the edge
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-src-")
+    hardRows.repartition(2).write.mode("overwrite")
+      .option("compression", "gzip").json(dir.toString)
+    val gzFiles = dir.toFile.listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(gzFiles.nonEmpty, "writer should emit .json.gz part files")
+    val back = spark.read.schema(hardRows.schema).json(dir.toString)
+    assert(back.count() === 6L)
+    val got = back.select("id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    val want = hardRows.select("id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
+    assert(got === want)
+  }
+
+  test("XML round trip carries the hard characters (entity escaping)") {
+    val rows = hardRows.where(col("text").isNotNull && col("text") =!= "")
+    val back = FileSources.xmlRoundTrip(rows)
+    val got = back.select("id", "text", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    val want = rows.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getString(2)))
+      .toSet
+    assert(got === want) // newline/quote/comma/backslash/combining mark survive XML
+  }
+
+  test("XML escapes markup-significant characters losslessly") {
+    import spark.implicits._
+    val df = Seq((1L, "<tag> & \"quoted\" 'apos' ]]> done"),
+      (2L, "a<b and b>a & so on")).toDF("id", "text")
+    val back = FileSources.xmlRoundTrip(df)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      df.orderBy("id").collect().map(_.getString(1)).toSeq)
+  }
+
   test("streaming JSON file source: directory backlog drains incrementally") {
     // the streaming twin of q138: records LAND as files in a drop
     // directory and stream through with a declared schema — faust's
