@@ -328,6 +328,9 @@ object JpegOps {
           var p = br.pos
           while (p + 1 < jpeg.length && !((jpeg(p) & 0xff) == 0xff &&
             (jpeg(p + 1) & 0xf8) == 0xd0)) p += 1
+          // a missing marker must die by name, not decode 1-fill garbage
+          require(p + 1 < jpeg.length,
+            "truncated entropy stream (RSTn marker expected before EOF)")
           br.pos = p + 2
           pred = 0
           blocksSinceRst = 0
@@ -766,6 +769,9 @@ object JpegOps {
           var p = br.pos
           while (p + 1 < jpeg.length && !((jpeg(p) & 0xff) == 0xff &&
             (jpeg(p + 1) & 0xf8) == 0xd0)) p += 1
+          // a missing marker must die by name, not decode 1-fill garbage
+          require(p + 1 < jpeg.length,
+            "truncated entropy stream (RSTn marker expected before EOF)")
           br.pos = p + 2
           pred(0) = 0; pred(1) = 0; pred(2) = 0
           mcusSinceRst = 0
@@ -893,6 +899,28 @@ object JpegOps {
         val yPl = blockConstantRaster16(b => v(b))
         val cbPl = Array.fill(64)(v(4))
         val crPl = Array.fill(64)(v(5))
+        // RST resync is LOAD-BEARING for the m14 gate: the emitted
+        // 16×16 fixture is a single MCU (restartInterval=1 never
+        // fires), so a two-MCU twin (identical MCUs stacked, one
+        // RST0 between them) is encoded and decoded here — a resync
+        // bug makes the second MCU diverge and this require fails the
+        // oracle-gated query, not just a spec
+        val twin = encodeYCbCr420Baseline(16, 32,
+          yPl ++ yPl, cbPl ++ cbPl, crPl ++ crPl, restartInterval = 1)
+        val dec = decodeYCbCr420Baseline(twin)
+        require(dec.width == 16 && dec.height == 32 &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(dec.y, 0, 256), yPl) &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(dec.y, 256, 512),
+            java.util.Arrays.copyOfRange(dec.y, 0, 256)) &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(dec.cb, 0, 64),
+            java.util.Arrays.copyOfRange(dec.cb, 64, 128)) &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(dec.cr, 0, 64),
+            java.util.Arrays.copyOfRange(dec.cr, 64, 128)),
+          "RST resync produced divergent MCUs in the m14 twin stream")
         Row(row.getLong(idIdx),
           encodeYCbCr420Baseline(16, 16, yPl, cbPl, crPl,
             restartInterval = 1))
@@ -962,12 +990,11 @@ object JpegOps {
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
           else row.getString(txtIdx).codePoints().toArray
-        val n = cps.length.toLong
         val px = new Array[Byte](w * h)
         var c = 0
         while (c < px.length) {
-          px(c) = if (n > 0) (cps(((c * n) / px.length).toInt) % 256).toByte
-            else 0
+          // the ONE authoritative sampling rule (m05/m13 family)
+          px(c) = MultimodalOps.textPoint(cps, c, px.length).toByte
           c += 1
         }
         val bi = new java.awt.image.BufferedImage(

@@ -45,7 +45,8 @@ object SourceQueries {
     val base = Seq(
       (-1L, Option("line1\nline2"), "xx", "crafted", 11L),
       (-2L, Option("he said \"hi\", twice"), "xx", "crafted", 19L),
-      (-3L, Option("back\\slash e\u0301"), "xx", "crafted", 13L))
+      (-3L, Option("back\\slash e\u0301"), "xx", "crafted", 13L),
+      (-6L, Option(" padded "), "xx", "crafted", 8L))
     val extra = Seq(
       (-4L, Option(""), "xx", "crafted", 0L),
       (-5L, Option.empty[String], "xx", "crafted", 0L))
@@ -60,7 +61,8 @@ object SourceQueries {
     val base =
       """(-1, 'line1' || chr(10) || 'line2', 'xx', 'crafted', 11),
         (-2, 'he said "hi", twice', 'xx', 'crafted', 19),
-        (-3, 'back\slash e' || chr(769), 'xx', 'crafted', 13)"""
+        (-3, 'back\slash e' || chr(769), 'xx', 'crafted', 13),
+        (-6, ' padded ', 'xx', 'crafted', 8)"""
     val extra =
       """,
         (-4, '', 'xx', 'crafted', 0),

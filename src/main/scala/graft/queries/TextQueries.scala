@@ -1807,9 +1807,12 @@ object TextQueries {
 
     // ── m14: COLOR JPEG (YCbCr 4:2:0) — the dominant crawl-image
     //    profile: interleaved-MCU entropy decode (4 Y + Cb + Cr per
-    //    MCU, per-component DC prediction and tables, RSTn resync
-    //    every MCU), per-component dequant + islow IDCT, chroma
-    //    upsample, and libjpeg's exact fixed-point YCbCr→RGB. The
+    //    MCU, per-component DC prediction and tables), per-component
+    //    dequant + islow IDCT, chroma upsample, and libjpeg's exact
+    //    fixed-point YCbCr→RGB. The emitted 16×16 fixture is one MCU
+    //    (no RST fires); RSTn resync is gated anyway via the two-MCU
+    //    twin require inside textToColorJpegOwn (a resync bug fails
+    //    this query, not just ColorJpegSpec's multi-MCU cases). The
     //    fixtures are own-encoded block-constant planes (m13's
     //    exactness trick per component), so luma phash AND the
     //    transform's RGB are pure integer functions of the text —

@@ -28,9 +28,35 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object FileSources {
 
-  /** Fresh driver-local staging dir (fixture side only). */
+  /** Per-JVM staging root, deleted recursively on JVM exit — repeated
+    * verify/bench runs must not leak corpus copies into the temp dir
+    * (each round-trip query stages a full copy of its input).
+    */
+  private lazy val stagingRoot: Path = {
+    val root = Files.createTempDirectory("graft-src-staging-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+    root
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import java.nio.file.{FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    try Files.walkFileTree(p, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+        Files.deleteIfExists(f); FileVisitResult.CONTINUE
+      }
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        Files.deleteIfExists(d); FileVisitResult.CONTINUE
+      }
+    })
+    catch { case _: java.io.IOException => () } // best effort at exit
+  }
+
+  /** Fresh driver-local staging dir under the self-cleaning root
+    * (fixture side only).
+    */
   private def stageDir(prefix: String): Path =
-    Files.createTempDirectory(prefix)
+    Files.createTempDirectory(stagingRoot, prefix)
 
   /** Write `df` as JSON lines (multiple part files — proves the
     * multi-file read), optionally drop extra RAW lines alongside
@@ -66,12 +92,18 @@ object FileSources {
       .option("header", "true")
       .option("quoteAll", "true")
       .option("escape", "\"")
+      // the writer TRIMS surrounding whitespace by default — disable
+      // both sides so ' padded ' survives byte-for-byte
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir.toString)
     df.sparkSession.read
       .schema(df.schema)
       .option("header", "true")
       .option("escape", "\"")
       .option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir.toString)
   }
 
@@ -104,6 +136,9 @@ object FileSources {
     df.sparkSession.read
       .schema(df.schema)
       .format("xml").option("rowTag", "row")
+      // the reader trims surrounding whitespace in character data by
+      // default — disable so ' padded ' survives byte-for-byte
+      .option("ignoreSurroundingSpaces", "false")
       .load(dir.toString)
   }
 

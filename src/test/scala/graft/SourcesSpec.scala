@@ -20,7 +20,8 @@ class SourcesSpec extends SparkTestBase {
       (3L, Option("back\\slash é and a comma,"), "fr"),
       (4L, Option("tab\there"), "de"),
       (5L, Option(""), "en"),
-      (6L, Option.empty[String], "xx"))
+      (6L, Option.empty[String], "xx"),
+      (7L, Option(" leading and trailing "), "en"))
       .toDF("id", "text", "lang")
   }
 
@@ -48,7 +49,7 @@ class SourcesSpec extends SparkTestBase {
     assert(bad.count() === 2L)
     // a syntax error at the first token must not retain parsed fields
     assert(bad.where(col("id").isNotNull).count() === 0L)
-    assert(back.where(col("_corrupt_record").isNull).count() === 6L)
+    assert(back.where(col("_corrupt_record").isNull).count() === 7L)
   }
 
   test("JSON read spans multiple part files") {
@@ -58,7 +59,7 @@ class SourcesSpec extends SparkTestBase {
     // relation would return empty strings
     val nFiles = back.where(col("id").isNotNull)
       .select(input_file_name()).distinct().count()
-    assert(nFiles >= 2L) // 6 rows over 3 parts: at least 2 non-empty files
+    assert(nFiles >= 2L) // 7 rows over 3 parts: at least 2 non-empty files
   }
 
   test("CSV RFC 4180 round trip is lossless on non-null text") {
@@ -79,7 +80,7 @@ class SourcesSpec extends SparkTestBase {
     // mark) must survive byte-for-byte, not just modulo conflation
     val gotById = got.map(t => t._1 -> t._2).toMap
     val wantById = want.map(t => t._1 -> t._2).toMap
-    for (id <- Seq(1L, 2L, 3L, 4L)) assert(gotById(id) === wantById(id), s"id=$id")
+    for (id <- Seq(1L, 2L, 3L, 4L, 7L)) assert(gotById(id) === wantById(id), s"id=$id")
   }
 
   test("CSV numeric columns round trip exactly") {
@@ -106,8 +107,8 @@ class SourcesSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val lake = FileSources.partitionedRoundTrip(hardRows, "lang")
     // content survives (partition col round-trips via directory names)
-    assert(lake.count() === 6L)
-    assert(lake.where(col("lang") === "en").count() === 3L)
+    assert(lake.count() === 7L)
+    assert(lake.where(col("lang") === "en").count() === 4L)
     // the filter must land in PartitionFilters (directory pruning),
     // NOT as a post-scan data filter
     val plan = lake.where(col("lang") === "en").queryExecution.executedPlan
@@ -132,7 +133,7 @@ class SourcesSpec extends SparkTestBase {
     val gzFiles = dir.toFile.listFiles().filter(_.getName.endsWith(".json.gz"))
     assert(gzFiles.nonEmpty, "writer should emit .json.gz part files")
     val back = spark.read.schema(hardRows.schema).json(dir.toString)
-    assert(back.count() === 6L)
+    assert(back.count() === 7L)
     val got = back.select("id", "text").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString))).toSet
     val want = hardRows.select("id", "text").collect()
@@ -181,7 +182,7 @@ class SourcesSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       val row = spark.table("src_stream").collect().head
-      assert(row.getLong(0) === 5L)
+      assert(row.getLong(0) === 6L)
       val want = hardRows.where(col("text").isNotNull)
         .agg(sum(length(col("text")))).collect().head.getLong(0)
       assert(row.getLong(1) === want)
