@@ -246,6 +246,31 @@ object SourceQueries {
           CAST(SUM(('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT
             % 1000000000) AS BIGINT) AS h_sum,
           COUNT(DISTINCT lang) AS n_lang
-        FROM u"""))
+        FROM u""")),
+
+    // ── q143: VARIANT codec — Spark 4's binary semi-structured type
+    //    (schema-on-read without a declared schema: the lakehouse
+    //    answer to "the drop's JSON payloads vary by record"). Each
+    //    row's struct goes through to_json → parse_json (VARIANT) →
+    //    typed variant_get extraction; the oracle is the IDENTITY on
+    //    the original columns, so any encode/decode/path/cast defect
+    //    breaks the hash. Missing paths must yield NULL (not error)
+    //    via try_variant_get ──────────────────────────────────────────────
+    Q("q143_variant_codec",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v = parse_json(to_json(struct(col("lang"), col("n_chars"),
+          col("source"))))
+        docs.select(col("doc_id"), v.as("v"))
+          .select(col("doc_id"),
+            variant_get(col("v"), "$.lang", "string").as("lang"),
+            variant_get(col("v"), "$.n_chars", "long").as("n_chars"),
+            variant_get(col("v"), "$.source", "string").as("source"),
+            try_variant_get(col("v"), "$.missing", "string").as("absent"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+          source, CAST(NULL AS VARCHAR) AS absent
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -256,7 +256,16 @@ class PlanHygieneSpec extends SparkTestBase {
       "t52_mg_stream_bounds",
       // q136: the 1-row (total, n) balance-threshold scalar broadcast
       // back over customers — q114's mean-threshold class.
-      "q136_dormant_rich")
+      "q136_dormant_rich",
+      // q138–q140/q142: the file-source round-trip CENSUS — a 1-row
+      // global aggregate over the read-back rows (count/sum/min/max/
+      // hash-sum partials map-side combined, one row per upstream
+      // partition crosses the exchange); q63's scalar-tail class. The
+      // round trip's data volume lives in the staged write + the
+      // format scan, both fully parallel; q141's per-lang census
+      // hash-partitions instead and is not in this list.
+      "q138_json_source", "q139_csv_source", "q140_orc_source",
+      "q142_xml_source")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq

@@ -162,6 +162,56 @@ class SourcesSpec extends SparkTestBase {
       df.orderBy("id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("VARIANT codec: nested paths, array index, missing path -> null") {
+    import spark.implicits._
+    val df = Seq("""{"a": {"b": 7}, "s": "x", "arr": [1, 2, 3]}""").toDF("j")
+      .select(parse_json(col("j")).as("v"))
+    val row = df.select(
+      variant_get(col("v"), "$.a.b", "long"),
+      variant_get(col("v"), "$.s", "string"),
+      variant_get(col("v"), "$.arr[1]", "int"),
+      try_variant_get(col("v"), "$.nope", "string")).collect().head
+    assert(row.getLong(0) === 7L)
+    assert(row.getString(1) === "x")
+    assert(row.getInt(2) === 2)
+    assert(row.isNullAt(3))
+  }
+
+  test("q143 variant round-trip is the identity on the source columns") {
+    val out = SparkEntry.queries("q143_variant_codec")(spark, sf)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .orderBy("doc_id").collect()
+    val got = out.select("doc_id", "lang", "n_chars", "source").collect()
+    assert(got.toSeq === orig.toSeq)
+    assert(out.where(col("absent").isNotNull).count() === 0L)
+  }
+
+  test("scale: JSON lines splits by byte range; gzip is one task per file") {
+    import spark.implicits._
+    // ~1 MB single plain-text JSON file vs the same data gzipped:
+    // the plain file must fan out under a small maxPartitionBytes
+    // (byte-range splitting — the 100 TB drop contract), the gzip
+    // file must collapse to ONE task regardless (non-splittable)
+    val big = (0 until 20000).map(i => (i.toLong, "x" * 40)).toDF("id", "s")
+    val plainDir = java.nio.file.Files.createTempDirectory("graft-split-")
+    val gzDir = java.nio.file.Files.createTempDirectory("graft-split-gz-")
+    big.coalesce(1).write.mode("overwrite").json(plainDir.toString)
+    big.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").json(gzDir.toString)
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536") // 64 KiB
+      val plainParts = spark.read.schema(big.schema)
+        .json(plainDir.toString).rdd.getNumPartitions
+      val gzParts = spark.read.schema(big.schema)
+        .json(gzDir.toString).rdd.getNumPartitions
+      assert(plainParts > 4, s"plain JSON should split ($plainParts tasks)")
+      assert(gzParts === 1, s"gzip must be one task per file ($gzParts)")
+    } finally conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
   test("streaming JSON file source: directory backlog drains incrementally") {
     // the streaming twin of q138: records LAND as files in a drop
     // directory and stream through with a declared schema — faust's
