@@ -891,6 +891,14 @@ object JpegOps {
       StructField("id", LongType), StructField("jpeg", BinaryType)))
     implicit val enc: Encoder[Row] = Encoders.row(schema)
     df.mapPartitions { rows =>
+      // RST resync is LOAD-BEARING for the m14 gate: the emitted
+      // 16×16 fixture is a single MCU (restartInterval=1 never
+      // fires), so a two-MCU twin (identical MCUs stacked, one RST0
+      // between them) is encoded and decoded ONCE PER PARTITION on
+      // that partition's first row — a resync bug is structural, so
+      // one twin fails the oracle-gated query without tripling every
+      // row's cost (ColorJpegSpec covers content-varied multi-MCU RST)
+      var twinChecked = false
       rows.map { row =>
         val cps =
           if (row.isNullAt(txtIdx)) Array.empty[Int]
@@ -899,28 +907,25 @@ object JpegOps {
         val yPl = blockConstantRaster16(b => v(b))
         val cbPl = Array.fill(64)(v(4))
         val crPl = Array.fill(64)(v(5))
-        // RST resync is LOAD-BEARING for the m14 gate: the emitted
-        // 16×16 fixture is a single MCU (restartInterval=1 never
-        // fires), so a two-MCU twin (identical MCUs stacked, one
-        // RST0 between them) is encoded and decoded here — a resync
-        // bug makes the second MCU diverge and this require fails the
-        // oracle-gated query, not just a spec
-        val twin = encodeYCbCr420Baseline(16, 32,
-          yPl ++ yPl, cbPl ++ cbPl, crPl ++ crPl, restartInterval = 1)
-        val dec = decodeYCbCr420Baseline(twin)
-        require(dec.width == 16 && dec.height == 32 &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(dec.y, 0, 256), yPl) &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(dec.y, 256, 512),
-            java.util.Arrays.copyOfRange(dec.y, 0, 256)) &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(dec.cb, 0, 64),
-            java.util.Arrays.copyOfRange(dec.cb, 64, 128)) &&
-          java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(dec.cr, 0, 64),
-            java.util.Arrays.copyOfRange(dec.cr, 64, 128)),
-          "RST resync produced divergent MCUs in the m14 twin stream")
+        if (!twinChecked) {
+          twinChecked = true
+          val twin = encodeYCbCr420Baseline(16, 32,
+            yPl ++ yPl, cbPl ++ cbPl, crPl ++ crPl, restartInterval = 1)
+          val dec = decodeYCbCr420Baseline(twin)
+          require(dec.width == 16 && dec.height == 32 &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(dec.y, 0, 256), yPl) &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(dec.y, 256, 512),
+              java.util.Arrays.copyOfRange(dec.y, 0, 256)) &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(dec.cb, 0, 64),
+              java.util.Arrays.copyOfRange(dec.cb, 64, 128)) &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(dec.cr, 0, 64),
+              java.util.Arrays.copyOfRange(dec.cr, 64, 128)),
+            "RST resync produced divergent MCUs in the m14 twin stream")
+        }
         Row(row.getLong(idIdx),
           encodeYCbCr420Baseline(16, 16, yPl, cbPl, crPl,
             restartInterval = 1))

@@ -52,11 +52,22 @@ object FileSources {
     catch { case _: java.io.IOException => () } // best effort at exit
   }
 
-  /** Fresh driver-local staging dir under the self-cleaning root
-    * (fixture side only).
+  /** One live staging dir per format prefix: starting a new round
+    * trip reclaims the previous one (by then its read has fully
+    * materialized — this is fixture machinery; holding a round-trip
+    * DataFrame lazily across a LATER round trip of the same format is
+    * not supported). Bounds peak temp usage to one corpus copy per
+    * format instead of one per invocation across bench iterations.
     */
-  private def stageDir(prefix: String): Path =
-    Files.createTempDirectory(stagingRoot, prefix)
+  private val lastStage =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def stageDir(prefix: String): Path = {
+    val dir = Files.createTempDirectory(stagingRoot, prefix)
+    val prev = lastStage.put(prefix, dir)
+    if (prev != null) deleteRecursively(prev)
+    dir
+  }
 
   /** Write `df` as JSON lines (multiple part files — proves the
     * multi-file read), optionally drop extra RAW lines alongside
