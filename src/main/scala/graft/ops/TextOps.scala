@@ -805,17 +805,33 @@ object TextOps {
     val lex = df.select(col(idCol).as("id"),
         array_sort(array_distinct(tokens(col(textCol)))).as("lt"))
       .select(col("id"), col("lt"), size(col("lt")).cast("long").as("n"))
-    // SHUFFLED HASH join with the doc-array side as build (hint), not
-    // sort-merge: SMJ would sort the candidate stream WITH its wide
-    // token arrays attached — at 1000× corpus that sort is the first
-    // memory wall (UNABLE_TO_ACQUIRE_MEMORY under 32 concurrent sort
-    // consumers at the 8 GB default heap; SCALE.md round-12 finding 1).
-    // The build side hashes only each partition's share of DOCS
-    // (spillable since Spark 3.2), and the 12.5M-candidate stream is
-    // never sorted at all.
-    candIds
-      .join(lex.toDF("id_a", "ta", "n_a").hint("shuffle_hash"), "id_a")
-      .join(lex.toDF("id_b", "tb", "n_b").hint("shuffle_hash"), "id_b")
+    // Verify-join strategy is SIZE-ADAPTIVE (the README's "broadcast
+    // the small side always", applied to the doc-array side):
+    //  - small corpus (row count from the INPUT df — a metadata-cheap
+    //    parquet count, no tokenization): BROADCAST the lex arrays to
+    //    both lookups, so the multi-million-row candidate stream never
+    //    re-shuffles carrying wide token arrays (measured at sf0.1:
+    //    the id_b-side reshuffle of candidates+ta was the dominant
+    //    cost of the old always-shuffle_hash plan);
+    //  - large corpus: SHUFFLED HASH join with the doc-array side as
+    //    build (hint), not sort-merge: SMJ would sort the candidate
+    //    stream WITH its wide token arrays attached — at 1000× corpus
+    //    that sort is the first memory wall (UNABLE_TO_ACQUIRE_MEMORY
+    //    under 32 concurrent sort consumers at the 8 GB default heap;
+    //    SCALE.md round-12 finding 1). The build side hashes only each
+    //    partition's share of DOCS (spillable since Spark 3.2), and
+    //    the candidate stream is never sorted at all.
+    // 100k docs ≈ 60 MB of arrays — comfortably broadcastable; past
+    // that the shuffle_hash tier takes over unchanged.
+    val lexA = lex.toDF("id_a", "ta", "n_a")
+    val lexB = lex.toDF("id_b", "tb", "n_b")
+    val joined =
+      if (df.count() <= 100000L)
+        candIds.join(broadcast(lexA), "id_a").join(broadcast(lexB), "id_b")
+      else
+        candIds.join(lexA.hint("shuffle_hash"), "id_a")
+          .join(lexB.hint("shuffle_hash"), "id_b")
+    joined
       .select(col("id_a"), col("id_b"),
         graft.functions.ArrayKernels
           .sortedIntersectCountStr(col("ta"), col("tb")).as("n_common"),
@@ -849,6 +865,15 @@ object TextOps {
       .withColumn("plen",
         col("n_toks") -
           ceil(lit(threshold) * col("n_toks") - lit(1e-9)).cast("int") + 1)
+    // PPJoin's POSITIONAL filter was implemented and MEASURED here,
+    // then rejected: at sf0.1 (t=0.9, rarest-first order) it pruned
+    // candidates only 3.69M → 3.28M (−11%), while replacing the
+    // DISTINCT below with a per-pair min-position aggregate made the
+    // collision shuffle rows wider — net wall time went 14.6 s →
+    // 15.4 s (quiet-box medians). At this threshold the prefix +
+    // length filters already capture nearly all of the pruning the
+    // positions could add; re-evaluate only if the threshold drops
+    // (longer prefixes → weaker prefix filter → positions matter).
     val prefix = sorted.select(col("id"), col("n_toks"),
       explode(slice(col("stoks"), lit(1), col("plen"))).as("ptok"))
     val candIds = prefix.toDF("id_a", "n_a", "ptok")
