@@ -150,7 +150,7 @@ object Bench {
     // NFC normalization (narrow codegen map), windowed audio contour
     "q138_json_source", "q139_csv_source", "q140_orc_source",
     "q141_partitioned_source", "q142_xml_source", "q143_variant_codec",
-    "t53_unicode_normalize", "m18_audio_frames")
+    "q144_schema_evolution", "t53_unicode_normalize", "m18_audio_frames")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -271,6 +271,39 @@ object SourceQueries {
       },
       Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
           source, CAST(NULL AS VARCHAR) AS absent
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── q144: SCHEMA EVOLUTION — the standard lake lifecycle: an old
+    //    generation of files (even doc_ids) lacks the n_chars column a
+    //    later generation (odd doc_ids) added; a mergeSchema read
+    //    unions the footers and old rows surface n_chars as NULL. The
+    //    census checks exactly that: the column exists for every row,
+    //    is NULL precisely on the old generation, and carries its
+    //    original values on the new one ──────────────────────────────────
+    Q("q144_schema_evolution",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val oldGen = docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val newGen = docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        val lake = FileSources.schemaEvolvedLake(oldGen, newGen)
+        lake.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+            .as("n_old_gen"),
+          sum(col("n_chars")).as("sum_new_chars"),
+          sum(length(coalesce(col("text"), lit(""))).cast("long"))
+            .as("sum_cp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 OR n_chars IS NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_old_gen,
+          CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+            AS sum_new_chars,
+          CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents"""))
   )
 }

@@ -153,6 +153,26 @@ object FileSources {
       .load(dir.toString)
   }
 
+  /** Schema-EVOLVED parquet lake: `oldGen` lands first (the original
+    * schema), `newGen` lands later with extra columns — the standard
+    * lake lifecycle (a pipeline adds a column; history is not
+    * rewritten). Reading with `mergeSchema` unions the footers: rows
+    * from old files surface the missing columns as NULL. Scale note:
+    * mergeSchema reconciles FOOTERS (one small read per file at
+    * planning), not data — but on a million-file lake that planning
+    * pass is real; production lakes pin the merged schema in a
+    * catalog and pass it explicitly (`.schema(...)`), which this
+    * reader also supports since any explicit schema skips the merge.
+    */
+  def schemaEvolvedLake(oldGen: DataFrame, newGen: DataFrame): DataFrame = {
+    val dir = stageDir("graft-evolve-src-")
+    oldGen.write.mode("append").parquet(dir.toString)
+    newGen.write.mode("append").parquet(dir.toString)
+    oldGen.sparkSession.read
+      .option("mergeSchema", "true")
+      .parquet(dir.toString)
+  }
+
   /** Hive-style partitioned parquet lake: write `df` partitioned by
     * `partCol` (one directory per value), read it back, and let the
     * caller's `WHERE partCol = …` prune to the matching directories —

@@ -162,6 +162,18 @@ class SourcesSpec extends SparkTestBase {
       df.orderBy("id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("schema-evolved lake: merged read nulls the old generation's missing column") {
+    import spark.implicits._
+    val oldGen = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val newGen = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra")
+    val lake = FileSources.schemaEvolvedLake(oldGen, newGen)
+    assert(lake.columns.toSet === Set("id", "s", "extra"))
+    val rows = lake.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.take(2).forall(_.isNullAt(2)), "old gen -> NULL extra")
+    assert(rows.drop(2).map(_.getLong(2)).toSeq === Seq(30L, 40L))
+  }
+
   test("VARIANT codec: nested paths, array index, missing path -> null") {
     import spark.implicits._
     val df = Seq("""{"a": {"b": 7}, "s": "x", "arr": [1, 2, 3]}""").toDF("j")
