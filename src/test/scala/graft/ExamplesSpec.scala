@@ -25,4 +25,8 @@ class ExamplesSpec extends SparkTestBase {
   test("WarehouseTour walkthrough runs end-to-end on the test corpus") {
     graft.examples.WarehouseTour.run(spark, sf)
   }
+
+  test("LakeIngest walkthrough runs end-to-end on the test corpus") {
+    graft.examples.LakeIngest.run(spark, sf)
+  }
 }
