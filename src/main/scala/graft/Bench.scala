@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is fully materialized through the noop sink (`count()`
   * would let Catalyst prune computed columns and under-report work).
+  *
+  * TIMEOUT-RESILIENT by design (round-16 rework; BENCH_r15 was
+  * rc=124/parsed:null because the single end-of-run emission never
+  * executed): the run carries a wall-clock budget
+  * (`SPARK_GRAFT_BENCH_BUDGET`, seconds, default 2250 — the r14
+  * driver run took 2,774 s and was the last one to finish, so the
+  * default sits safely under the driver's kill window), and
+  *   (a) a running summary line — a complete, standalone-parseable
+  *       JSON artifact over everything finished so far — prints after
+  *       EVERY entry timing and is mirrored to bench_full.json, so
+  *       the driver's last-2000-chars stdout tail always ends with a
+  *       valid artifact no matter where the run is cut;
+  *   (b) extra iterations degrade first: iteration k≥2 of an entry is
+  *       skipped when the remaining budget cannot absorb ~1.5× its
+  *       last observed time (medians then come from fewer samples —
+  *       `iters_done` records how many each entry kept);
+  *   (c) first iterations are never skipped until the budget is down
+  *       to the emission reserve, so coverage shrinks last;
+  *   (d) a JVM shutdown hook emits the summary from whatever finished
+  *       if SIGTERM (what `timeout` sends) lands mid-entry.
+  * The bench also logs at ERROR (not WARN) so the known allowlisted
+  * WindowExec warnings can't flood the parsed stdout tail.
   */
 object Bench {
 
@@ -150,7 +172,11 @@ object Bench {
     // NFC normalization (narrow codegen map), windowed audio contour
     "q138_json_source", "q139_csv_source", "q140_orc_source",
     "q141_partitioned_source", "q142_xml_source", "q143_variant_codec",
-    "q144_schema_evolution", "t53_unicode_normalize", "m18_audio_frames")
+    "q144_schema_evolution", "t53_unicode_normalize", "m18_audio_frames",
+    // round-16 additions: streaming lake ingestion (availableNow
+    // multi-batch file tracking — the connector's continuous twin),
+    // zstd-compressed parquet round trip (the 100 TB codec)
+    "q145_stream_ingest", "q146_zstd_source")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08
@@ -161,6 +187,14 @@ object Bench {
     //     scale path = p12 LSH split (benched)
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    val budget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2250").toDouble
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    def remaining: Double = budget - elapsed
+    // wall-clock held back for final emission + spark teardown
+    val reserve = 30.0
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -173,13 +207,131 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver json-parses the last 2000 chars of
+    // stdout, and the allowlisted WindowExec warnings alone overflow
+    // that budget (they are exactly what BENCH_r15's tail was full of)
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=t09_pii_redact,d12_...
     // times just those entries. Unset (driver runs) → everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(name: String): Boolean = only.forall(_.contains(name))
+
+    // ---- result store + always-valid emission (defined before any
+    // heavy work so the shutdown hook can report a partial run) ----
+    val lock = new Object
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // -1 sentinel rows (all-failed) are filtered here
+    def sortedOk(name: String): Vector[Double] =
+      samples.getOrElse(name, Vector.empty).filter(_ >= 0).sorted
+    @volatile var itersDone = 0 // completed full interleaved passes
+    @volatile var nEvents = 0L
+    val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val eventScenarios = Set("b01_consume_baseline", "b02_forward",
+      "b03_stream_windowed")
+    // locale-pinned number formatting: under a comma-decimal default
+    // JVM locale, f"$v%.4f" would emit `0,0123` and the stdout line
+    // the driver json-parses would not be valid JSON
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def fmt1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+    case class Stat(name: String, med: Double, mn: Double, mad: Double, n: Int)
+    def stats(): Seq[Stat] = lock.synchronized {
+      samples.toSeq.map { case (name, _) =>
+        val ok = sortedOk(name)
+        val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+        val mn = if (ok.isEmpty) -1.0 else ok.head
+        val mad = if (ok.isEmpty) -1.0
+          else ok.map(t => math.abs(t - med)).sorted.apply(ok.size / 2)
+        Stat(name, med, mn, mad, ok.size)
+      }
+    }
+    def rateJsons(res: Seq[Stat]): (String, String) = {
+      val rates = res.filter(r => eventScenarios(r.name)).map { r =>
+        val rps = if (r.med > 0 && nEvents > 0) nEvents / r.med else -1.0
+        val p10k = if (r.med > 0 && nEvents > 0) r.med / (nEvents / 10000.0) else -1.0
+        (r.name, rps, p10k)
+      }
+      (rates.map { case (k, r, _) => "\"" + k + "\":" + fmt1(r) }
+         .mkString("{", ",", "}"),
+       rates.map { case (k, _, p) => "\"" + k + "\":" + fmt4(p) }
+         .mkString("{", ",", "}"))
+    }
+    // the COMPACT line: a complete, standalone artifact (same top-level
+    // shape the driver has parsed every round: metric/value/unit/
+    // queries/sf) over whatever has finished. Printed after every entry
+    // timing AND on the shutdown hook — the stdout tail always ends
+    // with one, so a timeout yields a truncated-but-valid bench.
+    def compactLine(partial: Boolean): String = {
+      val res = stats()
+      val done = res.count(_.med >= 0)
+      val total = res.map(_.med).filter(_ >= 0).sum
+      val (rpsJson, p10kJson) = rateJsons(res)
+      val headlineRes = res.filter(r => eventScenarios(r.name) ||
+        r.name == "b04_bucketed_multi_join" || r.name == "b05_point_lookups" ||
+        r.name == "b06_sharded_lookups")
+      val slowest = res.filter(_.med >= 0).sortBy(-_.med).take(5)
+      val compactQs =
+        (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_.name == s.name)))
+          .filter(_.med >= 0)
+          .map { r => "\"" + r.name + "\":" + fmt4(r.med) }
+          .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""sf":"$sfDir","n_entries":${res.size},"n_done":$done,""" +
+        s""""partial":$partial,"budget_sec":$budget,"elapsed_sec":${fmt1(elapsed)},""" +
+        s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
+        s""""full":"bench_full.json","queries":$compactQs}"""
+    }
+    // the FULL line: complete medians/min/MAD maps for every entry —
+    // always on disk at bench_full.json (rewritten incrementally), so
+    // the untruncated numbers survive any cut
+    def fullLine(partial: Boolean, iters: Int): String = {
+      val res = stats()
+      val qs = res.map { r => "\"" + r.name + "\":" + fmt4(r.med) }
+        .mkString("{", ",", "}")
+      val qsMin = res.map { r => "\"" + r.name + "\":" + fmt4(r.mn) }
+        .mkString("{", ",", "}")
+      val qsMad = res.map { r => "\"" + r.name + "\":" + fmt4(r.mad) }
+        .mkString("{", ",", "}")
+      val qsN = res.map { r => "\"" + r.name + "\":" + r.n }
+        .mkString("{", ",", "}")
+      val total = res.map(_.med).filter(_ >= 0).sum
+      val (rpsJson, p10kJson) = rateJsons(res)
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""iters":$iters,"partial":$partial,""" +
+        s""""budget_sec":$budget,"elapsed_sec":${fmt1(elapsed)},""" +
+        s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
+        s""""n_events":$nEvents,"sf":"$sfDir","iters_done":$qsN,""" +
+        s""""queries_min":$qsMin,"queries_mad":$qsMad,"queries":$qs}"""
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    def writeFull(partial: Boolean, iters: Int): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine(partial, iters) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    val declaredIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // SIGTERM (timeout's default signal) runs shutdown hooks: emit the
+    // partial artifact from whatever finished before the JVM dies
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!emittedFinal.get()) {
+        // silence log4j first: Spark's own shutdown hooks run
+        // concurrently and their executor-teardown ERRORs would land
+        // after our artifact line in a merged stdout+stderr capture
+        try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+        writeFull(partial = true, declaredIters)
+        println(compactLine(partial = true))
+        Console.flush()
+        // print once more after the teardown noise burst so the tail's
+        // LAST line is the artifact even under a merged capture
+        try Thread.sleep(400) catch { case _: InterruptedException => () }
+        println(compactLine(partial = true))
+        Console.flush()
+      }
+    }))
 
     // Warmup: JVM/codegen/session init + file listing, outside timings.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -189,19 +341,22 @@ object Bench {
     // (~1s each, measured), identical at every data size. Timing below
     // then reports steady-state throughput at the target SF — the same
     // regime the reference's RECV loop reports after its producer/
-    // consumer spin-up.
+    // consumer spin-up. Budget-capped at 30%: an un-warmed entry only
+    // pays codegen inside its first iteration, which the median absorbs.
     val warmDir = "/root/testdata/sf0.001"
+    val warmCap = budget * 0.30
     SparkEntry.queries
       .view.filterKeys(n => headline.contains(n) && want(n)).values.foreach { q =>
-        try q(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        if (elapsed < warmCap)
+          try q(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
     // Per-query repetition: environment noise on a busy 32-core box
     // swings single-shot timings by up to ~5× in either direction
     // (BENCH_r03 vs r04, identical binaries), so each entry runs
     // `iters` times and reports the MEDIAN (plus min and MAD) —
     // regressions become attributable to code again.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = declaredIters
     // Streaming: producer-side materialization and the streaming
     // planner/codegen JIT happen outside all timings; each b03
     // iteration then STAGES its replay (query start + sentinel prime,
@@ -220,6 +375,12 @@ object Bench {
       if (needStream) StreamBench.prepare(spark, sfDir)
       else Array.empty[(Long, String, Double)]
     if (needStream) StreamBench.warmup(spark)
+    // rates need the event count; computed up front so partial
+    // artifacts can already report rows_per_sec for finished scenarios
+    nEvents =
+      if (needStream) replayRows.length.toLong
+      else if (needRates) Tables.events(spark, sfDir).count()
+      else 0L
     // Bucketed-layout prep (untimed — layout is written once, amortized
     // over every co-located join in production): lineitem+orders
     // bucketed on orderkey → the q05 fact-fact join needs no exchange.
@@ -381,6 +542,9 @@ object Bench {
       "b06_sharded_lookups" -> (() => () => pointLookups("users_sharded")))
       .filter { case (name, _) => want(name) }
     val entries = named ++ scenarios
+    lock.synchronized {
+      entries.foreach { case (name, _) => samples(name) = Vector.empty }
+    }
 
     def timeOnce(factory: () => () => Unit): Double = {
       val fn = factory() // untimed per-iteration setup
@@ -389,121 +553,75 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -1.0
     }
+    def record(name: String, dt: Double): Unit = lock.synchronized {
+      samples(name) = samples(name) :+ dt
+    }
+    // last successful time per entry — the degrade heuristic's input
+    def lastOk(name: String): Double = {
+      val ok = lock.synchronized(samples(name)).filter(_ >= 0)
+      if (ok.isEmpty) 1.0 else ok.last
+    }
     // INTERLEAVED iterations (round-robin across entries, not N
     // back-to-back per entry): a transient contention spike on the box
     // now lands on one iteration of many entries instead of every
     // iteration of one entry, so a single entry can't have its whole
     // sample poisoned by one bad window (BENCH_r07 adjudication: four
     // entries swung 3–4× with unchanged code, all back-to-back runs).
-    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    entries.foreach { case (name, _) => samples(name) = Vector.empty }
-    (1 to iters).foreach { _ =>
+    //
+    // Budget degradation ladder: iteration 1 runs for every entry while
+    // any budget beyond the reserve remains (coverage shrinks LAST);
+    // iteration k≥2 of an entry is skipped when the remaining budget
+    // can't absorb ~1.5× its last observed time. After every entry
+    // timing a running-summary line prints and bench_full.json is
+    // rewritten — the artifact is always current.
+    (1 to iters).foreach { it =>
       entries.foreach { case (name, factory) =>
-        samples(name) = samples(name) :+ timeOnce(factory)
+        val run =
+          if (it == 1) remaining > reserve
+          else remaining > reserve + 1.5 * lastOk(name)
+        if (run) {
+          record(name, timeOnce(factory))
+          writeFull(partial = true, iters)
+          println(compactLine(partial = true))
+        }
       }
+      itersDone = it
     }
-    def sortedOk(name: String): Vector[Double] =
-      samples(name).filter(_ >= 0).sorted
     // SELF-ADJUDICATION: an entry whose median/min spread exceeds 1.5×
     // was hit by machine noise (same binary, same plan — real code
     // regressions move min and median together); rerun it until the
     // spread settles or the cap is hit, so driver-run numbers no
     // longer need a manual off-box rerun to clear false regressions.
+    // Budget-gated per rerun like extra iterations.
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt
     def noisy(name: String): Boolean = {
       val ok = sortedOk(name)
-      ok.nonEmpty && ok.head > 0 && ok(ok.size / 2) / ok.head > 1.5
+      ok.size > 1 && ok.head > 0 && ok(ok.size / 2) / ok.head > 1.5
     }
     val rerunCounts = entries.map { case (name, factory) =>
       var extra = 0
-      while (noisy(name) && extra < maxReruns) {
-        samples(name) = samples(name) :+ timeOnce(factory)
+      while (noisy(name) && extra < maxReruns &&
+          remaining > reserve + 1.5 * lastOk(name)) {
+        record(name, timeOnce(factory))
+        writeFull(partial = true, iters)
+        println(compactLine(partial = true))
         extra += 1
       }
       name -> extra
     }.filter(_._2 > 0)
-    val results = entries.map { case (name, _) =>
-      val ok = sortedOk(name)
-      // median of the successful runs; -1 if every run failed
-      val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
-      val mn = if (ok.isEmpty) -1.0 else ok.head
-      // median absolute deviation — the dispersion a reader needs to
-      // tell "this moved" from "this box was busy"
-      val mad = if (ok.isEmpty) -1.0
-        else ok.map(t => math.abs(t - med)).sorted.apply(ok.size / 2)
-      (name, med, mn, mad)
-    }
-    // locale-pinned number formatting: under a comma-decimal default
-    // JVM locale, f"$v%.4f" would emit `0,0123` and the stdout line
-    // the driver json-parses would not be valid JSON
-    def fmt4(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def fmt1(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, v, _) => "\"" + k + "\":" + fmt4(v) }
-      .mkString("{", ",", "}")
-    val qsMad = results.map { case (k, _, _, v) => "\"" + k + "\":" + fmt4(v) }
-      .mkString("{", ",", "}")
     val rerunJson = rerunCounts.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // BASELINE.md comparability: the reference reports sec per 10k
-    // events consumed; the b-scenarios consume the events table
-    // end-to-end, so events/s and sec/10k follow from wall time.
-    val nEvents: Long =
-      if (needStream) replayRows.length.toLong
-      else if (needRates) Tables.events(spark, sfDir).count()
-      else 0L
-    val eventScenarios = Set("b01_consume_baseline", "b02_forward",
-      "b03_stream_windowed")
-    // rates derive from the median (the reproducible central number)
-    val rates = results.filter(r => eventScenarios(r._1)).map { case (k, v, _, _) =>
-      val rps = if (v > 0) nEvents / v else -1.0
-      val per10k = if (v > 0) v / (nEvents / 10000.0) else -1.0
-      (k, rps, per10k)
-    }
-    val rpsJson = rates.map { case (k, r, _) => "\"" + k + "\":" + fmt1(r) }
-      .mkString("{", ",", "}")
-    val p10kJson = rates.map { case (k, _, p) => "\"" + k + "\":" + fmt4(p) }
-      .mkString("{", ",", "}")
+
     // Emission order matters: the driver's BENCH artifact keeps only the
-    // last 2000 chars of stdout, so the per-query MEDIANS print last —
-    // aux dispersion maps (min/mad) go first and are expendable in the
-    // tail. The complete line is also written to bench_full.json so the
-    // untruncated numbers are always on disk for the judge.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""iters":$iters,"reruns":$rerunJson,""" +
-      s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
-      s""""n_events":$nEvents,"sf":"$sfDir",""" +
-      s""""queries_min":$qsMin,"queries_mad":$qsMad,"queries":$qs}"""
-    try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    println(line)
-    // The driver's BENCH artifact keeps only the LAST 2000 chars of
-    // stdout and JSON-parses what it finds there. The full line above
-    // (complete medians map, all entries) exceeds that budget at the
-    // current suite size, so a second, compact line prints LAST: same
-    // top-level shape (metric/value/unit/queries) but queries holds
-    // only the BASELINE.md scenarios + the 5 slowest entries — a few
-    // hundred chars, guaranteed under the tail budget. Untruncated
-    // numbers live in bench_full.json for the judge.
-    val headlineRes = results.filter(r => eventScenarios(r._1) ||
-      r._1 == "b04_bucketed_multi_join" || r._1 == "b05_point_lookups" ||
-      r._1 == "b06_sharded_lookups")
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-    val compactQs = (headlineRes ++ slowest.filterNot(s => headlineRes.exists(_._1 == s._1)))
-      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt4(v) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""sf":"$sfDir","n_entries":${results.size},""" +
-      s""""rows_per_sec":$rpsJson,"sec_per_10k":$p10kJson,""" +
-      s""""full":"bench_full.json","queries":$compactQs}"""
-    println(compact)
+    // last 2000 chars of stdout, so the full line (which exceeds that
+    // budget at suite size) prints FIRST and the compact summary — a
+    // complete standalone artifact under the tail budget — prints LAST.
+    // Untruncated numbers live in bench_full.json for the judge.
+    emittedFinal.set(true)
+    writeFull(partial = false, iters)
+    println(fullLine(partial = false, iters)
+      .patch(1, s""""reruns":$rerunJson,""", 0)) // keep reruns in the full line
+    println(compactLine(partial = false))
     serving.foreach(_._1.stop()) // release the HTTP dispatcher thread
     spark.stop()
   }
