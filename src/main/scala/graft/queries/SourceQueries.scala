@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.functions.PortableHash
-import graft.sources.FileSources
+import graft.sources.{FileSources, StreamingLake}
 
 /** File-format connectors (§2.1 "sources" beyond parquet): JSON-lines
   * and RFC 4180 CSV read paths, proven LOSSLESS end-to-end by writing
@@ -188,12 +188,19 @@ object SourceQueries {
       (s, dir) => {
         val all = docCols(s, dir).unionByName(crafted(s, withNulls = false))
         val lake = FileSources.partitionedRoundTrip(all, "lang")
-        // the filter prunes to one directory; union over the known
-        // lang domain proves every partition's content individually
-        lake.where(col("lang") === "en" || col("lang") === "xx" ||
-            col("lang") === "fr" || col("lang") === "de" ||
-            col("lang") === "es" || col("lang") === "zh")
-          .groupBy(col("lang"))
+        // pruning contract, asserted inline at PLANNING time (no extra
+        // scan): a single-lang slice must carry the predicate in
+        // PartitionFilters (directory pruning), not as a post-scan
+        // filter. The census itself groups over ALL langs with no
+        // domain list — a new language in the corpus shows up in both
+        // sides instead of being silently dropped (round-15 advice)
+        val slice = lake.where(col("lang") === "en")
+        val scans = slice.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }
+        require(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+          "lang = 'en' must prune partitions at planning time")
+        lake.groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_rows"),
             sum(length(coalesce(col("text"), lit(""))).cast("long"))
@@ -214,7 +221,6 @@ object SourceQueries {
           CAST(SUM(('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT
             % 1000000000) AS BIGINT) AS h_sum
         FROM u
-        WHERE lang IN ('en', 'xx', 'fr', 'de', 'es', 'zh')
         GROUP BY lang ORDER BY lang""")),
 
     // ── q142: XML source — Spark 4's BUILT-IN XML reader (the
@@ -304,6 +310,99 @@ object SourceQueries {
             AS sum_new_chars,
           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS sum_cp,
           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        FROM documents"""))
+        FROM documents""")),
+
+    // ── q145: STREAMING lake ingestion — the landing-directory twin
+    //    of topic consumption (`faust/topics.py:57-494`): the corpus
+    //    arrives as TWO JSON-lines waves (7 files), a `readStream`
+    //    with maxFilesPerTrigger=2 drains them AvailableNow in ≥4
+    //    exactly-once micro-batches (asserted from the final batchId)
+    //    into a `_spark_metadata`-committed parquet lake, and the
+    //    census — q138's exact shape — runs on the lake's batch view.
+    //    Restart/no-reprocess semantics are spec-proven in
+    //    StreamingIngestSpec; here the oracle proves the DRAIN is
+    //    byte-lossless end-to-end including the counted corrupt line ──────
+    Q("q145_stream_ingest",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = true))
+        val (landing, lake, ckpt) = StreamingLake.stageDirs()
+        // wave 1: even + crafted ids, 3 parts + 1 injected bad line;
+        // wave 2: odd ids, 3 parts — 7 files at 2/trigger → 4 batches
+        StreamingLake.dropJsonWave(
+          all.where(col("doc_id") % 2 === 0 || col("doc_id") < 0),
+          landing, wave = 1, parts = 3,
+          rawExtraLines = Seq("""{BROKEN "doc_id": 999999}"""))
+        StreamingLake.dropJsonWave(
+          all.where(col("doc_id") % 2 === 1 && col("doc_id") >= 0),
+          landing, wave = 2, parts = 3)
+        val q = StreamingLake.ingest(s, landing.toString, lake.toString,
+          ckpt.toString, schema = all.schema, format = "json",
+          maxFilesPerTrigger = 2)
+        q.awaitTermination()
+        require(q.lastProgress != null && q.lastProgress.batchId >= 2,
+          "AvailableNow drain must take multiple admission-bounded batches")
+        val back = StreamingLake.lakeView(s, lake.toString)
+        val corrupt = col("_corrupt_record").isNotNull
+        back.agg(
+          sum(when(corrupt, 0L).otherwise(1L)).as("n_rows"),
+          sum(when(corrupt, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(!corrupt && col("text").isNull, 1L).otherwise(0L))
+            .as("n_null_text"),
+          sum(when(!corrupt, length(col("text")).cast("long")))
+            .as("sum_cp"),
+          min(when(!corrupt, col("doc_id"))).as("min_id"),
+          max(when(!corrupt, col("doc_id"))).as("max_id"),
+          sum(when(!corrupt,
+            PortableHash.mdHash60(col("text")) % 1000000000L)).as("h_sum"),
+          countDistinct(when(!corrupt, col("lang"))).as("n_lang"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = true)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_corrupt,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          COUNT(DISTINCT lang) AS n_lang
+        FROM u""")),
+
+    // ── q146: ZSTD parquet source — the production codec at 100 TB
+    //    (the ratio/speed point both warehouses and lakes default to).
+    //    zstd-jni inside the parquet writer (no native Hadoop codec),
+    //    files stay splittable (per-page compression inside the
+    //    container — the opposite of a raw .zst text drop, the same
+    //    contrast SourcesSpec pins for gzip), and the round-trip
+    //    helper asserts the codec landed from the `*.zstd.parquet`
+    //    file names so a silent snappy fallback can't pass. Census =
+    //    q140's typed shape (NULL vs '' preserved exactly) ────────────────
+    Q("q146_zstd_source",
+      (s, dir) => {
+        val all = docCols(s, dir).unionByName(crafted(s, withNulls = true))
+        val back = FileSources.parquetZstdRoundTrip(all)
+        back.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(length(col("text")).cast("long")).as("sum_cp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(PortableHash.mdHash60(col("text")) % 1000000000L).as("h_sum"),
+          countDistinct(col("lang")).as("n_lang"))
+      },
+      Some(s"""WITH crafted AS (${craftedSql(withNulls = true)}),
+        u AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM crafted)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_cp,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+            % 1000000000) AS BIGINT) AS h_sum,
+          COUNT(DISTINCT lang) AS n_lang
+        FROM u"""))
   )
 }

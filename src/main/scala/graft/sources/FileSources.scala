@@ -52,20 +52,24 @@ object FileSources {
     catch { case _: java.io.IOException => () } // best effort at exit
   }
 
-  /** One live staging dir per format prefix: starting a new round
-    * trip reclaims the previous one (by then its read has fully
-    * materialized — this is fixture machinery; holding a round-trip
-    * DataFrame lazily across a LATER round trip of the same format is
-    * not supported). Bounds peak temp usage to one corpus copy per
-    * format instead of one per invocation across bench iterations.
+  /** Per-format staging with TWO live generations: starting a new
+    * round trip reclaims the generation BEFORE last, so a DataFrame
+    * returned by the immediately-preceding call of the same format
+    * stays materializable (lazy frames two-or-more round trips behind
+    * are not supported — this is fixture machinery). Bounds peak temp
+    * usage to two corpus copies per format instead of one per
+    * invocation across bench iterations; the JVM-exit hook reclaims
+    * whatever remains.
     */
   private val lastStage =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Path, Path)]()
 
-  private def stageDir(prefix: String): Path = {
+  private[sources] def stageDir(prefix: String): Path = {
     val dir = Files.createTempDirectory(stagingRoot, prefix)
-    val prev = lastStage.put(prefix, dir)
-    if (prev != null) deleteRecursively(prev)
+    val evicted = new java.util.concurrent.atomic.AtomicReference[Path]()
+    lastStage.merge(prefix, (dir, null),
+      (prev, _) => { evicted.set(prev._2); (dir, prev._1) })
+    if (evicted.get != null) deleteRecursively(evicted.get)
     dir
   }
 
@@ -171,6 +175,34 @@ object FileSources {
     oldGen.sparkSession.read
       .option("mergeSchema", "true")
       .parquet(dir.toString)
+  }
+
+  /** Parquet with ZSTD compression — the production codec at 100 TB
+    * (better ratio than snappy at comparable decode speed; the default
+    * choice for both warehouse tables and long-retention lakes).
+    * Backed by zstd-jni inside the parquet writer, so no native Hadoop
+    * codec is involved, and the files stay SPLITTABLE: parquet
+    * compresses per column-chunk/page inside the container, so row
+    * groups remain independently readable — unlike a raw `.zst` text
+    * drop, which is one opaque frame a reader cannot split (the same
+    * contrast SourcesSpec pins for gzip). The writer's codec choice is
+    * asserted from the landed file names (`*.zstd.parquet`), so the
+    * round trip can't silently fall back to snappy.
+    */
+  def parquetZstdRoundTrip(df: DataFrame, parts: Int = 4): DataFrame = {
+    val dir = stageDir("graft-zstd-src-")
+    df.repartition(parts).write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(dir.toString)
+    val landed = Files.list(dir).iterator()
+    var sawZstd = false
+    while (landed.hasNext) {
+      val f = landed.next().getFileName.toString
+      if (f.endsWith(".parquet"))
+        sawZstd = sawZstd || f.endsWith(".zstd.parquet")
+    }
+    require(sawZstd, "zstd codec did not land in the parquet file names")
+    df.sparkSession.read.schema(df.schema).parquet(dir.toString)
   }
 
   /** Hive-style partitioned parquet lake: write `df` partitioned by

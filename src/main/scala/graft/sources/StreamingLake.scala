@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming file-source ingestion — the landing-directory twin of
+  * topic consumption (faust's only source is a topic,
+  * `faust/topics.py:57-494`; in the lake world the "topic" is a
+  * landing prefix that files keep arriving under).
+  *
+  * `readStream` over the landing directory with
+  *  - an EXPLICIT schema (required for streaming file sources anyway —
+  *    the same no-inference discipline as the batch connectors);
+  *  - `maxFilesPerTrigger` admission control: a backlogged landing
+  *    prefix drains in bounded micro-batches instead of one giant
+  *    batch that overwhelms executor memory (the 100 TB backfill
+  *    case: point the stream at a year of drops and it self-paces);
+  *  - EXACTLY-ONCE file tracking: the source checkpoint records which
+  *    files each batch consumed (so a restart never re-reads them),
+  *    and the parquet sink writes a `_spark_metadata` commit log that
+  *    batch readers of the lake honor — files from a batch that died
+  *    mid-write are invisible, so landing→lake is end-to-end
+  *    exactly-once (the idempotent-sink posture ChangelogSink proves
+  *    for tables, here at file grain);
+  *  - PERMISSIVE decode with a counted `_corrupt_record` column for
+  *    JSON drops — malformed lines land in the lake as countable rows,
+  *    never crash the continuous query (faust's decode-error contract,
+  *    `faust/serializers/codecs.py:1-60`).
+  *
+  * Scale posture: the streaming file source lists the landing prefix
+  * per trigger — on an object store that listing is the steady-state
+  * cost, so production prefixes are date-bucketed (`landing/dt=.../`)
+  * and rotated; the checkpoint's seen-files log compacts itself
+  * (`spark.sql.streaming.fileSource.log.compactInterval`). The sink
+  * side partitions by the lake key (e.g. lang) exactly like the batch
+  * lake writer, so downstream pruned reads see the same layout.
+  */
+object StreamingLake {
+
+  /** Start a landing→lake continuous query.
+    *
+    * @param format  "json" (PERMISSIVE + `_corrupt_record` appended to
+    *                the schema) or "parquet" (typed drops)
+    * @param clean   transform applied per micro-batch (narrow ops keep
+    *                the ingest shuffle-free)
+    * @param availableNow true → drain the current backlog in
+    *                maxFilesPerTrigger-bounded batches and stop (the
+    *                batch-backfill mode); false → keep running and
+    *                pick up new files per trigger (the tailing mode)
+    */
+  def ingest(spark: SparkSession,
+             landingDir: String,
+             lakeDir: String,
+             checkpointDir: String,
+             schema: StructType,
+             format: String = "json",
+             maxFilesPerTrigger: Int = 2,
+             partitionBy: Seq[String] = Nil,
+             clean: DataFrame => DataFrame = identity,
+             availableNow: Boolean = true): StreamingQuery = {
+    val reader = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = format match {
+      case "json" =>
+        val withCorrupt = StructType(schema.fields :+
+          StructField("_corrupt_record", StringType, nullable = true))
+        reader.schema(withCorrupt)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(landingDir)
+      case "parquet" =>
+        reader.schema(schema).parquet(landingDir)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val writer = clean(raw).writeStream
+      .format("parquet")
+      .option("path", lakeDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("1 second"))
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).start()
+  }
+
+  /** Batch view of a streamed lake. A plain parquet read of the sink
+    * directory honors its `_spark_metadata` commit log: only files of
+    * COMMITTED micro-batches are listed, so a reader never sees a
+    * half-written batch (the exactly-once read side).
+    */
+  def lakeView(spark: SparkSession, lakeDir: String): DataFrame =
+    spark.read.parquet(lakeDir)
+
+  /** Staging triple (landing, lake, checkpoint) under FileSources'
+    * managed root — same two-generation reclaim + JVM-exit cleanup as
+    * the batch round-trip helpers.
+    */
+  def stageDirs(): (Path, Path, Path) = {
+    val root = FileSources.stageDir("graft-streamlake-")
+    (Files.createDirectory(root.resolve("landing")),
+     root.resolve("lake"),
+     root.resolve("checkpoint"))
+  }
+
+  /** Drop `df` into the landing directory as `parts` JSON-lines files
+    * (one arrival wave), plus optional raw malformed lines. Returns
+    * the landing dir. Multiple calls model successive waves — file
+    * names are salted per wave so waves never collide.
+    */
+  def dropJsonWave(df: DataFrame, landing: Path, wave: Int,
+                   parts: Int = 2, rawExtraLines: Seq[String] = Nil): Path = {
+    val tmp = Files.createTempDirectory(landing.getParent, "wave-tmp-")
+    df.repartition(parts).write.mode("overwrite").json(tmp.toString)
+    val files = Files.list(tmp).iterator()
+    var i = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.startsWith("part-")) {
+        Files.move(f, landing.resolve(s"wave$wave-part$i.json"))
+        i += 1
+      }
+    }
+    if (rawExtraLines.nonEmpty)
+      Files.write(landing.resolve(s"wave$wave-injected.json"),
+        (rawExtraLines.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // reclaim the move-source dir skeleton
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    landing
+  }
+}

@@ -10,7 +10,27 @@ import graft.sources.FileSources
   * combining marks, NULL vs empty), corrupt-record accounting, and the
   * multi-part read path.
   */
-class SourcesSpec extends SparkTestBase {
+class SourcesSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  /** Suite-owned temp root, reclaimed in afterAll — the gzip/
+    * splittability/streaming tests must not leak corpus copies into
+    * the system temp dir across runs (the exact leak FileSources'
+    * staging root exists to prevent; round-15 advice).
+    */
+  private val tempRoot =
+    java.nio.file.Files.createTempDirectory("graft-sources-spec-")
+
+  private def tempDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(tempRoot, prefix)
+
+  override def afterAll(): Unit = {
+    try java.nio.file.Files.walk(tempRoot)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    catch { case _: java.io.IOException => () }
+    super.afterAll()
+  }
 
   private def hardRows = {
     import spark.implicits._
@@ -127,7 +147,7 @@ class SourcesSpec extends SparkTestBase {
     // is NON-SPLITTABLE (one task per file at any size) — the scale
     // trade is documented in SCALE.md: many small .gz files, or
     // recompress to a splittable layout at the edge
-    val dir = java.nio.file.Files.createTempDirectory("graft-gz-src-")
+    val dir = tempDir("graft-gz-src-")
     hardRows.repartition(2).write.mode("overwrite")
       .option("compression", "gzip").json(dir.toString)
     val gzFiles = dir.toFile.listFiles().filter(_.getName.endsWith(".json.gz"))
@@ -206,8 +226,8 @@ class SourcesSpec extends SparkTestBase {
     // (byte-range splitting — the 100 TB drop contract), the gzip
     // file must collapse to ONE task regardless (non-splittable)
     val big = (0 until 20000).map(i => (i.toLong, "x" * 40)).toDF("id", "s")
-    val plainDir = java.nio.file.Files.createTempDirectory("graft-split-")
-    val gzDir = java.nio.file.Files.createTempDirectory("graft-split-gz-")
+    val plainDir = tempDir("graft-split-")
+    val gzDir = tempDir("graft-split-gz-")
     big.coalesce(1).write.mode("overwrite").json(plainDir.toString)
     big.coalesce(1).write.mode("overwrite")
       .option("compression", "gzip").json(gzDir.toString)
@@ -229,7 +249,7 @@ class SourcesSpec extends SparkTestBase {
     // directory and stream through with a declared schema — faust's
     // topic-consume shape over a file-system transport. One file per
     // trigger proves incremental (not monolithic) ingestion.
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    val dir = tempDir("graft-stream-src-")
     hardRows.where(col("text").isNotNull).repartition(3)
       .write.mode("overwrite").json(dir.toString)
     val stream = spark.readStream

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.StreamingLake
+
+/** Streaming file-source ingestion (q145 / StreamingLake): the
+  * landing-directory twin of topic consumption. Proves
+  *
+  *  - streamed ≡ batch: draining a multi-wave landing drop through
+  *    the AvailableNow ingest yields exactly the batch census;
+  *  - admission control: maxFilesPerTrigger bounds every micro-batch;
+  *  - exactly-once across RESTARTS: re-running the ingest with the
+  *    same checkpoint after new files land processes ONLY the new
+  *    files — no re-reads, no duplicate lake rows;
+  *  - the tailing mode (ProcessingTime trigger) picks up files that
+  *    arrive while the query is live;
+  *  - the lake's `_spark_metadata` commit log exists and the batch
+  *    view honors it.
+  */
+class StreamingIngestSpec extends SparkTestBase {
+
+  private def docs(n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n)
+      .map(i => (i.toLong, s"doc body $i with text", if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("AvailableNow drain: streamed lake census equals batch census, multi-batch") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d = docs(40)
+    StreamingLake.dropJsonWave(d.where(col("doc_id") < 20), landing, wave = 1, parts = 3)
+    StreamingLake.dropJsonWave(d.where(col("doc_id") >= 20), landing, wave = 2, parts = 3)
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    // 6 files at 2/trigger → at least 3 micro-batches, each ≤ 2 files
+    assert(q.lastProgress.batchId >= 2)
+    assert(Files.exists(lake.resolve("_spark_metadata")),
+      "file sink must write its commit log")
+    val view = StreamingLake.lakeView(spark, lake.toString)
+    assert(view.where(col("_corrupt_record").isNotNull).count() === 0L)
+    val got = view.select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want) // streamed ≡ batch, byte-lossless
+  }
+
+  test("restart with same checkpoint processes ONLY new files (exactly-once)") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d1 = docs(20)
+    StreamingLake.dropJsonWave(d1, landing, wave = 1, parts = 2)
+    val q1 = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d1.schema, maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    val afterWave1 =
+      StreamingLake.lakeView(spark, lake.toString).count()
+    assert(afterWave1 === 20L)
+
+    // second wave lands while no query is running (the restart case:
+    // an ingest job dies / is redeployed, then catches up)
+    val d2 = docs(15, from = 100)
+    StreamingLake.dropJsonWave(d2, landing, wave = 2, parts = 2)
+    val q2 = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d1.schema, maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    val view = StreamingLake.lakeView(spark, lake.toString)
+    // 35 rows TOTAL: wave-1 files were not re-read (their rows would
+    // double to 55 if the checkpoint's file log were ignored)
+    assert(view.count() === 35L)
+    assert(view.select(countDistinct(col("doc_id"))).head().getLong(0) === 35L)
+    // the restarted query's source admitted only the 2 new files
+    assert(q2.lastProgress.batchId > q1.lastProgress.batchId)
+  }
+
+  test("tailing mode picks up files that arrive while the query is live") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d1 = docs(10)
+    StreamingLake.dropJsonWave(d1, landing, wave = 1, parts = 1)
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d1.schema, maxFilesPerTrigger = 4,
+      availableNow = false)
+    try {
+      q.processAllAvailable()
+      assert(StreamingLake.lakeView(spark, lake.toString).count() === 10L)
+      // a new file lands under the SAME live query
+      StreamingLake.dropJsonWave(docs(5, from = 50), landing, wave = 2, parts = 1)
+      q.processAllAvailable()
+      assert(StreamingLake.lakeView(spark, lake.toString).count() === 15L)
+    } finally q.stop()
+  }
+
+  test("partitioned streaming lake: sink layout matches the batch lake writer") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d = docs(30)
+    StreamingLake.dropJsonWave(d, landing, wave = 1, parts = 2)
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, maxFilesPerTrigger = 2,
+      partitionBy = Seq("lang"))
+    q.awaitTermination()
+    assert(Files.exists(lake.resolve("lang=en")) &&
+      Files.exists(lake.resolve("lang=fr")),
+      "streaming sink must write hive-partitioned directories")
+    // pruned read over the streamed lake: the filter must land in
+    // PartitionFilters exactly as on the batch-written lake (q141)
+    val slice = StreamingLake.lakeView(spark, lake.toString)
+      .where(col("lang") === "en")
+    val scans = slice.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+    assert(slice.count() === 15L)
+  }
+
+  test("corrupt lines stream into the lake as countable rows, never crash") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d = docs(8)
+    StreamingLake.dropJsonWave(d, landing, wave = 1, parts = 1,
+      rawExtraLines = Seq("""{BROKEN""", "not json"))
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val view = StreamingLake.lakeView(spark, lake.toString)
+    assert(view.where(col("_corrupt_record").isNotNull).count() === 2L)
+    assert(view.where(col("_corrupt_record").isNull).count() === 8L)
+  }
+}
