@@ -175,8 +175,9 @@ object Bench {
     "q144_schema_evolution", "t53_unicode_normalize", "m18_audio_frames",
     // round-16 additions: streaming lake ingestion (availableNow
     // multi-batch file tracking — the connector's continuous twin),
-    // zstd-compressed parquet round trip (the 100 TB codec)
-    "q145_stream_ingest", "q146_zstd_source")
+    // zstd-compressed parquet round trip (the 100 TB codec), GIF
+    // animation timing metadata (header walk, no pixel decode)
+    "q145_stream_ingest", "q146_zstd_source", "m19_gif_timing")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -150,9 +150,30 @@ object GifOps {
     * Descriptor per frame, literal LZW. Deterministic byte-for-byte.
     */
   def encodeGifFrames(w: Int, h: Int, frames: Seq[Array[Byte]],
-                      delayCs: Int = 10): Array[Byte] = {
+                      delayCs: Int = 10): Array[Byte] =
+    encodeGifAnimation(w, h, frames,
+      delays = Seq.fill(frames.size)(delayCs),
+      disposals = Seq.fill(frames.size)(0),
+      loopCount = -1)
+
+  /** Full animation encode: per-frame GCE delay (centiseconds) and
+    * disposal method (0 none / 1 keep / 2 restore-bg / 3 restore-
+    * prev), plus the NETSCAPE2.0 looping application extension when
+    * `loopCount >= 0` (0 = loop forever — the GIF convention).
+    * `loopCount = -1` omits the extension (a single-play clip),
+    * making [[encodeGifFrames]]'s delegation byte-identical to its
+    * pre-timing output (m16 fixtures unchanged).
+    */
+  def encodeGifAnimation(w: Int, h: Int, frames: Seq[Array[Byte]],
+                         delays: Seq[Int], disposals: Seq[Int],
+                         loopCount: Int): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
     require(frames.nonEmpty, "need at least one frame")
+    require(delays.size == frames.size && disposals.size == frames.size,
+      "per-frame delay/disposal lists must match frame count")
+    delays.foreach(d => require(d >= 0 && d <= 0xffff, s"bad delay $d cs"))
+    disposals.foreach(d => require(d >= 0 && d <= 3, s"bad disposal $d"))
+    require(loopCount >= -1 && loopCount <= 0xffff, s"bad loop count $loopCount")
     frames.foreach(f => require(f.length == w * h, "frame size mismatch"))
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -163,10 +184,17 @@ object GifOps {
     out.write(0) // aspect
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-    frames.foreach { px =>
-      // Graphic Control Extension (frame delay)
+    if (loopCount >= 0) {
+      // NETSCAPE2.0 application extension: loop count (0 = forever)
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); w16(loopCount); out.write(0)
+    }
+    frames.indices.foreach { f =>
+      val px = frames(f)
+      // Graphic Control Extension: disposal in bits 2-4, then delay
       out.write(0x21); out.write(0xf9); out.write(4)
-      out.write(0); w16(delayCs); out.write(0); out.write(0)
+      out.write((disposals(f) & 7) << 2); w16(delays(f)); out.write(0); out.write(0)
       // Image Descriptor: full frame, no local table, no interlace
       out.write(0x2c); w16(0); w16(0); w16(w); w16(h); out.write(0)
       out.write(8) // LZW min code size
@@ -325,5 +353,168 @@ object GifOps {
         }
       }
     }.toDF("id", "n_frames", "frame_idx", "px_sum", "px_min", "px_max")
+  }
+
+  // ── Animation TIMING/DISPOSAL metadata (m19) — the playback side
+  // of the container: per-frame delay + disposal from each frame's
+  // Graphic Control Extension, loop count from the NETSCAPE2.0
+  // application extension. A video-pipeline needs these to sample by
+  // TIME rather than frame index (variable-delay GIFs are common) ─────
+
+  /** Playback metadata: loop count (-1 = no NETSCAPE extension,
+    * 0 = forever) and per-frame (delayCs, disposal, transparentIdx
+    * or -1).
+    */
+  final case class GifTiming(width: Int, height: Int, loopCount: Int,
+                             frames: Seq[(Int, Int, Int)])
+
+  /** Metadata-only walk: parses GCE + application extensions and
+    * SKIPS image data without LZW-decoding it (a timing scan over a
+    * large animation corpus must not pay the pixel decode). Same
+    * hostile-header guards as [[decodeGifFrames]]: every offset is
+    * bounds-checked before the read, truncation is a named error.
+    */
+  def gifTimingMeta(gif: Array[Byte]): GifTiming = {
+    require(gif.length > 13 &&
+      new String(gif, 0, 3, "US-ASCII") == "GIF" &&
+      (new String(gif, 3, 3, "US-ASCII") == "89a" ||
+        new String(gif, 3, 3, "US-ASCII") == "87a"),
+      "not a GIF stream")
+    def u16(off: Int): Int = (gif(off) & 0xff) | ((gif(off + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    require(w > 0 && h > 0, s"degenerate dimensions ${w}x$h")
+    val flags = gif(10) & 0xff
+    var pos = 13
+    if ((flags & 0x80) != 0) pos += 3 * (1 << ((flags & 7) + 1)) // skip GCT
+    var loop = -1
+    // the GCE applies to the NEXT image (GIF89a §23); frames with no
+    // preceding GCE get (0 cs, disposal 0, no transparency)
+    var pending: (Int, Int, Int) = (0, 0, -1)
+    val frames = Seq.newBuilder[(Int, Int, Int)]
+    def skipSubBlocks(): Unit = {
+      while ({ require(pos < gif.length, "truncated GIF sub-blocks")
+               (gif(pos) & 0xff) != 0 }) {
+        val n = gif(pos) & 0xff
+        require(pos + 1 + n <= gif.length, "truncated GIF sub-block")
+        pos += 1 + n
+      }
+      pos += 1
+    }
+    var done = false
+    while (!done) {
+      require(pos < gif.length, "truncated GIF (no trailer)")
+      (gif(pos) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          require(pos + 2 <= gif.length, "truncated GIF extension header")
+          val label = gif(pos + 1) & 0xff
+          pos += 2
+          label match {
+            case 0xf9 => // Graphic Control Extension
+              require(pos + 6 <= gif.length, "truncated GCE")
+              require((gif(pos) & 0xff) == 4, "GCE block size must be 4")
+              val packed = gif(pos + 1) & 0xff
+              val delay = u16(pos + 2)
+              val tIdx =
+                if ((packed & 1) != 0) gif(pos + 4) & 0xff else -1
+              pending = (delay, (packed >> 2) & 7, tIdx)
+              pos += 5
+              skipSubBlocks() // the GCE terminator (and any excess)
+            case 0xff => // application extension
+              require(pos + 1 <= gif.length, "truncated app extension")
+              val n = gif(pos) & 0xff
+              require(pos + 1 + n <= gif.length, "truncated app identifier")
+              val ident = new String(gif, pos + 1, n, "US-ASCII")
+              pos += 1 + n
+              if (ident == "NETSCAPE2.0") {
+                // data sub-block: 0x01 <u16 loop count>
+                require(pos + 4 <= gif.length, "truncated NETSCAPE block")
+                if ((gif(pos) & 0xff) >= 3 && (gif(pos + 1) & 0xff) == 1)
+                  loop = u16(pos + 2)
+              }
+              skipSubBlocks()
+            case _ =>
+              skipSubBlocks()
+          }
+        case 0x2c =>
+          require(pos + 11 <= gif.length, "truncated image descriptor")
+          val fflags = gif(pos + 9) & 0xff
+          pos += 10
+          if ((fflags & 0x80) != 0)
+            pos += 3 * (1 << ((fflags & 7) + 1)) // skip local color table
+          require(pos + 1 <= gif.length, "truncated image data header")
+          pos += 1 // LZW min code size — data is NOT decoded here
+          skipSubBlocks()
+          frames += pending
+          pending = (0, 0, -1) // GCE consumed by this image
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02x at $pos")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "GIF contains no image frames")
+    GifTiming(w, h, loop, fs)
+  }
+
+  /** Deterministic ANIMATED fixture with per-frame timing: the m16
+    * frame rule plus delay `textPoint(f) % 200 + 1` cs, disposal
+    * `f % 4`, loop count `|codepoints| % 5` — every field a closed
+    * form the oracle recomputes from the text.
+    */
+  def textToAnimatedGifOwn(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("gif", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val cps =
+          if (row.isNullAt(txtIdx)) Array.empty[Int]
+          else row.getString(txtIdx).codePoints().toArray
+        val frames = (0 until 4).map { f =>
+          Array.fill(64)(MultimodalOps.textPoint(cps, f, 4).toByte)
+        }
+        val delays = (0 until 4).map(f =>
+          MultimodalOps.textPoint(cps, f, 4) % 200 + 1)
+        val disposals = (0 until 4).map(_ % 4)
+        Row(row.getLong(idIdx),
+          encodeGifAnimation(8, 8, frames, delays, disposals,
+            loopCount = cps.length % 5))
+      }
+    }.toDF("id", "gif")
+  }
+
+  /** THE timing operator: metadata-only scan (no pixel decode), one
+    * row per frame with `(id, n_frames, frame_idx, delay_cs,
+    * disposal, loop_count, t_start_cs)` where `t_start_cs` is the
+    * frame's playback start offset (cumulative delay of earlier
+    * frames) — what time-based sampling ("one frame per second of
+    * playback") keys on.
+    */
+  def gifTiming(df: DataFrame, idCol: String, gifCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val gIdx = df.schema.fieldIndex(gifCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType), StructField("delay_cs", IntegerType),
+      StructField("disposal", IntegerType), StructField("loop_count", IntegerType),
+      StructField("t_start_cs", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val t = gifTimingMeta(row.getAs[Array[Byte]](gIdx))
+        val id = row.getLong(idIdx)
+        var tStart = 0L
+        t.frames.zipWithIndex.map { case ((delay, disposal, _), f) =>
+          val r = Row(id, t.frames.size, f, delay, disposal, t.loopCount, tStart)
+          tStart += delay
+          r
+        }
+      }
+    }.toDF("id", "n_frames", "frame_idx", "delay_cs", "disposal",
+      "loop_count", "t_start_cs")
   }
 }

@@ -795,7 +795,16 @@ object TextOps {
     * 60-bit longs first (d11's kernel) so arrays ride as long[].
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    prefixJaccardPairs(df, idCol, textCol, threshold, broadcastDocs = None)
+
+  /** As above with an explicit verify-join tier: `Some(true)` forces
+    * the broadcast tier, `Some(false)` the shuffle_hash tier, `None`
+    * auto-selects (Catalyst plan stats when exact, else one count).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double,
+                         broadcastDocs: Option[Boolean]): DataFrame = {
     val (_, candIds) = prefixJaccardStages(df, idCol, textCol, threshold)
     // verify against LEX-sorted distinct-token arrays with the fused
     // merge-intersect kernel — array_intersect builds a hash set per
@@ -821,12 +830,24 @@ object TextOps {
     //    SCALE.md round-12 finding 1). The build side hashes only each
     //    partition's share of DOCS (spillable since Spark 3.2), and
     //    the candidate stream is never sorted at all.
-    // 100k docs ≈ 60 MB of arrays — comfortably broadcastable; past
-    // that the shuffle_hash tier takes over unchanged.
+    // The 100k-row tier cut assumes the testdata corpus's array mass
+    // (~600 B of distinct lex tokens per doc → ~60 MB broadcast); a
+    // corpus of much longer documents should pass an explicit
+    // `broadcastDocs = Some(false)` rather than rely on the row proxy.
+    // Tier selection (round-15 advice: don't pay a count() action per
+    // plan build): explicit caller tier if given; else Catalyst's
+    // optimized-plan row-count stat when it is exact (parquet
+    // relations expose footer row counts without any job); else ONE
+    // count() fallback — which for a transformed non-parquet input is
+    // a real scan, the documented cost of leaving the tier implicit.
+    val useBroadcast = broadcastDocs.getOrElse {
+      val statRows = df.queryExecution.optimizedPlan.stats.rowCount
+      statRows.map(_.toLong).getOrElse(df.count()) <= 100000L
+    }
     val lexA = lex.toDF("id_a", "ta", "n_a")
     val lexB = lex.toDF("id_b", "tb", "n_b")
     val joined =
-      if (df.count() <= 100000L)
+      if (useBroadcast)
         candIds.join(broadcast(lexA), "id_a").join(broadcast(lexB), "id_b")
       else
         candIds.join(lexA.hint("shuffle_hash"), "id_a")

@@ -3870,6 +3870,44 @@ object TextQueries {
           8 AS win_frames, CAST(agg.peak AS INT) AS peak,
           CAST(agg.sumsq AS BIGINT) AS sumsq, zc.zero_crossings
         FROM agg JOIN zc ON agg.id = zc.id AND agg.w = zc.w
-        ORDER BY doc_id, win"""))
+        ORDER BY doc_id, win""")),
+
+    // ── m19: animation TIMING/DISPOSAL metadata — the playback side
+    //    of the GIF container (per-frame GCE delay + disposal method,
+    //    NETSCAPE2.0 loop count): what time-based frame sampling keys
+    //    on when delays vary. METADATA-ONLY walk — the scan never LZW-
+    //    decodes pixels, so a timing census over an animation corpus
+    //    costs header bytes, not frames. Own-encoded fixture: delay =
+    //    point(f) % 200 + 1 cs, disposal = f % 4, loop = |cps| % 5 —
+    //    closed forms the oracle recomputes; t_start_cs (cumulative
+    //    playback offset) checks the delays COMPOSE correctly ─────────────
+    Q("m19_gif_timing",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val gifs = graft.ops.GifOps.textToAnimatedGifOwn(docs, "doc_id", "text")
+        graft.ops.GifOps.gifTiming(gifs, "id", "gif")
+          .select(col("id").as("doc_id"), col("n_frames"), col("frame_idx"),
+            col("delay_cs"), col("disposal"), col("loop_count"),
+            col("t_start_cs"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH fv AS (
+          SELECT doc_id, f.f AS frame_idx,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((f.f * length(text)) // 4 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS v,
+            COALESCE(length(text), 0) AS n
+          FROM documents CROSS JOIN range(4) f(f)),
+        d AS (
+          SELECT doc_id, frame_idx, v % 200 + 1 AS delay_cs, n FROM fv)
+        SELECT doc_id, 4 AS n_frames, CAST(frame_idx AS INT) AS frame_idx,
+          CAST(delay_cs AS INT) AS delay_cs,
+          CAST(frame_idx % 4 AS INT) AS disposal,
+          CAST(n % 5 AS INT) AS loop_count,
+          CAST(COALESCE(SUM(delay_cs) OVER (PARTITION BY doc_id
+            ORDER BY frame_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS t_start_cs
+        FROM d ORDER BY doc_id, frame_idx"""))
   )
 }

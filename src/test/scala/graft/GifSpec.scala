@@ -162,4 +162,94 @@ class GifSpec extends SparkTestBase {
       assert(sum == 64L * v && mn == v && mx == v, s"doc $id frame $f")
     }
   }
+
+  test("animation timing round-trips: per-frame delay/disposal + NETSCAPE loop") {
+    val frames = (0 until 3).map(f => Array.fill(6)((f * 10).toByte))
+    val gif = GifOps.encodeGifAnimation(3, 2, frames,
+      delays = Seq(5, 120, 65535), disposals = Seq(0, 2, 3), loopCount = 7)
+    val t = GifOps.gifTimingMeta(gif)
+    assert(t.width == 3 && t.height == 2 && t.loopCount == 7)
+    assert(t.frames == Seq((5, 0, -1), (120, 2, -1), (65535, 3, -1)))
+    // pixels are untouched by the metadata additions
+    val d = GifOps.decodeGifFrames(gif)
+    assert(d.frames.map(_.toSeq) == frames.map(_.toSeq))
+    // loop = 0 (forever) is distinct from "no NETSCAPE block" (-1)
+    val loop0 = GifOps.encodeGifAnimation(3, 2, frames,
+      Seq(1, 1, 1), Seq(0, 0, 0), loopCount = 0)
+    assert(GifOps.gifTimingMeta(loop0).loopCount == 0)
+    val noLoop = GifOps.encodeGifAnimation(3, 2, frames,
+      Seq(1, 1, 1), Seq(0, 0, 0), loopCount = -1)
+    assert(GifOps.gifTimingMeta(noLoop).loopCount == -1)
+  }
+
+  test("timing walk skips pixels: byte-identical meta from a corrupted-LZW stream") {
+    // metadata-only contract: flipping bits INSIDE the LZW payload
+    // must not change (or crash) the timing scan — it never inflates
+    val frames = Seq(Array.fill(6)(7.toByte))
+    val gif = GifOps.encodeGifAnimation(3, 2, frames, Seq(42), Seq(1), 3)
+    val before = GifOps.gifTimingMeta(gif)
+    // find the image separator then corrupt a byte inside its data
+    val imgPos = gif.indexOfSlice(Seq(0x2c, 0, 0, 0, 0).map(_.toByte))
+    assert(imgPos > 0)
+    val broken = gif.clone()
+    broken(imgPos + 13) = (broken(imgPos + 13) ^ 0x55).toByte
+    assert(GifOps.gifTimingMeta(broken) == before)
+    // ...while the pixel decoder DOES see the corruption (either a
+    // named decode error or different pixels — never the same frame)
+    val decoded =
+      try Some(GifOps.decodeGifFrames(broken).frames.map(_.toSeq))
+      catch { case _: Exception => None }
+    assert(!decoded.contains(frames.map(_.toSeq)))
+  }
+
+  test("hostile timing headers: truncated GCE / bad sizes are named errors") {
+    val frames = Seq(Array.fill(6)(1.toByte))
+    val ok = GifOps.encodeGifAnimation(3, 2, frames, Seq(10), Seq(0), -1)
+    // truncate inside the GCE (find 0x21 0xf9 and cut 3 bytes after)
+    val gcePos = ok.indexOfSlice(Seq(0x21, 0xf9).map(_.toByte))
+    assert(gcePos > 0)
+    val cut = ok.take(gcePos + 3)
+    val e1 = intercept[IllegalArgumentException](GifOps.gifTimingMeta(cut))
+    assert(e1.getMessage.toLowerCase.contains("truncated"))
+    // GCE with a wrong block size is refused by name
+    val badSize = ok.clone()
+    badSize(gcePos + 2) = 9
+    val e2 = intercept[IllegalArgumentException](GifOps.gifTimingMeta(badSize))
+    assert(e2.getMessage.contains("block size"))
+    // a frame with NO preceding GCE defaults to (0 cs, disposal 0)
+    val bare = GifOps.encodeGifFrames(3, 2, frames) // has GCE, delay 10
+    assert(GifOps.gifTimingMeta(bare).frames == Seq((10, 0, -1)))
+  }
+
+  test("ImageIO-written GIF (no GCE at all) yields default timing, not a crash") {
+    val px = Array.tabulate(12)(i => (i * 3).toByte)
+    val gif = jdkWriteGif(4, 3, px)
+    val t = GifOps.gifTimingMeta(gif)
+    assert(t.frames.size == 1)
+    // a single ImageIO still frame carries either no GCE (defaults)
+    // or a zero-delay GCE — both surface as delay 0, disposal 0
+    assert(t.frames.head._1 == 0 && t.frames.head._2 == 0)
+  }
+
+  test("m19 plumbing: timing census matches the closed forms incl. t_start_cs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(30)
+    val gifs = GifOps.textToAnimatedGifOwn(docs, "doc_id", "text")
+    val rows = GifOps.gifTiming(gifs, "id", "gif")
+      .as[(Long, Int, Int, Int, Int, Int, Long)].collect()
+    assert(rows.length == 120) // 4 frames per doc
+    val texts = docs.as[(Long, String)].collect().toMap
+    rows.groupBy(_._1).foreach { case (id, fr) =>
+      val cps = Option(texts(id)).getOrElse("").codePoints().toArray
+      val n = cps.length.toLong
+      def point(f: Int) = if (n > 0) cps(((f * n) / 4).toInt) % 256 else 0
+      var expectStart = 0L
+      fr.sortBy(_._3).foreach { case (_, nf, f, delay, disp, loop, tStart) =>
+        assert(nf == 4 && delay == point(f) % 200 + 1 && disp == f % 4)
+        assert(loop == (cps.length % 5))
+        assert(tStart == expectStart, s"doc $id frame $f")
+        expectStart += delay
+      }
+    }
+  }
 }
