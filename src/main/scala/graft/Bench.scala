@@ -176,8 +176,10 @@ object Bench {
     // round-16 additions: streaming lake ingestion (availableNow
     // multi-batch file tracking — the connector's continuous twin),
     // zstd-compressed parquet round trip (the 100 TB codec), GIF
-    // animation timing metadata (header walk, no pixel decode)
-    "q145_stream_ingest", "q146_zstd_source", "m19_gif_timing")
+    // animation timing metadata + MP3 frame-header walk (header-only
+    // container scans, no pixel/audio decode)
+    "q145_stream_ingest", "q146_zstd_source", "m19_gif_timing",
+    "m20_mp3_meta")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

@@ -3908,6 +3908,59 @@ object TextQueries {
             ORDER BY frame_idx
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS t_start_cs
-        FROM d ORDER BY doc_id, frame_idx"""))
+        FROM d ORDER BY doc_id, frame_idx""")),
+
+    // ── m20: MP3 frame-header walk — the audio-container metadata
+    //    twin of m19: duration / frame count / VBR bitrate profile of
+    //    an audio corpus from a HEADER-ONLY scan (4 bytes per frame +
+    //    arithmetic skip, leading ID3v2 tag skipped by syncsafe size
+    //    — audio is never decoded). Own-encoded MPEG-1 Layer III
+    //    fixture: per-frame bitrate index point(f) % 14 + 1, padding
+    //    (point(f)/16) % 2 (VBR by construction), per-file sample
+    //    rate point(0) % 3, ID3 payload |cps| % 64 — the oracle
+    //    recomputes every field through the public bitrate/sample-
+    //    rate tables and the frame-length formula ───────────────────────
+    Q("m20_mp3_meta",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val mp3s = graft.ops.Mp3Ops.textToMp3Own(docs, "doc_id", "text")
+        graft.ops.Mp3Ops.mp3Stats(mp3s, "id", "mp3")
+          .select(col("id").as("doc_id"), col("sample_rate"), col("n_frames"),
+            col("sum_bytes"), col("sum_kbps"), col("duration_us"),
+            col("id3_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fv AS (
+          SELECT doc_id, f.f AS fi,
+            CASE WHEN length(text) > 0 THEN
+              ascii(substr(text, CAST((f.f * length(text)) // 6 + 1 AS INT), 1)) % 256
+            ELSE 0 END AS v,
+            COALESCE(length(text), 0) AS n
+          FROM documents CROSS JOIN range(6) f(f)),
+        br AS (SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),
+          (6,80),(7,96),(8,112),(9,128),(10,160),(11,192),(12,224),
+          (13,256),(14,320)) t(i, kbps)),
+        sr AS (SELECT * FROM (VALUES (0,44100),(1,48000),(2,32000)) t(i, hz)),
+        f0 AS (SELECT doc_id, v % 3 AS sri, n FROM fv WHERE fi = 0),
+        fr AS (
+          SELECT fv.doc_id, br.kbps, (fv.v // 16) % 2 AS pad
+          FROM fv JOIN br ON br.i = fv.v % 14 + 1),
+        agg AS (
+          SELECT fr.doc_id,
+            SUM(144000 * fr.kbps // sr.hz + fr.pad) AS sum_bytes,
+            SUM(fr.kbps) AS sum_kbps
+          FROM fr
+          JOIN f0 ON fr.doc_id = f0.doc_id
+          JOIN sr ON sr.i = f0.sri
+          GROUP BY fr.doc_id)
+        SELECT f0.doc_id, CAST(sr.hz AS INT) AS sample_rate, 6 AS n_frames,
+          CAST(agg.sum_bytes AS BIGINT) AS sum_bytes,
+          CAST(agg.sum_kbps AS BIGINT) AS sum_kbps,
+          CAST(6::BIGINT * 1152 * 1000000 // sr.hz AS BIGINT) AS duration_us,
+          CAST(10 + f0.n % 64 AS INT) AS id3_bytes
+        FROM f0
+        JOIN sr ON sr.i = f0.sri
+        JOIN agg ON agg.doc_id = f0.doc_id
+        ORDER BY f0.doc_id"""))
   )
 }

@@ -267,7 +267,12 @@ class PlanHygieneSpec extends SparkTestBase {
       "q138_json_source", "q139_csv_source", "q140_orc_source",
       "q142_xml_source",
       // q144: the same 1-row census class over the schema-evolved lake.
-      "q144_schema_evolution")
+      "q144_schema_evolution",
+      // q145/q146: the identical 1-row census class — q145's over the
+      // STREAMED lake's batch view (the drain itself ran through the
+      // file sink before this plan; its per-batch work is fully
+      // parallel), q146's over the zstd parquet round trip.
+      "q145_stream_ingest", "q146_zstd_source")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -356,7 +361,13 @@ class PlanHygieneSpec extends SparkTestBase {
     "t51_mergeable_topk" -> 900,       // candidate census ≤ shards(20)×k(20)
     "q130_zorder_skipping" -> 64,      // 1-row min/max seed + match count
     "t52_mg_stream_bounds" -> 900,     // vocab census + report tails
-    "q136_dormant_rich" -> 64)         // 1-row balance-threshold scalar
+    "q136_dormant_rich" -> 64,         // 1-row balance-threshold scalar
+    // the file-source censuses: 1-row global aggregate, partials
+    // map-side combined — one row per upstream scan partition crosses
+    "q138_json_source" -> 64, "q139_csv_source" -> 64,
+    "q140_orc_source" -> 64, "q142_xml_source" -> 64,
+    "q144_schema_evolution" -> 64,
+    "q145_stream_ingest" -> 64, "q146_zstd_source" -> 64)
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

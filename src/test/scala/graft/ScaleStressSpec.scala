@@ -935,7 +935,12 @@ class ScaleStressSpec extends SparkTestBase {
     },
     "m18_audio_frames" -> (df => graft.ops.WavOps.wavFrameEnergy(
       graft.ops.WavOps.textToWavOwn(df, "doc_id", "text"), "id", "wav",
-      frameLen = 8)))
+      frameLen = 8)),
+    "m19_gif_timing" -> (df => graft.ops.GifOps.gifTiming(
+      graft.ops.GifOps.textToAnimatedGifOwn(df, "doc_id", "text"),
+      "id", "gif")),
+    "m20_mp3_meta" -> (df => graft.ops.Mp3Ops.mp3Stats(
+      graft.ops.Mp3Ops.textToMp3Own(df, "doc_id", "text"), "id", "mp3")))
 
   codecHeavy.foreach { case (name, q) =>
     test(s"$name (codec): 10x blobs => ~linear runtime, unchanged plan shape") {

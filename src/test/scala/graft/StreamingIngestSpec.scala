@@ -116,6 +116,33 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(slice.count() === 15L)
   }
 
+  test("parquet landing drops stream with the same exactly-once contract") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val d = docs(25)
+    // typed drops land as parquet files (an upstream Spark job's
+    // output directory IS the landing prefix)
+    d.where(col("doc_id") < 10).repartition(2)
+      .write.mode("append").parquet(landing.toString)
+    val q1 = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, format = "parquet",
+      maxFilesPerTrigger = 1)
+    q1.awaitTermination()
+    assert(StreamingLake.lakeView(spark, lake.toString).count() === 10L)
+    d.where(col("doc_id") >= 10).repartition(2)
+      .write.mode("append").parquet(landing.toString)
+    val q2 = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, format = "parquet",
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    val view = StreamingLake.lakeView(spark, lake.toString)
+    assert(view.count() === 25L) // typed round trip, no re-reads
+    val got = view.select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want)
+  }
+
   test("corrupt lines stream into the lake as countable rows, never crash") {
     val (landing, lake, ckpt) = StreamingLake.stageDirs()
     val d = docs(8)
