@@ -3961,6 +3961,47 @@ object TextQueries {
         FROM f0
         JOIN sr ON sr.i = f0.sri
         JOIN agg ON agg.doc_id = f0.doc_id
-        ORDER BY f0.doc_id"""))
+        ORDER BY f0.doc_id""")),
+
+    // ── m21: WebDataset SHARDS as real ustar bytes — the physical
+    //    layer under m07's manifest: per source, samples cut into
+    //    shards by preceding cumulative payload (the ≤1-sample-
+    //    overflow packing rule), each shard a REAL tar archive
+    //    (`<id>.txt` + `<id>.cls` members, checksummed 512-byte ustar
+    //    headers), then the train-time validation scan: header walk
+    //    (payloads untouched), wds sample grouping, per-shard census.
+    //    The oracle replays the shard cut AND the tar size arithmetic
+    //    (2 headers + 512-padded payloads + 2 zero blocks per shard),
+    //    so a single header byte off breaks the hash ─────────────────────
+    Q("m21_wds_shards",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+        val shards = graft.ops.TarOps.textToWdsShards(docs, byteBudget = 4096L)
+        graft.ops.TarOps.wdsShardCensus(shards)
+          .orderBy("source", "shard_id")
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id,
+            strlen(COALESCE(text, '')) AS txt, strlen(lang) AS cls
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, txt, cls, txt + cls AS sb,
+            COALESCE(SUM(txt + cls) OVER (PARTITION BY source
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM d),
+        sh AS (
+          SELECT source, cum // 4096 AS shard_id, sb,
+            1024 + ((txt + 511) // 512) * 512
+                 + ((cls + 511) // 512) * 512 AS member_bytes
+          FROM c)
+        SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+          CAST(COUNT(*) AS INT) AS n_samples,
+          CAST(COUNT(*) * 2 AS INT) AS n_files,
+          CAST(SUM(sb) AS BIGINT) AS payload_bytes,
+          CAST(SUM(member_bytes) + 1024 AS BIGINT) AS shard_bytes
+        FROM sh GROUP BY source, shard_id
+        ORDER BY source, shard_id"""))
   )
 }

@@ -1020,6 +1020,29 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  // m21's shard build: one (source, shard) shuffle carrying the text
+  // bytes once + per-shard map work on the walk side; shard count and
+  // archive bytes scale linearly with the corpus by the byte-budget
+  // cut's construction
+  test("m21_wds_shards: 10x corpus => ~linear shard build+census, unchanged plan shape") {
+    def q(df: DataFrame): DataFrame = {
+      val docs = df.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string")).as("source"),
+        col("doc_id"), col("text"),
+        concat(lit("l"), pmod(col("doc_id"), lit(3)).cast("string")).as("lang"))
+      graft.ops.TarOps.wdsShardCensus(
+        graft.ops.TarOps.textToWdsShards(docs, byteBudget = 4096L))
+    }
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("m21_wds_shards", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+    assert(normalizeEquiJoins(planShape(q(base)))
+        == normalizeEquiJoins(planShape(q(big))),
+      "m21_wds_shards plan shape changed with data size (beyond join strategy)")
+  }
+
   // q145's streaming drain: multi-batch admission at 10× file count —
   // the stress dimension for a streaming file source is FILES PER
   // DRAIN (listing + per-batch planning overhead), not row width
