@@ -29,6 +29,11 @@ import graft.sources.FileSources
   *  4. SERVE A SLICE — a single-language census reads ONLY that
   *     partition's bytes: the plan is checked for PartitionFilters
   *     (directory pruning), the single biggest 100 TB scan lever.
+  *  5. CONTINUOUS TWIN — the same loop as a STREAMING query
+  *     ([[graft.sources.StreamingLake]]): bounded micro-batches over
+  *     an arriving landing prefix, exactly-once file tracking, a
+  *     commit-logged lake — faust's topic-consume shape with a
+  *     directory as the topic.
   */
 object LakeIngest {
 
@@ -85,5 +90,30 @@ object LakeIngest {
     println(s"en slice (pruned scan): ${census.getLong(0)} docs, " +
       s"${census.getLong(1)} codepoints")
     require(census.getLong(0) > 0, "en slice must be non-empty")
+
+    // 5. CONTINUOUS twin (round 16): the same landing→lake loop as a
+    // streaming query — files keep arriving under the landing prefix,
+    // maxFilesPerTrigger bounds each micro-batch, the checkpoint's
+    // file log makes the drain exactly-once across restarts, and the
+    // sink's _spark_metadata commit log hides half-written batches
+    // from readers. Two waves prove multi-batch admission; the
+    // streamed census must equal the batch census.
+    import graft.sources.StreamingLake
+    val (landing, streamLake, ckpt) = StreamingLake.stageDirs()
+    val wave = docs.select(col("doc_id"), col("text"), col("lang"))
+    StreamingLake.dropJsonWave(wave.where(col("doc_id") % 2 === 0),
+      landing, wave = 1, parts = 2)
+    StreamingLake.dropJsonWave(wave.where(col("doc_id") % 2 === 1),
+      landing, wave = 2, parts = 2)
+    val q = StreamingLake.ingest(spark, landing.toString,
+      streamLake.toString, ckpt.toString, schema = wave.schema,
+      maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val streamed = StreamingLake.lakeView(spark, streamLake.toString)
+      .where(col("_corrupt_record").isNull)
+    val n = streamed.count()
+    println(s"streamed lake: $n docs in ${q.lastProgress.batchId + 1} " +
+      "exactly-once micro-batches")
+    require(n == wave.count(), "streamed census must equal the batch census")
   }
 }
