@@ -51,6 +51,16 @@ object StreamingLake {
     *                batch-backfill mode); false → keep running and
     *                pick up new files per trigger (the tailing mode)
     */
+  /** @param archiveDir when set, consumed landing files are MOVED
+    *                    here after their batch commits (`cleanSource
+    *                    archive`) — the landing prefix stays small
+    *                    (listing cost is the steady-state tax) and
+    *                    the raw drops remain replayable from the
+    *                    archive; the faust-world analog of consumed-
+    *                    offset retention. Archival is best-effort and
+    *                    asynchronous by Spark's contract — files move
+    *                    after commit, so exactly-once is unaffected.
+    */
   def ingest(spark: SparkSession,
              landingDir: String,
              lakeDir: String,
@@ -60,9 +70,13 @@ object StreamingLake {
              maxFilesPerTrigger: Int = 2,
              partitionBy: Seq[String] = Nil,
              clean: DataFrame => DataFrame = identity,
-             availableNow: Boolean = true): StreamingQuery = {
-    val reader = spark.readStream
+             availableNow: Boolean = true,
+             archiveDir: Option[String] = None): StreamingQuery = {
+    val reader0 = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val reader = archiveDir.fold(reader0)(dir =>
+      reader0.option("cleanSource", "archive")
+        .option("sourceArchiveDir", dir))
     val raw = format match {
       case "json" =>
         val withCorrupt = StructType(schema.fields :+

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.StreamingLake
@@ -141,6 +143,49 @@ class StreamingIngestSpec extends SparkTestBase {
     val want = d.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got === want)
+  }
+
+  test("cleanSource archive: consumed landing files move to the archive after commit") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    val archive = Files.createDirectory(landing.getParent.resolve("archive"))
+    val d = docs(12)
+    StreamingLake.dropJsonWave(d, landing, wave = 1, parts = 3)
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, maxFilesPerTrigger = 1,
+      archiveDir = Some(archive.toString))
+    q.awaitTermination()
+    assert(StreamingLake.lakeView(spark, lake.toString).count() === 12L)
+    // Spark archives batch N's files when batch N+1 STARTS, so after
+    // a 3-batch drain the last batch's file legitimately remains in
+    // landing until a later batch runs — the steady-state contract is
+    // "landing holds at most the un-succeeded tail", not "empty".
+    def landingFiles() = Files.list(landing).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".json"))
+    def archivedFiles() = Files.walk(archive).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".json"))
+    var waited = 0
+    while (landingFiles() > 1 && waited < 100) { Thread.sleep(100); waited += 1 }
+    assert(landingFiles() <= 1,
+      "all but the final batch's file must leave the landing prefix")
+    assert(archivedFiles() >= 2)
+    // a follow-up wave archives the leftover during its own batches
+    StreamingLake.dropJsonWave(docs(4, from = 50), landing, wave = 2, parts = 2)
+    val q2 = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema, maxFilesPerTrigger = 1,
+      archiveDir = Some(archive.toString))
+    q2.awaitTermination()
+    waited = 0
+    while (landingFiles() > 1 && waited < 100) { Thread.sleep(100); waited += 1 }
+    assert(landingFiles() <= 1)
+    // the raw drops remain REPLAYABLE: archive + landing leftovers
+    // together hold every original byte (sourceArchiveDir preserves
+    // the original path shape under the archive root)
+    assert(archivedFiles() + landingFiles() == 5)
+    val replay = spark.read.schema(d.schema)
+      .option("recursiveFileLookup", "true") // archive keeps the
+      // original (deep) path shape under its root
+      .json(archive.toString, landing.toString)
+    assert(replay.count() === 16L)
   }
 
   test("corrupt lines stream into the lake as countable rows, never crash") {
