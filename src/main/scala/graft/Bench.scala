@@ -620,11 +620,15 @@ object Bench {
     // budget at suite size) prints FIRST and the compact summary — a
     // complete standalone artifact under the tail budget — prints LAST.
     // Untruncated numbers live in bench_full.json for the judge.
+    // `partial` in the FINAL emission means "the budget cut coverage":
+    // true whenever any entry never got a sample (a graceful budget
+    // exit must not read as a complete run).
     emittedFinal.set(true)
-    writeFull(partial = false, iters)
-    println(fullLine(partial = false, iters)
+    val cut = stats().exists(_.n == 0)
+    writeFull(partial = cut, iters)
+    println(fullLine(partial = cut, iters)
       .patch(1, s""""reruns":$rerunJson,""", 0)) // keep reruns in the full line
-    println(compactLine(partial = false))
+    println(compactLine(partial = cut))
     serving.foreach(_._1.stop()) // release the HTTP dispatcher thread
     spark.stop()
   }

@@ -955,6 +955,29 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  // the codec family joins the 100× knee hunt (SPARK_GRAFT_STRESS_
+  // FACTOR): per-blob map work has no structural knee to find, but
+  // the decade probe catches accidental driver-side or report-tail
+  // growth the 10× tier can't separate from noise
+  extraFactor.foreach { f =>
+    lazy val hugeDocs: DataFrame = salted(f)
+    codecHeavy.foreach { case (name, q) =>
+      test(s"$name (codec): ${f}x blobs => ~linear runtime, unchanged plan shape") {
+        base.count(); hugeDocs.count()
+        timeNoop(q(base))
+        val t1 = timeNoop(q(base))
+        val tf = timeNoop(q(hugeDocs))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+        assert(normalizeEquiJoins(planShape(q(base)))
+            == normalizeEquiJoins(planShape(q(hugeDocs))),
+          s"$name plan shape changed with data size (beyond join strategy)")
+      }
+    }
+  }
+
   /** Source round trips: write the corpus in the format, read it back,
     * aggregate a census — mirrors the q138–q146 entries minus the
     * crafted rows (losslessness is the oracle gate's job; the stress
