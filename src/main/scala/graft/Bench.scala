@@ -228,7 +228,6 @@ object Bench {
     // -1 sentinel rows (all-failed) are filtered here
     def sortedOk(name: String): Vector[Double] =
       samples.getOrElse(name, Vector.empty).filter(_ >= 0).sorted
-    @volatile var itersDone = 0 // completed full interleaved passes
     @volatile var nEvents = 0L
     val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
     val eventScenarios = Set("b01_consume_baseline", "b02_forward",
@@ -588,7 +587,6 @@ object Bench {
           println(compactLine(partial = true))
         }
       }
-      itersDone = it
     }
     // SELF-ADJUDICATION: an entry whose median/min spread exceeds 1.5×
     // was hit by machine noise (same binary, same plan — real code
@@ -621,13 +619,21 @@ object Bench {
     // complete standalone artifact under the tail budget — prints LAST.
     // Untruncated numbers live in bench_full.json for the judge.
     // `partial` in the FINAL emission means "the budget cut coverage":
-    // true whenever any entry never got a sample (a graceful budget
-    // exit must not read as a complete run).
+    // true iff some entry was never ATTEMPTED (zero raw samples — the
+    // budget skipped it). An entry that ran and failed every iteration
+    // has -1 sentinels recorded, so it does NOT flip the flag: a code
+    // failure must read as a failed entry (-1 median) in a complete
+    // run, not masquerade as a timeout truncation.
     emittedFinal.set(true)
-    val cut = stats().exists(_.n == 0)
-    writeFull(partial = cut, iters)
-    println(fullLine(partial = cut, iters)
-      .patch(1, s""""reruns":$rerunJson,""", 0)) // keep reruns in the full line
+    val cut = lock.synchronized(samples.values.exists(_.isEmpty))
+    // the on-disk artifact carries the reruns map too (it is the
+    // untruncated copy the judge reads — stdout's may be cut)
+    val finalFull = fullLine(partial = cut, iters)
+      .patch(1, s""""reruns":$rerunJson,""", 0)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (finalFull + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(finalFull)
     println(compactLine(partial = cut))
     serving.foreach(_._1.stop()) // release the HTTP dispatcher thread
     spark.stop()

@@ -80,11 +80,7 @@ object LakeIngest {
 
     // 4. pruned slice: the filter must land in PartitionFilters
     val slice = lake.where(col("lang") === "en")
-    val scans = slice.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
-    require(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
-      "lang = 'en' must prune partitions at planning time")
+    FileSources.assertPartitionPruned(slice)
     val census = slice.agg(count(lit(1)).as("n"),
       sum(length(col("text"))).as("cp")).head()
     println(s"en slice (pruned scan): ${census.getLong(0)} docs, " +

@@ -836,12 +836,18 @@ object TextOps {
     // `broadcastDocs = Some(false)` rather than rely on the row proxy.
     // Tier selection (round-15 advice: don't pay a count() action per
     // plan build): explicit caller tier if given; else Catalyst's
-    // optimized-plan row-count stat when it is exact (parquet
-    // relations expose footer row counts without any job); else ONE
-    // count() fallback — which for a transformed non-parquet input is
-    // a real scan, the documented cost of leaving the tier implicit.
+    // optimized-plan row-count stat — trusted ONLY with CBO off
+    // (without CBO a present rowCount is a hard plan property, e.g. a
+    // LocalRelation; under CBO it can be an ESTIMATE or a stale
+    // ANALYZE figure, and an underestimate here would broadcast an
+    // unbounded array side); else ONE count() fallback — which for a
+    // transformed non-parquet input is a real scan, the documented
+    // cost of leaving the tier implicit.
     val useBroadcast = broadcastDocs.getOrElse {
-      val statRows = df.queryExecution.optimizedPlan.stats.rowCount
+      val spark = df.sparkSession
+      val cboOn = spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean
+      val statRows =
+        if (cboOn) None else df.queryExecution.optimizedPlan.stats.rowCount
       statRows.map(_.toLong).getOrElse(df.count()) <= 100000L
     }
     val lexA = lex.toDF("id_a", "ta", "n_a")

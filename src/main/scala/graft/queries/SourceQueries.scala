@@ -194,12 +194,7 @@ object SourceQueries {
         // filter. The census itself groups over ALL langs with no
         // domain list — a new language in the corpus shows up in both
         // sides instead of being silently dropped (round-15 advice)
-        val slice = lake.where(col("lang") === "en")
-        val scans = slice.queryExecution.executedPlan.collect {
-          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-        }
-        require(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
-          "lang = 'en' must prune partitions at planning time")
+        FileSources.assertPartitionPruned(lake.where(col("lang") === "en"))
         lake.groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_rows"),

@@ -177,6 +177,21 @@ object FileSources {
       .parquet(dir.toString)
   }
 
+  /** Planning-time partition-pruning assertion shared by q141 and the
+    * LakeIngest walkthrough: the filter must land in the scan's
+    * `PartitionFilters` (directory pruning), not as a post-scan data
+    * filter. Collects from the PRE-AQE `sparkPlan`: under adaptive
+    * execution `executedPlan` is an `AdaptiveSparkPlanExec` leaf that
+    * can hide the scan node and turn this check into a false failure.
+    */
+  def assertPartitionPruned(df: DataFrame): Unit = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    require(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "partition-column filter must prune at planning time (PartitionFilters)")
+  }
+
   /** Parquet with ZSTD compression — the production codec at 100 TB
     * (better ratio than snappy at comparable decode speed; the default
     * choice for both warehouse tables and long-retention lakes).
@@ -194,13 +209,17 @@ object FileSources {
     df.repartition(parts).write.mode("overwrite")
       .option("compression", "zstd")
       .parquet(dir.toString)
-    val landed = Files.list(dir).iterator()
-    var sawZstd = false
-    while (landed.hasNext) {
-      val f = landed.next().getFileName.toString
-      if (f.endsWith(".parquet"))
-        sawZstd = sawZstd || f.endsWith(".zstd.parquet")
-    }
+    // Files.list streams hold an open directory descriptor until
+    // closed — bench iterations call this repeatedly
+    val listing = Files.list(dir)
+    val sawZstd =
+      try {
+        val it = listing.iterator()
+        var found = false
+        while (it.hasNext && !found)
+          found = it.next().getFileName.toString.endsWith(".zstd.parquet")
+        found
+      } finally listing.close()
     require(sawZstd, "zstd codec did not land in the parquet file names")
     df.sparkSession.read.schema(df.schema).parquet(dir.toString)
   }

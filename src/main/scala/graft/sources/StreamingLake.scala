@@ -129,22 +129,29 @@ object StreamingLake {
                    parts: Int = 2, rawExtraLines: Seq[String] = Nil): Path = {
     val tmp = Files.createTempDirectory(landing.getParent, "wave-tmp-")
     df.repartition(parts).write.mode("overwrite").json(tmp.toString)
-    val files = Files.list(tmp).iterator()
-    var i = 0
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.getFileName.toString.startsWith("part-")) {
-        Files.move(f, landing.resolve(s"wave$wave-part$i.json"))
-        i += 1
+    // Files.list/walk streams hold an open directory descriptor until
+    // closed — stress/bench paths call this repeatedly
+    val listing = Files.list(tmp)
+    try {
+      val files = listing.iterator()
+      var i = 0
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.startsWith("part-")) {
+          Files.move(f, landing.resolve(s"wave$wave-part$i.json"))
+          i += 1
+        }
       }
-    }
+    } finally listing.close()
     if (rawExtraLines.nonEmpty)
       Files.write(landing.resolve(s"wave$wave-injected.json"),
         (rawExtraLines.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // reclaim the move-source dir skeleton
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
     landing
   }
 }
