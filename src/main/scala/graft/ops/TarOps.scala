@@ -194,6 +194,38 @@ object TarOps {
       .toDF("source", "shard_id", "tar")
   }
 
+  /** The per-SAMPLE read path: walk each shard's headers and emit one
+    * row per wds sample — `(source, shard_id, sample_key, n_files,
+    * exts, sample_bytes)` with `exts` the sorted comma-joined member
+    * extensions. This is the record grain a training loader consumes
+    * (one sample = all same-key members of a shard); payloads stay
+    * offset slices, never copied.
+    */
+  def wdsSamples(df: DataFrame): DataFrame = {
+    val srcIdx = df.schema.fieldIndex("source")
+    val shardIdx = df.schema.fieldIndex("shard_id")
+    val tarIdx = df.schema.fieldIndex("tar")
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("shard_id", LongType),
+      StructField("sample_key", StringType), StructField("n_files", IntegerType),
+      StructField("exts", StringType), StructField("sample_bytes", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val src = row.getString(srcIdx)
+        val shard = row.getLong(shardIdx)
+        val entries = tarEntries(row.getAs[Array[Byte]](tarIdx))
+        entries.groupBy(e => sampleKey(e.name)._1).toSeq.map {
+          case (key, members) =>
+            Row(src, shard, key, members.size,
+              members.map(e => sampleKey(e.name)._2).sorted.mkString(","),
+              members.map(_.size.toLong).sum)
+        }
+      }
+    }.toDF("source", "shard_id", "sample_key", "n_files", "exts",
+      "sample_bytes")
+  }
+
   /** THE shard census operator: walk each shard's headers (payloads
     * untouched), group members into samples by wds key, and emit one
     * row per shard — `(source, shard_id, n_samples, n_files,

@@ -4002,6 +4002,37 @@ object TextQueries {
           CAST(SUM(sb) AS BIGINT) AS payload_bytes,
           CAST(SUM(member_bytes) + 1024 AS BIGINT) AS shard_bytes
         FROM sh GROUP BY source, shard_id
-        ORDER BY source, shard_id"""))
+        ORDER BY source, shard_id""")),
+
+    // ── m22: WebDataset SAMPLES — the record grain a training loader
+    //    consumes: one row per same-key member group of each shard
+    //    (m21's shards re-read at sample grain; payloads stay offset
+    //    slices). The oracle replays the shard cut and the per-doc
+    //    member arithmetic; the `exts` column pins the wds grouping
+    //    convention itself ('cls,txt' for every sample) ───────────────────
+    Q("m22_wds_samples",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+        val shards = graft.ops.TarOps.textToWdsShards(docs, byteBudget = 4096L)
+        graft.ops.TarOps.wdsSamples(shards)
+          .orderBy("source", "shard_id", "sample_key")
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id,
+            strlen(COALESCE(text, '')) AS txt, strlen(lang) AS cls
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, txt + cls AS sb,
+            COALESCE(SUM(txt + cls) OVER (PARTITION BY source
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM d)
+        SELECT source, CAST(cum // 4096 AS BIGINT) AS shard_id,
+          CAST(doc_id AS VARCHAR) AS sample_key,
+          2 AS n_files, 'cls,txt' AS exts,
+          CAST(sb AS BIGINT) AS sample_bytes
+        FROM c
+        ORDER BY source, shard_id, sample_key"""))
   )
 }

@@ -138,5 +138,13 @@ class TarSpec extends SparkTestBase {
       // 4 headers + 6 txt payload blocks (3000→6 each... 3000/512→6) +
       // 2 cls blocks + 2 zero blocks
       (4 + 6 + 6 + 1 + 1 + 2) * 512L)))
+    // m22: the per-sample grain over the same shard
+    val samples = TarOps.wdsSamples(
+      Seq(("web", 0L, shards(("web", 0L)))).toDF("source", "shard_id", "tar"))
+      .as[(String, Long, String, Int, String, Long)].collect()
+      .sortBy(_._3).toSeq
+    assert(samples == Seq(
+      ("web", 0L, "1", 2, "cls,txt", 3002L),
+      ("web", 0L, "2", 2, "cls,txt", 3002L)))
   }
 }
