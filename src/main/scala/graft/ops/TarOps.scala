@@ -226,6 +226,32 @@ object TarOps {
       "sample_bytes")
   }
 
+  /** Payload EXTRACTION — the loader's actual read: slice each
+    * sample's `.{ext}` member out of the archive bytes and decode it
+    * as UTF-8, one row per sample — `(source, sample_key, text)`.
+    * Composed with a content hash this proves the whole write→walk→
+    * slice path byte-losslessly (sizes alone can't).
+    */
+  def wdsExtractText(df: DataFrame, ext: String): DataFrame = {
+    val srcIdx = df.schema.fieldIndex("source")
+    val tarIdx = df.schema.fieldIndex("tar")
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("sample_key", StringType),
+      StructField("text", StringType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val src = row.getString(srcIdx)
+        val tar = row.getAs[Array[Byte]](tarIdx)
+        tarEntries(tar).collect {
+          case e if sampleKey(e.name)._2 == ext =>
+            Row(src, sampleKey(e.name)._1,
+              new String(tar, e.offset, e.size, StandardCharsets.UTF_8))
+        }
+      }
+    }.toDF("source", "sample_key", "text")
+  }
+
   /** THE shard census operator: walk each shard's headers (payloads
     * untouched), group members into samples by wds key, and emit one
     * row per shard — `(source, shard_id, n_samples, n_files,

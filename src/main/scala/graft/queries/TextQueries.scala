@@ -4033,6 +4033,26 @@ object TextQueries {
           2 AS n_files, 'cls,txt' AS exts,
           CAST(sb AS BIGINT) AS sample_bytes
         FROM c
-        ORDER BY source, shard_id, sample_key"""))
+        ORDER BY source, shard_id, sample_key""")),
+
+    // ── m23: WebDataset payload EXTRACTION — the loader's actual
+    //    read: slice every sample's .txt member back out of the
+    //    archive bytes. The oracle is the IDENTITY on the original
+    //    text (NULL landed as an empty member, the documented tar
+    //    mapping), so one wrong offset, size, padding byte, or
+    //    charset anywhere in the write→walk→slice path breaks the
+    //    hash — sizes (m21/m22) can't prove this ───────────────────────────
+    Q("m23_wds_extract",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+        val shards = graft.ops.TarOps.textToWdsShards(docs, byteBudget = 4096L)
+        graft.ops.TarOps.wdsExtractText(shards, "txt")
+          .select(col("sample_key").cast("long").as("doc_id"),
+            col("source"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, COALESCE(text, '') AS text
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -146,5 +146,12 @@ class TarSpec extends SparkTestBase {
     assert(samples == Seq(
       ("web", 0L, "1", 2, "cls,txt", 3002L),
       ("web", 0L, "2", 2, "cls,txt", 3002L)))
+    // m23: byte-lossless payload extraction (NULL text → empty member)
+    val extracted = TarOps.wdsExtractText(
+      Seq(("books", 0L, shards(("books", 0L)))).toDF("source", "shard_id", "tar"),
+      "txt")
+      .as[(String, String, String)].collect().sortBy(_._2).toSeq
+    assert(extracted == Seq(
+      ("books", "10", ""), ("books", "11", "w" * 10)))
   }
 }
