@@ -108,6 +108,10 @@ object LakeIngest {
     val streamed = StreamingLake.lakeView(spark, streamLake.toString)
       .where(col("_corrupt_record").isNull)
     val n = streamed.count()
+    // lastProgress is null when the AvailableNow drain recorded no
+    // progress — guard like q145 does rather than NPE mid-walkthrough
+    require(q.lastProgress != null,
+      "AvailableNow drain finished without recording any progress")
     println(s"streamed lake: $n docs in ${q.lastProgress.batchId + 1} " +
       "exactly-once micro-batches")
     require(n == wave.count(), "streamed census must equal the batch census")

@@ -427,10 +427,16 @@ object GifOps {
               val ident = new String(gif, pos + 1, n, "US-ASCII")
               pos += 1 + n
               if (ident == "NETSCAPE2.0") {
-                // data sub-block: 0x01 <u16 loop count>
-                require(pos + 4 <= gif.length, "truncated NETSCAPE block")
-                if ((gif(pos) & 0xff) >= 3 && (gif(pos + 1) & 0xff) == 1)
-                  loop = u16(pos + 2)
+                // data sub-block: 0x01 <u16 loop count>. A spec-valid
+                // extension may carry an EMPTY sub-block list (the
+                // terminator immediately) — only demand the 4 payload
+                // bytes when a >=3-byte sub-block is actually present;
+                // otherwise fall through to skipSubBlocks().
+                require(pos + 1 <= gif.length, "truncated NETSCAPE block")
+                if ((gif(pos) & 0xff) >= 3) {
+                  require(pos + 4 <= gif.length, "truncated NETSCAPE block")
+                  if ((gif(pos + 1) & 0xff) == 1) loop = u16(pos + 2)
+                }
               }
               skipSubBlocks()
             case _ =>

@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   * Scope (named rejections): MPEG-1 Layer III only (the "MP3" of
   * crawls); free-format (bitrate index 0) and the reserved indexes
   * (bitrate 15, sample-rate 3) are refused by name; truncated frames
-  * and tags are named errors, never silent EOF underruns.
+  * and tags are named errors, never silent EOF underruns. A trailing
+  * ID3v1 tag (the 128-byte `TAG` block real-world encoders append) is
+  * skipped like the leading ID3v2. A Xing/LAME VBR header frame is a
+  * spec-valid Layer III frame and is COUNTED as audio — its one-frame
+  * bias (~26 ms) is accepted by name rather than sniffed for.
   */
 object Mp3Ops {
 
@@ -69,7 +73,14 @@ object Mp3Ops {
     var nFrames = 0
     var sumBytes = 0L
     var sumKbps = 0L
-    while (pos < mp3.length) {
+    var id3v1 = false
+    while (pos < mp3.length && !id3v1) {
+      // a trailing ID3v1 tag is exactly 128 bytes starting "TAG" —
+      // skip it like the leading ID3v2 instead of calling it lost sync
+      if (mp3.length - pos == 128 && mp3(pos) == 'T' &&
+          mp3(pos + 1) == 'A' && mp3(pos + 2) == 'G') {
+        id3v1 = true
+      } else {
       require(pos + 4 <= mp3.length, s"truncated frame header at $pos")
       require((mp3(pos) & 0xff) == 0xff && (mp3(pos + 1) & 0xe0) == 0xe0,
         f"lost frame sync at $pos (0x${mp3(pos) & 0xff}%02x)")
@@ -96,6 +107,7 @@ object Mp3Ops {
       sumBytes += len
       sumKbps += kbps
       pos += len
+      }
     }
     require(nFrames > 0, "MP3 stream contains no frames")
     val durationUs =

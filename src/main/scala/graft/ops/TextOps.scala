@@ -848,7 +848,9 @@ object TextOps {
       val cboOn = spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean
       val statRows =
         if (cboOn) None else df.queryExecution.optimizedPlan.stats.rowCount
-      statRows.map(_.toLong).getOrElse(df.count()) <= 100000L
+      // compare as BigInt — a .toLong of a >Long.MaxValue stat would
+      // wrap negative and silently broadcast an unbounded side
+      statRows.map(_ <= BigInt(100000L)).getOrElse(df.count() <= 100000L)
     }
     val lexA = lex.toDF("id_a", "ta", "n_a")
     val lexB = lex.toDF("id_b", "tb", "n_b")

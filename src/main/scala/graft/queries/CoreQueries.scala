@@ -225,12 +225,34 @@ object CoreQueries {
     // ── analytic window: top-k per group (§2.5/§2.6) ────────────────
     Q("q13_topk_per_group",
       (s, dir) => {
-        val w = Window.partitionBy("event_type")
+        // Exact top-5 per event_type WITHOUT ranking a whole group in
+        // one task (event_type is ~10 values — a bare
+        // Window.partitionBy(event_type) serializes each group at
+        // scale): (1) top-5 within (event_type, salt) — 64-way salted,
+        // WindowGroupLimit prunes map-side; (2) merge the ≤320
+        // candidates per group with a bounded array sort inside a
+        // regular aggregate. The true top-5 of a group is contained in
+        // the union of its per-salt top-5s, so this is exact.
+        val salted = Tables.events(s, dir)
+          .withColumn("__salt", pmod(xxhash64(col("event_id")), lit(64L)))
+        val w1 = Window.partitionBy(col("event_type"), col("__salt"))
           .orderBy(col("value").desc, col("event_id"))
-        Tables.events(s, dir)
-          .withColumn("rk", row_number().over(w))
+        val cand = salted.withColumn("rk", row_number().over(w1))
           .where(col("rk") <= 5)
-          .select("event_type", "rk", "event_id", "value")
+        val byValueDescIdAsc = (l: Column, r: Column) =>
+          when(l("value") > r("value"), -1)
+            .when(l("value") < r("value"), 1)
+            .when(l("event_id") < r("event_id"), -1)
+            .when(l("event_id") > r("event_id"), 1)
+            .otherwise(0)
+        cand.groupBy("event_type")
+          .agg(slice(array_sort(
+            collect_list(struct(col("value"), col("event_id"))),
+            byValueDescIdAsc), 1, 5).as("top"))
+          .select(col("event_type"),
+            posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rk"),
+            col("s.event_id").as("event_id"), col("s.value").as("value"))
           .orderBy("event_type", "rk")
       },
       Some("""SELECT event_type, rk, event_id, value FROM (

@@ -60,6 +60,24 @@ object StreamingLake {
     *                    offset retention. Archival is best-effort and
     *                    asynchronous by Spark's contract — files move
     *                    after commit, so exactly-once is unaffected.
+    * @param maxBytesPerTrigger BYTE-based admission: real drops vary
+    *                    1000× in file size, so a file-count knob alone
+    *                    admits either a trickle of tiny files or one
+    *                    micro-batch holding a multi-GB drop. With a
+    *                    byte cap a batch closes at whichever limit
+    *                    hits first (Spark processes past the cap only
+    *                    to finish the file that crossed it — admission
+    *                    is at file grain, so one file larger than the
+    *                    cap still forms a single batch rather than
+    *                    splitting). Production ingest should size this
+    *                    to executor memory, not file counts.
+    * @param latestFirst backfill trade: process NEWEST files first so
+    *                    a tailing query pointed at a deep backlog
+    *                    serves fresh data immediately and drains
+    *                    history behind it. The cost is ORDER — batches
+    *                    no longer replay landing order, so any
+    *                    order-sensitive `clean` (dedup-keep-first,
+    *                    session stitching) must not combine with it.
     */
   def ingest(spark: SparkSession,
              landingDir: String,
@@ -71,11 +89,19 @@ object StreamingLake {
              partitionBy: Seq[String] = Nil,
              clean: DataFrame => DataFrame = identity,
              availableNow: Boolean = true,
-             archiveDir: Option[String] = None): StreamingQuery = {
+             archiveDir: Option[String] = None,
+             maxBytesPerTrigger: Option[Long] = None,
+             latestFirst: Boolean = false): StreamingQuery = {
+    // Spark forbids setting both admission knobs at once — the byte
+    // cap, when given, REPLACES the file-count cap (it is the knob
+    // production ingest should size anyway; see the param doc)
     val reader0 = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val reader = archiveDir.fold(reader0)(dir =>
-      reader0.option("cleanSource", "archive")
+      .option("latestFirst", latestFirst.toString)
+    val reader1 = maxBytesPerTrigger.fold(
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger))(cap =>
+      reader0.option("maxBytesPerTrigger", cap.toString))
+    val reader = archiveDir.fold(reader1)(dir =>
+      reader1.option("cleanSource", "archive")
         .option("sourceArchiveDir", dir))
     val raw = format match {
       case "json" =>

@@ -1,19 +1,54 @@
 package graft
 
 /** Blanket plan hygiene over the ENTIRE query surface: properties
-  * every one of the 250 registered queries must satisfy to survive a
-  * 100× scale-up. Individual plan shapes are asserted in PlanSpec /
-  * LayoutSpec / AsOfJoinSpec; this sweep guards against regressions
-  * anywhere in the surface.
+  * every registered query (339 at round 17 — the sweep sizes itself
+  * from SparkEntry.queries, never a hardcoded count) must satisfy to
+  * survive a 100× scale-up. Individual plan shapes are asserted in
+  * PlanSpec / LayoutSpec / AsOfJoinSpec; this sweep guards against
+  * regressions anywhere in the surface.
   */
 class PlanHygieneSpec extends SparkTestBase {
+
+  // one QueryExecution per registered query, shared by every sweep
+  // (executedPlan strings for the physical checks, optimizedPlan
+  // nodes for the logical ones) — plans each query exactly once
+  private lazy val qes: Map[String, org.apache.spark.sql.execution.QueryExecution] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution
+    }
 
   // analyzed+optimized (pre-execution) plans: Cartesian products and
   // UDF nodes are visible without running the queries
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    qes.map { case (name, qe) => name -> qe.executedPlan.toString }
+
+  test("no low-cardinality Window.partitionBy at raw-data grain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // Columns whose corpus cardinality is O(10). A window partitioned
+    // ONLY by these serializes each group's ENTIRE stream through one
+    // task — parallelism ≡ #groups at 100 TB (round-16 verdict
+    // finding 1: the m07/m21 packing cut). The single-partition
+    // exchange sweep cannot see this class: the exchange is a hash
+    // exchange, the skew is value-level. Exemption: a window whose
+    // child subtree contains an Aggregate runs at aggregated grain
+    // (one row per group×bucket — PrefixSum pass 2, cohort rollups),
+    // bounded by group cardinality rather than raw rows.
+    val lowCard = Set("source", "lang", "modality", "event_type",
+      "l_returnflag", "l_linestatus", "o_orderstatus", "r_name")
+    val offenders = qes.toSeq.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect {
+        case w: LWindow
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"$name: Window.partitionBy(" +
+            w.partitionSpec.map(_.sql).mkString(",") + ")"
+      }
     }
+    assert(offenders.isEmpty,
+      "low-cardinality window partitions serialize each group through " +
+        s"one task at scale — use graft.ops.PrefixSum: $offenders")
+  }
 
   test("no query plans a CartesianProduct") {
     val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq

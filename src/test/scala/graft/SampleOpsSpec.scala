@@ -214,7 +214,7 @@ class SampleOpsSpec extends SparkTestBase {
     }
   }
 
-  test("balancePerGroup: every group capped at the smallest; literal target prunes") {
+  test("balancePerGroup: every group capped at the smallest; no per-group serialization") {
     val skewed = events.where(col("value") >= 10.0) // uneven per-type counts
     val out = SampleOps.balancePerGroup(skewed, "event_type", "event_id")
     val per = out.groupBy("event_type").count().as[(String, Long)].collect()
@@ -222,11 +222,21 @@ class SampleOpsSpec extends SparkTestBase {
       .agg(min("count")).as[Long].head()
     assert(per.nonEmpty && per.forall(_._2 == minBase),
       s"want $minBase per group, got ${per.toSeq}")
-    // explicit literal target lowers to WindowGroupLimit pruning
-    val litPlan = SampleOps.balancePerGroup(skewed, "event_type", "event_id",
+    // the rank runs through PrefixSum (round 17): the only window over
+    // raw-grain rows must be keyed on (group, bucket) — never the bare
+    // low-cardinality group (PlanHygieneSpec sweeps this surface-wide;
+    // here we assert the op in isolation, outside the query registry)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lit10 = SampleOps.balancePerGroup(skewed, "event_type", "event_id",
       targetPerGroup = Some(10L))
-      .queryExecution.executedPlan.toString
-    assert(litPlan.contains("WindowGroupLimit"), litPlan)
+    val rawGroupWindows = lit10.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if w.partitionSpec.flatMap(_.references.map(_.name)) == Seq("event_type") &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(rawGroupWindows.isEmpty,
+      "balancePerGroup must not rank a whole group in one task")
+    assert(lit10.count() == per.length * 10L)
   }
 
   test("shuffleShards: exact permutation, balanced shards, rerun-stable") {

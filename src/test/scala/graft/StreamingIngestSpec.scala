@@ -111,10 +111,10 @@ class StreamingIngestSpec extends SparkTestBase {
     // PartitionFilters exactly as on the batch-written lake (q141)
     val slice = StreamingLake.lakeView(spark, lake.toString)
       .where(col("lang") === "en")
-    val scans = slice.queryExecution.executedPlan.collect {
-      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-    }
-    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+    // the AQE-safe shared assertion (sparkPlan, not executedPlan —
+    // an AQE-wrapped executedPlan hides FileSourceScanExec until
+    // materialization and would fail here spuriously)
+    graft.sources.FileSources.assertPartitionPruned(slice)
     assert(slice.count() === 15L)
   }
 
@@ -199,5 +199,53 @@ class StreamingIngestSpec extends SparkTestBase {
     val view = StreamingLake.lakeView(spark, lake.toString)
     assert(view.where(col("_corrupt_record").isNotNull).count() === 2L)
     assert(view.where(col("_corrupt_record").isNull).count() === 8L)
+  }
+
+  test("byte-based admission: maxBytesPerTrigger bounds batches when file sizes vary") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    // real drops vary 1000× in size — a count knob alone admits either
+    // a trickle or a monster batch; the byte cap self-paces both
+    val d = docs(30)
+    StreamingLake.dropJsonWave(d, landing, wave = 1, parts = 6)
+    val oneFileBytes = Files.list(landing).iterator().asScala
+      .map(Files.size).max
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = d.schema,
+      maxBytesPerTrigger = Some(oneFileBytes)) // replaces the count knob
+    q.awaitTermination()
+    // 6 files with a ~1-file byte cap → several micro-batches, not one
+    assert(q.lastProgress.batchId >= 2,
+      s"byte cap must split the drain, got batchId=${q.lastProgress.batchId}")
+    val got = StreamingLake.lakeView(spark, lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === d.collect().map(_.getLong(0)).toSet) // census intact
+  }
+
+  test("latestFirst backfill: the first committed batch carries the NEWEST files") {
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    StreamingLake.dropJsonWave(docs(10), landing, wave = 1, parts = 1)
+    // age wave 1 so modification-time ordering is unambiguous
+    Files.list(landing).iterator().asScala.foreach { f =>
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+    }
+    StreamingLake.dropJsonWave(docs(5, from = 100), landing, wave = 2, parts = 1)
+    val q = StreamingLake.ingest(spark, landing.toString, lake.toString,
+      ckpt.toString, schema = docs(1).schema, maxFilesPerTrigger = 1,
+      latestFirst = true)
+    q.awaitTermination()
+    assert(StreamingLake.lakeView(spark, lake.toString).count() === 15L)
+    // read batch 0's files straight from the sink's commit log: under
+    // latestFirst they must hold wave 2 (doc_id >= 100) only
+    val batch0 = Files.readAllLines(lake.resolve("_spark_metadata").resolve("0"))
+      .asScala.filter(_.contains("\"path\""))
+      .map(l => l.split("\"path\":\"")(1).split("\"")(0))
+    assert(batch0.nonEmpty)
+    val ids = spark.read.schema(docs(1).schema)
+      .parquet(batch0.toSeq: _*)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ >= 100L),
+      s"latestFirst must drain the newest wave first, batch 0 held ${ids.toSeq}")
   }
 }

@@ -154,4 +154,47 @@ class TarSpec extends SparkTestBase {
     assert(extracted == Seq(
       ("books", "10", ""), ("books", "11", "w" * 10)))
   }
+
+  test("m24 plumbing: binary payloads survive pack → extract verbatim") {
+    // payloads with NUL bytes, full 0..255 range, and non-block sizes —
+    // exactly what text members never exercise
+    val blob1 = (0 until 700).map(i => (i * 7 % 256).toByte).toArray
+    val blob2 = Array[Byte](0, -1, 0, 127, -128)
+    val blob3 = Array.emptyByteArray
+    val df = Seq(
+      ("web", 1L, blob1), ("web", 2L, blob2), ("books", 5L, blob3))
+      .toDF("source", "doc_id", "payload")
+    val shards = TarOps.binaryToWdsShards(df, ext = "bin", byteBudget = 512L)
+    // web: doc1 cum_before=0 → shard 0; doc2 cum_before=700 → shard 1
+    val keys = shards.select("source", "shard_id")
+      .as[(String, Long)].collect().toSet
+    assert(keys == Set(("web", 0L), ("web", 1L), ("books", 0L)))
+    val back = TarOps.wdsExtractBytes(shards, "bin")
+      .as[(String, String, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(java.util.Arrays.equals(back(("web", "1")), blob1))
+    assert(java.util.Arrays.equals(back(("web", "2")), blob2))
+    assert(java.util.Arrays.equals(back(("books", "5")), blob3))
+    // the extension filter is exact, not a suffix match
+    assert(TarOps.wdsExtractBytes(shards, "in").count() == 0)
+  }
+
+  test("m24 end-to-end: own-WAV blobs decode identically after the shard trip") {
+    val docs = Seq(("web", 21L, Option("alpha beta")),
+        ("web", 22L, Option.empty[String]), ("books", 23L, Option("z")))
+      .toDF("source", "doc_id", "text")
+    val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+    val direct = graft.ops.WavOps.wavStats(wavs, "id", "wav")
+      .as[(Long, Int, Int, Int, Int, Long, Int)].collect().toSet
+    val payloads = wavs
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), col("id").as("doc_id"), col("wav").as("payload"))
+    val viaShards = graft.ops.WavOps.wavStats(
+        TarOps.wdsExtractBytes(
+            TarOps.binaryToWdsShards(payloads, "wav", 4096L), "wav")
+          .select(col("sample_key").cast("long").as("id"),
+            col("bytes").as("wav")), "id", "wav")
+      .as[(Long, Int, Int, Int, Int, Long, Int)].collect().toSet
+    assert(viaShards == direct && direct.size == 3)
+  }
 }
