@@ -221,6 +221,21 @@ class GifSpec extends SparkTestBase {
     assert(GifOps.gifTimingMeta(bare).frames == Seq((10, 0, -1)))
   }
 
+  test("empty NETSCAPE sub-block list near EOF is spec-valid, not truncated") {
+    // an application extension may carry ZERO data sub-blocks (the
+    // terminator immediately); placed as the LAST thing before the
+    // trailer there are only 2 bytes after the identifier — a walk
+    // that unconditionally demands the 4 loop-count bytes mis-rejects
+    val frames = Seq(Array.fill(6)(1.toByte))
+    val ok = GifOps.encodeGifAnimation(3, 2, frames, Seq(10), Seq(0), -1)
+    val emptyExt = Array(0x21, 0xff, 0x0b).map(_.toByte) ++
+      "NETSCAPE2.0".getBytes("US-ASCII") ++ Array(0x00.toByte) // terminator
+    val withExt = ok.dropRight(1) ++ emptyExt ++ Array(0x3b.toByte)
+    val t = GifOps.gifTimingMeta(withExt)
+    assert(t.loopCount == -1, "empty extension carries no loop count")
+    assert(t.frames == Seq((10, 0, -1)))
+  }
+
   test("ImageIO-written GIF (no GCE at all) yields default timing, not a crash") {
     val px = Array.tabulate(12)(i => (i * 3).toByte)
     val gif = jdkWriteGif(4, 3, px)

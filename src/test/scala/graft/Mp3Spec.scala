@@ -41,6 +41,20 @@ class Mp3Spec extends SparkTestBase {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("trailing ID3v1 'TAG' block is skipped like the leading ID3v2") {
+    // real-world encoders append a fixed 128-byte ID3v1 tag; the walk
+    // must not call it lost frame sync
+    val base = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0)), -1)
+    val id3v1 = ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(id3v1.length == 128)
+    val m = Mp3Ops.mp3Meta(base ++ id3v1)
+    assert(m.nFrames == 2 && m.sumBytes == 834L)
+    // but 128 trailing bytes NOT starting with TAG are still an error
+    val junk = ("BAD" + "x" * 125).getBytes("US-ASCII")
+    val e = intercept[IllegalArgumentException](Mp3Ops.mp3Meta(base ++ junk))
+    assert(e.getMessage.contains("sync"))
+  }
+
   test("hostile inputs: named rejections, never silent misparses") {
     val ok = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0)), -1)
     // truncated second frame payload

@@ -1089,4 +1089,87 @@ class ScaleStressSpec extends SparkTestBase {
     assertLinear("q145_stream_ingest", t1, t10,
       drain(base, 2)._1, drain(big, 20)._1)
   }
+
+  // ── round 17: m22/m23 carry their own rows (they rode m21's in
+  // r16), measured over the POST-FIX packer (PrefixSum shard cut);
+  // m24 covers the new binary pack→extract→decode loop; and the
+  // 90%-single-source skew shape is the distribution the PrefixSum
+  // fix exists to survive ─────────────────────────────────────────────
+
+  private def wdsDocs(df: DataFrame): DataFrame = df.select(
+    concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string")).as("source"),
+    col("doc_id"), col("text"),
+    concat(lit("l"), pmod(col("doc_id"), lit(3)).cast("string")).as("lang"))
+
+  test("m22_wds_samples: 10x corpus => ~linear sample-grain walk") {
+    def q(df: DataFrame): DataFrame = graft.ops.TarOps.wdsSamples(
+      graft.ops.TarOps.textToWdsShards(wdsDocs(df), byteBudget = 4096L))
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("m22_wds_samples", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+    assert(normalizeEquiJoins(planShape(q(base)))
+        == normalizeEquiJoins(planShape(q(big))),
+      "m22_wds_samples plan shape changed with data size (beyond join strategy)")
+  }
+
+  test("m23_wds_extract: 10x corpus => ~linear payload extraction") {
+    def q(df: DataFrame): DataFrame = graft.ops.TarOps.wdsExtractText(
+      graft.ops.TarOps.textToWdsShards(wdsDocs(df), byteBudget = 4096L), "txt")
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("m23_wds_extract", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+  }
+
+  test("m24_wds_wav_loop: 10x corpus => ~linear binary pack→extract→decode") {
+    def q(df: DataFrame): DataFrame = {
+      val docs = wdsDocs(df).select("source", "doc_id", "text")
+      val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+      val payloads = wavs
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("source"), col("id").as("doc_id"), col("wav").as("payload"))
+      graft.ops.WavOps.wavStats(
+        graft.ops.TarOps.wdsExtractBytes(
+          graft.ops.TarOps.binaryToWdsShards(payloads, "wav", 8192L), "wav")
+          .select(col("sample_key").cast("long").as("id"),
+            col("bytes").as("wav")), "id", "wav")
+    }
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("m24_wds_wav_loop", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+  }
+
+  test("wds packing under 90% single-source skew: ~linear, never serialized per source") {
+    // one source owns ~90% of all bytes — under the old
+    // Window.partitionBy(source) cut this stream sorts in ONE task and
+    // the ratio decays toward the skew share; under the PrefixSum cut
+    // the heavy window is keyed on (source, bucket) and stays parallel
+    def skewDocs(df: DataFrame): DataFrame = df.select(
+      when(pmod(col("doc_id"), lit(10)) < 9, lit("dominant"))
+        .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string")))
+        .as("source"),
+      col("doc_id"), col("text"), lit("en").as("lang"))
+    def q(df: DataFrame): DataFrame = graft.ops.TarOps.wdsShardCensus(
+      graft.ops.TarOps.textToWdsShards(skewDocs(df), byteBudget = 4096L))
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("wds_skew90", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+    // and the plan-level guarantee, asserted on the op directly (the
+    // registry sweep in PlanHygieneSpec covers only registered queries)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val rawSourceWindows = q(big).queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if w.partitionSpec.flatMap(_.references.map(_.name)) == Seq("source") &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(rawSourceWindows.isEmpty,
+      "the shard cut must never window a raw stream per source")
+  }
 }
