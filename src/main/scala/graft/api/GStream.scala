@@ -113,5 +113,20 @@ final class GStream[T](val app: App, val ds: Dataset[T]) {
       .withColumn("index", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("_mid")
 
+  /** The GLOBALLY-ordered enumerate at scale: the same total-order
+    * running index as [[enumerate]], via the two-pass distributed
+    * prefix sum (`PrefixSum.globalRowNumber`) instead of a
+    * single-partition window sort — the data shuffles once on the
+    * bucket cut and every task sorts ~bucketWidth rows; only the tiny
+    * bucket-subtotal table crosses a single-partition exchange.
+    * `bucket` must be a monotone non-decreasing function of
+    * `orderCol` (e.g. `floor(orderCol / 4096)`).
+    */
+  def enumerateDistributed(orderCol: Column, bucket: Column): DataFrame =
+    graft.ops.PrefixSum.globalRowNumber(
+        ds.toDF(), Seq(orderCol), bucket, "__graft_enum_rk")
+      .withColumn("index", col("__graft_enum_rk") - 1)
+      .drop("__graft_enum_rk")
+
   def toDF: DataFrame = ds.toDF()
 }

@@ -158,6 +158,24 @@ object TrainDataPipeline {
     SampleOps.waterfillQuota(supply, "lang", "n_tokens", budgetPct = 60)
       .orderBy("lang").show(truncate = false)
 
+    // 9. ship the train fragment as WebDataset shards (the loader's
+    // physical format): byte-budget ustar packing via the distributed
+    // prefix-sum cut, then prove the loader's read path end-to-end by
+    // slicing one sample's text back out byte-losslessly
+    val shards = graft.ops.TarOps.textToWdsShards(
+      scored.where($"split" === "train")
+        .select($"lang".as("source"), $"doc_id", $"text",
+          $"split".as("lang")),
+      byteBudget = 4096L)
+    graft.ops.TarOps.wdsShardCensus(shards)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_shards"),
+        sum("payload_bytes").as("bytes"))
+      .orderBy("source").show(truncate = false)
+    val roundTrip = graft.ops.TarOps.wdsExtractText(shards, "txt").count()
+    require(roundTrip == scored.where($"split" === "train").count(),
+      "every packed training sample must read back out of its shard")
+
     val total = docs.count()
     val survived = scored.count()
     println(s"$total docs in -> $survived representative docs out " +

@@ -69,15 +69,24 @@ object PrefixSum {
       .withColumn("__psum_off",
         coalesce(sum(col("__psum_sub")).over(wOff), lit(0L)))
       .drop("__psum_sub")
-    // pass 3: partition-local inclusive cumsum + the bucket's offset
+    // pass 3: partition-local inclusive cumsum + the bucket's offset.
+    // NULL-SAFE join keys: window partitioning groups NULLs together,
+    // so a NULL group/bucket value is a legitimate partition — a
+    // using-columns equi-join would silently DROP those rows where
+    // the window formulation kept them.
+    val offAliased = offsets.select(
+      group.map(c => col(c).as(s"__psum_g_$c")) ++
+        Seq(col(b).as("__psum_b"), col("__psum_off")): _*)
+    val cond = (group.map(c => col(c) <=> col(s"__psum_g_$c")) :+
+      (col(b) <=> col("__psum_b"))).reduce(_ && _)
     val wIn = Window.partitionBy(groupCols :+ col(b): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB
-      .join(broadcast(offsets), group :+ b)
+      .join(broadcast(offAliased), cond)
       .withColumn(out, col("__psum_off") + sum(value).over(wIn))
-      // a using-columns join moves the keys first — restore the
-      // caller's column order (callers treat this as df + out)
+      // restore the caller's column order (callers treat this as
+      // df + out; the join appended the aliased key columns)
       .select(df.columns.map(col) :+ col(out): _*)
   }
 
@@ -92,4 +101,15 @@ object PrefixSum {
                        order: Seq[Column], bucket: Column,
                        out: String): DataFrame =
     groupedRunningSum(df, group, order, bucket, lit(1L), out)
+
+  /** GLOBAL running index — faust's `enumerate` at scale: row_number
+    * over a total order WITHOUT single-partition-sorting the data
+    * (group-less [[groupedRowNumber]]). The only single-partition step
+    * left is the exclusive prefix over the bucket-subtotal table — one
+    * map-side-combined row per bucket, the same bounded-exchange class
+    * as the repo's global scalar aggregates. 1-based, like row_number.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], bucket: Column,
+                      out: String): DataFrame =
+    groupedRowNumber(df, Seq.empty, order, bucket, out)
 }

@@ -338,6 +338,23 @@ object CoreQueries {
       Some("""SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx,
         event_id, event_type FROM events ORDER BY idx""")),
 
+    // ── q147: enumerate AT SCALE — the same global running index as
+    //    q19 (faust streams.py:397-403) without the single-partition
+    //    window sort: PrefixSum.globalRowNumber buckets the order key,
+    //    so the data shuffles once on the bucket cut and each task
+    //    sorts ~4096 rows; only the bucket-subtotal table (one
+    //    map-combined row per bucket) crosses a single-partition
+    //    exchange (the bounded class, runtime-capped in
+    //    PlanHygieneSpec). Oracle identical to q19's ───────────────────
+    Q("q147_enumerate_distributed",
+      (s, dir) => graft.ops.PrefixSum.globalRowNumber(
+          Tables.events(s, dir), Seq(col("event_id")),
+          floor(col("event_id") / lit(4096L)).cast("long"), "rk")
+        .select((col("rk") - 1).as("idx"), col("event_id"), col("event_type"))
+        .orderBy("idx"),
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx,
+        event_id, event_type FROM events ORDER BY idx""")),
+
     // ── sort + limit / take (§2.2/§2.6) ─────────────────────────────
     Q("q20_sort_limit",
       (s, dir) => Tables.events(s, dir)

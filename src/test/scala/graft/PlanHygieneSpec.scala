@@ -66,8 +66,10 @@ class PlanHygieneSpec extends SparkTestBase {
 
   test("single-partition exchanges only where semantics demand them") {
     // q19_enumerate: faust's global running index — documented
-    // serving-only semantics parity; the scale path is enumerateLocal
-    // (PlanSpec proves it zero-Exchange).
+    // serving-only semantics parity; the scale paths are
+    // enumerateLocal (PlanSpec proves it zero-Exchange) and the
+    // round-17 q147 distributed global index (bounded-tail class,
+    // allowlisted below with a runtime cap).
     // p04_balance: the final reduce of MIN over per-group counts — the
     // exchange carries one row per GROUP (cardinality = #classes, not
     // #rows), the unavoidable and harmless tail of any global scalar
@@ -307,7 +309,13 @@ class PlanHygieneSpec extends SparkTestBase {
       // STREAMED lake's batch view (the drain itself ran through the
       // file sink before this plan; its per-batch work is fully
       // parallel), q146's over the zstd parquet round trip.
-      "q145_stream_ingest", "q146_zstd_source")
+      "q145_stream_ingest", "q146_zstd_source",
+      // q147: the GLOBAL enumerate via PrefixSum — the exchange feeds
+      // the exclusive prefix over the bucket-SUBTOTAL table: one
+      // map-side-combined row per bucket (≤ rows/4096 + partitions),
+      // never the data (which shuffles hash on the bucket cut). This
+      // is exactly the bounded tail q19's naive global window lacks.
+      "q147_enumerate_distributed")
     val offenders = plans.filter { case (name, p) =>
       !allowed(name) && p.contains("Exchange SinglePartition")
     }.keys.toSeq
@@ -402,7 +410,10 @@ class PlanHygieneSpec extends SparkTestBase {
     "q138_json_source" -> 64, "q139_csv_source" -> 64,
     "q140_orc_source" -> 64, "q142_xml_source" -> 64,
     "q144_schema_evolution" -> 64,
-    "q145_stream_ingest" -> 64, "q146_zstd_source" -> 64)
+    "q145_stream_ingest" -> 64, "q146_zstd_source" -> 64,
+    // bucket-subtotal rows: ≤ buckets(events/4096 ≈ 1 at sf0.001) ×
+    // map partitions, map-side combined
+    "q147_enumerate_distributed" -> 64)
 
   test("allowlisted single-partition exchanges carry bounded rows at runtime") {
     val over = exchangeRowCaps.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

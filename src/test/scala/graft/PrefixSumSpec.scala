@@ -81,6 +81,40 @@ class PrefixSumSpec extends SparkTestBase {
     assert(buckets > 16, s"skew probe expects many buckets, got $buckets")
   }
 
+  test("globalRowNumber ≡ the single-partition global window index") {
+    // unique ids (a total global order), deliberately shuffled input
+    val df = scala.util.Random.shuffle((1L to 500L).toList)
+      .toDF("id").withColumn("v", col("id") % 7)
+      .repartition(4)
+    val expected = df.withColumn("rk", row_number().over(Window.orderBy("id")))
+      .select("id", "rk").as[(Long, Int)].collect()
+      .map { case (id, rk) => (id, rk.toLong) }.toSet
+    val got = PrefixSum.globalRowNumber(df,
+        order = Seq(col("id")),
+        bucket = floor(col("id") / 16).cast("long"), out = "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("NULL group values form a partition, never silently drop") {
+    val df = Seq((Some("a"), 1L, 2L), (None, 2L, 3L), (None, 3L, 4L),
+        (Some("a"), 4L, 5L))
+      .toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .select("g", "id", "cum")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    val got = PrefixSum.groupedRunningSum(df, Seq("g"),
+        Seq(col("id")), floor(col("id") / 2).cast("long"), col("v"), "cum")
+      .select("g", "id", "cum")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected && got.size == 4,
+      "the NULL group must survive with window-identical cumsums")
+  }
+
   test("multi-column group and composite order (the m07 shape)") {
     val df = skewed.withColumn("m",
       when(col("id") % 3 === 0, "image").otherwise("audio"))
