@@ -1172,4 +1172,36 @@ class ScaleStressSpec extends SparkTestBase {
     assert(rawSourceWindows.isEmpty,
       "the shard cut must never window a raw stream per source")
   }
+
+  // the wds family joins the 100× decade probe: the packing cut is the
+  // one place a structural knee could hide (the subtotal table and its
+  // broadcast grow with buckets), and the skew shape doubles as the
+  // adversarial distribution at every decade
+  extraFactor.foreach { f =>
+    lazy val hugeDocs: DataFrame = salted(f)
+    Seq[(String, DataFrame => DataFrame)](
+      "m21_wds_shards" -> (df => graft.ops.TarOps.wdsShardCensus(
+        graft.ops.TarOps.textToWdsShards(wdsDocs(df), byteBudget = 4096L))),
+      "wds_skew90" -> { df =>
+        val skewed = df.select(
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("dominant"))
+            .otherwise(concat(lit("s"),
+              pmod(col("doc_id"), lit(5)).cast("string"))).as("source"),
+          col("doc_id"), col("text"), lit("en").as("lang"))
+        graft.ops.TarOps.wdsShardCensus(
+          graft.ops.TarOps.textToWdsShards(skewed, byteBudget = 4096L))
+      }
+    ).foreach { case (name, q) =>
+      test(s"$name (wds): ${f}x corpus => ~linear shard build") {
+        base.count(); hugeDocs.count()
+        timeNoop(q(base))
+        val t1 = timeNoop(q(base))
+        val tf = timeNoop(q(hugeDocs))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+      }
+    }
+  }
 }
