@@ -398,6 +398,102 @@ object SourceQueries {
           CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
             % 1000000000) AS BIGINT) AS h_sum,
           COUNT(DISTINCT lang) AS n_lang
-        FROM u"""))
+        FROM u""")),
+
+    // ── q148: WebDataset shard FILES — the loader's ACTUAL input: the
+    //    m21 shards written to disk as one REAL `.tar` file each
+    //    (task-side writes, the object-store posture), the directory
+    //    read back through Spark's binaryFile source (glob-pruned at
+    //    listing), source/shard recovered from the FILE NAME, and the
+    //    full per-shard census walked over the re-read bytes. Oracle =
+    //    m21's oracle verbatim — one byte lost in write→list→read, or
+    //    one mangled file name, breaks the hash ─────────────────────────
+    Q("q148_wds_shard_files",
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text"), col("lang"))
+        val shards = graft.ops.TarOps.textToWdsShards(docs, byteBudget = 4096L)
+        val files = FileSources.binaryRoundTrip(shards,
+          concat(col("source"), lit("_"), col("shard_id"), lit(".tar")),
+          col("tar"), glob = "*.tar")
+        val parsed = files.select(
+          regexp_extract(col("path"), "([^/]+)_(\\d+)\\.tar$", 1).as("source"),
+          regexp_extract(col("path"), "([^/]+)_(\\d+)\\.tar$", 2)
+            .cast("long").as("shard_id"),
+          col("content").as("tar"))
+        graft.ops.TarOps.wdsShardCensus(parsed)
+          .orderBy("source", "shard_id")
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id,
+            strlen(COALESCE(text, '')) AS txt, strlen(lang) AS cls
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, txt, cls, txt + cls AS sb,
+            COALESCE(SUM(txt + cls) OVER (PARTITION BY source
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM d),
+        sh AS (
+          SELECT source, cum // 4096 AS shard_id, sb,
+            1024 + ((txt + 511) // 512) * 512
+                 + ((cls + 511) // 512) * 512 AS member_bytes
+          FROM c)
+        SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+          CAST(COUNT(*) AS INT) AS n_samples,
+          CAST(COUNT(*) * 2 AS INT) AS n_files,
+          CAST(SUM(sb) AS BIGINT) AS payload_bytes,
+          CAST(SUM(member_bytes) + 1024 AS BIGINT) AS shard_bytes
+        FROM sh GROUP BY source, shard_id
+        ORDER BY source, shard_id""")),
+
+    // ── q149: MEDIA-DIRECTORY ingest — the multimodal source shape: a
+    //    directory of individual audio files (own-encoded WAVs, one
+    //    `.wav` per doc), listed and read by the binaryFile source,
+    //    ids recovered from file names, every payload decoded with the
+    //    repo's own codec. Oracle = m15's stat oracle verbatim
+    //    (identity on the blobs), so the file round trip must be
+    //    byte-lossless per file ──────────────────────────────────────────
+    Q("q149_binary_source",
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+        val files = FileSources.binaryRoundTrip(wavs,
+          concat(col("id"), lit(".wav")), col("wav"), glob = "*.wav")
+        graft.ops.WavOps.wavStats(
+            files.select(
+              regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+                .cast("long").as("id"),
+              col("content").as("wav")), "id", "wav")
+          .select(col("id").as("doc_id"), col("sample_rate"),
+            col("channels"), col("n_frames"), col("peak"), col("sumsq"),
+            col("zero_crossings"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sm AS (
+          SELECT doc_id AS id, c.c AS i,
+            (CASE WHEN length(text) > 0 THEN
+               ascii(substr(text, CAST((c.c * length(text)) // 64 + 1 AS INT), 1)) % 256
+             ELSE 0 END - 128) * 256 AS s
+          FROM documents CROSS JOIN range(64) c(c)),
+        agg AS (
+          SELECT id, MAX(ABS(s)) AS peak,
+            SUM(CAST(s AS BIGINT) * s) AS sumsq
+          FROM sm GROUP BY id),
+        ch0 AS (SELECT id, i // 2 AS f, s FROM sm WHERE i % 2 = 0),
+        zcs AS (
+          SELECT id, s, LAG(s) OVER (PARTITION BY id ORDER BY f) AS ps
+          FROM ch0),
+        zc AS (
+          SELECT id, CAST(COALESCE(SUM(CASE WHEN ps IS NOT NULL
+              AND ((s < 0) != (ps < 0)) THEN 1 ELSE 0 END), 0) AS INT)
+            AS zero_crossings
+          FROM zcs GROUP BY id)
+        SELECT agg.id AS doc_id, 8000 AS sample_rate, 2 AS channels,
+          32 AS n_frames, CAST(agg.peak AS INT) AS peak,
+          CAST(agg.sumsq AS BIGINT) AS sumsq, zc.zero_crossings
+        FROM agg JOIN zc ON agg.id = zc.id
+        ORDER BY doc_id"""))
   )
 }

@@ -239,4 +239,52 @@ object FileSources {
     df.write.mode("overwrite").partitionBy(partCol).parquet(dir.toString)
     df.sparkSession.read.parquet(dir.toString)
   }
+
+  /** Write each row's payload bytes as ONE FILE under `dir` — the
+    * media/shard SINK: tasks write their own rows directly (the
+    * object-store-client posture on a real cluster; local filesystem
+    * here), so the write parallelizes with zero driver coordination.
+    * `nameCol` must yield unique flat names (slashes and `..` are
+    * refused — file layout is the CALLER's contract, not data's).
+    */
+  def writeBinaryFiles(df: DataFrame, dir: Path,
+                       nameCol: org.apache.spark.sql.Column,
+                       bytesCol: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    Files.createDirectories(dir)
+    val target = dir.toString
+    implicit val enc: Encoder[(String, Array[Byte])] =
+      Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    df.select(nameCol.cast("string"), bytesCol)
+      .as[(String, Array[Byte])]
+      .foreachPartition { it: Iterator[(String, Array[Byte])] =>
+        it.foreach { case (name, bytes) =>
+          require(name != null && !name.contains('/') &&
+            !name.contains("..") && name.nonEmpty,
+            s"writeBinaryFiles needs flat, traversal-free names: '$name'")
+          Files.write(Paths.get(target, name), bytes)
+        }
+      }
+  }
+
+  /** The binary-file SOURCE round trip: write per-row payload files,
+    * then read the directory back through Spark's `binaryFile` source
+    * — the ingest shape for a directory of media/shard files a
+    * third party dropped (images, audio, WebDataset tars). Emits the
+    * source's native schema `(path, modificationTime, length,
+    * content)`; the glob prunes non-matching names AT LISTING, so a
+    * mixed drop directory never even enumerates foreign files into
+    * tasks. Payload identity is the caller's oracle (decode the
+    * content with the repo's own codecs).
+    */
+  def binaryRoundTrip(df: DataFrame,
+                      nameCol: org.apache.spark.sql.Column,
+                      bytesCol: org.apache.spark.sql.Column,
+                      glob: String): DataFrame = {
+    val dir = stageDir("graft-bin-src-")
+    writeBinaryFiles(df, dir, nameCol, bytesCol)
+    df.sparkSession.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir.toString)
+  }
 }

@@ -1173,6 +1173,27 @@ class ScaleStressSpec extends SparkTestBase {
       "the shard cut must never window a raw stream per source")
   }
 
+  test("q148/q149 binary-file round trips: 10x corpus => ~linear write+list+read") {
+    // the stress dimension for a file source is FILE COUNT (listing +
+    // per-file task overhead): q149 writes one file per doc, so 10×
+    // docs = 10× files — exactly the knee a directory drop hits
+    def q149(df: DataFrame): DataFrame = {
+      val wavs = graft.ops.WavOps.textToWavOwn(df, "doc_id", "text")
+      val files = graft.sources.FileSources.binaryRoundTrip(wavs,
+        concat(col("id"), lit(".wav")), col("wav"), glob = "*.wav")
+      graft.ops.WavOps.wavStats(
+        files.select(
+          regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long").as("id"),
+          col("content").as("wav")), "id", "wav")
+    }
+    base.count(); big.count()
+    timeNoop(q149(base))
+    val t1 = timeNoop(q149(base))
+    val t10 = timeNoop(q149(big))
+    assertLinear("q149_binary_source", t1, t10,
+      timeNoop(q149(base)), timeNoop(q149(big)))
+  }
+
   // the wds family joins the 100× decade probe: the packing cut is the
   // one place a structural knee could hide (the subtotal table and its
   // broadcast grow with buckets), and the skew shape doubles as the

@@ -299,4 +299,63 @@ class SourcesSpec extends SparkTestBase
     assert(p.map(_.getAs[Long]("n_rows")).sum === c.getAs[Long]("n_rows"))
     assert(p.map(_.getAs[Long]("sum_cp")).sum === c.getAs[Long]("sum_cp"))
   }
+
+  test("binaryFile round trip: byte-exact payloads, glob pruning, hostile names") {
+    import graft.sources.FileSources
+    import spark.implicits._
+    val blobs = Seq(
+      ("a.bin", Array[Byte](0, -1, 127, -128, 0)), // NULs + full range
+      ("b.bin", Array.emptyByteArray),             // empty file
+      ("c.bin", (0 until 700).map(i => (i * 13 % 256).toByte).toArray))
+      .toDF("name", "bytes")
+    val back = FileSources.binaryRoundTrip(blobs, col("name"), col("bytes"),
+      glob = "*.bin")
+    val got = back.select(
+        regexp_extract(col("path"), "([^/]+)$", 1), col("content"))
+      .as[(String, Array[Byte])].collect().map(r => r._1 -> r._2).toMap
+    // DOCUMENTED source caveat: Spark's file sources produce no split
+    // for a zero-byte file, so the empty payload is written but never
+    // listed — media pipelines must treat 0-byte drops as absent
+    // (every real container here — tar/WAV/JPEG — is ≥ header bytes,
+    // so q148/q149 cannot hit this)
+    assert(got.keySet == Set("a.bin", "c.bin"))
+    blobs.as[(String, Array[Byte])].collect()
+      .filter(_._2.nonEmpty).foreach { case (n, b) =>
+        assert(java.util.Arrays.equals(got(n), b), s"$n must round-trip verbatim")
+      }
+    // binaryFile reports length from the filesystem, matching content
+    assert(back.select(col("length"),
+      org.apache.spark.sql.functions.length(col("content")).cast("long"))
+      .collect().forall(r => r.getLong(0) == r.getLong(1)))
+    // glob prunes AT LISTING: a foreign file in the same directory is
+    // invisible to a *.bin read
+    val mixed = Seq(("keep.bin", Array[Byte](1)), ("skip.dat", Array[Byte](2)))
+      .toDF("name", "bytes")
+    val pruned = FileSources.binaryRoundTrip(mixed, col("name"), col("bytes"),
+      glob = "*.bin")
+    assert(pruned.count() == 1L)
+    // traversal and nested names are refused by name, not written
+    val hostile = Seq(("../escape.bin", Array[Byte](1))).toDF("name", "bytes")
+    val e = intercept[org.apache.spark.SparkException] {
+      FileSources.binaryRoundTrip(hostile, col("name"), col("bytes"), "*.bin")
+        .count()
+    }
+    assert(e.getMessage.contains("traversal-free") ||
+      Option(e.getCause).exists(_.getMessage.contains("traversal-free")))
+  }
+
+  test("q148/q149 file-shape queries agree with their in-memory twins") {
+    // the file trip must be invisible: q148 ≡ m21's census, q149 ≡
+    // m15's stats, row for row
+    val viaFiles = SparkEntry.queries("q148_wds_shard_files")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inMem = SparkEntry.queries("m21_wds_shards")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFiles == inMem)
+    val statsViaFiles = SparkEntry.queries("q149_binary_source")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val statsInMem = SparkEntry.queries("m15_wav_stats")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(statsViaFiles == statsInMem)
+  }
 }
