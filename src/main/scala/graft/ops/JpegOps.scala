@@ -1030,11 +1030,17 @@ object JpegOps {
     * JpegSpec asserts decode∘encode ≡ identity on these rasters for
     * both our decoder and the JDK's.
     */
-  def textToJpegOwn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def textToJpegOwn(df: DataFrame, idCol: String, textCol: String,
+                    carry: Seq[String] = Nil): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val txtIdx = df.schema.fieldIndex(textCol)
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("jpeg", BinaryType)))
+    // `carry` rides metadata columns through the encode — re-joining
+    // them afterwards would shuffle the encoded blobs (see
+    // WavOps.textToWavOwn)
+    val carryIdx = carry.map(df.schema.fieldIndex)
+    val schema = StructType(
+      Seq(StructField("id", LongType), StructField("jpeg", BinaryType)) ++
+        carryIdx.map(df.schema.fields(_)))
     implicit val enc: Encoder[Row] = Encoders.row(schema)
     df.mapPartitions { rows =>
       rows.map { row =>
@@ -1043,10 +1049,11 @@ object JpegOps {
           else row.getString(txtIdx).codePoints().toArray
         val px = blockConstantRaster16(b =>
           MultimodalOps.textPoint(cps, b, 4).toByte)
-        Row(row.getLong(idIdx),
-          encodeGray8Baseline(16, 16, px, restartInterval = 2))
+        Row.fromSeq(Seq(row.getLong(idIdx),
+          encodeGray8Baseline(16, 16, px, restartInterval = 2)) ++
+          carryIdx.map(row.get))
       }
-    }.toDF("id", "jpeg")
+    }.toDF("id" +: "jpeg" +: carry: _*)
   }
 
   /** 16×16 raster of four constant 8×8 blocks, row-major block index

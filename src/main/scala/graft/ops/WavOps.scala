@@ -146,11 +146,18 @@ object WavOps {
     * function of the text, the m05/m13 sampling rule). Emits
     * `(id, wav)`.
     */
-  def textToWavOwn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def textToWavOwn(df: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[String] = Nil): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val txtIdx = df.schema.fieldIndex(textCol)
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("wav", BinaryType)))
+    // `carry` columns ride ALONG the encode instead of being joined
+    // back afterwards — a metadata column (source, lang) carried here
+    // costs bytes in one narrow map; re-attaching it later costs a
+    // full shuffle of the encoded BLOBS (the m24 packing path's join)
+    val carryIdx = carry.map(df.schema.fieldIndex)
+    val schema = StructType(
+      Seq(StructField("id", LongType), StructField("wav", BinaryType)) ++
+        carryIdx.map(df.schema.fields(_)))
     implicit val enc: Encoder[Row] = Encoders.row(schema)
     df.mapPartitions { rows =>
       rows.map { row =>
@@ -160,9 +167,10 @@ object WavOps {
         val samples = Array.tabulate(64) { i =>
           ((MultimodalOps.textPoint(cps, i, 64) - 128) * 256).toShort
         }
-        Row(row.getLong(idIdx), encodePcm16Wav(8000, 2, samples))
+        Row.fromSeq(Seq(row.getLong(idIdx), encodePcm16Wav(8000, 2, samples)) ++
+          carryIdx.map(row.get))
       }
-    }.toDF("id", "wav")
+    }.toDF("id" +: "wav" +: carry: _*)
   }
 
   /** Feature extraction over REAL decoded samples — the audio analog

@@ -4077,9 +4077,10 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("source"), col("doc_id"), col("text"))
-        val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
-        val payloads = wavs
-          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        // source rides THROUGH the encoder (carry) — re-joining it
+        // after the encode would shuffle the blobs a third time
+        val payloads = graft.ops.WavOps
+          .textToWavOwn(docs, "doc_id", "text", carry = Seq("source"))
           .select(col("source"), col("id").as("doc_id"),
             col("wav").as("payload"))
         val shards = graft.ops.TarOps.binaryToWdsShards(
@@ -4126,9 +4127,8 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("source"), col("doc_id"), col("text"))
-        val jpegs = graft.ops.JpegOps.textToJpegOwn(docs, "doc_id", "text")
-        val payloads = jpegs
-          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        val payloads = graft.ops.JpegOps
+          .textToJpegOwn(docs, "doc_id", "text", carry = Seq("source"))
           .select(col("source"), col("id").as("doc_id"),
             col("jpeg").as("payload"))
         val shards = graft.ops.TarOps.binaryToWdsShards(

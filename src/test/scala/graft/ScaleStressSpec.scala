@@ -1127,9 +1127,8 @@ class ScaleStressSpec extends SparkTestBase {
   test("m24_wds_wav_loop: 10x corpus => ~linear binary pack→extract→decode") {
     def q(df: DataFrame): DataFrame = {
       val docs = wdsDocs(df).select("source", "doc_id", "text")
-      val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
-      val payloads = wavs
-        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      val payloads = graft.ops.WavOps
+        .textToWavOwn(docs, "doc_id", "text", carry = Seq("source"))
         .select(col("source"), col("id").as("doc_id"), col("wav").as("payload"))
       graft.ops.WavOps.wavStats(
         graft.ops.TarOps.wdsExtractBytes(

@@ -183,11 +183,11 @@ class TarSpec extends SparkTestBase {
     val docs = Seq(("web", 21L, Option("alpha beta")),
         ("web", 22L, Option.empty[String]), ("books", 23L, Option("z")))
       .toDF("source", "doc_id", "text")
-    val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text")
+    val wavs = graft.ops.WavOps.textToWavOwn(docs, "doc_id", "text",
+      carry = Seq("source"))
     val direct = graft.ops.WavOps.wavStats(wavs, "id", "wav")
       .as[(Long, Int, Int, Int, Int, Long, Int)].collect().toSet
     val payloads = wavs
-      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
       .select(col("source"), col("id").as("doc_id"), col("wav").as("payload"))
     val viaShards = graft.ops.WavOps.wavStats(
         TarOps.wdsExtractBytes(
