@@ -1172,6 +1172,29 @@ class ScaleStressSpec extends SparkTestBase {
       "the shard cut must never window a raw stream per source")
   }
 
+  test("prefix-sum rank family: 10x events => ~linear per-group sampling") {
+    // the round-17 rewrites: samplePerGroup carries the shared
+    // hashRank→PrefixSum kernel (p03/p04/p20 are the same kernel with
+    // different filters); stratifiedExactSplit adds the broadcast
+    // census join (p22). Groups here are event_type (~5 values) —
+    // exactly the low-cardinality shape the rewrite exists for.
+    def qSample(df: DataFrame): DataFrame =
+      graft.ops.SampleOps.samplePerGroup(df, "event_type", "event_id", n = 100)
+    def qSplit(df: DataFrame): DataFrame =
+      graft.ops.SampleOps.stratifiedExactSplit(df, "event_type", "event_id",
+        Seq("train" -> 9.0, "test" -> 1.0))
+    baseEvents.count(); bigEvents.count()
+    timeNoop(qSample(baseEvents)); timeNoop(qSplit(baseEvents))
+    val s1 = timeNoop(qSample(baseEvents))
+    val s10 = timeNoop(qSample(bigEvents))
+    assertLinear("p03_sample_per_group", s1, s10,
+      timeNoop(qSample(baseEvents)), timeNoop(qSample(bigEvents)))
+    val t1 = timeNoop(qSplit(baseEvents))
+    val t10 = timeNoop(qSplit(bigEvents))
+    assertLinear("p22_stratified_split", t1, t10,
+      timeNoop(qSplit(baseEvents)), timeNoop(qSplit(bigEvents)))
+  }
+
   test("q148/q149 binary-file round trips: 10x corpus => ~linear write+list+read") {
     // the stress dimension for a file source is FILE COUNT (listing +
     // per-file task overhead): q149 writes one file per doc, so 10×
