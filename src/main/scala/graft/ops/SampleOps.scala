@@ -371,10 +371,19 @@ object SampleOps {
     val hc = "__graft_shuffle_h"
     val h = PortableHash.mdHash60(
       concat(lit(salt), lit("#"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col(hc), col(idCol))
-    df.withColumn(hc, h)
+    // pos via the PrefixSum kernel rather than a per-shard window
+    // sort: nShards is a parameter, so a bare partitionBy(shard) rank
+    // sorts N/nShards rows per task — fine when nShards is sized to
+    // the corpus, a 100 GB single-task spill sort when it isn't. The
+    // hash is uniform in [0, 2^60), so its top 12 bits are a monotone
+    // 4096-way bucket cut and per-task sorts stay bounded REGARDLESS
+    // of the nShards choice.
+    val withShard = df.withColumn(hc, h)
       .withColumn("shard", pmod(col(hc), lit(nShards.toLong)).cast("int"))
-      .withColumn("pos", row_number().over(w))
+    PrefixSum.groupedRowNumber(withShard, Seq("shard"),
+        order = Seq(col(hc), col(idCol)),
+        bucket = floor(col(hc) / lit(1L << 48)).cast("long"), out = "pos")
+      .withColumn("pos", col("pos").cast("int"))
       .drop(hc)
   }
 
@@ -449,14 +458,17 @@ object SampleOps {
       .agg(sort_array(collect_list(col("q_est"))).as("_cuts"))
     val h = PortableHash.mdHash60(
       concat(lit(salt), lit("#"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col("bucket"), col("shard"))
-      .orderBy(col(hc), col(idCol))
-    base.crossJoin(broadcast(cuts))
+    // pos via the PrefixSum kernel (see shuffleShards): per-task sorts
+    // bounded by the hash-bucket cut, not by the nShards choice
+    val assigned = base.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         size(filter(col("_cuts"), c => col(sc) > c)).cast("int"))
       .withColumn(hc, h)
       .withColumn("shard", pmod(col(hc), lit(nShards.toLong)).cast("int"))
-      .withColumn("pos", row_number().over(w))
+    PrefixSum.groupedRowNumber(assigned, Seq("bucket", "shard"),
+        order = Seq(col(hc), col(idCol)),
+        bucket = floor(col(hc) / lit(1L << 48)).cast("long"), out = "pos")
+      .withColumn("pos", col("pos").cast("int"))
       .drop(hc, "_cuts", sc)
   }
 
