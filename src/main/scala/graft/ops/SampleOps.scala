@@ -665,9 +665,10 @@ object SampleOps {
     * possible (a batch mixes labels ⇒ every other sample in the batch
     * is a usable negative). The stripe key is pure arithmetic:
     * `(rank_within_label − 1) · n_labels + label_rank`, batched by
-    * integer division — NO global sort or single-partition window,
-    * just one label-key window plus a labels-sized broadcast, so the
-    * construction distributes at any corpus size. Uneven label counts
+    * integer division — NO global sort, NO single-partition window,
+    * and (round 17) no per-label window either: the within-label rank
+    * runs through the PrefixSum kernel, so the construction
+    * distributes at any corpus size. Uneven label counts
     * leave gaps in the stripe ⇒ some batches run short (deterministic;
     * audit with a batch-size rollup).
     */
@@ -678,8 +679,20 @@ object SampleOps {
       .withColumn("__lrank",
         row_number().over(Window.orderBy(col("__lbl"))))
     val nl = lr.agg(count(lit(1)).as("__nl"))
-    val w = Window.partitionBy(col(labelCol)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+    // the within-label rank runs through PrefixSum — labels are the
+    // definitional low-cardinality column (a handful of classes), so
+    // a bare partitionBy(labelCol) rank would serialize each class's
+    // whole stream through one task (round-17 kernel; the bucket cut
+    // follows the id's type, as in packByBudget)
+    import org.apache.spark.sql.types._
+    val bkt = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        floor(col(idCol).cast("long") / lit(4096L)).cast("long")
+      case StringType => substring(col(idCol), 1, 8)
+      case _ => lit(0L)
+    }
+    PrefixSum.groupedRowNumber(df, Seq(labelCol),
+        order = Seq(col(idCol)), bucket = bkt, out = "__rn")
       .join(broadcast(lr), col(labelCol) === col("__lbl"))
       .crossJoin(broadcast(nl))
       .withColumn("__stripe",

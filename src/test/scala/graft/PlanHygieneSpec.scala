@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkTestBase {
     // (one row per group×bucket — PrefixSum pass 2, cohort rollups),
     // bounded by group cardinality rather than raw rows.
     val lowCard = Set("source", "lang", "modality", "event_type",
+      "label", "split",
       "l_returnflag", "l_linestatus", "o_orderstatus", "r_name")
     val offenders = qes.toSeq.flatMap { case (name, qe) =>
       qe.optimizedPlan.collect {
