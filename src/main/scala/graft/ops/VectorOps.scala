@@ -954,10 +954,11 @@ object VectorOps {
     * an IEEE boundary). Output: (id, cell, sim, z, is_outlier).
     *
     * Scale shape: training as [[kmeansTrain]]; scoring adds one
-    * partial-agg shuffle for per-cell moments (broadcast back) and one
-    * per-cell window rank. At 100 TB the rank window sorts each cell
-    * once — swap `pct` ranking for an `approx_percentile` threshold if
-    * cells outgrow a partition sort.
+    * partial-agg shuffle for per-cell moments (broadcast back) and a
+    * per-(cell, sim-bucket) rank through the PrefixSum kernel — per-
+    * task sorts stay bounded regardless of how far cells outgrow a
+    * partition (round 17; the old per-cell window carried exactly
+    * that caveat).
     *
     * Reference anchor: beyond-reference op (the reference has no
     * vector surface); SemDeDup-adjacent (arXiv:2303.09540) cluster
@@ -984,9 +985,17 @@ object VectorOps {
       .select(col("cell"), col("n_cell"),
         round(col("_mu_raw"), 6).as("mu"),
         round(col("_m2_raw") - col("_mu_raw") * col("_mu_raw"), 6).as("vr"))
-    val w = Window.partitionBy("cell").orderBy(col("sim").asc, col("id").asc)
-    scored.join(broadcast(stats), Seq("cell"))
-      .withColumn("rnk", row_number().over(w))
+    // per-cell rank via the PrefixSum kernel: nCells is a parameter,
+    // so a bare partitionBy(cell) rank sorts N/nCells rows in one
+    // task when cells outgrow a partition (the caveat the scaladoc
+    // used to carry). sim ∈ [-1, 1] and the bucket cut floor(sim·2048)
+    // is monotone in the rank order, so per-task sorts stay bounded
+    // by the similarity distribution's bucket occupancy instead.
+    val ranked = graft.ops.PrefixSum.groupedRowNumber(
+      scored, Seq("cell"),
+      order = Seq(col("sim").asc, col("id").asc),
+      bucket = floor(col("sim") * lit(2048.0)).cast("long"), out = "rnk")
+    ranked.join(broadcast(stats), Seq("cell"))
       .select(col("id"), col("cell"), col("sim"),
         when(col("vr") > 0.0,
           round((col("sim") - col("mu")) / sqrt(col("vr")), 6))
