@@ -1086,15 +1086,22 @@ object EventOps {
     * decimals): parts ranked by revenue, classed A/B/C at the 80%/95%
     * cumulative-share cuts. Cumulative sums and both threshold
     * compares stay in EXACT decimals (cum·100 vs tv·80/95 — no
-    * division); the global rank runs on the census (#parts rows, a
-    * deliberate O(parts) single-partition read-time fold).
+    * division). The cumulative sum runs through the PrefixSum kernel
+    * under a data-adaptive revenue cut (round 18): parts are ENTITY
+    * grain — 10⁸⁺ rows at 100 TB — so the old unpartitioned window's
+    * one-task sort was this report's scale cliff.
     */
   def abcFromPartRevenue(byPart: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byPart.agg(sum(col("rev")).as("tv"))
-    byPart
-      .withColumn("cum", sum(col("rev")).over(w))
+    val withCum = PrefixSum.groupedRunningSum(
+      PrefixSum.uniformBucket(byPart, col("rev"), 4096, "__babc",
+        descending = true),
+      group = Seq.empty,
+      order = Seq(col("rev").desc, col("l_partkey")),
+      bucket = col("__babc"),
+      value = col("rev"), out = "cum")
+      .drop("__babc")
+    withCum
       .crossJoin(broadcast(tot))
       .select(col("l_partkey"),
         when(col("cum") * 100 <= col("tv") * 80, lit("A"))

@@ -118,7 +118,13 @@ object SampleOps {
         when(col(rkCol) <= floor(col(nCol) * lit(cf)), lit(label))
           .otherwise(els)
       }
-    ranked.join(broadcast(counts), strataCol)
+    // NULL-safe census join: NULL strata form a legitimate stratum
+    // (the Window.partitionBy formulation this replaced grouped NULLs
+    // together), so a using-column inner join would silently drop
+    // them — same reasoning as PrefixSum's offAliased <=> join.
+    val kCol = "__graft_strat_key"
+    val countsAliased = counts.select(col(strataCol).as(kCol), col(nCol))
+    ranked.join(broadcast(countsAliased), col(strataCol) <=> col(kCol))
       .withColumn("split", assign)
       .select(df.columns.map(col) :+ col("split"): _*)
   }

@@ -2392,7 +2392,7 @@ object CoreQueries {
     //    are identical across engines; part broadcasts ──────────────────
     Q("q86_topk_ties",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val rev = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)),
             col("l_partkey") === col("p_partkey"))
@@ -2400,10 +2400,24 @@ object CoreQueries {
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
             * (lit(1.0).cast("decimal(18,2)")
               - col("l_discount").cast("decimal(18,2)"))).as("revenue"))
-        val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc)
-        rev.select(col("p_brand"), col("p_name"), col("revenue"),
-            dense_rank().over(w).as("rk"))
+        // dense_rank per brand ≡ row_number over the brand's DISTINCT
+        // revenues, joined back on (brand, revenue) — and that rank
+        // runs through the PrefixSum kernel (round 18): the rollup is
+        // brand×part ENTITY grain, so the old per-brand window sorted
+        // ~parts/25 rows through one task at 100 TB. Revenues are
+        // exact decimals, so the join-back is an exact equi-join.
+        val dist = rev.select(col("p_brand"), col("revenue")).distinct()
+        val ranked = PrefixSum.groupedRowNumber(
+          PrefixSum.uniformBucket(dist, col("revenue"), 4096, "__b86",
+            descending = true),
+          group = Seq("p_brand"),
+          order = Seq(col("revenue").desc),
+          bucket = col("__b86"), out = "rk")
           .where(col("rk") <= 3)
+          .select(col("p_brand").as("__rb"), col("revenue").as("__rr"),
+            col("rk").cast("int").as("rk"))
+        rev.join(broadcast(ranked),
+            col("p_brand") === col("__rb") && col("revenue") === col("__rr"))
           .select(col("p_brand"), col("p_name"),
             col("revenue").cast("double").as("revenue"), col("rk"))
           .orderBy("p_brand", "rk", "p_name")
@@ -2471,19 +2485,25 @@ object CoreQueries {
 
     // ── q88: value-concentration report — how many users cover
     //    50/80/90% of total value, and the share held by the top 10%
-    //    (the Pareto/whale curve of product analytics). The global
-    //    sort runs on the per-user ROLLUP (users ≪ events); at 100 TB
-    //    swap the exact curve for q57's dyadic-quantile cuts ────────────
+    //    (the Pareto/whale curve of product analytics). The rank and
+    //    cumulative value run through the PrefixSum kernel under a
+    //    data-adaptive 4096-way value cut (round 18): the per-user
+    //    rollup is ENTITY grain — 10⁸–10⁹ rows at 100 TB — so the old
+    //    unpartitioned window's one-task sort was the last scale
+    //    cliff in this query's plan ──────────────────────────────────────
     Q("q88_value_concentration",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val per = Tables.events(s, dir).groupBy("user_id")
           .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
-        val w = Window.orderBy(col("v").desc, col("user_id"))
-        val ranked = per.select(col("user_id"), col("v"),
-          row_number().over(w).cast("long").as("rk"),
-          sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("cum"))
+        val ranked = PrefixSum.groupedRunningSums(
+          PrefixSum.uniformBucket(per, col("v"), 4096, "__b88",
+            descending = true),
+          group = Seq.empty,
+          order = Seq(col("v").desc, col("user_id")),
+          bucket = col("__b88"),
+          values = Seq(lit(1L) -> "rk", col("v") -> "cum"))
+          .select(col("user_id"), col("v"), col("rk"), col("cum"))
         val tot = per.agg(sum(col("v")).as("tv"), count(lit(1)).as("nu"))
         val cumD = col("cum").cast("double")
         val tvD = col("tv").cast("double")
@@ -2878,12 +2898,14 @@ object CoreQueries {
 
     // ── q96: RFM segmentation — recency/frequency/monetary quintile
     //    scores + rule-based segment labels (the classic CRM cut).
-    //    NTILE runs on the per-USER rollup (users ≪ events; the
-    //    100 TB path swaps quintile cuts for q57's sketch borders,
-    //    p21's pattern); unique order keys make every tile stable ───────
+    //    All three NTILEs run through PrefixSum.globalNtile
+    //    (round 18): the rollup is per-USER — entity grain, so the
+    //    old unpartitioned quintile windows each one-task-sorted
+    //    10⁸⁺ rows at 100 TB; unique order keys make every tile
+    //    stable, and the tile formula matches NTILE bit-for-bit ────────
     Q("q96_rfm_segments",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val ev = Tables.events(s, dir)
         val anchor = ev.agg(max(col("ts_sec")).as("now"))
         val rfm = ev.where(col("event_type") === "purchase")
@@ -2895,15 +2917,18 @@ object CoreQueries {
           .select(col("user_id"),
             expr("(now - last_ts) div 86400").as("recency_days"),
             col("frequency"), col("monetary"))
-        val r = ntile(5).over(Window
-          .orderBy(col("recency_days").desc, col("user_id")))
-        val f = ntile(5).over(Window
-          .orderBy(col("frequency").asc, col("user_id")))
-        val m = ntile(5).over(Window
-          .orderBy(col("monetary").asc, col("user_id")))
-        val scored = rfm.select(col("user_id"), col("recency_days"),
+        val tiled = PrefixSum.globalNtile(
+          PrefixSum.globalNtile(
+            PrefixSum.globalNtile(rfm,
+              col("recency_days"), descending = true,
+              tiebreak = col("user_id"), k = 5, out = "r_score"),
+            col("frequency"), descending = false,
+            tiebreak = col("user_id"), k = 5, out = "f_score"),
+          col("monetary"), descending = false,
+          tiebreak = col("user_id"), k = 5, out = "m_score")
+        val scored = tiled.select(col("user_id"), col("recency_days"),
           col("frequency"), col("monetary").cast("double").as("monetary"),
-          r.as("r_score"), f.as("f_score"), m.as("m_score"))
+          col("r_score"), col("f_score"), col("m_score"))
         scored.withColumn("segment",
             when(col("r_score") >= 4 && col("f_score") >= 4
               && col("m_score") >= 4, "champion")
@@ -3873,14 +3898,19 @@ object CoreQueries {
     //    the matrix is ≤ 5×5 rows ───────────────────────────────────────
     Q("q120_tier_migration",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val o = Tables.orders(s, dir)
           .select(col("o_custkey"),
             dec2(col("o_totalprice")).as("v"),
             (year(col("o_orderdate")) <= 1997).as("p1"))
+        // NTILE(4) through PrefixSum.globalNtile (round 18): the
+        // rollup is per-CUSTOMER — entity grain, so the old
+        // unpartitioned NTILE window one-task-sorted what is 10⁸⁺
+        // rows at 100 TB; the distributed tile formula matches the
+        // oracle's NTILE bit-for-bit.
         def tiers(df: DataFrame, out: String): DataFrame =
-          df.withColumn(out, ntile(4).over(
-            Window.orderBy(col("spend"), col("o_custkey"))))
+          PrefixSum.globalNtile(df, col("spend"), descending = false,
+              tiebreak = col("o_custkey"), k = 4, out = out)
             .select(col("o_custkey"), col(out))
         val t1 = tiers(o.where(col("p1")).groupBy("o_custkey")
           .agg(sum(col("v")).as("spend")), "tier_from")

@@ -251,6 +251,14 @@ object FileSources {
                        nameCol: org.apache.spark.sql.Column,
                        bytesCol: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.{Encoder, Encoders}
+    // Executor tasks write to `dir` via java.nio — visible to the
+    // driver's subsequent listing ONLY when driver and executors share
+    // the filesystem. On a real cluster this sink must point at shared
+    // storage (NFS/object-store mount); fail loudly rather than let a
+    // cluster caller silently read back an empty/partial directory.
+    require(df.sparkSession.sparkContext.isLocal,
+      "writeBinaryFiles writes executor-local files; on a cluster use a " +
+        "shared/object-store path and a distributed FS client instead")
     Files.createDirectories(dir)
     val target = dir.toString
     implicit val enc: Encoder[(String, Array[Byte])] =

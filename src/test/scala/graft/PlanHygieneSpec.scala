@@ -51,6 +51,61 @@ class PlanHygieneSpec extends SparkTestBase {
         s"one task at scale — use graft.ops.PrefixSum: $offenders")
   }
 
+  test("global-order windows only on bounded rollups (explicit allowlist)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // A Window with an EMPTY partitionSpec sorts its ENTIRE input
+    // through one task (r17 verdict finding 2: the one unswept
+    // single-task class). Mechanical exemption: a window whose child
+    // aggregates by the PrefixSum kernel's own `__psum_bucket` column
+    // runs over the bucket-subtotal table — bounded at ~#buckets rows
+    // by construction (PrefixSum pass 2), never the raw data. Every
+    // OTHER global-order window must be allowlisted here with its
+    // bound; entity-grain sites (per-user q88, per-customer q120,
+    // per-part q121/q86) were migrated to PrefixSum in round 18.
+    val allow: Map[String, String] = Map(
+      "q19_enumerate" ->
+        "documented serving-only faust-parity global index; scale twin q147",
+      "q84_growth_daily" ->
+        "lag over the per-DAY rollup — rows bounded by calendar days",
+      "q95_seasonal_decompose" ->
+        "moving average over the gap-filled HOURLY grid — calendar-bounded",
+      "m03_embed_search" ->
+        "rank AFTER TakeOrderedAndProject limit(20) — k-bounded input",
+      "t32_zipf_fit" ->
+        "log-log rank over the VOCAB frequency rollup — vocab-bounded",
+      "t51_mergeable_topk" ->
+        "final rank over merged k-bounded sketch candidates",
+      "t52_mg_stream_bounds" ->
+        "MG counter vs true-count ranks — k- and vocab-bounded",
+      "s29_inbatch_negatives" ->
+        "label rank over DISTINCT labels — #classes-bounded",
+      "p28_token_waterfill" ->
+        "water-level scan over the per-SOURCE census — #sources-bounded")
+    val found = qes.toSeq.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect {
+        case w: LWindow
+            if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case a: Aggregate if a.groupingExpressions.exists(
+                  _.references.exists(_.name == "__psum_bucket")) => a
+              }.isEmpty =>
+          name -> ("Window.orderBy(" +
+            w.orderSpec.map(_.sql).mkString(",") + ")")
+      }
+    }
+    val offenders = found.filterNot { case (n, _) => allow.contains(n) }
+      .map { case (n, w) => s"$n: $w" }
+    assert(offenders.isEmpty,
+      "unpartitioned windows single-task-sort their whole input at " +
+        "scale — use graft.ops.PrefixSum or allowlist with a bound: " +
+        offenders.mkString("; "))
+    // strictness: an allowlist entry whose query no longer plans a
+    // global-order window is stale — delete it (keeps the list honest)
+    val stale = allow.keySet -- found.map(_._1).toSet
+    assert(stale.isEmpty, s"stale allowlist entries (no global-order " +
+      s"window planned anymore): $stale")
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
     assert(offenders.isEmpty,
@@ -172,9 +227,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // q85_histogram: the 1-row global min/max scalar plus the final
       // ≤20-bucket ordered output — both O(buckets) tails.
       "q85_histogram",
-      // q88_value_concentration: the concentration curve needs a global
-      // rank over the per-USER rollup (users ≪ events) + a 1-row
-      // summary; the 100 TB path swaps in q57's sketch cuts (doc'd).
+      // q88_value_concentration: since round 18 the rank+cumsum run
+      // through PrefixSum — the exchange carries the bucket-SUBTOTAL
+      // table (≤4096 + partials) and 1-row min/max/summary scalars,
+      // never the per-user rollup (q147's bounded-tail class).
       "q88_value_concentration",
       // q95_seasonal_decompose: the ±12h moving average runs on the
       // gap-filled HOURLY grid (time-range-bounded rows), never events.
@@ -186,9 +242,10 @@ class PlanHygieneSpec extends SparkTestBase {
       // s24_ivf_balance: the 1-row totals aggregate runs over the
       // cells-many (≤ nCells) per-cell counts, then broadcasts back.
       "s24_ivf_balance",
-      // q96_rfm_segments: the three NTILE windows run on the per-USER
-      // rollup (users ≪ events); the 100 TB path swaps quintile cuts
-      // for q57's sketch borders (p21's pattern).
+      // q96_rfm_segments: since round 18 the three NTILEs run through
+      // PrefixSum.globalNtile — the exchanges carry bucket-SUBTOTAL
+      // tables (≤4096 + partials) and 1-row min/max/census scalars,
+      // never the per-user rollup (q147's bounded-tail class).
       "q96_rfm_segments",
       // q100_assoc_rules: the basket-count scalar — a 1-row count over
       // the (user, session) distinct frame, broadcast back into the
@@ -254,8 +311,9 @@ class PlanHygieneSpec extends SparkTestBase {
       // q119_important_brands: the 1-row revenue total + brand count
       // for the pro-rata threshold — q100's normalizer class.
       "q119_important_brands",
-      // q120_tier_migration: the two NTILE windows run on per-CUSTOMER
-      // period rollups (customers ≪ orders) — q96's exact class.
+      // q120_tier_migration: since round 18 the two NTILEs run through
+      // PrefixSum.globalNtile — bucket-subtotal + 1-row scalar tails
+      // only (q96's exact class, post-migration).
       "q120_tier_migration",
       // d39_dedup_funnel: three 1-row stage rollups (map-side combined
       // partials) + the raw-total broadcast — q63's scalar-tail class.
@@ -266,6 +324,11 @@ class PlanHygieneSpec extends SparkTestBase {
       // p31_class_weights: the 1-row (N, K, min) scalar over the
       // K-row label census — p04's min-over-groups class.
       "p31_class_weights",
+      // q86_topk_ties: since round 18 the dense_rank runs through
+      // PrefixSum at DISTINCT-revenue grain — the exchange carries
+      // the 1-row min/max bucket seed (q85's class); subtotals and
+      // data hash-partition on (brand, bucket).
+      "q86_topk_ties",
       // q121_abc_classification: the global cumulative window runs on
       // the per-PART rollup (parts ≪ lineitems) + the 1-row revenue
       // total — q88's concentration-curve class folded to 3 classes.
@@ -380,7 +443,8 @@ class PlanHygieneSpec extends SparkTestBase {
     "t34_lift_table" -> 300,
     "q84_growth_daily" -> 128,     // ~30-row daily rollup
     "q85_histogram" -> 128,        // ≤20 buckets + min/max scalar
-    "q88_value_concentration" -> 600,  // per-user rollup (users ≪ events)
+    "q86_topk_ties" -> 64,             // 1-row min/max bucket seed
+    "q88_value_concentration" -> 600,  // bucket subtotals + scalars
     "q95_seasonal_decompose" -> 1500,  // gap-filled hourly grid (~720 h)
     "q93_dq_checks" -> 64, "s24_ivf_balance" -> 64,
     "q96_rfm_segments" -> 600,     // per-customer rollup

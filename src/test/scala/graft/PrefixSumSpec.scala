@@ -115,6 +115,90 @@ class PrefixSumSpec extends SparkTestBase {
       "the NULL group must survive with window-identical cumsums")
   }
 
+  test("groupedRunningSums: N sums under one order ≡ N windows (decimal-exact)") {
+    val df = skewed.withColumn("d",
+      (col("v") * 7).cast("decimal(18,2)"))
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("rk", sum(lit(1L)).over(w))
+      .withColumn("cumd", sum(col("d")).over(w))
+      .select("g", "id", "rk", "cumd")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    val got = PrefixSum.groupedRunningSums(df, Seq("g"),
+        order = Seq(col("id")),
+        bucket = floor(col("id") / 16).cast("long"),
+        values = Seq(lit(1L) -> "rk", col("d") -> "cumd"))
+      .select("g", "id", "rk", "cumd")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
+    assert(got == expected,
+      "rank and DECIMAL cumulative sum must both match the windows " +
+        "bit-for-bit from one kernel pass")
+  }
+
+  test("broadcastOffsets=false keeps results identical (shuffle-join path)") {
+    val hinted = PrefixSum.groupedRunningSum(skewed, Seq("g"),
+        Seq(col("id")), floor(col("id") / 16).cast("long"), col("v"), "cum")
+      .select("g", "id", "cum").as[(String, Long, Long)].collect().toSet
+    val unhinted = PrefixSum.groupedRunningSum(skewed, Seq("g"),
+        Seq(col("id")), floor(col("id") / 16).cast("long"), col("v"), "cum",
+        broadcastOffsets = false)
+      .select("g", "id", "cum").as[(String, Long, Long)].collect().toSet
+    assert(unhinted == hinted)
+  }
+
+  test("uniformBucket: weakly monotone, [0,n) bounded, desc mirrors") {
+    val df = Seq(-7.5, -1.0, 0.0, 2.25, 2.25, 100.0, 9999.5)
+      .toDF("x").repartition(3)
+    val asc = PrefixSum.uniformBucket(df, col("x"), 16, "b")
+      .orderBy("x").select("x", "b").as[(Double, Long)].collect()
+    assert(asc.map(_._2).toSeq == asc.map(_._2).sorted.toSeq,
+      "ascending buckets must be non-decreasing in key order")
+    assert(asc.forall { case (_, b) => b >= 0 && b < 16 })
+    assert(asc.head._2 == 0 && asc.last._2 == 15,
+      "min lands in bucket 0, max in bucket n-1")
+    // equal keys share a bucket (weak monotonicity includes ties)
+    val ties = asc.filter(_._1 == 2.25).map(_._2).distinct
+    assert(ties.size == 1)
+    val desc = PrefixSum.uniformBucket(df, col("x"), 16, "b",
+        descending = true)
+      .orderBy(col("x").desc).select("x", "b").as[(Double, Long)].collect()
+    assert(desc.map(_._2).toSeq == desc.map(_._2).sorted.toSeq,
+      "descending buckets must be non-decreasing in DESC key order")
+    assert(desc.head._2 == 0 && desc.last._2 == 15)
+  }
+
+  test("uniformBucket: constant key degenerates to bucket 0 (no div-by-0)") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val got = PrefixSum.uniformBucket(df, col("x"), 8, "b")
+      .select("b").as[Long].collect().toSet
+    assert(got == Set(0L))
+  }
+
+  test("globalNtile ≡ NTILE for even, ragged, and n<k shapes") {
+    for ((n, k) <- Seq((12, 4), (10, 4), (7, 3), (2, 5), (1, 1))) {
+      val df = scala.util.Random.shuffle((1 to n).toList)
+        .toDF("id").withColumn("key", col("id") * 3 % 17)
+        .repartition(3)
+      val expected = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("key"), col("id"))))
+        .select("id", "t").as[(Int, Int)].collect().toSet
+      val got = PrefixSum.globalNtile(df, col("key"), descending = false,
+          tiebreak = col("id"), k = k, out = "t")
+        .select("id", "t").as[(Int, Int)].collect().toSet
+      assert(got == expected, s"n=$n k=$k")
+      val expectedD = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("key").desc, col("id"))))
+        .select("id", "t").as[(Int, Int)].collect().toSet
+      val gotD = PrefixSum.globalNtile(df, col("key"), descending = true,
+          tiebreak = col("id"), k = k, out = "t")
+        .select("id", "t").as[(Int, Int)].collect().toSet
+      assert(gotD == expectedD, s"desc n=$n k=$k")
+    }
+  }
+
   test("multi-column group and composite order (the m07 shape)") {
     val df = skewed.withColumn("m",
       when(col("id") % 3 === 0, "image").otherwise("audio"))

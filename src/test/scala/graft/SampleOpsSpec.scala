@@ -71,6 +71,22 @@ class SampleOpsSpec extends SparkTestBase {
     split.unpersist()
   }
 
+  test("stratifiedExactSplit: NULL strata form a stratum, never drop (r18 ADVICE)") {
+    // the r17 census-join refactor briefly made NULL strata vanish
+    // through a null-unsafe using-column join; the <=> join keeps them
+    val df = Seq((1L, Some("en")), (2L, None), (3L, None), (4L, Some("en")),
+        (5L, None), (6L, None), (7L, None), (8L, None))
+      .toDF("doc_id", "lang")
+    val split = SampleOps.stratifiedExactSplit(df, "lang", "doc_id",
+      Seq("train" -> 3.0, "test" -> 1.0))
+    assert(split.count() == 8, "NULL-stratum rows must survive")
+    val nullRows = split.where(col("lang").isNull)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // 6 NULL-stratum rows → floor(6*0.75)=4 train, 2 test — the same
+    // exact-proportion contract every named stratum gets
+    assert(nullRows == Map("train" -> 4L, "test" -> 2L), s"$nullRows")
+  }
+
   test("epochBudgetPlan: cap binds where want exceeds maxEpochs, deficit accounts") {
     val docs = Tables.documents(spark, sf)
       .withColumn("n_toks", graft.ops.TextOps.tokenCount($"text"))
