@@ -353,4 +353,67 @@ object TarOps {
     }.toDF("source", "shard_id", "n_samples", "n_files",
       "payload_bytes", "shard_bytes")
   }
+
+  /** The COMPOSED training-loader chain a pretraining pipeline ships
+    * (p32): epoch-budget plan → materialized copies
+    * ([[SampleOps.materializeEpochPlan]]) → deterministic portable
+    * shuffle (rank of the 60-bit md5 hash of `doc:copy` via the
+    * PrefixSum kernel — every stage group-parallel) → per-source WDS
+    * packing of the SHUFFLED order into real ustar shards
+    * ([[textToWdsShards]] with position as the member key and the
+    * `doc:copy` provenance as the `.cls` member) → loader walk at
+    * sample grain ([[wdsSamples]]) joined with the provenance
+    * EXTRACTED back out of the physical tar bytes ([[wdsExtractText]]).
+    *
+    * `docs` needs `(source, doc_id, text)`. Output: one row per
+    * packed sample — `(source, shard_id, pos, doc_id, copy_idx,
+    * n_files, exts, sample_bytes)` — so a single compare checks epoch
+    * coverage (each planned (doc, copy) exactly once), the cumulative
+    * byte-budget cut, and physical member-byte round-trip at once.
+    *
+    * Scale shape: the epoch plan broadcasts (groups-many rows); the
+    * copy explode is a narrow scan; shuffle ranks and the packing cut
+    * both run on the two-pass PrefixSum kernel (bounded per-task
+    * sorts at any group skew); the walk and extraction are
+    * shard-local header scans; the provenance join is a sample-grain
+    * hash join. No stage sorts more than ~bucketWidth rows per task.
+    */
+  def epochToWdsSamples(docs: DataFrame, weights: Seq[(String, Double)],
+                        budget: Double, maxEpochs: Double,
+                        byteBudget: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withToks = docs.withColumn("__n_toks", TextOps.tokenCount(col("text")))
+    val ep = SampleOps.materializeEpochPlan(withToks, "source", "doc_id",
+      col("__n_toks"), weights, budget, maxEpochs)
+    val keyed = ep
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("ck", concat(col("doc_id"), lit(":"), col("copy_idx")))
+      // rank by the RAW 60-bit hash, not its double image: two hashes
+      // that collide in double but differ as longs would let engines
+      // order them differently through the tiebreaker
+      .withColumn("uhl",
+        graft.functions.PortableHash.mdHash60(concat(lit("#"), col("ck"))))
+    val positioned = PrefixSum.groupedRowNumber(keyed, Seq("source"),
+      order = Seq(col("uhl"), col("doc_id"), col("copy_idx")),
+      bucket = floor(col("uhl") / lit(1L << 48)).cast("long"),
+      out = "pos")
+    val shards = textToWdsShards(
+      positioned.select(col("source"), col("pos").as("doc_id"),
+        col("text"), col("ck").as("lang")),
+      byteBudget)
+    val walked = wdsSamples(shards)
+    val prov = wdsExtractText(shards, "cls")
+      .select(col("source").as("__psrc"), col("sample_key").as("__pkey"),
+        split(col("text"), ":").as("__parts"))
+      .select(col("__psrc"), col("__pkey"),
+        element_at(col("__parts"), 1).cast("long").as("doc_id"),
+        element_at(col("__parts"), 2).cast("int").as("copy_idx"))
+    walked.join(prov,
+        col("source") === col("__psrc") &&
+          col("sample_key") === col("__pkey"))
+      .select(col("source"), col("shard_id"),
+        col("sample_key").cast("long").as("pos"),
+        col("doc_id"), col("copy_idx"),
+        col("n_files"), col("exts"), col("sample_bytes"))
+  }
 }

@@ -1159,5 +1159,86 @@ object PipelineQueries {
           ROUND(list_sum(list(ent_term ORDER BY source)) / LN(2), 6)
             AS entropy_bits,
           ROUND(list_sum(list(chi_term ORDER BY source)), 6) AS chi2
-        FROM terms GROUP BY shard ORDER BY shard""")))
+        FROM terms GROUP BY shard ORDER BY shard""")),
+
+    // ── p32: the COMPOSED training-loader chain (r17 verdict item 3)
+    //    — what a pretraining pipeline actually ships, end to end in
+    //    ONE oracle-checked entry: epoch-budget plan → materialized
+    //    copies (p24's kernel) → deterministic portable shuffle
+    //    (hash of doc:copy, ranks via PrefixSum) → per-source WDS
+    //    packing into REAL ustar shards (m21's kernel, shuffled
+    //    order) → loader walk at sample grain (m22) joined with the
+    //    `.cls` member EXTRACTED from the physical tar bytes (m23's
+    //    kernel) carrying each sample's provenance. The oracle
+    //    replays the entire chain, so it checks all three contract
+    //    dimensions at once: the sample COUNT is the epoch plan's
+    //    (every (doc, copy) exactly once — coverage), the shard cut
+    //    reproduces the cumulative byte budget, and the extracted
+    //    provenance must round-trip through real tar member bytes —
+    //    one wrong copy, position, offset, or padding byte anywhere
+    //    breaks the hash. The shuffle rank orders by the RAW 60-bit
+    //    hash (not its double image) so Spark and DuckDB sort
+    //    identical keys. Reference parity: faust's agent-chained
+    //    topics (streams.py:405-454 through-chains) ─────────────────────
+    Q("p32_epoch_to_wds",
+      (s, dir) => graft.ops.TarOps.epochToWdsSamples(
+        Tables.documents(s, dir).select("source", "doc_id", "text"),
+        weights = Seq("src0" -> 5.0, "src1" -> 3.0, "src2" -> 2.0),
+        budget = 20000.0, maxEpochs = 4.0, byteBudget = 4096L)
+        .orderBy("source", "shard_id", "pos"),
+      Some("""WITH per AS (
+          SELECT source,
+            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+          FROM documents GROUP BY source),
+        m AS (
+          SELECT source, n_tokens,
+            CASE source WHEN 'src0' THEN 0.5e0 WHEN 'src1' THEN 0.3e0
+              WHEN 'src2' THEN 0.2e0 ELSE 0.0e0 END AS w
+          FROM per),
+        c AS (
+          SELECT source,
+            ROUND(LEAST(20000.0e0 * w / n_tokens, 4.0e0), 6) AS epochs
+          FROM m),
+        j AS (
+          SELECT d.doc_id, d.source, d.text, c.epochs,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM documents d JOIN c USING (source)),
+        fullr AS (
+          SELECT doc_id, source, text,
+            UNNEST(range(0, CAST(FLOOR(epochs) AS INT))) AS copy_idx
+          FROM j),
+        fracr AS (
+          SELECT doc_id, source, text,
+            CAST(FLOOR(epochs) AS INT) AS copy_idx
+          FROM j WHERE uh < epochs - FLOOR(epochs)),
+        ep AS (
+          SELECT doc_id, source, text, copy_idx FROM fullr
+          UNION ALL
+          SELECT doc_id, source, text, copy_idx FROM fracr),
+        k AS (
+          SELECT doc_id, source, text,
+            doc_id::VARCHAR || ':' || copy_idx::VARCHAR AS ck, copy_idx
+          FROM ep),
+        h AS (
+          SELECT *,
+            ('0x' || substr(md5('#' || ck), 1, 15))::BIGINT AS uhl
+          FROM k),
+        r AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY uhl, doc_id, copy_idx) AS BIGINT) AS pos
+          FROM h),
+        sz AS (
+          SELECT source, pos, doc_id, copy_idx,
+            strlen(COALESCE(text, '')) + strlen(ck) AS sb
+          FROM r),
+        cc AS (
+          SELECT *, COALESCE(SUM(sb) OVER (PARTITION BY source
+            ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM sz)
+        SELECT source, CAST(cum // 4096 AS BIGINT) AS shard_id, pos,
+          doc_id, CAST(copy_idx AS INT) AS copy_idx, 2 AS n_files,
+          'cls,txt' AS exts, CAST(sb AS BIGINT) AS sample_bytes
+        FROM cc ORDER BY source, shard_id, pos""")))
 }

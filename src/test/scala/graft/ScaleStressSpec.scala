@@ -1143,6 +1143,25 @@ class ScaleStressSpec extends SparkTestBase {
     assertLinear("m24_wds_wav_loop", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
   }
 
+  test("p32_epoch_to_wds: 10x corpus => ~linear epoch→shuffle→pack→walk chain") {
+    // maxEpochs caps bind (budget effectively unbounded) so the copy
+    // count scales WITH the corpus on both legs — the stress isolates
+    // the chain's own scaling, not the budget's (fixed-budget epochs
+    // shrink as 1/corpus and would fake a sublinear ratio)
+    def q(df: DataFrame): DataFrame = graft.ops.TarOps.epochToWdsSamples(
+      wdsDocs(df).select("source", "doc_id", "text"),
+      weights = (0 to 4).map(i => s"s$i" -> (i + 1.0)),
+      budget = 1e12, maxEpochs = 2.0, byteBudget = 4096L)
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("p32_epoch_to_wds", t1, t10, timeNoop(q(base)), timeNoop(q(big)))
+    assert(normalizeEquiJoins(planShape(q(base)))
+        == normalizeEquiJoins(planShape(q(big))),
+      "p32_epoch_to_wds plan shape changed with data size (beyond join strategy)")
+  }
+
   test("wds packing under 90% single-source skew: ~linear, never serialized per source") {
     // one source owns ~90% of all bytes — under the old
     // Window.partitionBy(source) cut this stream sorts in ONE task and
