@@ -127,6 +127,56 @@ object StreamingLake {
      else writer).start()
   }
 
+  /** Streaming twin of q149's BATCH media-directory ingest — real
+    * media drops land continuously (r17 verdict item 4): a
+    * `binaryFile` readStream over the landing prefix tails image/
+    * audio/shard drops into a parquet lake with the same machinery
+    * text ingest gets — glob pruning AT LISTING (foreign files never
+    * enumerate into tasks), file-count or byte admission (media files
+    * are exactly the 1000×-size-variance case the byte knob exists
+    * for), exactly-once file tracking across restarts, and the
+    * `_spark_metadata` commit log on the sink. The source's fixed
+    * `(path, modificationTime, length, content)` schema is supplied
+    * explicitly — streaming file sources require one, and binaryFile
+    * cannot infer in streaming mode.
+    *
+    * Scale posture: content blobs ride WHOLE into the lake (decode /
+    * feature-extraction happens downstream at lake grain, m-series);
+    * size admission by bytes so one trigger never holds more blob
+    * bytes than executor memory. Listing is the steady-state cost —
+    * date-bucket and rotate the landing prefix like the JSON path.
+    */
+  def ingestBinary(spark: SparkSession,
+                   landingDir: String,
+                   lakeDir: String,
+                   checkpointDir: String,
+                   glob: String,
+                   maxFilesPerTrigger: Int = 2,
+                   maxBytesPerTrigger: Option[Long] = None,
+                   availableNow: Boolean = true): StreamingQuery = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, TimestampType}
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val reader0 = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(binarySchema)
+    val reader = maxBytesPerTrigger.fold(
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger))(cap =>
+      reader0.option("maxBytesPerTrigger", cap.toString))
+    reader.load(landingDir)
+      .writeStream
+      .format("parquet")
+      .option("path", lakeDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
   /** Batch view of a streamed lake. A plain parquet read of the sink
     * directory honors its `_spark_metadata` commit log: only files of
     * COMMITTED micro-batches are listed, so a reader never sees a

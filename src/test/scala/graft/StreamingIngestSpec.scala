@@ -248,4 +248,51 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(ids.nonEmpty && ids.forall(_ >= 100L),
       s"latestFirst must drain the newest wave first, batch 0 held ${ids.toSeq}")
   }
+
+  test("binary media drops: streamed ≡ batch on a growing directory (q149 twin)") {
+    import graft.sources.FileSources
+    val (landing, lake, ckpt) = StreamingLake.stageDirs()
+    // wave 1: six own-codec WAV blobs + a foreign file the glob must
+    // prune AT LISTING (a mixed drop directory never enumerates
+    // non-media files into tasks)
+    val wavs1 = graft.ops.WavOps.textToWavOwn(
+      docs(6).select("doc_id", "text"), "doc_id", "text")
+    FileSources.writeBinaryFiles(wavs1, landing,
+      concat(col("id"), lit(".wav")), col("wav"))
+    Files.write(landing.resolve("README.txt"), "not media".getBytes)
+    val q1 = StreamingLake.ingestBinary(spark, landing.toString,
+      lake.toString, ckpt.toString, glob = "*.wav", maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    assert(q1.lastProgress.batchId >= 2,
+      s"6 files at 2/trigger must split, got batchId=${q1.lastProgress.batchId}")
+    // wave 2 lands AFTER the first drain — the growing media directory;
+    // the same checkpoint must ingest ONLY the new files (exactly-once)
+    val wavs2 = graft.ops.WavOps.textToWavOwn(
+      docs(4, from = 100).select("doc_id", "text"), "doc_id", "text")
+    FileSources.writeBinaryFiles(wavs2, landing,
+      concat(col("id"), lit(".wav")), col("wav"))
+    val q2 = StreamingLake.ingestBinary(spark, landing.toString,
+      lake.toString, ckpt.toString, glob = "*.wav", maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    // streamed ≡ batch: identical (file, content-hash) sets
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(String, String)] = df
+      .select(regexp_extract(col("path"), "([^/]+\\.wav)$", 1).as("f"),
+        sha2(col("content"), 256).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val streamed = StreamingLake.lakeView(spark, lake.toString)
+    val batch = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(landing.toString)
+    assert(streamed.count() === 10L,
+      "10 media files total, each ingested exactly once across both drains")
+    assert(keys(streamed) === keys(batch),
+      "streamed lake must hold byte-identical payloads to the batch read")
+    // payload integrity THROUGH the stream: the repo's own codec must
+    // decode every streamed blob (one corrupted byte breaks this)
+    val frames = graft.ops.WavOps.wavStats(
+        streamed.select(
+          regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long").as("id"),
+          col("content").as("wav")), "id", "wav")
+      .where(col("n_frames") > 0).count()
+    assert(frames === 10L)
+  }
 }
