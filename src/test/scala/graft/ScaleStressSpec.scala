@@ -1266,4 +1266,48 @@ class ScaleStressSpec extends SparkTestBase {
       }
     }
   }
+
+  // ── round 18: the PrefixSum KERNEL family joins the decade hunt —
+  //    the WDS packing cut had a 100× row (above); the kernel's other
+  //    adopters (q147 global enumerate, p03-class group ranks) rode
+  //    the 10× tier only. Three shapes: the default 4096-wide cut at
+  //    both the global and grouped grain, and a WIDTH-1 cut whose
+  //    subtotal table equals the corpus — the direction the
+  //    scaladoc's >10^7-bucket broadcast knee lives in (the sandbox
+  //    can't reach 10^7 buckets; this pins the trend and the
+  //    broadcastOffsets=false escape hatch exists for the rest).
+  //    Results: SCALE.md "100× decade probe". ─────────────────────────
+  extraFactor.foreach { f =>
+    lazy val hugeDocs: DataFrame = salted(f)
+    def withSource(df: DataFrame): DataFrame = df.select(
+      concat(lit("s"), pmod(col("doc_id"), lit(5)).cast("string"))
+        .as("source"), col("doc_id"))
+    Seq[(String, DataFrame => DataFrame)](
+      "psum_global_enumerate" -> (df =>
+        graft.ops.PrefixSum.globalRowNumber(df.select("doc_id"),
+          order = Seq(col("doc_id")),
+          bucket = floor(col("doc_id") / lit(4096L)).cast("long"),
+          out = "idx")),
+      "psum_group_rank" -> (df =>
+        graft.ops.PrefixSum.groupedRowNumber(withSource(df),
+          group = Seq("source"), order = Seq(col("doc_id")),
+          bucket = floor(col("doc_id") / lit(4096L)).cast("long"),
+          out = "rk")),
+      "psum_width1_knee" -> (df =>
+        graft.ops.PrefixSum.globalRowNumber(df.select("doc_id"),
+          order = Seq(col("doc_id")), bucket = col("doc_id"),
+          out = "idx"))
+    ).foreach { case (name, q) =>
+      test(s"$name (kernel): ${f}x rows => ~linear two-pass prefix") {
+        base.count(); hugeDocs.count()
+        timeNoop(q(base))
+        val t1 = timeNoop(q(base))
+        val tf = timeNoop(q(hugeDocs))
+        val ratio = tf / math.max(t1, 1e-3)
+        info(f"$name base=$t1%.2fs ${f}x=$tf%.2fs ratio=$ratio%.1fx")
+        assert(ratio < 2.5 * f,
+          f"$name grew $ratio%.1fx on ${f}x data — super-linear blowup")
+      }
+    }
+  }
 }
