@@ -26,9 +26,12 @@ import org.apache.spark.sql.types._
   * (bitrate 15, sample-rate 3) are refused by name; truncated frames
   * and tags are named errors, never silent EOF underruns. A trailing
   * ID3v1 tag (the 128-byte `TAG` block real-world encoders append) is
-  * skipped like the leading ID3v2. A Xing/LAME VBR header frame is a
-  * spec-valid Layer III frame and is COUNTED as audio — its one-frame
-  * bias (~26 ms) is accepted by name rather than sniffed for.
+  * skipped like the leading ID3v2. A Xing/Info (LAME) or VBRI VBR
+  * header riding in the FIRST frame is metadata, not audio: it is
+  * sniffed at its spec offset (after the 4-byte header + MPEG-1 side
+  * info — 17 bytes mono, 32 otherwise; VBRI fixed at 32) and skipped
+  * like the tags, so duration is exact on real VBR corpora
+  * (round 18; previously counted-as-audio with a named ~26 ms bias).
   */
 object Mp3Ops {
 
@@ -74,6 +77,7 @@ object Mp3Ops {
     var sumBytes = 0L
     var sumKbps = 0L
     var id3v1 = false
+    var firstFrame = true
     while (pos < mp3.length && !id3v1) {
       // a trailing ID3v1 tag is exactly 128 bytes starting "TAG" —
       // skip it like the leading ID3v2 instead of calling it lost sync
@@ -103,9 +107,26 @@ object Mp3Ops {
       val kbps = kbpsTable(brIdx)
       val len = frameLen(kbps, sr, padding)
       require(pos + len <= mp3.length, s"truncated frame payload at $pos")
-      nFrames += 1
-      sumBytes += len
-      sumKbps += kbps
+      // Xing/Info (LAME) or VBRI VBR header: metadata riding in the
+      // FIRST spec-valid frame — skip it like the tags (its header
+      // already pinned the sample rate, which VBR encoders keep
+      // stream-constant; scope comment above)
+      val isVbrHeader = firstFrame && {
+        val mono = ((mp3(pos + 3) >> 6) & 3) == 3
+        val xingOff = pos + 4 + (if (mono) 17 else 32)
+        val vbriOff = pos + 4 + 32
+        def tagAt(at: Int, t: String): Boolean =
+          at + t.length <= mp3.length && at - pos + t.length <= len &&
+            t.indices.forall(i => mp3(at + i) == t.charAt(i).toByte)
+        tagAt(xingOff, "Xing") || tagAt(xingOff, "Info") ||
+          tagAt(vbriOff, "VBRI")
+      }
+      firstFrame = false
+      if (!isVbrHeader) {
+        nFrames += 1
+        sumBytes += len
+        sumKbps += kbps
+      }
       pos += len
       }
     }

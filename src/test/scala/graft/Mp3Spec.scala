@@ -55,6 +55,29 @@ class Mp3Spec extends SparkTestBase {
     assert(e.getMessage.contains("sync"))
   }
 
+  test("Xing/Info/VBRI first-frame VBR header is metadata, not audio (r18)") {
+    def patch(bytes: Array[Byte], at: Int, tag: String): Array[Byte] = {
+      val b = bytes.clone()
+      tag.indices.foreach(i => b(at + i) = tag.charAt(i).toByte)
+      b
+    }
+    val base = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0), (9, 0)), -1)
+    // stereo frames (mode bits 0) → 32-byte side info → marker at 4+32
+    for (tag <- Seq("Xing", "Info", "VBRI")) {
+      val m = Mp3Ops.mp3Meta(patch(base, 36, tag))
+      assert(m.nFrames == 2, tag)     // the tag frame is not audio...
+      assert(m.sumBytes == 834L, tag) // ...nor are its bytes
+      assert(m.durationUs == 2L * 1152L * 1000000L / 44100L, tag)
+    }
+    // the sniff applies to the FIRST frame only: a payload that
+    // happens to contain "Xing" mid-stream is audio
+    assert(Mp3Ops.mp3Meta(patch(base, 417 + 36, "Xing")).nFrames == 3)
+    // composition with the tag skips: ID3v2 + Xing + one audio frame
+    val tagged = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0)), 50)
+    val m2 = Mp3Ops.mp3Meta(patch(tagged, 60 + 36, "Xing"))
+    assert(m2.id3Bytes == 60 && m2.nFrames == 1 && m2.sumBytes == 417L)
+  }
+
   test("hostile inputs: named rejections, never silent misparses") {
     val ok = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0)), -1)
     // truncated second frame payload
