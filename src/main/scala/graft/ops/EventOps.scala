@@ -1092,9 +1092,14 @@ object EventOps {
     * one-task sort was this report's scale cliff.
     */
   def abcFromPartRevenue(byPart: DataFrame): DataFrame = {
-    val tot = byPart.agg(sum(col("rev")).as("tv"))
+    // census pinned (lazy localCheckpoint): referenced by the total,
+    // the bucket stats, and the kernel's subtotal+probe sides —
+    // without lineage truncation each reference recomputes the
+    // upstream rollup (GraphOps' documented pattern)
+    val pinned = byPart.localCheckpoint(false)
+    val tot = pinned.agg(sum(col("rev")).as("tv"))
     val withCum = PrefixSum.groupedRunningSum(
-      PrefixSum.uniformBucket(byPart, col("rev"), 4096, "__babc",
+      PrefixSum.uniformBucket(pinned, col("rev"), 4096, "__babc",
         descending = true),
       group = Seq.empty,
       order = Seq(col("rev").desc, col("l_partkey")),

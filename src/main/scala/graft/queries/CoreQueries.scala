@@ -2393,6 +2393,9 @@ object CoreQueries {
     Q("q86_topk_ties",
       (s, dir) => {
         import graft.ops.PrefixSum
+        // rollup pinned (lazy localCheckpoint): referenced by the
+        // distinct-grain kernel ~4x AND the final join-back — see
+        // q96's comment on the recompute compounding
         val rev = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)),
             col("l_partkey") === col("p_partkey"))
@@ -2400,6 +2403,7 @@ object CoreQueries {
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
             * (lit(1.0).cast("decimal(18,2)")
               - col("l_discount").cast("decimal(18,2)"))).as("revenue"))
+          .localCheckpoint(false)
         // dense_rank per brand ≡ row_number over the brand's DISTINCT
         // revenues, joined back on (brand, revenue) — and that rank
         // runs through the PrefixSum kernel (round 18): the rollup is
@@ -2494,8 +2498,14 @@ object CoreQueries {
     Q("q88_value_concentration",
       (s, dir) => {
         import graft.ops.PrefixSum
+        // pin the entity rollup: the kernel references its input ~4x
+        // (bucket stats, subtotals, probe, census) — without lineage
+        // truncation each reference recomputes the events rollup
+        // (GraphOps' documented localCheckpoint pattern; a real
+        // cluster swaps in reliable checkpoint)
         val per = Tables.events(s, dir).groupBy("user_id")
           .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+          .localCheckpoint(false)
         val ranked = PrefixSum.groupedRunningSums(
           PrefixSum.uniformBucket(per, col("v"), 4096, "__b88",
             descending = true),
@@ -2908,6 +2918,11 @@ object CoreQueries {
         import graft.ops.PrefixSum
         val ev = Tables.events(s, dir)
         val anchor = ev.agg(max(col("ts_sec")).as("now"))
+        // each pass pinned with a lazy localCheckpoint: a globalNtile
+        // references its input ~4x (bucket stats, subtotals, probe,
+        // census), so three CHAINED passes compound ~4^3 input
+        // recomputations without lineage truncation (GraphOps'
+        // documented pattern; reliable checkpoint on a real cluster)
         val rfm = ev.where(col("event_type") === "purchase")
           .groupBy("user_id")
           .agg(max(col("ts_sec")).as("last_ts"),
@@ -2917,13 +2932,16 @@ object CoreQueries {
           .select(col("user_id"),
             expr("(now - last_ts) div 86400").as("recency_days"),
             col("frequency"), col("monetary"))
+          .localCheckpoint(false)
         val tiled = PrefixSum.globalNtile(
           PrefixSum.globalNtile(
             PrefixSum.globalNtile(rfm,
               col("recency_days"), descending = true,
-              tiebreak = col("user_id"), k = 5, out = "r_score"),
+              tiebreak = col("user_id"), k = 5, out = "r_score")
+              .localCheckpoint(false),
             col("frequency"), descending = false,
-            tiebreak = col("user_id"), k = 5, out = "f_score"),
+            tiebreak = col("user_id"), k = 5, out = "f_score")
+            .localCheckpoint(false),
           col("monetary"), descending = false,
           tiebreak = col("user_id"), k = 5, out = "m_score")
         val scored = tiled.select(col("user_id"), col("recency_days"),
@@ -3908,8 +3926,11 @@ object CoreQueries {
         // unpartitioned NTILE window one-task-sorted what is 10⁸⁺
         // rows at 100 TB; the distributed tile formula matches the
         // oracle's NTILE bit-for-bit.
+        // period rollups pinned (lazy localCheckpoint): the kernel
+        // references its input ~4x — see q96's comment
         def tiers(df: DataFrame, out: String): DataFrame =
-          PrefixSum.globalNtile(df, col("spend"), descending = false,
+          PrefixSum.globalNtile(df.localCheckpoint(false),
+              col("spend"), descending = false,
               tiebreak = col("o_custkey"), k = 4, out = out)
             .select(col("o_custkey"), col(out))
         val t1 = tiers(o.where(col("p1")).groupBy("o_custkey")
