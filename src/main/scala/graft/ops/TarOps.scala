@@ -397,10 +397,16 @@ object TarOps {
       order = Seq(col("uhl"), col("doc_id"), col("copy_idx")),
       bucket = floor(col("uhl") / lit(1L << 48)).cast("long"),
       out = "pos")
+    // pinned (lazy localCheckpoint): the walk AND the provenance
+    // extraction both read the shards — without lineage truncation
+    // the whole epoch→shuffle→pack prefix (including the tar encode)
+    // would execute twice (GraphOps' documented pattern; reliable
+    // checkpoint on a real cluster)
     val shards = textToWdsShards(
       positioned.select(col("source"), col("pos").as("doc_id"),
         col("text"), col("ck").as("lang")),
       byteBudget)
+      .localCheckpoint(false)
     val walked = wdsSamples(shards)
     val prov = wdsExtractText(shards, "cls")
       .select(col("source").as("__psrc"), col("sample_key").as("__pkey"),
