@@ -93,6 +93,58 @@ class SamplePropertiesSpec extends SparkTestBase {
     assert(repart == sparkKept)
   }
 
+  test("property: globalNtile's tile formula IS SQL-standard NTILE for any (n, k)") {
+    // driver-side replay of the exact arithmetic PrefixSum.globalNtile
+    // builds in Column expressions (the Spark-side parity anchor is
+    // PrefixSumSpec's ntile test); the SQL standard: the first n mod k
+    // tiles take ceil(n/k) rows, the rest floor(n/k)
+    def tileOf(rk: Long, n: Long, k: Int): Long = {
+      val big = n / k; val rem = n % k
+      if (rk <= (big + 1) * rem) (rk - 1) / (big + 1) + 1
+      else rem + (rk - 1 - (big + 1) * rem) / math.max(big, 1L) + 1
+    }
+    check(forAll(Gen.chooseNum(1L, 100000L), Gen.chooseNum(1, 64)) {
+      (n, k) =>
+        val tiles = (1L to math.min(n, 3000L)).map(tileOf(_, n, k))
+        val sizesOk =
+          if (n <= 3000) {
+            val sizes = tiles.groupBy(identity).view.mapValues(_.size.toLong)
+            val big = n / k; val rem = n % k
+            (1L to math.min(n, k.toLong)).forall { t =>
+              sizes.getOrElse(t, 0L) == (if (t <= rem) big + 1 else big)
+            } && tiles.max == math.min(n, k.toLong)
+          } else true
+        // non-decreasing in rank, 1-based, never exceeds k
+        tiles.head == 1L && tiles.forall(t => t >= 1 && t <= k) &&
+          tiles.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)) &&
+          sizesOk
+    })
+  }
+
+  test("property: uniformBucket's cut is weakly monotone and [0,n)-bounded") {
+    // driver-side replay of the Column arithmetic (Spark-side anchor:
+    // PrefixSumSpec's uniformBucket tests): floor((key-min)/width)
+    // capped into [0,n), mirrored under descending
+    def bucket(x: Double, lo: Double, hi: Double, n: Int,
+               desc: Boolean): Long = {
+      val span = hi - lo
+      val width = if (span > 0) span / n else 1.0
+      val dist = if (desc) hi - x else x - lo
+      math.min(math.floor(dist / width).toLong, (n - 1).toLong)
+    }
+    val keys = Gen.nonEmptyListOf(Gen.chooseNum(-1e9, 1e9)).map(_.distinct)
+    check(forAll(keys, Gen.chooseNum(1, 8192)) { (xs, n) =>
+      val (lo, hi) = (xs.min, xs.max)
+      val asc = xs.sorted.map(bucket(_, lo, hi, n, desc = false))
+      val desc = xs.sorted.reverse.map(bucket(_, lo, hi, n, desc = true))
+      def mono(s: List[Long]) =
+        s.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+      mono(asc) && mono(desc) &&
+        (asc ++ desc).forall(b => b >= 0 && b < n) &&
+        asc.head == 0L && desc.head == 0L
+    })
+  }
+
   test("anchor: Spark-side quotaSample bottom-k equals the driver-replayed order") {
     val ids = (1L to 300L)
     val df = ids.map(i => (i, s"g${i % 3}")).toDF("doc_id", "source")
