@@ -635,27 +635,45 @@ object Bench {
         else math.exp(ratios.map(math.log).sum / ratios.size)
       }
       val retryDeadline = budget * 0.25
-      val retrySleepSec =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SLEEP", "60").toDouble
+      val retrySleepRaw =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SLEEP", "60")
+      val retrySleepSec = retrySleepRaw.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_RETRY_SLEEP must be numeric seconds, " +
+            s"got '$retrySleepRaw'"))
+      val tMeasure0 = elapsed
       var r = measureControls()
+      // one measureControls round = 2 controls x (warmup + 3 timed);
+      // the retry guard must leave room for the NEXT round too, not
+      // just the sleep, or the final re-measure eats the emission
+      // reserve (r18 review finding)
+      var measureCost = elapsed - tMeasure0
       val tWait0 = elapsed
+      var retried = false
       while (r > 1.25 && elapsed < retryDeadline &&
-          remaining > reserve + retrySleepSec) {
+          remaining > reserve + retrySleepSec + 1.5 * measureCost) {
         println(s"[bench] degraded box phase (control inflation " +
           s"${fmt4(r)}x); waiting ${retrySleepSec.toInt}s for a quiet " +
           s"window (deadline ${retryDeadline.toInt}s into the budget)")
         Thread.sleep((retrySleepSec * 1000).toLong)
+        retried = true
+        val t0 = elapsed
         r = measureControls()
+        measureCost = elapsed - t0
       }
       preflightWait = elapsed - tWait0
       if (r > 0) {
         boxRatio = r
         degradedBox = boxRatio > 1.25
-        if (degradedBox)
-          println(s"[bench] WARNING retry deadline lapsed still degraded: " +
+        if (degradedBox) {
+          val why =
+            if (!retried) "no retry budget/deadline room"
+            else if (elapsed >= retryDeadline) "retry deadline lapsed"
+            else "remaining budget reached the retry floor"
+          println(s"[bench] WARNING still degraded ($why): " +
             s"control inflation ${fmt4(boxRatio)}x vs quiet ledger " +
             s"(waited ${fmt1(preflightWait)}s)")
-        else if (preflightWait > 1.0)
+        } else if (preflightWait > 1.0)
           println(s"[bench] quiet window found after " +
             s"${fmt1(preflightWait)}s wait: ratio ${fmt4(boxRatio)}x")
       }

@@ -32,6 +32,10 @@ import org.apache.spark.sql.types._
   * info — 17 bytes mono, 32 otherwise; VBRI fixed at 32) and skipped
   * like the tags, so duration is exact on real VBR corpora
   * (round 18; previously counted-as-audio with a named ~26 ms bias).
+  * Consequence, by name: a stream whose ONLY frame is the VBR header
+  * (a download truncated right after it) now rejects with "contains
+  * no frames" — zero audio is an error in this profile, matching the
+  * other truncation rejections.
   */
 object Mp3Ops {
 

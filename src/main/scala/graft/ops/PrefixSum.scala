@@ -161,10 +161,13 @@ object PrefixSum {
     * spend: range unknown until runtime, shifts with scale). Weak
     * monotonicity is all the kernel needs, and IEEE subtraction /
     * positive-constant division / floor are each weakly monotone, so
-    * the cut is valid for ANY key distribution; balance (not
+    * the cut is valid for ANY FINITE key distribution; balance (not
     * correctness) degrades if the key mass concentrates in one
-    * bucket. `key` must be non-null (aggregate outputs here) —
-    * Spark's null-ordering for DESC differs from the bucket's.
+    * bucket. `key` must be non-null AND finite (aggregate outputs
+    * here are both): Spark sorts NULL and NaN at the ends of the
+    * order while `floor(NaN/width)` degenerates to bucket 0, and an
+    * infinite min/max makes `dist/width` NaN for every row — either
+    * breaks the weak-monotonicity contract silently.
     */
   def uniformBucket(df: DataFrame, key: Column, n: Int, out: String,
                     descending: Boolean = false): DataFrame = {

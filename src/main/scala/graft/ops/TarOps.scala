@@ -393,6 +393,10 @@ object TarOps {
       // order them differently through the tiebreaker
       .withColumn("uhl",
         graft.functions.PortableHash.mdHash60(concat(lit("#"), col("ck"))))
+      // pinned: the rank kernel reads this frame on both its subtotal
+      // and probe sides — without truncation the epoch join + per-row
+      // md5 prefix executes twice (same pattern as `shards` below)
+      .localCheckpoint(false)
     val positioned = PrefixSum.groupedRowNumber(keyed, Seq("source"),
       order = Seq(col("uhl"), col("doc_id"), col("copy_idx")),
       bucket = floor(col("uhl") / lit(1L << 48)).cast("long"),

@@ -2410,7 +2410,10 @@ object CoreQueries {
         // brand×part ENTITY grain, so the old per-brand window sorted
         // ~parts/25 rows through one task at 100 TB. Revenues are
         // exact decimals, so the join-back is an exact equi-join.
+        // dist pinned too: the kernel + bucket stats reference IT ~4x,
+        // and each reference would re-run the distinct shuffle
         val dist = rev.select(col("p_brand"), col("revenue")).distinct()
+          .localCheckpoint(false)
         val ranked = PrefixSum.groupedRowNumber(
           PrefixSum.uniformBucket(dist, col("revenue"), 4096, "__b86",
             descending = true),

@@ -76,6 +76,11 @@ class Mp3Spec extends SparkTestBase {
     val tagged = Mp3Ops.encodeMp3Own(0, Seq((9, 0), (9, 0)), 50)
     val m2 = Mp3Ops.mp3Meta(patch(tagged, 60 + 36, "Xing"))
     assert(m2.id3Bytes == 60 && m2.nFrames == 1 && m2.sumBytes == 417L)
+    // a stream whose ONLY frame is the VBR header (truncated download)
+    // is zero audio — a NAMED rejection, not a 1-frame success
+    val only = patch(Mp3Ops.encodeMp3Own(0, Seq((9, 0)), -1), 36, "Xing")
+    val e = intercept[IllegalArgumentException](Mp3Ops.mp3Meta(only))
+    assert(e.getMessage.contains("no frames"))
   }
 
   test("hostile inputs: named rejections, never silent misparses") {

@@ -81,14 +81,27 @@ class PlanHygieneSpec extends SparkTestBase {
         "label rank over DISTINCT labels — #classes-bounded",
       "p28_token_waterfill" ->
         "water-level scan over the per-SOURCE census — #sources-bounded")
+    // The exemption accepts ONLY a window whose DIRECT input (modulo
+    // projections/filters) is the kernel's bucket-subtotal Aggregate —
+    // an __psum_bucket Aggregate merely SOMEWHERE below would also
+    // match a later entity-grain window layered on top of a kernel
+    // result, which is exactly the class this test hunts.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    @scala.annotation.tailrec
+    def throughProjections(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => throughProjections(pr.child)
+      case f: Filter => throughProjections(f.child)
+      case other => other
+    }
+    def isSubtotalAgg(p: LogicalPlan): Boolean = throughProjections(p) match {
+      case a: Aggregate => a.groupingExpressions.exists(
+        _.references.exists(_.name == "__psum_bucket"))
+      case _ => false
+    }
     val found = qes.toSeq.flatMap { case (name, qe) =>
       qe.optimizedPlan.collect {
         case w: LWindow
-            if w.partitionSpec.isEmpty &&
-              w.child.collectFirst {
-                case a: Aggregate if a.groupingExpressions.exists(
-                  _.references.exists(_.name == "__psum_bucket")) => a
-              }.isEmpty =>
+            if w.partitionSpec.isEmpty && !isSubtotalAgg(w.child) =>
           name -> ("Window.orderBy(" +
             w.orderSpec.map(_.sql).mkString(",") + ")")
       }
