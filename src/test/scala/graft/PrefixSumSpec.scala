@@ -199,6 +199,16 @@ class PrefixSumSpec extends SparkTestBase {
     }
   }
 
+  test("empty input: kernel, bucket cut, and ntile all yield empty, never error") {
+    val empty = spark.range(0).select(col("id"),
+      (col("id") % 7).as("v"), lit("g").as("g"))
+    assert(PrefixSum.groupedRunningSum(empty, Seq("g"), Seq(col("id")),
+      floor(col("id") / 16).cast("long"), col("v"), "cum").count() == 0)
+    assert(PrefixSum.uniformBucket(empty, col("v"), 8, "b").count() == 0)
+    assert(PrefixSum.globalNtile(empty, col("v"), descending = false,
+      tiebreak = col("id"), k = 4, out = "t").count() == 0)
+  }
+
   test("multi-column group and composite order (the m07 shape)") {
     val df = skewed.withColumn("m",
       when(col("id") % 3 === 0, "image").otherwise("audio"))
