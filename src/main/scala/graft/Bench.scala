@@ -182,7 +182,7 @@ object Bench {
     "m20_mp3_meta", "m21_wds_shards", "m22_wds_samples",
     "m23_wds_extract", "m24_wds_wav_loop", "m25_wds_jpeg_loop",
     "q147_enumerate_distributed", "q148_wds_shard_files",
-    "q149_binary_source", "p32_epoch_to_wds")
+    "q149_binary_source", "p32_epoch_to_wds", "p33_curation_pipeline")
     // NOT benched (measured r13, reasons in BASELINE.md §exclusions):
     //   d02_dedup_jaccard   88.8 s — exact all-pairs token-Jaccard, the
     //     deliberately-quadratic oracle fixture; scale path = d03/d08

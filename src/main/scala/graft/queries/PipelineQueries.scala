@@ -1240,5 +1240,83 @@ object PipelineQueries {
         SELECT source, CAST(cum // 4096 AS BIGINT) AS shard_id, pos,
           doc_id, CAST(copy_idx AS INT) AS copy_idx, 2 AS n_files,
           'cls,txt' AS exts, CAST(sb AS BIGINT) AS sample_bytes
-        FROM cc ORDER BY source, shard_id, pos""")))
+        FROM cc ORDER BY source, shard_id, pos""")),
+
+    // ── p33: the COMPOSED curation pipeline — the corpus cleanup a
+    //    pretraining job runs BEFORE p32's loader chain, as one
+    //    oracle-checked entry (Gopher/C4 lineage): doc-level quality
+    //    gates (t30's kernel, overall `keep` flag) → TOKEN-SET
+    //    fingerprint dedup keep-first (the Jaccard-1.0 exact tier of
+    //    the d02 family: md5 of the sorted distinct token set — the
+    //    fixture corpus has no byte-exact dups but 10%+ token-set
+    //    dups, so this stage is live) → leak-stable 8/1/1 hash split
+    //    (p01's cuts). C4's LINE rules (t28) are deliberately not in
+    //    this chain: the fixture corpus is single-line without
+    //    sentence punctuation, so the line gate zeroes it — the
+    //    stage exists standalone as t28. Output at doc grain
+    //    (id, token count, split): the hash breaks if any gate
+    //    predicate, the dedup keep rule, or a split cut drifts.
+    //    Every stage is a narrow projection or a fingerprint-key
+    //    shuffle — nothing widens at 100 TB ─────────────────────────────
+    Q("p33_curation_pipeline",
+      (s, dir) => {
+        import graft.ops.TextOps
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val keepIds = TextOps.gopherQualityGates(docs, "doc_id",
+            "text", Seq("the", "a", "of", "to"))
+          .where(col("keep") === 1).select(col("id"))
+        val gated = docs.join(keepIds,
+          docs("doc_id") === keepIds("id"), "left_semi")
+        val withFp = gated.withColumn("fp",
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " "))))))
+        val keepFirst = withFp.groupBy("fp")
+          .agg(min(col("doc_id")).as("keep_id"))
+        val unique = withFp.join(keepFirst,
+          withFp("fp") === keepFirst("fp") &&
+            col("doc_id") === col("keep_id"))
+        SampleOps.hashSplit(
+            unique.select(col("doc_id"), col("text")),
+            "doc_id", Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, text,
+            len(string_split(text, ' ')) AS nw,
+            CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1)
+              AS DOUBLE) / len(string_split(text, ' ')) AS ml,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS sym,
+            CAST(len(list_filter(string_split(text, ' '),
+              t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS alpha,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to'))) AS nstop
+          FROM documents),
+        q AS (
+          SELECT doc_id, text FROM g
+          WHERE nw BETWEEN 10 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+            AND sym <= 0.1 AND alpha >= 0.8 AND nstop >= 2),
+        d AS (
+          SELECT doc_id, text,
+            MD5(array_to_string(list_sort(list_distinct(
+              string_split(text, ' '))), ' ')) AS fp
+          FROM q),
+        m AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp),
+        u AS (SELECT d.doc_id, d.text FROM d
+              JOIN m ON d.fp = m.fp AND d.doc_id = m.keep_id),
+        sp AS (
+          SELECT doc_id, text,
+            ('0x' || substr(md5('#' || doc_id::VARCHAR), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS uh
+          FROM u)
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+          CASE WHEN uh < 8.0/10 THEN 'train'
+               WHEN uh < 8.0/10 + 1.0/10 THEN 'val'
+               ELSE 'test' END AS split
+        FROM sp ORDER BY doc_id""")))
 }

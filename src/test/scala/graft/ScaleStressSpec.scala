@@ -1162,6 +1162,35 @@ class ScaleStressSpec extends SparkTestBase {
       "p32_epoch_to_wds plan shape changed with data size (beyond join strategy)")
   }
 
+  test("p33_curation_pipeline: 10x corpus => ~linear gate→dedup→split chain") {
+    def q(df: DataFrame): DataFrame = {
+      val keepIds = graft.ops.TextOps.gopherQualityGates(df, "doc_id",
+          "text", Seq("the", "a", "of", "to"))
+        .where(col("keep") === 1).select(col("id"))
+      val gated = df.join(keepIds, df("doc_id") === keepIds("id"),
+        "left_semi")
+      val withFp = gated.withColumn("fp",
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))))
+      val keepFirst = withFp.groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"))
+      graft.ops.SampleOps.hashSplit(
+        withFp.join(keepFirst, withFp("fp") === keepFirst("fp") &&
+          col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    }
+    base.count(); big.count()
+    timeNoop(q(base))
+    val t1 = timeNoop(q(base))
+    val t10 = timeNoop(q(big))
+    assertLinear("p33_curation_pipeline", t1, t10,
+      timeNoop(q(base)), timeNoop(q(big)))
+    assert(normalizeEquiJoins(planShape(q(base)))
+        == normalizeEquiJoins(planShape(q(big))),
+      "p33_curation_pipeline plan shape changed with data size (beyond join strategy)")
+  }
+
   test("wds packing under 90% single-source skew: ~linear, never serialized per source") {
     // one source owns ~90% of all bytes — under the old
     // Window.partitionBy(source) cut this stream sorts in ONE task and
