@@ -1,7 +1,7 @@
 package graft
 
 /** Blanket plan hygiene over the ENTIRE query surface: properties
-  * every registered query (345 at round 18 — the sweep sizes itself
+  * every registered query (346 at round 18 — the sweep sizes itself
   * from SparkEntry.queries, never a hardcoded count) must satisfy to
   * survive a 100× scale-up. Individual plan shapes are asserted in
   * PlanSpec / LayoutSpec / AsOfJoinSpec; this sweep guards against
