@@ -1560,15 +1560,25 @@ object TextOps {
     * spaces, preserving order.
     */
   def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
     // guard: sequence(1, 0) would produce a DESCENDING [1, 0] and hit
     // slice index errors on docs shorter than n tokens.
     // one slice per position, not n element_at calls — measurably
-    // faster (t15 regressed 2× on the element_at formulation)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // faster (t15 regressed 2× on the element_at formulation).
+    // The token array is LET-BOUND through a single-element outer
+    // transform: higher-order lambdas run interpreted and re-evaluate
+    // their body per element, so inlining `tokens(text)` inside the
+    // position lambda would re-split the whole document once per
+    // n-gram position — O(len²) splits per row (the same trap
+    // tokenEntropyFold documents for its fold zero). Referencing the
+    // bound variable `ts` is an O(1) read; same expressions, same
+    // order, bit-identical output.
+    get(
+      transform(array(tokens(text)), ts =>
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+            concat_ws(" ", slice(ts, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))),
+      lit(0))
   }
 
   /** TF-IDF per (doc, term) over a corpus: one explode + two

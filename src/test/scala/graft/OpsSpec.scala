@@ -251,6 +251,32 @@ class OpsSpec extends SparkTestBase {
     assert(spans == Seq((2L, 1L), (2L, 1L)), spans.toString)
   }
 
+  test("wordNgrams let-bound form is bit-identical to the inline form") {
+    // r18 optimization: the token array is let-bound through a
+    // single-element outer transform (HOF lambdas re-evaluate their
+    // body per element, so the inline form re-splits the document per
+    // n-gram position — O(len²)). This pins the rewrite against the
+    // original inline formulation on real docs and on every edge
+    // (shorter than n, empty, repeated tokens, double spaces, null).
+    def inline(text: org.apache.spark.sql.Column,
+               n: Int): org.apache.spark.sql.Column = {
+      val toks = TextOps.tokens(text)
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val edge = Seq((1L, Some("one")), (2L, Some("")), (3L, Some("a a a a a")),
+      (4L, Some("x  y")), (5L, None), (6L, Some(" leading and trailing ")))
+      .toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5); frame <- Seq(docs, edge)) {
+      val got = frame.select($"doc_id", TextOps.wordNgrams($"text", n).as("g"))
+      val want = frame.select($"doc_id", inline($"text", n).as("g"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"n=$n mismatch")
+    }
+  }
+
   test("ngramHashes60 kernel is bit-identical to the declarative chain") {
     import graft.functions.{PortableHash, PortableSketches}
     for (n <- Seq(2, 5, 8)) {
