@@ -99,9 +99,17 @@ object BpeOps {
       s"word '${over.headOption.map(_.getString(0)).getOrElse("")}' exceeds " +
         s"maxLen=$maxLen symbols; raise maxLen (the merge unroll bound)")
     val merges = Seq.newBuilder[Merge]
+    // predecessor whose cache must outlive the NEXT round's scan
+    var pendingUnpersist: Option[DataFrame] = None
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
+      // ONE action per round (r18 optimization; was two): the top-pair
+      // scan below is the action that materializes the current round's
+      // cached word state — the separate next.count() it replaces only
+      // re-did that materialization. The predecessor's cache is dropped
+      // AFTER the scan, so every round still reads a fully-cached
+      // parent and recompute depth stays O(1) per round.
       val nBi = greatest(size(col("syms")) - 1, lit(0))
       val top = words.select(col("n"),
           explode(zip_with(slice(col("syms"), lit(1), nBi),
@@ -116,15 +124,29 @@ object BpeOps {
         val (a, b, cnt) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(r, a, b, cnt)
-        val next = words
+        val prev = words
+        words = prev
           .withColumn("syms", applyMerge(col("syms"), a, b, maxLen))
           .persist()
-        next.count() // materialize BEFORE dropping the predecessor's cache
-        words.unpersist(blocking = false)
-        words = next
+        if (r < rounds) {
+          // next round's top scan materializes `words` through prev's
+          // still-live cache; prev can only be dropped after that
+          pendingUnpersist.foreach(_.unpersist(blocking = false))
+          pendingUnpersist = Some(prev)
+        } else {
+          // final round: nothing scans `words` inside train — callers
+          // materialize it; prev must stay live until they do, so
+          // materialize the last state here (one count, not one per
+          // round) before dropping the predecessors
+          words.count()
+          pendingUnpersist.foreach(_.unpersist(blocking = false))
+          prev.unpersist(blocking = false)
+        }
         r += 1
       }
     }
+    // dry exit: drop any still-pending predecessor
+    if (dry) pendingUnpersist.foreach(_.unpersist(blocking = false))
     // The returned frame stays cached (callers fold/segment over it);
     // callers that only need the merge table should unpersist it.
     (merges.result(), words)
