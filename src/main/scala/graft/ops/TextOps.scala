@@ -862,8 +862,17 @@ object TextOps {
           .join(lexB.hint("shuffle_hash"), "id_b")
     joined
       .select(col("id_a"), col("id_b"),
+        // threshold-aware early-exit merge (r18): exact count for
+        // every pair whose Jaccard can reach the threshold, a
+        // below-threshold partial count for pairs that cannot — the
+        // `jaccard >= threshold` filter below therefore keeps and
+        // emits EXACTLY the same rows as the unbounded kernel
+        // (bit-parity with jaccardPairs stays spec-pinned), while
+        // the dissimilar bulk of the candidate stream stops merging
+        // as soon as failure is provable
         graft.functions.ArrayKernels
-          .sortedIntersectCountStr(col("ta"), col("tb")).as("n_common"),
+          .sortedIntersectJaccardStr(col("ta"), col("tb"), threshold)
+          .as("n_common"),
         col("n_a"), col("n_b"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
@@ -905,7 +914,21 @@ object TextOps {
     // (longer prefixes → weaker prefix filter → positions matter).
     val prefix = sorted.select(col("id"), col("n_toks"),
       explode(slice(col("stoks"), lit(1), col("plen"))).as("ptok"))
-    val candIds = prefix.toDF("id_a", "n_a", "ptok")
+    // The STREAM leg of the collision self-join is hash-repartitioned
+    // on ptok with an explicit count (r18): AQE sizes a shuffle read
+    // by its INPUT bytes, and this read is ~1 MB at sf0.1 — it was
+    // coalesced to ONE task even though the collision join EXPLODES
+    // it by three orders of magnitude (profiled: 5.7 s single-task
+    // pair generation). A user-specified repartition is exempt from
+    // coalescing, so the pair stage keeps the session's configured
+    // shuffle width at any scale. The build leg stays a broadcast
+    // hash join exactly as before — a sort-merge self-join was tried
+    // here and rejected: SMJ buffers and re-scans each duplicate-key
+    // group, which is quadratic in posting-list length (measured 2×
+    // WORSE end-to-end at sf0.1).
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val candIds = prefix.repartition(nPart, col("ptok"))
+      .toDF("id_a", "n_a", "ptok")
       .join(prefix.toDF("id_b", "n_b", "ptok"), Seq("ptok"))
       .where(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
@@ -992,8 +1015,13 @@ object TextOps {
       .join(sh.toDF("id_b", "sb", "n_b"), Seq("id_b"))
       .where(col("n_a") > 0)
       .select(col("id_a"), col("id_b"),
+        // threshold-aware early-exit merge (r18, d26's verify trick at
+        // the containment grain): exact for pairs that can clear the
+        // threshold, below-threshold for pairs that cannot — the
+        // filter below emits identical rows either way
         graft.functions.ArrayKernels
-          .sortedIntersectCountLong(col("sa"), col("sb")).as("n_common"),
+          .sortedIntersectContainLong(col("sa"), col("sb"), threshold)
+          .as("n_common"),
         col("n_a"))
       .withColumn("containment",
         col("n_common").cast("double") / col("n_a"))

@@ -1691,6 +1691,43 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(k.getDouble(6) - 5.0 / 3) < 1e-6)
   }
 
+  test("bounded intersect kernels are filter-equivalent to the exact ones") {
+    // r18 verify optimization: the early-exit kernels must (a) return
+    // the EXACT count whenever the pair clears the threshold and
+    // (b) return a below-threshold count whenever it cannot — so the
+    // downstream `>= t` filter emits identical rows. Exercised across
+    // thresholds over every doc pair of the spec corpus.
+    import graft.functions.ArrayKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arrs = docs.select(
+        array_sort(array_distinct(TextOps.tokens($"text"))).as("ts"))
+      .as[Seq[String]].collect()
+      .map(s => new GenericArrayData(
+        s.map(x => UTF8String.fromString(x)).toArray[Any]))
+    val longs = arrs.map(a => new GenericArrayData(
+      (0 until a.numElements()).map(i =>
+        java.lang.Long.valueOf(a.getUTF8String(i).hashCode.toLong))
+        .sorted.toArray[Any]))
+    for (t <- Seq(0.3, 0.7, 0.9, 1.0); i <- arrs.indices;
+         j <- arrs.indices if i < j) {
+      val (a, b) = (arrs(i), arrs(j))
+      val exact = ArrayKernels.intersectCountStr(a, b)
+      val bounded = ArrayKernels.intersectCountStrJaccard(a, b, t)
+      val s = a.numElements().toLong + b.numElements()
+      def jac(c: Long) = if (s - c == 0) Double.NaN else c.toDouble / (s - c)
+      if (jac(exact) >= t) assert(bounded == exact, s"t=$t i=$i j=$j")
+      else assert(!(jac(bounded) >= t), s"t=$t i=$i j=$j leak")
+      val (la, lb) = (longs(i), longs(j))
+      val exactL = ArrayKernels.intersectCountLong(la, lb)
+      val boundedL = ArrayKernels.intersectCountLongContain(la, lb, t)
+      val na = la.numElements().toLong
+      def con(c: Long) = if (na == 0) Double.NaN else c.toDouble / na
+      if (con(exactL) >= t) assert(boundedL == exactL, s"t=$t i=$i j=$j L")
+      else assert(!(con(boundedL) >= t), s"t=$t i=$i j=$j leakL")
+    }
+  }
+
   test("prefixJaccardPairs: bit-identical to the quadratic exact join") {
     // lossless prefix filter: same pairs, same n_common, same jaccard
     // bits — including any ceil(t*n)-integral docs the epsilon guards
