@@ -58,20 +58,26 @@ object GraphOps {
           least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"),
           labels("lbl").as("prev"))
         .localCheckpoint(true)
-      // (b) pointer jumping: lbl := lbl's current lbl (path compression)
+      // (b) pointer jumping: lbl := lbl's current lbl (path compression).
+      // LAZY checkpoint (r18): the convergence count right below is
+      // the action that materializes it, so each iteration costs two
+      // jobs (stepped's eager pin + this count) instead of three.
+      // stepped itself must stay EAGER — `next` references it twice
+      // (both join legs), and a lazy pin materialized by two sibling
+      // stages of one job can race both into computing the partitions.
       val l2 = stepped.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val next = stepped.join(l2, stepped("lbl") === l2("jid"), "left")
         .select(stepped("id"),
           coalesce(col("jlbl"), stepped("lbl")).as("lbl"),
           stepped("prev"))
-        .localCheckpoint(true)
-      // `next` is materialized (eager checkpoint) and no longer depends
-      // on `stepped` — drop its blocks now, and the previous iteration's
-      // labels right after the convergence count reads them. Without
-      // this, MEMORY_AND_DISK blocks accumulate for the job lifetime on
-      // deep graphs (one superseded frame per iteration).
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(stepped)
+        .localCheckpoint(false)
       changed = next.where(col("lbl") =!= col("prev")).count()
+      // `next` is materialized by the count and no longer depends on
+      // stepped — drop its blocks now, and the previous iteration's
+      // labels with them. Without this, MEMORY_AND_DISK blocks
+      // accumulate for the job lifetime on deep graphs (one superseded
+      // frame per iteration).
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(stepped)
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(labels)
       labels = next
     }
@@ -141,14 +147,29 @@ object GraphOps {
       round(lit(1.0) / n, 9).as("rank")).localCheckpoint(true)
     var rounds = 0
     var converged = false
+    // Round frames are LAZY checkpoints (r18): each round already runs
+    // a one-double driver read (the dangling-mass scalar, and the tol
+    // delta when early-stop is on), and that action materializes the
+    // round's frame through its predecessor's still-live cache — a
+    // separate eager-checkpoint job per round only re-did that work.
+    // A predecessor's blocks may only be dropped AFTER some action has
+    // materialized its successor (lineage is truncated at the
+    // checkpoint, so an early drop would be unrecoverable) — hence the
+    // one-round-delayed unpersist.
+    var pendingUnpersist: Option[DataFrame] = None
     while (rounds < iters && !converged) {
       // dangling nodes hold rank but transport none through edges;
       // their mass re-enters uniformly (the standard teleport fix)
       // scalar per round, same class as the CC loop's convergence
-      // count — a one-double driver read, not a data-plane collect
+      // count — a one-double driver read, not a data-plane collect.
+      // This read is also what materializes a lazily-checkpointed
+      // `ranks` from the previous round.
       val dangling = ranks.join(hasOut, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
         .head().getDouble(0)
+      pendingUnpersist.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint)
+      pendingUnpersist = None
       val inbound = frac.join(ranks, frac("u") === ranks("node"))
         .groupBy(frac("v").as("node"))
         .agg(sum(col("rank") * col("f")).as("m"))
@@ -161,15 +182,20 @@ object GraphOps {
             lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dangling / n)),
             9).as("rank"),
           col("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       rounds += 1
       converged = tol.exists { t =>
         next.agg(max(abs(col("rank") - col("prev"))))
           .head().getDouble(0) <= t
       }
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(ranks)
+      pendingUnpersist = Some(ranks)
       ranks = next
     }
+    // the final round's frame may still be unmaterialized — pin it
+    // before its (truncated-lineage) inputs are dropped below
+    ranks.count()
+    pendingUnpersist.foreach(
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint)
     e.unpersist(); frac.unpersist(); nodes.unpersist()
     (ranks.select(col("node"), col("rank")), rounds)
   }
@@ -256,9 +282,11 @@ object GraphOps {
       val flowed = e.join(score, e(from) === score("node"))
         .groupBy(e(to).as("node"))
         .agg(sum(col(scoreCol) * col("w")).as("s"))
+      // lazy checkpoint (r18): the L1-total read right below is the
+      // action that materializes it — was a separate eager job
       val raw = nodes.join(flowed, Seq("node"), "left")
         .select(col("node"), round(coalesce(col("s"), lit(0.0)), 9).as("raw"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val total = raw.agg(sum(col("raw"))).head().getDouble(0)
       val out = raw
         .select(col("node"), round(col("raw") / lit(total), 9).as(outCol))
