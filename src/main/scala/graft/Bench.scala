@@ -203,12 +203,31 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Scratch dir for shuffle/spill files (r18): this sandbox's
+    // virtual disk intermittently degrades to ~8 MB/s on the write
+    // path (measured 157 → 8 MB/s swings; a thread dump of a stalled
+    // run showed a shuffle writer stuck in FileOutputStream.open —
+    // the r16/r17 "degraded box phase" signature). sf0.1 shuffle
+    // volumes are MBs, so RAM-backed tmpfs absorbs them trivially and
+    // removes the disk's noise from the timings. Parameterized:
+    // SPARK_GRAFT_LOCAL_DIR overrides; a production deployment sets
+    // it to provisioned NVMe (at 100 TB shuffle exceeds RAM — tmpfs
+    // is only the right default where the working set is MBs and the
+    // disk is shared/virtualized, i.e. this sandbox).
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files
+          .createTempDirectory(shm, "graft-spark-local").toString)
+      else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       // bucketed bench tables land in a throwaway warehouse (static conf)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)

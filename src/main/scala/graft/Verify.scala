@@ -10,11 +10,23 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // RAM-backed scratch dir when available (see Bench.scala: the
+    // sandbox disk's write path intermittently drops to ~8 MB/s);
+    // SPARK_GRAFT_LOCAL_DIR overrides, absent /dev/shm falls back to
+    // the JVM default.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files
+          .createTempDirectory(shm, "graft-spark-local").toString)
+      else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = localDir.fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Hash-shuffle (small) result rows before a global sort (r18).
+    *
+    * A global `orderBy` plans a range exchange whose partitioner must
+    * SAMPLE its child first — and the sampling pass re-executes the
+    * child plan a second time down to the nearest materialized
+    * shuffle stage. For queries whose tail above the last shuffle is
+    * expensive (codec decodes, candidate verification, wide scalar
+    * projections), the whole tail runs TWICE per action (profiled on
+    * d26: an extra full-cost stage per run that writes nothing — the
+    * sampler). Interposing one hash exchange on the final rows makes
+    * the tail run once into a materialized stage; the sampler then
+    * re-reads that stage instead of re-running the tail. Rows and
+    * the final sorted order are unchanged — the sort above is what
+    * defines the output. Use only where the tail is expensive and
+    * the result is report-sized (the extra exchange carries the
+    * result rows once).
+    */
+  def pinBeforeSort(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(keys.map(col): _*)
+
   /** Write a table bucketed by `keyCol` into the session catalog —
     * subsequent equi-joins between tables bucketed on the same key
     * with the same bucket count need NO exchange (asserted in

@@ -469,6 +469,10 @@ object SourceQueries {
           .select(col("id").as("doc_id"), col("sample_rate"),
             col("channels"), col("n_frames"), col("peak"), col("sumsq"),
             col("zero_crossings"))
+          // pin: the 5 000-file binaryFile re-read + WAV decode would
+          // otherwise run twice (the global sort's sampling pass —
+          // Layout.pinBeforeSort scaladoc)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some("""WITH sm AS (

@@ -818,6 +818,8 @@ object TextQueries {
       (s, dir) => TextOps.containmentPairsViaMinHash(
         Tables.documents(s, dir), "doc_id", "text",
         n = 5, threshold = 0.9, numHashes = 16, bands = 2)
+        // pin: the containment-confirm tail ran twice (sampler)
+        .transform(graft.ops.Layout.pinBeforeSort(_, "id_a", "id_b"))
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
           SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
@@ -1335,6 +1337,10 @@ object TextQueries {
         .select(col("doc_id"),
           size(TextOps.wordNgrams(col("text"), 2)).as("n_bigrams"),
           size(array_distinct(TextOps.wordNgrams(col("text"), 2))).as("n_distinct_bigrams"))
+        // pin: the bigram projection is the whole query — without a
+        // shuffle below it the global sort's sampling pass re-runs it
+        // (Layout.pinBeforeSort scaladoc)
+        .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
         len(string_split(text, ' ')) - 1 AS n_bigrams,
@@ -1704,6 +1710,9 @@ object TextQueries {
         graft.ops.PngOps.pngPhash(pngs, "id", "png")
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("sh"))
+          // pin: PNG encode+decode+phash is the zero-shuffle tail the
+          // sort sampler would otherwise run twice
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some(s"""WITH k AS (SELECT * FROM
@@ -1747,6 +1756,8 @@ object TextQueries {
         graft.ops.JpegOps.jpegMeta(jpegs, "id", "jpeg")
           .select(col("id").as("doc_id"), col("format"),
             col("width"), col("height"))
+          // pin: imageio encode + marker walk would run twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, 'jpeg' AS format,
@@ -1776,6 +1787,8 @@ object TextQueries {
         graft.ops.JpegOps.jpegPhash(jpegs, "id", "jpeg")
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("sh"))
+          // pin: JPEG encode+entropy-decode+IDCT+phash ran twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some(s"""WITH k AS (SELECT * FROM
@@ -1827,6 +1840,8 @@ object TextQueries {
         graft.ops.JpegOps.colorJpegStats(jpegs, "id", "jpeg")
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("sh"), col("r00"), col("g00"), col("b00"))
+          // pin: color JPEG encode+decode ran twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some(s"""WITH k AS (SELECT * FROM
@@ -1932,6 +1947,8 @@ object TextQueries {
         graft.ops.GifOps.gifFrameSample(gifs, "id", "gif", stride = 2)
           .select(col("id").as("doc_id"), col("n_frames"), col("frame_idx"),
             col("px_sum"), col("px_min"), col("px_max"))
+          // pin: GIF encode + LZW decode ran twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id", "frame_idx")
       },
       Some("""WITH fv AS (
@@ -2785,6 +2802,8 @@ object TextQueries {
     Q("d26_jaccard_prefix",
       (s, dir) => TextOps.prefixJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", 0.9)
+        // pin: the verify merge-intersect tail ran twice (sampler)
+        .transform(graft.ops.Layout.pinBeforeSort(_, "id_a", "id_b"))
         .orderBy("id_a", "id_b"),
       Some("""WITH tok AS (
           SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
@@ -4092,6 +4111,8 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("sample_rate"),
             col("channels"), col("n_frames"), col("peak"), col("sumsq"),
             col("zero_crossings"))
+          // pin: shard extract + WAV decode ran twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some("""WITH sm AS (
@@ -4139,6 +4160,8 @@ object TextQueries {
               col("bytes").as("jpeg")), "id", "jpeg")
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("sh"))
+          // pin: shard extract + JPEG decode + phash ran twice (sampler)
+          .transform(graft.ops.Layout.pinBeforeSort(_, "doc_id"))
           .orderBy("doc_id")
       },
       Some(s"""WITH k AS (SELECT * FROM
