@@ -216,10 +216,22 @@ object Bench {
     // disk is shared/virtualized, i.e. this sandbox).
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm))
-        Some(java.nio.file.Files
-          .createTempDirectory(shm, "graft-spark-local").toString)
-      else None
+      if (java.nio.file.Files.isWritable(shm)) {
+        val d = java.nio.file.Files
+          .createTempDirectory(shm, "graft-spark-local")
+        // tmpfs is RAM: Spark's shutdown hooks clean its own subdirs
+        // but the parent would linger and accumulate across runs
+        // (ADVICE r18) — remove it (recursively, best-effort) on exit
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.nio.file._
+            import java.util.Comparator
+            Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+          } catch { case _: Throwable => () }
+        }))
+        Some(d.toString)
+      } else None
     }
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -331,6 +343,11 @@ object Bench {
         s""""preflight_wait_sec":${fmt1(preflightWait)},""" +
         s""""full":"$outName","queries":$compactQs}"""
     }
+    // mid-run window-defense accounting (r19; see recordGuarded below):
+    // cumulative seconds slept waiting out mid-run degraded-disk
+    // windows, and the entries whose poisoned samples were re-run
+    @volatile var midrunWait: Double = 0.0
+    @volatile var windowReruns: List[String] = Nil
     // the FULL line: complete medians/min/MAD maps for every entry —
     // always on disk at bench_full.json (rewritten incrementally), so
     // the untruncated numbers survive any cut
@@ -353,6 +370,10 @@ object Bench {
         s""""n_events":$nEvents,"sf":"$sfDir","iters_done":$qsN,""" +
         s""""degraded_box":$degradedBox,"box_ratio":${fmt4(boxRatio)},""" +
         s""""preflight_wait_sec":${fmt1(preflightWait)},""" +
+        s""""midrun_wait_sec":${fmt1(midrunWait)},""" +
+        s""""window_reruns":${windowReruns.groupBy(identity)
+          .map { case (k, v) => "\"" + k + "\":" + v.size }
+          .mkString("{", ",", "}")},""" +
         s""""queries_min":$qsMin,"queries_mad":$qsMad,"queries":$qs}"""
     }
     // Run-stamped artifact (r16 judge finding 3): the default target is
@@ -698,6 +719,59 @@ object Bench {
       }
     }
 
+    // MID-RUN WINDOW DEFENSE (r19, VERDICT r18 item 2): the sandbox
+    // disk's write path intermittently collapses (~157 → 8 MB/s)
+    // MID-RUN — r18's preflight read quiet, then a collapse window
+    // poisoned ~14 contiguous entries (q69 172 s vs 4.7 s quiet) and
+    // blew both driver runs' budgets with 154/101 entries unmeasured.
+    // After any suspiciously slow entry timing the loop re-probes the
+    // cheap q01 control (~0.5 s quiet): if the control confirms a
+    // degraded window (>2× its quiet-ledger time — collapses measure
+    // 10-30×, so the margin is wide), the just-taken sample is
+    // DISCARDED as poisoned, the loop sleeps in 20 s steps until the
+    // control reads quiet again (cumulative wait capped at 15% of the
+    // budget), and the entry re-runs in the quiet window. All bounds
+    // honor the emission reserve, so a permanently-degraded box still
+    // completes with (honestly slow) numbers instead of hanging.
+    // Probes never enter `samples`; `midrun_wait_sec`/`window_reruns`
+    // in the full artifact record what the defense did.
+    val controlFactory: Option[() => () => Unit] =
+      if (sfDir.endsWith("sf0.1"))
+        entries.find(_._1 == "q01_filter_project").map(_._2)
+      else None
+    val controlLedger = 0.504 // BASELINE.md quiet-snapshot q01 median
+    def probeDegraded(): Boolean = controlFactory.exists { f =>
+      val dt = timeOnce(f)
+      dt < 0 || dt / controlLedger > 2.0
+    }
+    val midrunWaitCap = budget * 0.15
+    def recordGuarded(name: String, factory: () => () => Unit): Unit = {
+      var dt = timeOnce(factory)
+      var attempts = 0
+      def suspicious: Boolean = {
+        val ok = lock.synchronized(samples(name)).filter(_ >= 0)
+        dt > 15.0 || (ok.nonEmpty && dt > 4.0 * ok.min)
+      }
+      while (controlFactory.isDefined && attempts < 2 && dt >= 0 &&
+          suspicious && remaining > reserve + 1.5 * dt + 20.0 &&
+          probeDegraded()) {
+        println(s"[bench] degraded window: $name took ${fmt1(dt)}s with " +
+          s"the control inflated; waiting for quiet, then re-running")
+        var quiet = false
+        while (!quiet && midrunWait < midrunWaitCap &&
+            remaining > reserve + 1.5 * dt + 20.0) {
+          Thread.sleep(20000)
+          midrunWait += 20.0
+          quiet = !probeDegraded()
+        }
+        if (quiet) {
+          windowReruns = name :: windowReruns
+          dt = timeOnce(factory)
+          attempts += 1
+        } else attempts = 2 // wait cap/budget exhausted: keep the sample
+      }
+      record(name, dt)
+    }
     // INTERLEAVED iterations (round-robin across entries, not N
     // back-to-back per entry): a transient contention spike on the box
     // now lands on one iteration of many entries instead of every
@@ -717,7 +791,7 @@ object Bench {
           if (it == 1) remaining > reserve
           else remaining > reserve + 1.5 * lastOk(name)
         if (run) {
-          record(name, timeOnce(factory))
+          recordGuarded(name, factory)
           writeFull(partial = true, iters)
           println(compactLine(partial = true))
         }
@@ -738,7 +812,7 @@ object Bench {
       var extra = 0
       while (noisy(name) && extra < maxReruns &&
           remaining > reserve + 1.5 * lastOk(name)) {
-        record(name, timeOnce(factory))
+        recordGuarded(name, factory)
         writeFull(partial = true, iters)
         println(compactLine(partial = true))
         extra += 1

