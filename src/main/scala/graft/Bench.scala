@@ -262,6 +262,14 @@ object Bench {
     // -1 sentinel rows (all-failed) are filtered here
     def sortedOk(name: String): Vector[Double] =
       samples.getOrElse(name, Vector.empty).filter(_ >= 0).sorted
+    // LOWER median for even sample counts (r19): box noise is
+    // one-sided (a degraded-disk window only ever INFLATES a sample),
+    // and the upper-median convention made median-of-2 report the
+    // worse of a quiet and a poisoned sample. Real code regressions
+    // move min and median together, so the lower middle is the
+    // noise-robust choice; odd counts are unchanged.
+    def medOf(ok: Vector[Double]): Double =
+      if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
     @volatile var nEvents = 0L
     val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
     val eventScenarios = Set("b01_consume_baseline", "b02_forward",
@@ -298,7 +306,7 @@ object Bench {
     def stats(): Seq[Stat] = lock.synchronized {
       samples.toSeq.map { case (name, _) =>
         val ok = sortedOk(name)
-        val med = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+        val med = medOf(ok)
         val mn = if (ok.isEmpty) -1.0 else ok.head
         val mad = if (ok.isEmpty) -1.0
           else ok.map(t => math.abs(t - med)).sorted.apply(ok.size / 2)
@@ -750,7 +758,11 @@ object Bench {
       var attempts = 0
       def suspicious: Boolean = {
         val ok = lock.synchronized(samples(name)).filter(_ >= 0)
-        dt > 15.0 || (ok.nonEmpty && dt > 4.0 * ok.min)
+        // 3 s absolute: the r19 baseline run showed 4–12 s poisoned
+        // singles sailing under a 15 s bar (quiet sf0.1 entries top out
+        // ~7 s at 32 cores); the probe is ~0.5 s, so probing every
+        // slow-ish entry costs far less than one kept poisoned sample
+        dt > 3.0 || (ok.nonEmpty && dt > 4.0 * ok.min)
       }
       while (controlFactory.isDefined && attempts < 2 && dt >= 0 &&
           suspicious && remaining > reserve + 1.5 * dt + 20.0 &&
@@ -806,7 +818,7 @@ object Bench {
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt
     def noisy(name: String): Boolean = {
       val ok = sortedOk(name)
-      ok.size > 1 && ok.head > 0 && ok(ok.size / 2) / ok.head > 1.5
+      ok.size > 1 && ok.head > 0 && medOf(ok) / ok.head > 1.5
     }
     val rerunCounts = entries.map { case (name, factory) =>
       var extra = 0

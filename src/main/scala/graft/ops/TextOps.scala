@@ -811,9 +811,12 @@ object TextOps {
     // candidate pair (~80 µs/pair over the 12.5M sf0.1 candidates);
     // the merge over once-sorted arrays is allocation-free. Count is
     // definitionally identical (bit-parity spec-pinned in OpsSpec).
+    // pinned (r19): consumed under two join keys (id_a, id_b) — the
+    // tokenize+sort pass otherwise runs twice
     val lex = df.select(col(idCol).as("id"),
         array_sort(array_distinct(tokens(col(textCol)))).as("lt"))
       .select(col("id"), col("lt"), size(col("lt")).cast("long").as("n"))
+      .localCheckpoint(true)
     // Verify-join strategy is SIZE-ADAPTIVE (the README's "broadcast
     // the small side always", applied to the doc-array side):
     //  - small corpus (row count from the INPUT df — a metadata-cheap
@@ -895,6 +898,9 @@ object TextOps {
     val toks = docs.select(col("id"), col("n_toks"),
       explode(col("toks")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // pinned (r19): `prefix` below feeds BOTH legs of the collision
+    // self-join (stream repartition + broadcast build), so the df-join
+    // + rarest-first re-sort subtree otherwise runs twice
     val sorted = toks.join(dfreq, "tok")
       .groupBy(col("id"), col("n_toks"))
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("o"))
@@ -903,6 +909,7 @@ object TextOps {
       .withColumn("plen",
         col("n_toks") -
           ceil(lit(threshold) * col("n_toks") - lit(1e-9)).cast("int") + 1)
+      .localCheckpoint(true)
     // PPJoin's POSITIONAL filter was implemented and MEASURED here,
     // then rejected: at sf0.1 (t=0.9, rarest-first order) it pruned
     // candidates only 3.69M → 3.28M (−11%), while replacing the
@@ -996,6 +1003,11 @@ object TextOps {
                                  numHashes: Int = 16,
                                  bands: Int = 2): DataFrame = {
     import graft.functions.PortableSketches.ngramHashes60
+    // cand deliberately NOT pinned (r19, measured): the union's two
+    // legs canonicalize to the same banding-join exchange, which Spark
+    // already reuses within the one action — an eager pin here only
+    // added a job and a full write/read of the candidate set (d27
+    // 1.81 → 2.12 s with the pin)
     val cand = minHashPairs(df, idCol, textCol, numHashes, bands,
         minEstimate = 0.0, portable = true)
       .select("id_a", "id_b")
@@ -1007,9 +1019,12 @@ object TextOps {
     // exploded posting join this replaced shuffled candidates ×
     // shingles rows. n_a > 0 guard = the old inner posting join's
     // implicit drop of shingle-less docs (and keeps the ratio NaN-free).
+    // sh pinned (r19): consumed under two join keys (id_a, id_b) — the
+    // shingle-hash + sort pass otherwise runs twice
     val sh = df.select(col(idCol).as("id"),
         sort_array(ngramHashes60(col(textCol), n)).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .localCheckpoint(true)
     candBoth
       .join(sh.toDF("id_a", "sa", "n_a"), Seq("id_a"))
       .join(sh.toDF("id_b", "sb", "n_b"), Seq("id_b"))
@@ -1065,8 +1080,12 @@ object TextOps {
       else all.where(graft.functions.PortableHash.mdHash60(
         concat(col("id_a").cast("string"), lit("|"),
           col("id_b").cast("string"))) % sampleMod === 0)
+    // pinned (r19): the truth join consumes this frame under two
+    // different keys (id_a, id_b) — separate exchanges, no reuse — so
+    // the tokenize+sort pass over the corpus ran twice per query
     val docsArr = df.select(col(idCol).as("id"),
       array_sort(array_distinct(tokens(col(textCol)))).as("ts"))
+      .localCheckpoint(true)
     val truth = cand
       .join(docsArr.toDF("id_a", "ta"), Seq("id_a"))
       .join(docsArr.toDF("id_b", "tb"), Seq("id_b"))
@@ -1195,7 +1214,15 @@ object TextOps {
     // member pairs is inherently quadratic per duplicate group — at
     // extreme group sizes a (canonical_id, member_id) output shape is
     // the scalable contract (see exactDedup).
+    //
+    // Pinned (r19): `groups` feeds the banding self-join (two legs)
+    // AND the intra-group leg — three references that each re-ran the
+    // signature kernel over the corpus (d03's final plan scanned
+    // documents 6×). One eager localCheckpoint of the compact
+    // (sig, ids) frame = one signature pass (see minHashSigFrame for
+    // why checkpoint, not persist).
     val groups = sigs.groupBy("sig").agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
     val banded = groups.select(col("sig"), col("ids"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(bnd, slice(col("sig"), bnd * r + 1, lit(r)).cast("string")))))
@@ -1279,9 +1306,12 @@ object TextOps {
   def minHashPairsExactVerified(df: DataFrame, idCol: String, textCol: String,
                                 numHashes: Int = 16,
                                 bands: Int = 2): DataFrame = {
+    // pinned (r19): consumed under two join keys (id_a, id_b) — the
+    // tokenize+sort+md5 pass otherwise runs twice
     val fps = df.select(col(idCol).as("id"),
       md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " "))
         .as("set_fp"))
+      .localCheckpoint(true)
     // est = 1.0 ⇔ identical signatures (any position mismatch lowers
     // the estimate below 1), so this selects exactly the
     // identical-signature candidate groups
@@ -1355,10 +1385,14 @@ object TextOps {
 
   private def mhSigGroups(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int, portable: Boolean): DataFrame =
+    // pinned (r19): the corpus side is referenced by both the Bloom
+    // sketch build (an action) and the band join; the increment side
+    // by the band join's plan — one signature pass each either way
     df.select(col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes, portable).as("sig"))
       .where(col("sig").isNotNull)
       .groupBy("sig").agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
 
   private def mhBanded(groups: DataFrame, bands: Int, r: Int): DataFrame =
     groups.select(col("sig"), col("ids"),
@@ -1432,10 +1466,52 @@ object TextOps {
                            numHashes: Int = 16, bands: Int = 4,
                            minEstimate: Double = 0.5,
                            portable: Boolean = false): DataFrame = {
+    val sigs = minHashSigFrame(df, idCol, textCol, numHashes, portable)
+    val out = dedupClustersFromSigFrame(sigs, numHashes, bands, minEstimate)
+    // the returned frame is pinned (ExistingRDD) — the signature pin's
+    // blocks are no longer reachable from it and can be dropped now
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(sigs)
+    out
+  }
+
+  /** Pinned `(id, sig)` MinHash signature frame — ONE signature pass
+    * over the corpus, materialized via an eager `localCheckpoint` so
+    * every consumer (cluster labeling, candidate pairs, report legs)
+    * reads the same blocks instead of re-running the kernel.
+    *
+    * Motivation (r19, VERDICT r18 items 5/9): the cluster-report
+    * queries' final plans re-evaluated the signature subtree up to
+    * 8–20× (d06 scanned documents 8×, d21 20× — the r18 before-plans),
+    * because `docLabels` feeds both the size aggregation and the
+    * output join, CC pins its inputs in separate construction jobs,
+    * and the banding self-join has two legs. The signature kernel is
+    * the only corpus-sized work in the chain, so pinning it collapses
+    * the whole family to one pass. `localCheckpoint`, NOT `persist`:
+    * the CacheManager keys cached plans canonically, so a `persist`
+    * here would let a bench re-run of the same query silently reuse
+    * the previous run's cache (result caching — forbidden); a local
+    * checkpoint is a fresh RDD per call, always recomputed from
+    * parquet within the run that created it.
+    */
+  def minHashSigFrame(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int, portable: Boolean): DataFrame =
+    df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), numHashes, portable).as("sig"))
+      .localCheckpoint(true)
+
+  /** The cluster half of [[dedupClustersMinHash]] over an existing
+    * `(id, sig)` frame — callers that also need candidate pairs
+    * (d38's quality report) share one [[minHashSigFrame]] across both
+    * paths. Output is pinned: report queries reference the labels
+    * several times (sizes, funnel legs, joins), and the label frame
+    * is report-sized (one row per doc id), so materializing it once
+    * beats re-running the label join per reference.
+    */
+  def dedupClustersFromSigFrame(sigs: DataFrame, numHashes: Int,
+                                bands: Int,
+                                minEstimate: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, portable).as("sig"))
     val groups = sigs.where(col("sig").isNotNull)
       .groupBy("sig").agg(collect_list(col("id")).as("ids"))
     val withRep = groups.select(col("sig"),
@@ -1464,11 +1540,16 @@ object TextOps {
     val labels = GraphOps.connectedComponents(repEdges, repNodes)
     val docLabels = docRep.join(labels, docRep("rep") === labels("id"))
       .select(col("doc_id"), col("cluster_id"))
-    val sizes = docLabels.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    docLabels.join(sizes, Seq("cluster_id"))
+    // cluster_size via an unordered count window instead of
+    // groupBy+self-join: one reference to docLabels, one exchange on
+    // cluster_id (the join version re-executed the whole label subtree
+    // for the size leg and paid two more exchanges) — same values
+    docLabels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+      .localCheckpoint(true)
   }
 
   /** Quality-aware cluster representative selection: instead of the
@@ -1491,10 +1572,15 @@ object TextOps {
     val clusters = dedupClustersMinHash(df, idCol, textCol, numHashes, bands,
       minEstimate, portable)
     val quality = qualityColumns(col(textCol), stopwords).toMap
+    // pinned (r19): `scored` feeds both the per-cluster argmax and the
+    // output join — without the pin the quality-scoring pass (and the
+    // label join) ran twice (d21's final plan scanned documents 20×
+    // before the family-wide pins)
     val scored = clusters.join(
       df.select(col(idCol).as("doc_id"),
         quality("quality_score").as("quality_score")),
       Seq("doc_id"))
+      .localCheckpoint(true)
     val rep = scored.groupBy("cluster_id")
       .agg(max(struct(col("quality_score").as("q"),
         (-col("doc_id")).as("neg_id"))).as("best"))
@@ -1556,7 +1642,12 @@ object TextOps {
     val bits = 60 / bands
     val mask = (1L << bits) - 1
     val sigs = sigFrame.where(col("sh").isNotNull)
+    // pinned (r19): same three-reference shape as minHashPairs'
+    // groups — and the signature here is often an IMAGE hash (m05/
+    // m11/m13 perceptual pipelines), where re-decoding per reference
+    // is far worse than re-splitting text
     val groups = sigs.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
     val bandCols = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sh"), b * bits).bitwiseAND(lit(mask)).as("bits"))): _*)
@@ -1736,7 +1827,16 @@ object TextOps {
         transform(sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))).as("g"))
+    // counts pinned (r19): the total-sum leg planned as a SEPARATE
+    // subtree (its exchange lacked the join side's null filter,
+    // defeating exchange reuse), so the corpus-sized gram explode ran
+    // a THIRD time just to sum counts it had already computed
+    // (plans/r19/t49_*: 3 Generates → 2). The pinned frame is the
+    // distinct-gram count table — bounded by the charset³, not the
+    // corpus. (A whole-table window was tried first and correctly
+    // rejected by PlanHygieneSpec's unpartitioned-window gate.)
     val counts = grams.groupBy("g").agg(count(lit(1)).as("gc"))
+      .localCheckpoint(true)
     val total = counts.agg(sum("gc").cast("double").as("_total"))
     val lm = counts.crossJoin(broadcast(total))
       .select(col("g"),

@@ -540,7 +540,12 @@ object VectorOps {
   def ivfNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
                           nCells: Int, k: Int, probes: Int = 1,
                           portablePivots: Boolean = false): DataFrame = {
+    // pinned (r19): the intra-cell self-join references the assignment
+    // twice — each leg re-ran the scan + pivot broadcast + assignment
+    // window (see TextOps.minHashSigFrame for the checkpoint-not-
+    // persist rationale)
     val assigned = ivfAssign(df, idCol, vecCol, nCells, probes, portablePivots)
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
@@ -823,7 +828,9 @@ object VectorOps {
                   k: Int, iters: Int,
                   portablePivots: Boolean = false): DataFrame = {
     require(iters > 0, "iters must be positive")
-    val base = kmBase(df, idCol, vecCol)
+    // pinned (r19): every Lloyd round's collect re-scanned the corpus
+    // through kmBase — one scan + norm pass now feeds all rounds
+    val base = kmBase(df, idCol, vecCol).localCheckpoint(true)
     var cents = kmInitPivots(df, idCol, vecCol, k, portablePivots)
     for (_ <- 1 until iters) cents = kmCollect(kmUpdate(base, cents))
     // the last round stays lazy: callers get one scan + one shuffle
@@ -925,11 +932,15 @@ object VectorOps {
                                  nCells: Int, k: Int, iters: Int,
                                  portablePivots: Boolean = false): DataFrame = {
     require(iters > 0, "iters must be positive")
-    val base = kmBase(df, idCol, vecCol)
+    // pinned (r19): per-round collects + the final assignment all
+    // re-scanned the corpus; the assignment additionally feeds an
+    // intra-cell SELF-join (two more evaluations) — pin both
+    val base = kmBase(df, idCol, vecCol).localCheckpoint(true)
     var cents = kmInitPivots(df, idCol, vecCol, nCells, portablePivots)
     for (_ <- 1 to iters) cents = kmCollect(kmUpdate(base, cents))
     val assigned = base.select(col("id"), col("vec"), col("nrm"),
       kmBestCell(cents).as("cell"))
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
@@ -969,12 +980,15 @@ object VectorOps {
                         portablePivots: Boolean = false): DataFrame = {
     require(iters > 0, "iters must be positive")
     require(pct > 0.0 && pct < 1.0, "pct must be in (0, 1)")
-    val base = kmBase(df, idCol, vecCol)
+    // pinned (r19): rounds + scoring re-scanned the corpus; `scored`
+    // feeds both the per-cell moments and the rank kernel
+    val base = kmBase(df, idCol, vecCol).localCheckpoint(true)
     var cents = kmInitPivots(df, idCol, vecCol, nCells, portablePivots)
     for (_ <- 1 to iters) cents = kmCollect(kmUpdate(base, cents))
     val best = kmBest(cents)
     val scored = base.select(col("id"),
       best.getField("cell").as("cell"), best.getField("sim").as("sim"))
+      .localCheckpoint(true)
     // per-cell moments: mu/var from UNROUNDED avgs, then 6-dp snapped —
     // z is computed off the snapped stats so both engines divide
     // identical inputs (cf. kmUpdate's snapping contract)
@@ -1023,7 +1037,8 @@ object VectorOps {
               portablePivots: Boolean = false): DataFrame = {
     require(iters > 0, "iters must be positive")
     var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
-    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    // pinned (r19): each Lloyd round's collect re-ran the scan+explode
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m).localCheckpoint(true)
     for (_ <- 1 until iters) cents = pqCollect(pqUpdate(subs, cents), m)
     pqUpdate(subs, cents)
   }
@@ -1040,7 +1055,8 @@ object VectorOps {
                      portablePivots: Boolean = false): DataFrame = {
     require(iters > 0, "iters must be positive")
     var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
-    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    // pinned (r19): rounds + the encode all re-ran the scan+explode
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m).localCheckpoint(true)
     for (_ <- 1 to iters) cents = pqCollect(pqUpdate(subs, cents), m)
     val best = pqBest(cents)
     subs.select(col("id"), col("sub"),
@@ -1074,12 +1090,15 @@ object VectorOps {
     require(iters > 0, "iters must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    // IVF cells over raw vectors (probes=1)
+    // IVF cells over raw vectors (probes=1); pinned (r19) — the
+    // candidate generation self-joins this frame (two legs)
     val cells = ivfAssign(df, idCol, vecCol, nCells, probes = 1, portablePivots)
       .select(col("cell"), col("id"))
-    // trained PQ codebooks + doc codes
+      .localCheckpoint(true)
+    // trained PQ codebooks + doc codes; subs pinned (r19) — the Lloyd
+    // rounds, the encode, AND the per-query LUT build all consume it
     var cents = pqInit(df, idCol, vecCol, m, nCentroids, dim, portablePivots)
-    val subs = pqSubs(df, idCol, vecCol, m, dim / m)
+    val subs = pqSubs(df, idCol, vecCol, m, dim / m).localCheckpoint(true)
     for (_ <- 1 to iters) cents = pqCollect(pqUpdate(subs, cents), m)
     val codes = subs.select(col("id").as("id_b"), col("sub"),
       pqBest(cents).getField("cell").as("code"))

@@ -473,15 +473,16 @@ object TextQueries {
     Q("d38_cluster_quality",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // labels and pairs deliberately run their own signature pass:
-        // feeding the 3.1M member-pair edges into CC instead costs
-        // 1.8x more than the second signature pass, because
-        // dedupClustersMinHash's fixpoint runs on the ~15k-edge
-        // SIGNATURE graph (measured both ways at sf0.1)
-        val labels = TextOps.dedupClustersMinHash(docs, "doc_id", "text",
-          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
-        val pairs = TextOps.minHashPairs(docs, "doc_id", "text",
-          numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
+        // labels and pairs SHARE one pinned signature pass (r19) while
+        // still clustering on the ~15k-edge SIGNATURE graph — feeding
+        // the 3.1M member-pair edges into CC instead costs 1.8x more
+        // (measured both ways at sf0.1 in r18)
+        val sigs = TextOps.minHashSigFrame(docs, "doc_id", "text",
+          numHashes = 16, portable = true)
+        val labels = TextOps.dedupClustersFromSigFrame(sigs,
+          numHashes = 16, bands = 2, minEstimate = 0.7)
+        val pairs = TextOps.minHashPairsFromSignatures(sigs,
+          numHashes = 16, bands = 2, minEstimate = 0.7)
         // an edge's endpoints share a cluster by construction — label
         // via id_a only
         val e = pairs.join(labels.select(col("doc_id").as("id_a"),
@@ -603,11 +604,15 @@ object TextQueries {
     //    linear dedup paths, the report adds one 3-row union ────────────
     Q("d39_dedup_funnel",
       (s, dir) => {
+        // pinned (r19): the funnel reads this frame five times (three
+        // stage aggregations, the exact-keep grouping, and the
+        // cluster labeling input) — each re-ran the scan+tokenize
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
             TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
             octet_length(col("text").cast("binary")).cast("long")
               .as("n_bytes"), col("text"))
+          .localCheckpoint(true)
         def stage(df: org.apache.spark.sql.DataFrame, id: Int,
                   name: String): org.apache.spark.sql.DataFrame =
           df.agg(count(lit(1)).as("n_docs"),
@@ -619,7 +624,7 @@ object TextQueries {
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
         val ndKeep = TextOps.dedupClustersMinHash(
-            Tables.documents(s, dir), "doc_id", "text",
+            docs, "doc_id", "text",
             numHashes = 16, bands = 2, minEstimate = 0.7, portable = true)
           .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
